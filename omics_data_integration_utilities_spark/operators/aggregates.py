@@ -1,0 +1,133 @@
+"""Aggregation operators (SURVEY §2.4 A1-A9) incl. the correlation engine.
+
+The correlation engine (A5/K6) is the workhorse of the reference
+(``corrMultiomics.py``): every metabolite × every transcript, Pearson or
+Spearman with a p-value, fanned out over a process pool.  Spark-first
+restatement: long-form join on the shared sample key → groupBy the pair →
+``corr`` aggregate (map-side partial, one shuffle) — the Pool becomes
+partition parallelism, the ``Manager().Namespace()`` shared matrix becomes
+a broadcast.
+
+P-values: the t statistic ``t = r·sqrt((n−2)/(1−r²))`` is exact SQL; the
+Student-t two-sided tail needs the regularized incomplete beta, which is
+not SQL-expressible — :func:`corr_pvalues` adds it with a vectorized
+(Arrow) pandas_udf, matching scipy to float precision
+(``corrMultiomics.py:52-63`` parity path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_count(df: DataFrame, key_cols: list[str], count_col: str = "n") -> DataFrame:
+    """A1: group-count (reference hand-rolls a dict loop,
+    ``treatMassTransitions.py:35-43``)."""
+    return df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias(count_col))
+
+
+def set_union_agg(
+    df: DataFrame, key_cols: list[str], value_col: str, out_col: str = "members"
+) -> DataFrame:
+    """A4: per-group set union, canonical sorted array (reference
+    ``gizmos.py:350-354`` does ``set.union(*series)`` over ``;``-cells)."""
+    return df.groupBy(*key_cols).agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(value_col)))).alias(out_col)
+    )
+
+
+def na_fraction(df: DataFrame, key_cols: list[str], value_col: str) -> DataFrame:
+    """A9: per-group missing-value fraction."""
+    return df.groupBy(*key_cols).agg(
+        F.avg(F.col(value_col).isNull().cast("int")).alias("na_frac")
+    )
+
+
+def pairwise_corr(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    min_n: int = 3,
+    method: str = "pearson",
+) -> DataFrame:
+    """A5/K6: per-group correlation with sample size and t statistic.
+
+    ``method='spearman'`` ranks x and y within each group first (average
+    ranks on ties, scipy-compatible) then applies Pearson — rank windows
+    shuffle on the same group key as the final aggregate.
+
+    Returns columns: group_cols + (n, r, t).  Groups with fewer than
+    ``min_n`` samples or zero variance are dropped (the reference's scipy
+    call would return NaN there).
+    """
+    from pyspark.sql import Window
+
+    if method == "spearman":
+        # average rank = (row_number ties averaged) — implement as
+        # rank + (count(ties)-1)/2 so ties get the scipy 'average' rank.
+        for c, rc in ((x_col, "__rx"), (y_col, "__ry")):
+            w = Window.partitionBy(*group_cols).orderBy(F.col(c).asc())
+            wt = Window.partitionBy(*group_cols, c)
+            df = df.withColumn(rc, F.rank().over(w) + (F.count(F.lit(1)).over(wt) - 1) / 2.0)
+        x_col, y_col = "__rx", "__ry"
+
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.corr(x_col, y_col).alias("r"),
+    )
+    out = agg.where((F.col("n") >= min_n) & F.col("r").isNotNull())
+    t = F.col("r") * F.sqrt((F.col("n") - 2) / (1 - F.col("r") * F.col("r")))
+    return out.withColumn("t", t)
+
+
+def corr_pvalues(corr_df: DataFrame, r_col: str = "r", n_col: str = "n") -> DataFrame:
+    """Exact two-sided p-values for a correlation table, scipy-parity
+    (reference ``corrMultiomics.py:52-63``).  Vectorized pandas_udf — the
+    only non-SQL step, Arrow-batched, no shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which the pandas_udf signature inference rejects
+    @F.pandas_udf(DoubleType())
+    def _pv(r, n):
+        from scipy import stats
+
+        t = r * ((n - 2) / (1 - r * r)) ** 0.5
+        return pd.Series(2 * stats.t.sf(t.abs(), (n - 2).clip(lower=1)))
+
+    return corr_df.withColumn("p", _pv(F.col(r_col), F.col(n_col)))
+
+
+def correlate_long_matrices(
+    left: DataFrame,
+    right: DataFrame,
+    sample_col: str,
+    left_key: str,
+    right_key: str,
+    left_val: str,
+    right_val: str,
+    min_n: int = 3,
+    method: str = "pearson",
+) -> DataFrame:
+    """The full corrMultiomics dataflow (§3.1): two long-form matrices →
+    inner join on the shared sample key (J11 alignment is implicit) →
+    pairwise correlation per (left_key, right_key).
+
+    At scale the join shuffles on ``sample_col`` and the aggregate on the
+    pair key; if one matrix is small (the metabolite side usually is),
+    broadcast it to kill the first shuffle.
+    """
+    joined = left.select(
+        F.col(sample_col).alias("__s"), F.col(left_key).alias("lk"), F.col(left_val).alias("lv")
+    ).join(
+        right.select(
+            F.col(sample_col).alias("__s"),
+            F.col(right_key).alias("rk"),
+            F.col(right_val).alias("rv"),
+        ),
+        "__s",
+    )
+    return pairwise_corr(joined, ["lk", "rk"], "lv", "rv", min_n=min_n, method=method)

@@ -1,0 +1,198 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Beyond-reference surface (BASELINE.json north star): exact dedup,
+MinHash + LSH near-dup, SimHash, and n-gram Jaccard — all built from the
+same join/window machinery as the omics operators (SURVEY §7 M8).
+
+Scale design
+------------
+- Exact dedup: hash-groupBy, one shuffle on the 60-bit content hash.
+- MinHash signatures: computed **entirely with array higher-order
+  functions** (transform/aggregate over the token array) — zero shuffle,
+  zero UDF; the signature never leaves the row until LSH banding.
+- LSH: explode 4 band keys per doc (4 rows/doc, not |shingles| rows), one
+  shuffle on the band key, self-join within buckets.  Bucket skew is the
+  known hazard; AQE skew-join handles it, and verification re-filters with
+  exact Jaccard so over-full buckets only cost time, not correctness.
+- All hashing is md5-based and engine-portable (see ``constants.py``), so
+  the DuckDB oracle reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .constants import (
+    MINHASH_BANDS,
+    MINHASH_P,
+    MINHASH_PERMS,
+    MINHASH_ROWS_PER_BAND,
+    SHINGLE_WIDTH,
+    SIMHASH_BITS,
+)
+
+
+def content_hash(col: Column | str) -> Column:
+    """60-bit integer content hash, identical in Spark and DuckDB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def tokens_col(text: Column | str, sep: str = " ") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, sep)
+
+
+def shingles_col(text: Column | str, width: int = SHINGLE_WIDTH) -> Column:
+    """Distinct ``width``-word shingles of a text column — pure array ops,
+    no explode, no UDF."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - F.lit(width - 1))
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(width)]  # noqa: E731
+    shingle = lambda i: F.concat_ws(" ", *parts(i))  # noqa: E731
+    return F.when(n >= width, F.array_distinct(F.transform(idx, shingle))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_hashes_col(text: Column | str, width: int = SHINGLE_WIDTH) -> Column:
+    """Shingle set → array of md5-derived ints reduced mod P (minhash input)."""
+    return F.transform(
+        shingles_col(text, width),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P,
+    )
+
+
+def _perm_lambda(a: int, b: int):
+    # NB: must be a real 1-arg lambda — default-arg closures change the
+    # visible arity and break Spark's higher-order-function binding
+    return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
+
+def minhash_signature_col(text: Column | str, width: int = SHINGLE_WIDTH) -> Column:
+    """16-element MinHash signature as an array column — computed row-local
+    with higher-order functions (no shuffle)."""
+    hashes = shingle_hashes_col(text, width)
+    return F.array(
+        *[F.array_min(F.transform(hashes, _perm_lambda(a, b))) for a, b in MINHASH_PERMS]
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct content hash.
+
+    Returns (content_hash, keep_id, n_copies).
+    """
+    return (
+        df.select(content_hash(text_col).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Long-form (id, perm, minhash) signature table."""
+    sig = df.select(F.col(id_col), minhash_signature_col(text_col).alias("__sig"))
+    return sig.select(
+        id_col,
+        F.posexplode("__sig").alias("perm", "minhash"),
+    )
+
+
+def lsh_band_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, band, band_key) — band_key is the md5 of the band's minhash
+    slice; docs sharing a band_key are near-dup candidates."""
+    sig = df.select(F.col(id_col), minhash_signature_col(text_col).alias("__sig"))
+    r = MINHASH_ROWS_PER_BAND
+    bands = F.array(
+        *[
+            F.md5(F.concat_ws(",", *[F.element_at("__sig", b * r + i + 1).cast("string") for i in range(r)]))
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    return sig.select(id_col, F.posexplode(bands).alias("band", "band_key"))
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    One shuffle on band_key; the self-join runs inside each bucket.
+    """
+    keys = lsh_band_keys(df, text_col, id_col)
+    a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_jaccard: float = 0.2,
+    width: int = SHINGLE_WIDTH,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+
+    Inverted-index formulation (the scalable one): explode distinct
+    shingles, self-join on the shingle (equi-join, AQE-skew-safe), count
+    intersections per pair, join back per-doc set sizes.  Never materializes
+    the |docs|² pair space — only pairs with nonzero intersection exist.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles_col(text_col, width)).alias("s"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "s")
+    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def simhash_col(text: Column | str) -> Column:
+    """32-bit SimHash over token hashes — row-local array expressions.
+
+    bit b of the fingerprint is 1 iff more than half the token hashes have
+    bit b set (majority vote), the classic Charikar construction.
+    """
+    hashes = F.transform(
+        tokens_col(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    n = F.size(hashes)
+
+    def bit_test(b: int):
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    terms = []
+    for b in range(SIMHASH_BITS):
+        ones = F.size(F.filter(hashes, bit_test(b)))
+        terms.append(F.when(ones * 2 > n, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col), simhash_col(text_col).alias("simhash"))

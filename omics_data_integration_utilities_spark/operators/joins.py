@@ -1,0 +1,156 @@
+"""Join operators (SURVEY §2.3 J1-J12).
+
+The signature operator is the **band join** (J4): the reference matches a
+mass signature to every structure whose ``monoisotopic_mass`` falls in a
+±ppm window, implemented three different ways in pandas (nested loop,
+boolean mask, numpy broadcast — ``queryMassNPDB.py:42-85``,
+``queryMassNPDB_mod.py:127-141``), all O(n·m) and chunked by hand to fit
+memory.
+
+At 100 TB a theta join must NOT plan as BroadcastNestedLoopJoin unless one
+side is truly tiny, so :func:`band_join` rewrites the interval predicate as
+a **grid-bucketed equi-join**: both sides are keyed by ``floor(x / w)``
+(the interval side exploded over every bucket its interval covers), the
+equi-join shuffles hash-partitioned on the bucket key (AQE handles skew),
+and the exact interval predicate filters the candidate pairs.  Each true
+pair appears in exactly one bucket — the bucket of the point value — so no
+dedup pass is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def band_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+    extra_condition: Column | None = None,
+) -> DataFrame:
+    """Join ``points`` to ``intervals`` where ``lo <= point <= hi``.
+
+    ``bucket_width`` should be on the order of the typical interval width:
+    too small explodes the interval side over many buckets, too large makes
+    each bucket a mini cross-join.  Scales as an ordinary shuffled
+    equi-join (sort-merge / shuffled-hash chosen by Catalyst, AQE skew
+    splitting applies) instead of the O(n·m) nested loop the reference
+    hand-chunked (``queryMassNPDB_mod.py:33-38``).
+    """
+    w = F.lit(float(bucket_width))
+    p = points.withColumn("__band", F.floor(F.col(point_col) / w).cast("long"))
+    iv = intervals.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    cond = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    if extra_condition is not None:
+        cond = cond & extra_condition
+    return p.join(iv, on="__band", how=how).where(cond).drop("__band")
+
+
+def band_join_broadcast(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+) -> DataFrame:
+    """Small-interval-side variant: plain theta join; Catalyst plans a
+    BroadcastNestedLoopJoin, which is optimal when ``intervals`` fits in a
+    broadcast (e.g. the ~40-row adducts table)."""
+    cond = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    return points.join(F.broadcast(intervals), cond)
+
+
+def adduct_expand(
+    signatures: DataFrame,
+    adducts: DataFrame,
+    mz_col: str = "mz",
+    ppm: float = 30.0,
+    mass_col: str = "Mass",
+    mult_col: str = "Mult",
+) -> DataFrame:
+    """Adduct cross-expansion (J5 + F7), reference
+    ``queryMassNPDB_mod.py:115-125`` / ``gizmos.py:147-172``.
+
+    The reference replicates the adducts table once per signature chunk with
+    ``pd.concat([adducts]*n)``; here it is one broadcast cross join (the
+    adducts dim is tiny), followed by the back-calculated neutral mass
+    ``mm = (mz − Mass)/Mult`` and its ±ppm window.
+    """
+    out = signatures.crossJoin(F.broadcast(adducts))
+    out = out.withColumn("mm", (F.col(mz_col) - F.col(mass_col)) / F.col(mult_col))
+    tol = F.col("mm") * F.lit(ppm) / F.lit(1_000_000.0)
+    return (
+        out.where(F.col("mm") > 0)
+        .withColumn("mm_low", F.col("mm") - tol)
+        .withColumn("mm_high", F.col("mm") + tol)
+    )
+
+
+def transition_match(
+    masses: DataFrame,
+    transitions: DataFrame,
+    mass_col: str,
+    delta_col: str,
+    digits: int = 2,
+    candidate_mass_col: str | None = None,
+) -> DataFrame:
+    """Self-join on a computed rounded key (J6), reference
+    ``pathMassTransitions.py:196-224``.
+
+    candidate product mass = mass + delta, rounded to ``digits``; matched
+    back against the mass table keyed on its own rounded mass.  The
+    reference materializes an n×m matrix then melts it (documented OOM at
+    2.18 M rows, ``pathMassTransitions.py:206-210``); the crossJoin→match
+    formulation below never materializes the wide matrix and shuffles only
+    on the rounded-mass key.
+    """
+    candidate_mass_col = candidate_mass_col or mass_col
+    cand = (
+        masses.crossJoin(F.broadcast(transitions))
+        .withColumn("__match_key", F.round(F.col(mass_col) + F.col(delta_col), digits))
+    )
+    targets = masses.select(
+        F.round(F.col(candidate_mass_col), digits).alias("__match_key"),
+        *[F.col(c).alias(f"product_{c}") for c in masses.columns],
+    )
+    return cand.join(targets, "__match_key").drop("__match_key")
+
+
+def bipartite_event_join(
+    mutations: DataFrame,
+    edges: DataFrame,
+    outliers: DataFrame,
+    patient_col: str = "patient",
+    mut_gene_col: str = "gene",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    out_gene_col: str = "gene",
+) -> DataFrame:
+    """DriverNet bipartite event join (J12), reference ``DriverNet/Graph.R``
+    ``.buildAggregateBipartiteGraph``.
+
+    Event iff gene g1 is mutated in patient p ∧ (g1,g2) is an influence
+    edge ∧ g2 is an expression outlier in p.  Two shuffled equi-joins; the
+    influence-edge table is usually the broadcastable side.
+    """
+    m = mutations.select(
+        F.col(patient_col).alias("patient"), F.col(mut_gene_col).alias("mut_gene")
+    )
+    e = edges.select(F.col(src_col).alias("mut_gene"), F.col(dst_col).alias("out_gene"))
+    o = outliers.select(
+        F.col(patient_col).alias("patient"), F.col(out_gene_col).alias("out_gene")
+    )
+    return m.join(F.broadcast(e), "mut_gene").join(o, ["patient", "out_gene"])

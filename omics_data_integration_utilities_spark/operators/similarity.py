@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (north-star surface).
+
+Brute-force cosine top-k as the exact baseline, plus an LSH (random
+hyperplane) bucketed variant as the 100 TB path.  Dot products use
+``zip_with`` + ``aggregate`` higher-order functions — JVM-side, no UDF, no
+explode of the vector.
+
+Scale notes: the brute-force path broadcasts the (small) query set and
+scans the corpus once — linear, shuffle-free until the final top-k window
+on the query key.  The LSH path assigns each vector to a bucket via sign
+bits of random-hyperplane projections (deterministic hyperplanes derived
+from md5 so reruns agree), then searches only within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dbl(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    da, db = _dbl(a), _dbl(b)
+    return dot_col(da, db) / (norm_col(da) * norm_col(db))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    score_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × scan corpus → window top-k.
+
+    Scores are rounded before ranking so ordering (and the oracle
+    comparison) is stable across summation orders; ties break on candidate
+    id.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_col(F.col("__qv"), F.col("__cv")), score_digits).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.95,
+    score_digits: int = 6,
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold — exact O(n²) reference
+    implementation; use :func:`lsh_bucketed_neardup` when n² is infeasible."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("__va"), F.col("__vb")), score_digits).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )
+
+
+def hyperplane_bucket_col(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
+    """Deterministic random-hyperplane LSH bucket id (0..2^n_planes-1).
+
+    Hyperplane components are pseudo-random in {-1,+1} derived from
+    md5(plane,coord) — no RNG state, identical across runs and engines.
+    """
+    v = _dbl(vec_col)
+
+    def plane_term(p: int):
+        return lambda x, i: x * F.when(
+            F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(p), i)), 1, 15), 16, 10)
+            .cast("long")
+            .bitwiseAND(F.lit(1))
+            == 1,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), F.lit(dim - 1)), plane_term(p)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_bucketed_neardup(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate near-dup: bucket by hyperplane signs, compare only
+    within buckets (misses pairs split by a plane — recall/cost dial is
+    ``n_planes``).  One shuffle on the bucket id."""
+    with_b = df.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bucket_col(F.col(vec_col), dim, n_planes).alias("__bkt")
+    )
+    a = with_b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bkt")
+    b = with_b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bkt")
+    return (
+        a.join(b, "__bkt")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )

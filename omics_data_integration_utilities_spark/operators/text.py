@@ -1,0 +1,71 @@
+"""Text-analysis operators for document pipelines (north-star surface).
+
+Language ID (stopword heuristic), quality scoring, token counting, and
+document fingerprinting — all pure column expressions (JVM-side, inside
+whole-stage codegen), no UDFs, so they cost one scan at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .constants import EN_STOPWORDS
+from .dedup import tokens_col
+
+
+def token_count_col(text: Column | str) -> Column:
+    return F.size(tokens_col(text))
+
+
+def stopword_fraction_col(text: Column | str) -> Column:
+    toks = tokens_col(text)
+    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    return hits / F.size(toks)
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str, threshold: float = 0.05) -> DataFrame:
+    """Heuristic language ID: English iff the stopword fraction clears the
+    threshold.  (A real model would be a broadcast n-gram profile table —
+    same shape: scan + broadcast join, no shuffle.)"""
+    frac = F.round(stopword_fraction_col(text_col), 6)
+    return df.select(
+        F.col(id_col),
+        frac.alias("stopword_frac"),
+        F.when(frac >= threshold, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Document quality features: length, token count, mean token length,
+    type-token ratio, and a composite score — one projection."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    mean_tok_len = (n_chars - (n_tok - 1)) / n_tok  # chars minus separators
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + distinct_ratio * 0.4
+        + F.least(mean_tok_len / F.lit(10.0), F.lit(1.0)) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(distinct_ratio, 6).alias("type_token_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set — catches shuffled/reordered duplicates that exact dedup
+    misses."""
+    toks = F.array_sort(F.array_distinct(tokens_col(text_col)))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.array_join(toks, " ")).alias("fingerprint"),
+    )

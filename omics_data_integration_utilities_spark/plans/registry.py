@@ -1,0 +1,842 @@
+"""Query registry: every implemented SURVEY §2 operator exposed as a
+(spark_callable, oracle_sql) pair over the driver's testdata tables.
+
+Conventions that keep the Spark result and the DuckDB oracle hash-equal:
+
+- every computed column is aliased identically on both sides;
+- timestamps are compared/bucketed as integer epoch seconds
+  (``ts.cast('long')`` ⇔ ``epoch(ts)::BIGINT``) — timezone-proof;
+- large floating sums aggregate in DECIMAL (exact in both engines) and are
+  cast back to double, so both engines produce the *same* number before
+  rounding; small/per-group float stats just round (6 digits);
+- hashing is md5-based: ``conv(substr(md5(x),1,15),16,10)`` in Spark ⇔
+  ``('0x'||substr(md5(x),1,15))::BIGINT`` in DuckDB;
+- every window/dedup declares full tie-breaks (SURVEY §7: the reference's
+  order-dependent dedups made deterministic).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import aggregates as agg_ops
+from ..operators import dedup as dedup_ops
+from ..operators import filters as filter_ops
+from ..operators import joins as join_ops
+from ..operators import similarity as sim_ops
+from ..operators import text as text_ops
+from ..operators import windows as win_ops
+from ..operators.constants import (
+    EN_STOPWORDS,
+    MINHASH_BANDS,
+    MINHASH_P,
+    MINHASH_PERMS,
+    MINHASH_ROWS_PER_BAND,
+    SIMHASH_BITS,
+)
+from ..streaming.events import tumbling_event_agg
+from .mass_annotation import DEFAULT_ADDUCTS, default_adducts, mass_annotation_plan
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # testdata timestamps are parquet TIMESTAMP(NANOS), which the vectorized
+    # reader rejects; read them as int64 nanoseconds (exact, timezone-proof —
+    # the DuckDB oracle mirrors with epoch_ns()).  NB nanos exceed 2^53, so
+    # all derived math stays in integer ops, never double.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, scale: int = 4):
+    """Exact-sum helper: aggregate in decimal, emerge as double."""
+    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(f"decimal(18,{scale})")
+
+
+# lineitem/orders timestamps are TIMESTAMP_NTZ (timezone-free, micros):
+# naive literals compare identically in Spark and DuckDB.  events.ts is
+# TIMESTAMP(NANOS) and is read as int64 nanoseconds (epoch_ns in DuckDB).
+TS_1998_01_01 = "timestamp_ntz'1998-01-01 00:00:00'"
+TS_1998_09_02 = "timestamp_ntz'1998-09-02 00:00:00'" 
+
+ADDUCTS_SQL_VALUES = ", ".join(
+    f"('{n}', {m!r}, {mult!r})" for n, m, mult in DEFAULT_ADDUCTS
+)
+
+TRANSITIONS = [("t_plus5", 5.0), ("t_minus12p5", -12.5), ("t_plus0p3", 0.3)]
+TRANSITIONS_SQL_VALUES = ", ".join(f"('{n}', {d!r})" for n, d in TRANSITIONS)
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations
+# --------------------------------------------------------------------------
+
+def q_a1_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 group-count (treatMassTransitions.py:35-43's dict loop)."""
+    return agg_ops.group_count(_t(spark, sf_dir, "events"), ["event_type"], "n")
+
+
+SQL_A1 = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
+def q_a3_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 column sums & moments — TPC-H Q1 shape; decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.expr(TS_1998_09_02)
+    )
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_A3 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_a4_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 set-union aggregate (gizmos.py:350-354) — canonical sorted join."""
+    cust = _t(spark, sf_dir, "customer")
+    grouped = cust.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("c_mktsegment")), ";"
+        ).alias("segments")
+    )
+    return grouped
+
+
+SQL_A4 = """
+SELECT c_nationkey,
+       array_to_string(list_sort(list_distinct(list(c_mktsegment))), ';') AS segments
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def q_a6_argmin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/W2 deterministic arg-min per group (mapBaseRetroRules.py:164-171:
+    smallest diameter per reaction_substrate, tie-broken)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return win_ops.arg_extreme_dedup(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        key_cols=["l_orderkey"],
+        order_col="l_quantity",
+        ascending=True,
+        tie_break=["l_linenumber"],
+    )
+
+
+SQL_A6 = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_quantity ASC, l_linenumber ASC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+def q_a9_na_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 per-group missing fraction (MethylMix Download_Preprocess.R:795)."""
+    docs = _t(spark, sf_dir, "documents")
+    return agg_ops.na_fraction(docs, ["source"], "lang").withColumn(
+        "na_frac", F.round("na_frac", 6)
+    )
+
+
+SQL_A9 = """
+SELECT source, round(avg(CASE WHEN lang IS NULL THEN 1 ELSE 0 END), 6) AS na_frac
+FROM documents GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.2 filters
+# --------------------------------------------------------------------------
+
+def q_p2_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 |value| >= cutoff predicate (gizmos.py:646-649)."""
+    ev = _t(spark, sf_dir, "events")
+    return filter_ops.threshold_filter(ev, "value", 400.0).select("event_id", "value")
+
+
+SQL_P2 = "SELECT event_id, value FROM events WHERE abs(value) >= 400.0"
+
+
+def q_p4_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 drop zero transitions (pathMassTransitions.py:278-288)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return filter_ops.nonzero_transition_filter(li, "l_discount").select(
+        "l_orderkey", "l_linenumber", "l_discount"
+    )
+
+
+SQL_P4 = "SELECT l_orderkey, l_linenumber, l_discount FROM lineitem WHERE abs(l_discount) > 0"
+
+
+def q_p5_remove_zeros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 remove groups containing zeros (corrMultiomics.py:200-202)."""
+    li = _t(spark, sf_dir, "lineitem")
+    kept = filter_ops.remove_zeros(li, ["l_partkey"], "l_discount")
+    return kept.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_P5 = """
+SELECT l_partkey, count(*) AS n FROM lineitem
+WHERE l_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem WHERE l_discount = 0)
+GROUP BY l_partkey
+"""
+
+
+def q_p6_mad_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 MAD>0 filter with exact medians (gizmos.py:15-25,121-130)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        filter_ops.group_mad(li, ["l_partkey"], "l_quantity")
+        .where(F.col("mad") > 0)
+        .select("l_partkey", F.round("mad", 6).alias("mad"))
+    )
+
+
+SQL_P6 = """
+WITH med AS (
+  SELECT l_partkey, CAST(median(l_quantity) AS DOUBLE) AS m FROM lineitem GROUP BY l_partkey
+), mad AS (
+  SELECT l.l_partkey, CAST(median(abs(l.l_quantity - med.m)) AS DOUBLE) AS mad
+  FROM lineitem l JOIN med ON l.l_partkey = med.l_partkey GROUP BY l.l_partkey
+)
+SELECT l_partkey, round(mad, 6) AS mad FROM mad WHERE mad > 0
+"""
+
+
+def q_p8_outlier_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 per-group z-score outlier flags (DriverNet
+    getPatientOutlierMatrix.R:4-26)."""
+    li = _t(spark, sf_dir, "lineitem")
+    flagged = filter_ops.outlier_flags(li, ["l_partkey"], "l_extendedprice", threshold=2.0)
+    return flagged.select("l_orderkey", "l_linenumber", "l_partkey", "outlier")
+
+
+SQL_P8 = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       CASE WHEN sd IS NULL OR sd = 0 THEN FALSE
+            ELSE abs(l_extendedprice - mu) >= 2.0 * sd END AS outlier
+FROM (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+         avg(l_extendedprice) OVER (PARTITION BY l_partkey) AS mu,
+         stddev(l_extendedprice) OVER (PARTITION BY l_partkey) AS sd
+  FROM lineitem
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+
+def q_j1_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 inner equi-join chain; dims broadcast (Catalyst does it from
+    stats, asserted in tests)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+    )
+
+
+SQL_J1 = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_j4_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 band join — grid-bucketed equi-join, the scalable rewrite of the
+    reference's O(n·m) mass-window scan (queryMassNPDB_mod.py:127-141)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            "s_acctbal",
+            (F.col("s_acctbal") - 1.0).alias("lo"),
+            (F.col("s_acctbal") + 1.0).alias("hi"),
+        )
+    )
+    joined = join_ops.band_join(
+        cust, supp, point_col="c_acctbal", lo_col="lo", hi_col="hi", bucket_width=1.0
+    )
+    return joined.select(
+        "c_custkey", "s_suppkey", F.round(F.col("c_acctbal") - F.col("s_acctbal"), 4).alias("delta")
+    )
+
+
+SQL_J4 = """
+SELECT c_custkey, s_suppkey, round(c_acctbal - s_acctbal, 4) AS delta
+FROM customer JOIN supplier
+  ON c_acctbal BETWEEN s_acctbal - 1.0 AND s_acctbal + 1.0
+"""
+
+
+def q_j5_adduct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 adduct cross-expansion (queryMassNPDB_mod.py:115-125)."""
+    sig = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"), F.col("s_acctbal").alias("mz")
+    )
+    expanded = join_ops.adduct_expand(sig, default_adducts(spark), mz_col="mz", ppm=30.0)
+    return expanded.select("s_suppkey", "Ion_name", F.round("mm", 6).alias("mm"))
+
+
+SQL_J5 = f"""
+SELECT s_suppkey, Ion_name, round((s_acctbal - Mass) / Mult, 6) AS mm
+FROM supplier CROSS JOIN (VALUES {ADDUCTS_SQL_VALUES}) AS a(Ion_name, Mass, Mult)
+WHERE (s_acctbal - Mass) / Mult > 0
+"""
+
+
+def q_j6_transition_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 self-join on computed rounded key (pathMassTransitions.py:196-224)
+    — integer match key (price·10) so no cross-engine float-equality risk."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    trans = spark.createDataFrame(TRANSITIONS, "transition string, delta double")
+    cand = (
+        part.crossJoin(F.broadcast(trans))
+        .withColumn(
+            "match_key",
+            F.round((F.col("p_retailprice") + F.col("delta")) * 10, 0).cast("long"),
+        )
+    )
+    targets = part.select(
+        F.round(F.col("p_retailprice") * 10, 0).cast("long").alias("match_key"),
+        F.col("p_partkey").alias("product_partkey"),
+    )
+    return (
+        cand.join(targets, "match_key")
+        .where(F.col("p_partkey") != F.col("product_partkey"))
+        .select("p_partkey", "transition", "product_partkey")
+    )
+
+
+SQL_J6 = f"""
+WITH trans AS (SELECT * FROM (VALUES {TRANSITIONS_SQL_VALUES}) AS t(transition, delta)),
+cand AS (
+  SELECT p_partkey, transition, CAST(round((p_retailprice + delta) * 10, 0) AS BIGINT) AS match_key
+  FROM part CROSS JOIN trans
+),
+targets AS (
+  SELECT CAST(round(p_retailprice * 10, 0) AS BIGINT) AS match_key, p_partkey AS product_partkey FROM part
+)
+SELECT c.p_partkey, c.transition, t.product_partkey
+FROM cand c JOIN targets t USING (match_key)
+WHERE c.p_partkey != t.product_partkey
+"""
+
+
+def q_j7_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 semi-join via isin → left_semi (gizmos.py:348-365)."""
+    part = _t(spark, sf_dir, "part")
+    big = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return part.join(big, part.p_partkey == big.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+SQL_J7 = """
+SELECT p_partkey, p_name FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
+"""
+
+
+def q_j8_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 anti-join via ~isin → left_anti (queryMassNPDB_mod.py:141)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_J8 = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def _j12_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared J12 bipartite event construction (DriverNet Graph.R)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+    )
+    mutations = joined.select(
+        F.col("o_custkey").alias("patient"), F.col("p_brand").alias("gene")
+    ).distinct()
+    edges = part.select(
+        F.col("p_brand").alias("src"), F.col("p_type").alias("dst")
+    ).distinct()
+    flagged = filter_ops.outlier_flags(
+        joined.select("o_custkey", "p_type", "l_extendedprice"),
+        ["p_type"],
+        "l_extendedprice",
+        threshold=2.0,
+    )
+    outliers = (
+        flagged.where(F.col("outlier"))
+        .select(F.col("o_custkey").alias("patient"), F.col("p_type").alias("gene"))
+        .distinct()
+    )
+    return join_ops.bipartite_event_join(mutations, edges, outliers)
+
+
+def q_j12_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 bipartite event join, aggregated to per-driver event counts."""
+    return _j12_events(spark, sf_dir).groupBy("mut_gene").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+SQL_J12 = """
+WITH joined AS (
+  SELECT o.o_custkey, p.p_brand, p.p_type, l.l_extendedprice
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                  JOIN part p ON l.l_partkey = p.p_partkey
+),
+mut AS (SELECT DISTINCT o_custkey AS patient, p_brand AS mut_gene FROM joined),
+edges AS (SELECT DISTINCT p_brand AS mut_gene, p_type AS out_gene FROM part),
+st AS (
+  SELECT o_custkey, p_type, l_extendedprice,
+         avg(l_extendedprice) OVER (PARTITION BY p_type) AS mu,
+         stddev(l_extendedprice) OVER (PARTITION BY p_type) AS sd
+  FROM joined
+),
+outl AS (
+  SELECT DISTINCT o_custkey AS patient, p_type AS out_gene FROM st
+  WHERE sd IS NOT NULL AND sd > 0 AND abs(l_extendedprice - mu) >= 2.0 * sd
+),
+ev AS (
+  SELECT m.patient, m.mut_gene, e.out_gene
+  FROM mut m JOIN edges e USING (mut_gene)
+             JOIN outl o ON o.patient = m.patient AND o.out_gene = e.out_gene
+)
+SELECT mut_gene, count(*) AS n_events FROM ev GROUP BY mut_gene
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5/2.6 windows, sorts, top-k
+# --------------------------------------------------------------------------
+
+def q_w1_mutual_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 mutual rank MR = sqrt(r_ab·r_ba) (wcModules.py:167-209)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pair = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("revenue")
+    )
+    ranked = win_ops.mutual_rank(pair, "l_suppkey", "l_partkey", "revenue")
+    return ranked.select(
+        "l_suppkey", "l_partkey", "rank_ab", "rank_ba", F.round("mr", 6).alias("mr")
+    )
+
+
+SQL_W1 = """
+WITH pair AS (
+  SELECT l_suppkey, l_partkey,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+)
+SELECT l_suppkey, l_partkey,
+       row_number() OVER (PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey ASC) AS rank_ab,
+       row_number() OVER (PARTITION BY l_partkey ORDER BY revenue DESC, l_suppkey ASC) AS rank_ba,
+       round(sqrt(rank_ab * rank_ba), 6) AS mr
+FROM pair
+"""
+
+
+def q_w3_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 ordered lag difference (MethylMix flip-over, MethylMix.R:458)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id", (F.col("value") - F.lag("value").over(w)).alias("diff")
+    )
+
+
+SQL_W3 = """
+SELECT event_id,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) AS diff
+FROM events
+"""
+
+
+def q_o1_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 global sort + limit with deterministic tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_O1 = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.7 set operations
+# --------------------------------------------------------------------------
+
+def q_u2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 key-set intersection (corrMultiomics.py:206-208 sample align)."""
+    orders = _t(spark, sf_dir, "orders")
+    early = orders.where(F.col("o_orderdate") < F.expr(TS_1998_01_01)).select("o_custkey")
+    late = orders.where(F.col("o_orderdate") >= F.expr(TS_1998_01_01)).select("o_custkey")
+    return early.intersect(late)
+
+
+SQL_U2 = """
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+"""
+
+
+def q_u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 key-set difference (wcModules.py:277-280)."""
+    orders = _t(spark, sf_dir, "orders")
+    early = orders.where(F.col("o_orderdate") < F.expr(TS_1998_01_01)).select("o_custkey")
+    late = orders.where(F.col("o_orderdate") >= F.expr(TS_1998_01_01)).select("o_custkey")
+    # subtract = SQL EXCEPT (set semantics); exceptAll would keep keys that
+    # merely appear more often on the left
+    return early.subtract(late)
+
+
+SQL_U3 = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.8 scalar functions
+# --------------------------------------------------------------------------
+
+def q_f2_substring_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 split-and-take parsing (gizmos.py:175-190 SMARTS split)."""
+    part = _t(spark, sf_dir, "part")
+    first = F.element_at(F.split(F.col("p_name"), " "), 1)
+    return part.groupBy(first.alias("first_word")).agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_F2 = """
+SELECT (string_split(p_name, ' '))[1] AS first_word, count(*) AS n
+FROM part GROUP BY first_word
+"""
+
+
+def q_f3_regex_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 regex rewrite (gizmos.py:237-244 SMARTS cleanup)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(F.regexp_replace(F.col("text"), "[aeiou]+", "_")).alias("rewritten_md5")
+    )
+
+
+SQL_F3 = """
+SELECT doc_id, md5(regexp_replace(text, '[aeiou]+', '_', 'g')) AS rewritten_md5
+FROM documents
+"""
+
+
+def q_f11_conditional_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 conditional column swap (heraldPathways.py:111-133 direction
+    −1 substrate↔product)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("src"),
+        F.col("event_id").alias("dst"),
+        "event_type",
+    )
+    swap = F.col("event_type") == "error"
+    return ev.select(
+        "event_id",
+        F.when(swap, F.col("dst")).otherwise(F.col("src")).alias("src"),
+        F.when(swap, F.col("src")).otherwise(F.col("dst")).alias("dst"),
+    )
+
+
+SQL_F11 = """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN event_id ELSE user_id END AS src,
+       CASE WHEN event_type = 'error' THEN user_id ELSE event_id END AS dst
+FROM events
+"""
+
+
+def q_f9_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 explode (gizmos.py:667-672 one-pfam-per-row), top-20 tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
+    )
+
+
+SQL_F9 = """
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+) GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# correlation engine (A5/K6, §3.1 lifecycle)
+# --------------------------------------------------------------------------
+
+def q_k6_pairwise_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/K6 Pearson correlation + t statistic per group
+    (corrMultiomics.py:52-88), closed-form SQL path."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = agg_ops.pairwise_corr(li, ["l_partkey"], "l_quantity", "l_discount", min_n=5)
+    return (
+        out.where(F.abs(F.col("r")) < 0.999999)
+        .select("l_partkey", "n", F.round("r", 6).alias("r"), F.round("t", 6).alias("t"))
+    )
+
+
+SQL_K6 = """
+WITH c AS (
+  SELECT l_partkey, count(*) AS n, corr(l_quantity, l_discount) AS r
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, n, round(r, 6) AS r,
+       round(r * sqrt((n - 2) / (1 - r * r)), 6) AS t
+FROM c WHERE n >= 5 AND r IS NOT NULL AND abs(r) < 0.999999
+"""
+
+
+def q_k6_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 Spearman via average-rank windows then Pearson
+    (corrMultiomics.py spearman branch)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = agg_ops.pairwise_corr(
+        li, ["l_partkey"], "l_quantity", "l_discount", min_n=5, method="spearman"
+    )
+    return (
+        out.where(F.abs(F.col("r")) < 0.999999)
+        .select("l_partkey", "n", F.round("r", 6).alias("rho"))
+    )
+
+
+SQL_K6_SPEARMAN = """
+WITH ranked AS (
+  SELECT l_partkey,
+         rank() OVER (PARTITION BY l_partkey ORDER BY l_quantity ASC)
+           + (count(*) OVER (PARTITION BY l_partkey, l_quantity) - 1) / 2.0 AS rx,
+         rank() OVER (PARTITION BY l_partkey ORDER BY l_discount ASC)
+           + (count(*) OVER (PARTITION BY l_partkey, l_discount) - 1) / 2.0 AS ry
+  FROM lineitem
+),
+c AS (
+  SELECT l_partkey, count(*) AS n, corr(rx, ry) AS r FROM ranked GROUP BY l_partkey
+)
+SELECT l_partkey, n, round(r, 6) AS rho
+FROM c WHERE n >= 5 AND r IS NOT NULL AND abs(r) < 0.999999
+"""
+
+
+def q_k6_corr_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 with exact scipy p-values (pandas_udf) — no SQL oracle (Student-t
+    tail is not ANSI-SQL-expressible); driver records rows-only."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = agg_ops.pairwise_corr(li, ["l_partkey"], "l_quantity", "l_discount", min_n=5)
+    out = out.where(F.abs(F.col("r")) < 0.999999)
+    return agg_ops.corr_pvalues(out).select(
+        "l_partkey", "n", F.round("r", 6).alias("r"), F.round("p", 6).alias("p")
+    )
+
+
+# --------------------------------------------------------------------------
+# the flagship plan (§3.2 lifecycle)
+# --------------------------------------------------------------------------
+
+MASS_PPM = 3000.0  # testdata price density needs a wider window than 30 ppm
+
+
+def q_plan_mass_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 queryMassNPDB pipeline: adduct expansion → ppm window → band
+    join → deterministic best-adduct dedup."""
+    sig = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("ms_name"), F.col("s_acctbal").alias("mz")
+    )
+    structures = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("structure_id"),
+        F.col("p_retailprice").alias("monoisotopic_mass"),
+    )
+    return mass_annotation_plan(
+        sig, structures, default_adducts(spark), ppm=MASS_PPM, bucket_width=4.0
+    )
+
+
+SQL_PLAN_MASS = f"""
+WITH sig AS (SELECT s_name AS ms_name, s_acctbal AS mz FROM supplier),
+exp AS (
+  SELECT ms_name, mz, Ion_name, (mz - Mass) / Mult AS mm
+  FROM sig CROSS JOIN (VALUES {ADDUCTS_SQL_VALUES}) AS a(Ion_name, Mass, Mult)
+  WHERE (mz - Mass) / Mult > 0
+),
+win AS (
+  SELECT *, mm - mm * {MASS_PPM!r} / 1000000.0 AS mm_low,
+            mm + mm * {MASS_PPM!r} / 1000000.0 AS mm_high
+  FROM exp
+),
+m AS (
+  SELECT w.ms_name, p.p_partkey AS structure_id, w.Ion_name,
+         round(w.mm, 6) AS mm,
+         round(abs(p.p_retailprice - w.mm) / w.mm * 1000000.0, 4) AS ppm_error
+  FROM win w JOIN part p
+    ON p.p_retailprice >= w.mm_low AND p.p_retailprice <= w.mm_high
+)
+SELECT ms_name, structure_id, Ion_name, mm, ppm_error FROM (
+  SELECT *, row_number() OVER (PARTITION BY ms_name, structure_id
+                               ORDER BY ppm_error ASC, Ion_name ASC) AS rn
+  FROM m
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# streaming-equivalent batch window
+# --------------------------------------------------------------------------
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation (batch form of streaming/events)."""
+    return tumbling_event_agg(_t(spark, sf_dir, "events"), 3600)
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY bucket, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# registry assembly (part 1 — relational spine). Dedup/similarity/text
+# entries live in registry_docs.py and are merged in __spark_entry__.
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "a1_group_count": q_a1_group_count,
+    "a3_pricing_summary": q_a3_pricing_summary,
+    "a4_set_union": q_a4_set_union,
+    "a6_argmin_dedup": q_a6_argmin_dedup,
+    "a9_na_fraction": q_a9_na_fraction,
+    "p2_threshold": q_p2_threshold,
+    "p4_nonzero": q_p4_nonzero,
+    "p5_remove_zeros": q_p5_remove_zeros,
+    "p6_mad_filter": q_p6_mad_filter,
+    "p8_outlier_matrix": q_p8_outlier_matrix,
+    "j1_star_join": q_j1_star_join,
+    "j4_band_join": q_j4_band_join,
+    "j5_adduct_expand": q_j5_adduct_expand,
+    "j6_transition_match": q_j6_transition_match,
+    "j7_semi_join": q_j7_semi_join,
+    "j8_anti_join": q_j8_anti_join,
+    "j12_event_join": q_j12_event_join,
+    "w1_mutual_rank": q_w1_mutual_rank,
+    "w3_lag_diff": q_w3_lag_diff,
+    "o1_global_topk": q_o1_global_topk,
+    "u2_intersect": q_u2_intersect,
+    "u3_except": q_u3_except,
+    "f2_substring_parse": q_f2_substring_parse,
+    "f3_regex_rewrite": q_f3_regex_rewrite,
+    "f9_explode_tokens": q_f9_explode_tokens,
+    "f11_conditional_swap": q_f11_conditional_swap,
+    "k6_pairwise_corr": q_k6_pairwise_corr,
+    "k6_spearman": q_k6_spearman,
+    "k6_corr_pvalue": q_k6_corr_pvalue,
+    "plan_mass_annotation": q_plan_mass_annotation,
+    "events_tumbling": q_events_tumbling,
+}
+
+ORACLES: dict[str, str] = {
+    "a1_group_count": SQL_A1,
+    "a3_pricing_summary": SQL_A3,
+    "a4_set_union": SQL_A4,
+    "a6_argmin_dedup": SQL_A6,
+    "a9_na_fraction": SQL_A9,
+    "p2_threshold": SQL_P2,
+    "p4_nonzero": SQL_P4,
+    "p5_remove_zeros": SQL_P5,
+    "p6_mad_filter": SQL_P6,
+    "p8_outlier_matrix": SQL_P8,
+    "j1_star_join": SQL_J1,
+    "j4_band_join": SQL_J4,
+    "j5_adduct_expand": SQL_J5,
+    "j6_transition_match": SQL_J6,
+    "j7_semi_join": SQL_J7,
+    "j8_anti_join": SQL_J8,
+    "j12_event_join": SQL_J12,
+    "w1_mutual_rank": SQL_W1,
+    "w3_lag_diff": SQL_W3,
+    "o1_global_topk": SQL_O1,
+    "u2_intersect": SQL_U2,
+    "u3_except": SQL_U3,
+    "f2_substring_parse": SQL_F2,
+    "f3_regex_rewrite": SQL_F3,
+    "f9_explode_tokens": SQL_F9,
+    "f11_conditional_swap": SQL_F11,
+    "k6_pairwise_corr": SQL_K6,
+    "k6_spearman": SQL_K6_SPEARMAN,
+    # k6_corr_pvalue: intentionally no oracle (scipy Student-t tail)
+    "plan_mass_annotation": SQL_PLAN_MASS,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+}

@@ -1,0 +1,322 @@
+"""Query registry part 2 — document/embedding pipeline operators
+(dedup, similarity search, text analysis; BASELINE.json north star).
+
+Oracle SQL here is *generated* from the same constants the Spark operators
+use (``operators/constants.py``), so the two engines share hash seeds,
+stopword lists and band layouts by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dedup_ops
+from ..operators import similarity as sim_ops
+from ..operators import text as text_ops
+from ..operators.constants import (
+    EN_STOPWORDS,
+    MINHASH_BANDS,
+    MINHASH_P,
+    MINHASH_PERMS,
+    MINHASH_ROWS_PER_BAND,
+    SHINGLE_WIDTH,
+    SIMHASH_BITS,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---- shared DuckDB fragments (kept in lockstep with the Spark operators) --
+
+_HEX60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_SHINGLE_CTES = f"""
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t) - {SHINGLE_WIDTH - 1})]) AS s
+  FROM tok
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(s, x -> {_HEX60.format(x='x')} % {MINHASH_P}) AS h
+  FROM sh
+)
+"""
+
+def _mh_expr(a: int, b: int) -> str:
+    return f"list_aggregate(list_transform(h, x -> ({a} * x + {b}) % {MINHASH_P}), 'min')"
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a 60-bit content hash, min-id keeper."""
+    return dedup_ops.exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT {_HEX60.format(x='text')} AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY content_hash
+"""
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive token-set fingerprint (catches shuffled dups)."""
+    return text_ops.doc_fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+SQL_DEDUP_FINGERPRINT = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# minhash + LSH
+# --------------------------------------------------------------------------
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures, long form (doc_id, perm, minhash) — computed
+    with zero-shuffle array expressions in Spark."""
+    out = dedup_ops.minhash_signatures(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return out.select("doc_id", F.col("perm").cast("long").alias("perm"), "minhash")
+
+
+SQL_MINHASH_SIGNATURES = (
+    "WITH " + _SHINGLE_CTES + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i}::BIGINT AS perm, {_mh_expr(a, b)} AS minhash FROM hs"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+)
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any of 4 banded signature slices."""
+    return dedup_ops.lsh_candidate_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _lsh_sql() -> str:
+    m_cols = ", ".join(f"{_mh_expr(a, b)} AS m{i}" for i, (a, b) in enumerate(MINHASH_PERMS))
+    r = MINHASH_ROWS_PER_BAND
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bkey FROM sig".format(
+            b=b, cols=", ".join(f"m{b * r + i}" for i in range(r))
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return (
+        "WITH " + _SHINGLE_CTES
+        + f", sig AS (SELECT doc_id, {m_cols} FROM hs)"
+        + f", bands AS ({band_selects})\n"
+        + "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n"
+        + "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"
+    )
+
+
+SQL_LSH_CANDIDATE_PAIRS = _lsh_sql()
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join."""
+    return dedup_ops.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", min_jaccard=0.2
+    )
+
+
+SQL_NGRAM_JACCARD = (
+    "WITH " + _SHINGLE_CTES + """
+, e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+sz AS (SELECT doc_id, len(s)::BIGINT AS sz FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+         round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+) WHERE jaccard >= 0.2
+"""
+)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (Charikar majority-vote)."""
+    return dedup_ops.simhash_table(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _simhash_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, x -> (x >> {b}) & 1 = 1)) > len(h) "
+        f"THEN {2**b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+th AS (SELECT doc_id, list_transform(t, x -> {_HEX60.format(x='x')}) AS h FROM tok)
+SELECT doc_id, ({terms}) AS simhash FROM th
+"""
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id % 50 == 0)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    out = sim_ops.brute_force_topk(emb, queries, "embedding", "vec_id", k=5)
+    return out.select("query_id", "cand_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+qe AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, generate_subscripts(embedding, 1) AS i FROM q),
+ce AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, generate_subscripts(embedding, 1) AS i FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY vec_id),
+dots AS (
+  SELECT qe.vec_id AS query_id, ce.vec_id AS cand_id, sum(qe.v * ce.v) AS dot
+  FROM qe JOIN ce ON qe.i = ce.i
+  WHERE qe.vec_id != ce.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, cand_id, round(dot / (nq.nrm * nc.nrm), 6) AS score
+  FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms nc ON nc.vec_id = cand_id
+)
+SELECT query_id, cand_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine near-dup (exact baseline; LSH variant in library)."""
+    return sim_ops.cosine_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", min_cosine=0.35
+    )
+
+
+SQL_COSINE_NEARDUP = """
+WITH ce AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, generate_subscripts(embedding, 1) AS i FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+  FROM ce a JOIN ce b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+) WHERE cosine >= 0.35
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_ops.token_count_col("text").cast("long").alias("n_tokens")
+    )
+
+
+SQL_TEXT_TOKEN_COUNT = """
+SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text_ops.quality_score(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return out.withColumns(
+        {
+            "n_chars": F.col("n_chars").cast("long"),
+            "n_tokens": F.col("n_tokens").cast("long"),
+        }
+    )
+
+
+SQL_TEXT_QUALITY = """
+WITH t AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         len(string_split(text, ' '))::BIGINT AS n_tok,
+         len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tok AS n_tokens,
+       round((n_chars - (n_tok - 1)) / n_tok, 6) AS mean_token_len,
+       round(n_distinct / n_tok, 6) AS type_token_ratio,
+       round(least(n_tok / 100.0, 1.0) * 0.4 + (n_distinct / n_tok) * 0.4
+             + least(((n_chars - (n_tok - 1)) / n_tok) / 10.0, 1.0) * 0.2, 6) AS quality
+FROM t
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.lang_id(_t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.05)
+
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+SQL_TEXT_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         round(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, lower(x))))
+               / len(toks), 6) AS stopword_frac
+  FROM t
+)
+SELECT doc_id, stopword_frac,
+       CASE WHEN stopword_frac >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang
+FROM s
+"""
+
+
+QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "dedup_minhash_signatures": q_minhash_signatures,
+    "dedup_lsh_pairs": q_lsh_candidate_pairs,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_simhash": q_simhash,
+    "sim_ann_topk": q_ann_topk,
+    "sim_cosine_neardup": q_cosine_neardup,
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+}
+
+ORACLES_DOCS: dict[str, str] = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_fingerprint": SQL_DEDUP_FINGERPRINT,
+    "dedup_minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "dedup_lsh_pairs": SQL_LSH_CANDIDATE_PAIRS,
+    "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_simhash": SQL_SIMHASH,
+    "sim_ann_topk": SQL_ANN_TOPK,
+    "sim_cosine_neardup": SQL_COSINE_NEARDUP,
+    "text_token_count": SQL_TEXT_TOKEN_COUNT,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_lang_id": SQL_TEXT_LANG_ID,
+}

@@ -1,0 +1,70 @@
+"""Schema-declared readers (SURVEY §2.1 S1–S5).
+
+The reference reads CSVs header-on and renames columns *by position*
+(``queryMassNPDB.py:108``, ``gizmos.py:641-644``), reads MetaNetX TSVs with
+``#`` comment lines (``getMassTransitions.py:42-47``), and scans SQLite
+tables row-at-a-time.  Here every source declares a schema up front
+(killing the reference's dtype-mismatch bug class,
+``pathMassTransitions.py:244-248``) and lands in columnar form so Catalyst
+gets predicate pushdown + column pruning for free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan (S1).  Schema declared, never inferred in production paths."""
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_tsv_with_comments(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    comment: str = "#",
+) -> DataFrame:
+    """TSV scan with comment lines skipped (S2) — MetaNetX ``chem_prop.tsv``
+    shape (reference ``getMassTransitions.py:42-47``)."""
+    return (
+        spark.read.option("sep", "\t")
+        .option("comment", comment)
+        .option("header", False)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_parquet_table(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> DataFrame:
+    """Parquet scan (the engine's canonical storage; SQLite tables are
+    ingested once to Parquet — S3-S5 — then every filtered scan gets
+    pushdown)."""
+    df = spark.read.parquet(path)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def rename_by_position(df: DataFrame, names: Sequence[str]) -> DataFrame:
+    """Positional rename, the reference's ``df.columns = [...]`` idiom
+    (``queryMassNPDB.py:108``).  Renames the first ``len(names)`` columns."""
+    cols = df.columns
+    if len(names) > len(cols):
+        raise ValueError(f"{len(names)} names for {len(cols)} columns")
+    mapping = dict(zip(cols, names))
+    return df.withColumnsRenamed(mapping)

@@ -1,0 +1,42 @@
+"""Oracle parity for every registered query — emulates the driver's t2
+check (sorted columns + canonicalized values, multiset compare) at
+sf0.001 (fast) and spot-checks at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from .conftest import SF_CORRECTNESS, SF_SMOKE, compare_query_to_oracle
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+WITH_ORACLE = sorted(ORACLES)
+NO_ORACLE = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity_smoke(spark, duck, name):
+    n = compare_query_to_oracle(
+        spark, duck, name, QUERIES[name], ORACLES[name], SF_SMOKE
+    )
+    assert n >= 0
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_rows_only_smoke(spark, name):
+    df = QUERIES[name](spark, SF_SMOKE)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity_sf001(spark, duck, name):
+    compare_query_to_oracle(spark, duck, name, QUERIES[name], ORACLES[name], SF_CORRECTNESS)
