@@ -44,10 +44,14 @@ def tokens_col(text: Column | str, sep: str = " ") -> Column:
     return F.split(c, sep)
 
 
-def shingles_col(text: Column | str, width: int = SHINGLE_WIDTH) -> Column:
-    """Distinct ``width``-word shingles of a text column — pure array ops,
-    no explode, no UDF."""
-    toks = tokens_col(text)
+def shingles_from_tokens(toks: Column, width: int = SHINGLE_WIDTH) -> Column:
+    """Distinct ``width``-word shingles from a (materialized) token array.
+
+    IMPORTANT: pass a *column reference* to an already-projected token
+    array.  Higher-order lambdas are interpreted, so an inline
+    ``split(text)`` here would re-tokenize the string for every
+    ``element_at`` call (width × |shingles| times per row).
+    """
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - F.lit(width - 1))
     parts = lambda i: [F.element_at(toks, i + j) for j in range(width)]  # noqa: E731
@@ -55,6 +59,13 @@ def shingles_col(text: Column | str, width: int = SHINGLE_WIDTH) -> Column:
     return F.when(n >= width, F.array_distinct(F.transform(idx, shingle))).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles_col(text: Column | str, width: int = SHINGLE_WIDTH) -> Column:
+    """Distinct ``width``-word shingles of a text column — pure array ops,
+    no explode, no UDF.  Prefer the two-step (materialize tokens, then
+    :func:`shingles_from_tokens`) in hot paths."""
+    return shingles_from_tokens(tokens_col(text), width)
 
 
 def shingle_hashes_col(text: Column | str, width: int = SHINGLE_WIDTH) -> Column:
@@ -73,11 +84,48 @@ def _perm_lambda(a: int, b: int):
 
 def minhash_signature_col(text: Column | str, width: int = SHINGLE_WIDTH) -> Column:
     """16-element MinHash signature as an array column — computed row-local
-    with higher-order functions (no shuffle)."""
+    with higher-order functions (no shuffle).
+
+    NOTE for performance-sensitive paths: prefer :func:`with_minhash_signature`,
+    which materializes the shingle-hash array in its own projection so the
+    16 permutation expressions reference a column instead of inlining the
+    md5 chain 16× (16× the work + codegen blowup → interpreted fallback).
+    """
     hashes = shingle_hashes_col(text, width)
     return F.array(
         *[F.array_min(F.transform(hashes, _perm_lambda(a, b))) for a, b in MINHASH_PERMS]
     )
+
+
+def with_shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, width: int = SHINGLE_WIDTH
+) -> DataFrame:
+    """(id, __h): md5-derived shingle-hash array, via staged projections.
+
+    Stage 1 materializes the token array (so shingle assembly reads a
+    column, not |shingles|·width re-splits of the text); stage 2 builds
+    distinct shingles and hashes them.  Both stages are row-local — zero
+    shuffle at any scale."""
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    hashes = F.transform(
+        shingles_from_tokens(F.col("__toks"), width),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P,
+    )
+    return toks.select(id_col, hashes.alias("__h"))
+
+
+def with_minhash_signature(
+    df: DataFrame, text_col: str, id_col: str, width: int = SHINGLE_WIDTH
+) -> DataFrame:
+    """(id, __sig) with tokens and shingle hashes each evaluated exactly
+    once: the 16 permutation minima reference the materialized ``__h``
+    column (CollapseProject keeps expensive multiply-referenced
+    expressions un-inlined, so the md5 chain runs once per row)."""
+    hashed = with_shingle_hashes(df, text_col, id_col, width)
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("__h"), _perm_lambda(a, b))) for a, b in MINHASH_PERMS]
+    )
+    return hashed.select(id_col, sig.alias("__sig"))
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -93,18 +141,25 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Long-form (id, perm, minhash) signature table."""
-    sig = df.select(F.col(id_col), minhash_signature_col(text_col).alias("__sig"))
+    """Long-form (id, perm, minhash) signature table.
+
+    ``posexplode_outer``, not ``posexplode``: the inner variant makes
+    Catalyst synthesize a ``size(sig) > 0`` filter and push it below the
+    exchange, which inlines the whole 16-permutation md5 chain into a
+    pre-shuffle filter (observed 30× slowdown).  The signature array is a
+    16-element constructor — never empty — so outer is output-identical.
+    """
+    sig = with_minhash_signature(df, text_col, id_col)
     return sig.select(
         id_col,
-        F.posexplode("__sig").alias("perm", "minhash"),
+        F.posexplode_outer("__sig").alias("perm", "minhash"),
     )
 
 
 def lsh_band_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, band, band_key) — band_key is the md5 of the band's minhash
     slice; docs sharing a band_key are near-dup candidates."""
-    sig = df.select(F.col(id_col), minhash_signature_col(text_col).alias("__sig"))
+    sig = with_minhash_signature(df, text_col, id_col)
     r = MINHASH_ROWS_PER_BAND
     bands = F.array(
         *[
@@ -112,7 +167,9 @@ def lsh_band_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    return sig.select(id_col, F.posexplode(bands).alias("band", "band_key"))
+    # outer for the same Generate-filter-pushdown reason as
+    # minhash_signatures; the bands array is a 4-element constructor
+    return sig.select(id_col, F.posexplode_outer(bands).alias("band", "band_key"))
 
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -145,8 +202,14 @@ def ngram_jaccard_pairs(
     intersections per pair, join back per-doc set sizes.  Never materializes
     the |docs|² pair space — only pairs with nonzero intersection exist.
     """
-    sh = df.select(F.col(id_col), F.explode(shingles_col(text_col, width)).alias("s"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    shingle_arr = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    ).select(F.col(id_col), shingles_from_tokens(F.col("__toks"), width).alias("__sh"))
+    # explode_outer: the inner variant pushes a synthesized size()>0 filter
+    # below the projection, re-inlining the shingle chain; null shingle
+    # rows never match the equi-join so outer is result-identical
+    sh = shingle_arr.select(F.col(id_col), F.explode_outer("__sh").alias("s"))
+    sizes = shingle_arr.select(F.col(id_col), F.size("__sh").cast("long").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "s")
     b = sh.select(F.col(id_col).alias("id_b"), "s")
     inter = (
@@ -169,16 +232,8 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_col(text: Column | str) -> Column:
-    """32-bit SimHash over token hashes — row-local array expressions.
-
-    bit b of the fingerprint is 1 iff more than half the token hashes have
-    bit b set (majority vote), the classic Charikar construction.
-    """
-    hashes = F.transform(
-        tokens_col(text),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
-    )
+def _simhash_from_hashes(hashes: Column) -> Column:
+    """Majority-vote SimHash from a materialized token-hash array column."""
     n = F.size(hashes)
 
     def bit_test(b: int):
@@ -195,4 +250,18 @@ def simhash_col(text: Column | str) -> Column:
 
 
 def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return df.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
+    """32-bit SimHash fingerprints (Charikar majority vote).
+
+    Token hashes are materialized in their own projection so the 32 bit
+    terms reference a column, not 32 inlined copies of the md5 chain.
+    """
+    hashed = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.transform(
+            F.col("__toks"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        ).alias("__th"),
+    )
+    return hashed.select(id_col, _simhash_from_hashes(F.col("__th")).alias("simhash"))

@@ -231,14 +231,14 @@ def q_p8_outlier_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 per-group z-score outlier flags (DriverNet
     getPatientOutlierMatrix.R:4-26)."""
     li = _t(spark, sf_dir, "lineitem")
-    flagged = filter_ops.outlier_flags(li, ["l_partkey"], "l_extendedprice", threshold=2.0)
+    flagged = filter_ops.outlier_flags(li, ["l_partkey"], "l_extendedprice", threshold=1.5)
     return flagged.select("l_orderkey", "l_linenumber", "l_partkey", "outlier")
 
 
 SQL_P8 = """
 SELECT l_orderkey, l_linenumber, l_partkey,
        CASE WHEN sd IS NULL OR sd = 0 THEN FALSE
-            ELSE abs(l_extendedprice - mu) >= 2.0 * sd END AS outlier
+            ELSE abs(l_extendedprice - mu) >= 1.5 * sd END AS outlier
 FROM (
   SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
          avg(l_extendedprice) OVER (PARTITION BY l_partkey) AS mu,
@@ -416,7 +416,7 @@ def _j12_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("o_custkey", "p_type", "l_extendedprice"),
         ["p_type"],
         "l_extendedprice",
-        threshold=2.0,
+        threshold=1.5,
     )
     outliers = (
         flagged.where(F.col("outlier"))
@@ -449,7 +449,7 @@ st AS (
 ),
 outl AS (
   SELECT DISTINCT o_custkey AS patient, p_type AS out_gene FROM st
-  WHERE sd IS NOT NULL AND sd > 0 AND abs(l_extendedprice - mu) >= 2.0 * sd
+  WHERE sd IS NOT NULL AND sd > 0 AND abs(l_extendedprice - mu) >= 1.5 * sd
 ),
 ev AS (
   SELECT m.patient, m.mut_gene, e.out_gene

@@ -28,7 +28,11 @@ from ..operators.constants import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # the doc/embedding tables land as a single small file → one partition;
+    # the per-row work here (md5 shingles, 64-dim dot products) is heavy, so
+    # spread it.  At production scale the input arrives already split.
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 # ---- shared DuckDB fragments (kept in lockstep with the Spark operators) --
