@@ -20,6 +20,10 @@ from omics_data_integration_utilities_spark.plans.registry_analytics import (
     ORACLES_ANALYTICS,
     QUERIES_ANALYTICS,
 )
+from omics_data_integration_utilities_spark.plans.registry_more import (
+    ORACLES_MORE,
+    QUERIES_MORE,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(QUERIES)
     out.update(QUERIES_DOCS)
     out.update(QUERIES_ANALYTICS)
+    out.update(QUERIES_MORE)
     return out
 
 
@@ -40,4 +45,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(ORACLES)
     out.update(ORACLES_DOCS)
     out.update(ORACLES_ANALYTICS)
+    out.update(ORACLES_MORE)
     return out
