@@ -7,6 +7,9 @@ query (oracle-checkable) and as a watermarked streaming query.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,6 +51,11 @@ def windowed_event_counts_stream(
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
+    if os.path.isfile(events_path):
+        # the file streaming source requires a directory; stage a symlink
+        staged = tempfile.mkdtemp(prefix="omics_stream_")
+        os.symlink(events_path, os.path.join(staged, os.path.basename(events_path)))
+        events_path = staged
     stream = spark.readStream.schema(schema).parquet(events_path)
     # ts is int64 nanos on the read path; event-time ops need a timestamp
     ts = F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))

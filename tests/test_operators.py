@@ -1,0 +1,242 @@
+"""Operator-level unit tests: algebraic properties, kernel correctness
+against scipy/pure-python references, and determinism guarantees."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from omics_data_integration_utilities_spark.operators import (
+    band_join,
+    pairwise_corr,
+    corr_pvalues,
+    mutual_rank,
+    arg_extreme_dedup,
+    remove_zeros,
+    group_mad,
+    outlier_flags,
+)
+from omics_data_integration_utilities_spark.analytics.drivernet import (
+    greedy_driver_selection,
+    _greedy_pandas,
+)
+from omics_data_integration_utilities_spark.analytics.graph import break_cycles
+from omics_data_integration_utilities_spark.analytics.methylmix import fit_mixtures
+
+
+def test_band_join_equals_nested_loop(spark):
+    """Grid-bucketed band join ≡ naive theta join, for any bucket width."""
+    pts = spark.createDataFrame(
+        [(i, float(i) * 0.37 - 5) for i in range(200)], "pid long, x double"
+    )
+    iv = spark.createDataFrame(
+        [(j, float(j) - 3.3, float(j) - 1.1) for j in range(60)],
+        "iid long, lo double, hi double",
+    )
+    naive = (
+        pts.crossJoin(iv)
+        .where((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+        .select("pid", "iid")
+    )
+    expected = sorted(tuple(r) for r in naive.collect())
+    for width in (0.5, 1.0, 4.0):
+        got = band_join(pts, iv, "x", "lo", "hi", bucket_width=width).select("pid", "iid")
+        assert sorted(tuple(r) for r in got.collect()) == expected, f"width={width}"
+
+
+def test_band_join_no_duplicate_pairs(spark):
+    pts = spark.createDataFrame([(1, 0.0)], "pid long, x double")
+    iv = spark.createDataFrame([(1, -10.0, 10.0)], "iid long, lo double, hi double")
+    assert band_join(pts, iv, "x", "lo", "hi", bucket_width=0.25).count() == 1
+
+
+def test_student_t_tail_closed_forms():
+    """betainc-based two-sided tail vs exact closed forms: Cauchy (ν=1),
+    ν=2 algebraic form, and the normal limit for large ν."""
+    import numpy as np
+
+    from omics_data_integration_utilities_spark.functions.stats import (
+        student_t_sf_two_sided,
+    )
+
+    ts = np.array([0.1, 0.5, 1.0, 2.0, 5.0, 10.0])
+    # ν=1 (Cauchy): P(|T|>=t) = 1 − (2/π)·arctan(t)
+    p1 = student_t_sf_two_sided(ts, np.full_like(ts, 1.0))
+    assert np.allclose(p1, 1 - 2 / math.pi * np.arctan(ts), atol=1e-12)
+    # ν=2: P(|T|>=t) = 1 − t/sqrt(2+t²)
+    p2 = student_t_sf_two_sided(ts, np.full_like(ts, 2.0))
+    assert np.allclose(p2, 1 - ts / np.sqrt(2 + ts * ts), atol=1e-12)
+    # large ν → normal: P ≈ erfc(t/√2)
+    p_big = student_t_sf_two_sided(ts, np.full_like(ts, 1e7))
+    erfc = np.array([math.erfc(t / math.sqrt(2)) for t in ts])
+    assert np.allclose(p_big, erfc, rtol=1e-4)
+
+
+def test_corr_pvalue_pipeline(spark):
+    import numpy as np
+
+    rows = [(1, float(i), float(i) * 0.5 + ((i * 7) % 5)) for i in range(30)]
+    df = spark.createDataFrame(rows, "g long, x double, y double")
+    out = corr_pvalues(pairwise_corr(df, ["g"], "x", "y")).collect()[0]
+    xs = np.array([r[1] for r in rows])
+    ys = np.array([r[2] for r in rows])
+    r_ref = float(np.corrcoef(xs, ys)[0, 1])
+    assert abs(out["r"] - r_ref) < 1e-9
+    # p from the same t-transform evaluated driver-side
+    from omics_data_integration_utilities_spark.functions.stats import (
+        student_t_sf_two_sided,
+    )
+
+    t_ref = r_ref * math.sqrt((30 - 2) / (1 - r_ref**2))
+    p_ref = float(student_t_sf_two_sided(t_ref, 28.0))
+    assert abs(out["p"] - p_ref) < 1e-12
+    assert 0.0 < out["p"] < 1.0
+
+
+def test_spearman_with_ties_matches_numpy_ranks(spark):
+    import numpy as np
+
+    xs = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 5.0, 8.0]
+    ys = [3.0, 1.0, 4.0, 4.0, 7.0, 2.0, 9.0, 9.0]
+
+    def avg_rank(v):
+        v = np.asarray(v)
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), dtype=float)
+        i = 0
+        sv = v[order]
+        while i < len(v):
+            j = i
+            while j + 1 < len(v) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+            i = j + 1
+        return ranks
+
+    rho_ref = float(np.corrcoef(avg_rank(xs), avg_rank(ys))[0, 1])
+    df = spark.createDataFrame(
+        [(1, x, y) for x, y in zip(xs, ys)], "g long, x double, y double"
+    )
+    out = pairwise_corr(df, ["g"], "x", "y", method="spearman").collect()[0]
+    assert abs(out["r"] - rho_ref) < 1e-9
+
+
+def test_mad_exact(spark):
+    df = spark.createDataFrame(
+        [(1, v) for v in [1.0, 2.0, 3.0, 4.0, 100.0]] + [(2, 5.0), (2, 5.0), (2, 5.0)],
+        "g long, v double",
+    )
+    got = {r["g"]: r["mad"] for r in group_mad(df, ["g"], "v").collect()}
+    # group 1: median 3, |x-3| = [2,1,0,1,97] → median 1
+    assert got[1] == 1.0
+    assert got[2] == 0.0
+
+
+def test_remove_zeros(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 0.0), (2, 3.0), (2, 4.0)], "g long, v double"
+    )
+    kept = remove_zeros(df, ["g"], "v").select("g").distinct().collect()
+    assert [r["g"] for r in kept] == [2]
+
+
+def test_outlier_flags_single_value_group(spark):
+    df = spark.createDataFrame([(1, 5.0)], "g long, v double")
+    row = outlier_flags(df, ["g"], "v").collect()[0]
+    assert row["outlier"] is False
+
+
+def test_arg_extreme_dedup_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "b", 10.0), (1, "a", 10.0), (1, "c", 5.0)], "g long, k string, v double"
+    )
+    row = arg_extreme_dedup(df, ["g"], "v", ascending=False, tie_break=["k"]).collect()
+    assert len(row) == 1 and row[0]["k"] == "a"
+
+
+def test_mutual_rank_symmetric(spark):
+    df = spark.createDataFrame(
+        [("s1", "p1", 10.0), ("s1", "p2", 5.0), ("s2", "p1", 8.0)],
+        "a string, b string, v double",
+    )
+    out = {(r["a"], r["b"]): r for r in mutual_rank(df, "a", "b", "v").collect()}
+    assert out[("s1", "p1")]["rank_ab"] == 1
+    assert out[("s1", "p2")]["rank_ab"] == 2
+    assert out[("s2", "p1")]["rank_ba"] == 2  # p1 list: s1(10) then s2(8)
+    assert abs(out[("s2", "p1")]["mr"] - math.sqrt(1 * 2)) < 1e-12
+
+
+def test_greedy_cover_known_instance(spark):
+    # gene A covers 3 events, B covers 2 (1 overlapping), C covers 1 (all overlapping)
+    rows = [
+        ("A", "p1", "g1"), ("A", "p2", "g1"), ("A", "p3", "g2"),
+        ("B", "p1", "g1"), ("B", "p4", "g3"),
+        ("C", "p1", "g1"),
+    ]
+    ev = spark.createDataFrame(rows, "mut_gene string, patient string, out_gene string")
+    picks = greedy_driver_selection(ev, k=3)
+    assert picks[0] == ("A", 3)
+    assert picks[1] == ("B", 1)  # only p4/g3 newly covered
+    assert len(picks) == 2  # C adds nothing → loop ends
+
+
+def test_greedy_pandas_matches_spark_greedy():
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "mut_gene": ["A", "A", "A", "B", "B", "C"],
+            "event": ["p1g1", "p2g1", "p3g2", "p1g1", "p4g3", "p1g1"],
+        }
+    )
+    assert _greedy_pandas(pdf, 3) == [3, 1]
+
+
+def test_break_cycles_removes_lowest_weight(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 3), ("c", "a", 1), ("c", "d", 9)],
+        "src string, dst string, weight long",
+    )
+    kept = {(r["src"], r["dst"]) for r in break_cycles(edges).collect()}
+    assert ("c", "a") not in kept  # lowest-weight edge of the only cycle
+    assert kept == {("a", "b"), ("b", "c"), ("c", "d")}
+
+
+def test_fit_mixtures_recovers_bimodal(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    xs = np.concatenate([rng.normal(0, 1, 300), rng.normal(10, 1, 300)])
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in xs], "gene string, beta double"
+    )
+    out = fit_mixtures(df, "gene", "beta", max_k=3).collect()
+    assert len(out) == 2  # BIC picks 2 components
+    mus = sorted(r["mu"] for r in out)
+    assert abs(mus[0] - 0) < 0.5 and abs(mus[1] - 10) < 0.5
+
+
+def test_set_codec_roundtrip(spark):
+    from omics_data_integration_utilities_spark.functions.scalars import (
+        set_decode,
+        set_encode,
+    )
+
+    df = spark.createDataFrame([("b;a;;b;c",)], "s string")
+    row = df.select(
+        set_decode("s").alias("arr"), set_encode(set_decode("s")).alias("enc")
+    ).collect()[0]
+    assert row["arr"] == ["a", "b", "c"]
+    assert row["enc"] == "a;b;c"
+
+
+def test_conditional_swap(spark):
+    from omics_data_integration_utilities_spark.functions.scalars import conditional_swap
+
+    df = spark.createDataFrame([(1, "x", "y"), (-1, "x", "y")], "d long, s string, p string")
+    out = conditional_swap(df, F.col("d") == -1, [("s", "p")]).collect()
+    by_d = {r["d"]: (r["s"], r["p"]) for r in out}
+    assert by_d[1] == ("x", "y")
+    assert by_d[-1] == ("y", "x")

@@ -1,0 +1,64 @@
+"""Plan-quality assertions: the physical plans must show the shapes the
+100 TB design depends on — broadcast joins for dims, pushed filters and
+pruned scans, no BroadcastNestedLoopJoin on the grid-bucketed band join,
+and no pathological Generate-filter re-inlining (the minhash regression).
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from .conftest import SF_SMOKE
+
+QUERIES = entrymod.queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "j1_star_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_band_join_is_equi_not_nested_loop(spark):
+    plan = _plan(spark, "j4_band_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # hash or sort-merge on the grid bucket
+
+
+def test_dict_join_broadcasts(spark):
+    plan = _plan(spark, "j9_dict_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark):
+    df = QUERIES["a3_pricing_summary"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the shipdate predicate must reach the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: unused columns (l_comment-style) absent from ReadSchema
+    assert "l_partkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_semi_join_planned_as_semi(spark):
+    plan = _plan(spark, "j7_semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_planned_as_anti(spark):
+    plan = _plan(spark, "j8_anti_join")
+    assert "LeftAnti" in plan
+
+
+def test_minhash_no_filter_reinlining(spark):
+    plan = _plan(spark, "dedup_minhash_signatures")
+    # the md5 chain must appear in a projection exactly once, never in a
+    # Filter (the Generate-pushdown regression computed it 17x)
+    assert plan.count("md5") <= 2  # one in __h projection (+1 possible subexpr label)
+
+
+def test_topk_uses_window_limit(spark):
+    plan = _plan(spark, "o1_global_topk")
+    assert "TakeOrderedAndProject" in plan
