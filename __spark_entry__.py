@@ -24,6 +24,10 @@ from omics_data_integration_utilities_spark.plans.registry_more import (
     ORACLES_MORE,
     QUERIES_MORE,
 )
+from omics_data_integration_utilities_spark.plans.registry_kernels import (
+    ORACLES_KERNELS,
+    QUERIES_KERNELS,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -37,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(QUERIES_DOCS)
     out.update(QUERIES_ANALYTICS)
     out.update(QUERIES_MORE)
+    out.update(QUERIES_KERNELS)
     return out
 
 
@@ -46,4 +51,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(ORACLES_DOCS)
     out.update(ORACLES_ANALYTICS)
     out.update(ORACLES_MORE)
+    out.update(ORACLES_KERNELS)
     return out

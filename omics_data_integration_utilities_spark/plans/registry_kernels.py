@@ -1,0 +1,99 @@
+"""Query registry part 5 — applyInPandas/mapInPandas kernels: multimodal
+feature extraction (deterministic fake decoder → oracle-checkable), kNN
+impute, partial correlations, count GLM.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analytics.kernels import knn_impute, partial_correlations, poisson_glm_offset
+from ..operators.multimodal import documents_as_media, extract_features, fake_decoder
+from .registry import _t
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media column → mapInPandas feature
+    extraction.  The fake decoder is md5-arithmetic, so DuckDB can oracle
+    the whole path (n_bytes, content_key, and each feature dim)."""
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    feats = extract_features(media, decoder=fake_decoder)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "content_key",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 2), 6).alias("f1"),
+    )
+
+
+# fake_decoder dim i = int(md5[i*4 : i*4+4 bytes]) / 2^32; md5 hex chars
+# [8i+1, 8i+8] — reproduced in SQL from the hex digest
+SQL_MULTIMODAL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_key,
+       round(('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0, 6) AS f0,
+       round(('0x' || substr(md5(text), 9, 8))::BIGINT / 4294967296.0, 6) AS f1
+FROM documents
+"""
+
+
+def q_k10_knn_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10 kNN impute: mask low values to null, impute from 3 nearest
+    rows per block (MethylMix preprocessing shape).  Iterative/numpy —
+    rows-only check."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.select(
+        (F.col("user_id") % 5).cast("string").alias("block"),
+        (F.col("user_id") % 17).cast("string").alias("row"),
+        F.col("event_type").alias("col"),
+        F.when(F.col("value") < 5.0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    ).groupBy("block", "row", "col").agg(F.round(F.avg("v"), 6).alias("v"))
+    return knn_impute(cells, "block", "row", "col", "v", k=3)
+
+
+def q_k12_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K12 shrinkage partial-correlation screen (Gohs method) — matrix
+    inverse per block; rows-only check."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.select(
+        (F.col("user_id") % 4).cast("string").alias("block"),
+        F.col("user_id").cast("string").alias("sample"),
+        F.col("event_type").alias("var"),
+        F.col("value").alias("v"),
+    ).groupBy("block", "sample", "var").agg(F.avg("v").alias("v"))
+    return partial_correlations(m, "block", "var", "sample", "v")
+
+
+def q_k13_count_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K13 count GLM with offset (Robinson ABCD-DNA shape): per-brand
+    Poisson IRLS of lineitem counts ~ linestatus with order-volume
+    offset; rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    counts = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("l_quantity").alias("exposure"),
+        )
+    )
+    return poisson_glm_offset(counts, "p_brand", "n", "l_linestatus", "exposure")
+
+
+QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "multimodal_features": q_multimodal_features,
+    "k10_knn_impute": q_k10_knn_impute,
+    "k12_partial_corr": q_k12_partial_corr,
+    "k13_count_glm": q_k13_count_glm,
+}
+
+ORACLES_KERNELS: dict[str, str] = {
+    "multimodal_features": SQL_MULTIMODAL,
+    # k10/k12/k13 are iterative numpy kernels — rows-only check
+}
