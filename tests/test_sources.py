@@ -1,0 +1,67 @@
+"""Source reader tests (SURVEY §2.1 S1/S2): schema-declared CSV, TSV with
+comment lines, positional rename, and write-then-read round trips that
+replace the reference's append-loop sinks (S8-S10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omics_data_integration_utilities_spark.sources import (
+    read_csv,
+    read_tsv_with_comments,
+    rename_by_position,
+)
+
+
+def test_read_csv_declared_schema(spark, tmp_path):
+    p = tmp_path / "sig.csv"
+    p.write_text("name,mz\nm1,101.5\nm2,202.25\n")
+    df = read_csv(spark, str(p), schema="ms_name string, mz double")
+    # header row is data when schema names differ? header=True skips it
+    rows = sorted((r["ms_name"], r["mz"]) for r in df.collect())
+    assert rows == [("m1", 101.5), ("m2", 202.25)]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "double"]
+
+
+def test_read_tsv_with_comments(spark, tmp_path):
+    p = tmp_path / "chem_prop.tsv"
+    p.write_text("#MNX_ID\tName\n#comment line\nMNXM1\twater\nMNXM2\tethanol\n")
+    df = read_tsv_with_comments(spark, str(p), "mnx_id string, name string")
+    rows = sorted((r["mnx_id"], r["name"]) for r in df.collect())
+    assert rows == [("MNXM1", "water"), ("MNXM2", "ethanol")]
+
+
+def test_rename_by_position(spark):
+    df = spark.createDataFrame([(1, "a", 2.0)], "c1 long, c2 string, c3 double")
+    out = rename_by_position(df, ["ms_name", "mz"])
+    assert out.columns == ["ms_name", "mz", "c3"]
+
+
+def test_single_write_replaces_append_loop(spark, tmp_path):
+    """S8 semantics: iterative pd.concat + mode='a' appends become one
+    unionByName + one write."""
+    parts = [
+        spark.createDataFrame([(i, float(i))], "k long, v double") for i in range(4)
+    ]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    out = str(tmp_path / "out.parquet")
+    acc.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert back.agg(F.sum("v")).collect()[0][0] == 6.0
+
+
+def test_headerless_space_separated_sink(spark, tmp_path):
+    """S10: ClusterOne edge-file shape."""
+    df = spark.createDataFrame([("a", "b", 0.5)], "src string, dst string, w double")
+    out = str(tmp_path / "edges")
+    df.coalesce(1).write.option("sep", " ").option("header", False).csv(out)
+    txt = [
+        line
+        for f in (tmp_path / "edges").iterdir()
+        if f.suffix == ".csv"
+        for line in f.read_text().splitlines()
+    ]
+    assert txt == ["a b 0.5"]
