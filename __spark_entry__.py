@@ -28,6 +28,10 @@ from omics_data_integration_utilities_spark.plans.registry_kernels import (
     ORACLES_KERNELS,
     QUERIES_KERNELS,
 )
+from omics_data_integration_utilities_spark.plans.registry_pathway import (
+    ORACLES_PATHWAY,
+    QUERIES_PATHWAY,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -42,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(QUERIES_ANALYTICS)
     out.update(QUERIES_MORE)
     out.update(QUERIES_KERNELS)
+    out.update(QUERIES_PATHWAY)
     return out
 
 
@@ -52,4 +57,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(ORACLES_ANALYTICS)
     out.update(ORACLES_MORE)
     out.update(ORACLES_KERNELS)
+    out.update(ORACLES_PATHWAY)
     return out
