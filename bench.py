@@ -23,6 +23,8 @@ import __spark_entry__ as entrymod  # noqa: E402
 # engine, the heaviest document/dedup ops, and a star join
 HEADLINE = [
     "plan_mass_annotation",
+    "plan_pathway_expand",
+    "plan_corr_multiomics",
     "j4_band_join",
     "j6_transition_match",
     "j1_star_join",
@@ -49,8 +51,11 @@ def main() -> None:
     spark = get_spark("omics-spark-bench")
 
     queries = entrymod.queries()
-    # warm up the session (JVM + parquet footer reads)
+    # warm up the session: JVM, AQE machinery, parquet reader paths
     spark.range(1000).count()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in ("supplier", "part", "lineitem", "orders", "documents", "embeddings", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
 
     timings: dict[str, float] = {}
     total = 0.0
