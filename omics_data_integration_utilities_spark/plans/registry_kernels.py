@@ -10,6 +10,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..analytics.clustering import cluster_probes
 from ..analytics.kernels import knn_impute, partial_correlations, poisson_glm_offset
 from ..operators.multimodal import documents_as_media, extract_features, fake_decoder
 from .registry import _t
@@ -86,7 +87,21 @@ def q_k13_count_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_glm_offset(counts, "p_brand", "n", "l_linestatus", "exposure")
 
 
+def q_k11_cluster_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K11 per-gene probe clustering (1−corr, complete linkage, cut 0.6)
+    — numpy agglomerative inside applyInPandas; rows-only check."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.select(
+        (F.col("user_id") % 4).cast("string").alias("gene"),
+        F.col("event_type").alias("probe"),
+        F.col("user_id").cast("string").alias("sample"),
+        F.col("value").alias("beta"),
+    ).groupBy("gene", "probe", "sample").agg(F.avg("beta").alias("beta"))
+    return cluster_probes(m, "gene", "probe", "sample", "beta", cut_height=0.6)
+
+
 QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "k11_cluster_probes": q_k11_cluster_probes,
     "multimodal_features": q_multimodal_features,
     "k10_knn_impute": q_k10_knn_impute,
     "k12_partial_corr": q_k12_partial_corr,
