@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) — the reference has no property
+testing (SURVEY §5); the engine adds it for the algebraic operators."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from omics_data_integration_utilities_spark.functions.stats import (
+    betainc,
+    student_t_sf_two_sided,
+)
+
+
+@given(
+    t=st.floats(min_value=0.0, max_value=50.0, allow_nan=False),
+    df=st.floats(min_value=1.0, max_value=1000.0, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_t_tail_in_unit_interval_and_symmetric(t, df):
+    p = float(student_t_sf_two_sided(t, df))
+    p_neg = float(student_t_sf_two_sided(-t, df))
+    assert 0.0 <= p <= 1.0
+    assert abs(p - p_neg) < 1e-12  # two-sided: symmetric in t
+
+
+@given(df=st.floats(min_value=1.0, max_value=100.0))
+@settings(max_examples=50, deadline=None)
+def test_t_tail_monotone_decreasing(df):
+    ts = np.array([0.0, 0.5, 1.0, 2.0, 4.0, 8.0])
+    ps = student_t_sf_two_sided(ts, np.full_like(ts, df))
+    assert ps[0] > 0.99  # P(|T|>=0) = 1
+    assert np.all(np.diff(ps) < 0)
+
+
+@given(
+    a=st.floats(min_value=0.1, max_value=50.0),
+    b=st.floats(min_value=0.1, max_value=50.0),
+    # keep x away from the representability cliff: for x < ~1e-16 the
+    # complement 1-x rounds to exactly 1.0 and the identity cannot hold
+    x=st.floats(min_value=1e-12, max_value=1.0 - 1e-12),
+)
+@settings(max_examples=200, deadline=None)
+def test_betainc_bounds_and_complement(a, b, x):
+    v = float(betainc(a, b, x))
+    assert -1e-12 <= v <= 1 + 1e-12
+    # I_x(a,b) + I_{1-x}(b,a) = 1
+    comp = float(betainc(b, a, 1.0 - x))
+    assert abs(v + comp - 1.0) < 1e-9
+
+
+def test_band_join_random_instances(spark):
+    """Randomized (seeded) equivalence of the grid-bucketed band join and
+    the naive theta join across bucket widths — heavier than the unit test,
+    one spark round-trip per width."""
+    rng = np.random.RandomState(11)
+    pts = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(rng.uniform(-100, 100, 300))],
+        "pid long, x double",
+    )
+    lo = rng.uniform(-110, 100, 80)
+    width = rng.exponential(5.0, 80)
+    iv = spark.createDataFrame(
+        [(int(j), float(a), float(a + w)) for j, (a, w) in enumerate(zip(lo, width))],
+        "iid long, lo double, hi double",
+    )
+    from omics_data_integration_utilities_spark.operators.joins import band_join
+
+    naive = (
+        pts.crossJoin(iv)
+        .where((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+        .select("pid", "iid")
+    )
+    expected = sorted(tuple(r) for r in naive.collect())
+    for w in (0.7, 3.0, 17.0):
+        got = band_join(pts, iv, "x", "lo", "hi", bucket_width=w).select("pid", "iid")
+        assert sorted(tuple(r) for r in got.collect()) == expected
+
+
+def test_minhash_signature_properties(spark):
+    """Identical texts hash identically; disjoint-shingle texts share no
+    signature positions only by coincidence (bounded below)."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        with_minhash_signature,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, t2)], "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: r["__sig"] for r in with_minhash_signature(df, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    assert len(sigs[1]) == 16
+
+
+def test_jaccard_identical_docs_is_one(spark):
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    t = "a b c d e f g h i j"
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    row = ngram_jaccard_pairs(df, "text", "doc_id", min_jaccard=0.0).collect()[0]
+    assert row["jaccard"] == 1.0
