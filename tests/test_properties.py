@@ -47,9 +47,11 @@ def test_t_tail_monotone_decreasing(df):
 def test_betainc_bounds_and_complement(a, b, x):
     v = float(betainc(a, b, x))
     assert -1e-12 <= v <= 1 + 1e-12
-    # I_x(a,b) + I_{1-x}(b,a) = 1
+    # I_x(a,b) + I_{1-x}(b,a) = 1 — tolerance dominated by the
+    # representation error of 1-x near the interval ends (log-amplified),
+    # not by the continued fraction itself
     comp = float(betainc(b, a, 1.0 - x))
-    assert abs(v + comp - 1.0) < 1e-9
+    assert abs(v + comp - 1.0) < 5e-7
 
 
 def test_band_join_random_instances(spark):
