@@ -5,3 +5,9 @@ from .readers import (  # noqa: F401
     rename_by_position,
 )
 from .tables import TESTDATA_TABLES, load_table, register_views  # noqa: F401
+from .writers import (  # noqa: F401
+    write_parquet,
+    write_csv,
+    write_edge_file,
+    write_bucketed_table,
+)
