@@ -186,7 +186,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors (vec_id % 50 == 0)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    out = sim_ops.brute_force_topk(emb, queries, "embedding", "vec_id", k=5)
+    out = sim_ops.brute_force_topk_np(emb, queries, "embedding", "vec_id", k=5)
     return out.select("query_id", "cand_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
@@ -213,8 +213,9 @@ SELECT query_id, cand_id, score, rank FROM (
 
 
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine near-dup (exact baseline; LSH variant in library)."""
-    return sim_ops.cosine_neardup_pairs(
+    """All-pairs cosine near-dup — GEMM-backed (broadcast matrix +
+    mapInPandas BLAS blocks); LSH variant in library for two-large-sides."""
+    return sim_ops.cosine_neardup_np(
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", min_cosine=0.35
     )
 
