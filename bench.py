@@ -56,6 +56,12 @@ def main() -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in ("supplier", "part", "lineitem", "orders", "documents", "embeddings", "events"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
+    # warm the Arrow / python-worker path (mapInPandas machinery)
+    import pandas as _pd
+
+    spark.range(100).mapInPandas(
+        lambda it: (pdf.assign(x=pdf.id) for pdf in it), schema="id long, x long"
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0

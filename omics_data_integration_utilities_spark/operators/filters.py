@@ -68,17 +68,22 @@ def outlier_flags(
     ``getPatientOutlierMatrix.R:4-26`` (x is an outlier iff
     ``|x − μ| >= threshold·σ`` within its gene).
 
-    Window formulation: one shuffle on the group key, no join.
+    Aggregate-then-broadcast-join formulation: the per-group stats table is
+    tiny (one row per group, map-side partial aggregation), and the big
+    relation is never sorted or reshuffled — strictly cheaper than the
+    window form, which must sort every partition (pathological when a few
+    hot groups dominate).
     """
-    w = Window.partitionBy(*key_cols)
-    mu = F.mean(value_col).over(w)
-    sd = F.stddev(value_col).over(w)
-    return df.withColumn(
-        "outlier",
-        F.when(sd.isNull() | (sd == 0), F.lit(False)).otherwise(
-            F.abs(F.col(value_col) - mu) >= F.lit(threshold) * sd
-        ),
+    stats = df.groupBy(*key_cols).agg(
+        F.mean(value_col).alias("__mu"), F.stddev(value_col).alias("__sd")
     )
+    joined = df.join(F.broadcast(stats), key_cols)
+    return joined.withColumn(
+        "outlier",
+        F.when(F.col("__sd").isNull() | (F.col("__sd") == 0), F.lit(False)).otherwise(
+            F.abs(F.col(value_col) - F.col("__mu")) >= F.lit(threshold) * F.col("__sd")
+        ),
+    ).drop("__mu", "__sd")
 
 
 def na_fraction_filter(
