@@ -712,9 +712,11 @@ MASS_PPM = 3000.0  # testdata price density needs a wider window than 30 ppm
 
 def q_plan_mass_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 queryMassNPDB pipeline: adduct expansion → ppm window → band
-    join → deterministic best-adduct dedup."""
-    sig = _t(spark, sf_dir, "supplier").select(
-        F.col("s_name").alias("ms_name"), F.col("s_acctbal").alias("mz")
+    join → deterministic best-adduct dedup.  Signatures = customers (their
+    balance range overlaps the part price band at every scale factor, so
+    the flagship is non-empty even at sf0.001)."""
+    sig = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("ms_name"), F.col("c_acctbal").alias("mz")
     )
     structures = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("structure_id"),
@@ -726,7 +728,7 @@ def q_plan_mass_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PLAN_MASS = f"""
-WITH sig AS (SELECT s_name AS ms_name, s_acctbal AS mz FROM supplier),
+WITH sig AS (SELECT c_name AS ms_name, c_acctbal AS mz FROM customer),
 exp AS (
   SELECT ms_name, mz, Ion_name, (mz - Mass) / Mult AS mm
   FROM sig CROSS JOIN (VALUES {ADDUCTS_SQL_VALUES}) AS a(Ion_name, Mass, Mult)
