@@ -383,17 +383,28 @@ WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity 
 
 
 def q_j8_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8 anti-join via ~isin → left_anti (queryMassNPDB_mod.py:141)."""
+    """J8 anti-join via ~isin → left_anti (queryMassNPDB_mod.py:141).
+
+    Right side filtered to early urgent orders so the anti-join is
+    selective-but-nonempty at every scale factor (every customer has SOME
+    order at sf≥0.01, which made the unfiltered version vacuous)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    urgent_early = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") < F.expr("timestamp_ntz'1997-01-01 00:00:00'"))
     )
+    return cust.join(
+        urgent_early, cust.c_custkey == urgent_early.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
 
 
 SQL_J8 = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+)
 """
 
 

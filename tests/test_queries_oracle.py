@@ -40,3 +40,11 @@ def test_entry_smoke(spark):
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity_sf001(spark, duck, name):
     compare_query_to_oracle(spark, duck, name, QUERIES[name], ORACLES[name], SF_CORRECTNESS)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_nonempty_at_sf001(spark, name):
+    """Vacuous-pass guard: an empty result hash-matches an empty oracle,
+    so every registered query must produce rows at the correctness scale."""
+    assert QUERIES[name](spark, SF_CORRECTNESS).count() > 0, f"{name} is empty at sf0.01"
