@@ -210,6 +210,113 @@ def brute_force_topk_np(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    lloyd_iterations: int = 2,
+    sample_fraction: float = 1.0,
+) -> tuple[DataFrame, "object"]:
+    """IVF coarse quantizer: deterministic k-means-lite centroids, vectors
+    assigned to their nearest list.
+
+    Centroid training runs driver-side on a (deterministic) sample —
+    centroids are tiny (n_lists × dim); assignment is one GEMM pass over
+    the corpus via ``mapInPandas``.  Returns (assigned_df, centroids)
+    where assigned_df = input + ``list_id``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    src = df
+    if sample_fraction < 1.0:
+        # deterministic sample: hash of id
+        src = df.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(10_000)) < int(sample_fraction * 10_000))
+    ids, m, _ = _ids_matrix(src, id_col, vec_col)
+    order = np.argsort(ids)
+    m = m[order]
+    # seeds: evenly spaced rows of the id-sorted sample (deterministic)
+    seeds = m[np.linspace(0, len(m) - 1, n_lists).astype(int)]
+    cents = seeds.copy()
+    for _ in range(lloyd_iterations):
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_lists):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def run(batches):
+        cc = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            d2 = ((a[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+            out = pdf.copy()
+            out["list_id"] = d2.argmin(axis=1).astype("int64")
+            yield out
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    assigned = df.mapInPandas(run, schema=f"{fields}, list_id long")
+    return assigned, cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probes: int = 4,
+    score_digits: int = 6,
+) -> DataFrame:
+    """IVF approximate cosine top-k: probe the ``n_probes`` nearest lists
+    per query and GEMM only inside them — the scale path when the corpus
+    no longer broadcasts.  Recall is tunable via n_probes/n_lists;
+    ``n_probes == n_lists`` degenerates to exact brute force.
+    """
+    import numpy as np
+
+    assigned, cents = ivf_assign(corpus, vec_col, id_col, n_lists)
+    qids, qm, _ = _ids_matrix(queries, id_col, vec_col)
+    d2 = ((qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probe_lists = np.argsort(d2, axis=1)[:, :n_probes]
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        [
+            (int(qids[i]), [int(x) for x in probe_lists[i]])
+            for i in range(len(qids))
+        ],
+        "query_id long, probe_lists array<long>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).join(F.broadcast(probes), "query_id")
+    c = assigned.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__cv"), "list_id"
+    )
+    # candidates restricted to probed lists: equi-join on list_id
+    pairs = (
+        c.join(
+            F.broadcast(q.select("query_id", "__qv", F.explode("probe_lists").alias("list_id"))),
+            "list_id",
+        )
+        .where(F.col("cand_id") != F.col("query_id"))
+    )
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine_col(F.col("__qv"), F.col("__cv")), score_digits).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def hyperplane_bucket_col(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
     """Deterministic random-hyperplane LSH bucket id (0..2^n_planes-1).
 

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import containment as cont_ops
 from ..operators import dedup as dedup_ops
 from ..operators import similarity as sim_ops
 from ..operators import text as text_ops
@@ -298,7 +299,56 @@ FROM s
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# rule-map containment (K3/K4 shell, mapBaseRetroRules shape)
+# --------------------------------------------------------------------------
+
+def q_rulemap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 shell: candidate pairs by inverted index + size pre-filter (the
+    mass analog), containment >= 0.8, assembled into the reference's
+    rule_map is_in/has ;-lists."""
+    return cont_ops.containment_map(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", min_containment=0.8
+    )
+
+
+SQL_RULEMAP_CONTAINMENT = (
+    "WITH " + _SHINGLE_CTES + """
+, e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+sz AS (SELECT doc_id, len(s)::BIGINT AS sz FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+),
+pairs AS (
+  SELECT id_a AS inner_id, id_b AS outer_id, round(inter / sz_a, 6) AS containment
+  FROM p
+  WHERE (sz_a < sz_b OR (sz_a = sz_b AND id_a < id_b)) AND round(inter / sz_a, 6) >= 0.8
+),
+is_in AS (
+  SELECT inner_id AS doc_id,
+         array_to_string(list_sort(list_distinct(list(outer_id::VARCHAR))), ';') AS is_in
+  FROM pairs GROUP BY inner_id
+),
+has AS (
+  SELECT outer_id AS doc_id,
+         array_to_string(list_sort(list_distinct(list(inner_id::VARCHAR))), ';') AS has
+  FROM pairs GROUP BY outer_id
+)
+SELECT d.doc_id, coalesce(i.is_in, '') AS is_in, coalesce(h.has, '') AS has
+FROM documents d LEFT JOIN is_in i ON i.doc_id = d.doc_id LEFT JOIN has h ON h.doc_id = d.doc_id
+"""
+)
+
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rulemap_containment": q_rulemap_containment,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_minhash_signatures": q_minhash_signatures,
@@ -313,6 +363,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_DOCS: dict[str, str] = {
+    "rulemap_containment": SQL_RULEMAP_CONTAINMENT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_fingerprint": SQL_DEDUP_FINGERPRINT,
     "dedup_minhash_signatures": SQL_MINHASH_SIGNATURES,
