@@ -40,39 +40,40 @@ def containment_pairs(
     """(inner_id, outer_id, containment): directed pairs where the smaller
     set is ≥ ``min_containment`` covered by the larger (ties on size break
     by id so each unordered pair appears once)."""
+    from .dedup import _pairs_from_ids
+
     arr = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
     ).select(F.col(id_col), shingles_from_tokens(F.col("__toks"), width).alias("__sh"))
     e = arr.select(F.col(id_col), F.explode_outer("__sh").alias("s"))
     sizes = arr.select(F.col(id_col), F.size("__sh").cast("long").alias("sz"))
 
-    a = e.select(F.col(id_col).alias("id_a"), "s")
-    b = e.select(F.col(id_col).alias("id_b"), "s")
+    # posting-list pair expansion (shingle sets computed once); direction
+    # is decided afterwards from the sizes
     inter = (
-        a.join(b, "s")
-        .where(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        e.where(F.col("s").isNotNull())
+        .groupBy("s")
+        .agg(F.collect_list(id_col).alias("__ids"))
+        .where(F.size("__ids") > 1)
+        .select(F.explode(_pairs_from_ids(F.col("__ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     pairs = inter.join(sa, "id_a").join(sb, "id_b")
-    # size pre-filter (the mass analog): inner must be no larger; equal
-    # sizes tie-break on id to keep one direction
-    directed = pairs.where(
-        (F.col("sz_a") < F.col("sz_b"))
-        | ((F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") < F.col("id_b")))
-    )
+    # size pre-filter (the mass analog): the smaller set is the inner side;
+    # equal sizes keep the (id_a < id_b) orientation the expansion produced
+    inner_is_a = F.col("sz_a") <= F.col("sz_b")
     return (
-        directed.withColumn(
-            "containment", F.round(F.col("inter") / F.col("sz_a"), 6)
+        pairs.select(
+            F.when(inner_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias("inner_id"),
+            F.when(inner_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias("outer_id"),
+            F.round(
+                F.col("inter") / F.when(inner_is_a, F.col("sz_a")).otherwise(F.col("sz_b")), 6
+            ).alias("containment"),
         )
         .where(F.col("containment") >= min_containment)
-        .select(
-            F.col("id_a").alias("inner_id"),
-            F.col("id_b").alias("outer_id"),
-            "containment",
-        )
     )
 
 

@@ -172,18 +172,39 @@ def lsh_band_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return sig.select(id_col, F.posexplode_outer(bands).alias("band", "band_key"))
 
 
+def _pairs_from_ids(ids_col: Column) -> Column:
+    """All (a < b) pairs from an id array — in-row expansion, used instead
+    of a self-join so the upstream (signatures/shingles) is computed once.
+    Quadratic only within one posting list; callers bound list sizes."""
+    s = F.array_sort(ids_col)
+    return F.flatten(
+        F.transform(
+            s,
+            lambda x, i: F.transform(
+                F.slice(s, i + 2, F.size(s)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
-    One shuffle on band_key; the self-join runs inside each bucket.
+    Posting-list formulation: one shuffle groups doc ids per band bucket,
+    pairs expand in-row (buckets are small by LSH design; AQE handles the
+    occasional hot bucket).  The band keys — and the minhash chain under
+    them — are computed exactly once, unlike a self-join whose two branches
+    each recompute the signatures.
     """
     keys = lsh_band_keys(df, text_col, id_col)
-    a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    buckets = keys.groupBy("band", "band_key").agg(
+        F.collect_list(id_col).alias("__ids")
+    )
     return (
-        a.join(b, ["band", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.where(F.size("__ids") > 1)
+        .select(F.explode(_pairs_from_ids(F.col("__ids"))).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -207,15 +228,18 @@ def ngram_jaccard_pairs(
     ).select(F.col(id_col), shingles_from_tokens(F.col("__toks"), width).alias("__sh"))
     # explode_outer: the inner variant pushes a synthesized size()>0 filter
     # below the projection, re-inlining the shingle chain; null shingle
-    # rows never match the equi-join so outer is result-identical
+    # rows produce no pairs so outer is result-identical
     sh = shingle_arr.select(F.col(id_col), F.explode_outer("__sh").alias("s"))
     sizes = shingle_arr.select(F.col(id_col), F.size("__sh").cast("long").alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "s")
-    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    # posting-list pair expansion (shingles computed once, no self-join);
+    # at corpus scale cap ultra-common shingles' postings upstream
     inter = (
-        a.join(b, "s")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        sh.where(F.col("s").isNotNull())
+        .groupBy("s")
+        .agg(F.collect_list(id_col).alias("__ids"))
+        .where(F.size("__ids") > 1)
+        .select(F.explode(_pairs_from_ids(F.col("__ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
