@@ -42,6 +42,12 @@ from .dedup import (  # noqa: F401
 from .text import lang_id, quality_score, doc_fingerprint  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_topk,
+    brute_force_topk_np,
     cosine_neardup_pairs,
+    cosine_neardup_np,
+    ivf_assign,
+    ivf_topk,
     lsh_bucketed_neardup,
 )
+from .containment import containment_pairs, containment_map  # noqa: F401
+from .skew import salted_join, salted_group_count  # noqa: F401
