@@ -24,6 +24,6 @@ Layout
 - ``streaming``  : Structured Streaming over the events table
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .session import get_spark  # noqa: F401

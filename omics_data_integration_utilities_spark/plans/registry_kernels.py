@@ -87,6 +87,56 @@ def q_k13_count_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_glm_offset(counts, "p_brand", "n", "l_linestatus", "exposure")
 
 
+REACTION_RULES = [
+    ("r_sub_table", "table", "tbl"),
+    ("r_sub_value", "value", "val"),
+    ("r_drop_vowel_run", "[aeiou]{2,}", "_"),
+]
+REACTION_RULES_SQL = ", ".join(f"('{r}', '{p}', '{s}')" for r, p, s in REACTION_RULES)
+
+
+def q_k1_reaction_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 shape (gizmos.py:193-234 generate_virtual_molecule): apply every
+    rule to every structure, keep transformed products, assign
+    deterministic content-hash product ids (F5 fix for the reference's
+    random VM_ ids).  The RDKit reaction would replace the regexp kernel
+    under the same 1→N dataflow."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    rules = spark.createDataFrame(
+        REACTION_RULES, "rule_id string, pattern string, replacement string"
+    )
+    reacted = (
+        docs.crossJoin(F.broadcast(rules))
+        .withColumn(
+            "product_text",
+            F.expr("regexp_replace(text, pattern, replacement)"),
+        )
+        .where(F.col("product_text") != F.col("text"))
+    )
+    return reacted.select(
+        F.col("doc_id").alias("substrate_id"),
+        "rule_id",
+        F.concat(F.lit("VM_"), F.substring(F.sha2(F.col("product_text"), 256), 1, 16)).alias(
+            "product_id"
+        ),
+        F.length("product_text").cast("long").alias("product_len"),
+    )
+
+
+SQL_K1_REACTION = f"""
+WITH rules AS (SELECT * FROM (VALUES {REACTION_RULES_SQL}) AS r(rule_id, pattern, replacement)),
+reacted AS (
+  SELECT doc_id, rule_id, regexp_replace(text, pattern, replacement, 'g') AS product_text, text
+  FROM documents CROSS JOIN rules
+  WHERE doc_id % 10 = 0
+)
+SELECT doc_id AS substrate_id, rule_id,
+       'VM_' || substr(sha256(product_text), 1, 16) AS product_id,
+       length(product_text)::BIGINT AS product_len
+FROM reacted WHERE product_text != text
+"""
+
+
 def q_k11_cluster_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K11 per-gene probe clustering (1−corr, complete linkage, cut 0.6)
     — numpy agglomerative inside applyInPandas; rows-only check."""
@@ -101,6 +151,7 @@ def q_k11_cluster_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "k1_reaction_products": q_k1_reaction_products,
     "k11_cluster_probes": q_k11_cluster_probes,
     "multimodal_features": q_multimodal_features,
     "k10_knn_impute": q_k10_knn_impute,
@@ -109,6 +160,7 @@ QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_KERNELS: dict[str, str] = {
+    "k1_reaction_products": SQL_K1_REACTION,
     "multimodal_features": SQL_MULTIMODAL,
     # k10/k12/k13 are iterative numpy kernels — rows-only check
 }
