@@ -11,10 +11,12 @@ Two pieces:
   every round, and ``localCheckpoint`` keeps lineage flat.
 
 - :func:`permutation_null_coverage` — the reference's 500 randomized
-  greedy re-runs (``SignificanceTest.R:28-74``) as a ``groupBy(run_id).
-  applyInPandas`` fan-out: each run permutes mutation→gene labels with a
-  run-seeded RNG and replays the greedy cover in pandas (each run's data is
-  small — patients×genes — exactly why the reference could run it in R).
+  greedy re-runs (``SignificanceTest.R:28-74``) as a broadcast-once +
+  ``range(n_runs)`` fan-out: each task permutes the gene↔event
+  association with a run-seeded RNG and replays the greedy cover in
+  pandas (each run's data is small — patients×genes — exactly why the
+  reference could run it in R).  Emits per-rank coverages so
+  ``ResultSummary.R:104-129``-style per-driver p-values pool them.
 """
 
 from __future__ import annotations
@@ -76,36 +78,77 @@ def _greedy_pandas(pdf: pd.DataFrame, k: int) -> list[int]:
     return sizes
 
 
+PERM_SEED = 20260813
+
+
 def permutation_null_coverage(
-    events: DataFrame,
+    mutations: DataFrame,
+    edges: DataFrame,
+    outliers: DataFrame,
     n_runs: int = 100,
     k: int = 5,
-    mut_col: str = "mut_gene",
-    event_cols: tuple[str, str] = ("patient", "out_gene"),
 ) -> DataFrame:
-    """Null distribution of greedy coverage: each run shuffles the
-    mutation→gene assignment (run-seeded, reproducible) and replays the
-    greedy cover.  Distributed one-run-per-group via ``applyInPandas``.
+    """Null distribution of per-rank greedy coverage (DriverNet
+    ``SignificanceTest.R:28-74``): each run re-draws the gene NAMES of the
+    mutation and outlier tables from the pooled gene universe (sampling
+    without replacement, run-seeded) while the influence graph stays
+    fixed, rebuilds the bipartite event table, and replays the greedy
+    cover -- exactly the reference's ``randomizedMutationNames`` /
+    ``randomizedOutlierNames`` column relabeling.  Permuting anything
+    *downstream* of the join is too weak: a bijective rename of the event
+    table's gene key preserves every event-set family, and permuting
+    labels against joined rows preserves per-gene event counts -- either
+    way the observed coverage reappears in every run and p-values pin at
+    ~1.
 
-    Returns (run_id, total_coverage).
+    Scale shape: the three input tables are collected and broadcast ONCE
+    (patients x genes matrices by construction -- the same data the greedy
+    loop itself needs in memory); the fan-out is ``range(n_runs)``, one
+    run per task, so nothing is replicated through a shuffle n_runs
+    times.
+
+    Expects mutations(patient, mut_gene), edges(src, dst),
+    outliers(patient, out_gene).
+    Returns (run_id, rank, coverage) -- one row per greedy pick per run.
     """
-    ev = events.select(
-        F.col(mut_col).alias("mut_gene"),
-        F.concat_ws("", *[F.col(c).cast("string") for c in event_cols]).alias("event"),
-    ).distinct()
-    runs = ev.sparkSession.range(n_runs).withColumnRenamed("id", "run_id")
-    fanout = ev.crossJoin(runs)
+    import numpy as np
+
+    spark = mutations.sparkSession
+    mut_p = mutations.select("patient", "mut_gene").distinct().toPandas()
+    edges_p = edges.select("src", "dst").distinct().toPandas()
+    outl_p = outliers.select("patient", "out_gene").distinct().toPandas()
+    universe = sorted(
+        set(mut_p["mut_gene"]) | set(outl_p["out_gene"])
+        | set(edges_p["src"]) | set(edges_p["dst"])
+    )
+    bc = spark.sparkContext.broadcast((mut_p, edges_p, outl_p, universe))
+    runs = spark.range(n_runs).withColumnRenamed("id", "run_id")
 
     def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        run_id = int(pdf["run_id"].iloc[0])
-        rng = pd.Series(pdf["mut_gene"].unique()).sample(
-            frac=1.0, random_state=run_id
-        )
-        mapping = dict(zip(sorted(rng), rng))
-        shuffled = pdf.assign(mut_gene=pdf["mut_gene"].map(mapping))
-        sizes = _greedy_pandas(shuffled, k)
-        return pd.DataFrame({"run_id": [run_id], "total_coverage": [int(sum(sizes))]})
+        import numpy as np
 
-    return fanout.groupBy("run_id").applyInPandas(
-        run_one, schema="run_id long, total_coverage long"
+        run_id = int(pdf["run_id"].iloc[0])
+        mut, edg, outl, genes = bc.value
+        rng = np.random.default_rng(PERM_SEED + run_id)
+        mut_names = sorted(mut["mut_gene"].unique())
+        outl_names = sorted(outl["out_gene"].unique())
+        new_mut = dict(zip(mut_names, rng.choice(genes, size=len(mut_names), replace=False)))
+        new_outl = dict(zip(outl_names, rng.choice(genes, size=len(outl_names), replace=False)))
+        mut_r = mut.assign(mut_gene=mut["mut_gene"].map(new_mut))
+        outl_r = outl.assign(out_gene=outl["out_gene"].map(new_outl))
+        ev = mut_r.merge(edg, left_on="mut_gene", right_on="src").merge(
+            outl_r, left_on=["dst", "patient"], right_on=["out_gene", "patient"]
+        )
+        ev = ev.assign(event=ev["patient"].astype(str) + "\x1f" + ev["dst"].astype(str))
+        sizes = _greedy_pandas(ev[["mut_gene", "event"]], k)
+        return pd.DataFrame(
+            {
+                "run_id": run_id,
+                "rank": range(1, len(sizes) + 1),
+                "coverage": [int(s) for s in sizes],
+            }
+        )
+
+    return runs.groupBy("run_id").applyInPandas(
+        run_one, schema="run_id long, rank long, coverage long"
     )

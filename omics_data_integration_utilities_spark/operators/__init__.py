@@ -37,6 +37,7 @@ from .dedup import (  # noqa: F401
     lsh_band_keys,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
+    hot_posting_keys,
     simhash_table,
 )
 from .text import lang_id, quality_score, doc_fingerprint  # noqa: F401

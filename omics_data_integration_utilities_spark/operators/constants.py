@@ -41,3 +41,13 @@ EN_STOPWORDS = [
 
 # simhash width (bits)
 SIMHASH_BITS = 32
+
+# posting-list cap for inverted-index pair expansion (LSH buckets, shingle
+# postings, containment index).  A degenerate key — a stop-shingle like
+# "the the and", or a band key over near-constant signatures — collects
+# every matching doc id into ONE row and emits |ids|² pairs from it; AQE
+# cannot split a single row, so at corpus scale one hot key kills the
+# stage.  Keys above the cap are dropped on BOTH engines (the DuckDB
+# oracles carry the same HAVING bound) — for near-dup detection a key
+# shared by >MAX_POSTING docs carries ~zero signal anyway.
+MAX_POSTING = 1000

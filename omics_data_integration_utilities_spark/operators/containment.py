@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .constants import SHINGLE_WIDTH
+from .constants import MAX_POSTING, SHINGLE_WIDTH
 from .dedup import shingles_from_tokens
 
 
@@ -36,10 +36,16 @@ def containment_pairs(
     id_col: str,
     min_containment: float = 0.8,
     width: int = SHINGLE_WIDTH,
+    max_posting: int = MAX_POSTING,
 ) -> DataFrame:
     """(inner_id, outer_id, containment): directed pairs where the smaller
     set is ≥ ``min_containment`` covered by the larger (ties on size break
-    by id so each unordered pair appears once)."""
+    by id so each unordered pair appears once).
+
+    Shingle postings above ``max_posting`` are dropped (same stop-shingle
+    guard as the dedup operators — bounds the in-row pair expansion that
+    one hot key would otherwise blow up at corpus scale; the DuckDB oracle
+    carries the identical bound)."""
     from .dedup import _pairs_from_ids
 
     arr = df.select(
@@ -54,7 +60,7 @@ def containment_pairs(
         e.where(F.col("s").isNotNull())
         .groupBy("s")
         .agg(F.collect_list(id_col).alias("__ids"))
-        .where(F.size("__ids") > 1)
+        .where((F.size("__ids") > 1) & (F.size("__ids") <= max_posting))
         .select(F.explode(_pairs_from_ids(F.col("__ids"))).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -83,11 +89,12 @@ def containment_map(
     id_col: str,
     min_containment: float = 0.8,
     width: int = SHINGLE_WIDTH,
+    max_posting: int = MAX_POSTING,
 ) -> DataFrame:
     """Per-id rule-map row (the reference's ``rule_map`` output shape,
     FIXTURES §14): canonical ``;``-lists of containers (``is_in``) and
     containees (``has``)."""
-    pairs = containment_pairs(df, text_col, id_col, min_containment, width)
+    pairs = containment_pairs(df, text_col, id_col, min_containment, width, max_posting)
     is_in = pairs.groupBy(F.col("inner_id").alias(id_col)).agg(
         F.array_join(F.array_sort(F.collect_set(F.col("outer_id").cast("string"))), ";").alias(
             "is_in"

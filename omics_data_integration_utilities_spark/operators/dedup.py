@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .constants import (
+    MAX_POSTING,
     MINHASH_BANDS,
     MINHASH_P,
     MINHASH_PERMS,
@@ -129,14 +130,23 @@ def with_minhash_signature(
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Exact dedup: one representative (min id) per distinct content hash.
+    """Exact dedup: one representative (min id) per distinct content digest.
 
-    Returns (content_hash, keep_id, n_copies).
+    Groups on the FULL 128-bit md5 digest — at billions of documents the
+    60-bit display key alone would silently merge distinct documents
+    (birthday collisions from ~2^30 keys); the reported ``content_hash``
+    is derived from the digest for compact downstream joins but never
+    decides group membership.  Returns (content_hash, keep_id, n_copies).
     """
-    return (
-        df.select(content_hash(text_col).alias("content_hash"), F.col(id_col))
-        .groupBy("content_hash")
+    digest = (
+        df.select(F.md5(F.col(text_col)).alias("__digest"), F.col(id_col))
+        .groupBy("__digest")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    return digest.select(
+        F.conv(F.substring("__digest", 1, 15), 16, 10).cast("long").alias("content_hash"),
+        "keep_id",
+        "n_copies",
     )
 
 
@@ -188,24 +198,51 @@ def _pairs_from_ids(ids_col: Column) -> Column:
     )
 
 
-def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_posting: int = MAX_POSTING
+) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
     Posting-list formulation: one shuffle groups doc ids per band bucket,
-    pairs expand in-row (buckets are small by LSH design; AQE handles the
-    occasional hot bucket).  The band keys — and the minhash chain under
-    them — are computed exactly once, unlike a self-join whose two branches
-    each recompute the signatures.
+    pairs expand in-row (buckets are small by LSH design).  Buckets larger
+    than ``max_posting`` are DROPPED: a degenerate band key at corpus scale
+    is one giant row emitting |ids|² pairs that no re-planner can split,
+    and a bucket that catches >max_posting docs has lost its locality
+    signal.  Use :func:`hot_posting_keys` to audit what a cap drops.
+    The band keys — and the minhash chain under them — are computed exactly
+    once, unlike a self-join whose two branches each recompute signatures.
     """
     keys = lsh_band_keys(df, text_col, id_col)
     buckets = keys.groupBy("band", "band_key").agg(
         F.collect_list(id_col).alias("__ids")
     )
     return (
-        buckets.where(F.size("__ids") > 1)
+        buckets.where((F.size("__ids") > 1) & (F.size("__ids") <= max_posting))
         .select(F.explode(_pairs_from_ids(F.col("__ids"))).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
+    )
+
+
+def hot_posting_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_posting: int = MAX_POSTING,
+    width: int = SHINGLE_WIDTH,
+) -> DataFrame:
+    """Audit helper: shingles whose document frequency exceeds the posting
+    cap (i.e. what :func:`ngram_jaccard_pairs` will drop), with counts —
+    run it alongside a capped dedup job to log the drop set."""
+    sh = (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+        .select(F.col(id_col), F.explode_outer(shingles_from_tokens(F.col("__toks"), width)).alias("s"))
+        .where(F.col("s").isNotNull())
+    )
+    return (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_posting)
     )
 
 
@@ -215,13 +252,18 @@ def ngram_jaccard_pairs(
     id_col: str,
     min_jaccard: float = 0.2,
     width: int = SHINGLE_WIDTH,
+    max_posting: int = MAX_POSTING,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
 
     Inverted-index formulation (the scalable one): explode distinct
-    shingles, self-join on the shingle (equi-join, AQE-skew-safe), count
-    intersections per pair, join back per-doc set sizes.  Never materializes
-    the |docs|² pair space — only pairs with nonzero intersection exist.
+    shingles, group doc ids per shingle, count intersections per pair, join
+    back per-doc set sizes.  Never materializes the |docs|² pair space —
+    only pairs with nonzero intersection exist.  Shingles with document
+    frequency above ``max_posting`` are dropped (stop-shingle guard — both
+    bounds the in-row |ids|² expansion and removes near-zero-signal
+    features); the DuckDB oracle carries the identical bound, and
+    :func:`hot_posting_keys` reports what a given cap drops.
     """
     shingle_arr = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
@@ -231,13 +273,13 @@ def ngram_jaccard_pairs(
     # rows produce no pairs so outer is result-identical
     sh = shingle_arr.select(F.col(id_col), F.explode_outer("__sh").alias("s"))
     sizes = shingle_arr.select(F.col(id_col), F.size("__sh").cast("long").alias("sz"))
-    # posting-list pair expansion (shingles computed once, no self-join);
-    # at corpus scale cap ultra-common shingles' postings upstream
+    # posting-list pair expansion (shingles computed once, no self-join),
+    # bounded by the stop-shingle cap
     inter = (
         sh.where(F.col("s").isNotNull())
         .groupBy("s")
         .agg(F.collect_list(id_col).alias("__ids"))
-        .where(F.size("__ids") > 1)
+        .where((F.size("__ids") > 1) & (F.size("__ids") <= max_posting))
         .select(F.explode(_pairs_from_ids(F.col("__ids"))).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))

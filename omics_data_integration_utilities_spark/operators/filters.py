@@ -63,21 +63,27 @@ def outlier_flags(
     key_cols: list[str],
     value_col: str,
     threshold: float = 2.0,
+    broadcast_stats: bool | None = None,
 ) -> DataFrame:
     """P8: per-group z-score outlier flag, DriverNet
     ``getPatientOutlierMatrix.R:4-26`` (x is an outlier iff
     ``|x − μ| >= threshold·σ`` within its gene).
 
-    Aggregate-then-broadcast-join formulation: the per-group stats table is
-    tiny (one row per group, map-side partial aggregation), and the big
-    relation is never sorted or reshuffled — strictly cheaper than the
-    window form, which must sort every partition (pathological when a few
-    hot groups dominate).
+    Aggregate-then-join formulation: the per-group stats table has one row
+    per group (map-side partial aggregation), and the big relation is never
+    sorted — strictly cheaper than the window form, which must sort every
+    partition.  ``broadcast_stats=None`` (default) lets Catalyst/AQE pick
+    the join strategy from the stats table's actual size — a forced hint
+    would be wrong when the group key is high-cardinality (10⁸ groups is a
+    stats table that no longer broadcasts); pass True only when the caller
+    knows the group count is small.
     """
     stats = df.groupBy(*key_cols).agg(
         F.mean(value_col).alias("__mu"), F.stddev(value_col).alias("__sd")
     )
-    joined = df.join(F.broadcast(stats), key_cols)
+    if broadcast_stats:
+        stats = F.broadcast(stats)
+    joined = df.join(stats, key_cols)
     return joined.withColumn(
         "outlier",
         F.when(F.col("__sd").isNull() | (F.col("__sd") == 0), F.lit(False)).otherwise(

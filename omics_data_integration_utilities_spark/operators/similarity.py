@@ -120,6 +120,9 @@ def _ids_matrix(df: DataFrame, id_col: str, vec_col: str):
 
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
+    if len(ids) == 0:
+        empty = np.zeros((0, 0), dtype="float64")
+        return ids, empty, np.zeros(0, dtype="float64")
     m = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
     return ids, m, np.linalg.norm(m, axis=1)
 
@@ -216,13 +219,18 @@ def ivf_assign(
     id_col: str = "vec_id",
     n_lists: int = 16,
     lloyd_iterations: int = 2,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
+    max_train_rows: int = 100_000,
 ) -> tuple[DataFrame, "object"]:
     """IVF coarse quantizer: deterministic k-means-lite centroids, vectors
     assigned to their nearest list.
 
-    Centroid training runs driver-side on a (deterministic) sample —
-    centroids are tiny (n_lists × dim); assignment is one GEMM pass over
+    Centroid training runs driver-side on a (deterministic, BOUNDED)
+    sample — never the full corpus: ``sample_fraction=None`` sizes the
+    hash-sample so at most ``max_train_rows`` rows are collected, however
+    large the corpus (centroid quality needs only a representative sample;
+    collecting everything was the one driver-OOM path in the module).
+    Centroids are tiny (n_lists × dim); assignment is one GEMM pass over
     the corpus via ``mapInPandas``.  Returns (assigned_df, centroids)
     where assigned_df = input + ``list_id``.
     """
@@ -230,11 +238,18 @@ def ivf_assign(
     import pandas as pd
 
     spark = df.sparkSession
+    if sample_fraction is None:
+        n = df.count()
+        sample_fraction = min(1.0, max_train_rows / max(n, 1))
     src = df
     if sample_fraction < 1.0:
         # deterministic sample: hash of id
         src = df.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(10_000)) < int(sample_fraction * 10_000))
     ids, m, _ = _ids_matrix(src, id_col, vec_col)
+    if len(ids) < n_lists:
+        # degenerate sample (tiny corpus or over-aggressive fraction):
+        # take a bounded prefix instead — still never the full corpus
+        ids, m, _ = _ids_matrix(df.limit(max_train_rows), id_col, vec_col)
     order = np.argsort(ids)
     m = m[order]
     # seeds: evenly spaced rows of the id-sorted sample (deterministic)
@@ -274,15 +289,27 @@ def ivf_topk(
     n_lists: int = 16,
     n_probes: int = 4,
     score_digits: int = 6,
+    sample_fraction: float | None = None,
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
     """IVF approximate cosine top-k: probe the ``n_probes`` nearest lists
     per query and GEMM only inside them — the scale path when the corpus
     no longer broadcasts.  Recall is tunable via n_probes/n_lists;
     ``n_probes == n_lists`` degenerates to exact brute force.
+
+    Centroid training collects at most ``max_train_rows`` rows to the
+    driver (hash-sampled, deterministic) — safe at any corpus size.
     """
     import numpy as np
 
-    assigned, cents = ivf_assign(corpus, vec_col, id_col, n_lists)
+    assigned, cents = ivf_assign(
+        corpus,
+        vec_col,
+        id_col,
+        n_lists,
+        sample_fraction=sample_fraction,
+        max_train_rows=max_train_rows,
+    )
     qids, qm, _ = _ids_matrix(queries, id_col, vec_col)
     d2 = ((qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     probe_lists = np.argsort(d2, axis=1)[:, :n_probes]

@@ -408,8 +408,11 @@ WHERE NOT EXISTS (
 """
 
 
-def _j12_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared J12 bipartite event construction (DriverNet Graph.R)."""
+def _j12_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared DriverNet input triple (mutations, edges, outliers) —
+    mutations(patient, gene), edges(src, dst), outliers(patient, gene)."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
@@ -434,6 +437,12 @@ def _j12_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("patient"), F.col("p_type").alias("gene"))
         .distinct()
     )
+    return mutations, edges, outliers
+
+
+def _j12_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared J12 bipartite event construction (DriverNet Graph.R)."""
+    mutations, edges, outliers = _j12_tables(spark, sf_dir)
     return join_ops.bipartite_event_join(mutations, edges, outliers)
 
 

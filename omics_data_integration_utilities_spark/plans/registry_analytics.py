@@ -14,7 +14,17 @@ from pyspark.sql import functions as F
 
 from ..analytics.combat import combat_adjust
 from ..analytics.drivernet import greedy_driver_selection, permutation_null_coverage
-from .registry import _j12_events, _t
+from .registry import _j12_events, _j12_tables, _t
+
+
+def _perm_tables(spark: SparkSession, sf_dir: str):
+    """DriverNet triple with permutation-ready column names."""
+    mutations, edges, outliers = _j12_tables(spark, sf_dir)
+    return (
+        mutations.withColumnRenamed("gene", "mut_gene"),
+        edges,
+        outliers.withColumnRenamed("gene", "out_gene"),
+    )
 
 
 def q_drivernet_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -29,24 +39,39 @@ def q_drivernet_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_drivernet_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8: permutation-null coverage distribution (20 seeded runs,
-    DriverNet SignificanceTest.R:28-74 shape)."""
-    events = _j12_events(spark, sf_dir)
-    return permutation_null_coverage(events, n_runs=20, k=5)
+    """A8: permutation-null per-rank coverage distribution (20 seeded
+    runs, DriverNet SignificanceTest.R:28-74 — mutation/outlier gene
+    names re-drawn per run upstream of the bipartite join, inputs
+    broadcast once)."""
+    mutations, edges, outliers = _perm_tables(spark, sf_dir)
+    return permutation_null_coverage(mutations, edges, outliers, n_runs=20, k=5)
 
 
 def q_drivernet_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 + K7 end-to-end: observed greedy coverage vs the permutation
-    null → empirical p-value (DriverNet ResultSummary.R:104-129 shape)."""
+    """A8 + K7 end-to-end, DriverNet ResultSummary.R:104-129 semantics:
+    per-driver empirical p-value = fraction of ALL pooled null coverages
+    (every rank of every randomized run) exceeding that driver's observed
+    coverage.  One row per selected driver; the null comparison is a
+    single lazy aggregation plan (no per-gene actions)."""
     events = _j12_events(spark, sf_dir)
     picks = greedy_driver_selection(events, k=5)
-    observed = sum(c for _, c in picks)
-    null = permutation_null_coverage(events, n_runs=20, k=5)
-    worse = null.where(F.col("total_coverage") >= observed).count()
-    total = null.count()
-    return spark.createDataFrame(
-        [(int(observed), int(worse), int(total), round((worse + 1) / (total + 1), 6))],
-        "observed_coverage long, null_ge long, n_runs long, p_value double",
+    picks_df = spark.createDataFrame(
+        [(i + 1, g, int(c)) for i, (g, c) in enumerate(picks)],
+        "pick long, mut_gene string, covered long",
+    )
+    mutations, edges, outliers = _perm_tables(spark, sf_dir)
+    null = permutation_null_coverage(mutations, edges, outliers, n_runs=20, k=5).select(
+        "coverage"
+    )
+    return (
+        picks_df.crossJoin(null)
+        .groupBy("pick", "mut_gene", "covered")
+        .agg(
+            F.sum((F.col("coverage") > F.col("covered")).cast("long")).alias("null_gt"),
+            F.count(F.lit(1)).alias("n_null"),
+        )
+        .withColumn("p_value", F.round(F.col("null_gt") / F.col("n_null"), 6))
+        .orderBy("pick")
     )
 
 

@@ -19,6 +19,7 @@ from ..operators import similarity as sim_ops
 from ..operators import text as text_ops
 from ..operators.constants import (
     EN_STOPWORDS,
+    MAX_POSTING,
     MINHASH_BANDS,
     MINHASH_P,
     MINHASH_PERMS,
@@ -40,11 +41,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _HEX60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
+# shingle concat generated from SHINGLE_WIDTH so changing the constant
+# cannot silently desynchronize the oracle from the Spark operators
+_SHINGLE_CONCAT = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(SHINGLE_WIDTH))
+
 _SHINGLE_CTES = f"""
 tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
   SELECT doc_id,
-         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         list_distinct([{_SHINGLE_CONCAT}
                         for i in generate_series(1, len(t) - {SHINGLE_WIDTH - 1})]) AS s
   FROM tok
 ),
@@ -68,10 +73,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-SQL_DEDUP_EXACT = f"""
-SELECT {_HEX60.format(x='text')} AS content_hash,
-       min(doc_id) AS keep_id, count(*) AS n_copies
-FROM documents GROUP BY content_hash
+# groups on the full digest (collision-proof), displays the 60-bit key —
+# in lockstep with operators/dedup.exact_dedup
+SQL_DEDUP_EXACT = """
+SELECT ('0x' || substr(digest, 1, 15))::BIGINT AS content_hash, keep_id, n_copies
+FROM (
+  SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+  FROM documents GROUP BY digest
+)
 """
 
 
@@ -125,8 +134,13 @@ def _lsh_sql() -> str:
         "WITH " + _SHINGLE_CTES
         + f", sig AS (SELECT doc_id, {m_cols} FROM hs)"
         + f", bands AS ({band_selects})\n"
+        # ok mirrors the Spark posting-list cap: buckets larger than
+        # MAX_POSTING are dropped on both engines
+        + ", ok AS (SELECT band, bkey FROM bands GROUP BY band, bkey "
+        + f"HAVING count(*) BETWEEN 2 AND {MAX_POSTING})\n"
         + "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n"
-        + "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"
+        + "FROM ok o JOIN bands a ON a.band = o.band AND a.bkey = o.bkey\n"
+        + "          JOIN bands b ON b.band = o.band AND b.bkey = o.bkey AND a.doc_id < b.doc_id"
     )
 
 
@@ -141,12 +155,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_NGRAM_JACCARD = (
-    "WITH " + _SHINGLE_CTES + """
+    "WITH " + _SHINGLE_CTES + f"""
 , e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
 sz AS (SELECT doc_id, len(s)::BIGINT AS sz FROM sh),
+ok AS (SELECT shingle FROM e GROUP BY shingle HAVING count(*) BETWEEN 2 AND {MAX_POSTING}),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM ok o JOIN e a ON a.shingle = o.shingle
+            JOIN e b ON b.shingle = o.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT * FROM (
@@ -315,12 +331,14 @@ def q_rulemap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_RULEMAP_CONTAINMENT = (
-    "WITH " + _SHINGLE_CTES + """
+    "WITH " + _SHINGLE_CTES + f"""
 , e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
 sz AS (SELECT doc_id, len(s)::BIGINT AS sz FROM sh),
+ok AS (SELECT shingle FROM e GROUP BY shingle HAVING count(*) BETWEEN 2 AND {MAX_POSTING}),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  FROM ok o JOIN e a ON a.shingle = o.shingle
+            JOIN e b ON b.shingle = o.shingle AND a.doc_id != b.doc_id
   GROUP BY 1, 2
 ),
 p AS (

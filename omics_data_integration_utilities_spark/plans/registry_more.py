@@ -461,8 +461,30 @@ def q_k14_dag_break(spark: SparkSession, sf_dir: str) -> DataFrame:
     return break_cycles(edges)
 
 
+def q_j3_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left equi-join (validateRulesWithOrigins.py:131: transitions ←
+    MetaNetX lookup keeps unmatched rows with nulls): every customer with
+    its urgent-order count, unmatched customers kept at 0."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_urgent"))
+    )
+
+
+SQL_J3 = """
+SELECT c_custkey, count(o_orderkey) AS n_urgent
+FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+  ON c_custkey = o.o_custkey
+GROUP BY c_custkey
+"""
+
+
 QUERIES_MORE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_project_rename": q_p1_project_rename,
+    "j3_left_join": q_j3_left_join,
     "p3_categorical_filter": q_p3_categorical_filter,
     "p7_dropna": q_p7_dropna,
     "a2_distinct": q_a2_distinct,
@@ -489,6 +511,7 @@ QUERIES_MORE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES_MORE: dict[str, str] = {
     "p1_project_rename": SQL_P1,
+    "j3_left_join": SQL_J3,
     "p3_categorical_filter": SQL_P3,
     "p7_dropna": SQL_P7,
     "a2_distinct": SQL_A2,

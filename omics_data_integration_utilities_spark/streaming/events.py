@@ -57,8 +57,10 @@ def windowed_event_counts_stream(
         os.symlink(events_path, os.path.join(staged, os.path.basename(events_path)))
         events_path = staged
     stream = spark.readStream.schema(schema).parquet(events_path)
-    # ts is int64 nanos on the read path; event-time ops need a timestamp
-    ts = F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    # ts is int64 nanos on the read path; event-time ops need a timestamp.
+    # Integer division only — nanos exceed 2^53, double division would
+    # corrupt microseconds (same invariant as the batch path above).
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
     return (
         stream.withColumn("__event_time", ts)
         .withWatermark("__event_time", watermark)

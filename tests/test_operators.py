@@ -240,3 +240,75 @@ def test_conditional_swap(spark):
     by_d = {r["d"]: (r["s"], r["p"]) for r in out}
     assert by_d[1] == ("x", "y")
     assert by_d[-1] == ("y", "x")
+
+
+def test_posting_list_cap_drops_hot_shingle(spark):
+    """A shingle shared by every doc (stop-shingle) must not expand to
+    |docs|² pairs when the cap bites; unique shingle overlap survives."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        hot_posting_keys,
+        ngram_jaccard_pairs,
+    )
+
+    hot = "the the the"  # one hot shingle in every doc
+    rows = [(i, f"{hot} unique{i} word{i} tail{i}") for i in range(40)]
+    # two docs additionally share a rare shingle chain
+    rows += [(100, f"{hot} shared run of tokens alpha"), (101, f"{hot} shared run of tokens beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, "text", "doc_id", min_jaccard=0.0, max_posting=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # the hot shingle (42 postings > cap) contributes no pairs; the rare
+    # chain ("shared run of", "run of tokens") still pairs 100-101
+    assert got == {(100, 101)}
+
+    hot_keys = {r.s for r in hot_posting_keys(df, "text", "doc_id", max_posting=10).collect()}
+    assert any("the the" in k for k in hot_keys)
+
+    uncapped = ngram_jaccard_pairs(df, "text", "doc_id", min_jaccard=0.0, max_posting=1000)
+    assert uncapped.count() == 42 * 41 // 2  # every doc pair shares the hot shingle
+
+
+def test_permutation_null_breaks_association(spark):
+    """The permuted null must NOT reproduce the observed greedy coverage
+    (a bijective relabel of the joined event table would, making every
+    p-value ~1 — the relabeling happens upstream of the bipartite join)."""
+    from omics_data_integration_utilities_spark.analytics.drivernet import (
+        permutation_null_coverage,
+    )
+
+    # G0's influence neighborhood covers 12 outlier events; 30 other genes
+    # have no influence edges at all, so a random relabel usually strands
+    # the mutated patients on edge-less genes
+    mut = spark.createDataFrame(
+        [("G0", f"p{i}") for i in range(12)] + [(f"G{j}", f"q{j}") for j in range(1, 12)],
+        "mut_gene string, patient string",
+    ).select("patient", "mut_gene")
+    edges = spark.createDataFrame(
+        [("G0", f"o{i}") for i in range(12)], "src string, dst string"
+    )
+    outl = spark.createDataFrame(
+        [(f"p{i}", f"o{i}") for i in range(12)], "patient string, out_gene string"
+    )
+    # pad the universe with edge-less, event-less gene names
+    mut = mut.union(
+        spark.createDataFrame([(f"z{j}", f"H{j}") for j in range(30)], "patient string, mut_gene string")
+    )
+    null = permutation_null_coverage(mut, edges, outl, n_runs=30, k=1).collect()
+    top_cov = {r.run_id: r.coverage for r in null if r.rank == 1}
+    # observed coverage is 12; the randomized relabel must not hit it always
+    assert sum(1 for c in top_cov.values() if c >= 12) < 30
+
+    # determinism: identical seeds → identical null
+    null2 = permutation_null_coverage(mut, edges, outl, n_runs=30, k=1).collect()
+    assert sorted(map(tuple, null)) == sorted(map(tuple, null2))
+
+
+def test_exact_dedup_groups_on_full_digest(spark):
+    from omics_data_integration_utilities_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb")], "doc_id long, text string"
+    )
+    out = {(r.keep_id, r.n_copies) for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {(1, 2), (3, 1)}
