@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analytics.graph import break_cycles
-from ..analytics.methylmix import fit_mixtures, linear_filter
+from ..analytics.methylmix import linear_filter, methylmix_model, methylmix_states
 from ..functions.scalars import concat_key, set_encode
 from ..operators import windows as win_ops
 from ..operators.aggregates import correlate_long_matrices
@@ -440,10 +440,29 @@ FROM c WHERE n >= 5 AND r IS NOT NULL AND abs(r) < 0.999999
 # --------------------------------------------------------------------------
 
 def q_methylmix_em(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K8 per-group mixture EM with BIC selection via applyInPandas —
-    deterministic quantile init; no SQL oracle (iterative EM)."""
-    ev = _t(spark, sf_dir, "events")
-    return fit_mixtures(ev, "event_type", "value", max_k=2, max_iter=50)
+    """K8 per-gene beta-mixture model (blc_2 EM + BIC + mean-difference
+    gates + Wilcoxon DM vs a 'normal' cohort + flip-over,
+    MethylMix.R:313-419) via cogrouped applyInPandas — no SQL oracle
+    (iterative EM).  values scaled to (0,1) beta support by /500."""
+    ev = _t(spark, sf_dir, "events").withColumn("beta_v", F.col("value") / F.lit(500.0))
+    cancer = ev.where(F.col("user_id") % 7 != 0).select("event_type", "beta_v")
+    normal = ev.where(F.col("user_id") % 7 == 0).select("event_type", "beta_v")
+    return methylmix_model(cancer, "event_type", "beta_v", normal_df=normal)
+
+
+def q_methylmix_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 sample-level MethylationStates output (MethylMix.R:405-419) —
+    per-sample classification + DM state, no SQL oracle (iterative EM)."""
+    ev = _t(spark, sf_dir, "events").withColumn("beta_v", F.col("value") / F.lit(500.0))
+    cancer = ev.where(F.col("user_id") % 7 != 0).select(
+        "event_type", "event_id", "beta_v"
+    )
+    normal = ev.where(F.col("user_id") % 7 == 0).select(
+        "event_type", "event_id", "beta_v"
+    )
+    return methylmix_states(
+        cancer, "event_type", "event_id", "beta_v", normal_df=normal, no_normal_mode=True
+    )
 
 
 def q_k14_dag_break(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,6 +525,7 @@ QUERIES_MORE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k9_linear_filter": q_k9_linear_filter,
     "plan_corr_multiomics": q_plan_corr_multiomics,
     "methylmix_em": q_methylmix_em,
+    "methylmix_states": q_methylmix_states,
     "k14_dag_break": q_k14_dag_break,
 }
 

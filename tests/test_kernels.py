@@ -128,3 +128,99 @@ def test_rest_source_with_fake_transport(spark):
     )
     rows = sorted(tuple(r) for r in df.collect())
     assert rows == [("P12345", "PF00001"), ("P67890", "PF00002")]
+
+
+# --------------------------------------------------------------------------
+# K8 beta-mixture kernel (MethylMix.R:313-419, 458-558, 572-653)
+# --------------------------------------------------------------------------
+
+def test_beta_est_recovers_parameters():
+    from omics_data_integration_utilities_spark.analytics.methylmix import _beta_est
+
+    rng = np.random.RandomState(3)
+    y = rng.beta(5.0, 2.0, 8000)
+    ones = np.ones(len(y))
+    a, b = _beta_est(y, ones, ones)
+    assert abs(a - 5.0) < 0.35 and abs(b - 2.0) < 0.15
+
+
+def test_beta_est_degenerate_inputs():
+    from omics_data_integration_utilities_spark.analytics.methylmix import _beta_est
+
+    ones = np.ones(1)
+    assert _beta_est(np.array([0.5]), ones, ones) == (1.0, 1.0)
+    # two observations: moment estimate, no optimization (betaEst_2 branch)
+    a, b = _beta_est(np.array([0.3, 0.5]), np.ones(2), np.ones(2))
+    assert a > 0 and b > 0
+
+
+def test_wilcoxon_matches_normal_approximation():
+    from omics_data_integration_utilities_spark.analytics.methylmix import _wilcox_p
+
+    # U cross-checked by brute-force pair counting: U=17, mu=25, sd=8.165,
+    # z=(17-25+0.5)/8.165 → two-sided p=0.3583 (normal approx w/ continuity
+    # correction, the R wilcox.test correct=TRUE large-sample branch)
+    x = np.arange(1.0, 11.0)
+    y = np.array([1.5, 2.5, 11.0, 12.0, 13.0])
+    u = sum((xi > yj) + 0.5 * (xi == yj) for xi in x for yj in y)
+    assert u == 17.0
+    p = _wilcox_p(x, y)
+    assert abs(p - 0.3583) < 0.001
+    assert _wilcox_p(x, x.copy()) == 1.0
+    # shifted distributions → tiny p
+    rng = np.random.RandomState(5)
+    assert _wilcox_p(rng.beta(2, 8, 200), rng.beta(8, 2, 200)) < 1e-10
+
+
+def test_flipover_two_components_reassigns_minor_run():
+    from omics_data_integration_utilities_spark.analytics.methylmix import (
+        _remove_flipover,
+    )
+
+    # the flip-over pattern is state runs A|B|A along the sorted axis where
+    # the two boundary diffs cancel (diff1 == -diff2); R sizes the runs as
+    # stateSize1 = s1 and stateSize2 = s3 - 1, so a flip needs s3 >= s1 + 2
+    x = np.linspace(0.01, 0.99, 10)
+    order = np.arange(10)
+    # runs 1|6|3: stateSize1=1, stateSize2=2 → head run absorbed into B
+    meth = np.array([0.5, -0.3, -0.3, -0.3, -0.3, -0.3, -0.3, 0.5, 0.5, 0.5])
+    cls = np.array([2, 1, 1, 1, 1, 1, 1, 2, 2, 2])
+    m3, c3, learned3 = _remove_flipover(order, meth.copy(), cls.copy(), x, 2)
+    assert learned3 == 2
+    assert m3[0] == -0.3 and c3[0] == 1
+    # runs 2|6|2: stateSize1=2, stateSize2=1 → tail run absorbed instead
+    meth = np.array([0.5, 0.5, -0.3, -0.3, -0.3, -0.3, -0.3, -0.3, 0.5, 0.5])
+    cls = np.array([2, 2, 1, 1, 1, 1, 1, 1, 2, 2])
+    m2, c2, learned2 = _remove_flipover(order, meth.copy(), cls.copy(), x, 2)
+    assert learned2 == 1
+    assert m2[8] == -0.3 and m2[9] == -0.3 and c2[8] == 1
+
+
+def test_model_single_gene_one_component_not_significant():
+    from omics_data_integration_utilities_spark.analytics.methylmix import (
+        model_single_gene,
+    )
+
+    rng = np.random.RandomState(9)
+    x = np.sort(rng.beta(5, 5, 300))
+    xn = np.sort(rng.beta(5, 5, 200))  # same distribution → no DM call
+    res = model_single_gene(x, xn)
+    assert res["nr_components"] == 1
+    assert res["mixture_states"][0] == 0.0  # not significant → state stays 0
+    assert np.all(res["methylation_states"] == 0.0)
+
+
+def test_model_single_gene_dm_vs_normal():
+    from omics_data_integration_utilities_spark.analytics.methylmix import (
+        model_single_gene,
+    )
+
+    rng = np.random.RandomState(13)
+    x = np.sort(np.concatenate([rng.beta(2, 18, 250), rng.beta(18, 2, 250)]))
+    xn = np.sort(rng.beta(2, 18, 200))  # normals look like the low component
+    res = model_single_gene(x, xn)
+    assert res["nr_components"] == 2
+    # high component is differentially methylated vs normal; low is not
+    states = np.sort(res["mixture_states"])
+    assert states[-1] > 0.5
+    assert res["dm_pvalues"][int(np.argmax(res["mu"]))] < 0.01

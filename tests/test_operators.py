@@ -23,7 +23,10 @@ from omics_data_integration_utilities_spark.analytics.drivernet import (
     _greedy_pandas,
 )
 from omics_data_integration_utilities_spark.analytics.graph import break_cycles
-from omics_data_integration_utilities_spark.analytics.methylmix import fit_mixtures
+from omics_data_integration_utilities_spark.analytics.methylmix import (
+    methylmix_model,
+    model_single_gene,
+)
 
 
 def test_band_join_equals_nested_loop(spark):
@@ -204,18 +207,42 @@ def test_break_cycles_removes_lowest_weight(spark):
     assert kept == {("a", "b"), ("b", "c"), ("c", "d")}
 
 
-def test_fit_mixtures_recovers_bimodal(spark):
+def test_methylmix_recovers_beta_bimodal(spark):
     import numpy as np
 
     rng = np.random.RandomState(7)
-    xs = np.concatenate([rng.normal(0, 1, 300), rng.normal(10, 1, 300)])
+    xs = np.concatenate([rng.beta(2, 18, 300), rng.beta(18, 2, 300)])
     df = spark.createDataFrame(
         [("g", float(v)) for v in xs], "gene string, beta double"
     )
-    out = fit_mixtures(df, "gene", "beta", max_k=3).collect()
-    assert len(out) == 2  # BIC picks 2 components
+    out = methylmix_model(df, "gene", "beta", no_normal_mode=True).collect()
+    assert len(out) == 2  # BIC picks 2 beta components
     mus = sorted(r["mu"] for r in out)
-    assert abs(mus[0] - 0) < 0.5 and abs(mus[1] - 10) < 0.5
+    assert abs(mus[0] - 0.1) < 0.06 and abs(mus[1] - 0.9) < 0.06
+    # mixture_state carries the component mean (NoNormalMode semantics)
+    states = sorted(r["mixture_state"] for r in out)
+    assert abs(states[0] - 0.1) < 0.08 and abs(states[1] - 0.9) < 0.08
+
+
+def test_methylmix_spark_matches_numpy_replica(spark):
+    """Spark applyInPandas output == driver-side model_single_gene on the
+    same values (the EM is deterministic given the data)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    xs = np.concatenate([rng.beta(3, 12, 200), rng.beta(12, 3, 150)])
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in xs], "gene string, beta double"
+    )
+    rows = methylmix_model(df, "gene", "beta", no_normal_mode=True).collect()
+    # the Spark wrapper canonicalizes to ascending order; mirror it here
+    res = model_single_gene(np.sort(xs), None, no_normal_mode=True)
+    k = res["nr_components"]
+    assert len(rows) == k
+    by_comp = {r["comp"]: r for r in rows}
+    for c in range(1, k + 1):
+        assert abs(by_comp[c]["mu"] - round(float(res["mu"][c - 1]), 6)) < 1e-9
+        assert abs(by_comp[c]["a"] - round(float(res["a"][c - 1]), 6)) < 1e-9
 
 
 def test_set_codec_roundtrip(spark):
