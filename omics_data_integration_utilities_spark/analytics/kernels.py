@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -103,6 +105,132 @@ def partial_correlations(
     return df.groupBy(block_col).applyInPandas(pcor, schema=schema)
 
 
+def _nb_irls(
+    y: np.ndarray, X: np.ndarray, off: np.ndarray, dispersion: float, max_iter: int
+) -> np.ndarray | None:
+    """IRLS for count ~ X with log link and offset.  dispersion=0 is
+    Poisson (working weight W=mu); dispersion>0 is negative binomial with
+    known phi (W = mu/(1+phi*mu)) — edgeR's glmFit fixed-dispersion
+    semantics (Robinson_method/R/Figure_6_Feber_ROC.R:54 uses phi=0.05)."""
+    # glm.fit-style start: eta0 = log(y + 0.5) so the first working
+    # response is already near the solution (beta=0 diverges for counts
+    # far from 1 because the first Newton step overshoots the log link)
+    eta0 = np.log(np.maximum(y, 0.0) + 0.5) - off
+    beta, *_ = np.linalg.lstsq(X, eta0, rcond=None)
+    for _ in range(max_iter):
+        eta = X @ beta + off
+        mu = np.exp(np.clip(eta, -30, 30))
+        w = mu / (1.0 + dispersion * mu)
+        z = eta - off + (y - mu) / np.maximum(mu, 1e-12)
+        xtw = X.T * w
+        try:
+            beta_new = np.linalg.solve(xtw @ X, xtw @ z)
+        except np.linalg.LinAlgError:
+            return None
+        if not np.all(np.isfinite(beta_new)):
+            return None
+        if np.max(np.abs(beta_new - beta)) < 1e-10:
+            return beta_new
+        beta = beta_new
+    return beta
+
+
+def _nb_deviance(y: np.ndarray, mu: np.ndarray, dispersion: float) -> float:
+    """NB unit deviance summed (known phi); phi→0 limit is the Poisson
+    deviance.  y*log(y/mu) term is 0 at y=0."""
+    mu = np.maximum(mu, 1e-12)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = np.where(y > 0, y * np.log(np.maximum(y, 1e-300) / mu), 0.0)
+    if dispersion <= 0:
+        d = 2.0 * (t1 - (y - mu))
+    else:
+        r = 1.0 / dispersion
+        d = 2.0 * (t1 - (y + r) * np.log((y + r) / (mu + r)))
+    return float(d.sum())
+
+
+def count_glm_offset(
+    df: DataFrame,
+    block_col: str,
+    count_col: str,
+    group_col: str,
+    offset_col: str,
+    dispersion: float = 0.0,
+    max_iter: int = 25,
+) -> DataFrame:
+    """K13: count GLM with offset via IRLS, per block — count ~ group,
+    offset log(exposure).  With ``dispersion>0`` this is the reference's
+    edgeR NB fit with fixed dispersion (glmFit(..., dispersion=.05),
+    Robinson_method/R/Figure_6_Feber_ROC.R:54-55); each non-intercept
+    coefficient also gets a likelihood-ratio test against the model
+    without it (glmLRT) and the edgeR-style signed z
+    ``-sign(logFC)*|qnorm(p/2)|`` — for a chi²₁ LR statistic that
+    identity collapses to ``-sign(logFC)*sqrt(LR)`` (Figure_6_Feber_ROC.R:56).
+    Returns (block, coef, estimate, se, z, lr, pvalue, z_lrt); lr/pvalue/
+    z_lrt are null for the intercept."""
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [block_col, "coef", "estimate", "se", "z", "lr", "pvalue", "z_lrt"]
+        block = pdf[block_col].iloc[0]
+        # canonical order → partitioning-invariant fp summation
+        pdf = pdf.sort_values([group_col, count_col, offset_col], kind="mergesort")
+        levels = sorted(pdf[group_col].unique())
+        if len(levels) < 2:
+            return pd.DataFrame(columns=cols)
+        y = pdf[count_col].to_numpy(dtype=float)
+        off = np.log(np.maximum(pdf[offset_col].to_numpy(dtype=float), 1e-12))
+        X = np.column_stack(
+            [np.ones(len(y))]
+            + [(pdf[group_col] == lv).to_numpy(dtype=float) for lv in levels[1:]]
+        )
+        beta = _nb_irls(y, X, off, dispersion, max_iter)
+        if beta is None:
+            return pd.DataFrame(columns=cols)
+        eta = X @ beta + off
+        mu = np.exp(np.clip(eta, -30, 30))
+        w = mu / (1.0 + dispersion * mu)
+        try:
+            cov = np.linalg.inv((X.T * w) @ X)
+        except np.linalg.LinAlgError:
+            return pd.DataFrame(columns=cols)
+        se = np.sqrt(np.maximum(np.diag(cov), 0.0))
+        dev_full = _nb_deviance(y, mu, dispersion)
+        names = ["intercept"] + [f"{group_col}={lv}" for lv in levels[1:]]
+        lrs: list[float | None] = [None]
+        pvals: list[float | None] = [None]
+        zlrt: list[float | None] = [None]
+        for j in range(1, X.shape[1]):
+            Xr = np.delete(X, j, axis=1)
+            beta_r = _nb_irls(y, Xr, off, dispersion, max_iter)
+            if beta_r is None:
+                lrs.append(None), pvals.append(None), zlrt.append(None)
+                continue
+            mu_r = np.exp(np.clip(Xr @ beta_r + off, -30, 30))
+            lr = max(_nb_deviance(y, mu_r, dispersion) - dev_full, 0.0)
+            # chi²₁ survival = erfc(sqrt(LR/2)); |qnorm(p/2)| = sqrt(LR)
+            pvals.append(math.erfc(math.sqrt(lr / 2.0)))
+            lrs.append(lr)
+            zlrt.append(-math.copysign(math.sqrt(lr), beta[j]))
+        return pd.DataFrame(
+            {
+                block_col: block,
+                "coef": names,
+                "estimate": np.round(beta, 6),
+                "se": np.round(se, 6),
+                "z": np.round(beta / np.maximum(se, 1e-12), 6),
+                "lr": [None if v is None else round(v, 6) for v in lrs],
+                "pvalue": [None if v is None else round(v, 6) for v in pvals],
+                "z_lrt": [None if v is None else round(v, 6) for v in zlrt],
+            }
+        )
+
+    schema = (
+        f"{block_col} string, coef string, estimate double, se double, z double, "
+        "lr double, pvalue double, z_lrt double"
+    )
+    return df.groupBy(block_col).applyInPandas(fit, schema=schema)
+
+
 def poisson_glm_offset(
     df: DataFrame,
     block_col: str,
@@ -111,51 +239,90 @@ def poisson_glm_offset(
     offset_col: str,
     max_iter: int = 25,
 ) -> DataFrame:
-    """K13: log-linear count GLM with offset via IRLS, per block —
-    count ~ group, offset log(exposure).  The two-level-group case reduces
-    to comparing rate ratios; a z statistic comes from the Fisher
-    information.  Returns (block, coef, estimate, se, z)."""
+    """Poisson special case of :func:`count_glm_offset` (dispersion=0),
+    kept for callers that want the plain rate-ratio screen."""
+    return count_glm_offset(
+        df, block_col, count_col, group_col, offset_col, dispersion=0.0, max_iter=max_iter
+    ).select(block_col, "coef", "estimate", "se", "z")
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        block = pdf[block_col].iloc[0]
-        levels = sorted(pdf[group_col].unique())
-        if len(levels) < 2:
-            return pd.DataFrame(columns=[block_col, "coef", "estimate", "se", "z"])
-        y = pdf[count_col].to_numpy(dtype=float)
-        off = np.log(np.maximum(pdf[offset_col].to_numpy(dtype=float), 1e-12))
-        X = np.column_stack(
-            [np.ones(len(y))]
-            + [(pdf[group_col] == lv).to_numpy(dtype=float) for lv in levels[1:]]
-        )
-        beta = np.zeros(X.shape[1])
-        for _ in range(max_iter):
-            eta = X @ beta + off
-            mu = np.exp(np.clip(eta, -30, 30))
-            W = mu
-            z = eta - off + (y - mu) / np.maximum(mu, 1e-12)
-            XtW = X.T * W
-            try:
-                beta_new = np.linalg.solve(XtW @ X, XtW @ z)
-            except np.linalg.LinAlgError:
-                break
-            if np.max(np.abs(beta_new - beta)) < 1e-10:
-                beta = beta_new
-                break
-            beta = beta_new
-        eta = X @ beta + off
-        mu = np.exp(np.clip(eta, -30, 30))
-        cov = np.linalg.inv((X.T * mu) @ X)
-        se = np.sqrt(np.diag(cov))
-        names = ["intercept"] + [f"{group_col}={lv}" for lv in levels[1:]]
-        return pd.DataFrame(
-            {
-                block_col: block,
-                "coef": names,
-                "estimate": np.round(beta, 6),
-                "se": np.round(se, 6),
-                "z": np.round(beta / np.maximum(se, 1e-12), 6),
-            }
-        )
 
-    schema = f"{block_col} string, coef string, estimate double, se double, z double"
-    return df.groupBy(block_col).applyInPandas(fit, schema=schema)
+def roc_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """ROC curve points as pure window aggregation — the Spark restatement
+    of the reference's ROCR prediction/performance sweep
+    (Robinson_method/R/functions.R:23-111, makeROCCurve).  Scores are
+    ranked descending; per distinct score one (fpr, tpr) point from
+    cumulative positive/negative counts.  Fully declarative → whole-stage
+    codegen, one shuffle on (group, score), and SQL-oracle-able."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keys = group_cols or []
+    agg = df.groupBy(*keys, score_col).agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).cast("double").alias("__pos"),
+        F.sum(F.when(F.col(label_col) == 1, 0).otherwise(1)).cast("double").alias("__neg"),
+    )
+    w_cum = Window.partitionBy(*keys).orderBy(F.desc(score_col))
+    w_all = Window.partitionBy(*keys)
+    pts = agg.select(
+        *keys,
+        F.col(score_col),
+        F.sum("__pos").over(w_cum).alias("__tp"),
+        F.sum("__neg").over(w_cum).alias("__fp"),
+        F.sum("__pos").over(w_all).alias("__p"),
+        F.sum("__neg").over(w_all).alias("__n"),
+    )
+    return pts.select(
+        *keys,
+        F.col(score_col),
+        F.round(F.col("__tp") / F.col("__p"), 6).alias("tpr"),
+        F.round(F.col("__fp") / F.col("__n"), 6).alias("fpr"),
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Trapezoidal AUC over the :func:`roc_curve` points — the
+    ``performance(pred, "auc")`` summary (functions.R:108).  One window
+    pass (lag over score-descending points) + one aggregation; no UDF."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keys = group_cols or []
+    agg = df.groupBy(*keys, score_col).agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).cast("double").alias("__pos"),
+        F.sum(F.when(F.col(label_col) == 1, 0).otherwise(1)).cast("double").alias("__neg"),
+    )
+    w_cum = Window.partitionBy(*keys).orderBy(F.desc(score_col))
+    w_all = Window.partitionBy(*keys)
+    pts = agg.select(
+        *keys,
+        F.col(score_col),
+        (F.sum("__pos").over(w_cum) / F.sum("__pos").over(w_all)).alias("__tpr"),
+        (F.sum("__neg").over(w_cum) / F.sum("__neg").over(w_all)).alias("__fpr"),
+        F.sum("__pos").over(w_all).cast("long").alias("__p"),
+        F.sum("__neg").over(w_all).cast("long").alias("__n"),
+    )
+    trap = pts.select(
+        *keys,
+        "__p",
+        "__n",
+        (
+            (F.col("__fpr") - F.lag("__fpr", 1, 0.0).over(w_cum))
+            * (F.col("__tpr") + F.lag("__tpr", 1, 0.0).over(w_cum))
+            / 2.0
+        ).alias("__area"),
+    )
+    return trap.groupBy(*keys).agg(
+        F.round(F.sum("__area"), 6).alias("auc"),
+        F.first("__p").alias("n_pos"),
+        F.first("__n").alias("n_neg"),
+    )

@@ -11,7 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analytics.clustering import cluster_probes
-from ..analytics.kernels import knn_impute, partial_correlations, poisson_glm_offset
+from ..analytics.kernels import (
+    count_glm_offset,
+    knn_impute,
+    partial_correlations,
+    roc_auc,
+)
 from ..operators.multimodal import documents_as_media, extract_features, fake_decoder
 from .registry import _t
 
@@ -71,9 +76,10 @@ def q_k12_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_k13_count_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K13 count GLM with offset (Robinson ABCD-DNA shape): per-brand
-    Poisson IRLS of lineitem counts ~ linestatus with order-volume
-    offset; rows-only check."""
+    """K13 NB count GLM with offset (Robinson ABCD-DNA shape): per-brand
+    NB IRLS (edgeR glmFit dispersion=0.05, Figure_6_Feber_ROC.R:54-55) of
+    lineitem counts ~ linestatus with order-volume offset, plus glmLRT
+    z-scores; rows-only check (iterative kernel)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     counts = (
@@ -84,7 +90,54 @@ def q_k13_count_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("exposure"),
         )
     )
-    return poisson_glm_offset(counts, "p_brand", "n", "l_linestatus", "exposure")
+    return count_glm_offset(
+        counts, "p_brand", "n", "l_linestatus", "exposure", dispersion=0.05
+    )
+
+
+def q_k13_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K13 ROC summary (makeROCCurve/performance(pred,'auc'),
+    Robinson_method/R/functions.R:23-111) as pure window aggregation:
+    AUC of events.value as a classifier of event_type='error', per
+    user_id%4 cohort.  Fully declarative → DuckDB-oracle hash check."""
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        (F.col("user_id") % 4).cast("string").alias("cohort"),
+        F.round(F.col("value"), 1).alias("score"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("label"),
+    )
+    return roc_auc(scored, "score", "label", group_cols=["cohort"])
+
+
+SQL_K13_ROC = """
+WITH scored AS (
+  SELECT CAST(user_id % 4 AS VARCHAR) AS cohort, round(value, 1) AS score,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS label
+  FROM events
+), agg AS (
+  SELECT cohort, score,
+         CAST(sum(label) AS DOUBLE) AS pos,
+         CAST(sum(1 - label) AS DOUBLE) AS neg
+  FROM scored GROUP BY cohort, score
+), pts AS (
+  SELECT cohort, score,
+         sum(pos) OVER (PARTITION BY cohort ORDER BY score DESC) /
+           sum(pos) OVER (PARTITION BY cohort) AS tpr,
+         sum(neg) OVER (PARTITION BY cohort ORDER BY score DESC) /
+           sum(neg) OVER (PARTITION BY cohort) AS fpr,
+         CAST(sum(pos) OVER (PARTITION BY cohort) AS BIGINT) AS p,
+         CAST(sum(neg) OVER (PARTITION BY cohort) AS BIGINT) AS n
+  FROM agg
+), trap AS (
+  SELECT cohort, p, n,
+         (fpr - lag(fpr, 1, 0.0) OVER (PARTITION BY cohort ORDER BY score DESC))
+         * (tpr + lag(tpr, 1, 0.0) OVER (PARTITION BY cohort ORDER BY score DESC))
+         / 2.0 AS area
+  FROM pts
+)
+SELECT cohort, round(sum(area), 6) AS auc, first(p) AS n_pos, first(n) AS n_neg
+FROM trap GROUP BY cohort
+"""
 
 
 REACTION_RULES = [
@@ -157,10 +210,12 @@ QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k10_knn_impute": q_k10_knn_impute,
     "k12_partial_corr": q_k12_partial_corr,
     "k13_count_glm": q_k13_count_glm,
+    "k13_roc": q_k13_roc,
 }
 
 ORACLES_KERNELS: dict[str, str] = {
     "k1_reaction_products": SQL_K1_REACTION,
     "multimodal_features": SQL_MULTIMODAL,
-    # k10/k12/k13 are iterative numpy kernels — rows-only check
+    "k13_roc": SQL_K13_ROC,
+    # k10/k12/k13_count_glm are iterative numpy kernels — rows-only check
 }

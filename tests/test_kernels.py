@@ -224,3 +224,80 @@ def test_model_single_gene_dm_vs_normal():
     states = np.sort(res["mixture_states"])
     assert states[-1] > 0.5
     assert res["dm_pvalues"][int(np.argmax(res["mu"]))] < 0.01
+
+
+# --------------------------------------------------------------------------
+# K13 NB-GLM with dispersion + ROC (Figure_6_Feber_ROC.R:54-56, functions.R)
+# --------------------------------------------------------------------------
+
+def test_nb_glm_matches_closed_form(spark):
+    """Equal offsets within groups → the NB-GLM MLE has a closed form:
+    group mean rates; SE and LR are then hand-computable."""
+    import math
+
+    from omics_data_integration_utilities_spark.analytics.kernels import (
+        count_glm_offset,
+    )
+
+    phi = 0.05
+    ya = [90.0, 100.0, 110.0, 95.0, 105.0]
+    yb = [280.0, 300.0, 320.0, 310.0, 290.0]
+    rows = [("blk", "a", v, 1.0) for v in ya] + [("blk", "b", v, 1.0) for v in yb]
+    df = spark.createDataFrame(rows, "block string, grp string, n double, exposure double")
+    out = {r["coef"]: r for r in
+           count_glm_offset(df, "block", "n", "grp", "exposure", dispersion=phi).collect()}
+    ma, mb = np.mean(ya), np.mean(yb)
+    est = out["grp=b"]["estimate"]
+    assert abs(est - math.log(mb / ma)) < 1e-5
+    # Fisher SE: var = 1/(n_a w_a) + 1/(n_b w_b), w_g = mu_g/(1+phi mu_g)
+    wa, wb = ma / (1 + phi * ma), mb / (1 + phi * mb)
+    se_expected = math.sqrt(1 / (5 * wa) + 1 / (5 * wb))
+    assert abs(out["grp=b"]["se"] - se_expected) < 1e-4
+    # LR from hand-computed deviances (reduced model MLE = overall mean)
+    def dev(ys, mu):
+        r = 1.0 / phi
+        return 2 * sum(y * math.log(y / mu) - (y + r) * math.log((y + r) / (mu + r))
+                       for y in ys)
+    m_all = np.mean(ya + yb)
+    lr = (dev(ya, m_all) + dev(yb, m_all)) - (dev(ya, ma) + dev(yb, mb))
+    assert abs(out["grp=b"]["lr"] - lr) < 1e-3
+    # edgeR z convention: -sign(logFC)*sqrt(LR); positive logFC → negative z
+    assert abs(out["grp=b"]["z_lrt"] + math.sqrt(lr)) < 1e-3
+    assert out["grp=b"]["pvalue"] < 1e-6
+
+
+def test_nb_dispersion_widens_se(spark):
+    from omics_data_integration_utilities_spark.analytics.kernels import (
+        count_glm_offset,
+    )
+
+    rows = [("blk", "a", 100.0, 1.0), ("blk", "a", 120.0, 1.0),
+            ("blk", "b", 300.0, 1.0), ("blk", "b", 330.0, 1.0)]
+    df = spark.createDataFrame(rows, "block string, grp string, n double, exposure double")
+    se0 = {r["coef"]: r["se"] for r in
+           count_glm_offset(df, "block", "n", "grp", "exposure", dispersion=0.0).collect()}
+    se5 = {r["coef"]: r["se"] for r in
+           count_glm_offset(df, "block", "n", "grp", "exposure", dispersion=0.05).collect()}
+    assert se5["grp=b"] > 2 * se0["grp=b"]  # phi*mu >> 1 here
+
+
+def test_roc_auc_matches_pair_counting(spark):
+    """Trapezoidal AUC over the distinct-score ROC equals the
+    probability a random positive outranks a random negative (ties 0.5)."""
+    from omics_data_integration_utilities_spark.analytics.kernels import (
+        roc_auc,
+        roc_curve,
+    )
+
+    rng = np.random.RandomState(21)
+    pos = rng.normal(1.0, 1.0, 80).round(1)
+    neg = rng.normal(0.0, 1.0, 120).round(1)
+    rows = [(float(s), 1) for s in pos] + [(float(s), 0) for s in neg]
+    df = spark.createDataFrame(rows, "score double, label int")
+    auc_row = roc_auc(df, "score", "label").collect()[0]
+    expected = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg) / (len(pos) * len(neg))
+    assert abs(auc_row["auc"] - expected) < 1e-6
+    assert auc_row["n_pos"] == 80 and auc_row["n_neg"] == 120
+    # curve endpoints: last (lowest-score) point is (1, 1)
+    pts = roc_curve(df, "score", "label").orderBy("score").collect()
+    assert pts[0]["tpr"] == 1.0 and pts[0]["fpr"] == 1.0
