@@ -17,6 +17,11 @@ from ..analytics.kernels import (
     partial_correlations,
     roc_auc,
 )
+from ..analytics.permutation import (
+    bh_adjust,
+    mismatched_pair_null,
+    permutation_pvalues,
+)
 from ..operators.multimodal import documents_as_media, extract_features, fake_decoder
 from .registry import _t
 
@@ -73,6 +78,92 @@ def q_k12_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("v"),
     ).groupBy("block", "sample", "var").agg(F.avg("v").alias("v"))
     return partial_correlations(m, "block", "var", "sample", "v")
+
+
+def q_k12_perm_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K12 permutation null + BH-FDR (Gohs find.g1s.m,
+    integrated_aCGH_expression_relationships.R:133-161): observed = per
+    variable the cross-modality correlation (avg value vs event count per
+    sample — the acgh-vs-expr pairing); null = mismatched-variable
+    correlations via deterministic md5-rank cyclic shift (null.distb.m,
+    R:109-131); perm_pv = fraction of null ≥ observed (+1 sentinel
+    smoothing, R:130); pv_adj = p.adjust(method='fdr') (R:158).  Pure
+    window algebra → DuckDB-oracle hash check."""
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        (F.col("user_id") % 2).cast("string").alias("blk"),
+        F.col("event_type").alias("var"),
+        F.col("user_id").alias("s"),
+    ).agg(
+        F.avg("value").alias("va"),
+        F.count(F.lit(1)).cast("double").alias("vb"),
+    )
+    obs = (
+        series.groupBy("blk", "var")
+        .agg(
+            F.round(F.corr("va", "vb"), 6).alias("r"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("r").isNotNull())
+    )
+    null = mismatched_pair_null(series, "blk", "var", "s", "va", "vb").select("blk", "r")
+    pv = permutation_pvalues(obs, null, "r", ["blk"], greater=True)
+    return bh_adjust(pv, "perm_pv", ["blk"], ["var"]).select(
+        "blk", "var", "r", "n", "perm_pv", "pv_adj"
+    )
+
+
+SQL_K12_PERM_FDR = """
+WITH series AS (
+  SELECT CAST(user_id % 2 AS VARCHAR) AS blk, event_type AS var, user_id AS s,
+         avg(value) AS va, CAST(count(*) AS DOUBLE) AS vb
+  FROM events GROUP BY 1, 2, 3
+), obs AS (
+  SELECT blk, var, round(corr(va, vb), 6) AS r, count(*) AS n
+  FROM series GROUP BY blk, var
+  HAVING corr(va, vb) IS NOT NULL
+), rk AS (
+  SELECT blk, var,
+         row_number() OVER (PARTITION BY blk ORDER BY md5(var), var) AS rk
+  FROM (SELECT DISTINCT blk, var FROM series)
+), nv AS (
+  SELECT blk, count(*) AS nn FROM rk GROUP BY blk
+), pairing AS (
+  SELECT a.blk, a.var AS var_a, b.var AS var_b
+  FROM rk a JOIN nv ON a.blk = nv.blk
+  JOIN rk b ON b.blk = a.blk AND b.rk = (a.rk % nv.nn) + 1
+  WHERE a.var <> b.var
+), nullr AS (
+  SELECT p.blk, round(corr(sa.va, sb.vb), 6) AS r
+  FROM pairing p
+  JOIN series sa ON sa.blk = p.blk AND sa.var = p.var_a
+  JOIN series sb ON sb.blk = p.blk AND sb.var = p.var_b AND sb.s = sa.s
+  GROUP BY p.blk, p.var_a, p.var_b
+  HAVING corr(sa.va, sb.vb) IS NOT NULL
+), u AS (
+  SELECT blk, var, r, n, 1 AS is_obs FROM obs
+  UNION ALL
+  SELECT blk, NULL AS var, r, NULL AS n, 0 AS is_obs FROM nullr
+), c AS (
+  SELECT *,
+    sum(1 - is_obs) OVER (PARTITION BY blk ORDER BY r DESC, is_obs ASC) AS null_ge,
+    sum(1 - is_obs) OVER (PARTITION BY blk) AS null_n
+  FROM u
+), pv AS (
+  SELECT blk, var, r, n,
+         round((null_ge + 1.0) / (null_n + 1.0), 6) AS perm_pv
+  FROM c WHERE is_obs = 1
+), bh AS (
+  SELECT *,
+    perm_pv * count(*) OVER (PARTITION BY blk)
+      / row_number() OVER (PARTITION BY blk ORDER BY perm_pv, var) AS raw
+  FROM pv
+)
+SELECT blk, var, r, n, perm_pv,
+  round(least(1.0, min(raw) OVER (PARTITION BY blk ORDER BY perm_pv, var
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6) AS pv_adj
+FROM bh
+"""
 
 
 def q_k13_count_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,6 +300,7 @@ QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "k10_knn_impute": q_k10_knn_impute,
     "k12_partial_corr": q_k12_partial_corr,
+    "k12_perm_fdr": q_k12_perm_fdr,
     "k13_count_glm": q_k13_count_glm,
     "k13_roc": q_k13_roc,
 }
@@ -216,6 +308,7 @@ QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_KERNELS: dict[str, str] = {
     "k1_reaction_products": SQL_K1_REACTION,
     "multimodal_features": SQL_MULTIMODAL,
+    "k12_perm_fdr": SQL_K12_PERM_FDR,
     "k13_roc": SQL_K13_ROC,
     # k10/k12/k13_count_glm are iterative numpy kernels — rows-only check
 }

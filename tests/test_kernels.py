@@ -301,3 +301,59 @@ def test_roc_auc_matches_pair_counting(spark):
     # curve endpoints: last (lowest-score) point is (1, 1)
     pts = roc_curve(df, "score", "label").orderBy("score").collect()
     assert pts[0]["tpr"] == 1.0 and pts[0]["fpr"] == 1.0
+
+
+# --------------------------------------------------------------------------
+# K12 permutation null + BH-FDR (Gohs method R:109-161)
+# --------------------------------------------------------------------------
+
+def test_bh_adjust_matches_r_p_adjust(spark):
+    """R: p.adjust(c(.01,.02,.02,.04,.2), method='fdr') — sorted desc the
+    raw n/i*p terms are (.2,.05,.03333,.05,.05); cummin → the first three
+    ascending p's all land on .033333, then .05, .2."""
+    from omics_data_integration_utilities_spark.analytics.permutation import bh_adjust
+
+    pvs = [0.01, 0.02, 0.02, 0.04, 0.2]
+    df = spark.createDataFrame(
+        [("b", f"v{i}", p) for i, p in enumerate(pvs)], "blk string, var string, pv double"
+    )
+    out = {r["var"]: r["pv_adj"] for r in bh_adjust(df, "pv", ["blk"], ["var"]).collect()}
+    expected = {"v0": 0.033333, "v1": 0.033333, "v2": 0.033333, "v3": 0.05, "v4": 0.2}
+    for k, v in expected.items():
+        assert abs(out[k] - v) < 1e-6, (k, out[k], v)
+
+
+def test_permutation_pvalues_counts_null_at_least_as_extreme(spark):
+    from omics_data_integration_utilities_spark.analytics.permutation import (
+        permutation_pvalues,
+    )
+
+    obs = spark.createDataFrame(
+        [("b", "x", 0.9), ("b", "y", 0.5), ("b", "z", 0.1)], "blk string, var string, r double"
+    )
+    null = spark.createDataFrame(
+        [("b", 0.8), ("b", 0.5), ("b", 0.2), ("b", 0.0)], "blk string, r double"
+    )
+    out = {r["var"]: r["perm_pv"] for r in
+           permutation_pvalues(obs, null, "r", ["blk"], greater=True).collect()}
+    # x: 0 null >= 0.9 → (0+1)/5; y: 2 null >= 0.5 (tie counts) → 3/5; z: 3 → 4/5
+    assert abs(out["x"] - 0.2) < 1e-9
+    assert abs(out["y"] - 0.6) < 1e-9
+    assert abs(out["z"] - 0.8) < 1e-9
+
+
+def test_mismatched_pair_null_is_derangement(spark):
+    from omics_data_integration_utilities_spark.analytics.permutation import (
+        mismatched_pair_null,
+    )
+
+    rows = []
+    for s in range(8):
+        for v in ("a", "b", "c"):
+            rows.append(("blk", v, s, float(s) + hash(v) % 3, float(s * 2)))
+    df = spark.createDataFrame(rows, "blk string, var string, s long, va double, vb double")
+    out = mismatched_pair_null(df, "blk", "var", "s", "va", "vb").collect()
+    assert len(out) == 3  # cyclic shift over 3 vars
+    for r in out:
+        assert r["var_a"] != r["var_b"]
+        assert r["n"] == 8
