@@ -115,3 +115,81 @@ def containment_map(
             F.coalesce("has", F.lit("")).alias("has"),
         )
     )
+
+
+def rule_bfs(
+    map_df: DataFrame,
+    id_col: str = "rule_id",
+    base_col: str = "is_base",
+    passes_col: str = "passes",
+    is_in_col: str = "is_in",
+    has_col: str = "has",
+    max_rounds: int = 10,
+) -> DataFrame:
+    """K4: prerequisite-gated level-wise rule BFS (the reference's
+    ``get_next_rules`` / ``filter_df_with_map`` loop,
+    ``integrative_omics/gizmos.py:339-400``).
+
+    ``map_df`` carries per rule: ``is_base`` (round-0 seed,
+    gizmos.py:382), ``passes`` (the precomputed deterministic test
+    outcome — the reference runs the expensive RDKit test lazily per
+    round, but which rules *get* tested is identical either way),
+    ``is_in`` (array of rules this one is contained in — the unlock
+    edges, gizmos.py:351-355) and ``has`` (array of prerequisite rules
+    that must ALL have passed before this one may be tested,
+    gizmos.py:357-361).
+
+    Faithful dynamics per round: candidates = union of ``is_in`` over ALL
+    passed rules so far (not just the last frontier — a rule whose
+    prerequisites complete late still surfaces, gizmos.py:345-349), minus
+    already-tested, minus prerequisite-unmet (those may return in later
+    rounds, gizmos.py:364-366); tested rules never re-test.  Driver loop
+    of pure DataFrame rounds with ``localCheckpoint`` per round (bounded
+    lineage); each round is a handful of hash joins — no collect.
+
+    Returns (rule_id, round, passed) for every rule that got tested.
+    """
+    m = map_df.select(
+        F.col(id_col),
+        F.col(base_col).alias("__base"),
+        F.col(passes_col).alias("__ok"),
+        F.col(is_in_col).alias("__is_in"),
+        F.col(has_col).alias("__has"),
+    )
+    out = (
+        m.where(F.col("__base"))
+        .select(id_col, F.lit(0).alias("round"), F.col("__ok").alias("passed"))
+        .localCheckpoint()
+    )
+    tested = out.select(id_col)
+    passed_all = out.where(F.col("passed")).select(id_col)
+    for rnd in range(1, max_rounds + 1):
+        cand_ids = (
+            m.join(passed_all, id_col, "semi")
+            .select(F.explode("__is_in").alias(id_col))
+            .distinct()
+        )
+        cand = (
+            m.join(cand_ids, id_col, "semi")
+            .join(tested, id_col, "left_anti")
+        )
+        unmet = (
+            cand.select(F.col(id_col), F.explode_outer("__has").alias("__pr"))
+            .where(F.col("__pr").isNotNull())
+            .join(
+                passed_all.select(F.col(id_col).alias("__pr")), "__pr", "left_anti"
+            )
+            .select(id_col)
+            .distinct()
+        )
+        to_test = cand.join(unmet, id_col, "left_anti").localCheckpoint()
+        if to_test.isEmpty():
+            break
+        out = out.unionByName(
+            to_test.select(id_col, F.lit(rnd).alias("round"), F.col("__ok").alias("passed"))
+        ).localCheckpoint()
+        tested = tested.unionByName(to_test.select(id_col)).localCheckpoint()
+        passed_all = passed_all.unionByName(
+            to_test.where(F.col("__ok")).select(id_col)
+        ).localCheckpoint()
+    return out

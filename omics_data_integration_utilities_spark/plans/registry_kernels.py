@@ -22,6 +22,7 @@ from ..analytics.permutation import (
     mismatched_pair_null,
     permutation_pvalues,
 )
+from ..operators.containment import rule_bfs
 from ..operators.multimodal import documents_as_media, extract_features, fake_decoder
 from .registry import _t
 
@@ -78,6 +79,114 @@ def q_k12_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("v"),
     ).groupBy("block", "sample", "var").agg(F.avg("v").alias("v"))
     return partial_correlations(m, "block", "var", "sample", "v")
+
+
+def q_k4_rule_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 prerequisite-gated rule BFS (gizmos.py:339-400): a 3-level rule
+    hierarchy from part (first-token ⊂ p_name ⊂ p_name+brand); base rules
+    are the 8 first tokens; ``is_in`` edges point to every deeper rule
+    with this rule as prefix (any depth — so level-3 rules surface in
+    round 1 but stay prerequisite-blocked until their level-2 prefix
+    passes, the reference's late-unlock dynamic); a rule passes when a
+    part with p_size<=3 realizes it.  Oracle = unrolled per-round CTE."""
+    part = _t(spark, sf_dir, "part")
+    l1 = part.select(F.substring_index("p_name", " ", 1).alias("rule_id")).distinct() \
+        .withColumn("lvl", F.lit(1))
+    l2 = part.select(F.col("p_name").alias("rule_id")).distinct().withColumn("lvl", F.lit(2))
+    l3 = part.select(
+        F.concat_ws(" ", "p_name", "p_brand").alias("rule_id")
+    ).distinct().withColumn("lvl", F.lit(3))
+    rules = l1.unionByName(l2).unionByName(l3)
+    tgt = part.where(F.col("p_size") <= 3).select(
+        F.substring_index("p_name", " ", 1).alias("t1"),
+        F.col("p_name").alias("t2"),
+        F.concat_ws(" ", "p_name", "p_brand").alias("t3"),
+    ).distinct()
+    passes = (
+        rules.join(
+            tgt.select(F.col("t1").alias("rule_id")).distinct().withColumn("__p1", F.lit(True)),
+            "rule_id", "left")
+        .join(tgt.select(F.col("t2").alias("rule_id")).distinct().withColumn("__p2", F.lit(True)),
+              "rule_id", "left")
+        .join(tgt.select(F.col("t3").alias("rule_id")).distinct().withColumn("__p3", F.lit(True)),
+              "rule_id", "left")
+        .withColumn("passes", F.coalesce("__p1", "__p2", "__p3", F.lit(False)))
+        .select("rule_id", "lvl", "passes")
+    )
+    pfx1 = F.substring_index("rule_id", " ", 1)
+    pfx2 = F.substring_index("rule_id", " ", 2)
+    m = passes.select(
+        "rule_id", "lvl", "passes",
+        (F.col("lvl") == 1).alias("is_base"),
+        F.when(F.col("lvl") == 1, F.array()).when(
+            F.col("lvl") == 2, F.array(pfx1)
+        ).otherwise(F.array(pfx1, pfx2)).cast("array<string>").alias("has"),
+    )
+    # is_in edges as equi-joins on the parent's own prefix (no BNLJ):
+    # lvl1 parent ← any deeper child sharing its first token; lvl2 parent
+    # ← lvl3 children sharing its two-token prefix
+    deeper = passes.select(F.col("rule_id").alias("__child"), F.col("lvl").alias("__clvl"))
+    edges1 = (
+        m.where(F.col("lvl") == 1)
+        .select("rule_id")
+        .join(
+            deeper.where(F.col("__clvl") > 1).withColumn(
+                "rule_id", F.substring_index("__child", " ", 1)
+            ),
+            "rule_id",
+        )
+        .select("rule_id", "__child")
+    )
+    edges2 = (
+        m.where(F.col("lvl") == 2)
+        .select("rule_id")
+        .join(
+            deeper.where(F.col("__clvl") == 3).withColumn(
+                "rule_id", F.substring_index("__child", " ", 2)
+            ),
+            "rule_id",
+        )
+        .select("rule_id", "__child")
+    )
+    is_in = edges1.unionByName(edges2).groupBy("rule_id").agg(
+        F.array_sort(F.collect_set("__child")).alias("is_in")
+    )
+    m = m.join(is_in, "rule_id", "left").withColumn(
+        "is_in", F.coalesce("is_in", F.array().cast("array<string>"))
+    )
+    out = rule_bfs(m, max_rounds=4)
+    return out.select("rule_id", "round", "passed")
+
+
+SQL_K4_RULE_BFS = """
+WITH l1 AS (SELECT DISTINCT split_part(p_name, ' ', 1) AS rid FROM part),
+l2 AS (SELECT DISTINCT p_name AS rid FROM part),
+l3 AS (SELECT DISTINCT p_name || ' ' || p_brand AS rid FROM part),
+tgt AS (
+  SELECT DISTINCT split_part(p_name, ' ', 1) AS t1, p_name AS t2,
+         p_name || ' ' || p_brand AS t3
+  FROM part WHERE p_size <= 3
+),
+p1 AS (SELECT rid, rid IN (SELECT t1 FROM tgt) AS ok FROM l1),
+p2 AS (SELECT rid, rid IN (SELECT t2 FROM tgt) AS ok FROM l2),
+p3 AS (SELECT rid, rid IN (SELECT t3 FROM tgt) AS ok FROM l3),
+t0 AS (SELECT rid, 0 AS round, ok AS passed FROM p1),
+pass0 AS (SELECT rid FROM t0 WHERE passed),
+t1r AS (
+  SELECT rid, 1 AS round, ok AS passed FROM p2
+  WHERE split_part(rid, ' ', 1) IN (SELECT rid FROM pass0)
+),
+pass1 AS (SELECT rid FROM pass0 UNION SELECT rid FROM t1r WHERE passed),
+t2r AS (
+  SELECT rid, 2 AS round, ok AS passed FROM p3
+  WHERE split_part(rid, ' ', 1) IN (SELECT rid FROM pass1)
+    AND split_part(rid, ' ', 1) || ' ' || split_part(rid, ' ', 2)
+        IN (SELECT rid FROM pass1)
+)
+SELECT rid AS rule_id, round, passed FROM t0
+UNION ALL SELECT rid AS rule_id, round, passed FROM t1r
+UNION ALL SELECT rid AS rule_id, round, passed FROM t2r
+"""
 
 
 def q_k12_perm_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,6 +409,7 @@ QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "k10_knn_impute": q_k10_knn_impute,
     "k12_partial_corr": q_k12_partial_corr,
+    "k4_rule_bfs": q_k4_rule_bfs,
     "k12_perm_fdr": q_k12_perm_fdr,
     "k13_count_glm": q_k13_count_glm,
     "k13_roc": q_k13_roc,
@@ -308,6 +418,7 @@ QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_KERNELS: dict[str, str] = {
     "k1_reaction_products": SQL_K1_REACTION,
     "multimodal_features": SQL_MULTIMODAL,
+    "k4_rule_bfs": SQL_K4_RULE_BFS,
     "k12_perm_fdr": SQL_K12_PERM_FDR,
     "k13_roc": SQL_K13_ROC,
     # k10/k12/k13_count_glm are iterative numpy kernels — rows-only check

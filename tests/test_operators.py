@@ -339,3 +339,31 @@ def test_exact_dedup_groups_on_full_digest(spark):
     )
     out = {(r.keep_id, r.n_copies) for r in exact_dedup(df, "text", "doc_id").collect()}
     assert out == {(1, 2), (3, 1)}
+
+
+def test_rule_bfs_prerequisite_gating(spark):
+    """gizmos.py:339-400 dynamics: C needs both A and B passed; B is
+    unlocked by A but fails its test, so C is generated (via is_in of A)
+    yet never tested; D needs only A and is tested in round 1; E hangs
+    off D and unlocks in round 2."""
+    from omics_data_integration_utilities_spark.operators.containment import rule_bfs
+
+    rows = [
+        # rule, base, passes, is_in,          has
+        ("A", True, True, ["B", "C", "D"], []),
+        ("B", False, False, ["C"], ["A"]),
+        ("C", False, True, [], ["A", "B"]),
+        ("D", False, True, ["E"], ["A"]),
+        ("E", False, True, [], ["D"]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "rule_id string, is_base boolean, passes boolean, "
+        "is_in array<string>, has array<string>",
+    )
+    out = {r["rule_id"]: (r["round"], r["passed"]) for r in rule_bfs(df).collect()}
+    assert out["A"] == (0, True)
+    assert out["B"] == (1, False)  # unlocked by A, tested, fails
+    assert out["D"] == (1, True)
+    assert out["E"] == (2, True)  # surfaces only after D passes
+    assert "C" not in out  # prerequisite B never passes → never tested
