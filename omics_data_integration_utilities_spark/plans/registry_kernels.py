@@ -81,6 +81,47 @@ def q_k12_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial_correlations(m, "block", "var", "sample", "v")
 
 
+def q_k2_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 mass-from-SMARTS, RDKit-free (gizmos.py:240-291): deterministic
+    SMARTS strings constructed from part rows (repeat-atoms + bracket
+    atom with &-valence and atom map + aromatic ring + H-count spec +
+    two-letter Cl), parsed by the JVM expression chain in
+    functions/chem.py.  The DuckDB oracle computes the mass
+    arithmetically from the construction parameters — an independent
+    route to the same number, so the parser itself is what's checked."""
+    from ..functions.chem import smarts_mass
+
+    part = _t(spark, sf_dir, "part")
+    smarts = part.select(
+        "p_partkey",
+        F.concat(
+            F.expr("repeat('C', (p_size % 5) + 1)"),
+            F.expr("repeat('O', cast(p_partkey % 3 as int))"),
+            F.lit("[N&X3:2]"),
+            F.when(F.col("p_partkey") % 2 == 0, F.lit("Cl")).otherwise(
+                F.lit("c1ccccc1")
+            ),
+            F.lit("[CH3]"),
+        ).alias("smarts"),
+    )
+    return smarts.select(
+        "p_partkey", "smarts", F.round(smarts_mass("smarts"), 3).alias("mm")
+    )
+
+
+SQL_K2_MASS = """
+SELECT p_partkey,
+       repeat('C', (p_size % 5) + 1) || repeat('O', CAST(p_partkey % 3 AS INT))
+         || '[N&X3:2]'
+         || CASE WHEN p_partkey % 2 = 0 THEN 'Cl' ELSE 'c1ccccc1' END
+         || '[CH3]' AS smarts,
+       round(((p_size % 5) + 1) * 12.011 + (p_partkey % 3) * 15.999 + 14.007
+             + CASE WHEN p_partkey % 2 = 0 THEN 35.45 ELSE 6 * 12.011 END
+             + 12.011, 3) AS mm
+FROM part
+"""
+
+
 def q_k4_rule_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 prerequisite-gated rule BFS (gizmos.py:339-400): a 3-level rule
     hierarchy from part (first-token ⊂ p_name ⊂ p_name+brand); base rules
@@ -409,6 +450,7 @@ QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "k10_knn_impute": q_k10_knn_impute,
     "k12_partial_corr": q_k12_partial_corr,
+    "k2_mass": q_k2_mass,
     "k4_rule_bfs": q_k4_rule_bfs,
     "k12_perm_fdr": q_k12_perm_fdr,
     "k13_count_glm": q_k13_count_glm,
@@ -418,6 +460,7 @@ QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_KERNELS: dict[str, str] = {
     "k1_reaction_products": SQL_K1_REACTION,
     "multimodal_features": SQL_MULTIMODAL,
+    "k2_mass": SQL_K2_MASS,
     "k4_rule_bfs": SQL_K4_RULE_BFS,
     "k12_perm_fdr": SQL_K12_PERM_FDR,
     "k13_roc": SQL_K13_ROC,

@@ -367,3 +367,28 @@ def test_rule_bfs_prerequisite_gating(spark):
     assert out["D"] == (1, True)
     assert out["E"] == (2, True)  # surfaces only after D passes
     assert "C" not in out  # prerequisite B never passes → never tested
+
+
+def test_smarts_mass_known_values(spark):
+    """Hand-checked against the reference semantics: sum of atom masses
+    after valence-strip (gizmos.py:240-255), H-count specs dropped,
+    [H] kept, aromatic + #n forms resolved."""
+    from omics_data_integration_utilities_spark.functions.chem import smarts_mass
+
+    cases = [
+        ("C", 12.011),
+        ("CCO", 2 * 12.011 + 15.999),            # ethanol heavy atoms
+        ("c1ccccc1", 6 * 12.011),                # benzene aromatic
+        ("[C&H2:1]=[O&X1]", 12.011 + 15.999),    # valence-strip + atom map
+        ("[CH3][CH2][OH]", 2 * 12.011 + 15.999), # H-count specs dropped
+        ("[H]O[H]", 2 * 1.008 + 15.999),         # explicit hydrogens kept
+        ("ClCCl", 12.011 + 2 * 35.45),           # Cl not double-counted as C
+        ("BrBr", 2 * 79.904),
+        ("[#6][#8][#17]", 12.011 + 15.999 + 35.45),  # atomic numbers
+        ("*", 0.0),                              # wildcard massless
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = {r["s"]: r["mm"] for r in
+           df.select("s", F.round(smarts_mass("s"), 6).alias("mm")).collect()}
+    for s, expected in cases:
+        assert abs(got[s] - expected) < 1e-6, (s, got[s], expected)
