@@ -712,9 +712,48 @@ FROM c WHERE n >= 5 AND r IS NOT NULL AND abs(r) < 0.999999
 """
 
 
+SQL_K6_CORR_PVALUE = """
+WITH c AS (
+  SELECT l_partkey, count(*) AS n, corr(l_quantity, l_discount) AS r
+  FROM lineitem GROUP BY l_partkey
+), base AS (
+  SELECT l_partkey, n, r, n - 2 AS nu,
+         abs(r) * sqrt((n - 2) / (1 - r * r)) AS t
+  FROM c
+  WHERE n >= 5 AND r IS NOT NULL AND abs(r) < 0.999999
+), tx AS (
+  SELECT *, nu / (nu + t * t) AS x,
+         CASE WHEN nu % 2 = 0 THEN nu // 2 - 1 ELSE (nu - 3) // 2 END AS jmax
+  FROM base
+), js AS (
+  SELECT l_partkey, nu, x, unnest(range(0, CAST(jmax AS BIGINT) + 1)) AS j
+  FROM tx
+), terms AS (
+  SELECT l_partkey,
+    CASE WHEN nu % 2 = 0
+      THEN exp(lgamma(2 * j + 1.0) - 2 * lgamma(j + 1.0) - j * ln(4.0)) * pow(x, j)
+      ELSE exp(j * ln(4.0) + 2 * lgamma(j + 1.0) - lgamma(2 * j + 2.0)) * pow(x, j)
+    END AS term
+  FROM js
+), s AS (
+  SELECT l_partkey, sum(term) AS ssum FROM terms GROUP BY l_partkey
+)
+SELECT b.l_partkey, b.n, round(b.r, 6) AS r,
+  round(CASE WHEN b.nu % 2 = 0
+    THEN 1 - b.t / sqrt(b.nu + b.t * b.t) * s.ssum
+    ELSE 1 - 2 / pi() * (atan(b.t / sqrt(b.nu))
+                         + b.t * sqrt(b.nu) / (b.nu + b.t * b.t) * s.ssum)
+  END, 6) AS p
+FROM tx b JOIN s USING (l_partkey)
+"""
+
+
 def q_k6_corr_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K6 with exact scipy p-values (pandas_udf) — no SQL oracle (Student-t
-    tail is not ANSI-SQL-expressible); driver records rows-only."""
+    """K6 with exact p-values from the numpy betainc t-tail (Arrow kernel).
+    The DuckDB oracle evaluates the SAME Student-t tail through the exact
+    finite closed forms for integer df (even: Ix series in ν/(ν+t²); odd:
+    arctan + series) — an independent route, agrees with betainc to ~1e-14
+    (property-tested in tests/test_properties.py)."""
     li = _t(spark, sf_dir, "lineitem")
     out = agg_ops.pairwise_corr(li, ["l_partkey"], "l_quantity", "l_discount", min_n=5)
     out = out.where(F.abs(F.col("r")) < 0.999999)
@@ -858,7 +897,7 @@ ORACLES: dict[str, str] = {
     "f11_conditional_swap": SQL_F11,
     "k6_pairwise_corr": SQL_K6,
     "k6_spearman": SQL_K6_SPEARMAN,
-    # k6_corr_pvalue: intentionally no oracle (scipy Student-t tail)
+    "k6_corr_pvalue": SQL_K6_CORR_PVALUE,
     "plan_mass_annotation": SQL_PLAN_MASS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
 }

@@ -95,5 +95,66 @@ QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "combat_adjust": q_combat_adjust,
 }
 
-# intentionally empty: greedy/permutation are not SQL-expressible
-ORACLES_ANALYTICS: dict[str, str] = {}
+
+def _greedy_round_sql(i: int) -> str:
+    """One unrolled greedy round: pick argmax coverage (ties by gene key),
+    remove its covered (patient, out_gene) events from the remainder."""
+    prev = f"rem{i - 1}"
+    return f"""
+pick{i} AS (
+  SELECT mut_gene, count(*) AS cov FROM {prev}
+  GROUP BY mut_gene ORDER BY cov DESC, mut_gene ASC LIMIT 1
+),
+rem{i} AS (
+  SELECT r.* FROM {prev} r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {prev} c JOIN pick{i} p ON c.mut_gene = p.mut_gene
+    WHERE c.patient = r.patient AND c.out_gene = r.out_gene
+  )
+)"""
+
+
+# the greedy cover is sequential but its round count is fixed (k=5), so the
+# oracle is the J12 event construction + 5 unrolled pick/remove rounds —
+# the same trick as the pathway-expansion unrolled CTE
+SQL_DRIVERNET_GREEDY = (
+    """
+WITH joined AS (
+  SELECT o.o_custkey, p.p_brand, p.p_type, l.l_extendedprice
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                  JOIN part p ON l.l_partkey = p.p_partkey
+),
+mut AS (SELECT DISTINCT o_custkey AS patient, p_brand AS mut_gene FROM joined),
+edges AS (SELECT DISTINCT p_brand AS mut_gene, p_type AS out_gene FROM part),
+st AS (
+  SELECT o_custkey, p_type, l_extendedprice,
+         avg(l_extendedprice) OVER (PARTITION BY p_type) AS mu,
+         stddev(l_extendedprice) OVER (PARTITION BY p_type) AS sd
+  FROM joined
+),
+outl AS (
+  SELECT DISTINCT o_custkey AS patient, p_type AS out_gene FROM st
+  WHERE sd IS NOT NULL AND sd > 0 AND abs(l_extendedprice - mu) >= 1.5 * sd
+),
+rem0 AS (
+  SELECT DISTINCT m.patient, m.mut_gene, e.out_gene
+  FROM mut m JOIN edges e USING (mut_gene)
+             JOIN outl o ON o.patient = m.patient AND o.out_gene = e.out_gene
+),"""
+    + ",".join(_greedy_round_sql(i) for i in range(1, 6))
+    + """
+SELECT * FROM (
+  SELECT 0 AS pick, mut_gene, cov AS covered FROM pick1
+  UNION ALL SELECT 1, mut_gene, cov FROM pick2
+  UNION ALL SELECT 2, mut_gene, cov FROM pick3
+  UNION ALL SELECT 3, mut_gene, cov FROM pick4
+  UNION ALL SELECT 4, mut_gene, cov FROM pick5
+) WHERE covered > 0
+"""
+)
+
+# drivernet_permutation / significance stay rows-only (seeded RNG fan-out);
+# combat_adjust stays rows-only (iterative EB shrinkage)
+ORACLES_ANALYTICS: dict[str, str] = {
+    "drivernet_greedy": SQL_DRIVERNET_GREEDY,
+}
