@@ -3,14 +3,21 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is timed end-to-end (plan + execute + collect-count); the first
-query absorbs session warm-up, so a tiny warm-up no-op runs first.
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
+MEDIAN, so one GC pause or JIT warm-up can't masquerade as a regression.
+If a previous round's BENCH_r*.json exists next to this file, a per-query
+delta (median / previous) is reported under "deltas" and anything over
+1.3x is listed under "regressions" — the driver's contract fields
+(metric/value/unit/queries/sf) are unchanged.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import statistics
 import sys
 import time
 
@@ -44,10 +51,37 @@ HEADLINE = [
     "events_tumbling",
 ]
 
+REGRESSION_FLAG = 1.3
+
+
+def _previous_round_timings(here: str) -> dict[str, float]:
+    """Latest BENCH_r{N}.json next to the repo root, if any."""
+    best_n, best = -1, None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if n > best_n:
+            best_n, best = n, path
+    if best is None:
+        return {}
+    try:
+        with open(best) as f:
+            data = json.load(f)
+        # the driver wraps the bench line under "parsed"
+        if "queries" not in data and isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        return {k: float(v) for k, v in (data.get("queries") or {}).items()}
+    except Exception:
+        return {}
+
 
 def main() -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark("omics-spark-bench")
 
     queries = entrymod.queries()
@@ -57,22 +91,35 @@ def main() -> None:
     for t in ("supplier", "part", "lineitem", "orders", "documents", "embeddings", "events"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
     # warm the Arrow / python-worker path (mapInPandas machinery)
-    import pandas as _pd
-
     spark.range(100).mapInPandas(
         lambda it: (pdf.assign(x=pdf.id) for pdf in it), schema="id long, x long"
     ).count()
 
+    prev = _previous_round_timings(here)
     timings: dict[str, float] = {}
+    deltas: dict[str, float] = {}
+    regressions: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        times = []
+        rows = 0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).count()
+            times.append(time.perf_counter() - t0)
+        med = statistics.median(times)
+        timings[name] = round(med, 3)
+        total += med
+        line = f"# {name}: median {med:.3f}s over {reps} reps {[round(t, 3) for t in times]} rows={rows}"
+        if name in prev and prev[name] > 0:
+            d = med / prev[name]
+            deltas[name] = round(d, 3)
+            line += f" delta={d:.2f}x"
+            if d > REGRESSION_FLAG:
+                regressions[name] = round(d, 3)
+                line += " REGRESSION"
+        print(line, file=sys.stderr)
 
     print(
         json.dumps(
@@ -82,6 +129,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "reps": reps,
+                "deltas": deltas,
+                "regressions": regressions,
             }
         )
     )

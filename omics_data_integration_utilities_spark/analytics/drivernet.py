@@ -31,15 +31,36 @@ def greedy_driver_selection(
     mut_col: str = "mut_gene",
     event_cols: tuple[str, str] = ("patient", "out_gene"),
     k: int = 5,
+    collect_threshold: int = 2_000_000,
 ) -> list[tuple[str, int]]:
     """Greedy set cover: repeatedly pick the mutated gene covering the most
     remaining (patient, outlier-gene) events; remove covered events.
 
     Returns [(gene, newly_covered_count), ...] in selection order.
     Deterministic: ties break on the gene key ascending.
+
+    Two physical strategies with identical output (SURVEY §2.6 O3):
+
+    - when the distinct event table fits the driver
+      (``<= collect_threshold`` rows), collect once and run the loop
+      in-memory — K rounds of full-stage Spark scheduling collapse into
+      ONE job + a driver loop (on a real cluster the 2·K job round-trips
+      dominate at small K×small data, which is the common case: the
+      event table is patients × genes);
+    - otherwise the distributed loop: K tiny jobs (groupBy + top-1 +
+      anti-join), collecting only one winner row per round, with
+      ``localCheckpoint`` keeping lineage flat.
     """
     ev = list(event_cols)
-    remaining = events.select(mut_col, *ev).distinct().localCheckpoint()
+    distinct = events.select(mut_col, *ev).distinct().localCheckpoint()
+    n_events = distinct.count()
+    if n_events <= collect_threshold:
+        pdf = distinct.toPandas()
+        pdf = pdf.assign(
+            event=pdf[ev[0]].astype(str) + "\x1f" + pdf[ev[1]].astype(str)
+        ).rename(columns={mut_col: "mut_gene"})
+        return _greedy_pandas_named(pdf[["mut_gene", "event"]], k)
+    remaining = distinct
     out: list[tuple[str, int]] = []
     for _ in range(k):
         top = (
@@ -60,12 +81,16 @@ def greedy_driver_selection(
     return out
 
 
-def _greedy_pandas(pdf: pd.DataFrame, k: int) -> list[int]:
-    """In-memory greedy cover over (mut_gene, event) rows → coverage sizes."""
+def _greedy_pandas_named(pdf: pd.DataFrame, k: int | None) -> list[tuple[str, int]]:
+    """In-memory greedy cover over (mut_gene, event) rows →
+    [(gene, newly_covered)] — the tie-break (strictly-greater gain over
+    genes in ascending key order) matches the distributed loop's
+    ``orderBy(cov desc, gene asc)`` exactly."""
     sets = pdf.groupby("mut_gene")["event"].apply(set).to_dict()
     covered: set = set()
-    sizes: list[int] = []
-    for _ in range(k):
+    out: list[tuple[str, int]] = []
+    rounds = len(sets) if k is None else k
+    for _ in range(rounds):
         best_gene, best_gain = None, 0
         for g in sorted(sets):
             gain = len(sets[g] - covered)
@@ -74,8 +99,14 @@ def _greedy_pandas(pdf: pd.DataFrame, k: int) -> list[int]:
         if best_gene is None:
             break
         covered |= sets[best_gene]
-        sizes.append(best_gain)
-    return sizes
+        out.append((best_gene, best_gain))
+    return out
+
+
+def _greedy_pandas(pdf: pd.DataFrame, k: int | None) -> list[int]:
+    """Coverage sizes only (the permutation-null path); ``k=None`` runs
+    the greedy to exhaustion (every gene with remaining gain)."""
+    return [c for _, c in _greedy_pandas_named(pdf, k)]
 
 
 PERM_SEED = 20260813
@@ -86,7 +117,7 @@ def permutation_null_coverage(
     edges: DataFrame,
     outliers: DataFrame,
     n_runs: int = 100,
-    k: int = 5,
+    k: int | None = None,
 ) -> DataFrame:
     """Null distribution of per-rank greedy coverage (DriverNet
     ``SignificanceTest.R:28-74``): each run re-draws the gene NAMES of the
@@ -101,18 +132,23 @@ def permutation_null_coverage(
     way the observed coverage reappears in every run and p-values pin at
     ~1.
 
-    Scale shape: the three input tables are collected and broadcast ONCE
-    (patients x genes matrices by construction -- the same data the greedy
-    loop itself needs in memory); the fan-out is ``range(n_runs)``, one
-    run per task, so nothing is replicated through a shuffle n_runs
-    times.
+    ``k=None`` (default) replays each null greedy to exhaustion and pools
+    ALL ranks — the reference's randomized runs go to ``maxNumOfDrivers``
+    (SignificanceTest.R:15,60) and ResultSummary.R:104-129 pools every
+    rank of every run; truncating the null at the observed top-k would
+    bias it toward large coverages and make p-values conservative.
+
+    Scale shape: the three input tables are collected ONCE and shipped in
+    the task closure (patients x genes matrices by construction -- the
+    same data the greedy loop itself needs in memory; closure capture
+    instead of ``sparkContext.broadcast`` so nothing outlives the job).
+    The fan-out is ``range(n_runs)``, one run per task, so nothing is
+    replicated through a shuffle n_runs times.
 
     Expects mutations(patient, mut_gene), edges(src, dst),
     outliers(patient, out_gene).
     Returns (run_id, rank, coverage) -- one row per greedy pick per run.
     """
-    import numpy as np
-
     spark = mutations.sparkSession
     mut_p = mutations.select("patient", "mut_gene").distinct().toPandas()
     edges_p = edges.select("src", "dst").distinct().toPandas()
@@ -121,14 +157,14 @@ def permutation_null_coverage(
         set(mut_p["mut_gene"]) | set(outl_p["out_gene"])
         | set(edges_p["src"]) | set(edges_p["dst"])
     )
-    bc = spark.sparkContext.broadcast((mut_p, edges_p, outl_p, universe))
+    closure = (mut_p, edges_p, outl_p, universe)
     runs = spark.range(n_runs).withColumnRenamed("id", "run_id")
 
     def run_one(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         run_id = int(pdf["run_id"].iloc[0])
-        mut, edg, outl, genes = bc.value
+        mut, edg, outl, genes = closure
         rng = np.random.default_rng(PERM_SEED + run_id)
         mut_names = sorted(mut["mut_gene"].unique())
         outl_names = sorted(outl["out_gene"].unique())

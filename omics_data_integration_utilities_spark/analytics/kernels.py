@@ -326,3 +326,109 @@ def roc_auc(
         F.first("__p").alias("n_pos"),
         F.first("__n").alias("n_neg"),
     )
+
+
+def pca_batch_check(
+    df: DataFrame,
+    gene_col: str,
+    sample_col: str,
+    value_col: str,
+    batch_df: DataFrame,
+    batch_col: str = "batch",
+) -> DataFrame:
+    """K10 family: the MethylMix batch-effect check
+    (``TCGA_GENERIC_CheckBatchEffect``, Download_Preprocess.R:828-848):
+    PCA over samples (prcomp of the sample × gene matrix, per-gene
+    centering), then one-way ANOVA of PC1 against the batch factor.
+
+    Scale shape: the gene dimension can be huge, the sample dimension is
+    bounded — so the distributed work is ONE pass building the
+    sample × sample Gram matrix (per-gene centering + gene equi-join +
+    pair aggregation, all shuffle-on-gene), and only the S×S Gram is
+    collected for the driver-side eigendecomposition (X = UΣVᵀ →
+    G = XXᵀ = UΣ²Uᵀ, PC1 scores = u₁·σ₁).  The F-test p-value comes from
+    the regularized incomplete beta already in functions/stats.py.
+
+    Returns one row per sample: (sample, batch, pc1, f_stat, p_value);
+    f_stat/p_value are constant columns (null when <2 batches, the
+    reference's ``return(-1)`` branch).
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ..functions.stats import betainc
+
+    spark = df.sparkSession
+    means = df.groupBy(gene_col).agg(F.avg(value_col).alias("__mu"))
+    centered = (
+        df.join(means, gene_col)
+        .select(
+            F.col(gene_col).alias("__g"),
+            F.col(sample_col).alias("__s"),
+            (F.col(value_col) - F.col("__mu")).alias("__v"),
+        )
+    )
+    rhs = centered.select(
+        F.col("__g"), F.col("__s").alias("__s2"), F.col("__v").alias("__v2")
+    )
+    gram_rows = (
+        centered.join(rhs, "__g")
+        .groupBy("__s", "__s2")
+        .agg(F.sum(F.col("__v") * F.col("__v2")).alias("__dot"))
+        .collect()
+    )
+    samples = sorted({r["__s"] for r in gram_rows})
+    idx = {s: i for i, s in enumerate(samples)}
+    n = len(samples)
+    if n < 2:
+        return spark.createDataFrame(
+            [], f"{sample_col} string, {batch_col} string, pc1 double, f_stat double, p_value double"
+        )
+    g = np.zeros((n, n))
+    for r in gram_rows:
+        g[idx[r["__s"]], idx[r["__s2"]]] = r["__dot"]
+    evals, evecs = np.linalg.eigh(g)
+    u1 = evecs[:, -1]
+    lam = max(float(evals[-1]), 0.0)
+    # deterministic sign: largest-|coord| component positive
+    if u1[int(np.argmax(np.abs(u1)))] < 0:
+        u1 = -u1
+    pc1 = u1 * math.sqrt(lam)
+    batches = {
+        r[0]: r[1]
+        for r in batch_df.select(sample_col, batch_col).distinct().collect()
+    }
+    labels = [batches.get(s) for s in samples]
+    # one-way ANOVA PC1 ~ batch (aov, Download_Preprocess.R:842)
+    groups: dict = {}
+    for s_i, b in enumerate(labels):
+        if b is not None:
+            groups.setdefault(b, []).append(pc1[s_i])
+    f_stat = p_value = None
+    if len(groups) > 1:
+        grand = np.mean([v for vs in groups.values() for v in vs])
+        n_obs = sum(len(vs) for vs in groups.values())
+        k = len(groups)
+        ssb = sum(len(vs) * (np.mean(vs) - grand) ** 2 for vs in groups.values())
+        ssw = sum(sum((v - np.mean(vs)) ** 2 for v in vs) for vs in groups.values())
+        d1, d2 = k - 1, n_obs - k
+        if d2 > 0 and ssw > 0:
+            f = (ssb / d1) / (ssw / d2)
+            # P(F > f) = I_{d2/(d2 + d1 f)}(d2/2, d1/2)
+            p = float(betainc(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f)))
+            f_stat, p_value = round(float(f), 6), round(p, 6)
+    rows = [
+        (
+            str(samples[i]),
+            None if labels[i] is None else str(labels[i]),
+            round(float(pc1[i]), 6),
+            f_stat,
+            p_value,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        f"{sample_col} string, {batch_col} string, pc1 double, f_stat double, p_value double",
+    )

@@ -208,7 +208,9 @@ def lsh_candidate_pairs(
     than ``max_posting`` are DROPPED: a degenerate band key at corpus scale
     is one giant row emitting |ids|² pairs that no re-planner can split,
     and a bucket that catches >max_posting docs has lost its locality
-    signal.  Use :func:`hot_posting_keys` to audit what a cap drops.
+    signal.  Use :func:`hot_band_buckets` to audit what the cap drops
+    (``hot_posting_keys`` audits shingle document frequency for the
+    shingle-based operators, not LSH band buckets).
     The band keys — and the minhash chain under them — are computed exactly
     once, unlike a self-join whose two branches each recompute signatures.
     """
@@ -221,6 +223,23 @@ def lsh_candidate_pairs(
         .select(F.explode(_pairs_from_ids(F.col("__ids"))).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
+    )
+
+
+def hot_band_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_posting: int = MAX_POSTING,
+) -> DataFrame:
+    """Audit helper for :func:`lsh_candidate_pairs`: LSH band buckets whose
+    membership exceeds the posting cap (i.e. the buckets the cap drops),
+    with counts — run alongside a capped LSH job to log the drop set."""
+    keys = lsh_band_keys(df, text_col, id_col)
+    return (
+        keys.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_posting)
     )
 
 
@@ -264,6 +283,13 @@ def ngram_jaccard_pairs(
     bounds the in-row |ids|² expansion and removes near-zero-signal
     features); the DuckDB oracle carries the identical bound, and
     :func:`hot_posting_keys` reports what a given cap drops.
+
+    Score semantics under the cap: capped shingles leave the intersection
+    count but stay in the per-doc set sizes, so ``jaccard`` for SURVIVING
+    pairs whose docs contain hot shingles is an UNDERESTIMATE (the same
+    holds for containment) — a deliberate conservative bias, consistent
+    across both engines; raise ``max_posting`` (or pre-strip hot shingles
+    from the corpus) if near-dups sit close to ``min_jaccard``.
     """
     shingle_arr = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")

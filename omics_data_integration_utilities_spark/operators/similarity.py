@@ -243,13 +243,20 @@ def ivf_assign(
         sample_fraction = min(1.0, max_train_rows / max(n, 1))
     src = df
     if sample_fraction < 1.0:
-        # deterministic sample: hash of id
-        src = df.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(10_000)) < int(sample_fraction * 10_000))
+        # deterministic sample: hash of id; modulus 1e6 so a fraction as
+        # small as 1e-6 (corpus ~1e11 rows at max_train_rows=1e5) still
+        # selects a nonempty stratum instead of flooring to zero
+        src = df.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+            < max(1, int(sample_fraction * 1_000_000))
+        )
     ids, m, _ = _ids_matrix(src, id_col, vec_col)
     if len(ids) < n_lists:
         # degenerate sample (tiny corpus or over-aggressive fraction):
         # take a bounded prefix instead — still never the full corpus
         ids, m, _ = _ids_matrix(df.limit(max_train_rows), id_col, vec_col)
+    if len(ids) == 0:
+        raise ValueError("ivf training: corpus is empty — no vectors to cluster")
     order = np.argsort(ids)
     m = m[order]
     # seeds: evenly spaced rows of the id-sorted sample (deterministic)

@@ -41,10 +41,11 @@ def q_drivernet_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_drivernet_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: permutation-null per-rank coverage distribution (20 seeded
     runs, DriverNet SignificanceTest.R:28-74 — mutation/outlier gene
-    names re-drawn per run upstream of the bipartite join, inputs
-    broadcast once)."""
+    names re-drawn per run upstream of the bipartite join); each null
+    greedy runs to exhaustion so every rank is pooled
+    (SignificanceTest.R:15,60 maxNumOfDrivers semantics)."""
     mutations, edges, outliers = _perm_tables(spark, sf_dir)
-    return permutation_null_coverage(mutations, edges, outliers, n_runs=20, k=5)
+    return permutation_null_coverage(mutations, edges, outliers, n_runs=20, k=None)
 
 
 def q_drivernet_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,9 +61,9 @@ def q_drivernet_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pick long, mut_gene string, covered long",
     )
     mutations, edges, outliers = _perm_tables(spark, sf_dir)
-    null = permutation_null_coverage(mutations, edges, outliers, n_runs=20, k=5).select(
-        "coverage"
-    )
+    null = permutation_null_coverage(
+        mutations, edges, outliers, n_runs=20, k=None
+    ).select("coverage")
     return (
         picks_df.crossJoin(null)
         .groupBy("pick", "mut_gene", "covered")

@@ -15,6 +15,7 @@ from ..analytics.kernels import (
     count_glm_offset,
     knn_impute,
     partial_correlations,
+    pca_batch_check,
     roc_auc,
 )
 from ..analytics.permutation import (
@@ -316,6 +317,21 @@ FROM bh
 """
 
 
+def q_k10_pca_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10 family: PCA batch-effect check (TCGA_GENERIC_CheckBatchEffect,
+    Download_Preprocess.R:828-848) — PC1 of the sample×gene profile matrix
+    + one-way ANOVA vs batch; rows-only check (eigendecomposition)."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("gene"),
+        (F.col("user_id") % 40).cast("string").alias("sample"),
+    ).agg(F.avg("value").alias("v"))
+    batches = cells.select(
+        "sample", (F.col("sample").cast("long") % 3).cast("string").alias("batch")
+    ).distinct()
+    return pca_batch_check(cells, "gene", "sample", "v", batches)
+
+
 def q_k13_count_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K13 NB count GLM with offset (Robinson ABCD-DNA shape): per-brand
     NB IRLS (edgeR glmFit dispersion=0.05, Figure_6_Feber_ROC.R:54-55) of
@@ -453,6 +469,7 @@ QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k2_mass": q_k2_mass,
     "k4_rule_bfs": q_k4_rule_bfs,
     "k12_perm_fdr": q_k12_perm_fdr,
+    "k10_pca_batch": q_k10_pca_batch,
     "k13_count_glm": q_k13_count_glm,
     "k13_roc": q_k13_roc,
 }

@@ -357,3 +357,54 @@ def test_mismatched_pair_null_is_derangement(spark):
     for r in out:
         assert r["var_a"] != r["var_b"]
         assert r["n"] == 8
+
+
+# --------------------------------------------------------------------------
+# K10: PCA batch check (Download_Preprocess.R:828-848)
+# --------------------------------------------------------------------------
+
+def test_pca_batch_check_matches_prcomp_replica(spark):
+    """Gram-matrix PC1 == prcomp-style numpy PCA on the same matrix, and
+    a planted batch shift on PC1 yields a tiny ANOVA p-value."""
+    from omics_data_integration_utilities_spark.analytics.kernels import (
+        pca_batch_check,
+    )
+
+    rng = np.random.RandomState(17)
+    n_s, n_g = 24, 12
+    base = rng.normal(0, 1, (n_s, n_g))
+    batch = np.array([i % 2 for i in range(n_s)])
+    x = base + batch[:, None] * 4.0  # strong batch effect along all genes
+    rows = [
+        (f"g{g}", f"s{s:02d}", float(x[s, g])) for s in range(n_s) for g in range(n_g)
+    ]
+    df = spark.createDataFrame(rows, "gene string, sample string, v double")
+    bdf = spark.createDataFrame(
+        [(f"s{s:02d}", str(batch[s])) for s in range(n_s)], "sample string, batch string"
+    )
+    out = pca_batch_check(df, "gene", "sample", "v", bdf).collect()
+    assert len(out) == n_s
+    p = out[0]["p_value"]
+    assert p is not None and p < 1e-6
+    # replica: prcomp(t(GEN)) scores, column 1
+    xc = x - x.mean(axis=0, keepdims=True)
+    u, s_, vt = np.linalg.svd(xc, full_matrices=False)
+    pc1_ref = u[:, 0] * s_[0]
+    if pc1_ref[int(np.argmax(np.abs(pc1_ref)))] < 0:
+        pc1_ref = -pc1_ref
+    got = {r["sample"]: r["pc1"] for r in out}
+    for s in range(n_s):
+        assert abs(got[f"s{s:02d}"] - pc1_ref[s]) < 1e-4
+
+
+def test_pca_batch_check_single_batch_null_pvalue(spark):
+    from omics_data_integration_utilities_spark.analytics.kernels import (
+        pca_batch_check,
+    )
+
+    rows = [(f"g{g}", f"s{s}", float(s + g)) for s in range(6) for g in range(4)]
+    df = spark.createDataFrame(rows, "gene string, sample string, v double")
+    bdf = spark.createDataFrame([(f"s{s}", "b0") for s in range(6)], "sample string, batch string")
+    out = pca_batch_check(df, "gene", "sample", "v", bdf).collect()
+    assert len(out) == 6
+    assert all(r["p_value"] is None for r in out)  # reference's return(-1) branch

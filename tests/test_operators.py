@@ -392,3 +392,18 @@ def test_smarts_mass_known_values(spark):
            df.select("s", F.round(smarts_mass("s"), 6).alias("mm")).collect()}
     for s, expected in cases:
         assert abs(got[s] - expected) < 1e-6, (s, got[s], expected)
+
+
+def test_greedy_distributed_path_matches_fast_path(spark):
+    """Force the distributed K-round loop (collect_threshold=0) and check
+    it returns exactly what the collected fast path returns."""
+    rows = [
+        ("A", "p1", "g1"), ("A", "p2", "g1"), ("A", "p3", "g2"),
+        ("B", "p1", "g1"), ("B", "p4", "g3"), ("B", "p5", "g1"),
+        ("C", "p6", "g2"), ("C", "p4", "g3"),
+    ]
+    ev = spark.createDataFrame(rows, "mut_gene string, patient string, out_gene string")
+    fast = greedy_driver_selection(ev, k=4)
+    slow = greedy_driver_selection(ev, k=4, collect_threshold=0)
+    assert fast == slow
+    assert fast[0][0] == "A"
