@@ -49,6 +49,13 @@ HEADLINE = [
     "sim_cosine_neardup",
     "text_quality",
     "events_tumbling",
+    # round-3 kernels (cheap enough for the 3-rep budget; the heavier
+    # iterative ones — methylmix_em ~10s, k10_pca_batch ~10s — stay out
+    # to keep the driver's per-round bench bounded)
+    "k2_mass",
+    "k13_roc",
+    "k12_perm_fdr",
+    "k4_rule_bfs",
 ]
 
 REGRESSION_FLAG = 1.3
@@ -103,7 +110,11 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         times = []
-        rows = 0
+        # one untimed warm-up execution: whole-stage-codegen compilation of
+        # a query's expression chain lands on its first run (observed 5.8s
+        # → 1.2s steady state on dedup_lsh_pairs) and would otherwise
+        # masquerade as a regression in a 3-rep median
+        rows = fn(spark, sf_dir).count()
         for _ in range(reps):
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).count()

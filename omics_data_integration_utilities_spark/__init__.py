@@ -24,6 +24,6 @@ Layout
 - ``streaming``  : Structured Streaming over the events table
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from .session import get_spark  # noqa: F401

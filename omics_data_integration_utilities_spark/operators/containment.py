@@ -125,6 +125,7 @@ def rule_bfs(
     is_in_col: str = "is_in",
     has_col: str = "has",
     max_rounds: int = 10,
+    collect_threshold: int = 500_000,
 ) -> DataFrame:
     """K4: prerequisite-gated level-wise rule BFS (the reference's
     ``get_next_rules`` / ``filter_df_with_map`` loop,
@@ -143,9 +144,14 @@ def rule_bfs(
     passed rules so far (not just the last frontier — a rule whose
     prerequisites complete late still surfaces, gizmos.py:345-349), minus
     already-tested, minus prerequisite-unmet (those may return in later
-    rounds, gizmos.py:364-366); tested rules never re-test.  Driver loop
-    of pure DataFrame rounds with ``localCheckpoint`` per round (bounded
-    lineage); each round is a handful of hash joins — no collect.
+    rounds, gizmos.py:364-366); tested rules never re-test.
+
+    Two physical strategies, identical output: rule maps that fit the
+    driver (``<= collect_threshold`` rules — the reference's own regime,
+    its map_df is a pandas frame) collect once and loop over sets,
+    collapsing ~5 joins × rounds of full-stage scheduling into one job;
+    larger maps run the distributed loop of hash joins with
+    ``localCheckpoint`` per round (bounded lineage, no collect).
 
     Returns (rule_id, round, passed) for every rule that got tested.
     """
@@ -156,6 +162,32 @@ def rule_bfs(
         F.col(is_in_col).alias("__is_in"),
         F.col(has_col).alias("__has"),
     )
+    if m.count() <= collect_threshold:
+        rows = m.collect()
+        ok = {r[0]: bool(r[2]) for r in rows}
+        base = [r[0] for r in rows if r[1]]
+        is_in = {r[0]: list(r[3] or []) for r in rows}
+        has = {r[0]: list(r[4] or []) for r in rows}
+        spark = map_df.sparkSession
+        out_rows = [(rid, 0, ok[rid]) for rid in sorted(base)]
+        tested = set(base)
+        passed_all = {rid for rid in base if ok[rid]}
+        for rnd in range(1, max_rounds + 1):
+            cands: set = set()
+            for rid in passed_all:
+                cands.update(is_in.get(rid, []))
+            cands = {c for c in cands if c in ok and c not in tested}
+            to_test = sorted(
+                c for c in cands if all(p in passed_all for p in has.get(c, []))
+            )
+            if not to_test:
+                break
+            out_rows.extend((c, rnd, ok[c]) for c in to_test)
+            tested.update(to_test)
+            passed_all.update(c for c in to_test if ok[c])
+        return spark.createDataFrame(
+            out_rows, f"{id_col} string, round int, passed boolean"
+        )
     out = (
         m.where(F.col("__base"))
         .select(id_col, F.lit(0).alias("round"), F.col("__ok").alias("passed"))

@@ -407,3 +407,23 @@ def test_greedy_distributed_path_matches_fast_path(spark):
     slow = greedy_driver_selection(ev, k=4, collect_threshold=0)
     assert fast == slow
     assert fast[0][0] == "A"
+
+
+def test_rule_bfs_distributed_matches_fast_path(spark):
+    rows = [
+        ("A", True, True, ["B", "C", "D"], []),
+        ("B", False, False, ["C"], ["A"]),
+        ("C", False, True, [], ["A", "B"]),
+        ("D", False, True, ["E"], ["A"]),
+        ("E", False, True, [], ["D"]),
+    ]
+    from omics_data_integration_utilities_spark.operators.containment import rule_bfs
+
+    df = spark.createDataFrame(
+        rows,
+        "rule_id string, is_base boolean, passes boolean, "
+        "is_in array<string>, has array<string>",
+    )
+    fast = sorted(tuple(r) for r in rule_bfs(df).collect())
+    slow = sorted(tuple(r) for r in rule_bfs(df, collect_threshold=0).collect())
+    assert fast == slow
