@@ -829,6 +829,36 @@ FROM events GROUP BY bucket, event_type
 """
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (built-in ``F.session_window``, 6-hour
+    gap) — the streaming-native sessionization in batch form; oracle is
+    the classic gap-islands construction (lag + running break count)."""
+    from ..streaming.events import session_window_agg
+
+    return session_window_agg(_t(spark, sf_dir, "events"), gap_seconds=21600)
+
+
+SQL_EVENTS_SESSIONS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events
+), d AS (
+  SELECT user_id, us, value,
+    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 21600000000
+         THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, min(us) AS session_start_us,
+       max(us) + 21600000000 AS session_end_us,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 # --------------------------------------------------------------------------
 # registry assembly (part 1 — relational spine). Dedup/similarity/text
 # entries live in registry_docs.py and are merged in __spark_entry__.
@@ -866,6 +896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k6_corr_pvalue": q_k6_corr_pvalue,
     "plan_mass_annotation": q_plan_mass_annotation,
     "events_tumbling": q_events_tumbling,
+    "events_sessions": q_events_sessions,
 }
 
 ORACLES: dict[str, str] = {
@@ -900,4 +931,5 @@ ORACLES: dict[str, str] = {
     "k6_corr_pvalue": SQL_K6_CORR_PVALUE,
     "plan_mass_annotation": SQL_PLAN_MASS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_sessions": SQL_EVENTS_SESSIONS,
 }

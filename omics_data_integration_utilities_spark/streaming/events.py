@@ -67,3 +67,40 @@ def windowed_event_counts_stream(
         .groupBy(F.window("__event_time", window), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
     )
+
+
+def session_window_agg(events: DataFrame, gap_seconds: int = 21600) -> DataFrame:
+    """Batch-form session windows via the built-in ``F.session_window``:
+    per user, events closer than ``gap_seconds`` merge into one session
+    ([start, last_event + gap) ranges merge while they overlap — an event
+    exactly ``gap`` after the previous one starts a NEW session).
+
+    Same streaming-first shape as the tumbling variant: the identical
+    expression works under ``readStream`` + watermark (session windows
+    are Structured Streaming's native sessionization).  ``ts`` arrives as
+    int64 epoch nanos; integer division to micros only (nanos exceed
+    2^53).  Value sums go through DECIMAL so both engines agree exactly.
+
+    Returns (user_id, session_start_us, session_end_us, n, sum_value).
+    """
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        events.withColumn("__event_time", ts)
+        .groupBy(
+            F.session_window("__event_time", f"{int(gap_seconds)} seconds"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n",
+            "sum_value",
+        )
+    )

@@ -38,3 +38,42 @@ def test_stream_matches_batch_totals(spark, tmp_path):
     expect_groups = batch.count()
     assert got["total"] == expect_total
     assert got["groups"] == expect_groups
+
+
+def test_session_windows_stream_matches_batch(spark, tmp_path):
+    """The session_window expression under readStream (complete mode)
+    produces the same sessions as the batch form."""
+    import os
+    import tempfile
+
+    from omics_data_integration_utilities_spark.streaming.events import (
+        session_window_agg,
+    )
+
+    path = f"{SF_SMOKE}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    staged = tempfile.mkdtemp(prefix="omics_sessions_")
+    os.symlink(path, os.path.join(staged, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(staged)
+    sess = session_window_agg(stream, gap_seconds=21600)
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sessions"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM sessions_out").collect()
+        )
+    finally:
+        q.stop()
+    batch = sorted(
+        tuple(r)
+        for r in session_window_agg(spark.read.parquet(path), 21600).collect()
+    )
+    assert got == batch
+    assert len(got) > 0
