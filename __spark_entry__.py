@@ -47,6 +47,7 @@ _PRIORITY = [
     "plan_mass_annotation",
     "plan_pathway_expand",
     "plan_corr_multiomics",
+    "plan_reaction_mass",
     "k1_reaction_products",
     "multimodal_features",
     "k9_linear_filter",

@@ -123,6 +123,102 @@ FROM part
 """
 
 
+# reaction rules for the §3.3 composite: pattern/replacement plus the
+# arithmetic mass delta the oracle uses as its independent route
+RXN_MASS_RULES = [
+    ("r_chlorinate", "Cl", "OO"),        # −35.45 + 2×15.999 = −3.452
+    ("r_demethyl", "\\[CH3\\]", ""),     # −12.011
+    ("r_ring_open", "c1ccccc1", "CCCCC"),  # 6C → 5C = −12.011
+]
+
+
+def q_plan_reaction_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 composite round: K1 reaction application → K2 product mass →
+    mass-match against the known-structure table (one reaction_loop round
+    of heraldPathways.py:381-491: react, compute product mass, assign ids
+    against known masses).  Spark shape: broadcast rule fan-out →
+    scan-speed SMARTS mass expression → integer-grid equi-join; the
+    DuckDB oracle computes every product mass arithmetically
+    (base + rule delta) — an independent route, so both the reaction
+    plumbing and the mass parser are checked end-to-end."""
+    from ..functions.chem import smarts_mass
+    from ..operators.reactions import apply_reactions
+
+    part = _t(spark, sf_dir, "part")
+    smarts_expr = F.concat(
+        F.expr("repeat('C', (p_size % 5) + 1)"),
+        F.expr("repeat('O', cast(p_partkey % 3 as int))"),
+        F.lit("[N&X3:2]"),
+        F.when(F.col("p_partkey") % 2 == 0, F.lit("Cl")).otherwise(F.lit("c1ccccc1")),
+        F.lit("[CH3]"),
+    )
+    structs = part.select(F.col("p_partkey").alias("sid"), smarts_expr.alias("smarts"))
+    known = (
+        structs.select(
+            F.round(F.round(smarts_mass("smarts"), 3) * 1000, 0)
+            .cast("long")
+            .alias("mkey")
+        )
+        .groupBy("mkey")
+        .agg(F.count(F.lit(1)).alias("n_known"))
+    )
+    subs = structs.where(F.col("sid") % 3 == 0).select(
+        F.col("sid").alias("substrate_id"), F.col("smarts").alias("substrate")
+    )
+    rules = spark.createDataFrame(
+        RXN_MASS_RULES, "rule_id string, pattern string, replacement string"
+    )
+    prods = apply_reactions(subs, rules).withColumn(
+        "mm", F.round(smarts_mass(F.col("product")), 3)
+    )
+    return (
+        prods.withColumn("mkey", F.round(F.col("mm") * 1000, 0).cast("long"))
+        .join(known, "mkey", "left")
+        .select(
+            "substrate_id",
+            "rule_id",
+            "product_id",
+            "mm",
+            F.coalesce("n_known", F.lit(0)).alias("n_matches"),
+        )
+    )
+
+
+SQL_PLAN_REACTION_MASS = """
+WITH s AS (
+  SELECT p_partkey AS sid,
+         repeat('C', (p_size % 5) + 1) || repeat('O', CAST(p_partkey % 3 AS INT))
+           || '[N&X3:2]'
+           || CASE WHEN p_partkey % 2 = 0 THEN 'Cl' ELSE 'c1ccccc1' END
+           || '[CH3]' AS smarts,
+         round(((p_size % 5) + 1) * 12.011 + (p_partkey % 3) * 15.999 + 14.007
+               + CASE WHEN p_partkey % 2 = 0 THEN 35.45 ELSE 6 * 12.011 END
+               + 12.011, 3) AS mm
+  FROM part
+), known AS (
+  SELECT CAST(round(mm * 1000, 0) AS BIGINT) AS mkey, count(*) AS n_known
+  FROM s GROUP BY 1
+), subs AS (
+  SELECT * FROM s WHERE sid % 3 = 0
+), rules(rule_id, pattern, replacement, delta, applies_even) AS (
+  VALUES ('r_chlorinate', 'Cl', 'OO', -3.452, 1),
+         ('r_demethyl', '\\[CH3\\]', '', -12.011, NULL),
+         ('r_ring_open', 'c1ccccc1', 'CCCCC', -12.011, 0)
+), prods AS (
+  SELECT subs.sid AS substrate_id, r.rule_id,
+         regexp_replace(subs.smarts, r.pattern, r.replacement, 'g') AS product,
+         round(subs.mm + r.delta, 3) AS mm
+  FROM subs, rules r
+  WHERE r.applies_even IS NULL OR (CASE WHEN subs.sid % 2 = 0 THEN 1 ELSE 0 END) = r.applies_even
+)
+SELECT substrate_id, rule_id,
+       'VM_' || substr(sha256(product), 1, 16) AS product_id,
+       mm, coalesce(n_known, 0) AS n_matches
+FROM prods LEFT JOIN known
+  ON CAST(round(prods.mm * 1000, 0) AS BIGINT) = known.mkey
+"""
+
+
 def q_k4_rule_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 prerequisite-gated rule BFS (gizmos.py:339-400): a 3-level rule
     hierarchy from part (first-token ⊂ p_name ⊂ p_name+brand); base rules
@@ -411,25 +507,18 @@ def q_k1_reaction_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic content-hash product ids (F5 fix for the reference's
     random VM_ ids).  The RDKit reaction would replace the regexp kernel
     under the same 1→N dataflow."""
+    from ..operators.reactions import apply_reactions
+
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     rules = spark.createDataFrame(
         REACTION_RULES, "rule_id string, pattern string, replacement string"
     )
-    reacted = (
-        docs.crossJoin(F.broadcast(rules))
-        .withColumn(
-            "product_text",
-            F.expr("regexp_replace(text, pattern, replacement)"),
-        )
-        .where(F.col("product_text") != F.col("text"))
-    )
+    reacted = apply_reactions(docs, rules, id_col="doc_id", substrate_col="text")
     return reacted.select(
-        F.col("doc_id").alias("substrate_id"),
+        "substrate_id",
         "rule_id",
-        F.concat(F.lit("VM_"), F.substring(F.sha2(F.col("product_text"), 256), 1, 16)).alias(
-            "product_id"
-        ),
-        F.length("product_text").cast("long").alias("product_len"),
+        "product_id",
+        F.length("product").cast("long").alias("product_len"),
     )
 
 
@@ -467,6 +556,7 @@ QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k10_knn_impute": q_k10_knn_impute,
     "k12_partial_corr": q_k12_partial_corr,
     "k2_mass": q_k2_mass,
+    "plan_reaction_mass": q_plan_reaction_mass,
     "k4_rule_bfs": q_k4_rule_bfs,
     "k12_perm_fdr": q_k12_perm_fdr,
     "k10_pca_batch": q_k10_pca_batch,
@@ -478,6 +568,7 @@ ORACLES_KERNELS: dict[str, str] = {
     "k1_reaction_products": SQL_K1_REACTION,
     "multimodal_features": SQL_MULTIMODAL,
     "k2_mass": SQL_K2_MASS,
+    "plan_reaction_mass": SQL_PLAN_REACTION_MASS,
     "k4_rule_bfs": SQL_K4_RULE_BFS,
     "k12_perm_fdr": SQL_K12_PERM_FDR,
     "k13_roc": SQL_K13_ROC,

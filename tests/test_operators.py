@@ -427,3 +427,29 @@ def test_rule_bfs_distributed_matches_fast_path(spark):
     fast = sorted(tuple(r) for r in rule_bfs(df).collect())
     slow = sorted(tuple(r) for r in rule_bfs(df, collect_threshold=0).collect())
     assert fast == slow
+
+
+def test_reaction_kernel_injection_matches_jvm_path(spark):
+    """The mapInPandas kernel slot (where RDKit RunReactants would go)
+    produces identical products/ids to the default JVM regexp path."""
+    from omics_data_integration_utilities_spark.operators.reactions import (
+        apply_reactions,
+        regexp_kernel_pandas,
+    )
+
+    subs = spark.createDataFrame(
+        [(1, "CCOCl"), (2, "c1ccccc1N"), (3, "plain")],
+        "substrate_id long, substrate string",
+    )
+    rules = spark.createDataFrame(
+        [("r1", "Cl", "OO"), ("r2", "c1ccccc1", "CCCCC")],
+        "rule_id string, pattern string, replacement string",
+    )
+    jvm = sorted(tuple(r) for r in apply_reactions(subs, rules).collect())
+    injected = sorted(
+        tuple(r)
+        for r in apply_reactions(subs, rules, kernel=regexp_kernel_pandas).collect()
+    )
+    assert jvm == injected
+    assert len(jvm) == 2  # 'plain' matches no rule; others match one each
+    assert all(r[3].startswith("VM_") for r in jvm)
