@@ -69,3 +69,59 @@ def doc_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         F.md5(F.array_join(toks, " ")).alias("fingerprint"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm, Schleimer/
+    Wilkerson/Aiken SIGMOD'03): hash every k-token shingle, slide a
+    ``window`` over consecutive hashes, keep each window's minimum — the
+    fingerprint SET per document (positions dropped; the guarantee that
+    any match of length ≥ window+k−1 shares a fingerprint is unchanged).
+
+    Pure window algebra: one posexplode + one (doc, pos) window min + a
+    distinct — no UDF, one shuffle on the doc key.  Hashes use the
+    md5-prefix integer recipe so the DuckDB oracle is bit-identical.
+    Returns (id, fingerprint) distinct rows.
+    """
+    from pyspark.sql import Window
+
+    # POSITIONAL shingles (no dedup — winnowing is defined on the k-gram
+    # sequence; the dedup operators' array_distinct would break both the
+    # match guarantee and cross-engine ordering)
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    n = F.size("__toks")
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("__toks"), i + j) for j in range(k)]
+    )
+    arr = toks.select(
+        F.col(id_col),
+        F.when(n >= k, F.transform(idx, mk))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__sh"),
+    )
+    e = arr.select(
+        F.col(id_col), F.posexplode_outer("__sh").alias("pos", "s")
+    ).where(F.col("s").isNotNull())
+    h = e.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    mins = h.select(
+        F.col(id_col),
+        F.min("h").over(w).alias("fingerprint"),
+        F.count(F.lit(1)).over(w).alias("__full"),
+    ).where(F.col("__full") == window)  # trailing partial windows excluded
+    return mins.select(id_col, "fingerprint").distinct()

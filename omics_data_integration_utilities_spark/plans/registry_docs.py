@@ -365,6 +365,40 @@ FROM documents d LEFT JOIN is_in i ON i.doc_id = d.doc_id LEFT JOIN has h ON h.d
 """
 )
 
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, Schleimer et al. SIGMOD'03): 3-gram
+    rolling hashes, window-4 minima, distinct per doc — pure window
+    algebra, md5-prefix hashes shared bit-identically with the oracle."""
+    from ..operators.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3, window=4
+    )
+
+
+SQL_TEXT_WINNOWING = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          for i in generate_series(1, len(t) - 2)] AS s
+  FROM tok
+), e AS (
+  SELECT doc_id, unnest(s) AS sg, generate_subscripts(s, 1) AS pos FROM sh
+), h AS (
+  SELECT doc_id, pos, ('0x' || substr(md5(sg), 1, 15))::BIGINT AS hv FROM e
+), m AS (
+  SELECT doc_id,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wlen
+  FROM h
+)
+SELECT DISTINCT doc_id, fingerprint FROM m WHERE wlen = 4
+"""
+
+
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rulemap_containment": q_rulemap_containment,
     "dedup_exact": q_dedup_exact,
@@ -377,6 +411,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_neardup": q_cosine_neardup,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
+    "text_winnowing": q_text_winnowing,
     "text_lang_id": q_text_lang_id,
 }
 
@@ -392,5 +427,6 @@ ORACLES_DOCS: dict[str, str] = {
     "sim_cosine_neardup": SQL_COSINE_NEARDUP,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
+    "text_winnowing": SQL_TEXT_WINNOWING,
     "text_lang_id": SQL_TEXT_LANG_ID,
 }

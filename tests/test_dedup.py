@@ -18,3 +18,33 @@ def test_hot_band_buckets_reports_capped_lsh_buckets(spark):
     assert lsh_candidate_pairs(docs, "text", "doc_id", max_posting=8).count() == 0
     # with a cap above the corpus the pairs reappear
     assert lsh_candidate_pairs(docs, "text", "doc_id", max_posting=20).count() == 66
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """MOSS guarantee: any shared token run of length >= window + k - 1
+    (= 6 here) yields at least one shared fingerprint; disjoint docs
+    share none."""
+    from omics_data_integration_utilities_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w + k - 1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"five six seven {shared} eight"),
+            (3, "completely different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(docs, "text", "doc_id", k=3, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # determinism across runs
+    again = {}
+    for r in winnowing_fingerprints(docs, "text", "doc_id", k=3, window=4).collect():
+        again.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert again == by_doc
