@@ -829,6 +829,30 @@ FROM events GROUP BY bucket, event_type
 """
 
 
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows (1h window, 15min slide — each event in 4 buckets)
+    via the built-in sliding ``F.window``; oracle enumerates the 4
+    epoch-aligned window starts per event with generate_series."""
+    from ..streaming.events import hopping_window_agg
+
+    return hopping_window_agg(
+        _t(spark, sf_dir, "events"), window_seconds=3600, slide_seconds=900
+    )
+
+
+SQL_EVENTS_HOPPING = """
+WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+x AS (
+  SELECT ((us // 900000000) - k) * 900000000 AS ws, event_type, value
+  FROM e, generate_series(0, 3) AS g(k)
+)
+SELECT ws AS window_start_us, ws + 3600000000 AS window_end_us, event_type,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+FROM x GROUP BY ws, event_type
+"""
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (built-in ``F.session_window``, 6-hour
     gap) — the streaming-native sessionization in batch form; oracle is
@@ -897,6 +921,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan_mass_annotation": q_plan_mass_annotation,
     "events_tumbling": q_events_tumbling,
     "events_sessions": q_events_sessions,
+    "events_hopping": q_events_hopping,
 }
 
 ORACLES: dict[str, str] = {
@@ -932,4 +957,5 @@ ORACLES: dict[str, str] = {
     "plan_mass_annotation": SQL_PLAN_MASS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sessions": SQL_EVENTS_SESSIONS,
+    "events_hopping": SQL_EVENTS_HOPPING,
 }

@@ -104,3 +104,42 @@ def session_window_agg(events: DataFrame, gap_seconds: int = 21600) -> DataFrame
             "sum_value",
         )
     )
+
+
+def hopping_window_agg(
+    events: DataFrame, window_seconds: int = 3600, slide_seconds: int = 900
+) -> DataFrame:
+    """Batch-form hopping (sliding) windows via the built-in ``F.window``
+    with a slide: each event lands in ``window/slide`` overlapping
+    buckets.  Same streaming-first shape as the tumbling variant (the
+    identical expression runs under readStream + watermark).  ``ts``
+    arrives as int64 epoch nanos → integer division to micros; DECIMAL
+    value sums for cross-engine exactness.
+
+    Returns (window_start_us, window_end_us, event_type, n, sum_value).
+    """
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        events.withColumn("__event_time", ts)
+        .groupBy(
+            F.window(
+                "__event_time",
+                f"{int(window_seconds)} seconds",
+                f"{int(slide_seconds)} seconds",
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            F.unix_micros(F.col("window.end")).alias("window_end_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
