@@ -44,27 +44,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # capped window always covers them (micro-queries like the F-family are
 # individually tiny and covered by the local suite regardless)
 _PRIORITY = [
+    # composite plans
     "plan_mass_annotation",
     "plan_pathway_expand",
     "plan_corr_multiomics",
     "plan_reaction_mass",
+    # chemistry / rule kernels
     "k1_reaction_products",
-    "multimodal_features",
-    "k9_linear_filter",
     "k2_mass",
     "k4_rule_bfs",
+    "rulemap_containment",
+    # analytics kernels
+    "k6_pairwise_corr",
+    "k6_spearman",
     "k6_corr_pvalue",
+    "k9_linear_filter",
+    "k10_pca_batch",
+    "k12_partial_corr",
     "k12_perm_fdr",
-    "k13_roc",
     "k13_count_glm",
+    "k13_roc",
     "methylmix_em",
     "methylmix_states",
     "drivernet_greedy",
     "drivernet_significance",
+    # LLM-pipeline surface
     "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_signatures",
     "dedup_lsh_pairs",
     "dedup_ngram_jaccard",
-    "rulemap_containment",
+    "dedup_simhash",
+    "sim_ann_topk",
+    "sim_cosine_neardup",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "text_winnowing",
+    "multimodal_features",
+    # streaming-equivalent windows
+    "events_tumbling",
+    "events_sessions",
+    "events_hopping",
+    # core relational representatives
+    "a3_pricing_summary",
+    "j1_star_join",
+    "j4_band_join",
+    "j5_adduct_expand",
+    "j6_transition_match",
+    "j12_event_join",
+    "p6_mad_filter",
+    "p8_outlier_matrix",
+    "w1_mutual_rank",
+    "w3_lag_diff",
+    "a6_argmin_dedup",
+    "a4_set_union",
+    "o1_global_topk",
 ]
 
 
