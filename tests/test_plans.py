@@ -62,3 +62,37 @@ def test_minhash_no_filter_reinlining(spark):
 def test_topk_uses_window_limit(spark):
     plan = _plan(spark, "o1_global_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_k2_mass_is_pure_projection(spark):
+    """The SMARTS mass parser is a scan + project: no Exchange, no Python
+    workers — scan-speed at any scale."""
+    plan = _plan(spark, "k2_mass")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_k13_roc_no_python_and_bounded_shuffles(spark):
+    plan = _plan(spark, "k13_roc")
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 3  # agg + window partitions
+
+
+def test_winnowing_single_shuffle_no_python(spark):
+    plan = _plan(spark, "text_winnowing")
+    assert "EvalPython" not in plan
+    # one shuffle to the (doc) window + the distinct aggregation
+    assert plan.count("Exchange") <= 3
+
+
+def test_session_windows_no_python(spark):
+    plan = _plan(spark, "events_sessions")
+    assert "EvalPython" not in plan
+
+
+def test_reaction_default_kernel_stays_jvm(spark):
+    """The K1 default path must not route through Python workers (the
+    kernel slot is opt-in for RDKit)."""
+    plan = _plan(spark, "k1_reaction_products")
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan  # rule fan-out broadcast
