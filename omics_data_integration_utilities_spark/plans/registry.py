@@ -420,6 +420,13 @@ def _j12_tables(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(part, li.l_partkey == part.p_partkey)
     )
+    # mutations, the outlier stats and the outlier join-back all re-derive
+    # this 3-table join — without materialization the plan scans the
+    # inputs 10 times (3 derivations x 3 tables + edges).  One
+    # localCheckpoint = one join pass; downstream reads are local.
+    joined = joined.select(
+        "o_custkey", "p_brand", "p_type", "l_extendedprice"
+    ).localCheckpoint()
     mutations = joined.select(
         F.col("o_custkey").alias("patient"), F.col("p_brand").alias("gene")
     ).distinct()

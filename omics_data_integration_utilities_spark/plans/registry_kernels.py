@@ -345,6 +345,11 @@ def q_k12_perm_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").alias("va"),
         F.count(F.lit(1)).cast("double").alias("vb"),
     )
+    # the obs/null/pairing branches all re-derive from `series`; without a
+    # materialization Catalyst re-plans the aggregation per branch — SIX
+    # full input scans.  One localCheckpoint = one scan; the checkpointed
+    # set is |blocks × vars × samples|, tiny relative to the input.
+    series = series.localCheckpoint()
     obs = (
         series.groupBy("blk", "var")
         .agg(
