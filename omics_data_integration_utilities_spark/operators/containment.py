@@ -161,7 +161,7 @@ def rule_bfs(
         F.col(passes_col).alias("__ok"),
         F.col(is_in_col).alias("__is_in"),
         F.col(has_col).alias("__has"),
-    )
+    ).localCheckpoint()  # map construction computes ONCE (count + collect/loop reuse it)
     if m.count() <= collect_threshold:
         rows = m.collect()
         ok = {r[0]: bool(r[2]) for r in rows}
