@@ -76,6 +76,7 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "sim_ann_topk",
+    "sim_ivf_topk",
     "sim_cosine_neardup",
     "text_lang_id",
     "text_quality",

@@ -207,6 +207,22 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "cand_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in exact mode (n_probes == n_lists degenerates to brute
+    force) — hash-checks the whole IVF machinery (bounded centroid
+    training, list assignment, probe join, window top-k) against the
+    same brute-force oracle; the approximate mode's recall is asserted
+    in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    out = sim_ops.ivf_topk(
+        emb, queries, "embedding", "vec_id", k=5, n_lists=16, n_probes=16
+    )
+    return out.select(
+        "query_id", "cand_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 SQL_ANN_TOPK = """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
 qe AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, generate_subscripts(embedding, 1) AS i FROM q),
@@ -408,6 +424,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_simhash": q_simhash,
     "sim_ann_topk": q_ann_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
     "sim_cosine_neardup": q_cosine_neardup,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
@@ -424,6 +441,7 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_simhash": SQL_SIMHASH,
     "sim_ann_topk": SQL_ANN_TOPK,
+    "sim_ivf_topk": SQL_ANN_TOPK,
     "sim_cosine_neardup": SQL_COSINE_NEARDUP,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
