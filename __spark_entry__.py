@@ -68,6 +68,7 @@ _PRIORITY = [
     "methylmix_states",
     "drivernet_greedy",
     "drivernet_significance",
+    "combat_mean_only",
     # LLM-pipeline surface
     "dedup_exact",
     "dedup_fingerprint",

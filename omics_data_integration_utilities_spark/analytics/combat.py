@@ -100,3 +100,52 @@ def combat_adjust(
         )
     )
     return adjusted.select(feature_col, sample_col, batch_col, value_col, "adjusted")
+
+
+def combat_mean_only(
+    df: DataFrame,
+    feature_col: str,
+    sample_col: str,
+    batch_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mean-only ComBat (the reference family's ``mean.only`` variant:
+    location-shift batch correction without the EB scale solve) — remove
+    each batch's mean shift in standardized space, then de-standardize:
+
+        adjusted = (z − mean_z(feature, batch)) · sqrt(gvar) + gmean
+
+    Unlike :func:`combat_adjust` this is CLOSED FORM: two aggregations +
+    a join back, every step plain SQL → DuckDB-oracle hash-checkable.
+    Returns (feature, sample, value, adjusted).
+    """
+    feat_stats = df.groupBy(feature_col).agg(
+        F.avg(value_col).alias("__gmean"),
+        F.var_pop(value_col).alias("__gvar"),
+    )
+    std = df.join(feat_stats, feature_col).withColumn(
+        "__z",
+        (F.col(value_col) - F.col("__gmean"))
+        / F.sqrt(F.greatest(F.col("__gvar"), F.lit(1e-12))),
+    )
+    gamma = std.groupBy(feature_col, batch_col).agg(
+        F.avg("__z").alias("__gamma")
+    )
+    return (
+        std.join(gamma, [feature_col, batch_col])
+        .withColumn(
+            "adjusted",
+            F.round(
+                (F.col("__z") - F.col("__gamma"))
+                * F.sqrt(F.greatest(F.col("__gvar"), F.lit(1e-12)))
+                + F.col("__gmean"),
+                6,
+            ),
+        )
+        .select(
+            feature_col,
+            sample_col,
+            F.round(value_col, 6).alias(value_col),
+            "adjusted",
+        )
+    )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from ..analytics.combat import combat_adjust
+from ..analytics.combat import combat_adjust, combat_mean_only
 from ..analytics.drivernet import greedy_driver_selection, permutation_null_coverage
 from .registry import _j12_events, _j12_tables, _t
 
@@ -89,7 +89,45 @@ def q_combat_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return combat_adjust(cells, "feature", "sample", "batch", "v")
 
 
+def q_combat_mean_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10 family: closed-form mean-only ComBat (location-shift batch
+    correction, no EB scale solve) — fully SQL-expressible, hash-checked;
+    the EB variant stays rows-only (iterative shrinkage)."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.select(
+        F.col("event_type").alias("feature"),
+        F.col("event_id").cast("string").alias("sample"),
+        (F.col("user_id") % 3).cast("string").alias("batch"),
+        F.col("value").alias("v"),
+    )
+    return combat_mean_only(cells, "feature", "sample", "batch", "v")
+
+
+SQL_COMBAT_MEAN_ONLY = """
+WITH cells AS (
+  SELECT event_type AS feature, CAST(event_id AS VARCHAR) AS sample,
+         CAST(user_id % 3 AS VARCHAR) AS batch, value AS v
+  FROM events
+), fs AS (
+  SELECT feature, avg(v) AS gmean, var_pop(v) AS gvar
+  FROM cells GROUP BY feature
+), std AS (
+  SELECT c.*, fs.gmean, fs.gvar,
+         (c.v - fs.gmean) / sqrt(greatest(fs.gvar, 1e-12)) AS z
+  FROM cells c JOIN fs USING (feature)
+), g AS (
+  SELECT feature, batch, avg(z) AS gamma
+  FROM std GROUP BY feature, batch
+)
+SELECT s.feature, s.sample, round(s.v, 6) AS v,
+       round((s.z - g.gamma) * sqrt(greatest(s.gvar, 1e-12)) + s.gmean, 6)
+         AS adjusted
+FROM std s JOIN g ON g.feature = s.feature AND g.batch = s.batch
+"""
+
+
 QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "combat_mean_only": q_combat_mean_only,
     "drivernet_greedy": q_drivernet_greedy,
     "drivernet_permutation": q_drivernet_permutation,
     "drivernet_significance": q_drivernet_significance,
@@ -158,4 +196,5 @@ SELECT * FROM (
 # combat_adjust stays rows-only (iterative EB shrinkage)
 ORACLES_ANALYTICS: dict[str, str] = {
     "drivernet_greedy": SQL_DRIVERNET_GREEDY,
+    "combat_mean_only": SQL_COMBAT_MEAN_ONLY,
 }

@@ -41,3 +41,25 @@ def test_combat_deterministic(spark):
     a = sorted(map(tuple, combat_adjust(df, "feature", "sample", "batch", "v").collect()))
     b = sorted(map(tuple, combat_adjust(df, "feature", "sample", "batch", "v").collect()))
     assert a == b
+
+
+def test_combat_mean_only_removes_batch_shift(spark):
+    """A pure location shift between batches vanishes: per-feature batch
+    means of the adjusted values agree across batches."""
+    import numpy as np
+
+    from omics_data_integration_utilities_spark.analytics.combat import (
+        combat_mean_only,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for s in range(200):
+        batch = "b1" if s % 2 == 0 else "b2"
+        shift = 0.0 if batch == "b1" else 5.0
+        rows.append(("f1", f"s{s}", batch, float(rng.normal(10.0, 1.0) + shift)))
+    df = spark.createDataFrame(rows, "feature string, sample string, batch string, v double")
+    out = combat_mean_only(df, "feature", "sample", "batch", "v").toPandas()
+    merged = out.assign(batch=["b1" if int(s[1:]) % 2 == 0 else "b2" for s in out["sample"]])
+    means = merged.groupby("batch")["adjusted"].mean()
+    assert abs(means["b1"] - means["b2"]) < 1e-6
