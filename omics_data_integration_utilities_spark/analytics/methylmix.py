@@ -162,7 +162,9 @@ def _beta_est(y: np.ndarray, w: np.ndarray, weights: np.ndarray) -> tuple[float,
     obs = np.isfinite(y)
     if obs.sum() <= 1:
         return 1.0, 1.0
-    y = y[obs]
+    # guard the open-support boundary for standalone calls (blc_2 clamps
+    # upstream, MethylMix.R:573-576; exact 0/1 would -inf the log terms)
+    y = np.clip(y[obs], 1e-12, 1.0 - 1e-12)
     w = w[obs]
     weights = weights[obs]
     cw = weights * w

@@ -109,3 +109,93 @@ def test_jaccard_identical_docs_is_one(spark):
     df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
     row = ngram_jaccard_pairs(df, "text", "doc_id", min_jaccard=0.0).collect()[0]
     assert row["jaccard"] == 1.0
+
+
+# --------------------------------------------------------------------------
+# round-3 kernel invariants
+# --------------------------------------------------------------------------
+
+@given(
+    ps=st.lists(st.floats(min_value=1e-6, max_value=1.0), min_size=1, max_size=30),
+)
+@settings(max_examples=50, deadline=None)
+def test_bh_adjust_invariants_driver_side(ps):
+    """BH on the numpy side of the window formula: adjusted values are in
+    [p, 1], monotone in the p-ordering, and idempotent-safe (a second
+    adjust of adjusted values never decreases them)."""
+    import numpy as np
+
+    def bh(pvec):
+        m = len(pvec)
+        order = np.argsort(pvec, kind="mergesort")
+        raw = pvec[order] * m / (np.arange(m) + 1)
+        adj = np.minimum.accumulate(raw[::-1])[::-1]
+        out = np.empty(m)
+        out[order] = np.minimum(adj, 1.0)
+        return out
+
+    p = np.array(ps)
+    adj = bh(p)
+    assert np.all(adj >= p - 1e-12)
+    assert np.all(adj <= 1.0 + 1e-12)
+    # monotone: sorting by p sorts adj (ties aside)
+    order = np.argsort(p, kind="mergesort")
+    assert np.all(np.diff(adj[order]) >= -1e-12)
+
+
+@given(
+    a=st.floats(min_value=0.2, max_value=50.0),
+    b=st.floats(min_value=0.2, max_value=50.0),
+)
+@settings(max_examples=30, deadline=None)
+def test_beta_est_recovers_moments_roundtrip(a, b):
+    """The weighted beta MLE lands near the true parameters' mean for
+    large samples (consistency smoke over the parameter space)."""
+    import numpy as np
+
+    from omics_data_integration_utilities_spark.analytics.methylmix import _beta_est
+
+    rng = np.random.RandomState(int(a * 1000 + b * 7) % (2**31))
+    y = rng.beta(a, b, 4000)
+    ones = np.ones(len(y))
+    ah, bh_ = _beta_est(y, ones, ones)
+    assert ah > 0 and bh_ > 0
+    # fitted mean close to empirical mean
+    assert abs(ah / (ah + bh_) - y.mean()) < 0.02
+
+
+@given(
+    n=st.integers(min_value=2, max_value=12),
+    m=st.integers(min_value=2, max_value=12),
+    u_frac=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(max_examples=60, deadline=None)
+def test_wilcox_exact_p_bounds_and_symmetry(n, m, u_frac):
+    import math
+
+    from omics_data_integration_utilities_spark.analytics.methylmix import (
+        _wilcox_exact_p,
+    )
+
+    u = round(u_frac * n * m)
+    p = _wilcox_exact_p(float(u), n, m)
+    assert 0.0 < p <= 1.0
+    # U and nm-U are symmetric: same two-sided p
+    p_sym = _wilcox_exact_p(float(n * m - u), n, m)
+    assert math.isclose(p, p_sym, rel_tol=1e-9) or abs(p - p_sym) < 1e-9
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=500), min_size=4, max_size=4),
+)
+@settings(max_examples=30, deadline=None)
+def test_nb_deviance_zero_at_saturation(counts):
+    """NB deviance of y against mu=y is exactly 0; against any other mu
+    it is positive."""
+    import numpy as np
+
+    from omics_data_integration_utilities_spark.analytics.kernels import _nb_deviance
+
+    y = np.array(counts, dtype=float)
+    assert abs(_nb_deviance(y, y.copy(), 0.05)) < 1e-9
+    assert _nb_deviance(y, y * 1.5, 0.05) > 0
