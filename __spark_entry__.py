@@ -75,6 +75,7 @@ _PRIORITY = [
     "dedup_minhash_signatures",
     "dedup_lsh_pairs",
     "dedup_ngram_jaccard",
+    "dedup_components",
     "dedup_simhash",
     "sim_ann_topk",
     "sim_ivf_topk",

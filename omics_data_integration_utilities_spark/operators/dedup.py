@@ -357,3 +357,73 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ).alias("__th"),
     )
     return hashed.select(id_col, _simhash_from_hashes(F.col("__th")).alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    vertices: DataFrame | None = None,
+    vertex_col: str | None = None,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters: connected components by
+    iterative min-label propagation (the hashmin algorithm — each round
+    every vertex takes the minimum label among itself and its neighbours;
+    converges in ≤ diameter rounds, which for near-dup graphs is tiny).
+
+    This is the missing production step after LSH/Jaccard: pair lists
+    can't drive "keep one copy" decisions until they're clustered.
+    ``vertices`` (optional) adds isolated docs so singletons appear as
+    their own component.  Returns (id, component, is_canonical) where
+    component = min id in the cluster and ``is_canonical`` marks the one
+    row per cluster a dedup job keeps.
+
+    Scale shape: per round one equi-join + one groupBy (both shuffle on
+    the vertex key), ``localCheckpoint`` per round; the change counter is
+    the loop's only action.  For graphs with giant diameters switch to
+    large-star/small-star — near-dup graphs never need it.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    if vertices is not None:
+        vcol = vertex_col or id_a
+        nodes = nodes.unionByName(
+            vertices.select(F.col(vcol).alias("id"))
+        ).distinct()
+    labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint()
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("__nmin"))
+        )
+        updated = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("__nmin", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("__nmin", F.col("component")) < F.col("component")
+                ).alias("__changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.where(F.col("__changed")).count()
+        labels = updated.select("id", "component").localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(
+        "id",
+        "component",
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

@@ -174,6 +174,48 @@ SELECT * FROM (
 )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution over the n-gram-Jaccard near-dup graph: min-label
+    connected components + canonical-doc flag — the production step that
+    turns pair lists into keep/drop decisions.  Oracle = recursive CTE
+    reachability with min label over the identical pair construction."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.2)
+    return dedup_ops.connected_components(
+        pairs, vertices=docs.select(F.col("doc_id").alias("id_a"))
+    )
+
+
+SQL_DEDUP_COMPONENTS = (
+    "WITH RECURSIVE " + _SHINGLE_CTES + f"""
+, e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+sz AS (SELECT doc_id, len(s)::BIGINT AS sz FROM sh),
+ok AS (SELECT shingle FROM e GROUP BY shingle HAVING count(*) BETWEEN 2 AND {MAX_POSTING}),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM ok o JOIN e a ON a.shingle = o.shingle
+            JOIN e b ON b.shingle = o.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  ) WHERE jaccard >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS id, min(label) AS component,
+       node = min(label) AS is_canonical
+FROM reach GROUP BY node
+"""
+)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (Charikar majority-vote)."""
     return dedup_ops.simhash_table(_t(spark, sf_dir, "documents"), "text", "doc_id")
@@ -422,6 +464,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_signatures": q_minhash_signatures,
     "dedup_lsh_pairs": q_lsh_candidate_pairs,
     "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_components": q_dedup_components,
     "dedup_simhash": q_simhash,
     "sim_ann_topk": q_ann_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -439,6 +482,7 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_minhash_signatures": SQL_MINHASH_SIGNATURES,
     "dedup_lsh_pairs": SQL_LSH_CANDIDATE_PAIRS,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
     "dedup_simhash": SQL_SIMHASH,
     "sim_ann_topk": SQL_ANN_TOPK,
     "sim_ivf_topk": SQL_ANN_TOPK,

@@ -48,3 +48,23 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
     for r in winnowing_fingerprints(docs, "text", "doc_id", k=3, window=4).collect():
         again.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     assert again == by_doc
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(3, 5), (5, 9), (9, 11), (20, 21)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(3,), (5,), (9,), (11,), (20,), (21,), (42,)], "id_a long")
+    out = {r["id"]: (r["component"], r["is_canonical"]) for r in
+           connected_components(pairs, vertices=verts).collect()}
+    # 4-node chain needs multi-hop propagation to reach min=3
+    assert out[3] == (3, True)
+    assert out[5] == (3, False)
+    assert out[9] == (3, False)
+    assert out[11] == (3, False)
+    assert out[20] == (20, True) and out[21] == (20, False)
+    assert out[42] == (42, True)  # isolated vertex is its own component
