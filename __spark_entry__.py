@@ -85,6 +85,7 @@ _PRIORITY = [
     "text_token_count",
     "text_winnowing",
     "multimodal_features",
+    "doc_split",
     # streaming-equivalent windows
     "events_tumbling",
     "events_sessions",

@@ -1,0 +1,86 @@
+"""Deterministic sampling & splitting for training-data pipelines
+(north-star surface; the reference has no sampling operators).
+
+Everything here is HASH-based, not RNG-based: a row's assignment depends
+only on (salt, id), so splits are reproducible across runs, engines,
+partitionings and cluster sizes — the property training pipelines need
+for leak-free train/val/test separation.  ``df.sample()`` by contrast is
+seed-and-partitioning dependent.  All expressions are JVM-side md5
+arithmetic (the engine-portable recipe from ``constants.py``), so the
+DuckDB oracle reproduces assignments bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _hash_bucket(id_col: Column, salt: str) -> Column:
+    """Uniform bucket in [0, 1e6) from md5(salt || id) — deterministic,
+    engine-portable (DuckDB: ('0x'||substr(md5(salt||id),1,15))::BIGINT)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Assign every row to a named split by hash threshold.
+
+    ``weights`` maps split name → fraction (must sum to ≤ 1; any
+    remainder falls into the last split).  Default 90/5/5
+    train/val/test.  Returns the input plus a ``split`` column.
+    Changing ``salt`` re-draws the assignment; keeping it pins every id
+    to its split forever — ids added later don't reshuffle old ones.
+    """
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    bucket = _hash_bucket(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(round(acc * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash bucket
+    clears the stratum's threshold.  ``fractions`` maps stratum value →
+    keep fraction; unlisted strata use ``default_fraction``.  The same
+    (salt, id) always decides the same way — re-running the pipeline or
+    adding strata never changes previous picks.
+    """
+    bucket = _hash_bucket(F.col(id_col), salt)
+    thresh = None
+    for value, frac in fractions.items():
+        cond = F.col(stratum_col) == value
+        t = F.lit(int(round(frac * _BUCKETS)))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = (
+        F.lit(int(round(default_fraction * _BUCKETS)))
+        if thresh is None
+        else thresh.otherwise(int(round(default_fraction * _BUCKETS)))
+    )
+    return df.where(bucket < thresh)

@@ -216,6 +216,58 @@ FROM reach GROUP BY node
 )
 
 
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split + stratified downsample
+    of the train split (keep 50% of lang 'en' docs by hash) — the
+    reproducible-split staple; pure md5 arithmetic, fully oracled."""
+    from ..operators.sampling import hash_split, stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(docs.select("doc_id"), "doc_id")
+    counts = split.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+    sampled = stratified_hash_sample(
+        split.where(F.col("split") == "train").withColumn(
+            "stratum", (F.col("doc_id") % 2).cast("string")
+        ),
+        "doc_id",
+        "stratum",
+        fractions={"0": 0.5, "1": 0.25},
+    )
+    kept = sampled.groupBy(F.lit("train_sampled").alias("split")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.unionByName(kept)
+
+
+SQL_DOC_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS bucket
+  FROM documents
+), split AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 900000 THEN 'train'
+              WHEN bucket < 950000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+), counts AS (
+  SELECT split, count(*) AS n FROM split GROUP BY split
+), samp AS (
+  SELECT s.doc_id,
+         ('0x' || substr(md5('sample-v1' || CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS sb,
+         CAST(s.doc_id % 2 AS VARCHAR) AS stratum
+  FROM split s WHERE s.split = 'train'
+), kept AS (
+  SELECT 'train_sampled' AS split, count(*) AS n
+  FROM samp
+  WHERE (stratum = '0' AND sb < 500000) OR (stratum = '1' AND sb < 250000)
+)
+SELECT split, n FROM counts UNION ALL SELECT split, n FROM kept
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (Charikar majority-vote)."""
     return dedup_ops.simhash_table(_t(spark, sf_dir, "documents"), "text", "doc_id")
@@ -466,6 +518,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_components": q_dedup_components,
     "dedup_simhash": q_simhash,
+    "doc_split": q_doc_split,
     "sim_ann_topk": q_ann_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_cosine_neardup": q_cosine_neardup,
@@ -484,6 +537,7 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "dedup_simhash": SQL_SIMHASH,
+    "doc_split": SQL_DOC_SPLIT,
     "sim_ann_topk": SQL_ANN_TOPK,
     "sim_ivf_topk": SQL_ANN_TOPK,
     "sim_cosine_neardup": SQL_COSINE_NEARDUP,

@@ -68,3 +68,24 @@ def test_connected_components_chain_and_singleton(spark):
     assert out[11] == (3, False)
     assert out[20] == (20, True) and out[21] == (20, False)
     assert out[42] == (42, True)  # isolated vertex is its own component
+
+
+def test_hash_split_stable_and_partition_invariant(spark):
+    """Split assignment depends only on (salt, id): repartitioning or
+    re-running never moves a row; fractions land near targets."""
+    from omics_data_integration_utilities_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         hash_split(df.repartition(17), "doc_id").collect()}
+    assert a == b
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c["train"] / 5000 - 0.90) < 0.02
+    assert abs(c["val"] / 5000 - 0.05) < 0.01
+    assert abs(c["test"] / 5000 - 0.05) < 0.01
+    # adding rows never reshuffles old ids
+    bigger = spark.range(0, 6000).withColumnRenamed("id", "doc_id")
+    c2 = {r["doc_id"]: r["split"] for r in hash_split(bigger, "doc_id").collect()}
+    assert all(c2[k] == v for k, v in a.items())
