@@ -66,6 +66,7 @@ _PRIORITY = [
     "k13_roc",
     "methylmix_em",
     "methylmix_states",
+    "plan_methylmix",
     "drivernet_greedy",
     "drivernet_significance",
     "combat_mean_only",

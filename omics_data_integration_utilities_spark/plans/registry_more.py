@@ -450,6 +450,44 @@ def q_methylmix_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     return methylmix_model(cancer, "event_type", "beta_v", normal_df=normal)
 
 
+def q_plan_methylmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MethylMix lifecycle composed end-to-end (the reference's
+    MethylMix() main driver, MethylMix.R:236-290: ClusterProbes → per-
+    cluster mean profiles → per-cluster beta-mixture DM calls vs the
+    normal cohort).  Genes = event_type, probes = a value-derived bucket,
+    samples = users; cancer/normal cohorts split by user hash.  Rows-only
+    (K8+K11 iterative kernels), deterministic."""
+    from ..analytics.clustering import cluster_mean_profiles, cluster_probes
+
+    # sample = a 20-bucket cohort key, not raw user ids: the reference's
+    # probe clustering drops probes with ANY missing sample (dropna on
+    # the probe × sample pivot), so the matrix must be dense
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("gene"),
+        (F.col("event_id") % 4).cast("string").alias("probe"),
+        (F.col("user_id") % 20).cast("string").alias("sample"),
+        (F.col("value") / F.lit(500.0)).alias("beta"),
+        (F.col("user_id") % 7 == 0).alias("is_normal"),
+    )
+    cells = ev.groupBy("gene", "probe", "sample", "is_normal").agg(
+        F.avg("beta").alias("beta")
+    )
+    cancer = cells.where(~F.col("is_normal"))
+    clusters = cluster_probes(cancer, "gene", "probe", "sample", "beta")
+    prof_cancer = cluster_mean_profiles(
+        cancer, clusters, "gene", "probe", "sample", "beta"
+    ).withColumn("gene_cluster", F.concat_ws("__", "gene", "cluster"))
+    prof_normal = cluster_mean_profiles(
+        cells.where(F.col("is_normal")), clusters, "gene", "probe", "sample", "beta"
+    ).withColumn("gene_cluster", F.concat_ws("__", "gene", "cluster"))
+    return methylmix_model(
+        prof_cancer.select("gene_cluster", "mean_value"),
+        "gene_cluster",
+        "mean_value",
+        normal_df=prof_normal.select("gene_cluster", "mean_value"),
+    )
+
+
 def q_methylmix_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K8 sample-level MethylationStates output (MethylMix.R:405-419) —
     per-sample classification + DM state, no SQL oracle (iterative EM)."""
@@ -526,6 +564,7 @@ QUERIES_MORE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan_corr_multiomics": q_plan_corr_multiomics,
     "methylmix_em": q_methylmix_em,
     "methylmix_states": q_methylmix_states,
+    "plan_methylmix": q_plan_methylmix,
     "k14_dag_break": q_k14_dag_break,
 }
 
