@@ -60,12 +60,10 @@ _PRIORITY = [
     "k6_corr_pvalue",
     "k9_linear_filter",
     "k10_pca_batch",
-    "k12_partial_corr",
     "k12_perm_fdr",
     "k13_count_glm",
     "k13_roc",
     "methylmix_em",
-    "methylmix_states",
     "plan_methylmix",
     "drivernet_greedy",
     "drivernet_significance",
