@@ -81,6 +81,7 @@ _PRIORITY = [
     "sim_cosine_neardup",
     "text_lang_id",
     "text_quality",
+    "text_gopher",
     "text_token_count",
     "text_winnowing",
     "multimodal_features",

@@ -125,3 +125,61 @@ def winnowing_fingerprints(
         F.count(F.lit(1)).over(w).alias("__full"),
     ).where(F.col("__full") == window)  # trailing partial windows excluded
     return mins.select(id_col, "fingerprint").distinct()
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.6,
+    min_stopword_hits: int = 1,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1 — the
+    standard public heuristic battery for web-scale corpus filtering):
+    token-count bounds, mean-token-length bounds, symbol-to-token ratio
+    (# and ellipsis), alphabetic-word fraction, and a minimum stopword
+    hit count.  One projection, every rule a boolean column plus the
+    conjunction ``keep`` — no UDF, scan-speed, SQL-oracle-able.
+    """
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    mean_tok_len = (n_chars - (n_tok - 1)) / n_tok
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ellipsis = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis) / n_tok
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = alpha_words / n_tok
+    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    rules = {
+        "ok_n_tokens": (n_tok >= min_tokens) & (n_tok <= max_tokens),
+        "ok_token_len": (mean_tok_len >= min_mean_token_len)
+        & (mean_tok_len <= max_mean_token_len),
+        "ok_symbols": symbol_ratio <= max_symbol_ratio,
+        "ok_alpha": alpha_frac >= min_alpha_word_frac,
+        "ok_stopwords": stop_hits >= min_stopword_hits,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        *[v.alias(k) for k, v in rules.items()],
+        keep.alias("keep"),
+    )

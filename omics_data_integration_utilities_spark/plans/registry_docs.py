@@ -174,6 +174,48 @@ SELECT * FROM (
 )
 
 
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule battery (Rae et al. 2021 §A1.1) — five
+    boolean rules + keep verdict, one projection."""
+    from ..operators.text import gopher_quality_rules
+
+    return gopher_quality_rules(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+SQL_TEXT_GOPHER = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         (length(text) - (len(toks) - 1)) / len(toks) AS mtl,
+         (length(text) - length(replace(text, '#', ''))) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ell,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+         len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, lower(x)))) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(mtl, 6) AS mean_token_len,
+       round((n_hash + n_ell) / n_tokens, 6) AS symbol_ratio,
+       round(CAST(alpha_words AS DOUBLE) / n_tokens, 6) AS alpha_word_frac,
+       stop_hits AS stopword_hits,
+       (n_tokens >= 5 AND n_tokens <= 100000) AS ok_n_tokens,
+       (mtl >= 2.0 AND mtl <= 12.0) AS ok_token_len,
+       ((n_hash + n_ell) / n_tokens <= 0.1) AS ok_symbols,
+       (CAST(alpha_words AS DOUBLE) / n_tokens >= 0.6) AS ok_alpha,
+       (stop_hits >= 1) AS ok_stopwords,
+       ((n_tokens >= 5 AND n_tokens <= 100000)
+        AND (mtl >= 2.0 AND mtl <= 12.0)
+        AND ((n_hash + n_ell) / n_tokens <= 0.1)
+        AND (CAST(alpha_words AS DOUBLE) / n_tokens >= 0.6)
+        AND (stop_hits >= 1)) AS keep
+FROM f
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster resolution over the n-gram-Jaccard near-dup graph: min-label
     connected components + canonical-doc flag — the production step that
@@ -408,7 +450,6 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.lang_id(_t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.05)
 
 
-_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 
 SQL_TEXT_LANG_ID = f"""
 WITH t AS (
@@ -524,6 +565,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_neardup": q_cosine_neardup,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
+    "text_gopher": q_text_gopher,
     "text_winnowing": q_text_winnowing,
     "text_lang_id": q_text_lang_id,
 }
@@ -543,6 +585,7 @@ ORACLES_DOCS: dict[str, str] = {
     "sim_cosine_neardup": SQL_COSINE_NEARDUP,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
+    "text_gopher": SQL_TEXT_GOPHER,
     "text_winnowing": SQL_TEXT_WINNOWING,
     "text_lang_id": SQL_TEXT_LANG_ID,
 }
