@@ -82,6 +82,8 @@ _PRIORITY = [
     "text_lang_id",
     "text_quality",
     "text_gopher",
+    "text_token_counts",
+    "text_pii_scrub",
     "text_token_count",
     "text_winnowing",
     "multimodal_features",

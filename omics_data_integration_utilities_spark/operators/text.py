@@ -183,3 +183,54 @@ def gopher_quality_rules(
         *[v.alias(k) for k, v in rules.items()],
         keep.alias("keep"),
     )
+
+
+# BPE-ish pre-tokenizer pattern (GPT-2 style, simplified to the regex
+# subset Java and RE2 share — no lookahead): contractions, letter runs,
+# digit runs, punctuation runs, whitespace runs
+BPE_ISH_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s"
+
+
+def bpe_token_count_col(text: Column | str) -> Column:
+    """Approximate LLM token count via the BPE-ish pre-tokenizer regex —
+    counts pre-token pieces (a real BPE splits pieces further, so this is
+    a stable lower-bound proxy useful for budget accounting)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Both token-count flavors side by side: whitespace tokens and
+    BPE-ish pre-tokens — one projection."""
+    return df.select(
+        F.col(id_col),
+        token_count_col(text_col).alias("n_ws_tokens"),
+        bpe_token_count_col(text_col).alias("n_bpe_tokens"),
+    )
+
+
+# engine-portable PII patterns (Java regex ∩ RE2: no lookarounds/backrefs)
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Redact common PII shapes (emails, IPv4, phone-like digit runs) with
+    typed placeholders — a chained regexp_replace projection, scan-speed.
+    Patterns stay in the Java∩RE2 regex subset so the DuckDB oracle runs
+    the identical expressions.  Returns (id, scrubbed, n_redactions)."""
+    c: Column = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    n_red = sum(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        for _, pat, _ in PII_PATTERNS
+    )
+    return df.select(
+        F.col(id_col),
+        c.alias("scrubbed"),
+        n_red.cast("long").alias("n_redactions"),
+    )

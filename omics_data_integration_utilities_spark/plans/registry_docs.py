@@ -177,6 +177,64 @@ SELECT * FROM (
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 
 
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both token-count flavors (whitespace + BPE-ish pre-tokenizer regex)
+    — the budget-accounting pair; patterns live in the Java∩RE2 subset so
+    the oracle runs the identical regex."""
+    from ..operators.text import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+SQL_TEXT_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s'))
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over docs with planted deterministic PII (email + IP
+    derived from doc_id, so every row exercises the patterns); typed
+    placeholders + redaction count."""
+    from ..operators.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return scrub_pii(docs, "text", "doc_id")
+
+
+SQL_TEXT_PII_SCRUB = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+    '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+   + len(regexp_extract_all(text, '\+?[0-9][0-9()\-\s]{7,}[0-9]')))::BIGINT AS n_redactions
+FROM d
+"""
+
+
 def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rule battery (Rae et al. 2021 §A1.1) — five
     boolean rules + keep verdict, one projection."""
@@ -566,6 +624,8 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_gopher": q_text_gopher,
+    "text_token_counts": q_text_token_counts,
+    "text_pii_scrub": q_text_pii_scrub,
     "text_winnowing": q_text_winnowing,
     "text_lang_id": q_text_lang_id,
 }
@@ -586,6 +646,8 @@ ORACLES_DOCS: dict[str, str] = {
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
     "text_gopher": SQL_TEXT_GOPHER,
+    "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
+    "text_pii_scrub": SQL_TEXT_PII_SCRUB,
     "text_winnowing": SQL_TEXT_WINNOWING,
     "text_lang_id": SQL_TEXT_LANG_ID,
 }
