@@ -70,7 +70,6 @@ _PRIORITY = [
     "combat_mean_only",
     # LLM-pipeline surface
     "dedup_exact",
-    "dedup_fingerprint",
     "dedup_minhash_signatures",
     "dedup_lsh_pairs",
     "dedup_ngram_jaccard",
@@ -84,7 +83,6 @@ _PRIORITY = [
     "text_gopher",
     "text_token_counts",
     "text_pii_scrub",
-    "text_token_count",
     "text_winnowing",
     "multimodal_features",
     "doc_split",
