@@ -342,12 +342,14 @@ def pca_batch_check(
     centering), then one-way ANOVA of PC1 against the batch factor.
 
     Scale shape: the gene dimension can be huge, the sample dimension is
-    bounded — so the distributed work is ONE pass building the
-    sample × sample Gram matrix (per-gene centering + gene equi-join +
-    pair aggregation, all shuffle-on-gene), and only the S×S Gram is
-    collected for the driver-side eigendecomposition (X = UΣVᵀ →
-    G = XXᵀ = UΣ²Uᵀ, PC1 scores = u₁·σ₁).  The F-test p-value comes from
-    the regularized incomplete beta already in functions/stats.py.
+    bounded — so the distributed work is ONE shuffle-on-gene pass in which
+    each task accumulates its partial sample × sample Gram as a dense
+    S × S outer-product sum (BLAS ``MᵀM`` over gene-chunks), emitting S
+    rows of S doubles per partition; the driver sums P·S bounded rows and
+    eigendecomposes (X = UΣVᵀ → G = XXᵀ = UΣ²Uᵀ, PC1 scores = u₁·σ₁).
+    No gene-key self-join, no |genes|·S² intermediate, no S²-row collect.
+    The F-test p-value comes from the regularized incomplete beta already
+    in functions/stats.py.
 
     Returns one row per sample: (sample, batch, pc1, f_stat, p_value);
     f_stat/p_value are constant columns (null when <2 batches, the
@@ -360,6 +362,13 @@ def pca_batch_check(
     from ..functions.stats import betainc
 
     spark = df.sparkSession
+    samples = sorted(r[0] for r in df.select(sample_col).distinct().collect())
+    idx = {s: i for i, s in enumerate(samples)}
+    n = len(samples)
+    if n < 2:
+        return spark.createDataFrame(
+            [], f"{sample_col} string, {batch_col} string, pc1 double, f_stat double, p_value double"
+        )
     means = df.groupBy(gene_col).agg(F.avg(value_col).alias("__mu"))
     centered = (
         df.join(means, gene_col)
@@ -369,25 +378,41 @@ def pca_batch_check(
             (F.col(value_col) - F.col("__mu")).alias("__v"),
         )
     )
-    rhs = centered.select(
-        F.col("__g"), F.col("__s").alias("__s2"), F.col("__v").alias("__v2")
-    )
+
+    # Partial-Gram accumulation: G = XᵀX = Σ_p X_pᵀX_p holds only when the
+    # row blocks X_p partition whole genes, so shuffle on the gene key first;
+    # each task then scatters its genes into chunked dense (genes × S) blocks
+    # and accumulates one S×S partial via GEMM.  idx travels by closure
+    # capture (bounded: S entries).
+    def _partial_gram(batches):
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        codes, _ = pd.factorize(pdf["__g"], sort=False)
+        cols = pdf["__s"].map(idx).to_numpy(dtype=np.int64)
+        vals = pdf["__v"].to_numpy(dtype=float)
+        gp = np.zeros((n, n))
+        chunk_genes = 4096  # caps task memory at chunk_genes × S doubles
+        n_genes = int(codes.max()) + 1
+        for lo in range(0, n_genes, chunk_genes):
+            hi = min(lo + chunk_genes, n_genes)
+            sel = (codes >= lo) & (codes < hi)
+            m = np.zeros((hi - lo, n))
+            m[codes[sel] - lo, cols[sel]] = vals[sel]
+            gp += m.T @ m
+        yield pd.DataFrame(
+            {"i": np.arange(n, dtype=np.int64), "row": [gp[i].tolist() for i in range(n)]}
+        )
+
     gram_rows = (
-        centered.join(rhs, "__g")
-        .groupBy("__s", "__s2")
-        .agg(F.sum(F.col("__v") * F.col("__v2")).alias("__dot"))
+        centered.repartition("__g")
+        .mapInPandas(_partial_gram, schema="i long, row array<double>")
         .collect()
     )
-    samples = sorted({r["__s"] for r in gram_rows})
-    idx = {s: i for i, s in enumerate(samples)}
-    n = len(samples)
-    if n < 2:
-        return spark.createDataFrame(
-            [], f"{sample_col} string, {batch_col} string, pc1 double, f_stat double, p_value double"
-        )
     g = np.zeros((n, n))
     for r in gram_rows:
-        g[idx[r["__s"]], idx[r["__s2"]]] = r["__dot"]
+        g[r["i"]] += np.asarray(r["row"])
     evals, evecs = np.linalg.eigh(g)
     u1 = evecs[:, -1]
     lam = max(float(evals[-1]), 0.0)
