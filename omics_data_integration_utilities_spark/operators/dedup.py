@@ -368,9 +368,11 @@ def connected_components(
     max_iterations: int = 30,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into clusters: connected components by
-    iterative min-label propagation (the hashmin algorithm — each round
-    every vertex takes the minimum label among itself and its neighbours;
-    converges in ≤ diameter rounds, which for near-dup graphs is tiny).
+    min-label propagation with pointer doubling (each round does a hashmin
+    step — every vertex takes the min label among its neighbours — then a
+    pointer-jump step — label ← label[label]), so the propagation reach
+    doubles per round and convergence needs ~log₂(diameter) rounds, not
+    diameter rounds.
 
     This is the missing production step after LSH/Jaccard: pair lists
     can't drive "keep one copy" decisions until they're clustered.
@@ -379,11 +381,14 @@ def connected_components(
     component = min id in the cluster and ``is_canonical`` marks the one
     row per cluster a dedup job keeps.
 
-    Scale shape: per round one equi-join + one groupBy (both shuffle on
-    the vertex key), ``localCheckpoint`` per round; the change counter is
-    the loop's only action.  For graphs with giant diameters switch to
-    large-star/small-star — near-dup graphs never need it.
+    Scale shape: per round two equi-joins + one groupBy (all shuffle on
+    the vertex key).  A fixed unroll of ``unroll_rounds`` rounds runs with
+    NO per-round convergence action (covers diameter ≈ 2^unroll_rounds);
+    a single check follows, and only an unconverged graph pays checked
+    rounds up to ``max_iterations`` — with a ``warnings.warn`` if even
+    those run out (split components would otherwise be silent).
     """
+    import warnings
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -399,29 +404,58 @@ def connected_components(
             vertices.select(F.col(vcol).alias("id"))
         ).distinct()
     labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint()
-    for _ in range(max_iterations):
+
+    def _round(lbl: DataFrame) -> DataFrame:
+        # hashmin: min neighbour label
         neigh = (
-            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            edges.join(lbl.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("__nmin"))
         )
-        updated = (
-            labels.join(neigh, "id", "left")
+        stepped = lbl.join(neigh, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("__nmin", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: component ← component's own label (reach doubles)
+        jump = stepped.select(
+            F.col("id").alias("component"), F.col("component").alias("__jmin")
+        )
+        return (
+            stepped.join(jump, "component", "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce("__nmin", F.col("component"))
+                    F.col("component"), F.coalesce("__jmin", F.col("component"))
                 ).alias("component"),
-                (
-                    F.coalesce("__nmin", F.col("component")) < F.col("component")
-                ).alias("__changed"),
             )
             .localCheckpoint()
         )
-        changed = updated.where(F.col("__changed")).count()
-        labels = updated.select("id", "component").localCheckpoint()
+
+    unroll_rounds = 6  # reach ~2^6: any near-dup graph converges well inside
+    for _ in range(min(unroll_rounds, max_iterations)):
+        labels = _round(labels)
+    converged = False
+    for _ in range(max(0, max_iterations - unroll_rounds) + 1):
+        nxt = _round(labels)
+        changed = (
+            labels.withColumnRenamed("component", "__prev")
+            .join(nxt, "id")
+            .where(F.col("component") < F.col("__prev"))
+            .count()
+        )
+        labels = nxt
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            "connected_components: max_iterations exhausted before convergence; "
+            "returned components may be split (consider raising max_iterations "
+            "or switching to large-star/small-star)",
+            RuntimeWarning,
+        )
     return labels.select(
         "id",
         "component",
