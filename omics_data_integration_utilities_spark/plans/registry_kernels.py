@@ -453,6 +453,79 @@ def q_k13_count_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k13_poisson_2group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K13 closed-form-oracled special case: two-group Poisson GLM with
+    offset run through the SAME ``_nb_irls`` machinery as the NB fit
+    (dispersion=0).  The two-group Poisson MLE has a closed form —
+    intercept = ln(Y₀/E₀), group coef = ln((Y₁/E₁)/(Y₀/E₀)) with
+    SE² = 1/Y₀ and 1/Y₀+1/Y₁, and glmLRT statistic
+    2·[Σ_g Y_g·ln(Y_g/E_g) − Y·ln(Y/E)] — so DuckDB can hash-check the
+    iterative kernel that `k13_count_glm` can only rows-check.
+    Reference semantics: Robinson_method/R/run_ABCD-DNA.R:10-84 (edgeR
+    glmFit/glmLRT with CN offsets; Poisson = dispersion→0 limit).
+    p-value is excluded (erfc isn't SQL-expressible); lr and z_lrt pin
+    the same likelihood surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    counts = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_linestatus", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("l_quantity").cast("double").alias("exposure"),
+        )
+    )
+    out = count_glm_offset(
+        counts, "p_brand", "n", "l_linestatus", "exposure", dispersion=0.0
+    )
+    return out.select("p_brand", "coef", "estimate", "se", "z", "lr", "z_lrt")
+
+
+SQL_K13_POISSON_2GROUP = """
+WITH counts AS (
+  SELECT p_brand, l_linestatus AS grp,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(l_quantity) AS DOUBLE) AS exposure
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, l_linestatus, l_returnflag
+), g AS (
+  SELECT p_brand, grp, sum(n) AS y, sum(exposure) AS e
+  FROM counts GROUP BY p_brand, grp
+), lv AS (
+  SELECT p_brand, min(grp) AS g0, max(grp) AS g1, count(DISTINCT grp) AS k
+  FROM g GROUP BY p_brand
+), s AS (
+  SELECT g.p_brand,
+         max(lv.g1) AS g1name,
+         sum(CASE WHEN grp = g0 THEN y ELSE 0 END) AS y0,
+         sum(CASE WHEN grp = g0 THEN e ELSE 0 END) AS e0,
+         sum(CASE WHEN grp = g1 THEN y ELSE 0 END) AS y1,
+         sum(CASE WHEN grp = g1 THEN e ELSE 0 END) AS e1
+  FROM g JOIN lv USING (p_brand) WHERE lv.k = 2
+  GROUP BY g.p_brand
+)
+SELECT p_brand, 'intercept' AS coef,
+       round(ln(y0 / e0), 6) AS estimate,
+       round(sqrt(1.0 / y0), 6) AS se,
+       round(ln(y0 / e0) / greatest(sqrt(1.0 / y0), 1e-12), 6) AS z,
+       CAST(NULL AS DOUBLE) AS lr,
+       CAST(NULL AS DOUBLE) AS z_lrt
+FROM s
+UNION ALL
+SELECT p_brand, 'l_linestatus=' || g1name AS coef,
+       round(ln((y1 / e1) / (y0 / e0)), 6) AS estimate,
+       round(sqrt(1.0 / y0 + 1.0 / y1), 6) AS se,
+       round(ln((y1 / e1) / (y0 / e0))
+             / greatest(sqrt(1.0 / y0 + 1.0 / y1), 1e-12), 6) AS z,
+       round(2.0 * (y0 * ln(y0 / e0) + y1 * ln(y1 / e1)
+             - (y0 + y1) * ln((y0 + y1) / (e0 + e1))), 6) AS lr,
+       round(-sign(ln((y1 / e1) / (y0 / e0)))
+             * sqrt(greatest(2.0 * (y0 * ln(y0 / e0) + y1 * ln(y1 / e1)
+                   - (y0 + y1) * ln((y0 + y1) / (e0 + e1))), 0.0)), 6) AS z_lrt
+FROM s
+"""
+
+
 def q_k13_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K13 ROC summary (makeROCCurve/performance(pred,'auc'),
     Robinson_method/R/functions.R:23-111) as pure window aggregation:
@@ -566,6 +639,7 @@ QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k12_perm_fdr": q_k12_perm_fdr,
     "k10_pca_batch": q_k10_pca_batch,
     "k13_count_glm": q_k13_count_glm,
+    "k13_poisson_2group": q_k13_poisson_2group,
     "k13_roc": q_k13_roc,
 }
 
@@ -576,6 +650,7 @@ ORACLES_KERNELS: dict[str, str] = {
     "plan_reaction_mass": SQL_PLAN_REACTION_MASS,
     "k4_rule_bfs": SQL_K4_RULE_BFS,
     "k12_perm_fdr": SQL_K12_PERM_FDR,
+    "k13_poisson_2group": SQL_K13_POISSON_2GROUP,
     "k13_roc": SQL_K13_ROC,
     # k10/k12/k13_count_glm are iterative numpy kernels — rows-only check
 }
