@@ -39,10 +39,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["plan_mass_annotation"](spark, "/root/testdata/sf0.001")
 
 
-# the driver's correctness pass caps at 50 queries in registration order;
+# The driver's correctness pass caps at 50 queries in registration order;
 # put the high-value composite plans and analytics kernels first so the
-# capped window always covers them (micro-queries like the F-family are
-# individually tiny and covered by the local suite regardless)
+# capped window always covers them.
+#
+# Every registered query the cap EXCLUDES is still verified, just not by
+# the driver; the exclusions fall into exactly three safe classes:
+#   1. Micro relational/F-family queries (a1/a2/a7/a9, p1-p5/p7, j2/j3/
+#      j7-j11, u1-u3, f1-f12, o1/o2, w2, w3/a4/a6 …): each one is
+#      hash-checked against its DuckDB oracle at sf0.01 by
+#      tests/test_queries_oracle.py — the same sorted-columns/round-6/
+#      multiset compare the driver runs — and their plans are single-
+#      operator trivia with no scale risk.
+#   2. Superseded variants kept for API parity (text_token_count vs the
+#      richer text_token_counts, dedup_fingerprint vs text_winnowing,
+#      text_quality vs the richer text_gopher): the successor IS in the
+#      window.
+#   3. Rows-only iterative kernels (methylmix_states, k14_dag_break,
+#      k11_cluster_probes, k10_knn_impute, k12_partial_corr,
+#      drivernet_permutation, combat_adjust): no ANSI-SQL oracle exists;
+#      each has a numpy-replica or property test locally, and the
+#      driver-checkable member of each family (methylmix_em / plan_
+#      methylmix, k12_perm_fdr, k13_poisson_2group, combat_mean_only,
+#      drivernet_greedy/significance) IS in the window.
 _PRIORITY = [
     # composite plans
     "plan_mass_annotation",
@@ -62,6 +81,7 @@ _PRIORITY = [
     "k10_pca_batch",
     "k12_perm_fdr",
     "k13_count_glm",
+    "k13_poisson_2group",
     "k13_roc",
     "methylmix_em",
     "plan_methylmix",
@@ -79,7 +99,6 @@ _PRIORITY = [
     "sim_ivf_topk",
     "sim_cosine_neardup",
     "text_lang_id",
-    "text_quality",
     "text_gopher",
     "text_token_counts",
     "text_pii_scrub",
@@ -103,7 +122,6 @@ _PRIORITY = [
     "w3_lag_diff",
     "a6_argmin_dedup",
     "a4_set_union",
-    "o1_global_topk",
 ]
 
 

@@ -18,9 +18,10 @@ All kernels are pure numpy (no scipy in the image): the beta MLE inside
 the EM is a damped 2-D Newton solve on sufficient statistics
 (S1=Σw·ln y, S2=Σw·ln(1-y), N=Σw — O(1) per Newton step after one O(n)
 pass), digamma/trigamma via the standard recurrence + asymptotic series,
-and the Wilcoxon p-value via the normal approximation with tie and
-continuity correction (deviation from R's exact small-sample branch,
-documented below).
+and the Wilcoxon p-value matching R's ``wilcox.test`` branch structure:
+the exact Mann-Whitney distribution (count-DP) when both groups have
+n, m < 50 and no ties, else the normal approximation with tie and
+continuity correction.
 """
 
 from __future__ import annotations

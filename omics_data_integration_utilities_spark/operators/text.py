@@ -221,14 +221,17 @@ def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Redact common PII shapes (emails, IPv4, phone-like digit runs) with
     typed placeholders — a chained regexp_replace projection, scan-speed.
     Patterns stay in the Java∩RE2 regex subset so the DuckDB oracle runs
-    the identical expressions.  Returns (id, scrubbed, n_redactions)."""
+    the identical expressions.  Returns (id, scrubbed, n_redactions);
+    each pattern's matches are counted against the PROGRESSIVELY scrubbed
+    text (the same chaining as the replacements), so n_redactions equals
+    the number of substitutions actually performed — a digit run inside
+    an already-replaced <EMAIL> is not double-counted."""
     c: Column = F.col(text_col)
+    n_terms = []
     for _, pat, repl in PII_PATTERNS:
+        n_terms.append(F.size(F.regexp_extract_all(c, F.lit(pat), 0)))
         c = F.regexp_replace(c, pat, repl)
-    n_red = sum(
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
-        for _, pat, _ in PII_PATTERNS
-    )
+    n_red = sum(n_terms)
     return df.select(
         F.col(id_col),
         c.alias("scrubbed"),

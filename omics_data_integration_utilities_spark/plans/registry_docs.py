@@ -220,18 +220,26 @@ WITH d AS (
          text || ' contact user' || CAST(doc_id AS VARCHAR)
               || '@example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
   FROM documents
+),
+-- counts run against the progressively-scrubbed text, mirroring the
+-- Spark chaining: each pattern sees the previous replacements applied
+s1 AS (
+  SELECT doc_id, text AS t0,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM d
+), s2 AS (
+  SELECT doc_id, t0, t1,
+         regexp_replace(t1,
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+  FROM s1
 )
 SELECT doc_id,
-  regexp_replace(
-    regexp_replace(
-      regexp_replace(text,
-        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-    '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
-  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-   + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
-   + len(regexp_extract_all(text, '\+?[0-9][0-9()\-\s]{7,}[0-9]')))::BIGINT AS n_redactions
-FROM d
+  regexp_replace(t2, '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+  (len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+   + len(regexp_extract_all(t2, '\+?[0-9][0-9()\-\s]{7,}[0-9]')))::BIGINT AS n_redactions
+FROM s2
 """
 
 

@@ -228,12 +228,34 @@ def q_k4_rule_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes, the reference's late-unlock dynamic); a rule passes when a
     part with p_size<=3 realizes it.  Oracle = unrolled per-round CTE."""
     part = _t(spark, sf_dir, "part")
-    l1 = part.select(F.substring_index("p_name", " ", 1).alias("rule_id")).distinct() \
+    # each level carries its ACTUAL parent rule ids (p1 = level-1 ancestor,
+    # p2 = level-2 parent) instead of re-deriving them as token prefixes —
+    # a 3-token p_name would silently break a prefix-based level-3 gate
+    l1 = (
+        part.select(F.substring_index("p_name", " ", 1).alias("rule_id"))
+        .distinct()
         .withColumn("lvl", F.lit(1))
-    l2 = part.select(F.col("p_name").alias("rule_id")).distinct().withColumn("lvl", F.lit(2))
-    l3 = part.select(
-        F.concat_ws(" ", "p_name", "p_brand").alias("rule_id")
-    ).distinct().withColumn("lvl", F.lit(3))
+        .withColumn("p1", F.lit(None).cast("string"))
+        .withColumn("p2", F.lit(None).cast("string"))
+    )
+    l2 = (
+        part.select(
+            F.col("p_name").alias("rule_id"),
+            F.substring_index("p_name", " ", 1).alias("p1"),
+        )
+        .distinct()
+        .withColumn("lvl", F.lit(2))
+        .withColumn("p2", F.lit(None).cast("string"))
+    )
+    l3 = (
+        part.select(
+            F.concat_ws(" ", "p_name", "p_brand").alias("rule_id"),
+            F.substring_index("p_name", " ", 1).alias("p1"),
+            F.col("p_name").alias("p2"),
+        )
+        .distinct()
+        .withColumn("lvl", F.lit(3))
+    )
     rules = l1.unionByName(l2).unionByName(l3)
     tgt = part.where(F.col("p_size") <= 3).select(
         F.substring_index("p_name", " ", 1).alias("t1"),
@@ -249,42 +271,24 @@ def q_k4_rule_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tgt.select(F.col("t3").alias("rule_id")).distinct().withColumn("__p3", F.lit(True)),
               "rule_id", "left")
         .withColumn("passes", F.coalesce("__p1", "__p2", "__p3", F.lit(False)))
-        .select("rule_id", "lvl", "passes")
+        .select("rule_id", "lvl", "p1", "p2", "passes")
     )
-    pfx1 = F.substring_index("rule_id", " ", 1)
-    pfx2 = F.substring_index("rule_id", " ", 2)
     m = passes.select(
-        "rule_id", "lvl", "passes",
+        "rule_id", "lvl", "p1", "p2", "passes",
         (F.col("lvl") == 1).alias("is_base"),
-        F.when(F.col("lvl") == 1, F.array()).when(
-            F.col("lvl") == 2, F.array(pfx1)
-        ).otherwise(F.array(pfx1, pfx2)).cast("array<string>").alias("has"),
+        F.when(F.col("lvl") == 1, F.array())
+        .when(F.col("lvl") == 2, F.array("p1"))
+        .otherwise(F.array("p1", "p2"))
+        .cast("array<string>")
+        .alias("has"),
     )
-    # is_in edges as equi-joins on the parent's own prefix (no BNLJ):
-    # lvl1 parent ← any deeper child sharing its first token; lvl2 parent
-    # ← lvl3 children sharing its two-token prefix
-    deeper = passes.select(F.col("rule_id").alias("__child"), F.col("lvl").alias("__clvl"))
-    edges1 = (
-        m.where(F.col("lvl") == 1)
-        .select("rule_id")
-        .join(
-            deeper.where(F.col("__clvl") > 1).withColumn(
-                "rule_id", F.substring_index("__child", " ", 1)
-            ),
-            "rule_id",
-        )
-        .select("rule_id", "__child")
+    # is_in edges straight from the carried parent ids (every p1/p2 is a
+    # registered rule by construction — same part rows feed every level)
+    edges1 = m.where(F.col("p1").isNotNull()).select(
+        F.col("p1").alias("rule_id"), F.col("rule_id").alias("__child")
     )
-    edges2 = (
-        m.where(F.col("lvl") == 2)
-        .select("rule_id")
-        .join(
-            deeper.where(F.col("__clvl") == 3).withColumn(
-                "rule_id", F.substring_index("__child", " ", 2)
-            ),
-            "rule_id",
-        )
-        .select("rule_id", "__child")
+    edges2 = m.where(F.col("p2").isNotNull()).select(
+        F.col("p2").alias("rule_id"), F.col("rule_id").alias("__child")
     )
     is_in = edges1.unionByName(edges2).groupBy("rule_id").agg(
         F.array_sort(F.collect_set("__child")).alias("is_in")
@@ -298,28 +302,27 @@ def q_k4_rule_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_K4_RULE_BFS = """
 WITH l1 AS (SELECT DISTINCT split_part(p_name, ' ', 1) AS rid FROM part),
-l2 AS (SELECT DISTINCT p_name AS rid FROM part),
-l3 AS (SELECT DISTINCT p_name || ' ' || p_brand AS rid FROM part),
+l2 AS (SELECT DISTINCT p_name AS rid, split_part(p_name, ' ', 1) AS p1 FROM part),
+l3 AS (SELECT DISTINCT p_name || ' ' || p_brand AS rid,
+              split_part(p_name, ' ', 1) AS p1, p_name AS p2 FROM part),
 tgt AS (
   SELECT DISTINCT split_part(p_name, ' ', 1) AS t1, p_name AS t2,
          p_name || ' ' || p_brand AS t3
   FROM part WHERE p_size <= 3
 ),
 p1 AS (SELECT rid, rid IN (SELECT t1 FROM tgt) AS ok FROM l1),
-p2 AS (SELECT rid, rid IN (SELECT t2 FROM tgt) AS ok FROM l2),
-p3 AS (SELECT rid, rid IN (SELECT t3 FROM tgt) AS ok FROM l3),
+p2 AS (SELECT rid, p1, rid IN (SELECT t2 FROM tgt) AS ok FROM l2),
+p3 AS (SELECT rid, p1, p2, rid IN (SELECT t3 FROM tgt) AS ok FROM l3),
 t0 AS (SELECT rid, 0 AS round, ok AS passed FROM p1),
 pass0 AS (SELECT rid FROM t0 WHERE passed),
 t1r AS (
   SELECT rid, 1 AS round, ok AS passed FROM p2
-  WHERE split_part(rid, ' ', 1) IN (SELECT rid FROM pass0)
+  WHERE p1 IN (SELECT rid FROM pass0)
 ),
 pass1 AS (SELECT rid FROM pass0 UNION SELECT rid FROM t1r WHERE passed),
 t2r AS (
   SELECT rid, 2 AS round, ok AS passed FROM p3
-  WHERE split_part(rid, ' ', 1) IN (SELECT rid FROM pass1)
-    AND split_part(rid, ' ', 1) || ' ' || split_part(rid, ' ', 2)
-        IN (SELECT rid FROM pass1)
+  WHERE p1 IN (SELECT rid FROM pass1) AND p2 IN (SELECT rid FROM pass1)
 )
 SELECT rid AS rule_id, round, passed FROM t0
 UNION ALL SELECT rid AS rule_id, round, passed FROM t1r
