@@ -45,22 +45,32 @@ def containment_pairs(
     Shingle postings above ``max_posting`` are dropped (same stop-shingle
     guard as the dedup operators — bounds the in-row pair expansion that
     one hot key would otherwise blow up at corpus scale; the DuckDB oracle
-    carries the identical bound)."""
+    carries the identical bound).  Set sizes are counted over the same
+    filtered feature space as the intersections, so ``containment`` is
+    EXACT over the surviving shingles."""
     from .dedup import _pairs_from_ids
 
     arr = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
     ).select(F.col(id_col), shingles_from_tokens(F.col("__toks"), width).alias("__sh"))
     e = arr.select(F.col(id_col), F.explode_outer("__sh").alias("s"))
-    sizes = arr.select(F.col(id_col), F.size("__sh").cast("long").alias("sz"))
 
-    # posting-list pair expansion (shingle sets computed once); direction
-    # is decided afterwards from the sizes
-    inter = (
+    # one posting aggregation feeds both sizes and pair expansion (see
+    # ngram_jaccard_pairs); direction is decided afterwards from the sizes
+    posts = (
         e.where(F.col("s").isNotNull())
         .groupBy("s")
         .agg(F.collect_list(id_col).alias("__ids"))
-        .where((F.size("__ids") > 1) & (F.size("__ids") <= max_posting))
+        .where(F.size("__ids") <= max_posting)
+        .localCheckpoint()
+    )
+    sizes = (
+        posts.select(F.explode("__ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    inter = (
+        posts.where(F.size("__ids") > 1)
         .select(F.explode(_pairs_from_ids(F.col("__ids"))).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))

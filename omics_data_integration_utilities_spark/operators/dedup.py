@@ -284,12 +284,12 @@ def ngram_jaccard_pairs(
     features); the DuckDB oracle carries the identical bound, and
     :func:`hot_posting_keys` reports what a given cap drops.
 
-    Score semantics under the cap: capped shingles leave the intersection
-    count but stay in the per-doc set sizes, so ``jaccard`` for SURVIVING
-    pairs whose docs contain hot shingles is an UNDERESTIMATE (the same
-    holds for containment) — a deliberate conservative bias, consistent
-    across both engines; raise ``max_posting`` (or pre-strip hot shingles
-    from the corpus) if near-dups sit close to ``min_jaccard``.
+    Score semantics under the cap: per-doc set sizes are counted over the
+    SAME filtered feature space as the intersections (hot shingles are
+    excluded from both), so ``jaccard`` is EXACT over the surviving
+    shingles — capping can only remove pairs (whose every shared shingle
+    is hot), never bias the score of a surviving pair.  The same holds
+    for containment.
     """
     shingle_arr = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
@@ -298,14 +298,24 @@ def ngram_jaccard_pairs(
     # below the projection, re-inlining the shingle chain; null shingle
     # rows produce no pairs so outer is result-identical
     sh = shingle_arr.select(F.col(id_col), F.explode_outer("__sh").alias("s"))
-    sizes = shingle_arr.select(F.col(id_col), F.size("__sh").cast("long").alias("sz"))
-    # posting-list pair expansion (shingles computed once, no self-join),
-    # bounded by the stop-shingle cap
-    inter = (
+    # ONE posting aggregation feeds both the sizes and the pair expansion
+    # (localCheckpoint: without it Catalyst re-derives the whole shingle
+    # pipeline per branch — the scan-dedup lesson); the checkpointed set
+    # is the capped doc-shingle stream, bounded by the input itself
+    posts = (
         sh.where(F.col("s").isNotNull())
         .groupBy("s")
         .agg(F.collect_list(id_col).alias("__ids"))
-        .where((F.size("__ids") > 1) & (F.size("__ids") <= max_posting))
+        .where(F.size("__ids") <= max_posting)
+        .localCheckpoint()
+    )
+    sizes = (
+        posts.select(F.explode("__ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    inter = (
+        posts.where(F.size("__ids") > 1)
         .select(F.explode(_pairs_from_ids(F.col("__ids"))).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -157,12 +157,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NGRAM_JACCARD = (
     "WITH " + _SHINGLE_CTES + f"""
 , e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-sz AS (SELECT doc_id, len(s)::BIGINT AS sz FROM sh),
-ok AS (SELECT shingle FROM e GROUP BY shingle HAVING count(*) BETWEEN 2 AND {MAX_POSTING}),
+-- sizes and intersections share one filtered feature space (exact-under-cap)
+keep AS (SELECT shingle FROM e GROUP BY shingle HAVING count(*) <= {MAX_POSTING}),
+ke AS (SELECT e.doc_id, e.shingle FROM e JOIN keep USING (shingle)),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM ke GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM ok o JOIN e a ON a.shingle = o.shingle
-            JOIN e b ON b.shingle = o.shingle AND a.doc_id < b.doc_id
+  FROM ke a JOIN ke b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT * FROM (
@@ -297,12 +298,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_COMPONENTS = (
     "WITH RECURSIVE " + _SHINGLE_CTES + f"""
 , e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-sz AS (SELECT doc_id, len(s)::BIGINT AS sz FROM sh),
-ok AS (SELECT shingle FROM e GROUP BY shingle HAVING count(*) BETWEEN 2 AND {MAX_POSTING}),
+keep AS (SELECT shingle FROM e GROUP BY shingle HAVING count(*) <= {MAX_POSTING}),
+ke AS (SELECT e.doc_id, e.shingle FROM e JOIN keep USING (shingle)),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM ke GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM ok o JOIN e a ON a.shingle = o.shingle
-            JOIN e b ON b.shingle = o.shingle AND a.doc_id < b.doc_id
+  FROM ke a JOIN ke b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), pairs AS (
   SELECT id_a, id_b FROM (
@@ -550,12 +551,13 @@ def q_rulemap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_RULEMAP_CONTAINMENT = (
     "WITH " + _SHINGLE_CTES + f"""
 , e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-sz AS (SELECT doc_id, len(s)::BIGINT AS sz FROM sh),
-ok AS (SELECT shingle FROM e GROUP BY shingle HAVING count(*) BETWEEN 2 AND {MAX_POSTING}),
+-- sizes and intersections share one filtered feature space (exact-under-cap)
+keep AS (SELECT shingle FROM e GROUP BY shingle HAVING count(*) <= {MAX_POSTING}),
+ke AS (SELECT e.doc_id, e.shingle FROM e JOIN keep USING (shingle)),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM ke GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM ok o JOIN e a ON a.shingle = o.shingle
-            JOIN e b ON b.shingle = o.shingle AND a.doc_id != b.doc_id
+  FROM ke a JOIN ke b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
   GROUP BY 1, 2
 ),
 p AS (

@@ -296,6 +296,53 @@ def test_posting_list_cap_drops_hot_shingle(spark):
     assert uncapped.count() == 42 * 41 // 2  # every doc pair shares the hot shingle
 
 
+def test_jaccard_capped_equals_uncapped_when_cap_not_hit(spark):
+    """Property: when no shingle's posting list exceeds the cap, the cap
+    must be a no-op — identical pairs AND identical scores/sizes."""
+    from omics_data_integration_utilities_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d f"),
+        (3, "x y z w v"),
+        (4, "x y z w u"),
+        (5, "a b c x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # max df over 3-shingles here is 3 ("a b c"); cap=3 is not exceeded
+    at_cap = sorted(map(tuple, ngram_jaccard_pairs(
+        df, "text", "doc_id", min_jaccard=0.0, max_posting=3).collect()))
+    loose = sorted(map(tuple, ngram_jaccard_pairs(
+        df, "text", "doc_id", min_jaccard=0.0, max_posting=10_000).collect()))
+    assert at_cap == loose and len(at_cap) > 0
+
+
+def test_jaccard_exact_over_surviving_shingles_under_cap(spark):
+    """Exact-under-cap: a hot shingle excluded from the intersections must
+    also be excluded from the set sizes, so a surviving pair's jaccard is
+    exact over the non-hot feature space (not a conservative bias)."""
+    from omics_data_integration_utilities_spark.operators.dedup import ngram_jaccard_pairs
+
+    # "a b c" appears in every doc (hot, df=6 > cap=4); docs 1 and 2 also
+    # share the chain "b c d" / "c d e"
+    rows = [
+        (1, "a b c d e"),        # shingles: abc, bcd, cde
+        (2, "z a b c d e"),      # shingles: zab, abc, bcd, cde
+        (3, "a b c p3 q3"),
+        (4, "a b c p4 q4"),
+        (5, "a b c p5 q5"),
+        (6, "a b c p6 q6"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r for r in ngram_jaccard_pairs(
+        df, "text", "doc_id", min_jaccard=0.0, max_posting=4).collect()}
+    r = out[(1, 2)]
+    # without abc: doc1 = {bcd, cde} (sz 2), doc2 = {zab, bcd, cde} (sz 3),
+    # inter = 2 → jaccard = 2 / (2 + 3 - 2)
+    assert (r.inter, r.sz_a, r.sz_b) == (2, 2, 3)
+    assert r.jaccard == round(2 / 3, 6)
+
+
 def test_permutation_null_breaks_association(spark):
     """The permuted null must NOT reproduce the observed greedy coverage
     (a bijective relabel of the joined event table would, making every
