@@ -12,12 +12,16 @@ ids to novel products.  Spark restatement:
   F5 determinism fix for the reference's random ids: re-running the
   pipeline, or running it on two clusters, yields identical ids,
 - the default transformation kernel is JVM-side ``regexp_replace``
-  (scan-speed, whole-stage codegen); a chemistry kernel (RDKit
-  ``RunReactants``) drops in through ``kernel=`` as an Arrow-batched
-  ``mapInPandas`` over exactly the same columns — the dataflow, lineage
-  and id assignment do not change.  RDKit is not in this image, so the
-  injectable point is exercised in tests with a pandas replica of the
-  regexp kernel (same pattern as the multimodal media decoder).
+  (scan-speed, whole-stage codegen — the right kernel for STRING rules
+  like the K1 document-rewrite query); a chemistry kernel drops in
+  through ``kernel=`` as an Arrow-batched ``mapInPandas`` over exactly
+  the same columns — the dataflow, lineage and id assignment do not
+  change, and a kernel may emit MULTIPLE rows per input (1→N per
+  embedding).  For structure-shaped substrates the pure-Python
+  SMARTS-subset engine in ``smarts_engine.structural_reaction_kernel``
+  (parse → embed → atom-map rewrite) is the semantically real kernel and
+  is what ``plan_reaction_mass`` runs; an RDKit ``RunReactants`` kernel
+  would slot into the same signature when the library is available.
 """
 
 from __future__ import annotations

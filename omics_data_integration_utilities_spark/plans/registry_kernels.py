@@ -123,11 +123,13 @@ FROM part
 """
 
 
-# reaction rules for the §3.3 composite: pattern/replacement plus the
-# arithmetic mass delta the oracle uses as its independent route
+# reaction rules for the §3.3 composite, in SMARTS form for the
+# structural kernel (each substrate carries at most one embedding per
+# pattern, so the per-site structural products coincide with the
+# oracle's rewrite — the mass delta is its independent route)
 RXN_MASS_RULES = [
     ("r_chlorinate", "Cl", "OO"),        # −35.45 + 2×15.999 = −3.452
-    ("r_demethyl", "\\[CH3\\]", ""),     # −12.011
+    ("r_demethyl", "[CH3]", ""),         # −12.011
     ("r_ring_open", "c1ccccc1", "CCCCC"),  # 6C → 5C = −12.011
 ]
 
@@ -137,12 +139,15 @@ def q_plan_reaction_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass-match against the known-structure table (one reaction_loop round
     of heraldPathways.py:381-491: react, compute product mass, assign ids
     against known masses).  Spark shape: broadcast rule fan-out →
-    scan-speed SMARTS mass expression → integer-grid equi-join; the
-    DuckDB oracle computes every product mass arithmetically
-    (base + rule delta) — an independent route, so both the reaction
-    plumbing and the mass parser are checked end-to-end."""
+    STRUCTURAL reaction kernel (the pure-Python SMARTS-subset engine —
+    parse, embed, atom-map rewrite — not a regexp) → scan-speed SMARTS
+    mass expression → integer-grid equi-join; the DuckDB oracle computes
+    every product mass arithmetically (base + rule delta) — an
+    independent route, so the reaction engine, the plumbing and the mass
+    parser are all checked end-to-end."""
     from ..functions.chem import smarts_mass
     from ..operators.reactions import apply_reactions
+    from ..operators.smarts_engine import structural_reaction_kernel
 
     part = _t(spark, sf_dir, "part")
     smarts_expr = F.concat(
@@ -168,7 +173,7 @@ def q_plan_reaction_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = spark.createDataFrame(
         RXN_MASS_RULES, "rule_id string, pattern string, replacement string"
     )
-    prods = apply_reactions(subs, rules).withColumn(
+    prods = apply_reactions(subs, rules, kernel=structural_reaction_kernel).withColumn(
         "mm", F.round(smarts_mass(F.col("product")), 3)
     )
     return (

@@ -500,3 +500,67 @@ def test_reaction_kernel_injection_matches_jvm_path(spark):
     assert jvm == injected
     assert len(jvm) == 2  # 'plain' matches no rule; others match one each
     assert all(r[3].startswith("VM_") for r in jvm)
+
+
+def test_structural_kernel_matches_jvm_on_single_site_shapes(spark):
+    """On substrates with at most one embedding per pattern, the
+    structural SMARTS-subset engine and the JVM regexp path must agree
+    exactly (products and ids) — the plan_reaction_mass regime."""
+    from omics_data_integration_utilities_spark.operators.reactions import apply_reactions
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        structural_reaction_kernel,
+    )
+
+    subs = spark.createDataFrame(
+        [(1, "CCO[N&X3:2]Cl[CH3]"), (2, "CO[N&X3:2]c1ccccc1[CH3]"), (3, "CCC")],
+        "substrate_id long, substrate string",
+    )
+    smarts_rules = spark.createDataFrame(
+        [("r1", "Cl", "OO"), ("r2", "c1ccccc1", "CCCCC"), ("r3", "[CH3]", "")],
+        "rule_id string, pattern string, replacement string",
+    )
+    regex_rules = spark.createDataFrame(
+        [("r1", "Cl", "OO"), ("r2", "c1ccccc1", "CCCCC"), ("r3", "\\[CH3\\]", "")],
+        "rule_id string, pattern string, replacement string",
+    )
+    jvm = sorted(tuple(r) for r in apply_reactions(subs, regex_rules).collect())
+    struct = sorted(
+        tuple(r)
+        for r in apply_reactions(
+            subs, smarts_rules, kernel=structural_reaction_kernel
+        ).collect()
+    )
+    assert jvm == struct and len(jvm) == 4
+
+
+def test_structural_kernel_is_one_to_n_per_site():
+    """Reference semantics the regexp kernel cannot express: one product
+    PER embedding (gizmos.py:210-224), deduplicated."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import apply_reaction
+
+    # two Cl sites -> two distinct single-site products
+    assert apply_reaction("ClCCCl", "Cl", "O") == ["OCCCl", "ClCCO"]
+    # symmetric sites dedupe to one product
+    assert apply_reaction("ClCCl", "Cl", "F") == ["FCCl", "ClCF"]
+    assert apply_reaction("ClCl", "Cl", "F") == ["FCl", "ClF"]
+
+
+def test_structural_kernel_ring_and_map_semantics():
+    """Ring-closure topology matching, dangling-ring refusal, and
+    atom-map property inheritance."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import apply_reaction
+
+    # ring digit labels are arbitrary; the pairing topology matches
+    assert apply_reaction("CCc2ccccc2C", "c1ccccc1", "N") == ["CCNC"]
+    # deleting a single ring atom would dangle the closure: only the four
+    # non-closure atoms may rewrite
+    assert apply_reaction("c1ccccc1", "c", "N") == [
+        "c1Ncccc1", "c1cNccc1", "c1ccNcc1", "c1cccNc1",
+    ]
+    # bare mapped template atom inherits the substrate token (modifiers
+    # survive); an element change imposes the template's atom
+    assert apply_reaction("C[N&X3:7]C", "[N:1]", "[N:1]=O") == ["C[N&X3]=OC"]
+    assert apply_reaction("c1ccccc1", "[c:1]", "[n:1]")[0] == "[n]1ccccc1"
+    # explicit H-count constrains the match
+    assert apply_reaction("C[CH3]", "[CH2]", "O") == []
+    assert apply_reaction("C[CH2]C", "[CH2]", "O") == ["COC"]
