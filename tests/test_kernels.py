@@ -433,3 +433,81 @@ def test_pca_batch_check_single_batch_null_pvalue(spark):
     out = pca_batch_check(df, "gene", "sample", "v", bdf).collect()
     assert len(out) == 6
     assert all(r["p_value"] is None for r in out)  # reference's return(-1) branch
+
+
+# --------------------------------------------------------------------------
+# K8 sample-level golden parity: methylmix_states through Spark must equal
+# the numpy replica (model_single_gene) row-for-row on fixed fixtures that
+# exercise the 1-, 2- (with flip-over) and 3-component paths
+# --------------------------------------------------------------------------
+
+def _methylmix_golden_fixtures():
+    """Deterministic beta-mixture fixtures: (gene, x, xn) with known
+    selected component counts (seeds probed once, pinned here)."""
+    rng1 = np.random.RandomState(9)
+    one_x = np.sort(rng1.beta(5, 5, 120))
+    one_n = np.sort(rng1.beta(5, 5, 80))
+    rng2 = np.random.RandomState(2)
+    # skewed bathtub + mid hump: the posterior argmax goes A|B|A along
+    # sorted x, driving the _remove_flipover branch (flipover_state == 1)
+    two_x = np.sort(np.concatenate([rng2.beta(0.4, 1.2, 80), rng2.beta(8, 4, 80)]))
+    two_n = np.sort(rng2.beta(0.4, 1.2, 60))
+    rng3 = np.random.RandomState(21)
+    three_x = np.sort(
+        np.concatenate([rng3.beta(2, 40, 70), rng3.beta(12, 12, 70), rng3.beta(40, 2, 70)])
+    )
+    three_n = np.sort(rng3.beta(2, 40, 60))
+    return [("g1", one_x, one_n), ("g2", two_x, two_n), ("g3", three_x, three_n)]
+
+
+def test_methylmix_states_golden_parity_end_to_end(spark):
+    """Spark methylmix_states (cogrouped applyInPandas) must reproduce the
+    numpy replica exactly — values, classifications and methylation
+    states — across the 1-component (not significant), 2-component with
+    flip-over, and 3-component fixtures."""
+    from omics_data_integration_utilities_spark.analytics.methylmix import (
+        methylmix_states,
+        model_single_gene,
+    )
+
+    fixtures = _methylmix_golden_fixtures()
+    # sanity-pin the component structure the fixtures were chosen for
+    pinned = {}
+    for gene, x, xn in fixtures:
+        res = model_single_gene(x, xn)
+        pinned[gene] = res
+    assert pinned["g1"]["nr_components"] == 1
+    assert pinned["g2"]["nr_components"] == 2 and pinned["g2"]["flipover_state"] == 1
+    assert pinned["g3"]["nr_components"] == 3 and pinned["g3"]["flipover_state"] == 0
+
+    tumor_rows = [
+        (gene, int(i), float(v))
+        for gene, x, _ in fixtures
+        for i, v in enumerate(x)
+    ]
+    normal_rows = [
+        (gene, int(i), float(v))
+        for gene, _, xn in fixtures
+        for i, v in enumerate(xn)
+    ]
+    df = spark.createDataFrame(tumor_rows, "gene string, sample_id long, beta double")
+    ndf = spark.createDataFrame(normal_rows, "gene string, sample_id long, beta double")
+    out = methylmix_states(df, "gene", "sample_id", "beta", normal_df=ndf)
+    got = {
+        (r["gene"], r["sample_id"]): (r["value"], r["classification"], r["methylation_state"])
+    for r in out.collect()}
+
+    n_expected = 0
+    for gene, x, xn in fixtures:
+        res = pinned[gene]
+        # replica of the kernel's canonical (value, id) ordering: x is
+        # already sorted and ids are positional, so row i maps to id i
+        for i in range(len(x)):
+            exp = (
+                round(float(x[i]), 6),
+                int(res["classification"][i]),
+                round(float(res["methylation_states"][i]), 6),
+            )
+            assert got[(gene, i)] == exp, (gene, i, got[(gene, i)], exp)
+            n_expected += 1
+    assert len(got) == n_expected
