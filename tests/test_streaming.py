@@ -77,3 +77,49 @@ def test_session_windows_stream_matches_batch(spark, tmp_path):
     )
     assert got == batch
     assert len(got) > 0
+
+
+def test_hopping_windows_stream_matches_batch(spark, tmp_path):
+    """The sliding-window expression under readStream (complete mode)
+    produces the same hopping buckets as the batch form — every event in
+    window/slide overlapping windows, identical counts and DECIMAL-exact
+    value sums."""
+    import os
+    import tempfile
+
+    from omics_data_integration_utilities_spark.streaming.events import (
+        hopping_window_agg,
+    )
+
+    path = f"{SF_SMOKE}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    staged = tempfile.mkdtemp(prefix="omics_hopping_")
+    os.symlink(path, os.path.join(staged, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(staged)
+    hop = hopping_window_agg(stream, window_seconds=3600, slide_seconds=900)
+    q = (
+        hop.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hopping_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hopping"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM hopping_out").collect()
+        )
+    finally:
+        q.stop()
+    batch = sorted(
+        tuple(r)
+        for r in hopping_window_agg(
+            spark.read.parquet(path), 3600, 900
+        ).collect()
+    )
+    assert got == batch
+    assert len(got) > 0
+    # each 1h window overlaps 4 hops: bucket count ~4x the event-time span
+    n_events = spark.read.parquet(path).count()
+    assert sum(r[3] for r in got) == 4 * n_events
