@@ -45,8 +45,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Every registered query the cap EXCLUDES is still verified, just not by
 # the driver; the exclusions fall into exactly three safe classes:
-#   1. Micro relational/F-family queries (a1/a2/a7/a9, p1-p5/p7, j2/j3/
-#      j7-j11, u1-u3, f1-f12, o1/o2, w2, w3/a4/a6 …): each one is
+#   1. Micro relational/F-family/single-projection queries (a1/a2/a7/a9,
+#      p1-p5/p7, j2/j3/j7-j11, u1-u3, f1-f12, o1/o2, w2, w3/a4/a6,
+#      text_lang_id …): each one is
 #      hash-checked against its DuckDB oracle at sf0.01 by
 #      tests/test_queries_oracle.py — the same sorted-columns/round-6/
 #      multiset compare the driver runs — and their plans are single-
@@ -79,6 +80,7 @@ _PRIORITY = [
     "k6_corr_pvalue",
     "k9_linear_filter",
     "k10_pca_batch",
+    "k10_pca_closed",
     "k12_perm_fdr",
     "k13_count_glm",
     "k13_poisson_2group",
@@ -98,7 +100,6 @@ _PRIORITY = [
     "sim_ann_topk",
     "sim_ivf_topk",
     "sim_cosine_neardup",
-    "text_lang_id",
     "text_gopher",
     "text_token_counts",
     "text_pii_scrub",

@@ -461,6 +461,81 @@ def q_k13_count_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k10_pca_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10 closed-form-oracled special case: PCA batch check on a RANK-1
+    profile matrix.  With cells value = r(gene)·c(sample) the per-gene
+    centered matrix is r_g·(c_s − c̄), so PC1 scores are
+    ±(c_s − c̄)·sqrt(Σ_g r_g²) in closed form, and with exactly 3 batches
+    the one-way-ANOVA F tail reduces to I_x(d2/2, 1) = x^(d2/2) — all
+    plain SQL.  This hash-checks the SAME distributed-Gram + eigh + ANOVA
+    machinery (`pca_batch_check`) that `k10_pca_batch` can only
+    rows-check.  Reference semantics: TCGA_GENERIC_CheckBatchEffect,
+    MethylMix/Download_Preprocess.R:828-848.
+
+    c_s = s²+1 keeps |c_s − c̄| distinct (no argmax-sign tie between the
+    engines; verified for the testdata p_size domains)."""
+    part = _t(spark, sf_dir, "part")
+    genes = part.select((F.col("p_partkey") % 25).alias("gid")).distinct()
+    samples = part.select(F.col("p_size").alias("sz")).distinct()
+    cells = genes.crossJoin(samples).select(
+        F.col("gid").cast("string").alias("gene"),
+        F.col("sz").cast("string").alias("sample"),
+        (((F.col("gid") % 7) + 1) * (F.col("sz") * F.col("sz") + 1))
+        .cast("double")
+        .alias("v"),
+    )
+    batches = samples.select(
+        F.col("sz").cast("string").alias("sample"),
+        (F.col("sz") % 3).cast("string").alias("batch"),
+    )
+    return pca_batch_check(cells, "gene", "sample", "v", batches)
+
+
+SQL_K10_PCA_CLOSED = """
+WITH s AS (SELECT DISTINCT p_size AS sz FROM part),
+g AS (SELECT DISTINCT p_partkey % 25 AS gid FROM part),
+rsum AS (SELECT sum(CAST((gid % 7) + 1 AS DOUBLE) * ((gid % 7) + 1)) AS rr FROM g),
+c AS (SELECT sz, CAST(sz * sz + 1 AS DOUBLE) AS cv FROM s),
+cm AS (SELECT avg(cv) AS mu FROM c),
+v AS (SELECT sz, cv - mu AS vv FROM c, cm),
+-- deterministic sign: the largest-|coordinate| component positive
+-- (ties broken in sorted-sample-string order, matching np.argmax over
+-- the engine's sorted sample list; c_s = s^2+1 makes ties impossible)
+sgn AS (
+  SELECT CASE WHEN vv < 0 THEN -1.0 ELSE 1.0 END AS sg
+  FROM v ORDER BY abs(vv) DESC, CAST(sz AS VARCHAR) LIMIT 1
+),
+pc AS (
+  SELECT CAST(sz AS VARCHAR) AS sample, CAST(sz % 3 AS VARCHAR) AS batch,
+         sg * vv * sqrt(rr) AS pc1
+  FROM v, sgn, rsum
+),
+grand AS (
+  SELECT avg(pc1) AS gm, count(*) AS n, count(DISTINCT batch) AS k FROM pc
+),
+gstat AS (SELECT batch, count(*) AS ng, avg(pc1) AS mg FROM pc GROUP BY batch),
+ss AS (
+  SELECT sum(gstat.ng * (gstat.mg - grand.gm) * (gstat.mg - grand.gm)) AS ssb,
+         max(grand.n) AS n, max(grand.k) AS k
+  FROM gstat, grand
+),
+ssw AS (
+  SELECT sum((pc.pc1 - gstat.mg) * (pc.pc1 - gstat.mg)) AS ssw
+  FROM pc JOIN gstat USING (batch)
+),
+ftab AS (
+  SELECT (ss.ssb / (ss.k - 1)) / (ssw.ssw / (ss.n - ss.k)) AS f,
+         ss.n - ss.k AS d2, ss.k - 1 AS d1
+  FROM ss, ssw
+)
+SELECT pc.sample, pc.batch, round(pc.pc1, 6) AS pc1,
+       round(ftab.f, 6) AS f_stat,
+       -- k=3 -> d1=2 -> F tail I_x(d2/2, 1) = x^(d2/2), x = d2/(d2+2f)
+       round(pow(ftab.d2 / (ftab.d2 + 2.0 * ftab.f), ftab.d2 / 2.0), 6) AS p_value
+FROM pc, ftab
+"""
+
+
 def q_k13_poisson_2group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K13 closed-form-oracled special case: two-group Poisson GLM with
     offset run through the SAME ``_nb_irls`` machinery as the NB fit
@@ -646,6 +721,7 @@ QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k4_rule_bfs": q_k4_rule_bfs,
     "k12_perm_fdr": q_k12_perm_fdr,
     "k10_pca_batch": q_k10_pca_batch,
+    "k10_pca_closed": q_k10_pca_closed,
     "k13_count_glm": q_k13_count_glm,
     "k13_poisson_2group": q_k13_poisson_2group,
     "k13_roc": q_k13_roc,
@@ -658,6 +734,7 @@ ORACLES_KERNELS: dict[str, str] = {
     "plan_reaction_mass": SQL_PLAN_REACTION_MASS,
     "k4_rule_bfs": SQL_K4_RULE_BFS,
     "k12_perm_fdr": SQL_K12_PERM_FDR,
+    "k10_pca_closed": SQL_K10_PCA_CLOSED,
     "k13_poisson_2group": SQL_K13_POISSON_2GROUP,
     "k13_roc": SQL_K13_ROC,
     # k10/k12/k13_count_glm are iterative numpy kernels — rows-only check
