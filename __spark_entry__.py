@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the driver; the exclusions fall into exactly three safe classes:
 #   1. Micro relational/F-family/single-projection queries (a1/a2/a7/a9,
 #      p1-p5/p7, j2/j3/j7-j11, u1-u3, f1-f12, o1/o2, w2, w3/a4/a6,
-#      text_lang_id …): each one is
+#      text_lang_id, dedup_simhash …): each one is
 #      hash-checked against its DuckDB oracle at sf0.01 by
 #      tests/test_queries_oracle.py — the same sorted-columns/round-6/
 #      multiset compare the driver runs — and their plans are single-
@@ -74,6 +74,7 @@ _PRIORITY = [
     "k2_mass",
     "k4_rule_bfs",
     "rulemap_containment",
+    "k3_substructure",
     # analytics kernels
     "k6_pairwise_corr",
     "k6_spearman",
@@ -96,7 +97,6 @@ _PRIORITY = [
     "dedup_lsh_pairs",
     "dedup_ngram_jaccard",
     "dedup_components",
-    "dedup_simhash",
     "sim_ann_topk",
     "sim_ivf_topk",
     "sim_cosine_neardup",

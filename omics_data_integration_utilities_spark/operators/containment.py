@@ -127,6 +127,37 @@ def containment_map(
     )
 
 
+def structural_substructure_verify(
+    pairs: DataFrame,
+    inner_col: str = "inner_smarts",
+    outer_col: str = "outer_smarts",
+    out_col: str = "is_substruct",
+) -> DataFrame:
+    """K3 verification step over candidate pairs: the structural
+    SMARTS-subset substructure check (``smarts_engine.has_substructure``
+    — the reference's ``HasSubstructMatch``, mapBaseRetroRules.py:37-53)
+    as an Arrow-batched ``mapInPandas`` over exactly the candidate-pair
+    columns where an RDKit kernel would drop in.  Adds ``out_col``
+    boolean; all other columns pass through."""
+    import pandas as pd
+
+    from .smarts_engine import has_substructure
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in pairs.schema.fields)
+    schema = f"{fields}, {out_col} boolean"
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            out[out_col] = [
+                has_substructure(o, i)
+                for i, o in zip(pdf[inner_col], pdf[outer_col])
+            ]
+            yield out
+
+    return pairs.mapInPandas(run, schema=schema)
+
+
 def rule_bfs(
     map_df: DataFrame,
     id_col: str = "rule_id",

@@ -224,6 +224,42 @@ def apply_reaction(substrate: str, pattern: str, template: str) -> list[str]:
     return products
 
 
+def has_substructure(substrate: str, pattern: str) -> bool:
+    """K3 structural substructure check (the reference's RDKit
+    ``HasSubstructMatch``, ``mapBaseRetroRules.py:37-53``) over the same
+    SMARTS subset: true when the pattern's atom sequence embeds in the
+    substrate — atom constraints + inter-atom separator equality +
+    internal ring-pairing topology; unlike the rewrite path there is no
+    dangling-closure guard (matching an atom inside a ring is fine when
+    nothing is deleted).  False when either string falls outside the
+    parser subset."""
+    try:
+        s_atoms = parse_chain(substrate)
+        p_atoms = parse_chain(pattern)
+    except ValueError:
+        return False
+    if not p_atoms or len(p_atoms) > len(s_atoms):
+        return False
+    k = len(p_atoms)
+    p_pairs, _ = _ring_pairing(p_atoms)
+    for i0 in range(len(s_atoms) - k + 1):
+        span = s_atoms[i0 : i0 + k]
+        if not all(_atom_matches(p, s) for p, s in zip(p_atoms, span)):
+            continue
+        if any(
+            _sep(pattern, p_atoms[j], p_atoms[j + 1]) != _sep(substrate, span[j], span[j + 1])
+            for j in range(k - 1)
+        ):
+            continue
+        s_pairs, _ = _ring_pairing(span)
+        # substructure (unlike rewrite) tolerates EXTRA substrate ring
+        # bonds — the pattern's pairing must be present, not exhaustive
+        if not p_pairs <= s_pairs:
+            continue
+        return True
+    return False
+
+
 def structural_reaction_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     """ReactionKernel for :func:`..operators.reactions.apply_reactions`:
     one OUTPUT ROW PER DISTINCT PRODUCT (the reference's 1→N fan-out,

@@ -461,6 +461,68 @@ def q_k13_count_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# probe patterns for k3_substructure, chosen so that STRING containment
+# is provably equivalent to the structural embedding on the k2-style
+# construction "C{1..5}O{0..2}[N&X3:2](Cl|c1ccccc1)[CH3]": every probe is
+# either a literal substring of the construction or textually impossible
+# in it ("CCl" — Cl is always preceded by ']'), so the independent
+# strpos oracle checks the real engine verdicts, true AND false
+K3_PROBES = [
+    ("probe_cc", "CC"),
+    ("probe_co", "CO"),
+    ("probe_oo", "OO"),
+    ("probe_on", "O[N&X3:2]"),
+    ("probe_ncl", "[N&X3:2]Cl"),
+    ("probe_ring", "c1ccccc1"),
+    ("probe_arom", "cc"),
+    ("probe_ch3", "[CH3]"),
+    ("probe_ccl", "CCl"),
+]
+
+
+def q_k3_substructure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 structural substructure matching (HasSubstructMatch,
+    mapBaseRetroRules.py:37-53) via the pure-Python SMARTS-subset engine:
+    every probe pattern checked against every generated structure inside
+    an Arrow-batched mapInPandas.  The oracle is plain string containment
+    — equivalent to the embedding on this construction (see K3_PROBES) —
+    so both positive and negative engine verdicts are hash-checked."""
+    from ..operators.containment import structural_substructure_verify
+
+    part = _t(spark, sf_dir, "part")
+    structs = part.select(
+        "p_partkey",
+        F.concat(
+            F.expr("repeat('C', (p_size % 5) + 1)"),
+            F.expr("repeat('O', cast(p_partkey % 3 as int))"),
+            F.lit("[N&X3:2]"),
+            F.when(F.col("p_partkey") % 2 == 0, F.lit("Cl")).otherwise(F.lit("c1ccccc1")),
+            F.lit("[CH3]"),
+        ).alias("outer_smarts"),
+    )
+    probes = spark.createDataFrame(K3_PROBES, "probe_id string, inner_smarts string")
+    pairs = structs.crossJoin(F.broadcast(probes))
+    return structural_substructure_verify(pairs).select(
+        "p_partkey", "probe_id", "is_substruct"
+    )
+
+
+SQL_K3_SUBSTRUCTURE = (
+    "WITH s AS (\n"
+    "  SELECT p_partkey,\n"
+    "         repeat('C', (p_size % 5) + 1) || repeat('O', CAST(p_partkey % 3 AS INT))\n"
+    "           || '[N&X3:2]'\n"
+    "           || CASE WHEN p_partkey % 2 = 0 THEN 'Cl' ELSE 'c1ccccc1' END\n"
+    "           || '[CH3]' AS smarts\n"
+    "  FROM part\n"
+    "), probes(probe_id, probe) AS (VALUES "
+    + ", ".join(f"('{pid}', '{p}')" for pid, p in K3_PROBES)
+    + ")\n"
+    "SELECT p_partkey, probe_id, strpos(smarts, probe) > 0 AS is_substruct\n"
+    "FROM s, probes\n"
+)
+
+
 def q_k10_pca_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K10 closed-form-oracled special case: PCA batch check on a RANK-1
     profile matrix.  With cells value = r(gene)·c(sample) the per-gene
@@ -720,6 +782,7 @@ QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan_reaction_mass": q_plan_reaction_mass,
     "k4_rule_bfs": q_k4_rule_bfs,
     "k12_perm_fdr": q_k12_perm_fdr,
+    "k3_substructure": q_k3_substructure,
     "k10_pca_batch": q_k10_pca_batch,
     "k10_pca_closed": q_k10_pca_closed,
     "k13_count_glm": q_k13_count_glm,
@@ -734,6 +797,7 @@ ORACLES_KERNELS: dict[str, str] = {
     "plan_reaction_mass": SQL_PLAN_REACTION_MASS,
     "k4_rule_bfs": SQL_K4_RULE_BFS,
     "k12_perm_fdr": SQL_K12_PERM_FDR,
+    "k3_substructure": SQL_K3_SUBSTRUCTURE,
     "k10_pca_closed": SQL_K10_PCA_CLOSED,
     "k13_poisson_2group": SQL_K13_POISSON_2GROUP,
     "k13_roc": SQL_K13_ROC,

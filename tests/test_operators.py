@@ -564,3 +564,23 @@ def test_structural_kernel_ring_and_map_semantics():
     # explicit H-count constrains the match
     assert apply_reaction("C[CH3]", "[CH2]", "O") == []
     assert apply_reaction("C[CH2]C", "[CH2]", "O") == ["COC"]
+
+
+def test_structural_substructure_check():
+    """K3 has_substructure: embedding semantics incl. the relaxed ring
+    rule (extra substrate ring bonds allowed, nothing is deleted)."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import has_substructure
+
+    assert has_substructure("CCO[N&X3:2]Cl[CH3]", "O[N&X3:2]Cl")
+    assert has_substructure("CCO[N&X3:2]Cl[CH3]", "[CH3]")
+    assert not has_substructure("CCO[N&X3:2]Cl[CH3]", "CCl")  # not adjacent atoms
+    # aromatic ring: pattern with closure matches a differently-numbered ring
+    assert has_substructure("CCc2ccccc2C", "c1ccccc1")
+    # pattern WITHOUT closures still embeds in ring atoms (extra bonds ok)
+    assert has_substructure("c1ccccc1", "cc")
+    assert has_substructure("c1ccccc1", "cccccc")
+    # aromaticity is respected; wildcards are not
+    assert not has_substructure("c1ccccc1", "CC")
+    assert has_substructure("CNO", "*N*")
+    # out-of-subset input -> False, never a crash
+    assert not has_substructure("C@@H(weird)", "C")
