@@ -68,3 +68,40 @@ def rename_by_position(df: DataFrame, names: Sequence[str]) -> DataFrame:
         raise ValueError(f"{len(names)} names for {len(cols)} columns")
     mapping = dict(zip(cols, names))
     return df.withColumnsRenamed(mapping)
+
+
+def read_sqlite_table(
+    spark: SparkSession,
+    db_path: str,
+    table_or_query: str,
+    params: Sequence | None = None,
+) -> DataFrame:
+    """S3/S4: real SQLite scan via the Python stdlib ``sqlite3`` — the
+    reference's input databases (``queryMassNPDB_mod.py:40-47`` NPDB
+    reads, parameterized point queries).  SQLite is a driver-local
+    single-file store, so this reader is for SMALL DIMENSION TABLES (the
+    reference's regime): rows load driver-side once and become a
+    DataFrame that downstream joins should ``broadcast()``.  Big fact
+    tables belong in parquet (:func:`read_parquet_table`).
+
+    ``table_or_query``: a bare table name, or a full SELECT (optionally
+    parameterized with ``?`` + ``params`` — the reference's point-query
+    shape, S4).
+    """
+    import sqlite3
+
+    con = sqlite3.connect(db_path)
+    try:
+        q = table_or_query
+        if " " not in q.strip():
+            q = f'SELECT * FROM "{q.strip()}"'
+        cur = con.execute(q, tuple(params or ()))
+        names = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+    finally:
+        con.close()
+    if not rows:
+        # empty: all-string schema keeps the shape usable
+        schema = ", ".join(f"`{n}` string" for n in names)
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, names)

@@ -62,3 +62,60 @@ def write_bucketed_table(
         .sortBy(*bucket_cols)
         .saveAsTable(name)
     )
+
+
+def write_sqlite_table(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    mode: str = "replace",
+    batch_size: int = 10_000,
+) -> int:
+    """S9: real SQLite sink via the Python stdlib ``sqlite3`` — the
+    reference's result-table writes (``queryMassNPDB_mod.py:149-151``
+    per-chunk ``to_sql`` appends; ``mapBaseRetroRules.py`` rule_map
+    dumps).  SQLite is a single-writer driver-side store, so this sink is
+    for SMALL RESULT TABLES (the reference's own regime — its outputs are
+    final annotation/rule tables, not the 100 TB scan): rows stream to
+    the driver via ``toLocalIterator`` (no full collect) and insert in
+    batched transactions.  Large outputs belong in
+    :func:`write_parquet` / :func:`write_bucketed_table`.
+
+    ``mode``: 'replace' drops + recreates, 'append' adds to an existing
+    table.  Returns the number of rows written.
+    """
+    import sqlite3
+
+    cols = df.columns
+    _type_map = {
+        "bigint": "INTEGER", "int": "INTEGER", "smallint": "INTEGER",
+        "tinyint": "INTEGER", "boolean": "INTEGER",
+        "double": "REAL", "float": "REAL",
+    }
+    defs = ", ".join(
+        f'"{f.name}" {_type_map.get(f.dataType.simpleString(), "TEXT")}'
+        for f in df.schema.fields
+    )
+    qtable = f'"{table}"'
+    con = sqlite3.connect(db_path)
+    try:
+        if mode == "replace":
+            con.execute(f"DROP TABLE IF EXISTS {qtable}")
+        con.execute(f"CREATE TABLE IF NOT EXISTS {qtable} ({defs})")
+        placeholders = ", ".join("?" for _ in cols)
+        sql = f"INSERT INTO {qtable} VALUES ({placeholders})"
+        n = 0
+        batch = []
+        for row in df.toLocalIterator():
+            batch.append(tuple(row))
+            if len(batch) >= batch_size:
+                con.executemany(sql, batch)
+                n += len(batch)
+                batch = []
+        if batch:
+            con.executemany(sql, batch)
+            n += len(batch)
+        con.commit()
+        return n
+    finally:
+        con.close()

@@ -65,3 +65,36 @@ def test_headerless_space_separated_sink(spark, tmp_path):
         for line in f.read_text().splitlines()
     ]
     assert txt == ["a b 0.5"]
+
+
+def test_sqlite_sink_and_scan_roundtrip(spark, tmp_path):
+    """S3/S9: write a result table to SQLite (batched stdlib inserts),
+    read it back as a broadcastable dim, parameterized point query too."""
+    from omics_data_integration_utilities_spark.sources.readers import read_sqlite_table
+    from omics_data_integration_utilities_spark.sources.writers import write_sqlite_table
+
+    db = str(tmp_path / "results.db")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, "b", 2.5, False), (3, "c", None, True)],
+        "id long, name string, score double, keep boolean",
+    )
+    n = write_sqlite_table(df, db, "annot", mode="replace")
+    assert n == 3
+
+    back = read_sqlite_table(spark, db, "annot")
+    assert sorted(r["name"] for r in back.collect()) == ["a", "b", "c"]
+    assert back.where("score IS NULL").count() == 1
+
+    # append mode accumulates
+    write_sqlite_table(df.where("id = 1"), db, "annot", mode="append")
+    assert read_sqlite_table(spark, db, "annot").count() == 4
+
+    # S4 parameterized point query
+    one = read_sqlite_table(
+        spark, db, 'SELECT id, name FROM "annot" WHERE id = ?', params=[2]
+    )
+    assert [tuple(r) for r in one.collect()] == [(2, "b")]
+
+    # empty result keeps a usable shape
+    empty = read_sqlite_table(spark, db, 'SELECT id, name FROM "annot" WHERE id = -1')
+    assert empty.count() == 0 and empty.columns == ["id", "name"]
