@@ -47,7 +47,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the driver; the exclusions fall into exactly three safe classes:
 #   1. Micro relational/F-family/single-projection queries (a1/a2/a7/a9,
 #      p1-p5/p7, j2/j3/j7-j11, u1-u3, f1-f12, o1/o2, w2, w3/a4/a6,
-#      text_lang_id, dedup_simhash …): each one is
+#      text_lang_id, dedup_simhash, dedup_minhash_signatures — whose
+#      signature machinery the in-window dedup_lsh_pairs exercises
+#      end-to-end …): each one is
 #      hash-checked against its DuckDB oracle at sf0.01 by
 #      tests/test_queries_oracle.py — the same sorted-columns/round-6/
 #      multiset compare the driver runs — and their plans are single-
@@ -93,10 +95,10 @@ _PRIORITY = [
     "combat_mean_only",
     # LLM-pipeline surface
     "dedup_exact",
-    "dedup_minhash_signatures",
     "dedup_lsh_pairs",
     "dedup_ngram_jaccard",
     "dedup_components",
+    "dedup_simhash_pairs",
     "sim_ann_topk",
     "sim_ivf_topk",
     "sim_cosine_neardup",

@@ -471,3 +471,70 @@ def connected_components(
         "component",
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_posting: int = MAX_POSTING,
+) -> DataFrame:
+    """SimHash near-dup PAIRS: band-bucketed candidate generation + exact
+    hamming verification — the pairing step on top of
+    :func:`simhash_table`'s fingerprints.
+
+    Pigeonhole completeness: with ``n_bands`` equal slices of the
+    fingerprint, any pair at hamming distance ≤ ``n_bands − 1`` agrees
+    exactly on at least one slice, so bucketing on (band, slice value)
+    finds EVERY pair within ``max_hamming`` as long as
+    ``max_hamming ≤ n_bands − 1`` (asserted).  The exact distance then
+    filters candidates JVM-side (``bit_count(xor)``), so false bucket
+    collisions cost time, never correctness.
+
+    Scale shape: one shuffle to bucket (4 rows/doc, not |shingles|), the
+    same posting cap as LSH bounds the in-bucket expansion, and the
+    verify is two hash joins against the |docs|-row fingerprint table.
+    Returns (id_a, id_b, hamming).
+    """
+    assert max_hamming <= n_bands - 1, "pigeonhole completeness needs max_hamming <= n_bands - 1"
+    sh = simhash_table(df, text_col, id_col).localCheckpoint()  # 1 scan, reused 3x
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    bands = sh.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    cand = (
+        bands.groupBy("band", "bkey")
+        .agg(F.collect_list(id_col).alias("__ids"))
+        .where((F.size("__ids") > 1) & (F.size("__ids") <= max_posting))
+        .select(F.explode(_pairs_from_ids(F.col("__ids"))).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sh_a").bitwiseXOR(F.col("__sh_b"))).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -398,6 +398,49 @@ SELECT doc_id, ({terms}) AS simhash FROM th
 SQL_SIMHASH = _simhash_sql()
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band-bucketed candidates (pigeonhole-
+    complete for hamming <= 3 with 4 bands) + exact bit_count(xor)
+    verification."""
+    return dedup_ops.simhash_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    )
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, x -> (x >> {b}) & 1 = 1)) > len(h) "
+        f"THEN {2**b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(SIMHASH_BITS)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, (simhash >> {b * band_bits}) & {mask} AS bkey FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+th AS (SELECT doc_id, list_transform(t, x -> {_HEX60.format(x='x')}) AS h FROM tok),
+sig AS (SELECT doc_id, ({terms}) AS simhash FROM th),
+bands AS ({band_selects}),
+ok AS (SELECT band, bkey FROM bands GROUP BY band, bkey
+       HAVING count(*) BETWEEN 2 AND {MAX_POSTING}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ok o JOIN bands a ON a.band = o.band AND a.bkey = o.bkey
+            JOIN bands b ON b.band = o.band AND b.bkey = o.bkey
+                        AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa.simhash, sb.simhash))::BIGINT AS hamming
+FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+"""
+
+
+SQL_SIMHASH_PAIRS = _simhash_pairs_sql()
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -627,6 +670,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_components": q_dedup_components,
     "dedup_simhash": q_simhash,
+    "dedup_simhash_pairs": q_simhash_pairs,
     "doc_split": q_doc_split,
     "sim_ann_topk": q_ann_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -649,6 +693,7 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "dedup_simhash": SQL_SIMHASH,
+    "dedup_simhash_pairs": SQL_SIMHASH_PAIRS,
     "doc_split": SQL_DOC_SPLIT,
     "sim_ann_topk": SQL_ANN_TOPK,
     "sim_ivf_topk": SQL_ANN_TOPK,

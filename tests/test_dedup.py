@@ -89,3 +89,28 @@ def test_hash_split_stable_and_partition_invariant(spark):
     bigger = spark.range(0, 6000).withColumnRenamed("id", "doc_id")
     c2 = {r["doc_id"]: r["split"] for r in hash_split(bigger, "doc_id").collect()}
     assert all(c2[k] == v for k, v in a.items())
+
+
+def test_simhash_pairs_finds_near_dups_and_verifies_hamming(spark):
+    """Band-bucketed SimHash pairing: identical docs pair at hamming 0,
+    slightly-edited docs at small distance; unrelated docs don't pair.
+    max_hamming > n_bands-1 is rejected (pigeonhole completeness)."""
+    import pytest
+
+    from omics_data_integration_utilities_spark.operators.dedup import simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        (1, base),
+        (2, base),  # identical -> hamming 0
+        (3, base.replace("lazy", "sleepy")),  # near-dup -> small distance
+        (4, " ".join(f"zz{i}" for i in range(60))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(df, "text", "doc_id").collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] <= 3
+    assert not any(4 in p for p in got)
+
+    with pytest.raises(AssertionError):
+        simhash_pairs(df, "text", "doc_id", max_hamming=5, n_bands=4)
