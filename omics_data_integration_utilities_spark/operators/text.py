@@ -237,3 +237,184 @@ def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         c.alias("scrubbed"),
         n_red.cast("long").alias("n_redactions"),
     )
+
+
+# Gopher repetition-filter thresholds (Rae et al. 2021 Table A1):
+# max fraction of characters in the most frequent word n-gram (n=2,3,4)
+# and in duplicated word n-grams (n=5,6).
+TOP_NGRAM_MAX_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_MAX_FRAC = {5: 0.15, 6: 0.14}
+
+
+def word_ngrams_col(toks: Column, n: int) -> Column:
+    """Overlapping word ``n``-grams (space-joined) from a projected token
+    array column — empty array when the doc has fewer than ``n`` tokens."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_fracs: dict[int, float] = TOP_NGRAM_MAX_FRAC,
+    dup_fracs: dict[int, float] = DUP_NGRAM_MAX_FRAC,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, Table A1):
+    per document, the fraction of characters covered by (a) the single
+    most frequent word n-gram (n=2,3,4) and (b) all word n-grams that
+    occur more than once (n=5,6), each against its published threshold,
+    plus the conjunction ``keep``.
+
+    Character coverage is counted as occurrences x n-gram string length
+    (overlapping occurrences are NOT merged — the standard simplification
+    used by public reimplementations, e.g. NVIDIA NeMo Curator / DataTrove;
+    exact overlap-merged coverage needs per-position bookkeeping for a
+    strictly lower number and the same keep decisions in practice).
+
+    Scale shape: one projection builds every n-gram list, one explode +
+    (doc, n, gram) group (map-side partial combine), one (doc, n) rollup,
+    one broadcastable join back to the doc spine.  Shuffle volume is the
+    n-gram count — linear in corpus tokens — keyed by doc so no skew
+    beyond document length itself.
+    """
+    all_ns = sorted({*top_fracs, *dup_fracs})
+    base = df.select(
+        F.col(id_col), F.length(F.col(text_col)).alias("__chars"),
+        tokens_col(text_col).alias("__toks"),
+    )
+    # NB: the tag lambda must be unary — F.transform treats a binary lambda
+    # as (element, index) and would tag grams with their array position
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    gram_arrays = [
+        F.transform(word_ngrams_col(F.col("__toks"), n), _tag(n)) for n in all_ns
+    ]
+    exploded = (
+        base.select(
+            F.col(id_col),
+            F.col("__chars"),
+            F.explode(F.flatten(F.array(*gram_arrays))).alias("__ng"),
+        )
+        .select(id_col, "__chars", F.col("__ng.n").alias("n"), F.col("__ng.g").alias("g"))
+    )
+    counted = exploded.groupBy(id_col, "__chars", "n", "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    glen = F.length(F.col("g"))
+    per_n = counted.groupBy(id_col, "__chars", "n").agg(
+        F.max(F.col("cnt") * glen).alias("top_chars"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * glen).otherwise(0)).alias(
+            "dup_chars"
+        ),
+    )
+    fracs = per_n.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_chars"))).alias(f"__top{n}")
+            for n in top_fracs
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dup_chars"))).alias(f"__dup{n}")
+            for n in dup_fracs
+        ],
+    )
+    # left join back onto the full doc spine: a doc shorter than every n
+    # has no n-grams at all and must still appear (with zero fractions) —
+    # __chars comes from the spine side so the division never sees a null
+    out = base.select(id_col, "__chars").join(fracs, id_col, "left")
+    cols: list[Column] = [F.col(id_col)]
+    rules: list[Column] = []
+    for n, mx in top_fracs.items():
+        frac = F.coalesce(F.col(f"__top{n}"), F.lit(0)) / F.col("__chars")
+        cols.append(F.round(frac, 6).alias(f"top_{n}gram_frac"))
+        rules.append((frac <= mx).alias(f"ok_top_{n}gram"))
+    for n, mx in dup_fracs.items():
+        frac = F.coalesce(F.col(f"__dup{n}"), F.lit(0)) / F.col("__chars")
+        cols.append(F.round(frac, 6).alias(f"dup_{n}gram_frac"))
+        rules.append((frac <= mx).alias(f"ok_dup_{n}gram"))
+    keep = None
+    for r in rules:
+        keep = r if keep is None else (keep & r)
+    return out.select(*cols, *rules, keep.alias("keep"))
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Test-set decontamination by word n-gram collision (the standard
+    published recipe — GPT-3 appendix C / PaLM / Llama use 8-13-gram
+    overlap; ``n`` is a knob and defaults low only so tiny fixtures
+    produce hits): flag every training document sharing at least one
+    word n-gram with any test document.
+
+    Returns one row per training doc: (id, n_shared_ngrams = DISTINCT
+    shared n-grams, contaminated).  Scale shape: the test side collapses
+    to a DISTINCT n-gram set — orders of magnitude smaller than the
+    training corpus — and is broadcast, so the training side is one scan
+    + one explode with zero shuffle of the text itself; the per-doc count
+    groups on the training doc id.
+    """
+    t_grams = lambda d: d.select(  # noqa: E731
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams_col(tokens_col(text_col), n))
+        ).alias("g"),
+    )
+    test_set = t_grams(test).select("g").distinct()
+    hits = (
+        t_grams(train)
+        .join(F.broadcast(test_set), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__hits"), F.lit(0)).cast("long").alias("n_shared_ngrams"),
+            (F.coalesce(F.col("__hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-window chunks (the
+    context-window packing / RAG-indexing staple): chunk k covers tokens
+    [k*stride, k*stride + chunk_tokens); chunks start while k*stride <
+    n_tokens, so the tail is a (possibly short) final chunk and every
+    token lands in >=1 chunk.
+
+    Pure posexplode over a sequence of starts + array slice — no UDF, no
+    shuffle at all (the output keeps the input partitioning); at 100 TB
+    this is a map-only stage whose output is ~chunk_tokens/stride x the
+    input size.
+    """
+    toks = tokens_col(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(stride))).cast("int")
+    starts = F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), F.posexplode(starts).alias("__k", "__s")
+    )
+    piece = F.slice(F.col("__toks"), F.col("__k") * stride + 1, chunk_tokens)
+    return base.select(
+        F.col(id_col),
+        F.col("__k").cast("long").alias("chunk_id"),
+        (F.col("__k") * stride).cast("long").alias("start_token"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

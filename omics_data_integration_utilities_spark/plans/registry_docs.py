@@ -661,6 +661,126 @@ SELECT DISTINCT doc_id, fingerprint FROM m WHERE wlen = 4
 """
 
 
+# --------------------------------------------------------------------------
+# Gopher repetition filters / decontamination / chunking
+# --------------------------------------------------------------------------
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-filter battery (Rae et al. 2021 Table A1): char
+    fraction in the top word n-gram (n=2,3,4) and in duplicated n-grams
+    (n=5,6), each vs its published threshold + keep verdict."""
+    from ..operators.text import repetition_rules
+
+    return repetition_rules(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _ngram_list_sql(n: int) -> str:
+    concat = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"[{concat} for i in generate_series(1, len(t) - {n - 1})]"
+
+
+def _repetition_sql() -> str:
+    from ..operators.text import DUP_NGRAM_MAX_FRAC, TOP_NGRAM_MAX_FRAC
+
+    all_ns = sorted({*TOP_NGRAM_MAX_FRAC, *DUP_NGRAM_MAX_FRAC})
+    gram_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {n} AS n, unnest({_ngram_list_sql(n)}) AS g FROM tok"
+        for n in all_ns
+    )
+    top_cols, rule_exprs = [], []
+    for n, mx in TOP_NGRAM_MAX_FRAC.items():
+        frac = f"(coalesce(max(CASE WHEN n = {n} THEN top_chars END), 0) / chars)"
+        top_cols.append(f"round({frac}, 6) AS top_{n}gram_frac")
+        rule_exprs.append((f"({frac} <= {mx})", f"ok_top_{n}gram"))
+    for n, mx in DUP_NGRAM_MAX_FRAC.items():
+        frac = f"(coalesce(max(CASE WHEN n = {n} THEN dup_chars END), 0) / chars)"
+        top_cols.append(f"round({frac}, 6) AS dup_{n}gram_frac")
+        rule_exprs.append((f"({frac} <= {mx})", f"ok_dup_{n}gram"))
+    rules = ", ".join(f"{e} AS {a}" for e, a in rule_exprs)
+    keep = " AND ".join(e for e, _ in rule_exprs)
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS ({gram_union}),
+counted AS (SELECT doc_id, n, g, count(*) AS cnt FROM grams GROUP BY doc_id, n, g),
+per_n AS (
+  SELECT doc_id, n,
+         max(cnt * length(g)) AS top_chars,
+         sum(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dup_chars
+  FROM counted GROUP BY doc_id, n
+),
+spine AS (SELECT doc_id, length(text) AS chars FROM documents)
+SELECT s.doc_id, {", ".join(top_cols)}, {rules}, ({keep}) AS keep
+FROM spine s LEFT JOIN per_n p ON p.doc_id = s.doc_id
+GROUP BY s.doc_id, s.chars
+"""
+
+
+SQL_TEXT_REPETITION = _repetition_sql()
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: train docs (doc_id % 20 != 0) flagged when
+    they share any word 3-gram with the held-out docs (doc_id % 20 == 0)
+    — the GPT-3 appendix-C recipe with a small n so tiny fixtures hit."""
+    from ..operators.text import ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return ngram_decontaminate(train, test, "text", "doc_id", n=3)
+
+
+SQL_TEXT_DECONTAMINATE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t) - 2)]) AS gs
+  FROM tok
+),
+e AS (SELECT doc_id, unnest(gs) AS ng FROM g),
+test_set AS (SELECT DISTINCT ng FROM e WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT e.doc_id, count(*) AS h
+  FROM e JOIN test_set USING (ng)
+  WHERE e.doc_id % 20 != 0
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h, 0)::BIGINT AS n_shared_ngrams,
+       coalesce(h, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+WHERE d.doc_id % 20 != 0
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token-window chunking (context packing / RAG
+    indexing): 32-token chunks, stride 24 — map-only, no shuffle."""
+    from ..operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", chunk_tokens=32, stride=24
+    )
+
+
+SQL_DOC_CHUNKS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+k AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0,
+           greatest(CAST(ceil(len(toks) / 24.0) AS INT), 1) - 1)) AS k
+  FROM t
+)
+SELECT doc_id,
+       k::BIGINT AS chunk_id,
+       (k * 24)::BIGINT AS start_token,
+       len(list_slice(toks, k * 24 + 1, k * 24 + 32))::BIGINT AS n_chunk_tokens,
+       array_to_string(list_slice(toks, k * 24 + 1, k * 24 + 32), ' ') AS chunk_text
+FROM k
+"""
+
+
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rulemap_containment": q_rulemap_containment,
     "dedup_exact": q_dedup_exact,
@@ -682,6 +802,9 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scrub": q_text_pii_scrub,
     "text_winnowing": q_text_winnowing,
     "text_lang_id": q_text_lang_id,
+    "text_repetition": q_text_repetition,
+    "text_decontaminate": q_text_decontaminate,
+    "doc_chunks": q_doc_chunks,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -705,4 +828,7 @@ ORACLES_DOCS: dict[str, str] = {
     "text_pii_scrub": SQL_TEXT_PII_SCRUB,
     "text_winnowing": SQL_TEXT_WINNOWING,
     "text_lang_id": SQL_TEXT_LANG_ID,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "text_decontaminate": SQL_TEXT_DECONTAMINATE,
+    "doc_chunks": SQL_DOC_CHUNKS,
 }

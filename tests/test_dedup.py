@@ -114,3 +114,78 @@ def test_simhash_pairs_finds_near_dups_and_verifies_hamming(spark):
 
     with pytest.raises(AssertionError):
         simhash_pairs(df, "text", "doc_id", max_hamming=5, n_bands=4)
+
+
+def test_repetition_rules_flags_repeated_doc_and_keeps_clean(spark):
+    """A doc dominated by one repeated bigram must fail the top-2-gram
+    rule; a diverse doc passes everything; a 1-token doc gets all-zero
+    fractions (and keep=True) rather than nulls."""
+    from omics_data_integration_utilities_spark.operators.text import (
+        repetition_rules,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 20 + "tail"),          # top 2-gram covers ~half
+            (2, " ".join(f"word{i:02d}" for i in range(40))),  # all-distinct
+            (3, "solo"),                              # shorter than every n
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_rules(docs, "text", "doc_id").collect()}
+    assert rows[1]["top_2gram_frac"] > 0.20 and not rows[1]["ok_top_2gram"]
+    assert not rows[1]["keep"]
+    assert rows[2]["keep"] and rows[2]["top_2gram_frac"] <= 0.20
+    assert rows[3]["keep"] and rows[3]["top_2gram_frac"] == 0.0
+    assert rows[3]["dup_5gram_frac"] == 0.0
+
+
+def test_ngram_decontaminate_flags_only_overlapping_train_docs(spark):
+    from omics_data_integration_utilities_spark.operators.text import (
+        ngram_decontaminate,
+    )
+
+    test = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox suffix"),  # shares 2 distinct 3-grams
+            (2, "totally unrelated training text here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["contaminated"])
+        for r in ngram_decontaminate(train, test, "text", "doc_id", n=3).collect()
+    }
+    assert got[1] == (2, True)   # 'the quick brown', 'quick brown fox'
+    assert got[2] == (0, False)
+    assert set(got) == {1, 2}    # test docs never appear in the output
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    from omics_data_integration_utilities_spark.operators.text import (
+        chunk_documents,
+    )
+
+    toks = [f"t{i}" for i in range(50)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "short doc")], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, "text", "doc_id", chunk_tokens=32, stride=24)
+    rows = sorted(
+        [r.asDict() for r in out.collect()], key=lambda r: (r["doc_id"], r["chunk_id"])
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # ceil(50/24) = 3 chunks at starts 0, 24, 48
+    assert [r["start_token"] for r in d1] == [0, 24, 48]
+    assert [r["n_chunk_tokens"] for r in d1] == [32, 26, 2]
+    # every token covered, consecutive chunks overlap by chunk-stride
+    covered = set()
+    for r in d1:
+        covered |= set(r["chunk_text"].split(" "))
+    assert covered == set(toks)
+    assert d1[0]["chunk_text"].split(" ")[24:] == d1[1]["chunk_text"].split(" ")[:8]
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "short doc"
