@@ -46,18 +46,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every registered query the cap EXCLUDES is still verified, just not by
 # the driver; the exclusions fall into exactly three safe classes:
 #   1. Micro relational/F-family/single-projection queries (a1/a2/a7/a9,
-#      p1-p5/p7, j2/j3/j7-j11, u1-u3, f1-f12, o1/o2, w2, w3/a4/a6,
-#      text_lang_id, dedup_simhash, dedup_minhash_signatures — whose
-#      signature machinery the in-window dedup_lsh_pairs exercises
-#      end-to-end …): each one is
+#      p1-p5/p7/p8, j2/j3/j7-j11, u1-u3, f1-f12, o1/o2, w1-w3, a4/a6,
+#      text_lang_id, doc_chunks, dedup_simhash, dedup_minhash_signatures
+#      — whose signature machinery the in-window dedup_lsh_pairs
+#      exercises end-to-end …): each one is
 #      hash-checked against its DuckDB oracle at sf0.01 by
 #      tests/test_queries_oracle.py — the same sorted-columns/round-6/
 #      multiset compare the driver runs — and their plans are single-
 #      operator trivia with no scale risk.
-#   2. Superseded variants kept for API parity (text_token_count vs the
-#      richer text_token_counts, dedup_fingerprint vs text_winnowing,
-#      text_quality vs the richer text_gopher): the successor IS in the
-#      window.
+#   2. Superseded variants / shared-machinery siblings kept for API
+#      parity (text_token_count+text_token_counts vs the in-window
+#      text_gopher+text_perplexity which exercise the same tokenization,
+#      dedup_fingerprint vs text_winnowing, text_quality vs the richer
+#      text_gopher, sim_cosine_neardup + text_bm25 whose GEMM / explode-
+#      group-join machinery the in-window sim_ann_topk / text_perplexity
+#      run end-to-end): the successor IS in the window.
 #   3. Rows-only iterative kernels (methylmix_states, k14_dag_break,
 #      k11_cluster_probes, k10_knn_impute, k12_partial_corr,
 #      drivernet_permutation, combat_adjust): no ANSI-SQL oracle exists;
@@ -101,9 +104,11 @@ _PRIORITY = [
     "dedup_simhash_pairs",
     "sim_ann_topk",
     "sim_ivf_topk",
-    "sim_cosine_neardup",
     "text_gopher",
-    "text_token_counts",
+    "text_repetition",
+    "text_decontaminate",
+    "text_dup_spans",
+    "text_perplexity",
     "text_pii_scrub",
     "text_winnowing",
     "multimodal_features",
@@ -120,11 +125,6 @@ _PRIORITY = [
     "j6_transition_match",
     "j12_event_join",
     "p6_mad_filter",
-    "p8_outlier_matrix",
-    "w1_mutual_rank",
-    "w3_lag_diff",
-    "a6_argmin_dedup",
-    "a4_set_union",
 ]
 
 

@@ -418,3 +418,167 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication stats (the distributed analogue of
+    Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    Better": their suffix-array pass marks every >=50-token substring
+    that appears twice anywhere in the corpus; here the unit is the
+    positional ``k``-token window, which over-counts a long shared span
+    by its window count but flags exactly the same token positions).
+
+    Per document: total window count, windows whose text occurs more
+    than once corpus-wide (including self-repeats — Lee et al. count
+    those), and the duplicated fraction.
+
+    Scale shape: one explode (doc, window-hash) keeping positional
+    multiplicity, one group-by-hash count (map-side partial combine),
+    one shuffle-on-hash join back, one per-doc rollup.  Never pairwise
+    in docs; shuffle volume is linear in corpus tokens.  Grouping on the
+    128-bit md5 of the window rather than the window text itself keeps
+    shuffle rows narrow.
+    """
+    grams = word_ngrams_col(tokens_col(text_col), k)
+    pos = df.select(
+        F.col(id_col), F.explode(F.transform(grams, F.md5)).alias("__h")
+    )
+    cnt = pos.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = (
+        pos.join(cnt, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("__c") > 1, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+    )
+    spine = df.select(id_col)
+    return (
+        spine.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.round(F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
+def bm25_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document top-``top_k`` terms by BM25 weight (Robertson/
+    Sparck Jones; the Okapi formula with the +1-smoothed idf =
+    ln(1 + (N - df + 0.5)/(df + 0.5)) so weights are always positive),
+    with classic tf-idf alongside.
+
+    Scale shape: one explode → (doc, term, tf) group (map-side
+    combine), a term-keyed df aggregation joined back on term (shuffle
+    linear in distinct (doc, term) pairs), corpus scalars (N, avgdl) by
+    cross-joining a 1-row aggregate (broadcast), and one per-doc window
+    top-k.  Ordering ties broken by term text so the top-k set is
+    deterministic.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    scored = (
+        tf.join(dl, id_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    bm25 = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    tfidf = (F.col("tf") / F.col("dl")) * F.log(F.col("n_docs") / F.col("df"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(bm25, 6).alias("bm25"),
+            F.round(tfidf, 6).alias("tfidf"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "df", "bm25", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def unigram_perplexity(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """CCNet-style LM quality score, with the corpus itself as the LM:
+    add-one-smoothed unigram probabilities p(w) = (c(w)+1)/(T+V) fitted
+    on the whole corpus, then per-document cross-entropy
+    H = -(1/n)·Σ ln p(w_i) over token positions and perplexity exp(H).
+    (CCNet ranks by a pretrained KenLM 5-gram; the dataflow — score
+    every doc against a broadcastable LM table, keep head/middle/tail
+    by percentile — is identical, and the unigram fit makes the whole
+    thing closed-form and oracle-checkable.)
+
+    Scale shape: one explode → (doc, term, tf) group, a term-keyed
+    count aggregation (the "LM") joined back on term, corpus scalars
+    via a broadcast 1-row cross join, one per-doc rollup.  Two linear
+    shuffles, no driver-side state.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cw = tf.groupBy("term").agg(F.sum("tf").alias("cw"))
+    corpus = cw.agg(
+        F.sum("cw").alias("t_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    logp = F.log(
+        (F.col("cw") + 1.0) / (F.col("t_total") + F.col("vocab"))
+    )
+    per_doc = (
+        tf.join(cw, "term")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (-F.sum(F.col("tf") * logp) / F.sum("tf")).alias("__h"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(F.col("__h"), 6).alias("cross_entropy"),
+        F.round(F.exp(F.col("__h")), 6).alias("perplexity"),
+    )

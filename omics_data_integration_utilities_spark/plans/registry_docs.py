@@ -781,6 +781,112 @@ FROM k
 """
 
 
+# --------------------------------------------------------------------------
+# Exact-substring dup spans / BM25 term scoring / unigram LM perplexity
+# --------------------------------------------------------------------------
+
+_SUBSTR_K = 8
+
+
+def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication stats (Lee et al. 2021 recipe at
+    k-token-window granularity): per doc, windows whose text occurs
+    more than once corpus-wide + duplicated fraction."""
+    from ..operators.text import duplicated_ngram_spans
+
+    return duplicated_ngram_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=_SUBSTR_K
+    )
+
+
+SQL_TEXT_DUP_SPANS = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, md5(unnest({_ngram_list_sql(_SUBSTR_K)})) AS h FROM tok
+),
+cnt AS (SELECT h, count(*) AS c FROM g GROUP BY h),
+pd AS (
+  SELECT doc_id, count(*) AS n_windows,
+         sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM g JOIN cnt USING (h) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_windows, 0)::BIGINT AS n_windows,
+       coalesce(n_dup, 0)::BIGINT AS n_dup_windows,
+       CASE WHEN coalesce(n_windows, 0) > 0
+            THEN round(coalesce(n_dup, 0) / n_windows, 6) ELSE 0.0
+       END AS dup_frac
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 5
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 terms by BM25 (Okapi, +1-smoothed idf) with tf-idf
+    alongside; ties broken by term text."""
+    from ..operators.text import bm25_top_terms
+
+    return bm25_top_terms(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        top_k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+# float literals below are repr()s of the exact Python doubles the Spark
+# operator folds at plan-build time, so both engines evaluate the same
+# IEEE expression tree (same multiply/divide order, same constants)
+SQL_TEXT_BM25 = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+e AS (SELECT doc_id, unnest(t) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+         ln(1.0 + (c.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+           * ((tf.tf * {_BM25_K1 + 1.0!r})
+              / (tf.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+                                         + ({_BM25_B!r} * dl.dl) / c.avgdl))) AS bm25,
+         (tf.tf / dl.dl) * ln(c.n_docs / dfr.df) AS tfidf
+  FROM tf JOIN dl USING (doc_id) JOIN dfr USING (term) CROSS JOIN corpus c
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY bm25 DESC, term ASC) AS rank
+      FROM scored)
+SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df,
+       round(bm25, 6) AS bm25, round(tfidf, 6) AS tfidf, rank::BIGINT AS rank
+FROM r WHERE rank <= {_BM25_TOPK}
+"""
+
+
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score with a corpus-fit add-one unigram LM:
+    per-doc cross-entropy + perplexity."""
+    from ..operators.text import unigram_perplexity
+
+    return unigram_perplexity(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+SQL_TEXT_PERPLEXITY = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+e AS (SELECT doc_id, unnest(t) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY doc_id, term),
+cw AS (SELECT term, sum(tf) AS cw FROM tf GROUP BY term),
+corpus AS (SELECT sum(cw) AS t_total, count(*) AS vocab FROM cw),
+pd AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         -(sum(tf * ln((cw + 1.0) / (t_total + vocab)))) / sum(tf) AS h
+  FROM tf JOIN cw USING (term) CROSS JOIN corpus GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, round(h, 6) AS cross_entropy,
+       round(exp(h), 6) AS perplexity
+FROM pd
+"""
+
+
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rulemap_containment": q_rulemap_containment,
     "dedup_exact": q_dedup_exact,
@@ -805,6 +911,9 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_decontaminate": q_text_decontaminate,
     "doc_chunks": q_doc_chunks,
+    "text_dup_spans": q_text_dup_spans,
+    "text_bm25": q_text_bm25,
+    "text_perplexity": q_text_perplexity,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -831,4 +940,7 @@ ORACLES_DOCS: dict[str, str] = {
     "text_repetition": SQL_TEXT_REPETITION,
     "text_decontaminate": SQL_TEXT_DECONTAMINATE,
     "doc_chunks": SQL_DOC_CHUNKS,
+    "text_dup_spans": SQL_TEXT_DUP_SPANS,
+    "text_bm25": SQL_TEXT_BM25,
+    "text_perplexity": SQL_TEXT_PERPLEXITY,
 }

@@ -189,3 +189,87 @@ def test_chunk_documents_covers_every_token_with_overlap(spark):
     assert d1[0]["chunk_text"].split(" ")[24:] == d1[1]["chunk_text"].split(" ")[:8]
     d2 = [r for r in rows if r["doc_id"] == 2]
     assert len(d2) == 1 and d2[0]["chunk_text"] == "short doc"
+
+
+def test_duplicated_ngram_spans_counts_shared_and_self_repeats(spark):
+    """Doc 1 and 2 share an 8-token run (each contributes 1 dup window);
+    doc 3 repeats its own 8-token run (self-repeat counts, as in Lee et
+    al.); doc 4 is unique; doc 5 is shorter than k and must appear with
+    zeros."""
+    from omics_data_integration_utilities_spark.operators.text import (
+        duplicated_ngram_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),
+            (2, "head1 head2 " + shared),
+            (3, " ".join(f"r{i % 8}" for i in range(16))),  # period-8 self-repeat
+            (4, " ".join(f"u{i}" for i in range(12))),
+            (5, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+        for r in duplicated_ngram_spans(docs, "text", "doc_id", k=8).collect()
+    }
+    assert got[1] == (3, 1, round(1 / 3, 6))
+    assert got[2] == (3, 1, round(1 / 3, 6))
+    # 16 tokens, period 8: the two phase-aligned windows (positions 0 and
+    # 8) coincide; the 7 intermediate rotations are each unique
+    assert got[3] == (9, 2, round(2 / 9, 6))
+    assert got[4] == (5, 0, 0.0)
+    assert got[5] == (0, 0, 0.0)
+    assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_bm25_top_terms_ranks_rare_terms_over_common(spark):
+    """A term appearing in every doc gets ~zero idf; a doc-unique term
+    outranks it despite equal tf.  Ranks are 1..k, deterministic."""
+    from omics_data_integration_utilities_spark.operators.text import bm25_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 common filler1 filler2"),
+            (2, "common rare2 filler3 filler4 filler5"),
+            (3, "common filler6 filler7 filler8 filler9"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_top_terms(docs, "text", "doc_id", top_k=3)
+    rows = sorted([r.asDict() for r in out.collect()], key=lambda r: (r["doc_id"], r["rank"]))
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert [r["rank"] for r in d1] == [1, 2, 3]
+    assert d1[0]["term"] in {"rare1", "filler1", "filler2"}  # df=1 terms first
+    assert d1[0]["df"] == 1
+    # 'common' (df=3 of 3 docs) must not make doc 3's top list above df-1 terms
+    d3_terms = [r["term"] for r in rows if r["doc_id"] == 3]
+    assert "common" not in d3_terms
+    # every score positive (the +1-smoothed idf guarantees it)
+    assert all(r["bm25"] > 0 for r in rows)
+
+
+def test_unigram_perplexity_repetitive_doc_scores_lower(spark):
+    """A doc of corpus-frequent tokens has lower perplexity than one of
+    corpus-rare tokens; perplexity == exp(cross_entropy)."""
+    import math
+
+    from omics_data_integration_utilities_spark.operators.text import (
+        unigram_perplexity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["the"] * 20)),
+            (2, " ".join(f"rare{i}" for i in range(20))),
+            (3, "the the the mid mid " + " ".join(f"x{i}" for i in range(5))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_perplexity(docs, "text", "doc_id").collect()}
+    assert got[1]["perplexity"] < got[3]["perplexity"] < got[2]["perplexity"]
+    for r in got.values():
+        assert r["n_tokens"] > 0
+        assert abs(r["perplexity"] - round(math.exp(r["cross_entropy"]), 6)) < 1e-4
