@@ -405,3 +405,78 @@ def lsh_bucketed_neardup(
         )
         .where(F.col("cosine") >= min_cosine)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    max_cluster: int = 100_000,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with the IVF coarse quantizer, then inside each
+    cluster greedily keep the lowest-id vector of every cosine->=
+    ``threshold`` group and drop the rest.  (The paper keeps one point
+    per within-cluster duplicate group — which member is kept is a free
+    choice; lowest id makes the result deterministic and
+    partitioning-invariant.)
+
+    Returns (id, list_id, keep, max_sim_to_kept): ``max_sim_to_kept`` is
+    the similarity to the closest already-kept item at decision time
+    (null for the first item of a cluster).
+
+    Scale shape: training is the bounded hash-sample from ``ivf_assign``;
+    assignment one GEMM ``mapInPandas`` pass; dedup one
+    ``applyInPandas`` per cluster whose cost is |cluster|² dots — size
+    ``n_lists`` to the corpus so clusters stay bounded (the paper also
+    caps cluster size); ``max_cluster`` asserts the assumption instead
+    of silently thrashing.  No driver-side pair state.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned, _ = ivf_assign(
+        df.select(id_col, vec_col),
+        vec_col,
+        id_col,
+        n_lists=n_lists,
+        sample_fraction=sample_fraction,
+    )
+
+    def dedup_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: cluster of {len(pdf)} exceeds max_cluster="
+                f"{max_cluster}; raise n_lists for this corpus size"
+            )
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        m = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        u = m / norms[:, None]
+        keep_rows: list[int] = []
+        keep = np.zeros(len(pdf), dtype=bool)
+        max_sim = np.full(len(pdf), np.nan)
+        for i in range(len(pdf)):
+            if keep_rows:
+                sims = u[keep_rows] @ u[i]
+                s = float(sims.max())
+                max_sim[i] = s
+                if s >= threshold:
+                    continue
+            keep[i] = True
+            keep_rows.append(i)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "list_id": pdf["list_id"],
+                "keep": keep,
+                "max_sim_to_kept": np.round(max_sim, 6),
+            }
+        )
+
+    out_schema = f"{id_col} long, list_id long, keep boolean, max_sim_to_kept double"
+    return assigned.groupBy("list_id").applyInPandas(dedup_one, schema=out_schema)

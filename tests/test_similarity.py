@@ -61,3 +61,85 @@ def test_lsh_bucketed_neardup_subset_of_exact(spark):
         for r in S.lsh_bucketed_neardup(emb, dim=64, min_cosine=0.3, n_planes=4).collect()
     }
     assert approx.issubset(exact)
+
+
+def test_semantic_dedup_drops_near_duplicates_keeps_lowest_id(spark):
+    """Three exact/near copies of one direction collapse to the lowest
+    id; an orthogonal vector survives; output covers every input id."""
+    import numpy as np
+
+    from omics_data_integration_utilities_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    base = np.zeros(8); base[0] = 1.0
+    near = np.zeros(8); near[0] = 1.0; near[1] = 0.05   # cos ~0.9988
+    ortho = np.zeros(8); ortho[3] = 1.0
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in near]),
+        (3, [float(x) for x in base]),
+        (4, [float(x) for x in ortho]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", threshold=0.95, n_lists=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["keep"] is True
+    assert out[4]["keep"] is True
+    # 2 and 3 land in 1's cluster (same direction) and are >= threshold
+    assert out[2]["keep"] is False and out[2]["max_sim_to_kept"] >= 0.95
+    assert out[3]["keep"] is False and out[3]["max_sim_to_kept"] == 1.0
+
+
+def test_semantic_dedup_partitioning_invariant(spark):
+    """Same keep-set whatever the input partitioning (the greedy order is
+    id-sorted inside each cluster, not arrival-sorted)."""
+    import random
+
+    from omics_data_integration_utilities_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [0.0] * 8
+        v[i % 4] = 1.0
+        v[(i + 1) % 8] = rng.random() * 0.01  # tiny jitter: near-dup groups of 10
+        rows.append((i, v))
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df2 = df1.repartition(13)
+    kept1 = {
+        r["vec_id"]
+        for r in semantic_dedup(df1, threshold=0.99, n_lists=4).collect()
+        if r["keep"]
+    }
+    kept2 = {
+        r["vec_id"]
+        for r in semantic_dedup(df2, threshold=0.99, n_lists=4).collect()
+        if r["keep"]
+    }
+    assert kept1 == kept2
+    assert 0 < len(kept1) < 40
+
+
+def test_semantic_dedup_threshold_one_keeps_only_exact(spark):
+    """threshold=1.0-epsilon only collapses exact duplicates."""
+    from omics_data_integration_utilities_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.98, 0.2, 0.0, 0.0]),  # close but not identical
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["keep"] for r in semantic_dedup(
+        df, threshold=0.9999, n_lists=1).collect()}
+    assert out == {1: True, 2: False, 3: True}

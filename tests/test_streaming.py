@@ -123,3 +123,68 @@ def test_hopping_windows_stream_matches_batch(spark, tmp_path):
     # each 1h window overlaps 4 hops: bucket count ~4x the event-time span
     n_events = spark.read.parquet(path).count()
     assert sum(r[3] for r in got) == 4 * n_events
+
+
+def test_dedup_stream_matches_batch_distinct_hashes(spark, tmp_path):
+    """Streaming exact dedup keeps exactly the batch-distinct content
+    hash-set (representative ids are arrival-order-dependent; the
+    hash-set is the invariant)."""
+    from omics_data_integration_utilities_spark.streaming.dedup import (
+        dedup_doc_stream,
+    )
+
+    path = f"{SF_SMOKE}/documents.parquet"
+    stream_df = dedup_doc_stream(spark, path)
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT content_hash FROM dedup_out").collect()
+    finally:
+        q.stop()
+    kept = [r["content_hash"] for r in got]
+    expect = {
+        r["h"]
+        for r in spark.read.parquet(path)
+        .select(F.md5(F.col("text")).alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert len(kept) == len(expect)      # no duplicate survived
+    assert set(kept) == expect
+
+
+def test_dedup_stream_watermarked_form_runs_and_dedups(spark, tmp_path):
+    """The bounded-state dropDuplicatesWithinWatermark variant suppresses
+    duplicates arriving inside the horizon (all of them, here: one file
+    = one batch, synthetic event times span well under the watermark)."""
+    from omics_data_integration_utilities_spark.streaming.dedup import (
+        dedup_doc_stream,
+    )
+
+    path = f"{SF_SMOKE}/documents.parquet"
+    stream_df = dedup_doc_stream(
+        spark, path, with_watermark=True, watermark="24 hours"
+    )
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_wm_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup_wm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        kept = [r["content_hash"] for r in spark.sql(
+            "SELECT content_hash FROM dedup_wm_out").collect()]
+    finally:
+        q.stop()
+    n_distinct = (
+        spark.read.parquet(path).select(F.md5(F.col("text"))).distinct().count()
+    )
+    assert len(kept) == len(set(kept)) == n_distinct
