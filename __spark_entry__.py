@@ -43,6 +43,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # put the high-value composite plans and analytics kernels first so the
 # capped window always covers them.
 #
+# The window ROTATES between rounds (r6: j5_adduct_expand,
+# j6_transition_match, k6_spearman, k6_corr_pvalue, text_pii_scrub,
+# text_winnowing, text_dup_spans, doc_split — each hash-green in rounds
+# 3-5 — swapped out for 8 never-driver-checked queries: w1_mutual_rank,
+# p8_outlier_matrix, text_lang_id, dedup_minhash_signatures,
+# sim_cosine_neardup, j2_outer_join, j7_semi_join, j9_dict_join) so
+# driver-side evidence accumulates across the full registry instead of
+# re-proving the same 50 every round.  Rotated-out queries keep their
+# local sf0.01 oracle checks in tests/test_queries_oracle.py.
+#
 # Every registered query the cap EXCLUDES is still verified, just not by
 # the driver; the exclusions fall into exactly three safe classes:
 #   1. Micro relational/F-family/single-projection queries (a1/a2/a7/a9,
@@ -82,8 +92,6 @@ _PRIORITY = [
     "k3_substructure",
     # analytics kernels
     "k6_pairwise_corr",
-    "k6_spearman",
-    "k6_corr_pvalue",
     "k9_linear_filter",
     "k10_pca_batch",
     "k10_pca_closed",
@@ -102,17 +110,16 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_components",
     "dedup_simhash_pairs",
+    "dedup_minhash_signatures",
     "sim_ann_topk",
     "sim_ivf_topk",
+    "sim_cosine_neardup",
     "text_gopher",
     "text_repetition",
     "text_decontaminate",
-    "text_dup_spans",
     "text_perplexity",
-    "text_pii_scrub",
-    "text_winnowing",
+    "text_lang_id",
     "multimodal_features",
-    "doc_split",
     # streaming-equivalent windows
     "events_tumbling",
     "events_sessions",
@@ -121,10 +128,13 @@ _PRIORITY = [
     "a3_pricing_summary",
     "j1_star_join",
     "j4_band_join",
-    "j5_adduct_expand",
-    "j6_transition_match",
+    "j2_outer_join",
+    "j7_semi_join",
+    "j9_dict_join",
     "j12_event_join",
     "p6_mad_filter",
+    "w1_mutual_rank",
+    "p8_outlier_matrix",
 ]
 
 

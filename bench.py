@@ -124,19 +124,29 @@ def main() -> None:
     timings: dict[str, float] = {}
     deltas: dict[str, float] = {}
     regressions: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = queries[name]
-        times = []
-        # one untimed warm-up execution: whole-stage-codegen compilation of
-        # a query's expression chain lands on its first run (observed 5.8s
-        # → 1.2s steady state on dedup_lsh_pairs) and would otherwise
-        # masquerade as a regression in a 3-rep median
-        rows = fn(spark, sf_dir).count()
-        for _ in range(reps):
-            t0 = time.perf_counter()
+        # per-query fault isolation: one broken query must cost ONE row in
+        # "errors", never the whole round's perf signal (r5 lost its entire
+        # bench to a single analysis error)
+        try:
+            fn = queries[name]
+            times = []
+            # one untimed warm-up execution: whole-stage-codegen compilation
+            # of a query's expression chain lands on its first run (observed
+            # 5.8s → 1.2s steady state on dedup_lsh_pairs) and would
+            # otherwise masquerade as a regression in a 3-rep median
             rows = fn(spark, sf_dir).count()
-            times.append(time.perf_counter() - t0)
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                rows = fn(spark, sf_dir).count()
+                times.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — report, keep benching
+            msg = f"{type(exc).__name__}: {exc}"
+            errors[name] = msg[:300]
+            print(f"# {name}: ERROR {msg[:300]}", file=sys.stderr)
+            continue
         med = statistics.median(times)
         timings[name] = round(med, 3)
         total += med
@@ -153,10 +163,16 @@ def main() -> None:
     slow_timings: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SLOW", "1") != "0":
         for name in SLOW_TIER:
-            fn = queries[name]
-            t0 = time.perf_counter()
-            rows = fn(spark, sf_dir).count()
-            t = time.perf_counter() - t0
+            try:
+                fn = queries[name]
+                t0 = time.perf_counter()
+                rows = fn(spark, sf_dir).count()
+                t = time.perf_counter() - t0
+            except Exception as exc:  # noqa: BLE001
+                msg = f"{type(exc).__name__}: {exc}"
+                errors[name] = msg[:300]
+                print(f"# [slow] {name}: ERROR {msg[:300]}", file=sys.stderr)
+                continue
             slow_timings[name] = round(t, 3)
             line = f"# [slow] {name}: {t:.3f}s (1 rep, excluded from total) rows={rows}"
             if name in prev and prev[name] > 0:
@@ -165,6 +181,19 @@ def main() -> None:
                 line += f" delta={d:.2f}x"
             print(line, file=sys.stderr)
 
+    # diagnostics go to stderr; the FINAL stdout line stays compact so the
+    # driver's tail capture can always parse it (r4's JSON outgrew the tail)
+    print(
+        "# diagnostics: "
+        + json.dumps(
+            {
+                "deltas": deltas,
+                "regressions": regressions,
+                "methodology": METHODOLOGY,
+            }
+        ),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -174,10 +203,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "reps": reps,
-                "deltas": deltas,
-                "regressions": regressions,
                 "slow_queries": slow_timings,
-                "methodology": METHODOLOGY,
+                "errors": errors,
             }
         )
     )

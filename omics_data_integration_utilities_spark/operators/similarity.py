@@ -239,17 +239,24 @@ def ivf_assign(
 
     spark = df.sparkSession
     if sample_fraction is None:
-        n = df.count()
-        sample_fraction = min(1.0, max_train_rows / max(n, 1))
-    src = df
-    if sample_fraction < 1.0:
-        # deterministic sample: hash of id; modulus 1e6 so a fraction as
-        # small as 1e-6 (corpus ~1e11 rows at max_train_rows=1e5) still
-        # selects a nonempty stratum instead of flooring to zero
+        # no full-corpus count: a fixed-modulus hash stratum (~1/1024 of the
+        # corpus, deterministic in the ids) + limit bounds the collected
+        # training set at max_train_rows without a single action over the
+        # whole corpus.  limit() short-circuits the scan (CollectLimit), so
+        # training cost is O(sample), not O(corpus).
         src = df.where(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
-            < max(1, int(sample_fraction * 1_000_000))
-        )
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1024)) == 0
+        ).limit(max_train_rows)
+    else:
+        src = df
+        if sample_fraction < 1.0:
+            # deterministic sample: hash of id; modulus 1e6 so a fraction as
+            # small as 1e-6 (corpus ~1e11 rows at max_train_rows=1e5) still
+            # selects a nonempty stratum instead of flooring to zero
+            src = df.where(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+                < max(1, int(sample_fraction * 1_000_000))
+            )
     ids, m, _ = _ids_matrix(src, id_col, vec_col)
     if len(ids) < n_lists:
         # degenerate sample (tiny corpus or over-aggressive fraction):

@@ -42,10 +42,12 @@ from .mass_annotation import DEFAULT_ADDUCTS, default_adducts, mass_annotation_p
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # testdata timestamps are parquet TIMESTAMP(NANOS), which the vectorized
-    # reader rejects; read them as int64 nanoseconds (exact, timezone-proof —
-    # the DuckDB oracle mirrors with epoch_ns()).  NB nanos exceed 2^53, so
-    # all derived math stays in integer ops, never double.
+    # events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    # parquet; the legacy conf makes the NANOS form readable (as int64
+    # nanos) and is a no-op for MICROS (read as TIMESTAMP_NTZ).  Every
+    # ts-consuming query normalizes via streaming.events.ts_event_micros,
+    # which dispatches on the resulting dtype — integer/wall-clock ops
+    # only, so buckets are exact and session-timezone-proof.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -55,9 +57,9 @@ def _dec(col, scale: int = 4):
     return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(f"decimal(18,{scale})")
 
 
-# lineitem/orders timestamps are TIMESTAMP_NTZ (timezone-free, micros):
-# naive literals compare identically in Spark and DuckDB.  events.ts is
-# TIMESTAMP(NANOS) and is read as int64 nanoseconds (epoch_ns in DuckDB).
+# lineitem/orders/events timestamps are TIMESTAMP_NTZ (timezone-free,
+# micros): naive literals compare identically in Spark and DuckDB, and
+# epoch_us(ts) in DuckDB ⇔ ts_event_micros in Spark.
 TS_1998_01_01 = "timestamp_ntz'1998-01-01 00:00:00'"
 TS_1998_09_02 = "timestamp_ntz'1998-09-02 00:00:00'" 
 
@@ -530,7 +532,7 @@ def q_w3_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_W3 = """
 SELECT event_id,
-       value - lag(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) AS diff
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS diff
 FROM events
 """
 
@@ -830,7 +832,7 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_TUMBLING = """
-SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type,
+SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
        count(*) AS n, round(sum(value), 4) AS sum_value
 FROM events GROUP BY bucket, event_type
 """

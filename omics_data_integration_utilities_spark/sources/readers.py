@@ -75,6 +75,7 @@ def read_sqlite_table(
     db_path: str,
     table_or_query: str,
     params: Sequence | None = None,
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """S3/S4: real SQLite scan via the Python stdlib ``sqlite3`` — the
     reference's input databases (``queryMassNPDB_mod.py:40-47`` NPDB
@@ -83,6 +84,11 @@ def read_sqlite_table(
     reference's regime): rows load driver-side once and become a
     DataFrame that downstream joins should ``broadcast()``.  Big fact
     tables belong in parquet (:func:`read_parquet_table`).
+
+    ``max_rows`` is a driver-memory guard: exceeding it raises instead of
+    silently materializing a fact table on the driver.  Raise the cap
+    explicitly if a dimension is genuinely that large — or better, ingest
+    it to parquet once and use :func:`read_parquet_table`.
 
     ``table_or_query``: a bare table name, or a full SELECT (optionally
     parameterized with ``?`` + ``params`` — the reference's point-query
@@ -97,9 +103,17 @@ def read_sqlite_table(
             q = f'SELECT * FROM "{q.strip()}"'
         cur = con.execute(q, tuple(params or ()))
         names = [d[0] for d in cur.description]
-        rows = cur.fetchall()
+        # fetch one past the cap so overflow is detected without a COUNT(*)
+        rows = cur.fetchmany(max_rows + 1)
     finally:
         con.close()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"read_sqlite_table({table_or_query!r}) exceeds max_rows={max_rows}: "
+            "this reader materializes driver-side and is for small dimension "
+            "tables only. Ingest large tables to parquet and use "
+            "read_parquet_table() instead, or pass a higher max_rows explicitly."
+        )
     if not rows:
         # empty: all-string schema keeps the shape usable
         schema = ", ".join(f"`{n}` string" for n in names)

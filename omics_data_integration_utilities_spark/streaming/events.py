@@ -3,6 +3,15 @@
 The reference is strictly batch (SURVEY §2.10) — this is north-star
 surface: the same tumbling-window aggregation exposed both as a batch
 query (oracle-checkable) and as a watermarked streaming query.
+
+Timestamp handling: the events parquet has shipped ``ts`` both as
+TIMESTAMP(NANOS) (read as int64 nanoseconds under
+``spark.sql.legacy.parquet.nanosAsLong``) and as TIMESTAMP(MICROS)
+(read as TIMESTAMP_NTZ).  ``ts_event_micros`` normalizes every
+representation to int64 epoch microseconds with integer/wall-clock
+arithmetic only — never a session-timezone-dependent cast and never a
+double (nanos exceed 2^53), so bucket edges are exact and identical
+under any driver session timezone.
 """
 
 from __future__ import annotations
@@ -10,20 +19,63 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def ts_event_micros(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-microseconds column for ``col``, dispatching on its dtype.
+
+    - ``bigint``: legacy ``nanosAsLong`` read of TIMESTAMP(NANOS) parquet
+      → integer-divide to micros.
+    - ``timestamp_ntz``: TIMESTAMP(MICROS) parquet → wall-clock diff from
+      the NTZ epoch (``timestampdiff`` is pure calendar arithmetic, so the
+      result is independent of ``spark.sql.session.timeZone``; a cast to
+      TIMESTAMP would not be).
+    - ``timestamp``: instant type → ``unix_micros`` directly.
+
+    Works on batch and streaming DataFrames (schema is known either way).
+    """
+    return F.expr(ts_event_micros_sql(df, col))
+
+
+def ts_event_micros_sql(df: DataFrame, col: str = "ts") -> str:
+    """SQL-expression form of :func:`ts_event_micros` — for call sites that
+    need further *integer* arithmetic (``div``) on the micros value, which
+    the Column API only offers through ``F.expr``."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        raise ValueError(f"column {col!r} not in {df.columns}")
+    if dtype == "bigint":
+        return f"({col} div 1000)"
+    if dtype.startswith("timestamp_ntz"):
+        return (
+            f"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', {col})"
+        )
+    if dtype.startswith("timestamp"):
+        return f"unix_micros({col})"
+    raise TypeError(f"unsupported event-time dtype {dtype!r} for column {col!r}")
+
+
+def _event_time(df: DataFrame, col: str = "ts") -> Column:
+    """TIMESTAMP event-time column from any supported ``ts`` encoding.
+
+    ``timestamp_micros`` builds the instant from epoch micros, and
+    ``F.window`` / ``F.session_window`` align buckets on the internal
+    epoch-micros value — so windows are epoch-aligned and timezone-proof.
+    """
+    return F.timestamp_micros(ts_event_micros(df, col))
 
 
 def tumbling_event_agg(events: DataFrame, window_seconds: int = 3600) -> DataFrame:
     """Batch-form tumbling aggregation: integer epoch bucket (timezone-proof
     — identical in Spark and DuckDB) × event_type → count + value sum.
 
-    ``ts`` arrives as int64 epoch **nanoseconds** (nanosAsLong read path);
-    the bucket uses integer division only — nanos exceed 2^53, so routing
-    through double would corrupt the bucket edges.
+    The bucket is integer division of epoch micros — exact for any input
+    encoding (see module docstring); ``div`` keeps it out of double space.
     """
-    window_ns = int(window_seconds) * 1_000_000_000
-    bucket = F.expr(f"ts div {window_ns}")  # exact integer division
+    window_us = int(window_seconds) * 1_000_000
+    bucket = F.expr(f"{ts_event_micros_sql(events)} div {window_us}")
     return (
         events.groupBy(bucket.alias("bucket"), "event_type")
         .agg(
@@ -49,6 +101,9 @@ def windowed_event_counts_stream(
                .queryName("out").start())
         q.processAllAvailable()
     """
+    # backward compat: TIMESTAMP(NANOS) parquet only reads under this legacy
+    # conf (as int64 nanos, which ts_event_micros handles); a no-op for the
+    # current TIMESTAMP(MICROS) testdata
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
     if os.path.isfile(events_path):
@@ -57,12 +112,8 @@ def windowed_event_counts_stream(
         os.symlink(events_path, os.path.join(staged, os.path.basename(events_path)))
         events_path = staged
     stream = spark.readStream.schema(schema).parquet(events_path)
-    # ts is int64 nanos on the read path; event-time ops need a timestamp.
-    # Integer division only — nanos exceed 2^53, double division would
-    # corrupt microseconds (same invariant as the batch path above).
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
     return (
-        stream.withColumn("__event_time", ts)
+        stream.withColumn("__event_time", _event_time(stream))
         .withWatermark("__event_time", watermark)
         .groupBy(F.window("__event_time", window), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
@@ -77,15 +128,13 @@ def session_window_agg(events: DataFrame, gap_seconds: int = 21600) -> DataFrame
 
     Same streaming-first shape as the tumbling variant: the identical
     expression works under ``readStream`` + watermark (session windows
-    are Structured Streaming's native sessionization).  ``ts`` arrives as
-    int64 epoch nanos; integer division to micros only (nanos exceed
-    2^53).  Value sums go through DECIMAL so both engines agree exactly.
+    are Structured Streaming's native sessionization).  Value sums go
+    through DECIMAL so both engines agree exactly.
 
     Returns (user_id, session_start_us, session_end_us, n, sum_value).
     """
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
     return (
-        events.withColumn("__event_time", ts)
+        events.withColumn("__event_time", _event_time(events))
         .groupBy(
             F.session_window("__event_time", f"{int(gap_seconds)} seconds"),
             "user_id",
@@ -112,15 +161,13 @@ def hopping_window_agg(
     """Batch-form hopping (sliding) windows via the built-in ``F.window``
     with a slide: each event lands in ``window/slide`` overlapping
     buckets.  Same streaming-first shape as the tumbling variant (the
-    identical expression runs under readStream + watermark).  ``ts``
-    arrives as int64 epoch nanos → integer division to micros; DECIMAL
+    identical expression runs under readStream + watermark).  DECIMAL
     value sums for cross-engine exactness.
 
     Returns (window_start_us, window_end_us, event_type, n, sum_value).
     """
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
     return (
-        events.withColumn("__event_time", ts)
+        events.withColumn("__event_time", _event_time(events))
         .groupBy(
             F.window(
                 "__event_time",

@@ -18,7 +18,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_ts_ns long"
+from .events import ts_event_micros
+
+OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_ts_us long"
 STATE_SCHEMA = "n long, s double, last long"
 
 
@@ -28,10 +30,10 @@ def _update_user_stats(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     for pdf in pdfs:
         n += len(pdf)
         s += float(pdf["value"].sum())
-        last = max(last, int(pdf["ts"].max()))
+        last = max(last, int(pdf["ts_us"].max()))
     state.update((n, s, last))
     yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "sum_value": [round(s, 6)], "last_ts_ns": [last]}
+        {"user_id": [user_id], "n_events": [n], "sum_value": [round(s, 6)], "last_ts_us": [last]}
     )
 
 
@@ -48,8 +50,12 @@ def running_user_stats_stream(spark: SparkSession, events_path: str) -> DataFram
         os.symlink(events_path, os.path.join(staged, os.path.basename(events_path)))
         events_path = staged
     stream = spark.readStream.schema(schema).parquet(events_path)
+    # normalize the timestamp to epoch micros JVM-side (any parquet ts
+    # encoding) so the pandas state function sees a plain int64 column
     return (
-        stream.select("user_id", "value", "ts")
+        stream.select(
+            "user_id", "value", ts_event_micros(stream).alias("ts_us")
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             _update_user_stats,

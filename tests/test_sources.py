@@ -98,3 +98,11 @@ def test_sqlite_sink_and_scan_roundtrip(spark, tmp_path):
     # empty result keeps a usable shape
     empty = read_sqlite_table(spark, db, 'SELECT id, name FROM "annot" WHERE id = -1')
     assert empty.count() == 0 and empty.columns == ["id", "name"]
+
+    # driver-memory guard: fact-table misuse fails loudly, pointing at parquet
+    import pytest
+
+    with pytest.raises(ValueError, match="max_rows"):
+        read_sqlite_table(spark, db, "annot", max_rows=2)
+    # an explicit higher cap re-admits the read
+    assert read_sqlite_table(spark, db, "annot", max_rows=10).count() == 4

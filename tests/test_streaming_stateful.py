@@ -31,13 +31,16 @@ def test_stateful_user_stats_match_batch(spark, tmp_path):
         q.stop()
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from omics_data_integration_utilities_spark.streaming.events import ts_event_micros
+
+    events = spark.read.parquet(path)
     batch = (
-        spark.read.parquet(path)
+        events
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 6).alias("s"),
-            F.max("ts").alias("last"),
+            F.max(ts_event_micros(events)).alias("last"),
         )
     )
     expect = {r["user_id"]: r for r in batch.collect()}
@@ -46,4 +49,4 @@ def test_stateful_user_stats_match_batch(spark, tmp_path):
         g = got[uid]
         assert g["n_events"] == e["n"]
         assert abs(g["sum_value"] - e["s"]) < 1e-6
-        assert g["last_ts_ns"] == e["last"]
+        assert g["last_ts_us"] == e["last"]
