@@ -32,6 +32,7 @@ from omics_data_integration_utilities_spark.plans.registry_pathway import (
     ORACLES_PATHWAY,
     QUERIES_PATHWAY,
 )
+from omics_data_integration_utilities_spark.plans.golden_oracles import GOLDEN_ORACLES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -162,4 +163,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(ORACLES_MORE)
     out.update(ORACLES_KERNELS)
     out.update(ORACLES_PATHWAY)
+    # seeded iterative kernels: sf0.01-pinned golden VALUES oracles (see
+    # plans/golden_oracles.py for the determinism + validity argument)
+    out.update(GOLDEN_ORACLES)
     return out
