@@ -12,10 +12,22 @@ the product template (atom-map aware), serialize — instead of the string
 regexp rewrite the default JVM kernel uses.  It is intentionally a
 SUBSET engine; the honest scope is:
 
-- **Linear (chain) patterns**: a pattern embedding is a run of atoms
-  consecutive in the substrate token stream with identical inter-atom
-  bond text; branch parentheses break adjacency.  (Full VF2 subgraph
-  matching is what an RDKit kernel would drop into the same slot.)
+- **Substructure matching** (:func:`has_substructure`) is a real graph
+  embedding: substrate and pattern parse into atoms + bonds (branch
+  parentheses and ring closures build edges), and a backtracking
+  subgraph-monomorphism search finds the pattern wherever it sits in
+  the tree — branched patterns match in any branch order, and chain
+  patterns match across a substrate branch point.
+- **Rewrite patterns** (:func:`apply_reaction`): a pattern embedding is
+  a run of atoms consecutive in the substrate token stream with
+  identical inter-atom bond text.  Branched patterns are supported by
+  enumerating the pattern's branch-order linearizations (every
+  permutation of each atom's branches / chain tail, RetroRules' tree
+  shapes) and matching each against the substrate — so
+  ``[C:1](=O)[OH]`` finds an acid written ``C(=O)O`` *or* ``C(O)=O``.
+  What stays out of scope: embeddings interrupted by substrate-side
+  branches that the pattern lacks (rewriting those needs a full graph
+  writer — the RDKit kernel slot).
 - **Atom matching**: element + aromaticity must agree (``*`` matches
   any); explicit H-count and charge constraints must agree when the
   pattern specifies them; connectivity/valence specs (``&X3``/``&v4``)
@@ -165,11 +177,290 @@ def _atom_matches(pat: Atom, sub: Atom) -> bool:
     return True
 
 
+def parse_graph(s: str) -> tuple[list[Atom], dict[tuple[int, int], str | None]]:
+    """Parse into atoms + bond edges: branch parentheses attach following
+    atoms to the branch point, ring-closure digit pairs become edges.
+
+    Edge labels: the bond text as written ('' normalized to '-'); ring
+    edges carry ``None`` = matches any bond (the linear matcher's
+    topology-only ring semantics).  A ``.`` separator produces NO edge
+    (disconnected components).  Raises ValueError outside the subset.
+    """
+    atoms: list[Atom] = []
+    edges: dict[tuple[int, int], str | None] = {}
+    stack: list[int | None] = []
+    ring_open: dict[str, int] = {}
+    prev: int | None = None
+    bond = ""
+    i, n = 0, len(s)
+
+    def _attach(idx: int) -> None:
+        nonlocal prev, bond
+        if prev is not None and bond != ".":
+            edges[(min(prev, idx), max(prev, idx))] = "-" if bond == "" else bond
+        prev = idx
+        bond = ""
+
+    while i < n:
+        ch = s[i]
+        if ch == "[":
+            m = _BRACKET_RE.match(s, i)
+            if not m:
+                raise ValueError(f"unsupported bracket atom at {i}: {s[i:i + 12]!r}")
+            elem = m.group("elem")
+            h, charge = _parse_mods(m.group("mods") or "")
+            raw = re.sub(r":\d+\]$", "]", m.group(0))
+            atoms.append(
+                Atom(elem, elem.islower() and elem != "*", h, charge,
+                     int(m.group("map")) if m.group("map") else None,
+                     raw, i, m.end(), m.end())
+            )
+            _attach(len(atoms) - 1)
+            i = m.end()
+        elif s.startswith(_TWO_LETTER, i):
+            atoms.append(Atom(s[i:i + 2], False, None, None, None, s[i:i + 2], i, i + 2, i + 2))
+            _attach(len(atoms) - 1)
+            i += 2
+        elif ch in _SINGLE or ch in _AROMATIC or ch == "*":
+            atoms.append(Atom(ch, ch in _AROMATIC, None, None, None, ch, i, i + 1, i + 1))
+            _attach(len(atoms) - 1)
+            i += 1
+        elif ch.isdigit() or ch == "%":
+            if prev is None or not atoms or atoms[-1].ring_end != i:
+                raise ValueError(f"ring digit not attached to an atom at {i}")
+            d = s[i:i + 3] if ch == "%" else ch
+            atoms[-1].rings.append(d)
+            atoms[-1].ring_end = i + len(d)
+            if d in ring_open:
+                j = ring_open.pop(d)
+                edges[(min(j, prev), max(j, prev))] = None
+            else:
+                ring_open[d] = prev
+            i += len(d)
+        elif ch == "(":
+            stack.append(prev)
+            i += 1
+        elif ch == ")":
+            if not stack:
+                raise ValueError(f"unbalanced ')' at {i}")
+            prev = stack.pop()
+            bond = ""
+            i += 1
+        elif ch in _BOND_CHARS:
+            bond = ch
+            i += 1
+        else:
+            raise ValueError(f"unsupported character {ch!r} at {i}")
+    # an unclosed ring digit = a closure pairing outside this string; keep
+    # the atoms (the linear matcher tolerates it) but no edge is created
+    return atoms, edges
+
+
+def _bond_ok(pb: str | None, sb: str | None) -> bool:
+    return pb is None or sb is None or pb == sb
+
+
+def _embeds(
+    p_atoms: list[Atom],
+    p_edges: dict[tuple[int, int], str | None],
+    s_atoms: list[Atom],
+    s_edges: dict[tuple[int, int], str | None],
+) -> bool:
+    """Backtracking subgraph monomorphism: injective atom assignment
+    preserving every pattern bond (extra substrate bonds tolerated —
+    the relaxed ring semantics of the linear matcher)."""
+    k = len(p_atoms)
+    if k > len(s_atoms):
+        return False
+    s_adj: dict[int, list[int]] = {}
+    for (a, b) in s_edges:
+        s_adj.setdefault(a, []).append(b)
+        s_adj.setdefault(b, []).append(a)
+    p_adj: dict[int, list[int]] = {}
+    for (a, b) in p_edges:
+        p_adj.setdefault(a, []).append(b)
+        p_adj.setdefault(b, []).append(a)
+    cand = [
+        [j for j in range(len(s_atoms)) if _atom_matches(p, s_atoms[j])]
+        for p in p_atoms
+    ]
+    if any(not c for c in cand):
+        return False
+    # order pattern atoms connectivity-first so each step is edge-pruned
+    order: list[int] = []
+    seen: set[int] = set()
+    for start in range(k):
+        if start in seen:
+            continue
+        queue = [start]
+        seen.add(start)
+        while queue:
+            cur = queue.pop()
+            order.append(cur)
+            for nb in p_adj.get(cur, []):
+                if nb not in seen:
+                    seen.add(nb)
+                    queue.append(nb)
+    assign: dict[int, int] = {}
+    used: set[int] = set()
+
+    def bt(step: int) -> bool:
+        if step == k:
+            return True
+        pi = order[step]
+        # restrict to neighbors of an already-assigned pattern neighbor
+        anchored = [q for q in p_adj.get(pi, []) if q in assign]
+        pool = (
+            [j for j in s_adj.get(assign[anchored[0]], [])]
+            if anchored
+            else range(len(s_atoms))
+        )
+        for sj in pool:
+            if sj in used or not _atom_matches(p_atoms[pi], s_atoms[sj]):
+                continue
+            ok = True
+            for q in anchored:
+                key_p = (min(pi, q), max(pi, q))
+                key_s = (min(sj, assign[q]), max(sj, assign[q]))
+                if key_s not in s_edges or not _bond_ok(p_edges[key_p], s_edges[key_s]):
+                    ok = False
+                    break
+            if not ok:
+                continue
+            assign[pi] = sj
+            used.add(sj)
+            if bt(step + 1):
+                return True
+            del assign[pi]
+            used.discard(sj)
+        return False
+
+    return bt(0)
+
+
+_ATOM_START_RE = re.compile(r"[A-Za-z\[\*]")
+
+
+def _linearizations(s: str, cap: int = 48) -> list[str]:
+    """All branch-order rewrites of ``s``: at every atom, each permutation
+    of its branches + chain tail (the last-written child is the unparenthesized
+    tail).  The original string is always first; parse failures and
+    ``.``-separated patterns fall back to ``[s]``.  Capped at ``cap``."""
+    if "(" not in s:
+        return [s]
+    if "." in s:
+        return [s]
+    try:
+        roots, _ = _parse_tree(s)
+    except ValueError:
+        return [s]
+
+    from itertools import islice, permutations
+
+    def ser(node) -> list[str]:
+        text, kids = node
+        if not kids:
+            return [text]
+        outs: list[str] = []
+        for perm in permutations(kids):
+            tails = ser(perm[-1][1])
+            branch_lists = [ser(c) for _, c in perm[:-1]]
+            # cartesian across branches would explode; branches are tiny in
+            # practice — take the first serialization of each branch except
+            # the permuted order itself (order is the combinatorics we want)
+            branches = "".join(
+                f"({b}{bl[0]})" for (b, _), bl in zip(perm[:-1], branch_lists)
+            )
+            for t in tails:
+                outs.append(f"{text}{branches}{perm[-1][0]}{t}")
+        return outs
+
+    if len(roots) != 1:
+        return [s]
+    out: list[str] = []
+    for v in islice(ser(roots[0][1]), cap * 4):
+        if v not in out:
+            out.append(v)
+        if len(out) >= cap:
+            break
+    # the original writing must be tried first (product order stability)
+    if s in out:
+        out.remove(s)
+    return [s] + out
+
+
+def _parse_tree(s: str):
+    """Tree parse for the linearization enumerator: node = (atom_text,
+    [(bond_text, child), ...]) where atom_text includes brackets, atom
+    maps and ring digits verbatim.  Returns (roots, total_atoms)."""
+    i, n = 0, len(s)
+    roots: list[tuple[str, tuple]] = []
+    stack: list[tuple] = []
+    cur: tuple | None = None
+    bond = ""
+    count = 0
+    while i < n:
+        ch = s[i]
+        if ch == "(":
+            if cur is None:
+                raise ValueError("branch before first atom")
+            stack.append(cur)
+            i += 1
+        elif ch == ")":
+            if not stack:
+                raise ValueError("unbalanced ')'")
+            cur = stack.pop()
+            bond = ""
+            i += 1
+        elif ch in _BOND_CHARS:
+            bond = ch
+            i += 1
+        else:
+            if ch == "[":
+                m = _BRACKET_RE.match(s, i)
+                if not m:
+                    raise ValueError(f"unsupported bracket atom at {i}")
+                j = m.end()
+            elif s.startswith(_TWO_LETTER, i):
+                j = i + 2
+            elif ch in _SINGLE or ch in _AROMATIC or ch == "*":
+                j = i + 1
+            else:
+                raise ValueError(f"unsupported character {ch!r} at {i}")
+            while j < n and (s[j].isdigit() or s[j] == "%"):
+                j = j + 3 if s[j] == "%" else j + 1
+            node = (s[i:j], [])
+            if cur is None:
+                roots.append((bond, node))
+            else:
+                cur[1].append((bond, node))
+            cur = node
+            bond = ""
+            count += 1
+            i = j
+    if stack:
+        raise ValueError("unbalanced '('")
+    return roots, count
+
+
 def apply_reaction(substrate: str, pattern: str, template: str) -> list[str]:
     """All distinct products of rewriting every embedding of ``pattern``
     in ``substrate`` with ``template`` (``pattern >> template`` reaction
-    semantics, gizmos.py:210-224).  Returns [] when the substrate falls
-    outside the parser subset or nothing matches."""
+    semantics, gizmos.py:210-224).  Branched patterns are matched in
+    every branch-order linearization (module docstring).  Returns []
+    when the substrate falls outside the parser subset or nothing
+    matches."""
+    products: list[str] = []
+    for lin in _linearizations(pattern):
+        for prod in _apply_linear(substrate, lin, template):
+            if prod not in products:
+                products.append(prod)
+    return products
+
+
+def _apply_linear(substrate: str, pattern: str, template: str) -> list[str]:
+    """One-linearization rewrite: consecutive-token-run embeddings of
+    ``pattern`` spliced with ``template`` (the original chain engine)."""
     try:
         s_atoms = parse_chain(substrate)
         p_atoms = parse_chain(pattern)
@@ -227,37 +518,22 @@ def apply_reaction(substrate: str, pattern: str, template: str) -> list[str]:
 def has_substructure(substrate: str, pattern: str) -> bool:
     """K3 structural substructure check (the reference's RDKit
     ``HasSubstructMatch``, ``mapBaseRetroRules.py:37-53``) over the same
-    SMARTS subset: true when the pattern's atom sequence embeds in the
-    substrate — atom constraints + inter-atom separator equality +
-    internal ring-pairing topology; unlike the rewrite path there is no
-    dangling-closure guard (matching an atom inside a ring is fine when
-    nothing is deleted).  False when either string falls outside the
-    parser subset."""
+    SMARTS subset, as a true GRAPH embedding: branch parentheses and
+    ring closures build bond edges on both sides, and the pattern
+    matches wherever its atoms + bonds embed injectively — branched
+    patterns in any branch order, chain patterns across substrate
+    branch points.  Extra substrate bonds are tolerated (monomorphism —
+    the relaxed ring semantics: matching an atom inside a ring is fine
+    when nothing is deleted).  False when either string falls outside
+    the parser subset."""
     try:
-        s_atoms = parse_chain(substrate)
-        p_atoms = parse_chain(pattern)
+        s_atoms, s_edges = parse_graph(substrate)
+        p_atoms, p_edges = parse_graph(pattern)
     except ValueError:
         return False
     if not p_atoms or len(p_atoms) > len(s_atoms):
         return False
-    k = len(p_atoms)
-    p_pairs, _ = _ring_pairing(p_atoms)
-    for i0 in range(len(s_atoms) - k + 1):
-        span = s_atoms[i0 : i0 + k]
-        if not all(_atom_matches(p, s) for p, s in zip(p_atoms, span)):
-            continue
-        if any(
-            _sep(pattern, p_atoms[j], p_atoms[j + 1]) != _sep(substrate, span[j], span[j + 1])
-            for j in range(k - 1)
-        ):
-            continue
-        s_pairs, _ = _ring_pairing(span)
-        # substructure (unlike rewrite) tolerates EXTRA substrate ring
-        # bonds — the pattern's pairing must be present, not exhaustive
-        if not p_pairs <= s_pairs:
-            continue
-        return True
-    return False
+    return _embeds(p_atoms, p_edges, s_atoms, s_edges)
 
 
 def structural_reaction_kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -461,12 +461,20 @@ def q_k13_count_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# probe patterns for k3_substructure, chosen so that STRING containment
-# is provably equivalent to the structural embedding on the k2-style
-# construction "C{1..5}O{0..2}[N&X3:2](Cl|c1ccccc1)[CH3]": every probe is
-# either a literal substring of the construction or textually impossible
-# in it ("CCl" — Cl is always preceded by ']'), so the independent
-# strpos oracle checks the real engine verdicts, true AND false
+# probe patterns for k3_substructure over the k2-style construction
+# "C{1..5}O{0..2}[N&X3:2]" + ("Cl" | "c1ccccc1") + "[CH3]" (a linear
+# token stream — the variant tail is bonded N—Cl—CH3 or N—ring—CH3).
+# The oracle is derived per-probe from the construction:
+#   - equivalence probes: graph embedding ⇔ literal substring, so
+#     strpos checks the engine verdicts true AND false;
+#   - structural probes: provable closed forms on the construction —
+#     probe_ccl is true exactly on the Cl variant (Cl is bonded to the
+#     [CH3] carbon; under graph semantics the token gap is irrelevant),
+#     the two branch probes root at that Cl (bonded to BOTH the N and
+#     the [CH3] carbon), true exactly on the Cl variant and in EITHER
+#     branch order (the branch matcher's driver check), and probe_ocl /
+#     probe_dbl are structurally impossible (no O–Cl bond, no double
+#     bond anywhere in the construction).
 K3_PROBES = [
     ("probe_cc", "CC"),
     ("probe_co", "CO"),
@@ -477,7 +485,15 @@ K3_PROBES = [
     ("probe_arom", "cc"),
     ("probe_ch3", "[CH3]"),
     ("probe_ccl", "CCl"),
+    ("probe_branch", "Cl([N&X3:2])[CH3]"),
+    ("probe_branch_swap", "Cl([CH3])[N&X3:2]"),
+    ("probe_ocl", "OCl"),
+    ("probe_dbl", "C=O"),
 ]
+
+# probes whose truth is a closed form of the construction, not strpos
+_K3_STRUCTURAL_TRUE_ON_CL = ("probe_ccl", "probe_branch", "probe_branch_swap")
+_K3_ALWAYS_FALSE = ("probe_ocl", "probe_dbl")
 
 
 def q_k3_substructure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,7 +534,14 @@ SQL_K3_SUBSTRUCTURE = (
     "), probes(probe_id, probe) AS (VALUES "
     + ", ".join(f"('{pid}', '{p}')" for pid, p in K3_PROBES)
     + ")\n"
-    "SELECT p_partkey, probe_id, strpos(smarts, probe) > 0 AS is_substruct\n"
+    "SELECT p_partkey, probe_id,\n"
+    "       CASE WHEN probe_id IN ("
+    + ", ".join(f"'{p}'" for p in _K3_STRUCTURAL_TRUE_ON_CL)
+    + ") THEN p_partkey % 2 = 0\n"
+    "            WHEN probe_id IN ("
+    + ", ".join(f"'{p}'" for p in _K3_ALWAYS_FALSE)
+    + ") THEN FALSE\n"
+    "            ELSE strpos(smarts, probe) > 0 END AS is_substruct\n"
     "FROM s, probes\n"
 )
 

@@ -567,13 +567,18 @@ def test_structural_kernel_ring_and_map_semantics():
 
 
 def test_structural_substructure_check():
-    """K3 has_substructure: embedding semantics incl. the relaxed ring
-    rule (extra substrate ring bonds allowed, nothing is deleted)."""
+    """K3 has_substructure: graph-embedding semantics incl. the relaxed
+    ring rule (extra substrate bonds allowed, nothing is deleted)."""
     from omics_data_integration_utilities_spark.operators.smarts_engine import has_substructure
 
     assert has_substructure("CCO[N&X3:2]Cl[CH3]", "O[N&X3:2]Cl")
     assert has_substructure("CCO[N&X3:2]Cl[CH3]", "[CH3]")
-    assert not has_substructure("CCO[N&X3:2]Cl[CH3]", "CCl")  # not adjacent atoms
+    # graph semantics: Cl IS bonded to the [CH3] carbon (the old linear
+    # matcher missed non-consecutive-token adjacency)
+    assert has_substructure("CCO[N&X3:2]Cl[CH3]", "CCl")
+    # ...but a bond that does not exist anywhere stays false
+    assert not has_substructure("CCO[N&X3:2]Cl[CH3]", "OCl")
+    assert not has_substructure("CCO[N&X3:2]Cl[CH3]", "C=O")
     # aromatic ring: pattern with closure matches a differently-numbered ring
     assert has_substructure("CCc2ccccc2C", "c1ccccc1")
     # pattern WITHOUT closures still embeds in ring atoms (extra bonds ok)
@@ -584,3 +589,46 @@ def test_structural_substructure_check():
     assert has_substructure("CNO", "*N*")
     # out-of-subset input -> False, never a crash
     assert not has_substructure("C@@H(weird)", "C")
+
+
+def test_structural_substructure_branches():
+    """Branched patterns embed in any branch order, chain patterns cross
+    substrate branch points, and branch bonds are label-checked."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import has_substructure
+
+    # chain pattern across a substrate branch point
+    assert has_substructure("C(F)N", "CN")
+    assert not has_substructure("C(F)N", "FN")
+    # branched pattern, either writing, against either substrate writing
+    for sub in ("CC(=O)O", "CC(O)=O"):
+        assert has_substructure(sub, "C(=O)O")
+        assert has_substructure(sub, "C(O)=O")
+    assert not has_substructure("CC(=O)O", "C(N)=O")
+    # bond labels matter inside branches
+    assert not has_substructure("CC(O)O", "C(=O)O")
+    # branch + ring combined: toluene-ish
+    assert has_substructure("Cc1ccccc1", "c1ccccc1C")
+    assert has_substructure("Cc1ccccc1", "C(c(c)c)")
+    # deeper branch nesting on the substrate side
+    assert has_substructure("CC(C(F)Cl)N", "C(F)Cl")
+    assert has_substructure("CC(C(F)Cl)N", "CN")
+
+
+def test_structural_kernel_branched_patterns():
+    """K1 rewrite with branched patterns: the branch-order linearization
+    finds the embedding however the substrate writes it, and the rewrite
+    preserves the textual splice semantics."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        _linearizations,
+        apply_reaction,
+    )
+
+    assert _linearizations("C(=O)O") == ["C(=O)O", "C(O)=O"]
+    # acid -> amide in either substrate writing (RetroRules tree shapes)
+    assert apply_reaction("CCC(=O)O", "[C:1](=[O:2])O", "[C:1](=[O:2])N") == ["CCC(=O)N"]
+    assert apply_reaction("CCC(O)=O", "[C:1](=[O:2])O", "[C:1](=[O:2])N") == ["CCC(=O)N"]
+    # paren-free patterns take the single-linearization fast path untouched
+    assert _linearizations("Cl") == ["Cl"]
+    # two-branch permutation: 2 branches + tail = 6 orderings, capped dedup
+    lins = _linearizations("C(F)(Cl)Br")
+    assert lins[0] == "C(F)(Cl)Br" and len(set(lins)) == len(lins) == 6
