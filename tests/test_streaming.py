@@ -188,3 +188,67 @@ def test_dedup_stream_watermarked_form_runs_and_dedups(spark, tmp_path):
         spark.read.parquet(path).select(F.md5(F.col("text"))).distinct().count()
     )
     assert len(kept) == len(set(kept)) == n_distinct
+
+
+def test_neardup_stream_matches_batch_lsh_candidates(spark, tmp_path):
+    """Streaming banded-minhash near-dup: with the whole corpus in one
+    micro-batch, the distinct emitted pair set equals the batch
+    lsh_candidate_pairs under the same posting cap."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from omics_data_integration_utilities_spark.streaming.neardup import (
+        lsh_neardup_pairs_stream,
+    )
+
+    path = f"{SF_SMOKE}/documents.parquet"
+    stream_df = lsh_neardup_pairs_stream(spark, path)
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_neardup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in spark.sql("SELECT DISTINCT id_a, id_b FROM neardup_out").collect()
+        }
+    finally:
+        q.stop()
+    expect = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            spark.read.parquet(path), "text", "doc_id"
+        ).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_neardup_stream_watermarked_form_runs(spark, tmp_path):
+    """The EventTimeTimeout variant emits the same pairs when every doc
+    arrives inside the horizon (state bounded by the TTL)."""
+    from omics_data_integration_utilities_spark.streaming.neardup import (
+        lsh_neardup_pairs_stream,
+    )
+
+    path = f"{SF_SMOKE}/documents.parquet"
+    stream_df = lsh_neardup_pairs_stream(
+        spark, path, watermark="24 hours", state_ttl_ms=48 * 3600 * 1000
+    )
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_wm_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_neardup_wm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(DISTINCT id_a, id_b) AS n FROM neardup_wm_out").collect()[0]["n"]
+    finally:
+        q.stop()
+    assert n > 0
