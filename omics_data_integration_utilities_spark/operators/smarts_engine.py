@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 import pandas as pd
 
@@ -177,6 +178,7 @@ def _atom_matches(pat: Atom, sub: Atom) -> bool:
     return True
 
 
+@lru_cache(maxsize=4096)
 def parse_graph(s: str) -> tuple[list[Atom], dict[tuple[int, int], str | None]]:
     """Parse into atoms + bond edges: branch parentheses attach following
     atoms to the branch point, ring-closure digit pairs become edges.
@@ -185,6 +187,12 @@ def parse_graph(s: str) -> tuple[list[Atom], dict[tuple[int, int], str | None]]:
     edges carry ``None`` = matches any bond (the linear matcher's
     topology-only ring semantics).  A ``.`` separator produces NO edge
     (disconnected components).  Raises ValueError outside the subset.
+
+    Memoized (as is :func:`has_substructure`): batch verification calls
+    repeat the same pattern strings millions of times and the same
+    substrates across patterns; the parse and verdict are pure functions
+    of the strings, so the cache turns per-pair cost into per-distinct
+    cost.  Results are treated as immutable by all consumers.
     """
     atoms: list[Atom] = []
     edges: dict[tuple[int, int], str | None] = {}
@@ -515,6 +523,7 @@ def _apply_linear(substrate: str, pattern: str, template: str) -> list[str]:
     return products
 
 
+@lru_cache(maxsize=65536)
 def has_substructure(substrate: str, pattern: str) -> bool:
     """K3 structural substructure check (the reference's RDKit
     ``HasSubstructMatch``, ``mapBaseRetroRules.py:37-53``) over the same
