@@ -252,3 +252,54 @@ def test_neardup_stream_watermarked_form_runs(spark, tmp_path):
     finally:
         q.stop()
     assert n > 0
+
+
+def test_ts_event_micros_all_encodings(spark):
+    """The dtype-dispatching normalizer returns identical epoch micros for
+    the three ts encodings the events parquet has shipped with (int64
+    nanos under nanosAsLong, TIMESTAMP_NTZ micros, instant TIMESTAMP) —
+    and is independent of the session timezone (the round-5 failure
+    class: an encoding change silently breaking every window query)."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.streaming.events import (
+        ts_event_micros,
+        tumbling_event_agg,
+    )
+
+    us = [1704067798778549, 1704068166738090, 1704153600000000]
+    as_nanos = spark.createDataFrame([(u * 1000,) for u in us], "ts long")
+    as_ntz = spark.createDataFrame([(u,) for u in us], "ts long").select(
+        F.timestamp_micros(F.col("ts")).cast("timestamp_ntz").alias("ts")
+    )
+    as_instant = spark.createDataFrame([(u,) for u in us], "ts long").select(
+        F.timestamp_micros(F.col("ts")).alias("ts")
+    )
+    assert dict(as_ntz.dtypes)["ts"] == "timestamp_ntz"
+    assert dict(as_instant.dtypes)["ts"] == "timestamp"
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            for df in (as_nanos, as_ntz, as_instant):
+                got = sorted(
+                    r[0] for r in df.select(ts_event_micros(df)).collect()
+                )
+                assert got == sorted(us), (tz, dict(df.dtypes))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    # the tumbling bucket is the same integer under every encoding
+    buckets = set()
+    for df in (as_nanos, as_ntz, as_instant):
+        agg = tumbling_event_agg(df.withColumn("event_type", F.lit("e")).withColumn("value", F.lit(1.0)), 3600)
+        buckets.add(tuple(sorted(r["bucket"] for r in agg.collect())))
+    assert len(buckets) == 1
+
+    # unsupported dtype fails loudly, not silently
+    import pytest
+
+    bad = spark.createDataFrame([("x",)], "ts string")
+    with pytest.raises(TypeError):
+        ts_event_micros(bad)
