@@ -58,13 +58,19 @@ HEADLINE = [
     "k4_rule_bfs",
 ]
 
-# slow tier: heavy iterative kernels that need timing signal but would
-# blow the 3-rep budget — one timed rep each, reported under
-# "slow_queries", EXCLUDED from the headline total so the driver's
-# "value" stays comparable across rounds.  Disable: SPARK_GRAFT_BENCH_SLOW=0
+# slow tier: queries that need timing signal but must not perturb the
+# headline total (heavy iterative kernels, plus queries added to the
+# bench after round 4 — keeping the headline set fixed keeps the
+# driver's "value" comparable across rounds) — one timed rep each,
+# reported under "slow_queries".  Disable: SPARK_GRAFT_BENCH_SLOW=0
 SLOW_TIER = [
     "methylmix_em",
     "k10_pca_batch",
+    # round 6: the Python graph-matcher kernel and the two window shapes
+    # broken in r5 — timed so a regression in any is visible per-round
+    "k3_substructure",
+    "events_sessions",
+    "events_hopping",
 ]
 
 REGRESSION_FLAG = 1.3
