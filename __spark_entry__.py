@@ -85,6 +85,7 @@ _PRIORITY = [
     "plan_pathway_expand",
     "plan_corr_multiomics",
     "plan_reaction_mass",
+    "plan_data_pipeline",
     # chemistry / rule kernels
     "k1_reaction_products",
     "k2_mass",
@@ -95,7 +96,9 @@ _PRIORITY = [
     "k6_pairwise_corr",
     "k9_linear_filter",
     "k10_pca_batch",
-    "k10_pca_closed",
+    # k10_pca_closed rotated out r6 (same pca_batch_check machinery now
+    # hash-locked via the k10_pca_batch golden oracle) to admit the
+    # plan_data_pipeline composite at the 50-cap
     "k12_perm_fdr",
     "k13_count_glm",
     "k13_poisson_2group",

@@ -138,6 +138,7 @@ def gopher_quality_rules(
     max_symbol_ratio: float = 0.1,
     min_alpha_word_frac: float = 0.6,
     min_stopword_hits: int = 1,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021 §A1.1 — the
     standard public heuristic battery for web-scale corpus filtering):
@@ -145,6 +146,10 @@ def gopher_quality_rules(
     (# and ellipsis), alphabetic-word fraction, and a minimum stopword
     hit count.  One projection, every rule a boolean column plus the
     conjunction ``keep`` — no UDF, scan-speed, SQL-oracle-able.
+
+    ``passthrough``: extra input columns carried into the output, so a
+    downstream filter (``.where("keep")``) needs no join back to the
+    source — the curation-pipeline composition path.
     """
     toks = tokens_col(text_col)
     n_tok = F.size(toks)
@@ -175,6 +180,7 @@ def gopher_quality_rules(
         keep = c if keep is None else (keep & c)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         n_tok.alias("n_tokens"),
         F.round(mean_tok_len, 6).alias("mean_token_len"),
         F.round(symbol_ratio, 6).alias("symbol_ratio"),

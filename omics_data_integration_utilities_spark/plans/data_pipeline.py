@@ -1,0 +1,89 @@
+"""§north-star composite: the end-to-end training-data curation pipeline.
+
+The LLM-side analogue of the §3.2 mass-annotation flagship: the verified
+document operators composed in production order —
+
+  quality filter (Gopher rules) → PII scrub → exact dedup on the
+  SCRUBBED text → single-pass near-dup drop (n-gram Jaccard) →
+  token accounting → deterministic split assignment
+
+— as ONE lazy plan.  Scrubbing precedes dedup deliberately: two
+documents differing only in contact details are duplicates after
+redaction (the same normalize-before-dedup ordering production
+pipelines use).
+
+Plan shape, stage by stage (scale notes):
+- Gopher rules + scrub: two chained projections, zero shuffle
+  (``passthrough`` keeps the text column so no join back).
+- Exact dedup: one window over ``md5(scrubbed)`` (full tie-break on id)
+  — the same single shuffle a groupBy-dedup would cost, but keeps every
+  surviving row intact (no join back for the text).
+- Near-dup: the inverted-index Jaccard join from ``operators.dedup``
+  (exact-under-cap, quadratic only inside a posting list), then a
+  left-anti join dropping the HIGHER id of every pair ≥ threshold —
+  the deterministic keep-first-seen rule.  This is the single-pass
+  variant; transitive cluster resolution is ``dedup_components``.
+- Token counts + split: pure projections (md5-bucket split —
+  partitioning-invariant, append-stable).
+
+Output: (doc_id, split, n_ws_tokens, n_bpe_tokens, n_redactions) for
+every SURVIVING document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import ngram_jaccard_pairs
+from ..operators.sampling import hash_split
+from ..operators.text import (
+    bpe_token_count_col,
+    gopher_quality_rules,
+    scrub_pii,
+    token_count_col,
+)
+
+
+def curate_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Run the full curation pipeline over ``docs``; see module docstring."""
+    kept = (
+        gopher_quality_rules(docs, text_col, id_col, passthrough=(text_col,))
+        .where(F.col("keep"))
+        .select(id_col, text_col)
+    )
+    scrubbed = scrub_pii(kept, text_col, id_col)
+
+    # exact dedup on the scrubbed text: min-id representative per digest
+    w = Window.partitionBy(F.md5(F.col("scrubbed"))).orderBy(F.col(id_col).asc())
+    uniq = (
+        scrubbed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # single-pass near-dup drop: lose the higher id of every pair
+    pairs = ngram_jaccard_pairs(
+        uniq.select(F.col(id_col), F.col("scrubbed")),
+        "scrubbed",
+        id_col,
+        min_jaccard=min_jaccard,
+    )
+    survivors = uniq.join(
+        pairs.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_anti"
+    )
+
+    counted = survivors.select(
+        F.col(id_col),
+        F.col("n_redactions"),
+        token_count_col(F.col("scrubbed")).cast("long").alias("n_ws_tokens"),
+        bpe_token_count_col(F.col("scrubbed")).cast("long").alias("n_bpe_tokens"),
+    )
+    return hash_split(counted, id_col).select(
+        id_col, "split", "n_ws_tokens", "n_bpe_tokens", "n_redactions"
+    )

@@ -887,7 +887,120 @@ FROM pd
 """
 
 
+def q_plan_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star composite: the full curation pipeline (Gopher filter →
+    PII scrub → exact dedup on scrubbed text → near-dup drop → token
+    accounting → split) in one lazy plan — the LLM-side flagship, the
+    analogue of `plan_mass_annotation` for the omics side.  Deterministic
+    PII is planted from the doc id (same construction as
+    `text_pii_scrub`) so redaction does real work, and scrub-before-dedup
+    makes docs differing only in contact details collapse."""
+    from .data_pipeline import curate_documents
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return curate_documents(docs, "text", "doc_id", min_jaccard=0.2)
+
+
+SQL_PLAN_DATA_PIPELINE = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
+  FROM documents
+),
+gt AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM planted),
+gf AS (
+  SELECT doc_id, text,
+         len(toks) AS n_tokens,
+         (length(text) - (len(toks) - 1)) / len(toks) AS mtl,
+         (length(text) - length(replace(text, '#', ''))) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ell,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+         len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, lower(x)))) AS stop_hits
+  FROM gt
+),
+kept AS (
+  SELECT doc_id, text FROM gf
+  WHERE (n_tokens >= 5 AND n_tokens <= 100000)
+    AND (mtl >= 2.0 AND mtl <= 12.0)
+    AND ((n_hash + n_ell) / n_tokens <= 0.1)
+    AND (CAST(alpha_words AS DOUBLE) / n_tokens >= 0.6)
+    AND (stop_hits >= 1)
+),
+s1 AS (
+  SELECT doc_id, text AS t0,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t1
+  FROM kept
+), s2 AS (
+  SELECT doc_id, t0, t1,
+         regexp_replace(t1,
+           '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IP>', 'g') AS t2
+  FROM s1
+), scrub AS (
+  SELECT doc_id,
+    regexp_replace(t2, '\\+?[0-9][0-9()\\-\\s]{{7,}}[0-9]', '<PHONE>', 'g') AS scrubbed,
+    (len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+     + len(regexp_extract_all(t1, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
+     + len(regexp_extract_all(t2, '\\+?[0-9][0-9()\\-\\s]{{7,}}[0-9]')))::BIGINT AS n_redactions
+  FROM s2
+), uniq AS (
+  SELECT doc_id, scrubbed, n_redactions FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(scrubbed) ORDER BY doc_id) AS rn
+    FROM scrub
+  ) WHERE rn = 1
+),
+tok AS (SELECT doc_id, string_split(scrubbed, ' ') AS t FROM uniq),
+sh AS (
+  SELECT doc_id,
+         list_distinct([{_SHINGLE_CONCAT}
+                        for i in generate_series(1, len(t) - {SHINGLE_WIDTH - 1})]) AS s
+  FROM tok
+),
+e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+keep_sh AS (SELECT shingle FROM e GROUP BY shingle HAVING count(*) <= {MAX_POSTING}),
+ke AS (SELECT e.doc_id, e.shingle FROM e JOIN keep_sh USING (shingle)),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM ke GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM ke a JOIN ke b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT DISTINCT id_b FROM (
+    SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  ) WHERE jaccard >= 0.2
+),
+final AS (
+  SELECT u.doc_id, u.scrubbed, u.n_redactions FROM uniq u
+  WHERE u.doc_id NOT IN (SELECT id_b FROM drops)
+)
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000000 < 900000 THEN 'train'
+            WHEN ('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000000 < 950000 THEN 'val'
+            ELSE 'test' END AS split,
+       len(string_split(scrubbed, ' '))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(scrubbed,
+           '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s'))::BIGINT AS n_bpe_tokens,
+       n_redactions
+FROM final
+"""
+
+
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "plan_data_pipeline": q_plan_data_pipeline,
     "rulemap_containment": q_rulemap_containment,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
@@ -917,6 +1030,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_DOCS: dict[str, str] = {
+    "plan_data_pipeline": SQL_PLAN_DATA_PIPELINE,
     "rulemap_containment": SQL_RULEMAP_CONTAINMENT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_fingerprint": SQL_DEDUP_FINGERPRINT,

@@ -96,3 +96,10 @@ def test_reaction_default_kernel_stays_jvm(spark):
     plan = _plan(spark, "k1_reaction_products")
     assert "EvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan  # rule fan-out broadcast
+
+
+def test_data_pipeline_stays_jvm(spark):
+    """The curation composite (filter → scrub → dedup → near-dup → split)
+    must be a pure JVM plan — no Python workers anywhere in the chain."""
+    plan = _plan(spark, "plan_data_pipeline")
+    assert "EvalPython" not in plan
