@@ -71,6 +71,8 @@ SLOW_TIER = [
     "k3_substructure",
     "events_sessions",
     "events_hopping",
+    # round 6: the curation-pipeline flagship composite
+    "plan_data_pipeline",
 ]
 
 REGRESSION_FLAG = 1.3

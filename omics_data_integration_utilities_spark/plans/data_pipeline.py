@@ -66,6 +66,18 @@ def curate_documents(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+    # `uniq` fans out to three consumers (the jaccard posting index, the
+    # anti-join left side, the token/split projection); checkpoint the
+    # branch point so the filter→scrub→window chain runs once, not per
+    # branch.  Re-spread first: AQE coalesces the small post-window
+    # shuffle to one partition, which would serialize the heavy per-row
+    # shingle/pair expansion downstream (bytes-based coalescing cannot
+    # see per-row compute cost).  Cluster note: swap for reliable
+    # checkpoint()/cache to survive executor loss, same as the
+    # iterative plans.
+    uniq = uniq.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).localCheckpoint(eager=False)
 
     # single-pass near-dup drop: lose the higher id of every pair
     pairs = ngram_jaccard_pairs(
