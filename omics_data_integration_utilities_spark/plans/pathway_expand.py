@@ -81,6 +81,10 @@ def iterative_expand(
         if new.isEmpty():
             break
         out = out.unionByName(new.select("root", "structure_id").withColumn("round", F.lit(rnd)))
-        reached = reached.unionByName(new.select("root", "structure_id")).localCheckpoint()
+        # no checkpoint here: `reached` is a shallow union over the
+        # already-checkpointed per-round `new` sets (lineage depth stays
+        # O(rounds), each leg materialized), so a third job per round
+        # bought nothing
+        reached = reached.unionByName(new.select("root", "structure_id"))
         frontier = new
     return out
