@@ -363,7 +363,7 @@ def _linearizations(s: str, cap: int = 48) -> list[str]:
     except ValueError:
         return [s]
 
-    from itertools import islice, permutations
+    from itertools import islice, permutations, product
 
     def ser(node) -> list[str]:
         text, kids = node
@@ -373,14 +373,15 @@ def _linearizations(s: str, cap: int = 48) -> list[str]:
         for perm in permutations(kids):
             tails = ser(perm[-1][1])
             branch_lists = [ser(c) for _, c in perm[:-1]]
-            # cartesian across branches would explode; branches are tiny in
-            # practice — take the first serialization of each branch except
-            # the permuted order itself (order is the combinatorics we want)
-            branches = "".join(
-                f"({b}{bl[0]})" for (b, _), bl in zip(perm[:-1], branch_lists)
-            )
-            for t in tails:
-                outs.append(f"{text}{branches}{perm[-1][0]}{t}")
+            # cartesian across branch serializations so nested-branch
+            # orderings surface in non-tail positions too; the global cap
+            # below bounds the explosion (patterns are tiny in practice)
+            for combo in product(*branch_lists):
+                branches = "".join(
+                    f"({b}{s})" for (b, _), s in zip(perm[:-1], combo)
+                )
+                for t in tails:
+                    outs.append(f"{text}{branches}{perm[-1][0]}{t}")
         return outs
 
     if len(roots) != 1:
