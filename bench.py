@@ -213,6 +213,12 @@ def main() -> None:
                 "reps": reps,
                 "slow_queries": slow_timings,
                 "errors": errors,
+                # an erroring headline query silently SHRINKS the total,
+                # which would read as a speedup round-over-round; this flag
+                # marks the total incomparable whenever that happened
+                "headline_incomplete": sorted(
+                    n for n in HEADLINE if n in errors
+                ),
             }
         )
     )

@@ -240,13 +240,17 @@ def ivf_assign(
     spark = df.sparkSession
     if sample_fraction is None:
         # no full-corpus count: a fixed-modulus hash stratum (~1/1024 of the
-        # corpus, deterministic in the ids) + limit bounds the collected
-        # training set at max_train_rows without a single action over the
-        # whole corpus.  limit() short-circuits the scan (CollectLimit), so
-        # training cost is O(sample), not O(corpus).
-        src = df.where(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1024)) == 0
-        ).limit(max_train_rows)
+        # corpus, deterministic in the ids), then the max_train_rows rows
+        # with the SMALLEST secondary hash (id tie-break).  orderBy+limit
+        # compiles to TakeOrderedAndProject — a distributed top-k over the
+        # stratum, never a full sort — and unlike bare limit() the result
+        # is a pure function of the ids, so centroids are reproducible
+        # across runs/partitionings even when the stratum exceeds the cap.
+        src = (
+            df.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1024)) == 0)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(7)).asc(), F.col(id_col).asc())
+            .limit(max_train_rows)
+        )
     else:
         src = df
         if sample_fraction < 1.0:

@@ -349,43 +349,50 @@ def _embeds(
 _ATOM_START_RE = re.compile(r"[A-Za-z\[\*]")
 
 
-def _linearizations(s: str, cap: int = 48) -> list[str]:
+@lru_cache(maxsize=4096)
+def _linearizations(s: str, cap: int = 48) -> tuple[str, ...]:
     """All branch-order rewrites of ``s``: at every atom, each permutation
     of its branches + chain tail (the last-written child is the unparenthesized
     tail).  The original string is always first; parse failures and
-    ``.``-separated patterns fall back to ``[s]``.  Capped at ``cap``."""
+    ``.``-separated patterns fall back to ``(s,)``.  Capped at ``cap``.
+
+    ``ser`` is a GENERATOR so the islice cap truly bounds work — a
+    many-branch atom's factorial permutation space is never materialized
+    (``permutations``/``product`` are lazy; only per-branch serializations
+    are materialized, each bounded to ``cap`` items).  Memoized on the
+    pattern string: batch rewrites repeat the same rules across every
+    substrate, and the enumeration is a pure function of ``s``."""
     if "(" not in s:
-        return [s]
+        return (s,)
     if "." in s:
-        return [s]
+        return (s,)
     try:
         roots, _ = _parse_tree(s)
     except ValueError:
-        return [s]
+        return (s,)
 
     from itertools import islice, permutations, product
 
-    def ser(node) -> list[str]:
+    def ser(node):
         text, kids = node
         if not kids:
-            return [text]
-        outs: list[str] = []
+            yield text
+            return
         for perm in permutations(kids):
-            tails = ser(perm[-1][1])
-            branch_lists = [ser(c) for _, c in perm[:-1]]
             # cartesian across branch serializations so nested-branch
-            # orderings surface in non-tail positions too; the global cap
-            # below bounds the explosion (patterns are tiny in practice)
+            # orderings surface in non-tail positions too; each branch
+            # list is bounded to cap items, and the caller's islice
+            # bounds total yields, so factorial spaces stay lazy
+            branch_lists = [list(islice(ser(c), cap)) for _, c in perm[:-1]]
             for combo in product(*branch_lists):
                 branches = "".join(
                     f"({b}{s})" for (b, _), s in zip(perm[:-1], combo)
                 )
-                for t in tails:
-                    outs.append(f"{text}{branches}{perm[-1][0]}{t}")
-        return outs
+                for t in ser(perm[-1][1]):
+                    yield f"{text}{branches}{perm[-1][0]}{t}"
 
     if len(roots) != 1:
-        return [s]
+        return (s,)
     out: list[str] = []
     for v in islice(ser(roots[0][1]), cap * 4):
         if v not in out:
@@ -395,7 +402,7 @@ def _linearizations(s: str, cap: int = 48) -> list[str]:
     # the original writing must be tried first (product order stability)
     if s in out:
         out.remove(s)
-    return [s] + out
+    return (s, *out)
 
 
 def _parse_tree(s: str):

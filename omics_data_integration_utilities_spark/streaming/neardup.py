@@ -65,8 +65,12 @@ def _make_bucket_fn(max_posting: int, ttl_ms: int | None):
         max_ts = 0
         for pdf in pdfs:
             new.extend(int(x) for x in pdf["__id"])
-            if ttl_ms is not None and "__event_time" in pdf.columns and len(pdf):
-                max_ts = max(max_ts, int(pdf["__event_time"].max().value // 1_000_000))
+            # __event_millis is computed JVM-side (unix_millis): pandas
+            # Timestamp.value on the Arrow-converted column is session-tz
+            # wall-clock nanos, which would offset the timeout under a
+            # non-UTC spark.sql.session.timeZone
+            if ttl_ms is not None and "__event_millis" in pdf.columns and len(pdf):
+                max_ts = max(max_ts, int(pdf["__event_millis"].max()))
         rows: list[tuple[int, str, int, int]] = []
         if saturated or len(old) + len(new) > max_posting:
             # locality signal lost: drop membership, stop emitting
@@ -110,10 +114,14 @@ def lsh_neardup_pairs_stream(
     ttl: int | None = None
     if watermark is not None:
         # offset by a day so id 0 clears the initial epoch-0 watermark
-        keys = keys.withColumn(
-            "__event_time",
-            F.timestamp_seconds(F.col("__id").cast("double") + F.lit(86400.0)),
-        ).withWatermark("__event_time", watermark)
+        keys = (
+            keys.withColumn(
+                "__event_time",
+                F.timestamp_seconds(F.col("__id").cast("double") + F.lit(86400.0)),
+            )
+            .withWatermark("__event_time", watermark)
+            .withColumn("__event_millis", F.unix_millis(F.col("__event_time")))
+        )
         timeout = GroupStateTimeout.EventTimeTimeout
         ttl = int(state_ttl_ms)
     return keys.groupBy("band", "band_key").applyInPandasWithState(

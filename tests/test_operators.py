@@ -623,12 +623,12 @@ def test_structural_kernel_branched_patterns():
         apply_reaction,
     )
 
-    assert _linearizations("C(=O)O") == ["C(=O)O", "C(O)=O"]
+    assert _linearizations("C(=O)O") == ("C(=O)O", "C(O)=O")
     # acid -> amide in either substrate writing (RetroRules tree shapes)
     assert apply_reaction("CCC(=O)O", "[C:1](=[O:2])O", "[C:1](=[O:2])N") == ["CCC(=O)N"]
     assert apply_reaction("CCC(O)=O", "[C:1](=[O:2])O", "[C:1](=[O:2])N") == ["CCC(=O)N"]
     # paren-free patterns take the single-linearization fast path untouched
-    assert _linearizations("Cl") == ["Cl"]
+    assert _linearizations("Cl") == ("Cl",)
     # two-branch permutation: 2 branches + tail = 6 orderings, capped dedup
     lins = _linearizations("C(F)(Cl)Br")
     assert lins[0] == "C(F)(Cl)Br" and len(set(lins)) == len(lins) == 6
