@@ -268,18 +268,20 @@ def _bond_ok(pb: str | None, sb: str | None) -> bool:
     return pb is None or sb is None or pb == sb
 
 
-def _embeds(
+def _all_embeddings(
     p_atoms: list[Atom],
     p_edges: dict[tuple[int, int], str | None],
     s_atoms: list[Atom],
     s_edges: dict[tuple[int, int], str | None],
-) -> bool:
-    """Backtracking subgraph monomorphism: injective atom assignment
-    preserving every pattern bond (extra substrate bonds tolerated —
-    the relaxed ring semantics of the linear matcher)."""
+):
+    """Backtracking subgraph monomorphism, yielding EVERY injective atom
+    assignment (dict pattern-idx → substrate-idx) that preserves every
+    pattern bond (extra substrate bonds tolerated — the relaxed ring
+    semantics of the linear matcher).  Deterministic: candidates are
+    tried in substrate index order."""
     k = len(p_atoms)
     if k > len(s_atoms):
-        return False
+        return
     s_adj: dict[int, list[int]] = {}
     for (a, b) in s_edges:
         s_adj.setdefault(a, []).append(b)
@@ -293,7 +295,7 @@ def _embeds(
         for p in p_atoms
     ]
     if any(not c for c in cand):
-        return False
+        return
     # order pattern atoms connectivity-first so each step is edge-pruned
     order: list[int] = []
     seen: set[int] = set()
@@ -312,14 +314,15 @@ def _embeds(
     assign: dict[int, int] = {}
     used: set[int] = set()
 
-    def bt(step: int) -> bool:
+    def bt(step: int):
         if step == k:
-            return True
+            yield dict(assign)
+            return
         pi = order[step]
         # restrict to neighbors of an already-assigned pattern neighbor
         anchored = [q for q in p_adj.get(pi, []) if q in assign]
         pool = (
-            [j for j in s_adj.get(assign[anchored[0]], [])]
+            sorted(s_adj.get(assign[anchored[0]], []))
             if anchored
             else range(len(s_atoms))
         )
@@ -337,13 +340,215 @@ def _embeds(
                 continue
             assign[pi] = sj
             used.add(sj)
-            if bt(step + 1):
-                return True
+            yield from bt(step + 1)
             del assign[pi]
             used.discard(sj)
-        return False
 
-    return bt(0)
+    yield from bt(0)
+
+
+def _embeds(
+    p_atoms: list[Atom],
+    p_edges: dict[tuple[int, int], str | None],
+    s_atoms: list[Atom],
+    s_edges: dict[tuple[int, int], str | None],
+) -> bool:
+    """Boolean form of :func:`_all_embeddings` — stops at the first
+    embedding, preserving the K3 matcher's early-exit cost."""
+    return next(_all_embeddings(p_atoms, p_edges, s_atoms, s_edges), None) is not None
+
+
+def serialize_graph(
+    tokens: list[str], edges: dict[tuple[int, int], str | None]
+) -> str:
+    """Write an atom/bond graph back to SMILES: per connected component a
+    DFS spanning tree (root = smallest index, neighbors in index order)
+    emits atoms with branch parentheses; non-tree (ring) edges get fresh
+    closure digits at both endpoints; components join with ``.``.
+
+    Deterministic — a pure function of (tokens, edges) — so product ids
+    hashed from the string are stable across runs and partitionings.
+    ``tokens`` are atom texts as written (``Atom.raw``); bond labels
+    ``None``/``''``/``'-'`` print as the implicit single bond.
+    """
+    n = len(tokens)
+    adj: dict[int, list[int]] = {i: [] for i in range(n)}
+    for (a, b) in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    for v in adj.values():
+        v.sort()
+
+    def blab(a: int, b: int) -> str:
+        lab = edges.get((min(a, b), max(a, b)))
+        return "" if lab in (None, "", "-") else lab
+
+    visited = [False] * n
+    digit_counter = [0]
+    comps: list[str] = []
+    for root in range(n):
+        if visited[root]:
+            continue
+        # pass 1: spanning tree + ring (back) edges, discovery order
+        parent: dict[int, int | None] = {root: None}
+        back: dict[frozenset[int], str] = {}
+        visited[root] = True
+        dfs_order = [root]
+        it_stack = [(root, iter(adj[root]))]
+        while it_stack:
+            u, nbrs = it_stack[-1]
+            advanced = False
+            for v in nbrs:
+                if not visited[v]:
+                    visited[v] = True
+                    parent[v] = u
+                    dfs_order.append(v)
+                    it_stack.append((v, iter(adj[v])))
+                    advanced = True
+                    break
+                if v != parent[u] and frozenset((u, v)) not in back:
+                    digit_counter[0] += 1
+                    d = digit_counter[0]
+                    back[frozenset((u, v))] = str(d) if d <= 9 else f"%{d:02d}"
+            if not advanced:
+                it_stack.pop()
+        children: dict[int, list[int]] = {u: [] for u in dfs_order}
+        for v, u in parent.items():
+            if u is not None:
+                children[u].append(v)
+        for kids in children.values():
+            kids.sort()
+
+        # pass 2: write — last child is the unparenthesized tail
+        def write(u: int) -> str:
+            out = tokens[u]
+            for e, d in back.items():
+                if u in e:
+                    a, b = tuple(e)
+                    out += blab(a, b) + d
+            kids = children[u]
+            for c in kids[:-1]:
+                out += f"({blab(u, c)}{write(c)})"
+            if kids:
+                out += blab(u, kids[-1]) + write(kids[-1])
+            return out
+
+        comps.append(write(root))
+    return ".".join(comps)
+
+
+def _apply_graph(
+    substrate: str,
+    pattern: str,
+    template: str,
+    skip_keys: set,
+    limit_embeddings: int = 64,
+) -> list[str]:
+    """Graph-based rewrite: apply ``pattern >> template`` at every graph
+    embedding found by the subgraph-monomorphism matcher — including
+    embeddings interrupted by substrate-side branches the pattern lacks,
+    the case the linear splice engine declines (RDKit ``RunReactants``
+    parity, gizmos.py:193-234).  Per embedding:
+
+    - matched substrate atoms whose pattern atom has no atom map (or a
+      map absent from the template) are DELETED with their bonds,
+    - mapped atoms keep their substrate token when the template atom is
+      a bare same-element spec, else take the template's token (the
+      linear engine's inheritance rule),
+    - bonds between two matched atoms that the pattern covers are
+      replaced by the template's bond structure; extra substrate bonds
+      between matched atoms (monomorphism slack, e.g. a ring bond the
+      chain pattern crosses) are kept,
+    - attachment bonds from mapped atoms to unmatched substrate atoms
+      are kept verbatim; unmapped template atoms are inserted with the
+      template's bonds,
+
+    then the rewritten graph is serialized with :func:`serialize_graph`.
+    Embeddings whose (map-assignment, deletion-set) key is in
+    ``skip_keys`` were already rewritten by the linear splice path and
+    are skipped — the splice output preserves the substrate's own
+    writing, so it wins on the shared subset.  Requires at least one
+    atom map shared by pattern and template (without an anchor the
+    graph rewrite cannot know the attachment — the splice path owns
+    those semantics).  Returns [] outside the parser subset.
+    """
+    from itertools import islice
+
+    try:
+        s_atoms, s_edges = parse_graph(substrate)
+        p_atoms, p_edges = parse_graph(pattern)
+        t_atoms, t_edges = parse_graph(template)
+    except ValueError:
+        return []
+    if not p_atoms or len(p_atoms) > len(s_atoms):
+        return []
+    t_maps = {a.amap for a in t_atoms if a.amap is not None}
+    p_maps = {a.amap for a in p_atoms if a.amap is not None}
+    if not (t_maps & p_maps):
+        return []
+    products: list[str] = []
+    for assign in islice(
+        _all_embeddings(p_atoms, p_edges, s_atoms, s_edges), limit_embeddings
+    ):
+        matched = set(assign.values())
+        by_map = {
+            p_atoms[pi].amap: si
+            for pi, si in assign.items()
+            if p_atoms[pi].amap is not None and p_atoms[pi].amap in t_maps
+        }
+        deleted = matched - set(by_map.values())
+        key = (frozenset(by_map.items()), frozenset(deleted))
+        if key in skip_keys:
+            continue
+        inv = {si: pi for pi, si in assign.items()}
+        n_sub = len(s_atoms)
+        new_edges: dict[tuple[int, int], str | None] = {}
+        for (a, b), lab in s_edges.items():
+            if a in deleted or b in deleted:
+                continue
+            if a in matched and b in matched:
+                pa, pb = inv[a], inv[b]
+                if (min(pa, pb), max(pa, pb)) in p_edges:
+                    continue  # pattern covers it: template governs this bond
+            new_edges[(a, b)] = lab
+        node_of: dict[int, int] = {}
+        inserted: list[int] = []
+        for ti, t in enumerate(t_atoms):
+            if t.amap is not None and t.amap in by_map:
+                node_of[ti] = by_map[t.amap]
+            else:
+                node_of[ti] = n_sub + len(inserted)
+                inserted.append(ti)
+        for (ta, tb), lab in t_edges.items():
+            u, v = node_of[ta], node_of[tb]
+            new_edges[(min(u, v), max(u, v))] = lab
+        # compact ids: retained substrate atoms in position order (mapped
+        # atoms stay where the substrate put them), inserted atoms last
+        keep = [i for i in range(n_sub) if i not in deleted]
+        remap = {old: new for new, old in enumerate(keep)}
+        for j in range(len(inserted)):
+            remap[n_sub + j] = len(keep) + j
+        tokens: list[str] = []
+        for old in keep:
+            if old in matched:
+                t_idx = next(
+                    ti for ti, t in enumerate(t_atoms)
+                    if t.amap is not None and by_map.get(t.amap) == old
+                )
+                t, src = t_atoms[t_idx], s_atoms[old]
+                keep_src = t.raw in (t.elem, f"[{t.elem}]") and t.elem == src.elem
+                tokens.append(src.raw if keep_src else t.raw)
+            else:
+                tokens.append(s_atoms[old].raw)
+        tokens.extend(t_atoms[ti].raw for ti in inserted)
+        final_edges = {
+            (min(remap[a], remap[b]), max(remap[a], remap[b])): lab
+            for (a, b), lab in new_edges.items()
+        }
+        product = serialize_graph(tokens, final_edges)
+        if product and product != substrate and product not in products:
+            products.append(product)
+    return products
 
 
 _ATOM_START_RE = re.compile(r"[A-Za-z\[\*]")
@@ -459,24 +664,47 @@ def _parse_tree(s: str):
     return roots, count
 
 
-def apply_reaction(substrate: str, pattern: str, template: str) -> list[str]:
+@lru_cache(maxsize=65536)
+def apply_reaction(substrate: str, pattern: str, template: str) -> tuple[str, ...]:
     """All distinct products of rewriting every embedding of ``pattern``
     in ``substrate`` with ``template`` (``pattern >> template`` reaction
-    semantics, gizmos.py:210-224).  Branched patterns are matched in
-    every branch-order linearization (module docstring).  Returns []
-    when the substrate falls outside the parser subset or nothing
-    matches."""
+    semantics, gizmos.py:210-224).  Two engines compose:
+
+    1. the LINEAR splice path — branched patterns matched in every
+       branch-order linearization (module docstring), rewritten by
+       textual splice so the substrate's own writing survives;
+    2. the GRAPH path (:func:`_apply_graph`) for embeddings the splice
+       cannot express — substrate-branch-interrupted spans, matches
+       across ring closures — found by the subgraph-monomorphism
+       matcher and re-serialized from the rewritten graph.
+
+    Embeddings are keyed by (atom-map assignment, deletion set); the
+    graph path only rewrites keys the linear path did not, so products
+    on the previously-declared subset are bit-identical to the pre-graph
+    engine.  Memoized: rule tables repeat across every substrate batch.
+    Returns () when the substrate falls outside the parser subset or
+    nothing matches."""
     products: list[str] = []
+    seen_keys: set = set()
     for lin in _linearizations(pattern):
-        for prod in _apply_linear(substrate, lin, template):
+        for prod in _apply_linear(substrate, lin, template, seen_keys):
             if prod not in products:
                 products.append(prod)
-    return products
+    for prod in _apply_graph(substrate, pattern, template, seen_keys):
+        if prod not in products:
+            products.append(prod)
+    return tuple(products)
 
 
-def _apply_linear(substrate: str, pattern: str, template: str) -> list[str]:
+def _apply_linear(
+    substrate: str, pattern: str, template: str, keys_out: set | None = None
+) -> list[str]:
     """One-linearization rewrite: consecutive-token-run embeddings of
-    ``pattern`` spliced with ``template`` (the original chain engine)."""
+    ``pattern`` spliced with ``template`` (the original chain engine).
+    When ``keys_out`` is given, every rewritten embedding's
+    (map-assignment, deletion-set) key — substrate atom indices, which
+    coincide between :func:`parse_chain` and :func:`parse_graph` — is
+    added so the graph path can skip already-spliced embeddings."""
     try:
         s_atoms = parse_chain(substrate)
         p_atoms = parse_chain(pattern)
@@ -506,6 +734,15 @@ def _apply_linear(substrate: str, pattern: str, template: str) -> list[str]:
         }
         if any(j in s_external for j in deleted):
             continue
+        if keys_out is not None:
+            keys_out.add((
+                frozenset(
+                    (p_atoms[j].amap, i0 + j)
+                    for j in range(k)
+                    if p_atoms[j].amap is not None and p_atoms[j].amap in t_maps
+                ),
+                frozenset(i0 + j for j in deleted),
+            ))
         by_map = {p_atoms[j].amap: span[j] for j in range(k) if p_atoms[j].amap is not None}
         pieces: list[str] = []
         for t_idx, t in enumerate(t_atoms):

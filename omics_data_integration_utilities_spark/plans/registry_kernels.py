@@ -782,6 +782,76 @@ FROM reacted WHERE product_text != text
 """
 
 
+# K1 graph-writer fixtures: substrates where the rewrite site is
+# interrupted by substrate-side branches the pattern lacks (b=0,2,3) or
+# plain chains the linear splice handles (b=1).  Every substrate ends in
+# a single C–O attachment, so each rule rewrites exactly that site and
+# the oracle can predict the product textually: the graph serializer
+# visits branches in substrate order and appends inserted atoms last,
+# so the product is the substrate with the trailing O swapped for the
+# rule's textual tail — an independent route through DuckDB regexp.
+GRAPH_RXN_RULES = [
+    # rule_id, pattern, template, oracle tail replacing the trailing 'O'
+    ("r_aminate", "[C:1]O", "[C:1]N", "N"),
+    ("r_oxo", "[C:1][O:2]", "[C:1]=[O:2]", "=O"),
+    ("r_homologate", "[C:1]O", "[C:1]CO", "CO"),
+]
+
+
+def q_k1_graph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 GRAPH rewrite (gizmos.py:193-234 RunReactants parity): the
+    structural kernel applies atom-mapped rules at graph embeddings the
+    linear splice cannot express — substrate-branch-interrupted spans
+    like ``C(F)(Cl)O`` — via subgraph matching + graph re-serialization.
+    Same broadcast fan-out / content-hash id dataflow as K1; the DuckDB
+    oracle derives every product by textual tail-swap, an independent
+    route that pins the serializer's writing."""
+    from ..operators.reactions import apply_reactions
+    from ..operators.smarts_engine import structural_reaction_kernel
+
+    part = _t(spark, sf_dir, "part")
+    substrate = F.concat(
+        F.expr("repeat('C', p_size % 3)"),
+        F.when(F.col("p_partkey") % 4 == 0, F.lit("C(F)O"))
+        .when(F.col("p_partkey") % 4 == 1, F.lit("CCO"))
+        .when(F.col("p_partkey") % 4 == 2, F.lit("C(F)(Cl)O"))
+        .otherwise(F.lit("C(CC)O")),
+    )
+    subs = part.select(
+        F.col("p_partkey").alias("substrate_id"), substrate.alias("substrate")
+    )
+    rules = spark.createDataFrame(
+        [(r, p, t) for r, p, t, _ in GRAPH_RXN_RULES],
+        "rule_id string, pattern string, replacement string",
+    )
+    return apply_reactions(subs, rules, kernel=structural_reaction_kernel).select(
+        "substrate_id", "rule_id", "product", "product_id"
+    )
+
+
+GRAPH_RXN_RULES_SQL = ", ".join(
+    f"('{r}', '{tail}')" for r, _, _, tail in GRAPH_RXN_RULES
+)
+
+SQL_K1_GRAPH_REWRITE = f"""
+WITH s AS (
+  SELECT p_partkey AS substrate_id,
+         repeat('C', p_size % 3) ||
+         CASE p_partkey % 4 WHEN 0 THEN 'C(F)O' WHEN 1 THEN 'CCO'
+                            WHEN 2 THEN 'C(F)(Cl)O' ELSE 'C(CC)O' END AS substrate
+  FROM part
+), rules(rule_id, tail) AS (VALUES {GRAPH_RXN_RULES_SQL}),
+prods AS (
+  SELECT substrate_id, rule_id,
+         regexp_replace(substrate, 'O$', tail) AS product
+  FROM s CROSS JOIN rules
+)
+SELECT substrate_id, rule_id, product,
+       'VM_' || substr(sha256(product), 1, 16) AS product_id
+FROM prods
+"""
+
+
 def q_k11_cluster_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K11 per-gene probe clustering (1−corr, complete linkage, cut 0.6)
     — numpy agglomerative inside applyInPandas; rows-only check."""
@@ -797,6 +867,7 @@ def q_k11_cluster_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k1_reaction_products": q_k1_reaction_products,
+    "k1_graph_rewrite": q_k1_graph_rewrite,
     "k11_cluster_probes": q_k11_cluster_probes,
     "multimodal_features": q_multimodal_features,
     "k10_knn_impute": q_k10_knn_impute,
@@ -815,6 +886,7 @@ QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES_KERNELS: dict[str, str] = {
     "k1_reaction_products": SQL_K1_REACTION,
+    "k1_graph_rewrite": SQL_K1_GRAPH_REWRITE,
     "multimodal_features": SQL_MULTIMODAL,
     "k2_mass": SQL_K2_MASS,
     "plan_reaction_mass": SQL_PLAN_REACTION_MASS,

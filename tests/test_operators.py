@@ -539,10 +539,10 @@ def test_structural_kernel_is_one_to_n_per_site():
     from omics_data_integration_utilities_spark.operators.smarts_engine import apply_reaction
 
     # two Cl sites -> two distinct single-site products
-    assert apply_reaction("ClCCCl", "Cl", "O") == ["OCCCl", "ClCCO"]
+    assert apply_reaction("ClCCCl", "Cl", "O") == ("OCCCl", "ClCCO")
     # symmetric sites dedupe to one product
-    assert apply_reaction("ClCCl", "Cl", "F") == ["FCCl", "ClCF"]
-    assert apply_reaction("ClCl", "Cl", "F") == ["FCl", "ClF"]
+    assert apply_reaction("ClCCl", "Cl", "F") == ("FCCl", "ClCF")
+    assert apply_reaction("ClCl", "Cl", "F") == ("FCl", "ClF")
 
 
 def test_structural_kernel_ring_and_map_semantics():
@@ -551,19 +551,67 @@ def test_structural_kernel_ring_and_map_semantics():
     from omics_data_integration_utilities_spark.operators.smarts_engine import apply_reaction
 
     # ring digit labels are arbitrary; the pairing topology matches
-    assert apply_reaction("CCc2ccccc2C", "c1ccccc1", "N") == ["CCNC"]
+    assert apply_reaction("CCc2ccccc2C", "c1ccccc1", "N") == ("CCNC",)
     # deleting a single ring atom would dangle the closure: only the four
     # non-closure atoms may rewrite
-    assert apply_reaction("c1ccccc1", "c", "N") == [
+    assert apply_reaction("c1ccccc1", "c", "N") == (
         "c1Ncccc1", "c1cNccc1", "c1ccNcc1", "c1cccNc1",
-    ]
+    )
     # bare mapped template atom inherits the substrate token (modifiers
     # survive); an element change imposes the template's atom
-    assert apply_reaction("C[N&X3:7]C", "[N:1]", "[N:1]=O") == ["C[N&X3]=OC"]
+    assert apply_reaction("C[N&X3:7]C", "[N:1]", "[N:1]=O") == ("C[N&X3]=OC",)
     assert apply_reaction("c1ccccc1", "[c:1]", "[n:1]")[0] == "[n]1ccccc1"
     # explicit H-count constrains the match
-    assert apply_reaction("C[CH3]", "[CH2]", "O") == []
-    assert apply_reaction("C[CH2]C", "[CH2]", "O") == ["COC"]
+    assert apply_reaction("C[CH3]", "[CH2]", "O") == ()
+    assert apply_reaction("C[CH2]C", "[CH2]", "O") == ("COC",)
+
+
+def test_graph_rewrite_interrupted_embeddings():
+    """K1 graph writer: embeddings interrupted by substrate-side branches
+    the pattern lacks — the case the linear splice declines — rewrite via
+    the subgraph matcher + graph serializer (RunReactants parity,
+    gizmos.py:193-234).  Requires a shared atom map as the anchor."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import apply_reaction
+
+    # branch-interrupted attachment: linear path finds no contiguous run
+    assert apply_reaction("C(F)(Cl)O", "[C:1]O", "[C:1]N") == ("C(F)(Cl)N",)
+    assert apply_reaction("CC(O)C", "[C:1]O", "[C:1]N") == ("CC(C)N",)
+    # bond-order change through the template at an interrupted site
+    assert apply_reaction("C(O)F", "[C:1][O:2]", "[C:1]=[O:2]") == ("C(=O)F",)
+    assert apply_reaction("C(F)(Cl)CO", "[C:1][O:2]", "[C:1]=[O:2]") == ("C(F)(Cl)C=O",)
+    # deleting an interior unmapped atom re-bonds the mapped endpoints
+    assert apply_reaction("C(OC)F", "[C:1]O[C:2]", "[C:1][C:2]") == ("C(C)F",)
+    # unmapped template atoms insert with the template's bonds
+    assert apply_reaction("CC(O)C", "[C:1]O", "[C:1]OC") == ("CC(C)OC",)
+    assert apply_reaction("C(F)O", "[C:1]O", "[C:1]CO") == ("C(F)CO",)
+    # one product per embedding: linear site + graph-only site
+    assert apply_reaction("OC(C)CO", "[C:1]O", "[C:1]N") == ("OC(C)CN", "C(C)(CO)N")
+    # a '.'-separated template yields disconnected components
+    assert apply_reaction("C(OC)F", "[C:1]O[C:2]", "[C:1].[C:2]") == ("CF.C",)
+    # aromatic attachment across the write order; ring closure survives
+    assert apply_reaction("Cc1ccccc1", "[c:1]C", "[c:1]N") == ("c1(ccccc1)N",)
+    # without a shared atom map the graph path declines (splice owns it)
+    assert apply_reaction("C(F)(Cl)O", "CO", "CN") == ()
+
+
+def test_graph_rewrite_ring_and_parity():
+    """Ring-crossing embeddings keep the ring; the linear splice keeps
+    priority on the shared subset (identical writings as before)."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        apply_reaction,
+        parse_graph,
+        serialize_graph,
+    )
+
+    # the O hangs off a ring atom: splice path handles it, ring intact
+    assert apply_reaction("C1CCC1O", "[C:1]O", "[C:1]N") == ("C1CCC1N",)
+    # splice-covered embeddings are not re-emitted by the graph path
+    assert apply_reaction("CCC(=O)O", "[C:1](=[O:2])O", "[C:1](=[O:2])N") == ("CCC(=O)N",)
+    # serializer round-trips a parsed graph deterministically
+    atoms, edges = parse_graph("C1CC1O")
+    assert serialize_graph([a.raw for a in atoms], edges) == "C1CC1O"
+    atoms, edges = parse_graph("CC(F)(Cl)N")
+    assert serialize_graph([a.raw for a in atoms], edges) == "CC(F)(Cl)N"
 
 
 def test_structural_substructure_check():
@@ -625,8 +673,8 @@ def test_structural_kernel_branched_patterns():
 
     assert _linearizations("C(=O)O") == ("C(=O)O", "C(O)=O")
     # acid -> amide in either substrate writing (RetroRules tree shapes)
-    assert apply_reaction("CCC(=O)O", "[C:1](=[O:2])O", "[C:1](=[O:2])N") == ["CCC(=O)N"]
-    assert apply_reaction("CCC(O)=O", "[C:1](=[O:2])O", "[C:1](=[O:2])N") == ["CCC(=O)N"]
+    assert apply_reaction("CCC(=O)O", "[C:1](=[O:2])O", "[C:1](=[O:2])N") == ("CCC(=O)N",)
+    assert apply_reaction("CCC(O)=O", "[C:1](=[O:2])O", "[C:1](=[O:2])N") == ("CCC(=O)N",)
     # paren-free patterns take the single-linearization fast path untouched
     assert _linearizations("Cl") == ("Cl",)
     # two-branch permutation: 2 branches + tail = 6 orderings, capped dedup
