@@ -44,15 +44,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # put the high-value composite plans and analytics kernels first so the
 # capped window always covers them.
 #
-# The window ROTATES between rounds (r6: j5_adduct_expand,
-# j6_transition_match, k6_spearman, k6_corr_pvalue, text_pii_scrub,
-# text_winnowing, text_dup_spans, doc_split — each hash-green in rounds
-# 3-5 — swapped out for 8 never-driver-checked queries: w1_mutual_rank,
-# p8_outlier_matrix, text_lang_id, dedup_minhash_signatures,
-# sim_cosine_neardup, j2_outer_join, j7_semi_join, j9_dict_join) so
-# driver-side evidence accumulates across the full registry instead of
-# re-proving the same 50 every round.  Rotated-out queries keep their
-# local sf0.01 oracle checks in tests/test_queries_oracle.py.
+# The window ROTATES between rounds so driver-side evidence accumulates
+# across the full registry instead of re-proving the same 50 every
+# round.  Rotated-out queries keep their local sf0.01 oracle checks in
+# tests/test_queries_oracle.py.
+#
+# r7 rotation: eleven longest-green queries out (k1_reaction_products,
+# k2_mass, a3_pricing_summary, dedup_exact, dedup_ngram_jaccard,
+# text_gopher, text_repetition, text_decontaminate, text_perplexity,
+# events_tumbling, events_hopping — each hash-green r3-r6, and each
+# with an in-window successor exercising the same machinery:
+# k1_graph_rewrite runs the REAL structural engine, plan_reaction_mass
+# covers k2's mass parser, plan_data_pipeline composes gopher + exact
+# dedup + near-dup verify, events_sessions keeps the streaming-window
+# family) for eleven in: the three NEW queries (k1_graph_rewrite,
+# methylmix_states_digest, combat_adjust_digest — the last two close
+# the rows-only gap with golden digests) plus eight never-driver-
+# checked ones (a6_argmin_dedup, w2_topk_per_group, k6_corr_pvalue,
+# f5_id_generation, doc_split, text_pii_scrub, a9_na_fraction,
+# u2_intersect; k6_corr_pvalue, text_pii_scrub and doc_split return
+# after their r6 rotation out).
+# (r6 rotation: j5_adduct_expand, j6_transition_match, k6_spearman,
+# k6_corr_pvalue, text_pii_scrub, text_winnowing, text_dup_spans,
+# doc_split out for w1_mutual_rank, p8_outlier_matrix, text_lang_id,
+# dedup_minhash_signatures, sim_cosine_neardup, j2_outer_join,
+# j7_semi_join, j9_dict_join.)
 #
 # Every registered query the cap EXCLUDES is still verified, just not by
 # the driver; the exclusions fall into exactly three safe classes:
@@ -87,13 +103,13 @@ _PRIORITY = [
     "plan_reaction_mass",
     "plan_data_pipeline",
     # chemistry / rule kernels
-    "k1_reaction_products",
-    "k2_mass",
+    "k1_graph_rewrite",
     "k4_rule_bfs",
     "rulemap_containment",
     "k3_substructure",
     # analytics kernels
     "k6_pairwise_corr",
+    "k6_corr_pvalue",
     "k9_linear_filter",
     "k10_pca_batch",
     # k10_pca_closed rotated out r6 (same pca_batch_check machinery now
@@ -105,31 +121,26 @@ _PRIORITY = [
     "k13_roc",
     "methylmix_em",
     "plan_methylmix",
+    "methylmix_states_digest",
     "drivernet_greedy",
     "drivernet_significance",
     "combat_mean_only",
+    "combat_adjust_digest",
     # LLM-pipeline surface
-    "dedup_exact",
     "dedup_lsh_pairs",
-    "dedup_ngram_jaccard",
     "dedup_components",
     "dedup_simhash_pairs",
     "dedup_minhash_signatures",
     "sim_ann_topk",
     "sim_ivf_topk",
     "sim_cosine_neardup",
-    "text_gopher",
-    "text_repetition",
-    "text_decontaminate",
-    "text_perplexity",
     "text_lang_id",
+    "text_pii_scrub",
+    "doc_split",
     "multimodal_features",
     # streaming-equivalent windows
-    "events_tumbling",
     "events_sessions",
-    "events_hopping",
     # core relational representatives
-    "a3_pricing_summary",
     "j1_star_join",
     "j4_band_join",
     "j2_outer_join",
@@ -138,7 +149,12 @@ _PRIORITY = [
     "j12_event_join",
     "p6_mad_filter",
     "w1_mutual_rank",
+    "w2_topk_per_group",
     "p8_outlier_matrix",
+    "a6_argmin_dedup",
+    "a9_na_fraction",
+    "u2_intersect",
+    "f5_id_generation",
 ]
 
 

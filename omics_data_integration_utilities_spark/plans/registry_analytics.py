@@ -89,6 +89,25 @@ def q_combat_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return combat_adjust(cells, "feature", "sample", "batch", "v")
 
 
+def q_combat_adjust_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level driver check for the EB ComBat output
+    (ComBat_NoFiles.R:30-297): the 10k-row combat_adjust output is too
+    large to pin as a VALUES literal, so this digests it to per-
+    (feature, batch) aggregates — count, adjusted-value checksum, raw
+    checksum — pinned as a golden oracle.  A change in any single
+    sample's adjusted value moves the checksum; rounding to 3 decimals
+    leaves ample headroom over float-sum reassociation noise."""
+    adj = q_combat_adjust(spark, sf_dir)
+    return (
+        adj.groupBy("feature", "batch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("adjusted"), 3).alias("adjusted_sum"),
+            F.round(F.sum("v"), 3).alias("raw_sum"),
+        )
+    )
+
+
 def q_combat_mean_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K10 family: closed-form mean-only ComBat (location-shift batch
     correction, no EB scale solve) — fully SQL-expressible, hash-checked;
@@ -132,6 +151,7 @@ QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drivernet_permutation": q_drivernet_permutation,
     "drivernet_significance": q_drivernet_significance,
     "combat_adjust": q_combat_adjust,
+    "combat_adjust_digest": q_combat_adjust_digest,
 }
 
 
@@ -192,8 +212,9 @@ SELECT * FROM (
 """
 )
 
-# drivernet_permutation / significance stay rows-only (seeded RNG fan-out);
-# combat_adjust stays rows-only (iterative EB shrinkage)
+# drivernet_permutation/significance and combat_adjust get golden-VALUES
+# oracles in plans/golden_oracles.py (the full combat_adjust output stays
+# rows-only; combat_adjust_digest value-locks it per (feature, batch))
 ORACLES_ANALYTICS: dict[str, str] = {
     "drivernet_greedy": SQL_DRIVERNET_GREEDY,
     "combat_mean_only": SQL_COMBAT_MEAN_ONLY,

@@ -503,6 +503,28 @@ def q_methylmix_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_methylmix_states_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level driver check for the K8 sample-level states matrix
+    (MethylMix.R:405-419): the 8.5k-row methylmix_states output is too
+    large to pin as a VALUES literal, so this digests it to per-
+    (gene, classification) aggregates — count, value checksum, state
+    checksum — pinned as a golden oracle.  Any change in a single
+    sample's classification or state moves a checksum, so the digest
+    hash-locks the full matrix without the 8.5k-row literal.  Rounding
+    to 4 decimals leaves ~6 orders of magnitude of headroom over
+    float-sum reassociation noise (~1e-10)."""
+    states = q_methylmix_states(spark, sf_dir)
+    return (
+        states.groupBy("event_type", "classification")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+            F.round(F.sum("methylation_state"), 4).alias("state_sum"),
+            F.round(F.sum(F.col("event_id").cast("double")), 0).alias("id_sum"),
+        )
+    )
+
+
 def q_k14_dag_break(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K14 cycle removal on a weighted digraph (gizmos.py:567-630) —
     distributed edge construction, driver-side deterministic DFS break."""
@@ -564,6 +586,7 @@ QUERIES_MORE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan_corr_multiomics": q_plan_corr_multiomics,
     "methylmix_em": q_methylmix_em,
     "methylmix_states": q_methylmix_states,
+    "methylmix_states_digest": q_methylmix_states_digest,
     "plan_methylmix": q_plan_methylmix,
     "k14_dag_break": q_k14_dag_break,
 }
