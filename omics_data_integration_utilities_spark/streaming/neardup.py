@@ -82,7 +82,14 @@ def _make_bucket_fn(max_posting: int, ttl_ms: int | None):
                     rows.append((band, band_key, lo, hi))
             state.update((old + new, False))
         if ttl_ms is not None and max_ts:
-            state.setTimeoutTimestamp(max_ts + ttl_ms)
+            # clamp to just past the current watermark: a bucket fed only
+            # LATE data (newest member already beyond the horizon) would
+            # otherwise set a timeout in the past, which Spark rejects and
+            # the whole query dies — instead such a bucket expires at the
+            # next timeout pass
+            state.setTimeoutTimestamp(
+                max(max_ts + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
         if rows:
             yield pd.DataFrame(rows, columns=["band", "band_key", "id_a", "id_b"])
 
@@ -97,6 +104,7 @@ def lsh_neardup_pairs_stream(
     max_posting: int = MAX_POSTING,
     watermark: str | None = None,
     state_ttl_ms: int = 24 * 3600 * 1000,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Document stream → per-band-bucket candidate near-dup pairs.
 
@@ -108,7 +116,13 @@ def lsh_neardup_pairs_stream(
     ``state_ttl_ms`` past its newest member.
     """
     schema = spark.read.parquet(docs_path).schema
-    stream = spark.readStream.schema(schema).parquet(_stage_dir(docs_path))
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # one file per micro-batch: the multi-batch parity/eviction tests
+        # drive real incremental arrival through this (a production feed
+        # sets its own trigger cadence)
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(_stage_dir(docs_path))
     keys = lsh_band_keys(stream, text_col, id_col).withColumnRenamed(id_col, "__id")
     timeout = GroupStateTimeout.NoTimeout
     ttl: int | None = None

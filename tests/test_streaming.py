@@ -254,6 +254,145 @@ def test_neardup_stream_watermarked_form_runs(spark, tmp_path):
     assert n > 0
 
 
+def test_neardup_stream_multibatch_matches_batch_lsh(spark, tmp_path):
+    """TRUE incremental arrival: the corpus lands as three parquet files
+    processed one per micro-batch (maxFilesPerTrigger=1).  The distinct
+    pair set across all batches must equal batch lsh_candidate_pairs on
+    the union — cross-batch pairs require bucket state to survive
+    between micro-batches, which the single-batch test cannot show."""
+    import os
+
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from omics_data_integration_utilities_spark.streaming.neardup import (
+        lsh_neardup_pairs_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    corpus = str(tmp_path / "corpus")
+    # thirds by doc_id so duplicates of one text can land in DIFFERENT
+    # batches; one file each, staggered mtimes fix the arrival order
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(corpus)
+    parts = sorted(
+        f for f in os.listdir(corpus) if f.endswith(".parquet")
+    )
+    assert len(parts) == 3
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(corpus, f), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream_df = lsh_neardup_pairs_stream(spark, corpus, max_files_per_trigger=1)
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_mb_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_neardup_mb"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batches = [p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0]
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in spark.sql(
+                "SELECT DISTINCT id_a, id_b FROM neardup_mb_out"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert len(batches) >= 3, f"expected >=3 non-empty micro-batches, got {batches}"
+    expect = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(spark.read.parquet(corpus), "text", "doc_id").collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_neardup_stream_eviction_bounds_state(spark, tmp_path):
+    """EventTimeTimeout eviction: a second wave of documents far past the
+    TTL horizon advances the watermark and DROPS the first wave's bucket
+    state — the memory bound that makes the stream viable at scale.
+    Observed via the state-operator numRowsRemoved metric."""
+    import os
+
+    from omics_data_integration_utilities_spark.streaming.neardup import (
+        lsh_neardup_pairs_stream,
+    )
+
+    def texts(wave: int) -> list[str]:
+        # per-WAVE distinct texts: shared texts would land every wave in
+        # the same (band, band_key) buckets and refresh their timeouts —
+        # eviction only happens for buckets no later wave touches
+        return [
+            f"wave {wave} the quick brown fox jumps over the lazy dog {wave}",
+            f"wave {wave} an entirely different document about structured streaming {wave}",
+            f"wave {wave} a third text that shares no shingles with the others {wave}",
+        ]
+
+    # wave 1: ids 0..5; wave 2: ids 5_000_000.. (event time ~58 days
+    # later, far past the 1h TTL); wave 3 advances the watermark so the
+    # timeout pass actually runs
+    waves = [
+        [(i, texts(0)[i % 3]) for i in range(6)],
+        [(5_000_000 + i, texts(1)[i % 3]) for i in range(6)],
+        [(5_200_000 + i, texts(2)[i % 3]) for i in range(6)],
+    ]
+    corpus = str(tmp_path / "corpus_evict")
+    # stagger mtimes by WAVE (snapshot the dir between writes — parquet
+    # part names are random, so name order does not track write order):
+    # the file source processes files oldest-first, so event time then
+    # advances monotonically across micro-batches
+    seen: set = set()
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(wave, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(corpus)
+        new = {f for f in os.listdir(corpus) if f.endswith(".parquet")} - seen
+        assert len(new) == 1
+        for f in new:
+            os.utime(os.path.join(corpus, f), (1_700_000_000 + i, 1_700_000_000 + i))
+        seen |= new
+
+    stream_df = lsh_neardup_pairs_stream(
+        spark,
+        corpus,
+        watermark="10 minutes",
+        state_ttl_ms=3600 * 1000,
+        max_files_per_trigger=1,
+    )
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_evict_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_neardup_evict"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        removed = sum(
+            so["numRowsRemoved"]
+            for p in q.recentProgress
+            for so in p.get("stateOperators", [])
+        )
+        final_total = (q.recentProgress[-1]["stateOperators"] or [{}])[-1].get(
+            "numRowsTotal", -1
+        )
+        pairs = spark.sql(
+            "SELECT DISTINCT id_a, id_b FROM neardup_evict_out"
+        ).collect()
+    finally:
+        q.stop()
+    # each wave has 2 duplicates per text -> pairs emitted in every wave
+    assert len(pairs) > 0
+    assert removed > 0, "EventTimeTimeout never evicted any bucket state"
+    # final state holds at most the last waves' buckets, not all three
+    assert 0 <= final_total < removed + final_total
+
+
 def test_ts_event_micros_all_encodings(spark):
     """The dtype-dispatching normalizer returns identical epoch micros for
     the three ts encodings the events parquet has shipped with (int64
