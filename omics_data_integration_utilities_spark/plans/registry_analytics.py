@@ -108,6 +108,38 @@ def q_combat_adjust_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clusterone_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K15-equivalent native module detection (wcModules.py:219-227): the
+    same weighted interaction graph the S10 edge sink would feed the
+    ClusterOne jar, clustered by the native cohesiveness greedy instead
+    of the external binary.  Edge construction is distributed; the
+    greedy runs driver-side on the collected post-filter graph (the
+    jar's own operating point).  Deterministic → golden-pinned."""
+    from ..analytics.clusterone import cluster_one
+
+    ev = _t(spark, sf_dir, "events")
+    # planted-module graph: 12 nodes in three K4 blocks — ~90% of events
+    # contribute a within-block edge (to each of the 3 other members in
+    # turn), ~10% a cross-block bridge.  The cohesiveness greedy should
+    # recover exactly the three blocks; a uniform graph would collapse
+    # into one cluster and a bare functional graph is an undetectable
+    # cycle, so the planted structure is what makes this a real check
+    s = F.col("user_id") % 12
+    blk = F.floor(s / 4)
+    j = (F.col("user_id") / 12).cast("long")
+    within = blk * 4 + ((s + 1 + j % 3) % 4)
+    bridge = (s + 4) % 12
+    edges = (
+        ev.groupBy(
+            s.cast("string").alias("src"),
+            F.when(j % 10 == 0, bridge).otherwise(within).cast("string").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    return cluster_one(edges)
+
+
 def q_combat_mean_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K10 family: closed-form mean-only ComBat (location-shift batch
     correction, no EB scale solve) — fully SQL-expressible, hash-checked;
@@ -152,6 +184,7 @@ QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drivernet_significance": q_drivernet_significance,
     "combat_adjust": q_combat_adjust,
     "combat_adjust_digest": q_combat_adjust_digest,
+    "clusterone_modules": q_clusterone_modules,
 }
 
 

@@ -1,0 +1,48 @@
+
+
+def test_cluster_one_two_triangles(spark):
+    """K15-equivalent native ClusterOne (wcModules.py:219-227): two unit
+    triangles joined by a weak bridge resolve to exactly the two
+    triangles.  Hand computation: growing from the highest-degree seed c
+    adds a then b (f = 3/(3+0.1+6) = 0.32967) and rejects crossing the
+    bridge (f would drop to 0.2366); the d-seed grows the mirror
+    triangle; no merge (omega = 0); density 3/3 = 1."""
+    from omics_data_integration_utilities_spark.analytics.clusterone import cluster_one
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0),
+            ("d", "e", 1.0), ("e", "f", 1.0), ("d", "f", 1.0),
+            ("c", "d", 0.1),
+        ],
+        "src string, dst string, weight double",
+    )
+    rows = sorted(map(tuple, cluster_one(edges).collect()))
+    assert rows == [
+        (0, "a", 3, 1.0, 0.32967), (0, "b", 3, 1.0, 0.32967), (0, "c", 3, 1.0, 0.32967),
+        (1, "d", 3, 1.0, 0.32967), (1, "e", 3, 1.0, 0.32967), (1, "f", 3, 1.0, 0.32967),
+    ]
+    # pure function of the edge list: partitioning must not matter
+    assert rows == sorted(map(tuple, cluster_one(edges.repartition(7)).collect()))
+
+
+def test_cluster_one_merge_and_filters(spark):
+    """Overlap merge and the size/density discards: two heavily
+    overlapping quads merge (omega = 9/16 < 0.8 stays separate; identical
+    clusters merge at omega = 1), and a dangling pair (size 2) is
+    discarded."""
+    from omics_data_integration_utilities_spark.analytics.clusterone import cluster_one
+
+    # duplicate-direction edges of one triangle pool their weight; the
+    # x-y pair is below min_size and must not appear
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1.0), ("b", "a", 1.0), ("b", "c", 2.0), ("a", "c", 2.0),
+            ("x", "y", 5.0),
+        ],
+        "src string, dst string, weight double",
+    )
+    rows = sorted(map(tuple, cluster_one(edges).collect()))
+    members = {r[1] for r in rows}
+    assert members == {"a", "b", "c"}
+    assert all(r[0] == 0 and r[2] == 3 for r in rows)
