@@ -73,9 +73,17 @@ SLOW_TIER = [
     "events_hopping",
     # round 6: the curation-pipeline flagship composite
     "plan_data_pipeline",
+    # round 7: the K1 graph-writer rewrite (memoized Python kernel)
+    "k1_graph_rewrite",
 ]
 
 REGRESSION_FLAG = 1.3
+
+# per-query rep overrides: p6's exact-median two-pass is correct but its
+# wall time swings ~3x with machine load (r5 1.19s / judge r6 3.56s —
+# same code, same data), so its median draws from 5 reps to keep
+# round-over-round deltas interpretable
+REPS_OVERRIDE = {"p6_mad_filter": 5}
 
 # Methodology note carried in the JSON: round 3 added the untimed
 # warm-up execution per query (whole-stage-codegen compile cost excluded
@@ -146,7 +154,8 @@ def main() -> None:
             # 5.8s → 1.2s steady state on dedup_lsh_pairs) and would
             # otherwise masquerade as a regression in a 3-rep median
             rows = fn(spark, sf_dir).count()
-            for _ in range(reps):
+            q_reps = max(reps, REPS_OVERRIDE.get(name, 0))
+            for _ in range(q_reps):
                 t0 = time.perf_counter()
                 rows = fn(spark, sf_dir).count()
                 times.append(time.perf_counter() - t0)
@@ -158,7 +167,7 @@ def main() -> None:
         med = statistics.median(times)
         timings[name] = round(med, 3)
         total += med
-        line = f"# {name}: median {med:.3f}s over {reps} reps {[round(t, 3) for t in times]} rows={rows}"
+        line = f"# {name}: median {med:.3f}s over {len(times)} reps {[round(t, 3) for t in times]} rows={rows}"
         if name in prev and prev[name] > 0:
             d = med / prev[name]
             deltas[name] = round(d, 3)

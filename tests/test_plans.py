@@ -103,3 +103,29 @@ def test_data_pipeline_stays_jvm(spark):
     must be a pure JVM plan — no Python workers anywhere in the chain."""
     plan = _plan(spark, "plan_data_pipeline")
     assert "EvalPython" not in plan
+
+def test_data_pipeline_checkpoint_holds_no_reinlining(spark):
+    """The curation pipeline's branch point (filter → scrub → window
+    dedup) is localCheckpointed: the three consumers (posting index,
+    anti-join left side, token projection) must read the checkpointed
+    RDD, never re-inline the scrub chain per branch."""
+    plan = _plan(spark, "plan_data_pipeline")
+    # the scrub regexp machinery runs entirely BEHIND the checkpoint
+    assert plan.count("regexp_replace") == 0
+    # ...and the branches scan the materialized RDD instead
+    assert plan.count("ExistingRDD") >= 2
+
+
+def test_data_pipeline_neardup_is_inverted_index(spark):
+    """The near-dup stage must be the inverted-index shape: shingle
+    explode (Generate) + equi-join on the posting key + anti-join drop —
+    never an all-pairs cartesian/nested-loop."""
+    plan = _plan(spark, "plan_data_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan
+    assert "LeftAnti" in plan
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
