@@ -135,7 +135,13 @@ def parse_chain(s: str) -> list[Atom]:
             atoms.append(Atom(ch, ch in _AROMATIC, None, None, None, ch, i, i + 1, i + 1))
             i += 1
         elif ch.isdigit() or ch == "%":
-            if not atoms or atoms[-1].ring_end != i:
+            # a ring digit attaches directly after the atom, or after one
+            # bond char that qualifies the ring bond ("C=1...1" notation —
+            # what serialize_graph emits for non-single ring closures)
+            bonded = (
+                i > 0 and s[i - 1] in _BOND_CHARS and atoms and atoms[-1].ring_end == i - 1
+            )
+            if not atoms or (atoms[-1].ring_end != i and not bonded):
                 raise ValueError(f"ring digit not attached to an atom at {i}")
             d = s[i : i + 3] if ch == "%" else ch
             atoms[-1].rings.append(d)
@@ -197,7 +203,7 @@ def parse_graph(s: str) -> tuple[list[Atom], dict[tuple[int, int], str | None]]:
     atoms: list[Atom] = []
     edges: dict[tuple[int, int], str | None] = {}
     stack: list[int | None] = []
-    ring_open: dict[str, int] = {}
+    ring_open: dict[str, tuple[int, str]] = {}
     prev: int | None = None
     bond = ""
     i, n = 0, len(s)
@@ -234,16 +240,27 @@ def parse_graph(s: str) -> tuple[list[Atom], dict[tuple[int, int], str | None]]:
             _attach(len(atoms) - 1)
             i += 1
         elif ch.isdigit() or ch == "%":
-            if prev is None or not atoms or atoms[-1].ring_end != i:
+            # ring digit directly after the atom, or after ONE bond char
+            # qualifying the ring bond ("C=1...1"): the bond then belongs
+            # to the ring closure, not to the next atom
+            bonded = (
+                bond != "" and i > 0 and s[i - 1] in _BOND_CHARS
+                and atoms and atoms[-1].ring_end == i - 1
+            )
+            if prev is None or not atoms or (atoms[-1].ring_end != i and not bonded):
                 raise ValueError(f"ring digit not attached to an atom at {i}")
+            ring_bond = bond if bonded else ""
+            if bonded:
+                bond = ""
             d = s[i:i + 3] if ch == "%" else ch
             atoms[-1].rings.append(d)
             atoms[-1].ring_end = i + len(d)
             if d in ring_open:
-                j = ring_open.pop(d)
-                edges[(min(j, prev), max(j, prev))] = None
+                j, open_bond = ring_open.pop(d)
+                lab = ring_bond or open_bond or None
+                edges[(min(j, prev), max(j, prev))] = lab
             else:
-                ring_open[d] = prev
+                ring_open[d] = (prev, ring_bond)
             i += len(d)
         elif ch == "(":
             stack.append(prev)

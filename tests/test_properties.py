@@ -199,3 +199,75 @@ def test_nb_deviance_zero_at_saturation(counts):
     y = np.array(counts, dtype=float)
     assert abs(_nb_deviance(y, y.copy(), 0.05)) < 1e-9
     assert _nb_deviance(y, y * 1.5, 0.05) > 0
+
+
+# ---- K1 graph writer: serializer round-trip + rewrite stability ----
+
+_ATOM_TOKENS = ["C", "N", "O", "S", "c", "n", "Cl", "Br", "[CH3]", "[N+]", "[O-]", "*"]
+_BONDS = ["", "=", "#"]
+
+
+@st.composite
+def _smiles_subset(draw):
+    """Random chain/branch/ring strings inside the parser subset."""
+    n = draw(st.integers(min_value=1, max_value=8))
+    out = [draw(st.sampled_from(_ATOM_TOKENS))]
+    open_branches = 0
+    ring_open = False
+    for _ in range(n - 1):
+        op = draw(st.integers(min_value=0, max_value=5))
+        if op == 0:
+            out.append("(")
+            open_branches += 1
+        elif op == 1 and open_branches > 0:
+            out.append(")")
+            open_branches -= 1
+        if op == 2 and not ring_open and len(out) > 1:
+            # open a ring digit on the previous atom position
+            out.append("1")
+            ring_open = True
+        out.append(draw(st.sampled_from(_BONDS)))
+        out.append(draw(st.sampled_from(_ATOM_TOKENS)))
+    out.extend(")" * open_branches)
+    if ring_open:
+        out.append("1")
+    return "".join(out)
+
+
+@given(s=_smiles_subset())
+@settings(max_examples=200, deadline=None)
+def test_serialize_graph_is_parse_fixed_point(s):
+    """serialize(parse(x)) reaches a fixed point after one application:
+    the writer's output is inside the parser subset and re-serializes
+    bit-identically — so rewritten products are stable under re-parsing
+    (content-hash product ids never flap)."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        parse_graph,
+        serialize_graph,
+    )
+
+    try:
+        atoms, edges = parse_graph(s)
+    except ValueError:
+        return  # generated string fell outside the subset; nothing to check
+    once = serialize_graph([a.raw for a in atoms], edges)
+    atoms2, edges2 = parse_graph(once)  # must not raise
+    twice = serialize_graph([a.raw for a in atoms2], edges2)
+    assert twice == once
+    # the graph itself survives: same atom token multiset, same edge count
+    assert sorted(a.raw for a in atoms2) == sorted(a.raw for a in atoms)
+    assert len(edges2) == len(edges)
+
+
+@given(s=_smiles_subset())
+@settings(max_examples=100, deadline=None)
+def test_graph_rewrite_products_reparse(s):
+    """Every product of an atom-mapped rewrite stays inside the parser
+    subset (it can feed the next reaction round, the K4/K5 loop shape)."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        apply_reaction,
+        parse_graph,
+    )
+
+    for prod in apply_reaction(s, "[C:1]O", "[C:1]N"):
+        parse_graph(prod)  # must not raise
