@@ -50,18 +50,27 @@ def write_edge_file(df: DataFrame, path: str) -> None:
 
 
 def write_bucketed_table(
-    df: DataFrame, name: str, bucket_cols: Sequence[str], n_buckets: int = 64
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 64,
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed table: co-locates later joins/aggregations on
+    """Bucketed table: co-locates later joins/aggregations on
     ``bucket_cols`` without a shuffle — the storage-side half of the
     100 TB join strategy (SURVEY §4 'Parquet bucketing of NPDB by
-    rounded mass')."""
-    (
+    rounded mass').  ``path`` makes it an external table (data at the
+    given location instead of the session warehouse); either way the
+    catalog keeps the bucketing metadata joins need for shuffle
+    elimination (tests/test_sources.py proves zero-Exchange SMJ)."""
+    writer = (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, *bucket_cols)
         .sortBy(*bucket_cols)
-        .saveAsTable(name)
     )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
 
 
 def write_sqlite_table(

@@ -106,3 +106,34 @@ def test_sqlite_sink_and_scan_roundtrip(spark, tmp_path):
         read_sqlite_table(spark, db, "annot", max_rows=2)
     # an explicit higher cap re-admits the read
     assert read_sqlite_table(spark, db, "annot", max_rows=10).count() == 4
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """S8/S10 + the 100 TB join strategy: two tables bucketed on the join
+    key by write_bucketed_table join as a SortMergeJoin with ZERO
+    Exchange — the storage-side co-location that turns repeated big-fact
+    joins into shuffle-free scans.  An unbucketed control shows the two
+    exchanges bucketing removes."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.sources.writers import write_bucketed_table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+        b = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+        write_bucketed_table(a, "bkt_a", ["k"], n_buckets=8, path=str(tmp_path / "a"))
+        write_bucketed_table(b, "bkt_b", ["k"], n_buckets=8, path=str(tmp_path / "b"))
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 0
+        assert j.count() == 10_000
+        control = a.join(b, "k")
+        cplan = control._jdf.queryExecution().executedPlan().toString()
+        assert cplan.count("Exchange") == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
