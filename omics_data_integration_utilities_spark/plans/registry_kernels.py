@@ -43,6 +43,43 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: binary media column → one row per
+    sampled frame (the 1→N mapInPandas fan-out), frames every 64 ms
+    capped at 8 per video, duration defaulting to payload length.  The
+    fake frame decoder slices deterministically, so frame lengths are
+    pure arithmetic and DuckDB oracles the full fan-out shape."""
+    from ..operators.multimodal import fake_frame_decoder, sample_frames
+
+    media = documents_as_media(
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    )
+    frames = sample_frames(
+        media, frame_decoder=fake_frame_decoder, interval_ms=64, max_frames=8
+    )
+    return frames.select("media_id", "frame_idx", "ts_ms", "frame_len")
+
+
+# duration = payload bytes (adapter regime); n frames = min(8, dur//64+1);
+# the fake decoder's 8-byte slice always fits for dur >= 8, so
+# frame_len = least(8, dur) — all arithmetic, no blob hashing needed
+SQL_MULTIMODAL_FRAMES = """
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS dur
+  FROM documents WHERE doc_id % 7 = 0
+), n AS (
+  SELECT media_id, dur,
+         CASE WHEN dur > 0 THEN least(8, dur // 64 + 1) ELSE 0 END AS nf
+  FROM m
+), fx AS (
+  SELECT media_id, dur, unnest(range(0, CAST(nf AS BIGINT))) AS i FROM n
+)
+SELECT media_id, CAST(i AS INT) AS frame_idx, CAST(i * 64 AS BIGINT) AS ts_ms,
+       CAST(least(8, dur) AS BIGINT) AS frame_len
+FROM fx
+"""
+
+
 # fake_decoder dim i = int(md5[i*4 : i*4+4 bytes]) / 2^32; md5 hex chars
 # [8i+1, 8i+8] — reproduced in SQL from the hex digest
 SQL_MULTIMODAL = """
@@ -870,6 +907,7 @@ QUERIES_KERNELS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k1_graph_rewrite": q_k1_graph_rewrite,
     "k11_cluster_probes": q_k11_cluster_probes,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
     "k10_knn_impute": q_k10_knn_impute,
     "k12_partial_corr": q_k12_partial_corr,
     "k2_mass": q_k2_mass,
@@ -888,6 +926,7 @@ ORACLES_KERNELS: dict[str, str] = {
     "k1_reaction_products": SQL_K1_REACTION,
     "k1_graph_rewrite": SQL_K1_GRAPH_REWRITE,
     "multimodal_features": SQL_MULTIMODAL,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "k2_mass": SQL_K2_MASS,
     "plan_reaction_mass": SQL_PLAN_REACTION_MASS,
     "k4_rule_bfs": SQL_K4_RULE_BFS,

@@ -120,6 +120,58 @@ def test_multimodal_fake_decoder_deterministic(spark):
     assert len(a["feature"]) == 4
 
 
+def test_multimodal_decode_resize_frames(spark):
+    """The full media op set (decode / resize / frame-sample) over the
+    binary-column plumbing: real Arrow batch iteration and schemas, fake
+    codecs; corrupt media yields ok=false rows, not task failures; the
+    frame sampler is a true 1->N fan-out capped per video."""
+    from omics_data_integration_utilities_spark.operators.multimodal import (
+        decode_media,
+        fake_frame_decoder,
+        fake_probe,
+        fake_resizer,
+        resize_media,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "a much longer document body for slicing frames")],
+        "doc_id long, text string",
+    )
+    media = documents_as_media(docs)
+
+    dec = {r["media_id"]: r for r in decode_media(media, decoder=fake_probe).collect()}
+    assert dec[1]["ok"] and dec[2]["ok"]
+    assert dec[1]["width"] % 16 == 0 and 1 <= dec[1]["n_channels"] <= 4
+    # a decoder that rejects the payload produces ok=false, no task error
+    def picky(payload):
+        raise ValueError("corrupt")
+    bad = decode_media(media, decoder=picky).collect()
+    assert all((not r["ok"]) and r["width"] is None for r in bad)
+
+    rs = {r["media_id"]: r for r in resize_media(media, 32, 16, resizer=fake_resizer).collect()}
+    assert rs[1]["width"] == 32 and rs[1]["height"] == 16
+    assert rs[1]["n_bytes"] == rs[2]["n_bytes"] == max(8, 32 * 16 // 64)
+    assert rs[1]["media"] != rs[2]["media"]  # content-derived, not constant
+
+    # duration defaults to payload-length ms: doc 1 has 11 bytes -> at
+    # 4 ms spacing floor(11/4)+1 = 3 frames; doc 2 (46 bytes) caps at 5
+    fr = sample_frames(
+        media, frame_decoder=fake_frame_decoder, interval_ms=4, max_frames=5
+    ).collect()
+    per = {}
+    for r in fr:
+        per.setdefault(r["media_id"], []).append(r)
+    assert len(per[1]) == 3 and len(per[2]) == 5
+    assert [r["ts_ms"] for r in sorted(per[1], key=lambda r: r["frame_idx"])] == [0, 4, 8]
+    assert all(r["frame_len"] == len(r["frame"]) for r in fr)
+    # deterministic across partitionings (content-hash ids downstream)
+    fr2 = sample_frames(
+        media.repartition(5), frame_decoder=fake_frame_decoder, interval_ms=4, max_frames=5
+    ).collect()
+    assert sorted(map(tuple, fr)) == sorted(map(tuple, fr2))
+
+
 def test_rest_source_with_fake_transport(spark):
     text = "#header\nP12345\tPF00001\nP67890\tPF00002\n"
     df = fetch_tsv_source(
