@@ -50,11 +50,15 @@ def iterative_expand(
     """
     scale = 10 ** digits
     known_src = known if known is not None else structures
+    # the known-structure grid joins EVERY round: checkpoint it once so
+    # the scan + key projection run once instead of per round (at 100 TB
+    # the known table is the big side — swap for cache()/a reliable
+    # checkpoint, same reasoning)
     known = known_src.select(
         F.round(F.col(mass_col) * scale, 0).cast("long").alias("__key"),
         F.col(id_col).alias("__product_id"),
         F.col(mass_col).alias("__product_mm"),
-    )
+    ).localCheckpoint(eager=False)
 
     frontier = structures.select(
         F.col(id_col).alias("root"), F.col(id_col).alias("structure_id"), F.col(mass_col)
