@@ -488,6 +488,13 @@ def _apply_graph(
     atom map shared by pattern and template (without an anchor the
     graph rewrite cannot know the attachment — the splice path owns
     those semantics).  Returns [] outside the parser subset.
+
+    ``limit_embeddings`` bounds the enumeration (NOT silent: stated
+    here and in the signature): a highly symmetric molecule can have
+    factorially many automorphic embeddings that all collapse to the
+    same few products after the key/product dedup, so the cap trades a
+    pathological tail for bounded per-pair cost — RetroRules-scale
+    substrates sit far below it.
     """
     from itertools import islice
 
