@@ -63,7 +63,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # checked ones (a6_argmin_dedup, w2_topk_per_group, k6_corr_pvalue,
 # f5_id_generation, doc_split, text_pii_scrub, a9_na_fraction,
 # u2_intersect; k6_corr_pvalue, text_pii_scrub and doc_split return
-# after their r6 rotation out).
+# after their r6 rotation out).  Late-r7 additions: clusterone_modules
+# (native K15) and multimodal_frames (frame-sampling fan-out) enter for
+# sim_cosine_neardup and text_lang_id (both hash-green r6, both with
+# in-window siblings on the same machinery: sim_ann_topk/sim_ivf_topk
+# run the GEMM/IVF path, text_pii_scrub + text stack cover the scan-
+# speed column heuristics).
 # (r6 rotation: j5_adduct_expand, j6_transition_match, k6_spearman,
 # k6_corr_pvalue, text_pii_scrub, text_winnowing, text_dup_spans,
 # doc_split out for w1_mutual_rank, p8_outlier_matrix, text_lang_id,
@@ -133,11 +138,11 @@ _PRIORITY = [
     "dedup_minhash_signatures",
     "sim_ann_topk",
     "sim_ivf_topk",
-    "sim_cosine_neardup",
-    "text_lang_id",
     "text_pii_scrub",
     "doc_split",
     "multimodal_features",
+    "multimodal_frames",
+    "clusterone_modules",
     # streaming-equivalent windows
     "events_sessions",
     # core relational representatives

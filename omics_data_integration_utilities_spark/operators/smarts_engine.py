@@ -159,6 +159,19 @@ def _sep(src: str, a: Atom, b: Atom) -> str:
     return src[a.ring_end : b.start]
 
 
+def _ring_pairing_digits(span: list[Atom]) -> dict[tuple[int, int], str]:
+    """Internal ring pairs of the span → the digit label joining them."""
+    open_: dict[str, int] = {}
+    pairs: dict[tuple[int, int], str] = {}
+    for idx, a in enumerate(span):
+        for d in a.rings:
+            if d in open_:
+                pairs[(open_.pop(d), idx)] = d
+            else:
+                open_[d] = idx
+    return pairs
+
+
 def _ring_pairing(span: list[Atom]) -> tuple[set[tuple[int, int]], set[int]]:
     """Ring-bond pairs internal to the span (relative index pairs) and the
     indices of atoms whose closure digit pairs OUTSIDE the span."""
@@ -767,20 +780,47 @@ def _apply_linear(
                 ),
                 frozenset(i0 + j for j in deleted),
             ))
-        by_map = {p_atoms[j].amap: span[j] for j in range(k) if p_atoms[j].amap is not None}
+        by_map_idx = {
+            p_atoms[j].amap: j for j in range(k) if p_atoms[j].amap is not None
+        }
+        # ring-opening semantics: an internal ring pairing of the span is
+        # re-emitted only when the TEMPLATE repeats the bond between the
+        # same atom maps (its own ring pairing); otherwise the template
+        # has spoken — the bond is gone, and inheriting its digits would
+        # keep the ring closed in the product.  A pairing with a deleted
+        # endpoint is dropped too (the survivor would dangle).
+        t_pair_maps = {
+            frozenset((t_atoms[a].amap, t_atoms[b].amap))
+            for (a, b) in _ring_pairing_digits(t_atoms)
+            if t_atoms[a].amap is not None and t_atoms[b].amap is not None
+        }
+        drop_digits: dict[int, set[str]] = {}
+        for (a, b), d in _ring_pairing_digits(span).items():
+            ma, mb = p_atoms[a].amap, p_atoms[b].amap
+            if (
+                ma is None or mb is None
+                or ma not in t_maps or mb not in t_maps
+                or frozenset((ma, mb)) not in t_pair_maps
+            ):
+                drop_digits.setdefault(a, set()).add(d)
+                drop_digits.setdefault(b, set()).add(d)
         pieces: list[str] = []
         for t_idx, t in enumerate(t_atoms):
             if t_idx == 0:
                 pieces.append(template[: t.start])
             else:
                 pieces.append(_sep(template, t_atoms[t_idx - 1], t))
-            if t.amap is not None and t.amap in by_map:
-                src = by_map[t.amap]
+            if t.amap is not None and t.amap in by_map_idx:
+                j = by_map_idx[t.amap]
+                src = span[j]
                 # a bare template atom of the SAME element inherits the
                 # substrate token (its modifiers survive); any explicit
                 # spec — or an element change — imposes the template's
                 keep_src = t.raw in (t.elem, f"[{t.elem}]") and t.elem == src.elem
-                pieces.append((src.raw if keep_src else t.raw) + "".join(src.rings))
+                rings = "".join(
+                    d for d in src.rings if d not in drop_digits.get(j, ())
+                )
+                pieces.append((src.raw if keep_src else t.raw) + rings)
             else:
                 pieces.append(t.raw + "".join(t.rings))
         pieces.append(template[t_atoms[-1].ring_end :] if t_atoms else "")

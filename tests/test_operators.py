@@ -680,3 +680,25 @@ def test_structural_kernel_branched_patterns():
     # two-branch permutation: 2 branches + tail = 6 orderings, capped dedup
     lins = _linearizations("C(F)(Cl)Br")
     assert lins[0] == "C(F)(Cl)Br" and len(set(lins)) == len(lins) == 6
+
+
+def test_ring_opening_rewrite_semantics():
+    """Ring bonds between MAPPED atoms follow the template: omitted ->
+    the ring opens (RDKit RunReactants parity — the old splice inherited
+    the digits and kept the ring closed); repeated via the template's
+    own pairing -> the ring survives; a pairing with a deleted endpoint
+    never dangles."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import apply_reaction
+
+    # template omits the [C:1]-[C:2] ring bond: every product is open
+    assert apply_reaction("C1CCC1", "[C:1]1CC[C:2]1", "[C:1]CC[C:2]") == ("CCCC",)
+    prods = apply_reaction("OC1CCC1", "[C:1]1CC[C:2]1", "[C:1]CC[C:2]O")
+    assert "OC1CCC1O" not in prods            # the closed-ring ghost is gone
+    assert "OCCCCO" in prods
+    assert all("1" not in p for p in prods)   # no ring survives an opening
+    # template repeats the ring bond: the ring survives
+    assert apply_reaction("C1CCC1O", "[C:1]1CC[C:2]1O", "[C:1]1CC[C:2]1N")[0] == "C1CCC1N"
+    # deleting one endpoint of an internal pairing strips the digit too
+    assert apply_reaction("CC1CC1", "[C:1]1CC1", "[C:1]") == ("CC", "C.C")
+    # single-atom patterns keep inherited digits (pairing not covered)
+    assert apply_reaction("c1ccccc1", "[c:1]", "[n:1]")[0] == "[n]1ccccc1"
