@@ -54,6 +54,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 from functools import lru_cache
+from hashlib import md5 as _md5
 
 import pandas as pd
 
@@ -467,6 +468,99 @@ def serialize_graph(
     return ".".join(comps)
 
 
+@lru_cache(maxsize=65536)
+def canonical_form(s: str) -> str:
+    """Molecule-level identity key: a canonical re-serialization so two
+    writings of the same graph compare equal (the reference dedups via
+    RDKit-canonical ``MolToSmiles``, gizmos.py:219-224 — string-level
+    dedup would emit the same molecule twice from symmetric embeddings).
+
+    Weisfeiler-Lehman label refinement (seeded by the atom token, |V|
+    rounds) scores every atom; the serialization tries every minimal-
+    label root per component with WL-guided neighbor order and keeps the
+    lexicographically smallest string.  Automorphic ties yield identical
+    strings by symmetry, so the form is stable across writings; atoms
+    outside the parser subset fall back to the input string itself.
+    """
+    try:
+        atoms, edges = parse_graph(s)
+    except ValueError:
+        return s
+    n = len(atoms)
+    if n == 0:
+        return s
+    adj: dict[int, list[int]] = {i: [] for i in range(n)}
+    for (a, b) in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+
+    def elab(a: int, b: int) -> str:
+        lab = edges.get((min(a, b), max(a, b)))
+        return "" if lab in (None, "", "-") else lab
+
+    labels = [a.raw for a in atoms]
+    for _ in range(n):
+        labels = [
+            labels[i]
+            + "|"
+            + ",".join(sorted(elab(i, j) + labels[j] for j in adj[i]))
+            for i in range(n)
+        ]
+        # hash down so labels don't grow quadratically (md5, NOT hash():
+        # Python string hashing is per-process randomized and the form
+        # must agree across executors and runs)
+        labels = [
+            _md5(lb.encode()).hexdigest()[:8] + atoms[i].raw
+            for i, lb in enumerate(labels)
+        ]
+
+    # components, then per component the best serialization over minimal-
+    # WL-label roots (neighbor order: WL label, then index for stability)
+    seen = [False] * n
+    comps: list[list[int]] = []
+    for i in range(n):
+        if seen[i]:
+            continue
+        comp = []
+        stack = [i]
+        seen[i] = True
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in adj[u]:
+                if not seen[v]:
+                    seen[v] = True
+                    stack.append(v)
+        comps.append(comp)
+
+    def serialize_from(root: int, comp: set[int]) -> str:
+        order_adj = {
+            u: sorted((v for v in adj[u] if v in comp), key=lambda v: (labels[v], v))
+            for u in comp
+        }
+        sub_tokens: list[str] = []
+        sub_index: dict[int, int] = {}
+        for u in sorted(comp, key=lambda u: (u != root, labels[u], u)):
+            sub_index[u] = len(sub_tokens)
+            sub_tokens.append(atoms[u].raw)
+        sub_edges = {
+            (min(sub_index[a], sub_index[b]), max(sub_index[a], sub_index[b])): lab
+            for (a, b), lab in edges.items()
+            if a in comp and b in comp
+        }
+        # reuse the deterministic writer on the relabeled graph: root is
+        # index 0, remaining atoms ranked by WL label
+        return serialize_graph(sub_tokens, sub_edges)
+
+    out_parts: list[str] = []
+    for comp in comps:
+        cset = set(comp)
+        min_lab = min(labels[u] for u in comp)
+        roots = [u for u in comp if labels[u] == min_lab]
+        out_parts.append(min(serialize_from(r, cset) for r in roots))
+    return ".".join(sorted(out_parts))
+
+
 def _apply_graph(
     substrate: str,
     pattern: str,
@@ -727,8 +821,15 @@ def apply_reaction(substrate: str, pattern: str, template: str) -> tuple[str, ..
         for prod in _apply_linear(substrate, lin, template, seen_keys):
             if prod not in products:
                 products.append(prod)
+    # graph products dedupe at MOLECULE level (canonical form), matching
+    # the reference's canonical-SMILES `cur_smiles in smiles_list` guard:
+    # symmetric embeddings serialize the same molecule in different
+    # writings, and a string compare would emit it twice
+    seen_canon = {canonical_form(p) for p in products}
     for prod in _apply_graph(substrate, pattern, template, seen_keys):
-        if prod not in products:
+        c = canonical_form(prod)
+        if c not in seen_canon:
+            seen_canon.add(c)
             products.append(prod)
     return tuple(products)
 

@@ -702,3 +702,23 @@ def test_ring_opening_rewrite_semantics():
     assert apply_reaction("CC1CC1", "[C:1]1CC1", "[C:1]") == ("CC", "C.C")
     # single-atom patterns keep inherited digits (pairing not covered)
     assert apply_reaction("c1ccccc1", "[c:1]", "[n:1]")[0] == "[n]1ccccc1"
+
+
+def test_canonical_form_molecule_identity():
+    """canonical_form: same molecule under different writings -> one
+    form; distinct molecules stay distinct; stable across components and
+    processes (md5-refined WL labels, no randomized hash())."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        apply_reaction,
+        canonical_form,
+    )
+
+    assert canonical_form("C1CCC1N") == canonical_form("C1C(CC1)N")
+    assert canonical_form("CC(F)O") == canonical_form("C(C)(F)O") == canonical_form("OC(C)F")
+    assert canonical_form("CCCCO") == canonical_form("C(CCC)O")
+    assert canonical_form("CCO") != canonical_form("COC")
+    assert canonical_form("C.O") == canonical_form("O.C")
+    assert canonical_form("c1ccccc1") != canonical_form("C1CCCCC1")  # aromaticity
+    # graph products dedupe at molecule level (the reference's canonical
+    # MolToSmiles guard): symmetric embeddings emit ONE product
+    assert apply_reaction("C1CCC1O", "[C:1]1CC[C:2]1O", "[C:1]1CC[C:2]1N") == ("C1CCC1N",)
