@@ -1,16 +1,16 @@
-"""Independent replicas re-deriving two pinned golden-VALUES oracles.
+"""Independent replicas re-deriving pinned golden-VALUES oracles.
 
-``drivernet_significance`` and ``k14_dag_break`` are golden-pinned
-(plans/golden_oracles.py) with property tests but — until r7 — no
-independent-implementation parity the way PCA has its prcomp replica.
-These tests recompute the EXACT pinned rows at sf0.01 from the parquet
+``drivernet_significance``, ``k14_dag_break``, ``combat_adjust_digest``
+and ``clusterone_modules`` are golden-pinned (plans/golden_oracles.py);
+these tests recompute the EXACT pinned rows at sf0.01 from the parquet
 inputs using duckdb + numpy + plain Python only: no SparkSession, and no
-import of the kernels under test (analytics/drivernet.py,
-analytics/graph.py).  With this, each pin is derivable from two disjoint
-code paths, closing the self-pinning circularity caveat.
+import of the kernels under test.  With this, each pin is derivable from
+two disjoint code paths, closing the self-pinning circularity caveat
+(the r6 standard: no golden pin without independent replica evidence).
 
 Reference semantics: DriverNet/SignificanceTest.R:28-74 +
-ResultSummary.R:104-129; integrative_omics/gizmos.py:567-630.
+ResultSummary.R:104-129; integrative_omics/gizmos.py:567-630;
+MethylMix/ComBat_NoFiles.R:30-297; integrative_omics/wcModules.py:219-227.
 """
 
 from __future__ import annotations
@@ -220,3 +220,203 @@ def test_drivernet_significance_pin_reproduces_without_spark():
     cols, want = _pinned(SQL_GOLDEN_DRIVERNET_SIGNIFICANCE)
     assert cols == ["pick", "mut_gene", "covered", "null_gt", "n_null", "p_value"]
     assert got == want
+
+
+# ------------------------------------------------ ComBat EB digest --
+
+
+def test_combat_adjust_digest_pin_reproduces_without_spark():
+    """Re-derives the combat_adjust_digest golden from events.parquet via
+    duckdb aggregation + a numpy EB shrinkage loop — no Spark, no import
+    of analytics/combat.py.  Reference: ComBat_NoFiles.R:30-297."""
+    con = _duck()
+    cells = con.execute(
+        """
+        SELECT event_type AS feature, CAST(event_id AS VARCHAR) AS sample,
+               CAST(user_id % 3 AS VARCHAR) AS batch, value AS v
+        FROM events
+        """
+    ).fetchall()
+    import math
+    from collections import defaultdict as dd
+
+    by_feat: dict = dd(list)
+    for f, s, b, v in cells:
+        by_feat[f].append((b, float(v)))
+    gstats = {}
+    for f, rows in by_feat.items():
+        vs = np.array([v for _, v in rows])
+        gstats[f] = (float(vs.mean()), float(vs.var()))  # var_pop
+    # standardized effects per (feature, batch)
+    eff: dict = {}
+    for f, rows in by_feat.items():
+        gm, gv = gstats[f]
+        sd = math.sqrt(max(gv, 1e-12))
+        zb: dict = dd(list)
+        for b, v in rows:
+            zb[b].append((v - gm) / sd)
+        for b, zs in zb.items():
+            z = np.array(zs)
+            eff[(f, b)] = (float(z.mean()), max(float(z.var(ddof=1)), 1e-12), len(z))
+    # EB shrink per batch across features (the kernel's eb_shrink, rewritten)
+    shrunk = {}
+    for batch in sorted({b for _, b in eff}):
+        keys = sorted(k for k in eff if k[1] == batch)
+        g = np.array([eff[k][0] for k in keys])
+        d = np.array([eff[k][1] for k in keys])
+        n = np.array([float(eff[k][2]) for k in keys])
+        gbar, t2 = float(np.mean(g)), float(np.var(g)) + 1e-12
+        dbar, s2 = float(np.mean(d)), float(np.var(d)) + 1e-12
+        a_prior = (2 * s2 + dbar**2) / s2
+        b_prior = (dbar * s2 + dbar**3) / s2
+        g_star, d_star = g.copy(), d.copy()
+        for _ in range(30):
+            g_new = (n * t2 * g + d_star * gbar) / (n * t2 + d_star)
+            sum2 = (n - 1) * d + n * (g - g_new) ** 2
+            d_new = (0.5 * sum2 + b_prior) / (n / 2.0 + a_prior - 1.0)
+            done = (
+                np.max(np.abs(g_new - g_star)) < 1e-10
+                and np.max(np.abs(d_new - d_star)) < 1e-10
+            )
+            g_star, d_star = g_new, d_new
+            if done:
+                break
+        for k, gs, ds in zip(keys, g_star, d_star):
+            shrunk[k] = (round(float(gs), 10), max(round(float(ds), 10), 1e-12))
+    # adjusted values -> per-(feature, batch) digest
+    agg: dict = dd(lambda: [0, 0.0, 0.0])
+    for f, rows in by_feat.items():
+        gm, gv = gstats[f]
+        sd = math.sqrt(max(gv, 1e-12))
+        for b, v in rows:
+            z = (v - gm) / sd
+            gs, ds = shrunk[(f, b)]
+            adj = round(((z - gs) / math.sqrt(ds)) * sd + gm, 6)
+            a = agg[(f, b)]
+            a[0] += 1
+            a[1] += adj
+            a[2] += v
+    got = sorted(
+        (f, b, c, round(sa, 3), round(sv, 3))
+        for (f, b), (c, sa, sv) in agg.items()
+    )
+
+    from omics_data_integration_utilities_spark.plans.golden_oracles import (
+        SQL_GOLDEN_COMBAT_ADJUST_DIGEST,
+    )
+
+    cols, want = _pinned(SQL_GOLDEN_COMBAT_ADJUST_DIGEST)
+    assert cols == ["feature", "batch", "n", "adjusted_sum", "raw_sum"]
+    assert got == sorted(want)
+
+
+# ------------------------------------------- ClusterOne modules --
+
+
+def _cohesiveness_greedy(adj: dict, penalty: float = 2.0):
+    """Independent rewrite of the ClusterOne grow loop: INCREMENTAL
+    w_in/w_bound updates per step (the engine recomputes from scratch),
+    same spec — best add-or-remove by cohesiveness gain, seed protected,
+    node-key tie ascending."""
+    degree = {u: sum(nb.values()) for u, nb in adj.items()}
+    clustered: set = set()
+    out = []
+    for seed in sorted(degree, key=lambda u: (-degree[u], u)):
+        if seed in clustered:
+            continue
+        members = {seed}
+        w_in, w_bound = 0.0, degree[seed]
+
+        def f(wi, wb, size):
+            den = wi + wb + penalty * size
+            return wi / den if den > 0 else 0.0
+
+        best = f(w_in, w_bound, 1)
+        while True:
+            step = None
+            frontier = sorted({v for u in members for v in adj[u]} - members)
+            for v in frontier:
+                din = sum(w for t, w in adj[v].items() if t in members)
+                wi, wb = w_in + din, w_bound - din + (degree[v] - din)
+                fv = f(wi, wb, len(members) + 1)
+                if fv > best + 1e-12 and (step is None or fv > step[0] + 1e-12):
+                    step = (fv, "add", v, wi, wb)
+            if len(members) > 1:
+                for v in sorted(members):
+                    if v == seed:
+                        continue
+                    din = sum(w for t, w in adj[v].items() if t in members and t != v)
+                    wi, wb = w_in - din, w_bound + din - (degree[v] - din)
+                    fv = f(wi, wb, len(members) - 1)
+                    if fv > best + 1e-12 and (step is None or fv > step[0] + 1e-12):
+                        step = (fv, "del", v, wi, wb)
+            if step is None:
+                break
+            best, op, v, w_in, w_bound = step
+            members = members | {v} if op == "add" else members - {v}
+        out.append(frozenset(members))
+        clustered |= members
+    return out
+
+
+def test_clusterone_modules_pin_reproduces_without_spark():
+    """Re-derives the clusterone_modules golden: duckdb builds the
+    planted-block edge list, an independently-written incremental greedy
+    recovers the clusters, and the digest matches the pinned VALUES.
+    Reference: integrative_omics/wcModules.py:219-227."""
+    con = _duck()
+    rows = con.execute(
+        """
+        WITH e AS (
+          -- user_id // 12: Spark's double-division + cast TRUNCATES while
+          -- DuckDB's double->bigint cast rounds, so use integer division
+          SELECT user_id % 12 AS s, user_id // 12 AS j FROM events
+        ), lab AS (
+          SELECT CAST(s AS VARCHAR) AS src,
+                 CAST(CASE WHEN j % 10 = 0 THEN (s + 4) % 12
+                      ELSE (s // 4) * 4 + ((s + 1 + j % 3) % 4) END AS VARCHAR) AS dst
+          FROM e
+        )
+        SELECT src, dst, count(*) AS w FROM lab WHERE src != dst GROUP BY 1, 2
+        """
+    ).fetchall()
+    from collections import defaultdict as dd
+
+    adj: dict = dd(dict)
+    # pool duplicate directions like the engine's undirected groupBy
+    pooled: dict = dd(float)
+    for s, d, w in rows:
+        a, b = (s, d) if s < d else (d, s)
+        pooled[(a, b)] += float(w)
+    for (a, b), w in pooled.items():
+        adj[a][b] = w
+        adj[b][a] = w
+
+    clusters = _cohesiveness_greedy(adj)
+    # merge omega >= 0.8 (none expected for the planted blocks), filter
+    final = []
+    for c in clusters:
+        if len(c) < 3:
+            continue
+        w_in = sum(w for u in c for v, w in adj[u].items() if v in c) / 2.0
+        w_bound = sum(w for u in c for v, w in adj[u].items() if v not in c)
+        n_in = sum(1 for u in c for v in adj[u] if v in c) // 2
+        density = n_in / (len(c) * (len(c) - 1) / 2.0)
+        if density < 0.5:
+            continue
+        coh = w_in / (w_in + w_bound + 2.0 * len(c))
+        final.append((round(coh, 6), sorted(c), len(c), round(density, 6)))
+    final.sort(key=lambda t: (-t[0], t[1]))
+    got = sorted(
+        (cid, m, size, density, coh)
+        for cid, (coh, members, size, density) in enumerate(final)
+        for m in members
+    )
+
+    from omics_data_integration_utilities_spark.plans.golden_oracles import (
+        SQL_GOLDEN_CLUSTERONE_MODULES,
+    )
+
+    cols, want = _pinned(SQL_GOLDEN_CLUSTERONE_MODULES)
+    assert cols == ["cluster_id", "member", "size", "density", "cohesiveness"]
+    assert got == sorted(want)
