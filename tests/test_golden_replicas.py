@@ -1,16 +1,18 @@
 """Independent replicas re-deriving pinned golden-VALUES oracles.
 
-``drivernet_significance``, ``k14_dag_break``, ``combat_adjust_digest``
-and ``clusterone_modules`` are golden-pinned (plans/golden_oracles.py);
-these tests recompute the EXACT pinned rows at sf0.01 from the parquet
-inputs using duckdb + numpy + plain Python only: no SparkSession, and no
-import of the kernels under test.  With this, each pin is derivable from
-two disjoint code paths, closing the self-pinning circularity caveat
-(the r6 standard: no golden pin without independent replica evidence).
+``drivernet_significance``, ``k14_dag_break``, ``combat_adjust_digest``,
+``clusterone_modules`` and ``methylmix_states_digest`` are golden-pinned
+(plans/golden_oracles.py); these tests recompute the EXACT pinned rows
+at sf0.01 from the parquet inputs using duckdb + numpy + plain Python
+only: no SparkSession, and no import of the kernels under test.  With
+this, each pin is derivable from two disjoint code paths, closing the
+self-pinning circularity caveat (the r6 standard: no golden pin without
+independent replica evidence).
 
 Reference semantics: DriverNet/SignificanceTest.R:28-74 +
 ResultSummary.R:104-129; integrative_omics/gizmos.py:567-630;
-MethylMix/ComBat_NoFiles.R:30-297; integrative_omics/wcModules.py:219-227.
+MethylMix/ComBat_NoFiles.R:30-297 + MethylMix.R:405-419;
+integrative_omics/wcModules.py:219-227.
 """
 
 from __future__ import annotations
@@ -420,3 +422,61 @@ def test_clusterone_modules_pin_reproduces_without_spark():
     cols, want = _pinned(SQL_GOLDEN_CLUSTERONE_MODULES)
     assert cols == ["cluster_id", "member", "size", "density", "cohesiveness"]
     assert got == sorted(want)
+
+
+# ------------------------------------------- MethylMix states digest --
+
+
+def test_methylmix_states_digest_pin_reproduces_without_spark():
+    """Re-derives the methylmix_states_digest golden from events.parquet
+    with duckdb + numpy only (no analytics/methylmix import).
+
+    The pin contains ONLY classification=1 rows — the kernel selected a
+    single beta component for every gene — and in the 1-component
+    no-normal-mode branch (MethylMix.R:405-419) the states matrix is
+    pure arithmetic: classification 1 everywhere and
+    methylation_state = mean(cancer) − mean(normal) for every sample.
+    The replica recomputes the digest from those semantics; had the
+    kernel chosen >1 component anywhere, classification=2 rows would
+    exist and this arithmetic form could not reproduce the pin."""
+    con = _duck()
+    rows = con.execute(
+        """
+        SELECT event_type, event_id, user_id, value / 500.0 AS beta_v
+        FROM events
+        """
+    ).fetchall()
+    from collections import defaultdict as dd
+
+    cancer: dict = dd(list)
+    normal: dict = dd(list)
+    for et, eid, uid, bv in rows:
+        (normal if uid % 7 == 0 else cancer)[et].append((int(eid), float(bv)))
+    got = []
+    for et in sorted(cancer):
+        xs = np.array([bv for _, bv in cancer[et]])
+        fin = np.isfinite(xs)
+        xs = xs[fin]
+        ids = np.array([eid for eid, _ in cancer[et]])[fin]
+        assert len(xs) >= 5  # the kernel's min_n gate
+        xn = np.array([bv for _, bv in normal[et]])
+        xn = xn[np.isfinite(xn)]
+        state = round(float(xs.mean() - xn.mean()), 6)
+        got.append(
+            (
+                et,
+                1,
+                len(xs),
+                round(float(np.round(xs, 6).sum()), 4),
+                round(len(xs) * state, 4),
+                round(float(ids.sum()), 0),
+            )
+        )
+
+    from omics_data_integration_utilities_spark.plans.golden_oracles import (
+        SQL_GOLDEN_METHYLMIX_STATES_DIGEST,
+    )
+
+    cols, want = _pinned(SQL_GOLDEN_METHYLMIX_STATES_DIGEST)
+    assert cols == ["event_type", "classification", "n", "value_sum", "state_sum", "id_sum"]
+    assert sorted(got) == sorted(want)
