@@ -854,6 +854,51 @@ def _apply_linear(
     k = len(p_atoms)
     p_pairs, _ = _ring_pairing(p_atoms)
     t_maps = {a.amap for a in t_atoms if a.amap is not None}
+    p_maps = {a.amap for a in p_atoms if a.amap is not None}
+    # a RING-FORMING template (a ring pairing that touches a mapped atom
+    # without merely repeating the pattern's own pairing between the same
+    # maps — e.g. [C:1]CC[C:2] >> [C:1]1CC[C:2]1, or a closure between a
+    # mapped and an inserted atom) cannot be spliced textually: the
+    # splice would have to thread the NEW closure through substrate text
+    # it doesn't own, and dropping the digits silently (the old behavior)
+    # severed the bond.  Decline — the shared atom maps guarantee the
+    # graph path can anchor, and its re-serialization writes the new
+    # ring correctly.  Ring-PRESERVING templates (pairing repeated
+    # between the same maps) keep the splice's priority so the
+    # substrate's own writing survives, as before.
+    p_pair_maps = {
+        frozenset((p_atoms[a].amap, p_atoms[b].amap))
+        for (a, b) in _ring_pairing_digits(p_atoms)
+        if p_atoms[a].amap is not None and p_atoms[b].amap is not None
+    }
+    t_pairs_idx = _ring_pairing_digits(t_atoms)
+    _, t_open_idx = _ring_pairing(t_atoms)
+    for (a, b) in t_pairs_idx:
+        ma, mb = t_atoms[a].amap, t_atoms[b].amap
+        a_mapped = ma is not None and ma in p_maps
+        b_mapped = mb is not None and mb in p_maps
+        if a_mapped and b_mapped:
+            if frozenset((ma, mb)) not in p_pair_maps:
+                return []  # new bond between matched atoms → graph path
+        elif a_mapped or b_mapped:
+            return []  # closure between a matched and an inserted atom
+    # an UNPAIRED template closure on a mapped atom has no splice meaning
+    if any(
+        t_atoms[i].amap is not None and t_atoms[i].amap in p_maps
+        for i in t_open_idx
+    ):
+        return []
+    # fresh digits for INSERTED ring systems: a template digit that also
+    # appears in the substrate could pair with a substrate closure still
+    # open across the splice point; renumbering is always safe because
+    # template closures are internal to the template
+    sub_digits = {d for a in s_atoms for d in a.rings}
+    t_digits = {d for a in t_atoms for d in a.rings}
+    digit_map: dict[str, str] = {}
+    if t_digits & sub_digits:
+        pool = (d for n in range(1, 100) for d in [str(n) if n <= 9 else f"%{n:02d}"]
+                if d not in sub_digits and d not in t_digits)
+        digit_map = {d: next(pool) for d in sorted(t_digits & sub_digits)}
     products: list[str] = []
     for i0 in range(len(s_atoms) - k + 1):
         span = s_atoms[i0 : i0 + k]
@@ -923,7 +968,7 @@ def _apply_linear(
                 )
                 pieces.append((src.raw if keep_src else t.raw) + rings)
             else:
-                pieces.append(t.raw + "".join(t.rings))
+                pieces.append(t.raw + "".join(digit_map.get(d, d) for d in t.rings))
         pieces.append(template[t_atoms[-1].ring_end :] if t_atoms else "")
         product = (
             substrate[: span[0].start] + "".join(pieces) + substrate[span[-1].ring_end :]

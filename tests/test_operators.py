@@ -594,6 +594,26 @@ def test_graph_rewrite_interrupted_embeddings():
     assert apply_reaction("C(F)(Cl)O", "CO", "CN") == ()
 
 
+def test_graph_rewrite_ring_forming_templates():
+    """Templates whose ring digits sit on MAPPED atoms bond two matched
+    atoms the pattern leaves unbonded (cyclization rules).  The splice
+    used to drop those digits silently — severing the new bond — so it
+    now declines and the graph writer serializes the closure."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        apply_reaction,
+    )
+
+    # diol cyclization: both symmetric embeddings collapse to one ring
+    assert apply_reaction("OCCCCO", "O[C:1]CC[C:2]O", "[C:1]1CC[C:2]1") == ("C1CCC1",)
+    # chain-end closure with no deletions
+    assert apply_reaction("CCCC", "[C:1]CC[C:2]", "[C:1]1CC[C:2]1") == ("C1CCC1",)
+    # inserted ring digits renumber away from an OPEN substrate closure
+    # (template digit 1 would otherwise pair with the substrate's ring 1)
+    assert apply_reaction("C1CC(Cl)C1", "Cl", "c1ccccc1") == ("C1CC(c2ccccc2)C1",)
+    # intermolecular pattern: components anchor independently
+    assert apply_reaction("CO.NC", "[C:1]O.N[C:2]", "[C:1][C:2]") == ("CC",)
+
+
 def test_graph_rewrite_ring_and_parity():
     """Ring-crossing embeddings keep the ring; the linear splice keeps
     priority on the shared subset (identical writings as before)."""
