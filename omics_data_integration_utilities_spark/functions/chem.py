@@ -68,18 +68,27 @@ def smarts_mass(col: Column | str) -> Column:
     #    '*' or ')') is a constraint, not an atom ([CH3], [CH]); a
     #    bracket-leading '[H]' stays a real hydrogen
     s = F.regexp_replace(s, r"(?<=[A-Za-z\*\)])H[0-9]*", "")
+    # 5. two-letter elements become single placeholder chars (so 'Cl' is
+    #    never counted as C, 'Br' never as B) — after this every element
+    #    is exactly one character and the counts below are INDEPENDENT.
+    #    The old form stripped elements progressively, so each stage
+    #    re-nested the whole chain up to 3× (twice in the length diff,
+    #    once in the re-assignment): an exponentially-sized expression
+    #    tree that overflowed janino's 64 KB method limit and dropped
+    #    the entire chain out of codegen into interpreted eval.  With
+    #    placeholders the normalized string is one fixed chain and each
+    #    element count references it twice — linear codegen, and the
+    #    runtime subexpression elimination collapses the copies.
+    s = F.regexp_replace(s, "Cl", "\x01")
+    s = F.regexp_replace(s, "Br", "\x02")
     mass = F.lit(0.0)
-    # 5. two-letter elements first (so 'Cl' is not counted as C)
-    for sym in ("Cl", "Br"):
-        n = (F.length(s) - F.length(F.regexp_replace(s, sym, ""))) / 2
-        mass = mass + n * F.lit(ATOMIC_MASS[sym])
-        s = F.regexp_replace(s, sym, "")
-    # 6. single-letter elements; aromatic lowercase only where SMARTS has
-    #    aromatic forms (b,c,n,o,p,s — lowercase h/f/i are primitives or
-    #    invalid, never atoms)
-    for sym in ("H", "B", "C", "N", "O", "P", "S", "F", "I"):
-        chars = sym + (sym.lower() if sym in "BCNOPS" else "")
+    # same element order and same n·mass accumulation as before, so the
+    # fp sum — and every grid key derived from it — is bit-identical
+    counts = [("Cl", "\x01"), ("Br", "\x02")] + [
+        (sym, sym + (sym.lower() if sym in "BCNOPS" else ""))
+        for sym in ("H", "B", "C", "N", "O", "P", "S", "F", "I")
+    ]
+    for sym, chars in counts:
         n = F.length(s) - F.length(F.translate(s, chars, ""))
         mass = mass + n * F.lit(ATOMIC_MASS[sym])
-        s = F.translate(s, chars, "")
     return mass
