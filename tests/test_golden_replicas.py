@@ -1,13 +1,19 @@
 """Independent replicas re-deriving pinned golden-VALUES oracles.
 
-``drivernet_significance``, ``k14_dag_break``, ``combat_adjust_digest``,
-``clusterone_modules`` and ``methylmix_states_digest`` are golden-pinned
-(plans/golden_oracles.py); these tests recompute the EXACT pinned rows
-at sf0.01 from the parquet inputs using duckdb + numpy + plain Python
-only: no SparkSession, and no import of the kernels under test.  With
-this, each pin is derivable from two disjoint code paths, closing the
-self-pinning circularity caveat (the r6 standard: no golden pin without
-independent replica evidence).
+``drivernet_significance``, ``drivernet_permutation``, ``k14_dag_break``,
+``combat_adjust_digest``, ``clusterone_modules``,
+``methylmix_states_digest``, ``k10_knn_impute``, ``k11_cluster_probes``
+and ``k12_partial_corr`` are golden-pinned (plans/golden_oracles.py);
+these tests recompute the EXACT pinned rows at sf0.01 from the parquet
+inputs using duckdb + numpy + plain Python only: no SparkSession, and no
+import of the kernels under test.  With this, each pin is derivable from
+two disjoint code paths, closing the self-pinning circularity caveat
+(the r6 standard: no golden pin without independent replica evidence).
+The remaining four pins carry their independent evidence elsewhere:
+``k10_pca_batch`` (prcomp replica, tests/test_kernels.py),
+``methylmix_em``/``plan_methylmix`` (sample-level golden parity there),
+``k13_count_glm`` (closed-form NB parity + the hash-checked
+``k13_poisson_2group`` SQL route through the same IRLS).
 
 Reference semantics: DriverNet/SignificanceTest.R:28-74 +
 ResultSummary.R:104-129; integrative_omics/gizmos.py:567-630;
@@ -479,4 +485,228 @@ def test_methylmix_states_digest_pin_reproduces_without_spark():
 
     cols, want = _pinned(SQL_GOLDEN_METHYLMIX_STATES_DIGEST)
     assert cols == ["event_type", "classification", "n", "value_sum", "state_sum", "id_sum"]
+    assert sorted(got) == sorted(want)
+
+
+# -------------------------------------- DriverNet permutation (A8) --
+
+
+def test_drivernet_permutation_pin_reproduces_without_spark():
+    """Re-derives the drivernet_permutation golden — per-rank null
+    coverage of the 20 seeded randomized runs — from the parquet inputs
+    with duckdb + numpy + the local ``_greedy`` rewrite only
+    (SignificanceTest.R:28-74 name-relabeling upstream of the join)."""
+    con = _duck()
+    mut = con.execute(_EVENTS_SQL + "SELECT DISTINCT patient, mut_gene FROM mut").fetchall()
+    edg = con.execute(_EVENTS_SQL + "SELECT DISTINCT src, dst FROM edges").fetchall()
+    outl = con.execute(_EVENTS_SQL + "SELECT DISTINCT patient, out_gene FROM outl").fetchall()
+    universe = sorted(
+        {g for _, g in mut} | {g for _, g in outl}
+        | {s for s, _ in edg} | {d for _, d in edg}
+    )
+    edges_by_src: dict = defaultdict(set)
+    for s, d in edg:
+        edges_by_src[s].add(d)
+    outl_set = set(outl)
+    mut_names = sorted({g for _, g in mut})
+    outl_names = sorted({g for _, g in outl})
+
+    got = []
+    for run_id in range(20):
+        rng = np.random.default_rng(PERM_SEED + run_id)
+        new_mut = dict(zip(mut_names, rng.choice(universe, size=len(mut_names), replace=False)))
+        new_outl = dict(zip(outl_names, rng.choice(universe, size=len(outl_names), replace=False)))
+        relabeled_outl = {(p, new_outl[g]) for p, g in outl_set}
+        null_sets: dict = defaultdict(set)
+        for patient, g in mut:
+            for dst in edges_by_src[new_mut[g]]:
+                if (patient, dst) in relabeled_outl:
+                    null_sets[new_mut[g]].add((patient, dst))
+        for rank, (_, cov) in enumerate(_greedy(null_sets, k=None), start=1):
+            got.append((run_id, rank, cov))
+
+    from omics_data_integration_utilities_spark.plans.golden_oracles import (
+        SQL_GOLDEN_DRIVERNET_PERMUTATION,
+    )
+
+    cols, want = _pinned(SQL_GOLDEN_DRIVERNET_PERMUTATION)
+    assert cols == ["run_id", "rank", "coverage"]
+    assert sorted(got) == sorted(want)
+
+
+# ------------------------------------------------ K10 kNN impute --
+
+
+def test_k10_knn_impute_pin_reproduces_without_spark():
+    """Re-derives the k10_knn_impute golden (Download_Preprocess.R:791-819
+    impute path) with duckdb + numpy only — no analytics/kernels import.
+    The replica follows the kernel's SPEC: per block, pivot
+    (row, col) -> matrix with lexicographic key order, then impute nan
+    cells row-major from the mean of the k=3 nearest donor rows by RMS
+    distance over mutually ORIGINALLY-observed columns, ties on donor
+    position; earlier-imputed cells are live donors for later cells
+    (the in-place update is part of the spec)."""
+    con = _duck()
+    cells = con.execute(
+        """
+        SELECT CAST(user_id % 5 AS VARCHAR) AS block,
+               CAST(user_id % 17 AS VARCHAR) AS row,
+               event_type AS col,
+               round(avg(CASE WHEN value < 5.0 THEN NULL ELSE value END), 6) AS v
+        FROM events GROUP BY 1, 2, 3
+        """
+    ).fetchall()
+    by_block: dict = defaultdict(dict)
+    for b, r, c, v in cells:
+        by_block[b][(r, c)] = float(v) if v is not None else np.nan
+
+    got = []
+    for b in sorted(by_block):
+        cmap = by_block[b]
+        rows_ = sorted({r for r, _ in cmap})
+        cols_ = sorted({c for _, c in cmap})
+        a = np.full((len(rows_), len(cols_)), np.nan)
+        for (r, c), v in cmap.items():
+            a[rows_.index(r), cols_.index(c)] = v
+        observed = ~np.isnan(a)
+        for i in range(a.shape[0]):
+            for j in np.where(np.isnan(a[i]))[0]:
+                dists = []
+                for other in range(a.shape[0]):
+                    if other == i or np.isnan(a[other, j]):
+                        continue
+                    mask = observed[i] & observed[other]
+                    if not mask.any():
+                        continue
+                    d = float(np.sqrt(np.mean((a[i, mask] - a[other, mask]) ** 2)))
+                    dists.append((d, other))
+                dists.sort()
+                if dists:
+                    a[i, j] = float(np.mean([a[o, j] for _, o in dists[:3]]))
+        for i, r in enumerate(rows_):
+            for j, c in enumerate(cols_):
+                if not np.isnan(a[i, j]):
+                    got.append((b, r, c, round(float(a[i, j]), 6), not observed[i, j]))
+
+    from omics_data_integration_utilities_spark.plans.golden_oracles import (
+        SQL_GOLDEN_K10_KNN_IMPUTE,
+    )
+
+    cols, want = _pinned(SQL_GOLDEN_K10_KNN_IMPUTE)
+    assert cols == ["block", "row", "col", "v", "imputed"]
+    assert sorted(got) == sorted(want)
+
+
+# ------------------------------------------- K11 probe clustering --
+
+
+def test_k11_cluster_probes_pin_reproduces_without_spark():
+    """Re-derives the k11_cluster_probes golden (MethylMix
+    Download_Preprocess.R:1350-1482: 1-corr distance, complete linkage,
+    cut 0.6) with duckdb + numpy only.  The linkage replica recomputes
+    the full inter-cluster distance table each round and merges the
+    minimum (same spec as the engine's incremental list surgery); labels
+    are assigned by smallest member over lexicographic probe order."""
+    con = _duck()
+    cells = con.execute(
+        """
+        SELECT CAST(user_id % 4 AS VARCHAR) AS gene, event_type AS probe,
+               CAST(user_id AS VARCHAR) AS sample, avg(value) AS beta
+        FROM events GROUP BY 1, 2, 3
+        """
+    ).fetchall()
+    by_gene: dict = defaultdict(dict)
+    for g, p, s, v in cells:
+        by_gene[g][(p, s)] = float(v)
+
+    got = []
+    for g in sorted(by_gene):
+        cmap = by_gene[g]
+        probes = sorted({p for p, _ in cmap})
+        samples = sorted({s for _, s in cmap})
+        # pivot + dropna: keep probes observed on every sample
+        full = [p for p in probes if all((p, s) in cmap for s in samples)]
+        m = np.array([[cmap[(p, s)] for s in samples] for p in full])
+        # correlation from the centered Gram matrix (corrcoef restated)
+        xc = m - m.mean(axis=1, keepdims=True)
+        gram = xc @ xc.T
+        dd = np.sqrt(np.diag(gram))
+        corr = gram / np.outer(dd, dd)
+        corr = np.clip(np.nan_to_num(corr, nan=0.0), -1.0, 1.0)
+        dist = 1.0 - corr
+        clusters = [[i] for i in range(len(full))]
+        while len(clusters) > 1:
+            best = (np.inf, -1, -1)
+            for i in range(len(clusters)):
+                for j in range(i + 1, len(clusters)):
+                    cd = max(dist[a, b] for a in clusters[i] for b in clusters[j])
+                    if cd < best[0] or (cd == best[0] and (i, j) < (best[1], best[2])):
+                        best = (cd, i, j)
+            if best[0] > 0.6:
+                break
+            _, i, j = best
+            clusters[i] = clusters[i] + clusters[j]
+            del clusters[j]
+        for lbl, members in enumerate(sorted(clusters, key=min)):
+            for mbr in members:
+                got.append((g, full[mbr], lbl))
+
+    from omics_data_integration_utilities_spark.plans.golden_oracles import (
+        SQL_GOLDEN_K11_CLUSTER_PROBES,
+    )
+
+    cols, want = _pinned(SQL_GOLDEN_K11_CLUSTER_PROBES)
+    assert cols == ["gene", "probe", "cluster"]
+    assert sorted(got) == sorted(want)
+
+
+# ---------------------------------------- K12 partial correlations --
+
+
+def test_k12_partial_corr_pin_reproduces_without_spark():
+    """Re-derives the k12_partial_corr golden (Gohs partial-correlation
+    screen, shrinkage 0.1) with duckdb + numpy only: correlation from
+    the centered Gram matrix, precision via solve against the identity
+    (the engine uses corrcoef + inv), pcor = -prec_ij / sqrt(prec_ii
+    prec_jj) over the upper triangle of lexicographic var order."""
+    con = _duck()
+    cells = con.execute(
+        """
+        SELECT CAST(user_id % 4 AS VARCHAR) AS block,
+               CAST(user_id AS VARCHAR) AS sample,
+               event_type AS var, avg(value) AS v
+        FROM events GROUP BY 1, 2, 3
+        """
+    ).fetchall()
+    by_block: dict = defaultdict(dict)
+    for b, s, vr, v in cells:
+        by_block[b][(s, vr)] = float(v)
+
+    got = []
+    for b in sorted(by_block):
+        cmap = by_block[b]
+        variables = sorted({vr for _, vr in cmap})
+        samples = sorted({s for s, _ in cmap})
+        full = [s for s in samples if all((s, vr) in cmap for vr in variables)]
+        if len(variables) < 3 or len(full) < 3:
+            continue
+        m = np.array([[cmap[(s, vr)] for vr in variables] for s in full])
+        xc = m - m.mean(axis=0, keepdims=True)
+        gram = xc.T @ xc
+        dd = np.sqrt(np.diag(gram))
+        r = np.clip(gram / np.outer(dd, dd), -1.0, 1.0)
+        r = 0.9 * r + 0.1 * np.eye(len(variables))
+        prec = np.linalg.solve(r, np.eye(len(variables)))
+        d = np.sqrt(np.diag(prec))
+        pc = -prec / np.outer(d, d)
+        for i in range(len(variables)):
+            for j in range(i + 1, len(variables)):
+                got.append((b, variables[i], variables[j], round(float(pc[i, j]), 6)))
+
+    from omics_data_integration_utilities_spark.plans.golden_oracles import (
+        SQL_GOLDEN_K12_PARTIAL_CORR,
+    )
+
+    cols, want = _pinned(SQL_GOLDEN_K12_PARTIAL_CORR)
+    assert cols == ["block", "var_a", "var_b", "pcor"]
     assert sorted(got) == sorted(want)
