@@ -499,6 +499,31 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_semantic_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic dedup, exact operating point
+    (single list — the greedy keep/drop decisions are then independent of
+    the IVF quantizer, the same exact-mode pattern ``sim_ivf_topk``
+    hash-checks; the bucketed path is recall-tested in
+    tests/test_similarity.py).  The greedy is order-sequential (keep the
+    lowest-id member of every cosine>=t group), so no ANSI-SQL oracle
+    exists; the per-verdict digest below is golden-pinned at sf0.01 and
+    re-derived by an independent no-Spark replica — any single keep-flip
+    moves ``id_sum``."""
+    out = sim_ops.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        threshold=0.35, n_lists=1,
+    )
+    return (
+        out.groupBy("keep")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vec_id").alias("id_sum"),
+            F.round(F.sum(F.coalesce("max_sim_to_kept", F.lit(0.0))), 3).alias("sim_sum"),
+        )
+        .orderBy("keep")
+    )
+
+
 SQL_COSINE_NEARDUP = """
 WITH ce AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, generate_subscripts(embedding, 1) AS i FROM embeddings),
 norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY vec_id),
@@ -1014,6 +1039,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_topk": q_ann_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_cosine_neardup": q_cosine_neardup,
+    "sim_semantic_dedup_digest": q_sim_semantic_dedup_digest,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_gopher": q_text_gopher,

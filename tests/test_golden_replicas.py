@@ -710,3 +710,50 @@ def test_k12_partial_corr_pin_reproduces_without_spark():
     cols, want = _pinned(SQL_GOLDEN_K12_PARTIAL_CORR)
     assert cols == ["block", "var_a", "var_b", "pcor"]
     assert sorted(got) == sorted(want)
+
+
+# --------------------------------------------- SemDeDup digest --
+
+
+def test_sim_semantic_dedup_digest_pin_reproduces_without_spark():
+    """Re-derives the sim_semantic_dedup_digest golden (SemDeDup, Abbas
+    et al. 2023) with duckdb + numpy only: normalize each embedding,
+    then the order-sequential greedy — ids ascending, drop when cosine
+    to any already-KEPT item reaches the threshold — restated as a plain
+    loop over the parquet rows (the engine's is a sorted-pandas GEMM
+    inside applyInPandas)."""
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT vec_id, embedding
+        FROM read_parquet('{SF_CORRECTNESS}/embeddings.parquet')
+        ORDER BY vec_id
+        """
+    ).fetchall()
+    ids = [int(r[0]) for r in rows]
+    m = np.array([r[1] for r in rows], dtype="float64")
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0.0] = 1.0
+    u = m / norms[:, None]
+
+    kept_rows: list[int] = []
+    agg = {False: [0, 0, 0.0], True: [0, 0, 0.0]}
+    for i in range(len(ids)):
+        max_sim = 0.0
+        if kept_rows:
+            max_sim = float(np.round(float((u[kept_rows] @ u[i]).max()), 6))
+        verdict = not (kept_rows and max_sim >= 0.35)
+        if verdict:
+            kept_rows.append(i)
+        a = agg[verdict]
+        a[0] += 1
+        a[1] += ids[i]
+        a[2] += max_sim
+    got = sorted((k, n, s, round(ss, 3)) for k, (n, s, ss) in agg.items())
+
+    from omics_data_integration_utilities_spark.plans.golden_oracles import (
+        SQL_GOLDEN_SIM_SEMANTIC_DEDUP_DIGEST,
+    )
+
+    cols, want = _pinned(SQL_GOLDEN_SIM_SEMANTIC_DEDUP_DIGEST)
+    assert cols == ["keep", "n", "id_sum", "sim_sum"]
+    assert got == sorted(want)
