@@ -75,6 +75,8 @@ SLOW_TIER = [
     "plan_data_pipeline",
     # round 7: the K1 graph-writer rewrite (memoized Python kernel)
     "k1_graph_rewrite",
+    # late round 7: SemDeDup digest (exact single-list operating point)
+    "sim_semantic_dedup_digest",
 ]
 
 REGRESSION_FLAG = 1.3
