@@ -271,3 +271,24 @@ def test_graph_rewrite_products_reparse(s):
 
     for prod in apply_reaction(s, "[C:1]O", "[C:1]N"):
         parse_graph(prod)  # must not raise
+
+
+@given(s=_smiles_subset())
+@settings(max_examples=100, deadline=None)
+def test_canonical_form_invariant_under_branch_reorder(s):
+    """canonical_form is a molecule identity: every branch-order
+    linearization of the same tree (a different WRITING of the same
+    graph) must canonicalize to the same string — the property the
+    graph-path product dedup relies on."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        _linearizations,
+        canonical_form,
+        parse_graph,
+    )
+
+    try:
+        parse_graph(s)
+    except ValueError:
+        return
+    forms = {canonical_form(lin) for lin in _linearizations(s)}
+    assert len(forms) == 1
