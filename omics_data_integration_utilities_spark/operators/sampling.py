@@ -84,3 +84,70 @@ def stratified_hash_sample(
         else thresh.otherwise(int(round(default_fraction * _BUCKETS)))
     )
     return df.where(bucket < thresh)
+
+
+def pack_and_chunk(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    n_shards: int = 1,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Sequence packing for pretraining (north-star surface): concatenate
+    documents in a deterministic order and cut the token stream into
+    fixed-``budget`` chunks — the GPT-style pack-and-chunk step every
+    training pipeline runs between curation and tokenized shards.  A
+    document may straddle a chunk boundary; this operator assigns each
+    document its position in the stream rather than materializing the
+    stream (that is the tokenizer's job downstream).
+
+    Pure window algebra: per shard, ``offset`` is the running token sum
+    over (hash-bucketed shard, id) order, so ``chunk_first``/``chunk_last``
+    are floor-divisions of the offsets — no UDF, no driver state, and an
+    exact ANSI-SQL oracle exists (cumulative SUM window).
+
+    Scale shape: documents hash into ``n_shards`` independent pack
+    streams (same md5 arithmetic as :func:`hash_split`, so shard
+    assignment is reproducible across runs/partitionings); the window
+    sorts WITHIN a shard only — at 100 TB size ``n_shards`` so one
+    shard's documents fit a task's sort spill budget, and the shards
+    pack in parallel.  A single global stream (``n_shards=1``) is a
+    global sort — correct, but the deliberate single-stream operating
+    point.
+
+    Returns (id, token_count, shard, offset, chunk_first, chunk_last):
+    ``offset`` is the document's first-token position in its shard's
+    stream, chunks are ``budget``-sized windows of that stream.  Empty
+    documents (0 tokens) get ``chunk_last = chunk_first - 1`` semantics
+    avoided by clamping to ``chunk_first`` (they own no tokens but land
+    between chunks deterministically).
+    """
+    from pyspark.sql import Window
+
+    shard = F.pmod(_hash_bucket(F.col(id_col), salt), F.lit(int(n_shards)))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.col(token_count_col).cast("long")
+    out = (
+        df.select(
+            F.col(id_col),
+            toks.alias("token_count"),
+            shard.cast("long").alias("shard"),
+        )
+        .withColumn("__cum", F.sum("token_count").over(w))
+        .withColumn("offset", (F.col("__cum") - F.col("token_count")))
+        .withColumn("chunk_first", F.floor(F.col("offset") / F.lit(int(budget))))
+        .withColumn(
+            "chunk_last",
+            F.greatest(
+                F.floor((F.col("__cum") - F.lit(1)) / F.lit(int(budget))),
+                F.col("chunk_first"),
+            ),
+        )
+        .drop("__cum")
+    )
+    return out

@@ -348,6 +348,40 @@ def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.unionByName(kept)
 
 
+def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (pack-and-chunk): documents hash into 4 shard
+    streams, each stream's token run is cut into budget-1024 chunks —
+    the step between curation and tokenized training shards.  Pure
+    window algebra over (shard, doc_id) order; the cumulative-SUM SQL
+    oracle reproduces offsets exactly."""
+    from ..operators.sampling import pack_and_chunk
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", text_ops.token_count_col("text").alias("n_tokens")
+    )
+    return pack_and_chunk(docs, "doc_id", "n_tokens", budget=1024, n_shards=4)
+
+
+SQL_DOC_PACK_CHUNKS = """
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS token_count,
+         ('0x' || substr(md5('pack-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 % 4 AS shard
+  FROM documents
+), c AS (
+  SELECT doc_id, token_count, shard,
+         sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, token_count, shard,
+       (cum - token_count) AS offset,
+       (cum - token_count) // 1024 AS chunk_first,
+       greatest((cum - 1) // 1024, (cum - token_count) // 1024) AS chunk_last
+FROM c
+"""
+
+
 SQL_DOC_SPLIT = """
 WITH b AS (
   SELECT doc_id,
@@ -1036,6 +1070,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_simhash,
     "dedup_simhash_pairs": q_simhash_pairs,
     "doc_split": q_doc_split,
+    "doc_pack_chunks": q_doc_pack_chunks,
     "sim_ann_topk": q_ann_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_cosine_neardup": q_cosine_neardup,
@@ -1067,6 +1102,7 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_simhash": SQL_SIMHASH,
     "dedup_simhash_pairs": SQL_SIMHASH_PAIRS,
     "doc_split": SQL_DOC_SPLIT,
+    "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
     "sim_ann_topk": SQL_ANN_TOPK,
     "sim_ivf_topk": SQL_ANN_TOPK,
     "sim_cosine_neardup": SQL_COSINE_NEARDUP,

@@ -273,3 +273,41 @@ def test_unigram_perplexity_repetitive_doc_scores_lower(spark):
     for r in got.values():
         assert r["n_tokens"] > 0
         assert abs(r["perplexity"] - round(math.exp(r["cross_entropy"]), 6)) < 1e-4
+
+
+def test_pack_and_chunk_invariants(spark):
+    """Sequence packing: offsets are contiguous per shard (each document
+    starts where the previous ended), chunk ids are the floor-divisions
+    of the offsets, and assignments are invariant to input partitioning
+    (hash shard + id order, nothing physical)."""
+    from omics_data_integration_utilities_spark.operators.sampling import pack_and_chunk
+
+    docs = [(i, f"word " * ((i * 13) % 50 + 1)) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    counted = df.select("doc_id", F.size(F.split("text", " ")).alias("n"))
+    out = pack_and_chunk(counted, "doc_id", "n", budget=64, n_shards=3)
+    rows = sorted(
+        (r["shard"], r["doc_id"], r["token_count"], r["offset"],
+         r["chunk_first"], r["chunk_last"])
+        for r in out.collect()
+    )
+    # contiguity per shard + chunk arithmetic
+    next_off: dict = {}
+    for shard, _doc, n, off, cf, cl in rows:
+        assert off == next_off.get(shard, 0)
+        next_off[shard] = off + n
+        assert cf == off // 64
+        assert cl == max((off + n - 1) // 64, cf)
+    # every shard stream is fully covered: total tokens = sum of lengths
+    # partitioning invariance
+    out2 = pack_and_chunk(
+        counted.repartition(7), "doc_id", "n", budget=64, n_shards=3
+    )
+    rows2 = sorted(
+        (r["shard"], r["doc_id"], r["token_count"], r["offset"],
+         r["chunk_first"], r["chunk_last"])
+        for r in out2.collect()
+    )
+    assert rows == rows2
