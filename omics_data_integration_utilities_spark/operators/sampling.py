@@ -140,11 +140,16 @@ def pack_and_chunk(
         )
         .withColumn("__cum", F.sum("token_count").over(w))
         .withColumn("offset", (F.col("__cum") - F.col("token_count")))
-        .withColumn("chunk_first", F.floor(F.col("offset") / F.lit(int(budget))))
+        # integer `div`, not floor(x / y): double division loses exactness
+        # past 2^53 tokens per shard; offsets are non-negative so the
+        # truncating/floor distinction never bites, and the only negative
+        # operand (__cum - 1 == -1 for an empty doc at stream start) is
+        # clamped by the greatest() on both engines
+        .withColumn("chunk_first", F.expr(f"offset div {int(budget)}"))
         .withColumn(
             "chunk_last",
             F.greatest(
-                F.floor((F.col("__cum") - F.lit(1)) / F.lit(int(budget))),
+                F.expr(f"(__cum - 1) div {int(budget)}"),
                 F.col("chunk_first"),
             ),
         )
