@@ -292,3 +292,24 @@ def test_canonical_form_invariant_under_branch_reorder(s):
         return
     forms = {canonical_form(lin) for lin in _linearizations(s)}
     assert len(forms) == 1
+
+
+@given(s=_smiles_subset())
+@settings(max_examples=150, deadline=None)
+def test_substructure_identity_embedding(s):
+    """Every parseable molecule embeds in itself (the identity assignment
+    satisfies the matcher), and in itself with any linearized rewriting —
+    the K3 matcher can never reject a molecule as its own substructure."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        _linearizations,
+        has_substructure,
+        parse_graph,
+    )
+
+    try:
+        parse_graph(s)
+    except ValueError:
+        return
+    assert has_substructure(s, s)
+    for lin in _linearizations(s):
+        assert has_substructure(s, lin) and has_substructure(lin, s)
