@@ -892,6 +892,39 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream interval join
+    (streaming/joins.py): click events joined to same-user purchase
+    events within [0, 1h] after the click.  The identical logical join
+    runs under readStream with watermarks on both sides — batch==stream
+    parity is proven in tests/test_streaming.py; this registered batch
+    form pins the values against a plain SQL range join."""
+    from ..streaming.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    return interval_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        lower_seconds=0,
+        upper_seconds=3600,
+    )
+
+
+SQL_EVENTS_INTERVAL_JOIN = """
+WITH l AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS t, event_type, value
+  FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS t, event_type, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.user_id, l.t AS left_time, r.t AS right_time,
+       l.event_type AS left_type, r.event_type AS right_type,
+       l.value AS left_value, r.value AS right_value
+FROM l JOIN r ON l.user_id = r.user_id AND r.t BETWEEN l.t AND l.t + 3600
+"""
+
+
 # --------------------------------------------------------------------------
 # registry assembly (part 1 — relational spine). Dedup/similarity/text
 # entries live in registry_docs.py and are merged in __spark_entry__.
@@ -931,6 +964,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
     "events_sessions": q_events_sessions,
     "events_hopping": q_events_hopping,
+    "events_interval_join": q_events_interval_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -966,5 +1000,6 @@ ORACLES: dict[str, str] = {
     "plan_mass_annotation": SQL_PLAN_MASS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sessions": SQL_EVENTS_SESSIONS,
+    "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "events_hopping": SQL_EVENTS_HOPPING,
 }

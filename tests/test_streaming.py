@@ -442,3 +442,101 @@ def test_ts_event_micros_all_encodings(spark):
     bad = spark.createDataFrame([("x",)], "ts string")
     with pytest.raises(TypeError):
         ts_event_micros(bad)
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join == batch interval join on the same
+    inputs: click events joined to purchase events of the same user
+    within [0, 2h) after the click.  Watermarks on both sides bound the
+    join state; append mode emits exactly the batch pair set."""
+    from omics_data_integration_utilities_spark.streaming.joins import (
+        interval_join,
+        interval_join_stream,
+    )
+
+    path = f"{SF_SMOKE}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(path)
+    left = ev.where(F.col("event_type") == "click")
+    right = ev.where(F.col("event_type") == "purchase")
+    lp, rp = str(tmp_path / "left"), str(tmp_path / "right")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+
+    batch = interval_join(
+        spark.read.parquet(lp), spark.read.parquet(rp),
+        lower_seconds=0, upper_seconds=7200,
+    )
+    expect = sorted(tuple(r) for r in batch.collect())
+    assert expect, "fixture produced no joined pairs; test would be vacuous"
+
+    stream_df = interval_join_stream(
+        spark, lp, rp, lower_seconds=0, upper_seconds=7200, watermark="10 days"
+    )
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.sql("SELECT * FROM ij_out").collect())
+    finally:
+        q.stop()
+    assert got == expect
+
+
+def test_interval_join_stream_multi_batch_and_state_cleanup(spark, tmp_path):
+    """Incremental arrival (one file per micro-batch on each side) still
+    produces the full batch pair set, and the join's watermark horizon
+    evicts state (numRowsRemoved > 0 once the watermark passes)."""
+    from omics_data_integration_utilities_spark.streaming.joins import (
+        interval_join,
+        interval_join_stream,
+    )
+
+    path = f"{SF_SMOKE}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(path)
+    left = ev.where(F.col("event_type") == "click")
+    right = ev.where(F.col("event_type").isin("purchase", "view"))
+    lp, rp = str(tmp_path / "left"), str(tmp_path / "right")
+    # two files per side → two-plus micro-batches under maxFilesPerTrigger=1
+    left.where(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(lp)
+    left.where(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(lp)
+    right.where(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(rp)
+    right.where(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(rp)
+
+    batch = interval_join(
+        spark.read.parquet(lp), spark.read.parquet(rp),
+        lower_seconds=0, upper_seconds=3600,
+    )
+    expect = sorted(tuple(r) for r in batch.collect())
+    assert expect
+
+    stream_df = interval_join_stream(
+        spark, lp, rp, lower_seconds=0, upper_seconds=3600,
+        watermark="30 minutes", max_files_per_trigger=1,
+    )
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_mb_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.sql("SELECT * FROM ij_mb_out").collect())
+        removed = sum(
+            (p.stateOperators[0].numRowsRemoved if p.stateOperators else 0)
+            for p in q.recentProgress
+        )
+    finally:
+        q.stop()
+    # the interval + 30-min watermark horizon is narrower than the feed's
+    # time span, so eviction must have happened — state stays bounded
+    assert removed > 0
+    assert got == expect
