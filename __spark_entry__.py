@@ -69,9 +69,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # in-window siblings on the same machinery: sim_ann_topk/sim_ivf_topk
 # run the GEMM/IVF path, text_pii_scrub + text stack cover the scan-
 # speed column heuristics).
-# sim_semantic_dedup_digest (SemDeDup, NEW late-r7) is registered
-# out-of-window: golden-digest + no-Spark replica checked locally, a
-# window slot next rotation.
+# Three late-r7 additions are registered out-of-window (window slots
+# next rotation): sim_semantic_dedup_digest (SemDeDup — golden digest +
+# no-Spark replica), doc_pack_chunks (sequence packing — exact window
+# SQL oracle), events_interval_join (batch form of the stream-stream
+# interval join — range-join SQL oracle; stream parity in tests).
 # (r6 rotation: j5_adduct_expand, j6_transition_match, k6_spearman,
 # k6_corr_pvalue, text_pii_scrub, text_winnowing, text_dup_spans,
 # doc_split out for w1_mutual_rank, p8_outlier_matrix, text_lang_id,

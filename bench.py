@@ -75,8 +75,11 @@ SLOW_TIER = [
     "plan_data_pipeline",
     # round 7: the K1 graph-writer rewrite (memoized Python kernel)
     "k1_graph_rewrite",
-    # late round 7: SemDeDup digest (exact single-list operating point)
+    # late round 7: SemDeDup digest (exact single-list operating point),
+    # sequence packing, stream-stream interval join (batch form)
     "sim_semantic_dedup_digest",
+    "doc_pack_chunks",
+    "events_interval_join",
 ]
 
 REGRESSION_FLAG = 1.3
