@@ -815,17 +815,22 @@ def apply_reaction(substrate: str, pattern: str, template: str) -> tuple[str, ..
     engine.  Memoized: rule tables repeat across every substrate batch.
     Returns () when the substrate falls outside the parser subset or
     nothing matches."""
+    # ALL products dedupe at MOLECULE level (canonical form), matching
+    # the reference's canonical-SMILES `cur_smiles in smiles_list` guard
+    # (gizmos.py:219-224): symmetric embeddings produce the same molecule
+    # in different writings — splice products inherit the substrate's
+    # writing (ClCCCl + Cl>>O gives OCCCl and ClCCO, one molecule), graph
+    # products the serializer's — and a string compare would emit twice
+    # what the reference emits once.  First occurrence keeps its writing.
     products: list[str] = []
+    seen_canon: set[str] = set()
     seen_keys: set = set()
     for lin in _linearizations(pattern):
         for prod in _apply_linear(substrate, lin, template, seen_keys):
-            if prod not in products:
+            c = canonical_form(prod)
+            if c not in seen_canon:
+                seen_canon.add(c)
                 products.append(prod)
-    # graph products dedupe at MOLECULE level (canonical form), matching
-    # the reference's canonical-SMILES `cur_smiles in smiles_list` guard:
-    # symmetric embeddings serialize the same molecule in different
-    # writings, and a string compare would emit it twice
-    seen_canon = {canonical_form(p) for p in products}
     for prod in _apply_graph(substrate, pattern, template, seen_keys):
         c = canonical_form(prod)
         if c not in seen_canon:

@@ -535,14 +535,20 @@ def test_structural_kernel_matches_jvm_on_single_site_shapes(spark):
 
 def test_structural_kernel_is_one_to_n_per_site():
     """Reference semantics the regexp kernel cannot express: one product
-    PER embedding (gizmos.py:210-224), deduplicated."""
+    PER embedding (gizmos.py:210-224), deduplicated at MOLECULE level —
+    the reference's canonical-MolToSmiles guard emits a symmetric
+    substrate's two writings of the same product once."""
     from omics_data_integration_utilities_spark.operators.smarts_engine import apply_reaction
 
-    # two Cl sites -> two distinct single-site products
-    assert apply_reaction("ClCCCl", "Cl", "O") == ("OCCCl", "ClCCO")
-    # symmetric sites dedupe to one product
-    assert apply_reaction("ClCCl", "Cl", "F") == ("FCCl", "ClCF")
-    assert apply_reaction("ClCl", "Cl", "F") == ("FCl", "ClF")
+    # two Cl sites give two embeddings, but OCCCl == ClCCO as molecules
+    assert apply_reaction("ClCCCl", "Cl", "O") == ("OCCCl",)
+    assert apply_reaction("ClCCl", "Cl", "F") == ("FCCl",)
+    assert apply_reaction("ClCl", "Cl", "F") == ("FCl",)
+    # distinct molecules from distinct sites both survive
+    assert apply_reaction("ClCCBr", "Cl", "O") == ("OCCBr",)
+    assert apply_reaction("OC(C)CO", "[C:1]O", "[C:1]N") == ("OC(C)CN", "C(C)(CO)N")
+    # multi-component substrate: same molecule SET dedupes across writings
+    assert apply_reaction("CO.CO", "[C:1]O", "[C:1]N") == ("CN.CO",)
 
 
 def test_structural_kernel_ring_and_map_semantics():
@@ -552,11 +558,10 @@ def test_structural_kernel_ring_and_map_semantics():
 
     # ring digit labels are arbitrary; the pairing topology matches
     assert apply_reaction("CCc2ccccc2C", "c1ccccc1", "N") == ("CCNC",)
-    # deleting a single ring atom would dangle the closure: only the four
-    # non-closure atoms may rewrite
-    assert apply_reaction("c1ccccc1", "c", "N") == (
-        "c1Ncccc1", "c1cNccc1", "c1ccNcc1", "c1cccNc1",
-    )
+    # deleting a single ring atom would dangle the closure: only the
+    # non-closure atoms may rewrite, and the rotations of the resulting
+    # 6-ring are ONE molecule (canonical dedup, the reference's guard)
+    assert apply_reaction("c1ccccc1", "c", "N") == ("c1Ncccc1",)
     # bare mapped template atom inherits the substrate token (modifiers
     # survive); an element change imposes the template's atom
     assert apply_reaction("C[N&X3:7]C", "[N:1]", "[N:1]=O") == ("C[N&X3]=OC",)
