@@ -313,3 +313,27 @@ def test_substructure_identity_embedding(s):
     assert has_substructure(s, s)
     for lin in _linearizations(s):
         assert has_substructure(s, lin) and has_substructure(lin, s)
+
+
+@given(s=_smiles_subset())
+@settings(max_examples=100, deadline=None)
+def test_splice_and_graph_paths_agree_on_molecules(s):
+    """Differential check between the two rewrite engines: for an
+    atom-mapped rule, the graph writer run over ALL embeddings (empty
+    skip set) must produce exactly the molecule set of the full
+    apply_reaction composition — the splice path only changes WRITINGS,
+    never molecules."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        _apply_graph,
+        apply_reaction,
+        canonical_form,
+        parse_graph,
+    )
+
+    try:
+        parse_graph(s)
+    except ValueError:
+        return
+    composed = {canonical_form(p) for p in apply_reaction(s, "[C:1]O", "[C:1]N")}
+    graph_only = {canonical_form(p) for p in _apply_graph(s, "[C:1]O", "[C:1]N", set())}
+    assert composed == graph_only
