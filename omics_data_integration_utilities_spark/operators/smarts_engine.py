@@ -299,6 +299,25 @@ def _bond_ok(pb: str | None, sb: str | None) -> bool:
     return pb is None or sb is None or pb == sb
 
 
+def _rewrite_token(t: Atom, src: Atom) -> str:
+    """Token a mapped template atom emits for its matched substrate atom.
+
+    A BARE template atom of the same element inherits the substrate's
+    token so modifiers survive (``[N:1]`` keeps a matched ``[N&X3]``);
+    any explicit spec — or an element change — imposes the template's.
+    Exception on CHARGE: a product atom written ``[O:1]`` (or bare
+    ``O``) is explicitly NEUTRAL in SMILES, so inheriting a charged
+    substrate token would silently undo a neutralization rule
+    (RunReactants sets the product template's formal charge) — the
+    inherited token drops its charge spec, keeping other modifiers."""
+    bare = t.raw in (t.elem, f"[{t.elem}]") and t.elem == src.elem
+    if not bare:
+        return t.raw
+    if src.charge:
+        return re.sub(r"(?:\+\d*|-\d*)(?=\])", "", src.raw)
+    return src.raw
+
+
 def _all_embeddings(
     p_atoms: list[Atom],
     p_edges: dict[tuple[int, int], str | None],
@@ -667,8 +686,7 @@ def _apply_graph(
                     if t.amap is not None and by_map.get(t.amap) == old
                 )
                 t, src = t_atoms[t_idx], s_atoms[old]
-                keep_src = t.raw in (t.elem, f"[{t.elem}]") and t.elem == src.elem
-                tokens.append(src.raw if keep_src else t.raw)
+                tokens.append(_rewrite_token(t, src))
             else:
                 tokens.append(s_atoms[old].raw)
         tokens.extend(t_atoms[ti].raw for ti in inserted)
@@ -967,11 +985,10 @@ def _apply_linear(
                 # a bare template atom of the SAME element inherits the
                 # substrate token (its modifiers survive); any explicit
                 # spec — or an element change — imposes the template's
-                keep_src = t.raw in (t.elem, f"[{t.elem}]") and t.elem == src.elem
                 rings = "".join(
                     d for d in src.rings if d not in drop_digits.get(j, ())
                 )
-                pieces.append((src.raw if keep_src else t.raw) + rings)
+                pieces.append(_rewrite_token(t, src) + rings)
             else:
                 pieces.append(t.raw + "".join(digit_map.get(d, d) for d in t.rings))
         pieces.append(template[t_atoms[-1].ring_end :] if t_atoms else "")

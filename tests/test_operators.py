@@ -569,6 +569,12 @@ def test_structural_kernel_ring_and_map_semantics():
     # explicit H-count constrains the match
     assert apply_reaction("C[CH3]", "[CH2]", "O") == ()
     assert apply_reaction("C[CH2]C", "[CH2]", "O") == ("COC",)
+    # a product atom written without charge is NEUTRAL (SMILES [O] =
+    # charge 0): inheritance drops the substrate's charge spec while
+    # keeping other modifiers; an explicit template charge is kept
+    assert apply_reaction("C[O-]", "[O-:1]", "[O:1]") == ("C[O]",)
+    assert apply_reaction("C[NH3+]", "[N+:1]", "[N:1]") == ("C[NH3]",)
+    assert apply_reaction("C[O-]", "[O-:1]", "[O-:1]C") == ("C[O-]C",)
 
 
 def test_graph_rewrite_interrupted_embeddings():
