@@ -468,18 +468,24 @@ def semantic_dedup(
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0.0] = 1.0
         u = m / norms[:, None]
-        keep_rows: list[int] = []
+        # kept rows accumulate in a preallocated contiguous buffer: a
+        # fancy-indexed u[keep_rows] would COPY the whole kept matrix on
+        # every iteration (O(n²·d) bytes of memcpy dwarfing the O(n²·d)
+        # flops); the buffer slice is a view, so each step is one gemv
+        kept_buf = np.empty_like(u)
+        n_kept = 0
         keep = np.zeros(len(pdf), dtype=bool)
         max_sim = np.full(len(pdf), np.nan)
         for i in range(len(pdf)):
-            if keep_rows:
-                sims = u[keep_rows] @ u[i]
+            if n_kept:
+                sims = kept_buf[:n_kept] @ u[i]
                 s = float(sims.max())
                 max_sim[i] = s
                 if s >= threshold:
                     continue
             keep[i] = True
-            keep_rows.append(i)
+            kept_buf[n_kept] = u[i]
+            n_kept += 1
         return pd.DataFrame(
             {
                 id_col: pdf[id_col],
