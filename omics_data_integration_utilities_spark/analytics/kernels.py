@@ -28,7 +28,15 @@ def knn_impute(
     """K10: impute missing (row, col) cells from the k nearest rows by
     euclidean distance over shared observed columns, per block.  Each block
     pivots to a small matrix inside its task — the fan-out is the cluster.
-    Returns (block, row, col, value, imputed)."""
+    Returns (block, row, col, value, imputed).
+
+    Declared semantics (deterministic, pinned by the golden oracle and
+    its no-Spark replica): cells impute in row-major pivot order and the
+    updates are IN-PLACE, so an earlier-imputed cell is a live donor for
+    later cells — donor distances, however, always use the ORIGINAL
+    observed mask.  The reference's impute.knn draws donors from observed
+    values only; the sequential form trades that for single-pass
+    determinism and is what the regression lock freezes."""
 
     def impute(pdf: pd.DataFrame) -> pd.DataFrame:
         block = pdf[block_col].iloc[0]
