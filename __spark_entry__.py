@@ -69,11 +69,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # in-window siblings on the same machinery: sim_ann_topk/sim_ivf_topk
 # run the GEMM/IVF path, text_pii_scrub + text stack cover the scan-
 # speed column heuristics).
-# Three late-r7 additions are registered out-of-window (window slots
-# next rotation): sim_semantic_dedup_digest (SemDeDup — golden digest +
-# no-Spark replica), doc_pack_chunks (sequence packing — exact window
-# SQL oracle), events_interval_join (batch form of the stream-stream
-# interval join — range-join SQL oracle; stream parity in tests).
+# Late-r7 second rotation: the three NEW operators enter the window —
+# sim_semantic_dedup_digest (SemDeDup — golden digest + no-Spark
+# replica), doc_pack_chunks (sequence packing — exact window SQL
+# oracle), events_interval_join (batch form of the stream-stream
+# interval join — range-join SQL oracle; stream parity in tests) — for
+# j2_outer_join, j7_semi_join, j9_dict_join (each driver-green in r6,
+# single-operator native joins with in-window siblings j1/j4/j12 and
+# local sf0.01 oracle coverage).
 # (r6 rotation: j5_adduct_expand, j6_transition_match, k6_spearman,
 # k6_corr_pvalue, text_pii_scrub, text_winnowing, text_dup_spans,
 # doc_split out for w1_mutual_rank, p8_outlier_matrix, text_lang_id,
@@ -143,19 +146,19 @@ _PRIORITY = [
     "dedup_minhash_signatures",
     "sim_ann_topk",
     "sim_ivf_topk",
+    "sim_semantic_dedup_digest",
     "text_pii_scrub",
     "doc_split",
+    "doc_pack_chunks",
     "multimodal_features",
     "multimodal_frames",
     "clusterone_modules",
     # streaming-equivalent windows
     "events_sessions",
+    "events_interval_join",
     # core relational representatives
     "j1_star_join",
     "j4_band_join",
-    "j2_outer_join",
-    "j7_semi_join",
-    "j9_dict_join",
     "j12_event_join",
     "p6_mad_filter",
     "w1_mutual_rank",
