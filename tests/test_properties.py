@@ -337,3 +337,31 @@ def test_splice_and_graph_paths_agree_on_molecules(s):
     composed = {canonical_form(p) for p in apply_reaction(s, "[C:1]O", "[C:1]N")}
     graph_only = {canonical_form(p) for p in _apply_graph(s, "[C:1]O", "[C:1]N", set())}
     assert composed == graph_only
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40),
+    budget=st.integers(min_value=1, max_value=200),
+)
+@settings(max_examples=10, deadline=None)
+def test_pack_and_chunk_covers_stream_exactly(spark, sizes, budget):
+    """Packing invariants under random token counts and budgets: per
+    shard the offsets tile the stream with no gap or overlap, and every
+    document's chunk span contains exactly its own tokens."""
+    from omics_data_integration_utilities_spark.operators.sampling import pack_and_chunk
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n long"
+    )
+    rows = sorted(
+        (r["shard"], r["doc_id"], r["token_count"], r["offset"],
+         r["chunk_first"], r["chunk_last"])
+        for r in pack_and_chunk(df, "doc_id", "n", budget=budget, n_shards=2).collect()
+    )
+    nxt: dict = {}
+    for shard, _doc, n, off, cf, cl in rows:
+        assert off == nxt.get(shard, 0)          # no gap, no overlap
+        nxt[shard] = off + n
+        assert cf == off // budget
+        assert cl == max((off + n - 1) // budget, cf)
+        assert cl >= cf
