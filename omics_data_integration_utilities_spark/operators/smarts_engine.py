@@ -940,6 +940,29 @@ def _apply_linear(
         }
         if any(j in s_external for j in deleted):
             continue
+        # MAPPED rules: a deleted atom with a bond leaving the span
+        # cannot be spliced — the substrate text that bond carries (a
+        # following branch, the chain tail) would silently re-parent
+        # onto the template's atoms, where RunReactants severs it with
+        # the deleted atom.  Decline; the shared maps guarantee the
+        # graph path rewrites the embedding with correct deletion
+        # semantics.  UNMAPPED rules keep the positional-replacement
+        # semantics this subset declares (Cl>>O rebonds in place) —
+        # there is no graph anchor to hand those to.
+        if deleted and (p_maps & t_maps):
+            try:
+                _, g_edges = parse_graph(substrate)
+            except ValueError:
+                g_edges = {}
+            span_lo, span_hi = i0, i0 + k - 1
+            if any(
+                (a == i0 + j) != (b == i0 + j)
+                and not (span_lo <= a <= span_hi and span_lo <= b <= span_hi)
+                for j in deleted
+                for (a, b) in g_edges
+                if i0 + j in (a, b)
+            ):
+                continue
         if keys_out is not None:
             keys_out.add((
                 frozenset(
