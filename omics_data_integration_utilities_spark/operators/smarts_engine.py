@@ -949,18 +949,39 @@ def _apply_linear(
         # semantics.  UNMAPPED rules keep the positional-replacement
         # semantics this subset declares (Cl>>O rebonds in place) —
         # there is no graph anchor to hand those to.
-        if deleted and (p_maps & t_maps):
+        # MAPPED rules: textual splicing re-parents the substrate text
+        # around the span onto whatever the template emits at its
+        # boundaries.  That is only sound when the boundary atoms
+        # survive in place — so decline (and let the graph path rewrite
+        # with RunReactants deletion/attachment semantics) whenever
+        #   (a) a DELETED atom has a bond leaving the span (its branch/
+        #       chain text would re-parent instead of severing), or
+        #   (b) a span BOUNDARY atom has external bonds but the template
+        #       does not put that same mapped atom at its own boundary
+        #       (an insertion at the span edge would capture the
+        #       neighbour text, e.g. [N:1]>>[N:1]=O splicing C[N]C to
+        #       C[N]=OC instead of bonding both Cs to N).
+        # UNMAPPED rules keep the declared positional-replacement
+        # subset (Cl>>O rebonds in place) — no graph anchor exists.
+        if p_maps & t_maps:
             try:
                 _, g_edges = parse_graph(substrate)
             except ValueError:
                 g_edges = {}
             span_lo, span_hi = i0, i0 + k - 1
-            if any(
-                (a == i0 + j) != (b == i0 + j)
-                and not (span_lo <= a <= span_hi and span_lo <= b <= span_hi)
-                for j in deleted
-                for (a, b) in g_edges
-                if i0 + j in (a, b)
+
+            def _ext(abs_idx: int) -> bool:
+                return any(
+                    not (span_lo <= (b if a == abs_idx else a) <= span_hi)
+                    for (a, b) in g_edges
+                    if abs_idx in (a, b)
+                )
+
+            if any(_ext(i0 + j) for j in deleted):
+                continue
+            if t_atoms and (
+                (_ext(span_lo) and t_atoms[0].amap != p_atoms[0].amap)
+                or (_ext(span_hi) and t_atoms[-1].amap != p_atoms[-1].amap)
             ):
                 continue
         if keys_out is not None:

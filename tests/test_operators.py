@@ -563,8 +563,10 @@ def test_structural_kernel_ring_and_map_semantics():
     # 6-ring are ONE molecule (canonical dedup, the reference's guard)
     assert apply_reaction("c1ccccc1", "c", "N") == ("c1Ncccc1",)
     # bare mapped template atom inherits the substrate token (modifiers
-    # survive); an element change imposes the template's atom
-    assert apply_reaction("C[N&X3:7]C", "[N:1]", "[N:1]=O") == ("C[N&X3]=OC",)
+    # survive); an element change imposes the template's atom.  The =O
+    # bonds to N with BOTH neighbours kept (RunReactants attachment —
+    # the old splice extended the chain to C[N&X3]=OC instead)
+    assert apply_reaction("C[N&X3:7]C", "[N:1]", "[N:1]=O") == ("C[N&X3](C)=O",)
     assert apply_reaction("c1ccccc1", "[c:1]", "[n:1]")[0] == "[n]1ccccc1"
     # explicit H-count constrains the match
     assert apply_reaction("C[CH3]", "[CH2]", "O") == ()

@@ -334,9 +334,15 @@ def test_splice_and_graph_paths_agree_on_molecules(s):
         parse_graph(s)
     except ValueError:
         return
-    composed = {canonical_form(p) for p in apply_reaction(s, "[C:1]O", "[C:1]N")}
-    graph_only = {canonical_form(p) for p in _apply_graph(s, "[C:1]O", "[C:1]N", set())}
-    assert composed == graph_only
+    for pat, tpl in (
+        ("[C:1]O", "[C:1]N"),          # substitution
+        ("[C:1]O[C:2]", "[C:1][C:2]"),  # interior deletion
+        ("[O:1]", "[O:1]C"),            # boundary insertion
+        ("[N:1]", "[N:1]=O"),           # boundary insertion, bond order
+    ):
+        composed = {canonical_form(p) for p in apply_reaction(s, pat, tpl)}
+        graph_only = {canonical_form(p) for p in _apply_graph(s, pat, tpl, set())}
+        assert composed == graph_only, f"{pat}>>{tpl}"
 
 
 @given(
