@@ -371,3 +371,44 @@ def test_pack_and_chunk_covers_stream_exactly(spark, sizes, budget):
         assert cf == off // budget
         assert cl == max((off + n - 1) // budget, cf)
         assert cl >= cf
+
+
+@given(s=_smiles_subset(), p=_smiles_subset())
+@settings(max_examples=150, deadline=None)
+def test_substructure_matches_brute_force(s, p):
+    """K3 independent verification: the backtracking subgraph
+    monomorphism agrees with an exhaustive permutation search on small
+    substrate/pattern pairs — same atom/bond predicates, structurally
+    different search."""
+    from itertools import permutations
+
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        _atom_matches,
+        _bond_ok,
+        has_substructure,
+        parse_graph,
+    )
+
+    try:
+        sa, se = parse_graph(s)
+        pa, pe = parse_graph(p)
+    except ValueError:
+        return
+    if len(sa) > 8 or len(pa) > 5 or not pa:
+        return
+
+    def brute() -> bool:
+        if len(pa) > len(sa):
+            return False
+        for combo in permutations(range(len(sa)), len(pa)):
+            if not all(_atom_matches(pa[i], sa[combo[i]]) for i in range(len(pa))):
+                continue
+            if all(
+                (min(combo[a], combo[b]), max(combo[a], combo[b])) in se
+                and _bond_ok(lab, se[(min(combo[a], combo[b]), max(combo[a], combo[b]))])
+                for (a, b), lab in pe.items()
+            ):
+                return True
+        return False
+
+    assert has_substructure(s, p) == brute()
