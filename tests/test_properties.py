@@ -412,3 +412,29 @@ def test_substructure_matches_brute_force(s, p):
         return False
 
     assert has_substructure(s, p) == brute()
+
+
+@given(s=_smiles_subset())
+@settings(max_examples=100, deadline=None)
+def test_rewrite_conserves_atom_counts(s):
+    """Chemical bookkeeping: every product has exactly |substrate| minus
+    the rule's deleted atoms plus its inserted atoms — no rewrite path
+    may drop or duplicate atoms."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        apply_reaction,
+        parse_graph,
+    )
+
+    try:
+        sa, _ = parse_graph(s)
+    except ValueError:
+        return
+    for pat, tpl, ndel, nins in (
+        ("[C:1]O", "[C:1]N", 1, 1),
+        ("[C:1]O[C:2]", "[C:1][C:2]", 1, 0),
+        ("[O:1]", "[O:1]C", 0, 1),
+        ("Cl", "O", 1, 1),
+    ):
+        for prod in apply_reaction(s, pat, tpl):
+            pa2, _ = parse_graph(prod)
+            assert len(pa2) == len(sa) - ndel + nins, (pat, tpl, prod)
