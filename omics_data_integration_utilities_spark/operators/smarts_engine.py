@@ -18,16 +18,19 @@ SUBSET engine; the honest scope is:
   subgraph-monomorphism search finds the pattern wherever it sits in
   the tree — branched patterns match in any branch order, and chain
   patterns match across a substrate branch point.
-- **Rewrite patterns** (:func:`apply_reaction`): a pattern embedding is
-  a run of atoms consecutive in the substrate token stream with
-  identical inter-atom bond text.  Branched patterns are supported by
-  enumerating the pattern's branch-order linearizations (every
-  permutation of each atom's branches / chain tail, RetroRules' tree
-  shapes) and matching each against the substrate — so
-  ``[C:1](=O)[OH]`` finds an acid written ``C(=O)O`` *or* ``C(O)=O``.
-  What stays out of scope: embeddings interrupted by substrate-side
-  branches that the pattern lacks (rewriting those needs a full graph
-  writer — the RDKit kernel slot).
+- **Rewrite patterns** (:func:`apply_reaction`): two engines compose.
+  The LINEAR splice rewrites embeddings that are consecutive token runs
+  with identical bond text, with branched patterns matched in every
+  branch-order linearization (``[C:1](=O)[OH]`` finds an acid written
+  ``C(=O)O`` *or* ``C(O)=O``) — it owns the simple cases so the
+  substrate's own writing survives.  The GRAPH writer
+  (:func:`_apply_graph`) rewrites every other embedding the subgraph
+  matcher finds — substrate-branch-interrupted spans, matches across
+  ring closures, ring-forming templates, deletions/insertions at span
+  boundaries with external bonds — with RunReactants deletion and
+  attachment semantics, re-serialized via :func:`serialize_graph`.  A
+  differential property (tests/test_properties.py) locks the two to
+  the same molecule sets on their shared domain.
 - **Atom matching**: element + aromaticity must agree (``*`` matches
   any); explicit H-count and charge constraints must agree when the
   pattern specifies them; connectivity/valence specs (``&X3``/``&v4``)
