@@ -438,3 +438,46 @@ def test_rewrite_conserves_atom_counts(s):
         for prod in apply_reaction(s, pat, tpl):
             pa2, _ = parse_graph(prod)
             assert len(pa2) == len(sa) - ndel + nins, (pat, tpl, prod)
+
+
+@given(a=_smiles_subset(), b=_smiles_subset())
+@settings(max_examples=100, deadline=None)
+def test_canonical_form_coincides_with_isomorphism(a, b):
+    """Soundness AND completeness of the molecule identity: two small
+    molecules share a canonical form IFF their graphs are isomorphic
+    (brute-force permutation check) — a false collision would silently
+    drop real reaction products, a false split would emit duplicates."""
+    from itertools import permutations
+
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        canonical_form,
+        parse_graph,
+    )
+
+    try:
+        aa, ae = parse_graph(a)
+        ba, be = parse_graph(b)
+    except ValueError:
+        return
+    if len(aa) > 6 or len(ba) > 6 or not aa or not ba:
+        return
+
+    def norm(lab):
+        return "-" if lab in (None, "", "-") else lab
+
+    def iso() -> bool:
+        if len(aa) != len(ba) or len(ae) != len(be):
+            return False
+        want = {(x, y): norm(lab) for (x, y), lab in be.items()}
+        for perm in permutations(range(len(aa))):
+            if any(aa[i].raw != ba[perm[i]].raw for i in range(len(aa))):
+                continue
+            mapped = {
+                (min(perm[x], perm[y]), max(perm[x], perm[y])): norm(lab)
+                for (x, y), lab in ae.items()
+            }
+            if mapped == want:
+                return True
+        return False
+
+    assert (canonical_form(a) == canonical_form(b)) == iso()
