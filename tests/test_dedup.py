@@ -311,3 +311,46 @@ def test_pack_and_chunk_invariants(spark):
         for r in out2.collect()
     )
     assert rows == rows2
+
+
+def test_connected_components_long_path_convergence(spark):
+    """A 300-node path graph has diameter far beyond the 6-round unroll's
+    ~2^6 reach, forcing the checked-convergence rounds — the fallback no
+    other test exercises.  All nodes must land in component 0 with
+    exactly one canonical row, and no non-convergence warning fires."""
+    import warnings
+
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        rows = connected_components(pairs).collect()
+    comp = {r["id"]: r["component"] for r in rows}
+    assert len(comp) == n
+    assert set(comp.values()) == {0}
+    assert sum(1 for r in rows if r["is_canonical"]) == 1
+
+
+def test_connected_components_warns_when_rounds_exhausted(spark):
+    """Starving the checked rounds must WARN about split components, not
+    silently return a wrong partition."""
+    import warnings
+
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iterations=3).collect()
+    assert any("converge" in str(w.message).lower() for w in caught)
