@@ -563,3 +563,54 @@ def test_methylmix_states_golden_parity_end_to_end(spark):
             assert got[(gene, i)] == exp, (gene, i, got[(gene, i)], exp)
             n_expected += 1
     assert len(got) == n_expected
+
+
+def test_smarts_mass_matches_python_reference_on_fuzzed_strings(spark):
+    """K2 differential: the JVM regexp/translate expression chain must
+    agree exactly with a plain-Python reimplementation of the same spec
+    (valence-strip, atom maps, #n symbols, H-specs, two-letter-first
+    counting) over 500 seeded random SMARTS-subset strings — one Spark
+    job for the whole batch."""
+    import random
+    import re
+
+    from omics_data_integration_utilities_spark.functions.chem import (
+        ATOMIC_MASS,
+        _ATOMIC_NUMBER,
+        smarts_mass,
+    )
+
+    def py_mass(s: str) -> float:
+        s = re.sub(r"&[^:\]]*", "", s)
+        s = re.sub(r":[0-9]+", "", s)
+        for num in sorted(_ATOMIC_NUMBER, key=len, reverse=True):
+            s = s.replace("#" + num, _ATOMIC_NUMBER[num])
+        s = re.sub(r"(?<=[A-Za-z\*\)])H[0-9]*", "", s)
+        s = s.replace("Cl", "\x01").replace("Br", "\x02")
+        mass = 0.0
+        counts = [("Cl", "\x01"), ("Br", "\x02")] + [
+            (sym, sym + (sym.lower() if sym in "BCNOPS" else ""))
+            for sym in ("H", "B", "C", "N", "O", "P", "S", "F", "I")
+        ]
+        for sym, chars in counts:
+            mass += sum(s.count(c) for c in chars) * ATOMIC_MASS[sym]
+        return mass
+
+    rng = random.Random(20260814)
+    frags = [
+        "C", "c", "N", "n", "O", "S", "P", "Cl", "Br", "I", "F", "B",
+        "(", ")", "=", "#", "1", "[CH3]", "[NH2]", "[C&X4:3]", "[#6:1]",
+        "[O-]", "[N+]", "[H]", "[nH]", "*", "[13C]", "[#17]",
+    ]
+    rows = []
+    for i in range(500):
+        s = "C" + "".join(rng.choice(frags) for _ in range(rng.randint(1, 12)))
+        if s.count("(") != s.count(")"):
+            s = s.replace("(", "").replace(")", "")
+        rows.append((i, s))
+    df = spark.createDataFrame(rows, "i long, s string").select(
+        "i", smarts_mass("s").alias("m")
+    )
+    got = {r["i"]: r["m"] for r in df.collect()}
+    for i, s in rows:
+        assert abs(got[i] - py_mass(s)) <= 1e-9, s
