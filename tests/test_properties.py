@@ -80,6 +80,13 @@ def test_band_join_random_instances(spark):
     for w in (0.7, 3.0, 17.0):
         got = band_join(pts, iv, "x", "lo", "hi", bucket_width=w).select("pid", "iid")
         assert sorted(tuple(r) for r in got.collect()) == expected
+    # the small-interval-side broadcast variant joins the same pairs
+    from omics_data_integration_utilities_spark.operators.joins import (
+        band_join_broadcast,
+    )
+
+    bc = band_join_broadcast(pts, iv, "x", "lo", "hi").select("pid", "iid")
+    assert sorted(tuple(r) for r in bc.collect()) == expected
 
 
 def test_minhash_signature_properties(spark):
