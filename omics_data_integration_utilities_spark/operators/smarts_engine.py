@@ -274,6 +274,11 @@ def parse_graph(s: str) -> tuple[list[Atom], dict[tuple[int, int], str | None]]:
             atoms[-1].ring_end = i + len(d)
             if d in ring_open:
                 j, open_bond = ring_open.pop(d)
+                if j == prev:
+                    # "C11": a closure pairing an atom with itself is not
+                    # a molecule (and a self-loop edge would crash the
+                    # serializer's back-edge bookkeeping downstream)
+                    raise ValueError(f"ring closure {d} pairs an atom with itself at {i}")
                 lab = ring_bond or open_bond or None
                 edges[(min(j, prev), max(j, prev))] = lab
             else:

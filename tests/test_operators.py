@@ -627,6 +627,28 @@ def test_graph_rewrite_ring_forming_templates():
     assert apply_reaction("CO.NC", "[C:1]O.N[C:2]", "[C:1][C:2]") == ("CC",)
 
 
+def test_self_pairing_ring_closure_rejected_spiro_reuse_accepted():
+    """A closure pairing an atom with itself ("C11") is not a molecule —
+    the parser rejects it (a self-loop edge crashed the serializer's
+    back-edge bookkeeping before).  Same-digit REUSE on one atom (close
+    then reopen, the spiro writing) stays legal."""
+    import pytest
+
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        has_substructure,
+        parse_graph,
+    )
+
+    for bad in ("C11", "CC11C"):
+        with pytest.raises(ValueError):
+            parse_graph(bad)
+        assert has_substructure(bad, "C") is False  # graceful verdict
+    # spiro: digit 1 closed then reopened on the shared atom — two fused
+    # triangles: 4 chain edges + 2 ring edges over 5 atoms
+    atoms, edges = parse_graph("C1CC11CC1")
+    assert len(atoms) == 5 and len(edges) == 6
+
+
 def test_graph_rewrite_ring_and_parity():
     """Ring-crossing embeddings keep the ring; the linear splice keeps
     priority on the shared subset (identical writings as before)."""
