@@ -216,28 +216,36 @@ _BONDS = ["", "=", "#"]
 
 @st.composite
 def _smiles_subset(draw):
-    """Random chain/branch/ring strings inside the parser subset."""
+    """Random chain/branch/ring strings inside the parser subset — up to
+    TWO rings (possibly fused/nested) so ring-crossing rewrites and
+    multi-ring serializations get generator coverage."""
     n = draw(st.integers(min_value=1, max_value=8))
     out = [draw(st.sampled_from(_ATOM_TOKENS))]
     open_branches = 0
-    ring_open = False
+    rings_opened = 0
+    ring_open: list[str] = []
     for _ in range(n - 1):
-        op = draw(st.integers(min_value=0, max_value=5))
+        op = draw(st.integers(min_value=0, max_value=6))
         if op == 0:
             out.append("(")
             open_branches += 1
         elif op == 1 and open_branches > 0:
             out.append(")")
             open_branches -= 1
-        if op == 2 and not ring_open and len(out) > 1:
+        if op == 2 and rings_opened < 2 and len(out) > 1:
             # open a ring digit on the previous atom position
-            out.append("1")
-            ring_open = True
+            rings_opened += 1
+            d = str(rings_opened)
+            out.append(d)
+            ring_open.append(d)
+        elif op == 3 and ring_open and len(out) > 1:
+            # close an open ring early (not self-pairing: an atom token
+            # is always appended right after the digit below)
+            out.append(ring_open.pop(0))
         out.append(draw(st.sampled_from(_BONDS)))
         out.append(draw(st.sampled_from(_ATOM_TOKENS)))
     out.extend(")" * open_branches)
-    if ring_open:
-        out.append("1")
+    out.extend(ring_open)
     return "".join(out)
 
 
