@@ -449,13 +449,21 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
-    assigned, _ = ivf_assign(
-        df.select(id_col, vec_col),
-        vec_col,
-        id_col,
-        n_lists=n_lists,
-        sample_fraction=sample_fraction,
-    )
+    if n_lists == 1:
+        # exact single-list operating point: every vector lands in list 0
+        # regardless of the centroid, so skip the quantizer training scan
+        # (hash-stratum sort + collect) entirely — assignment is constant
+        assigned = df.select(id_col, vec_col).withColumn(
+            "list_id", F.lit(0).cast("long")
+        )
+    else:
+        assigned, _ = ivf_assign(
+            df.select(id_col, vec_col),
+            vec_col,
+            id_col,
+            n_lists=n_lists,
+            sample_fraction=sample_fraction,
+        )
 
     def dedup_one(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > max_cluster:
