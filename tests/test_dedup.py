@@ -354,3 +354,36 @@ def test_connected_components_warns_when_rounds_exhausted(spark):
         warnings.simplefilter("always")
         connected_components(pairs, max_iterations=3).collect()
     assert any("converge" in str(w.message).lower() for w in caught)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.slow
+def test_simhash_pairs_pigeonhole_complete_at_sf001(spark):
+    """The band-bucketed candidate generation claims completeness for
+    hamming <= bands-1; verify brute-force over ALL document pairs at
+    sf0.01 — the emitted pair set must equal the exhaustive
+    hamming-<=3 set exactly (no recall loss, no phantom pairs)."""
+    import itertools
+
+    from omics_data_integration_utilities_spark.operators.constants import SIMHASH_BITS
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_table,
+    )
+    from .conftest import SF_CORRECTNESS
+
+    docs = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet")
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_table(docs, "text", "doc_id").collect()}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    }
+    mask = (1 << SIMHASH_BITS) - 1
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(fp), 2)
+        if bin((fp[a] ^ fp[b]) & mask).count("1") <= 3
+    }
+    assert got == want and len(want) > 0
