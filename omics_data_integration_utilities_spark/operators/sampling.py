@@ -102,7 +102,7 @@ def pack_and_chunk(
     document its position in the stream rather than materializing the
     stream (that is the tokenizer's job downstream).
 
-    Pure window algebra: per shard, ``offset`` is the running token sum
+    Pure window algebra: per shard, ``tok_offset`` is the running token sum
     over (hash-bucketed shard, id) order, so ``chunk_first``/``chunk_last``
     are floor-divisions of the offsets — no UDF, no driver state, and an
     exact ANSI-SQL oracle exists (cumulative SUM window).
@@ -116,9 +116,11 @@ def pack_and_chunk(
     global sort — correct, but the deliberate single-stream operating
     point.
 
-    Returns (id, token_count, shard, offset, chunk_first, chunk_last):
-    ``offset`` is the document's first-token position in its shard's
-    stream, chunks are ``budget``-sized windows of that stream.  Empty
+    Returns (id, token_count, shard, tok_offset, chunk_first,
+    chunk_last): ``tok_offset`` is the document's first-token position
+    in its shard's stream (named to avoid SQL reserved words — a bare
+    ``offset`` column breaks downstream canonicalization SQL), chunks
+    are ``budget``-sized windows of that stream.  Empty
     documents (0 tokens) get ``chunk_last = chunk_first - 1`` semantics
     avoided by clamping to ``chunk_first`` (they own no tokens but land
     between chunks deterministically).
@@ -139,13 +141,13 @@ def pack_and_chunk(
             shard.cast("long").alias("shard"),
         )
         .withColumn("__cum", F.sum("token_count").over(w))
-        .withColumn("offset", (F.col("__cum") - F.col("token_count")))
+        .withColumn("tok_offset", (F.col("__cum") - F.col("token_count")))
         # integer `div`, not floor(x / y): double division loses exactness
         # past 2^53 tokens per shard; offsets are non-negative so the
         # truncating/floor distinction never bites, and the only negative
         # operand (__cum - 1 == -1 for an empty doc at stream start) is
         # clamped by the greatest() on both engines
-        .withColumn("chunk_first", F.expr(f"offset div {int(budget)}"))
+        .withColumn("chunk_first", F.expr(f"tok_offset div {int(budget)}"))
         .withColumn(
             "chunk_last",
             F.greatest(

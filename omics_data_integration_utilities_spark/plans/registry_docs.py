@@ -375,9 +375,10 @@ WITH d AS (
   FROM d
 )
 SELECT doc_id, token_count, shard,
-       (cum - token_count) AS offset,
-       (cum - token_count) // 1024 AS chunk_first,
-       greatest((cum - 1) // 1024, (cum - token_count) // 1024) AS chunk_last
+       (cum - token_count) AS tok_offset,
+       CAST(floor((cum - token_count) / 1024.0) AS BIGINT) AS chunk_first,
+       greatest(CAST(floor((cum - 1) / 1024.0) AS BIGINT),
+                CAST(floor((cum - token_count) / 1024.0) AS BIGINT)) AS chunk_last
 FROM c
 """
 

@@ -289,7 +289,7 @@ def test_pack_and_chunk_invariants(spark):
     counted = df.select("doc_id", F.size(F.split("text", " ")).alias("n"))
     out = pack_and_chunk(counted, "doc_id", "n", budget=64, n_shards=3)
     rows = sorted(
-        (r["shard"], r["doc_id"], r["token_count"], r["offset"],
+        (r["shard"], r["doc_id"], r["token_count"], r["tok_offset"],
          r["chunk_first"], r["chunk_last"])
         for r in out.collect()
     )
@@ -306,7 +306,7 @@ def test_pack_and_chunk_invariants(spark):
         counted.repartition(7), "doc_id", "n", budget=64, n_shards=3
     )
     rows2 = sorted(
-        (r["shard"], r["doc_id"], r["token_count"], r["offset"],
+        (r["shard"], r["doc_id"], r["token_count"], r["tok_offset"],
          r["chunk_first"], r["chunk_last"])
         for r in out2.collect()
     )

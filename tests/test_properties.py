@@ -375,7 +375,7 @@ def test_pack_and_chunk_covers_stream_exactly(spark, sizes, budget):
         [(i, n) for i, n in enumerate(sizes)], "doc_id long, n long"
     )
     rows = sorted(
-        (r["shard"], r["doc_id"], r["token_count"], r["offset"],
+        (r["shard"], r["doc_id"], r["token_count"], r["tok_offset"],
          r["chunk_first"], r["chunk_last"])
         for r in pack_and_chunk(df, "doc_id", "n", budget=budget, n_shards=2).collect()
     )

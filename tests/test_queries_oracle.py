@@ -42,6 +42,55 @@ def test_entry_smoke(spark):
     assert len(df.columns) > 0
 
 
+def test_oracle_portability_lint(duck):
+    """Driver-portability lint over every registered oracle SQL — the
+    r7 ``doc_pack_chunks`` incident: an output column named ``offset``
+    (a DuckDB *reserved* keyword) hash-red a value-correct query because
+    the driver's canonicalization SQL re-selects output columns by
+    unquoted name.  Enforce for ALL oracles:
+
+    1. no output column is a DuckDB reserved keyword;
+    2. every output column is a plain identifier (no spaces, parens, or
+       generated names like ``sum(l_quantity)`` — those must be aliased
+       on both sides; mixed case is allowed for reference-parity names
+       like ``Ion_name``);
+    3. no duplicate output column names (driver compare sorts by name).
+    """
+    import re
+
+    from .conftest import register_duck_views
+
+    register_duck_views(duck, SF_SMOKE)
+    reserved = {
+        r[0].lower()
+        for r in duck.execute(
+            "SELECT keyword_name FROM duckdb_keywords() "
+            "WHERE keyword_category = 'reserved'"
+        ).fetchall()
+    }
+    # type_function / column_name categories are context-reserved in some
+    # engine versions; ban the high-risk ones that name SQL clauses too.
+    reserved |= {"offset", "order", "limit", "rows", "values", "group", "by"}
+    ident = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    bad = []
+    for name, sql in sorted(ORACLES.items()):
+        body = sql.strip().rstrip(";")
+        try:
+            res = duck.execute(f"SELECT * FROM ({body}) AS __lint LIMIT 0")
+        except Exception as e:  # pragma: no cover - lint clarity
+            bad.append(f"{name}: oracle does not parse as a subquery: {e}")
+            continue
+        cols = [d[0] for d in res.description]
+        for c in cols:
+            if c.lower() in reserved:
+                bad.append(f"{name}: output column {c!r} is a reserved keyword")
+            if not ident.match(c):
+                bad.append(f"{name}: output column {c!r} is not a plain identifier")
+        if len(set(cols)) != len(cols):
+            bad.append(f"{name}: duplicate output columns {cols}")
+    assert not bad, "\n".join(bad)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("name", WITH_ORACLE_SF001)
 def test_oracle_parity_sf001(spark, duck, name):
