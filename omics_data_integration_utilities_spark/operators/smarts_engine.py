@@ -322,7 +322,12 @@ def _rewrite_token(t: Atom, src: Atom) -> str:
     if not bare:
         return t.raw
     if src.charge:
-        return re.sub(r"(?:\+\d*|-\d*)(?=\])", "", src.raw)
+        # strip EVERY charge token in the bracket body, not just one
+        # sitting immediately before ']': brackets also carry charge-first
+        # orderings ([N+H3]) and multi-sign forms ([O--], [Fe++]); bond
+        # symbols never appear inside a bracket raw, so a bare '-' here is
+        # always a charge
+        return re.sub(r"\++\d*|-+\d*", "", src.raw)
     return src.raw
 
 
@@ -931,6 +936,15 @@ def _apply_linear(
                 if d not in sub_digits and d not in t_digits)
         digit_map = {d: next(pool) for d in sorted(t_digits & sub_digits)}
     products: list[str] = []
+    # span-independent: parse the substrate graph once for all candidate
+    # spans (mapped rules consult it for external-bond checks below)
+    if p_maps & t_maps:
+        try:
+            _, g_edges = parse_graph(substrate)
+        except ValueError:
+            g_edges = {}
+    else:
+        g_edges = {}
     for i0 in range(len(s_atoms) - k + 1):
         span = s_atoms[i0 : i0 + k]
         if not all(_atom_matches(p, s) for p, s in zip(p_atoms, span)):
@@ -948,15 +962,6 @@ def _apply_linear(
         }
         if any(j in s_external for j in deleted):
             continue
-        # MAPPED rules: a deleted atom with a bond leaving the span
-        # cannot be spliced — the substrate text that bond carries (a
-        # following branch, the chain tail) would silently re-parent
-        # onto the template's atoms, where RunReactants severs it with
-        # the deleted atom.  Decline; the shared maps guarantee the
-        # graph path rewrites the embedding with correct deletion
-        # semantics.  UNMAPPED rules keep the positional-replacement
-        # semantics this subset declares (Cl>>O rebonds in place) —
-        # there is no graph anchor to hand those to.
         # MAPPED rules: textual splicing re-parents the substrate text
         # around the span onto whatever the template emits at its
         # boundaries.  That is only sound when the boundary atoms
@@ -972,10 +977,6 @@ def _apply_linear(
         # UNMAPPED rules keep the declared positional-replacement
         # subset (Cl>>O rebonds in place) — no graph anchor exists.
         if p_maps & t_maps:
-            try:
-                _, g_edges = parse_graph(substrate)
-            except ValueError:
-                g_edges = {}
             span_lo, span_hi = i0, i0 + k - 1
 
             def _ext(abs_idx: int) -> bool:

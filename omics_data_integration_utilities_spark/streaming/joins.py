@@ -101,10 +101,12 @@ def interval_join_stream(
     batch form exactly; tests assert set equality.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(left_path).schema
 
     def _src(path: str):
-        reader = spark.readStream.schema(schema)
+        # each side reads ITS OWN parquet schema — applying the left
+        # schema to the right feed would silently misread a right source
+        # whose columns differ (file streams don't validate the schema)
+        reader = spark.readStream.schema(spark.read.parquet(path).schema)
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
         return reader.parquet(_stage_dir(path))

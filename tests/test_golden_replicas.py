@@ -738,16 +738,18 @@ def test_sim_semantic_dedup_digest_pin_reproduces_without_spark():
     kept_rows: list[int] = []
     agg = {False: [0, 0, 0.0], True: [0, 0, 0.0]}
     for i in range(len(ids)):
-        max_sim = 0.0
-        if kept_rows:
-            max_sim = float(np.round(float((u[kept_rows] @ u[i]).max()), 6))
-        verdict = not (kept_rows and max_sim >= 0.35)
+        # mirror the engine exactly: the keep/drop DECISION uses the raw
+        # max cosine; only the stored per-item sim is rounded to 6 (and
+        # the aggregated sim_sum to 3 below) — deciding on the rounded
+        # value could flip a keep within 5e-7 of the threshold
+        raw_max = float((u[kept_rows] @ u[i]).max()) if kept_rows else 0.0
+        verdict = not (kept_rows and raw_max >= 0.35)
         if verdict:
             kept_rows.append(i)
         a = agg[verdict]
         a[0] += 1
         a[1] += ids[i]
-        a[2] += max_sim
+        a[2] += float(np.round(raw_max, 6))
     got = sorted((k, n, s, round(ss, 3)) for k, (n, s, ss) in agg.items())
 
     from omics_data_integration_utilities_spark.plans.golden_oracles import (
