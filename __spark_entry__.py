@@ -49,6 +49,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # round.  Rotated-out queries keep their local sf0.01 oracle checks in
 # tests/test_queries_oracle.py.
 #
+# r8 rotation: fourteen longest-green queries out, each with an
+# in-window sibling exercising the same machinery or a golden pin +
+# local sf0.01 oracle: k6_pairwise_corr (k6_corr_pvalue = same corr
+# kernel + t-tail), k9_linear_filter (closed-form, k12/k13 analytic
+# siblings stay), k13_roc (k13_count_glm + poisson keep the IRLS),
+# methylmix_em (plan_methylmix composes the EM; states_digest
+# value-locks it), drivernet_greedy (drivernet_significance fans the
+# same greedy over 20 permutations), combat_mean_only
+# (combat_adjust_digest value-locks the full adjustment),
+# dedup_minhash_signatures (in-window dedup_lsh_pairs consumes the
+# signatures), dedup_simhash_pairs (sf0.01 brute-force banding-
+# completeness proof local), sim_ann_topk (sim_ivf_topk runs the same
+# GEMM), j1_star_join (j4/j12 stay), p6_mad_filter (p8 stays),
+# w1_mutual_rank (w2 same window machinery), doc_split
+# (f5_id_generation = same md5-bucket family), text_pii_scrub
+# (plan_data_pipeline composes the text battery).  Fourteen in:
+# sim_semantic_dedup_bucketed_digest (NEW — the IVF-bucketed SemDeDup
+# operating point, golden digest + no-Spark replica) plus THIRTEEN
+# never-driver-checked queries (a1_group_count, a2_distinct,
+# a4_set_union, a7_group_mean_profile, j3_left_join, j8_anti_join,
+# j10_explode_parent, j11_matrix_align, o1_global_topk, u1_union_all,
+# w3_lag_diff, text_winnowing, doc_chunks) — growing the cumulative
+# driver-verified set by 14.
+#
 # r7 rotation: eleven longest-green queries out (k1_reaction_products,
 # k2_mass, a3_pricing_summary, dedup_exact, dedup_ngram_jaccard,
 # text_gopher, text_repetition, text_decontaminate, text_perplexity,
@@ -121,9 +145,7 @@ _PRIORITY = [
     "rulemap_containment",
     "k3_substructure",
     # analytics kernels
-    "k6_pairwise_corr",
     "k6_corr_pvalue",
-    "k9_linear_filter",
     "k10_pca_batch",
     # k10_pca_closed rotated out r6 (same pca_batch_check machinery now
     # hash-locked via the k10_pca_batch golden oracle) to admit the
@@ -131,25 +153,19 @@ _PRIORITY = [
     "k12_perm_fdr",
     "k13_count_glm",
     "k13_poisson_2group",
-    "k13_roc",
-    "methylmix_em",
     "plan_methylmix",
     "methylmix_states_digest",
-    "drivernet_greedy",
     "drivernet_significance",
-    "combat_mean_only",
     "combat_adjust_digest",
     # LLM-pipeline surface
     "dedup_lsh_pairs",
     "dedup_components",
-    "dedup_simhash_pairs",
-    "dedup_minhash_signatures",
-    "sim_ann_topk",
     "sim_ivf_topk",
     "sim_semantic_dedup_digest",
-    "text_pii_scrub",
-    "doc_split",
+    "sim_semantic_dedup_bucketed_digest",
     "doc_pack_chunks",
+    "doc_chunks",
+    "text_winnowing",
     "multimodal_features",
     "multimodal_frames",
     "clusterone_modules",
@@ -157,15 +173,23 @@ _PRIORITY = [
     "events_sessions",
     "events_interval_join",
     # core relational representatives
-    "j1_star_join",
     "j4_band_join",
     "j12_event_join",
-    "p6_mad_filter",
-    "w1_mutual_rank",
+    "j3_left_join",
+    "j8_anti_join",
+    "j10_explode_parent",
+    "j11_matrix_align",
     "w2_topk_per_group",
+    "w3_lag_diff",
     "p8_outlier_matrix",
+    "a1_group_count",
+    "a2_distinct",
+    "a4_set_union",
     "a6_argmin_dedup",
+    "a7_group_mean_profile",
     "a9_na_fraction",
+    "o1_global_topk",
+    "u1_union_all",
     "u2_intersect",
     "f5_id_generation",
 ]

@@ -906,3 +906,30 @@ FROM (VALUES
 GOLDEN_ORACLES.update({
     "sim_semantic_dedup_digest": SQL_GOLDEN_SIM_SEMANTIC_DEDUP_DIGEST,
 })
+
+# ---- batch 5 (r8): bucketed SemDeDup digest — the IVF-partitioned
+# operating point a 100 TB corpus actually runs (n_lists=4 here).
+# sample_fraction=1.0 trains the quantizer on the full 500-row corpus,
+# so centroids, list assignment, and every greedy keep decision are a
+# pure function of the parquet bytes.  Digest per (list_id, keep): a
+# single assignment or keep flip moves its group's n/id_sum.
+# Independent no-Spark replica: tests/test_golden_replicas.py re-derives
+# the full quantizer + greedy with numpy only.
+# reference semantics: SemDeDup (Abbas et al. 2023, arXiv:2303.09540)
+SQL_GOLDEN_SIM_SEMANTIC_DEDUP_BUCKETED_DIGEST = """
+SELECT CAST(list_id AS BIGINT) AS list_id, CAST(keep AS BOOLEAN) AS keep, CAST(n AS BIGINT) AS n, CAST(id_sum AS BIGINT) AS id_sum, CAST(sim_sum AS DOUBLE) AS sim_sum
+FROM (VALUES
+  (0, FALSE, 25, 8526, 9.647),
+  (0, TRUE, 125, 30766, 32.836),
+  (1, FALSE, 23, 7393, 8.982),
+  (1, TRUE, 105, 22559, 28.357),
+  (2, FALSE, 18, 5259, 7.072),
+  (2, TRUE, 86, 21505, 22.292),
+  (3, FALSE, 23, 6773, 8.691),
+  (3, TRUE, 95, 21969, 24.894)
+) AS t(list_id, keep, n, id_sum, sim_sum)
+"""
+
+GOLDEN_ORACLES.update({
+    "sim_semantic_dedup_bucketed_digest": SQL_GOLDEN_SIM_SEMANTIC_DEDUP_BUCKETED_DIGEST,
+})

@@ -559,6 +559,31 @@ def q_sim_semantic_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_semantic_dedup_bucketed_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the BUCKETED operating point a 100 TB corpus actually
+    uses: IVF coarse quantizer (n_lists=4) partitions the embedding
+    space, the greedy keep/drop runs per cluster.  ``sample_fraction=1.0``
+    trains the quantizer on the full (500-row at this scale) corpus, so
+    centroids — and therefore list assignment and every keep decision —
+    are a pure deterministic function of the parquet bytes (the bounded
+    hash-stratum sample stays the scale route; recall-tested in
+    tests/test_similarity.py).  Digest per (list_id, keep): any flip of
+    a single assignment or keep decision moves n/id_sum of its group."""
+    out = sim_ops.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        threshold=0.35, n_lists=4, sample_fraction=1.0,
+    )
+    return (
+        out.groupBy("list_id", "keep")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vec_id").alias("id_sum"),
+            F.round(F.sum(F.coalesce("max_sim_to_kept", F.lit(0.0))), 3).alias("sim_sum"),
+        )
+        .orderBy("list_id", "keep")
+    )
+
+
 SQL_COSINE_NEARDUP = """
 WITH ce AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, generate_subscripts(embedding, 1) AS i FROM embeddings),
 norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY vec_id),
@@ -1076,6 +1101,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_cosine_neardup": q_cosine_neardup,
     "sim_semantic_dedup_digest": q_sim_semantic_dedup_digest,
+    "sim_semantic_dedup_bucketed_digest": q_sim_semantic_dedup_bucketed_digest,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_gopher": q_text_gopher,
@@ -1107,6 +1133,8 @@ ORACLES_DOCS: dict[str, str] = {
     "sim_ann_topk": SQL_ANN_TOPK,
     "sim_ivf_topk": SQL_ANN_TOPK,
     "sim_cosine_neardup": SQL_COSINE_NEARDUP,
+    # sim_semantic_dedup_bucketed_digest: golden VALUES oracle lives in
+    # plans/golden_oracles.py (order-sequential greedy — no ANSI-SQL form)
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
     "text_gopher": SQL_TEXT_GOPHER,

@@ -759,3 +759,64 @@ def test_sim_semantic_dedup_digest_pin_reproduces_without_spark():
     cols, want = _pinned(SQL_GOLDEN_SIM_SEMANTIC_DEDUP_DIGEST)
     assert cols == ["keep", "n", "id_sum", "sim_sum"]
     assert got == sorted(want)
+
+
+def test_sim_semantic_dedup_bucketed_digest_pin_reproduces_without_spark():
+    """Re-derives the BUCKETED SemDeDup golden (n_lists=4,
+    sample_fraction=1.0) with duckdb + numpy only — the full chain the
+    engine runs: id-sorted full-corpus quantizer training (evenly-spaced
+    seeds, 2 Lloyd iterations, squared-euclidean assignment), one
+    assignment pass, then the per-cluster order-sequential greedy
+    (decision on the raw max cosine; per-item sims rounded to 6, the
+    aggregated sim_sum to 3 — mirroring operators/similarity.py
+    exactly)."""
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT vec_id, embedding
+        FROM read_parquet('{SF_CORRECTNESS}/embeddings.parquet')
+        ORDER BY vec_id
+        """
+    ).fetchall()
+    ids = np.array([int(r[0]) for r in rows])
+    m = np.array([r[1] for r in rows], dtype="float64")
+
+    n_lists = 4
+    cents = m[np.linspace(0, len(m) - 1, n_lists).astype(int)].copy()
+    for _ in range(2):
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_lists):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    lists = d2.argmin(axis=1)
+
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0.0] = 1.0
+    u = m / norms[:, None]
+    agg: dict[tuple[int, bool], list] = {}
+    for c in range(n_lists):
+        idx = np.where(lists == c)[0]
+        idx = idx[np.argsort(ids[idx], kind="stable")]
+        kept: list[int] = []
+        for i in idx:
+            raw = float((u[kept] @ u[i]).max()) if kept else 0.0
+            verdict = not (kept and raw >= 0.35)
+            if verdict:
+                kept.append(i)
+            a = agg.setdefault((c, verdict), [0, 0, 0.0])
+            a[0] += 1
+            a[1] += int(ids[i])
+            a[2] += float(np.round(raw, 6))
+    got = sorted(
+        (c, k, n, s, round(ss, 3)) for (c, k), (n, s, ss) in agg.items()
+    )
+
+    from omics_data_integration_utilities_spark.plans.golden_oracles import (
+        SQL_GOLDEN_SIM_SEMANTIC_DEDUP_BUCKETED_DIGEST,
+    )
+
+    cols, want = _pinned(SQL_GOLDEN_SIM_SEMANTIC_DEDUP_BUCKETED_DIGEST)
+    assert cols == ["list_id", "keep", "n", "id_sum", "sim_sum"]
+    assert got == sorted(want)
