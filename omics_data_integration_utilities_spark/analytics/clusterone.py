@@ -83,6 +83,42 @@ def _overlap(a: frozenset, b: frozenset) -> float:
     return (inter * inter) / (len(a) * len(b))
 
 
+def _grow_distributed(
+    spark, adj: dict, seeds: list, penalty: float, n_blocks: int
+) -> dict:
+    """Seed-parallel growth: every seed grows in its own task against a
+    broadcast adjacency (``_grow(seed)`` depends only on (seed, adj) —
+    the sequential loop's ``clustered`` set decides only WHETHER a seed
+    grows, never what it grows into, so growing all seeds up front and
+    replaying the accept/skip decision driver-side reproduces the
+    sequential output exactly).  Round-robin block assignment in
+    degree-sorted order spreads the expensive high-degree seeds across
+    blocks.  Some grows are wasted (their seed would have been skipped);
+    that is the price of removing the driver-side CPU ceiling — the
+    adjacency itself is one broadcast, the same memory the jar's
+    single-node operating point needs."""
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(dict(adj))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = bc.value
+        grown = [sorted(_grow(s, a, penalty)) for s in pdf["seed"]]
+        return pd.DataFrame({"seed": pdf["seed"], "members": grown})
+
+    sdf = spark.createDataFrame(
+        [(i % n_blocks, s) for i, s in enumerate(seeds)],
+        "block int, seed string",
+    )
+    rows = (
+        sdf.repartition(n_blocks, "block")
+        .groupBy("block")
+        .applyInPandas(run, "seed string, members array<string>")
+        .collect()
+    )
+    return {r["seed"]: frozenset(r["members"]) for r in rows}
+
+
 def cluster_one(
     edges: DataFrame,
     src_col: str = "src",
@@ -92,6 +128,7 @@ def cluster_one(
     overlap_threshold: float = 0.8,
     min_size: int = 3,
     min_density: float = 0.5,
+    seed_parallel_threshold: int = 512,
 ) -> DataFrame:
     """Run the ClusterOne greedy over an undirected weighted edge list.
 
@@ -100,6 +137,13 @@ def cluster_one(
     row per (cluster_id, member) with the cluster's size, density and
     cohesiveness; cluster_id is the rank by (-cohesiveness, members) so
     output is a pure function of the edge list.
+
+    Dual strategy (the drivernet/rule-BFS pattern): graphs with at most
+    ``seed_parallel_threshold`` seeds grow in the driver loop; larger
+    graphs fan the per-seed growth out over executors against a
+    broadcast adjacency (:func:`_grow_distributed` — provably the same
+    output), leaving only the cheap accept/skip replay and overlap merge
+    driver-side.
     """
     spark = edges.sparkSession
     und = (
@@ -118,12 +162,19 @@ def cluster_one(
         adj[r["b"]][r["a"]] = adj[r["b"]].get(r["a"], 0.0) + float(r["w"])
 
     degree = {u: sum(nb.values()) for u, nb in adj.items()}
+    seeds = sorted(degree, key=lambda u: (-degree[u], u))
+    grown_map: dict = {}
+    if len(seeds) > seed_parallel_threshold:
+        n_blocks = max(2, spark.sparkContext.defaultParallelism)
+        grown_map = _grow_distributed(spark, adj, seeds, penalty, n_blocks)
     clustered: set = set()
     raw: list[frozenset] = []
-    for seed in sorted(degree, key=lambda u: (-degree[u], u)):
+    for seed in seeds:
         if seed in clustered:
             continue
-        grown = _grow(seed, adj, penalty)
+        grown = grown_map.get(seed)
+        if grown is None:
+            grown = _grow(seed, adj, penalty)
         raw.append(grown)
         clustered |= grown
 

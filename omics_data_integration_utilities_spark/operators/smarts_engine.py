@@ -36,6 +36,13 @@ SUBSET engine; the honest scope is:
   pattern specifies them; connectivity/valence specs (``&X3``/``&v4``)
   are IGNORED, exactly as the reference's own
   ``remove_valence_from_smarts`` strips them (gizmos.py:237-239).
+  Query primitives (pattern-side only): atomic numbers ``[#6]``
+  (aromaticity-agnostic), alternation of bare primitives ``[C,N]`` /
+  ``[#6,#7]``, and negation ``[!O]`` / ``[!#1]`` / ``[!C!N]`` (none may
+  match).  Mixing alternation with negation, per-alternative modifiers,
+  recursive SMARTS ``$()``, and stereo remain OUTSIDE the subset; a
+  product template carrying a query primitive yields no products
+  (nothing concrete to write — RDKit errors on such templates).
 - **Ring closures**: a match requires the pattern's internal ring-bond
   pairing to be reproduced inside the matched span (digit labels are
   arbitrary, the pairing topology is what must agree), and a match is
@@ -67,10 +74,32 @@ _AROMATIC = set("bcnosp")
 _BOND_CHARS = set("-=#:/\\.")
 
 _BRACKET_RE = re.compile(
-    r"\[(?P<isotope>\d+)?(?P<elem>\*|[A-Z][a-z]?|[a-z])"
+    r"\[(?P<isotope>\d+)?(?P<elem>\*|#\d+|[A-Z][a-z]?|[a-z])"
     r"(?P<mods>(?:&?[Xv]\d+|H\d*|\+\d*|-\d*)*)"
     r"(?::(?P<map>\d+))?\]"
 )
+# SMARTS query brackets (pattern-side only): alternation of bare
+# primitives ([C,N], [#6,#7]) and negation ([!O], [!#1], [!C!N] = none
+# may match).  Mixing forms, per-alternative mods, recursive $() and
+# stereo stay outside the subset (module docstring) — RDKit's
+# ReactionFromSmarts accepts the wider grammar
+# (/root/reference/integrative_omics/gizmos.py:193-234); these two plus
+# #n atomic numbers are the common non-concrete primitives in public
+# RetroRules SMARTS.
+_PRIM_SRC = r"(?:\*|#\d+|[A-Z][a-z]?|[a-z])"
+_BRACKET_ALT_RE = re.compile(
+    rf"\[(?P<alist>{_PRIM_SRC}(?:,{_PRIM_SRC})+)(?::(?P<map>\d+))?\]"
+)
+_BRACKET_NEG_RE = re.compile(
+    rf"\[(?P<nlist>(?:!{_PRIM_SRC})+)(?::(?P<map>\d+))?\]"
+)
+
+# atomic numbers for the parser subset's elements (for #n primitives;
+# aromaticity-agnostic, as in SMARTS)
+_ATOMIC_NUM = {
+    "H": 1, "B": 5, "C": 6, "N": 7, "O": 8, "F": 9,
+    "P": 15, "S": 16, "Cl": 17, "Br": 35, "I": 53,
+}
 
 
 @dataclass
@@ -85,6 +114,12 @@ class Atom:
     end: int
     ring_end: int       # end after trailing ring-closure digits
     rings: list[str] = field(default_factory=list)
+    # query primitives (pattern-side only; mutually exclusive by grammar):
+    # alts — substrate must match ONE ("elem"/"num"/"any" prims);
+    # negs — substrate must match NONE.  Concrete [#6] parses as a
+    # single-alt query (atomic numbers are aromaticity-agnostic).
+    alts: tuple | None = None
+    negs: tuple | None = None
 
 
 def _parse_mods(mods: str) -> tuple[int | None, int | None]:
@@ -103,6 +138,68 @@ def _parse_mods(mods: str) -> tuple[int | None, int | None]:
     return h, charge
 
 
+def _prim(p: str):
+    """One bare primitive of a query bracket → matcher tuple."""
+    if p == "*":
+        return ("any", None)
+    if p.startswith("#"):
+        return ("num", int(p[1:]))
+    return ("elem", (p, p.islower()))
+
+
+def _parse_bracket_atom(s: str, i: int) -> Atom:
+    """Parse one bracket atom starting at ``s[i]`` (concrete, #n,
+    alternation, or negation form) into an Atom with source offsets set.
+    Raises ValueError outside the subset."""
+    m = _BRACKET_RE.match(s, i)
+    if m:
+        elem = m.group("elem")
+        h, charge = _parse_mods(m.group("mods") or "")
+        raw = re.sub(r":\d+\]$", "]", m.group(0))
+        alts = (("num", int(elem[1:])),) if elem.startswith("#") else None
+        return Atom(
+            elem, elem.islower() and elem != "*" and not elem.startswith("#"),
+            h, charge,
+            int(m.group("map")) if m.group("map") else None,
+            raw, i, m.end(), m.end(), alts=alts,
+        )
+    m = _BRACKET_ALT_RE.match(s, i)
+    if m:
+        raw = re.sub(r":\d+\]$", "]", m.group(0))
+        return Atom(
+            "*", False, None, None,
+            int(m.group("map")) if m.group("map") else None,
+            raw, i, m.end(), m.end(),
+            alts=tuple(_prim(p) for p in m.group("alist").split(",")),
+        )
+    m = _BRACKET_NEG_RE.match(s, i)
+    if m:
+        raw = re.sub(r":\d+\]$", "]", m.group(0))
+        return Atom(
+            "*", False, None, None,
+            int(m.group("map")) if m.group("map") else None,
+            raw, i, m.end(), m.end(),
+            negs=tuple(_prim(p) for p in m.group("nlist")[1:].split("!")),
+        )
+    raise ValueError(f"unsupported bracket atom at {i}: {s[i:i + 12]!r}")
+
+
+def _match_bracket_end(s: str, i: int) -> int | None:
+    """End offset of the bracket token at ``s[i]`` (any accepted form),
+    or None."""
+    for rx in (_BRACKET_RE, _BRACKET_ALT_RE, _BRACKET_NEG_RE):
+        m = rx.match(s, i)
+        if m:
+            return m.end()
+    return None
+
+
+def _is_query(a: Atom) -> bool:
+    """True when the atom carries pattern-only primitives that cannot be
+    WRITTEN into a product (alternation, negation, #n)."""
+    return a.alts is not None or a.negs is not None
+
+
 def parse_chain(s: str) -> list[Atom]:
     """Tokenize a linear SMILES/SMARTS-subset string into atoms carrying
     their source offsets (separator text is recovered by slicing the
@@ -112,26 +209,9 @@ def parse_chain(s: str) -> list[Atom]:
     while i < n:
         ch = s[i]
         if ch == "[":
-            m = _BRACKET_RE.match(s, i)
-            if not m:
-                raise ValueError(f"unsupported bracket atom at {i}: {s[i:i + 12]!r}")
-            elem = m.group("elem")
-            h, charge = _parse_mods(m.group("mods") or "")
-            raw = re.sub(r":\d+\]$", "]", m.group(0))
-            atoms.append(
-                Atom(
-                    elem=elem,
-                    aromatic=elem.islower() and elem != "*",
-                    hcount=h,
-                    charge=charge,
-                    amap=int(m.group("map")) if m.group("map") else None,
-                    raw=raw,
-                    start=i,
-                    end=m.end(),
-                    ring_end=m.end(),
-                )
-            )
-            i = m.end()
+            a = _parse_bracket_atom(s, i)
+            atoms.append(a)
+            i = a.end
         elif s.startswith(_TWO_LETTER, i):
             atoms.append(Atom(s[i : i + 2], False, None, None, None, s[i : i + 2], i, i + 2, i + 2))
             i += 2
@@ -190,8 +270,25 @@ def _ring_pairing(span: list[Atom]) -> tuple[set[tuple[int, int]], set[int]]:
     return pairs, set(open_.values())
 
 
+def _prim_matches(prim, sub: Atom) -> bool:
+    kind, val = prim
+    if kind == "any":
+        return True
+    if kind == "num":
+        sym = sub.elem if len(sub.elem) > 1 else sub.elem.upper()
+        return _ATOMIC_NUM.get(sym) == val
+    sym, arom = val
+    return sym.upper() == sub.elem.upper() and arom == sub.aromatic
+
+
 def _atom_matches(pat: Atom, sub: Atom) -> bool:
-    if pat.elem != "*":
+    if pat.negs is not None:
+        if any(_prim_matches(p, sub) for p in pat.negs):
+            return False
+    elif pat.alts is not None:
+        if not any(_prim_matches(p, sub) for p in pat.alts):
+            return False
+    elif pat.elem != "*":
         if pat.elem.upper() != sub.elem.upper() or pat.aromatic != sub.aromatic:
             return False
     if pat.hcount is not None and sub.hcount != pat.hcount:
@@ -235,19 +332,10 @@ def parse_graph(s: str) -> tuple[list[Atom], dict[tuple[int, int], str | None]]:
     while i < n:
         ch = s[i]
         if ch == "[":
-            m = _BRACKET_RE.match(s, i)
-            if not m:
-                raise ValueError(f"unsupported bracket atom at {i}: {s[i:i + 12]!r}")
-            elem = m.group("elem")
-            h, charge = _parse_mods(m.group("mods") or "")
-            raw = re.sub(r":\d+\]$", "]", m.group(0))
-            atoms.append(
-                Atom(elem, elem.islower() and elem != "*", h, charge,
-                     int(m.group("map")) if m.group("map") else None,
-                     raw, i, m.end(), m.end())
-            )
+            a = _parse_bracket_atom(s, i)
+            atoms.append(a)
             _attach(len(atoms) - 1)
-            i = m.end()
+            i = a.end
         elif s.startswith(_TWO_LETTER, i):
             atoms.append(Atom(s[i:i + 2], False, None, None, None, s[i:i + 2], i, i + 2, i + 2))
             _attach(len(atoms) - 1)
@@ -645,6 +733,10 @@ def _apply_graph(
         return []
     if not p_atoms or len(p_atoms) > len(s_atoms):
         return []
+    if any(_is_query(a) for a in t_atoms):
+        # pattern-only primitives in a product template: nothing concrete
+        # to write (see _apply_linear) — no products
+        return []
     t_maps = {a.amap for a in t_atoms if a.amap is not None}
     p_maps = {a.amap for a in p_atoms if a.amap is not None}
     if not (t_maps & p_maps):
@@ -800,10 +892,9 @@ def _parse_tree(s: str):
             i += 1
         else:
             if ch == "[":
-                m = _BRACKET_RE.match(s, i)
-                if not m:
+                j = _match_bracket_end(s, i)
+                if j is None:
                     raise ValueError(f"unsupported bracket atom at {i}")
-                j = m.end()
             elif s.startswith(_TWO_LETTER, i):
                 j = i + 2
             elif ch in _SINGLE or ch in _AROMATIC or ch == "*":
@@ -886,6 +977,11 @@ def _apply_linear(
     except ValueError:
         return []
     if not p_atoms:
+        return []
+    if any(_is_query(a) for a in t_atoms):
+        # alternation/negation/#n are pattern-only: a product template
+        # carrying one has no concrete atom to WRITE (RDKit errors on
+        # such templates) — outside-subset semantics, no products
         return []
     k = len(p_atoms)
     p_pairs, _ = _ring_pairing(p_atoms)

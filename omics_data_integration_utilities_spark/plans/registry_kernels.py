@@ -526,10 +526,30 @@ K3_PROBES = [
     ("probe_branch_swap", "Cl([CH3])[N&X3:2]"),
     ("probe_ocl", "OCl"),
     ("probe_dbl", "C=O"),
+    # r8 query-primitive probes (alternation / negation / #n — the
+    # widened SMARTS subset).  Closed forms on the construction:
+    #   alt_halo  [Cl,Br]        — Br never occurs, Cl iff even partkey
+    #   neg_before_cl [!C]Cl     — Cl's non-CH3 neighbour is the N
+    #   num_arom  [#6]c          — aromatic c–c bonds iff ring variant
+    #   neg_ch3   [!Cl][CH3]     — CH3's only neighbour is Cl (even) or
+    #                              an aromatic c (odd)
+    #   neg_h     [!#1][N&X3:2]  — a C or O always precedes the N
+    #   alt_n     [#7,#16]       — the N is always present
+    ("probe_alt_halo", "[Cl,Br]"),
+    ("probe_neg_before_cl", "[!C]Cl"),
+    ("probe_num_arom", "[#6]c"),
+    ("probe_neg_ch3", "[!Cl][CH3]"),
+    ("probe_neg_h", "[!#1][N&X3:2]"),
+    ("probe_alt_n", "[#7,#16]"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
-_K3_STRUCTURAL_TRUE_ON_CL = ("probe_ccl", "probe_branch", "probe_branch_swap")
+_K3_STRUCTURAL_TRUE_ON_CL = (
+    "probe_ccl", "probe_branch", "probe_branch_swap",
+    "probe_alt_halo", "probe_neg_before_cl",
+)
+_K3_TRUE_ON_RING = ("probe_num_arom", "probe_neg_ch3")
+_K3_ALWAYS_TRUE = ("probe_neg_h", "probe_alt_n")
 _K3_ALWAYS_FALSE = ("probe_ocl", "probe_dbl")
 
 
@@ -575,6 +595,12 @@ SQL_K3_SUBSTRUCTURE = (
     "       CASE WHEN probe_id IN ("
     + ", ".join(f"'{p}'" for p in _K3_STRUCTURAL_TRUE_ON_CL)
     + ") THEN p_partkey % 2 = 0\n"
+    "            WHEN probe_id IN ("
+    + ", ".join(f"'{p}'" for p in _K3_TRUE_ON_RING)
+    + ") THEN p_partkey % 2 = 1\n"
+    "            WHEN probe_id IN ("
+    + ", ".join(f"'{p}'" for p in _K3_ALWAYS_TRUE)
+    + ") THEN TRUE\n"
     "            WHEN probe_id IN ("
     + ", ".join(f"'{p}'" for p in _K3_ALWAYS_FALSE)
     + ") THEN FALSE\n"
@@ -832,6 +858,14 @@ GRAPH_RXN_RULES = [
     ("r_aminate", "[C:1]O", "[C:1]N", "N"),
     ("r_oxo", "[C:1][O:2]", "[C:1]=[O:2]", "=O"),
     ("r_homologate", "[C:1]O", "[C:1]CO", "CO"),
+    # r8 query-primitive probes (widened SMARTS subset): the substrate's
+    # single O is bonded to exactly one carbon, so alternation [C,N:1],
+    # negation [!#1:1], and atomic-number [#6:1] each match that same
+    # unique site — the oracle stays the textual tail-swap, now driven
+    # through the query-atom matching path
+    ("r_alt_thio", "[C,N:1]O", "[C:1]S", "S"),
+    ("r_neg_homolog", "[!#1:1]O", "[C:1]CN", "CN"),
+    ("r_num_aminate", "[#6:1]O", "[C:1]N", "N"),
 ]
 
 

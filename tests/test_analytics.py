@@ -46,3 +46,31 @@ def test_cluster_one_merge_and_filters(spark):
     members = {r[1] for r in rows}
     assert members == {"a", "b", "c"}
     assert all(r[0] == 0 and r[2] == 3 for r in rows)
+
+
+def test_cluster_one_seed_parallel_parity(spark):
+    """The seed-parallel growth path (threshold 0 forces it) must be
+    bit-identical to the driver-loop core on a planted-module graph with
+    noise bridges: _grow(seed) is a pure function of (seed, adj), the
+    sequential `clustered` set only decides whether a seed grows, so the
+    grow-all-then-replay strategy reproduces the sequential output."""
+    from omics_data_integration_utilities_spark.analytics.clusterone import cluster_one
+
+    # 24 nodes in four K6-ish blocks, plus deterministic cross bridges
+    rows = []
+    for blk in range(4):
+        base = blk * 6
+        for i in range(6):
+            for j in range(i + 1, 6):
+                if (i + j + blk) % 5:  # drop some in-block edges
+                    rows.append((f"n{base+i}", f"n{base+j}", 1.0 + (i * j) % 3))
+    for k in range(12):
+        rows.append((f"n{k}", f"n{(k * 7 + 5) % 24}", 0.2))
+    edges = spark.createDataFrame(rows, "src string, dst string, weight double")
+
+    driver = sorted(map(tuple, cluster_one(edges).collect()))
+    dist = sorted(
+        map(tuple, cluster_one(edges, seed_parallel_threshold=0).collect())
+    )
+    assert driver == dist
+    assert len({r[0] for r in driver}) >= 2

@@ -496,3 +496,96 @@ def test_canonical_form_coincides_with_isomorphism(a, b):
         return False
 
     assert (canonical_form(a) == canonical_form(b)) == iso()
+
+
+# ------------------------- query-primitive matching (r8 widened grammar) --
+
+_QUERY_PRIMS = ["C", "N", "O", "S", "c", "n", "Cl", "Br", "*", "#6", "#7", "#8", "#1", "#16"]
+
+_NUM_TO_SYM = {1: "H", 6: "C", 7: "N", 8: "O", 16: "S", 17: "Cl", 35: "Br"}
+
+
+def _ref_prim_pred(p: str, elem: str, aromatic: bool) -> bool:
+    """Independent restatement of SMARTS primitive semantics (Daylight
+    theory manual): element symbols carry aromaticity, #n atomic numbers
+    do not, * matches anything."""
+    if p == "*":
+        return True
+    if p.startswith("#"):
+        sym = elem if len(elem) > 1 else elem.upper()
+        return _NUM_TO_SYM.get(int(p[1:])) == sym
+    return p.upper() == elem.upper() and p.islower() == aromatic
+
+
+@st.composite
+def _query_bracket(draw):
+    """A random query bracket: alternation of 2-3 primitives, negation
+    of 1-2, or a single #n."""
+    form = draw(st.integers(min_value=0, max_value=2))
+    if form == 0:
+        prims = draw(st.lists(st.sampled_from(_QUERY_PRIMS), min_size=2, max_size=3, unique=True))
+        return "[" + ",".join(prims) + "]", ("alt", prims)
+    if form == 1:
+        prims = draw(st.lists(st.sampled_from(_QUERY_PRIMS), min_size=1, max_size=2, unique=True))
+        return "[" + "".join("!" + p for p in prims) + "]", ("neg", prims)
+    p = draw(st.sampled_from([q for q in _QUERY_PRIMS if q.startswith("#")]))
+    return f"[{p}]", ("alt", [p])
+
+
+@given(s=_smiles_subset(), qb=_query_bracket())
+@settings(max_examples=300, deadline=None)
+def test_query_bracket_matches_exhaustive_single_atom(s, qb):
+    """has_substructure with a single-atom query pattern must equal the
+    EXHAUSTIVE scan: some atom of the molecule satisfies the primitive
+    predicate (restated independently above) — alternation = any-of,
+    negation = none-of."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        has_substructure,
+        parse_graph,
+    )
+
+    pattern, (kind, prims) = qb
+    try:
+        atoms, _ = parse_graph(s)
+    except ValueError:
+        return
+
+    def atom_ok(a):
+        hits = any(_ref_prim_pred(p, a.elem, a.aromatic) for p in prims)
+        return hits if kind == "alt" else not hits
+
+    want = any(atom_ok(a) for a in atoms)
+    assert has_substructure(s, pattern) == want
+
+
+@given(s=_smiles_subset(), qb=_query_bracket())
+@settings(max_examples=300, deadline=None)
+def test_query_bracket_matches_exhaustive_edge(s, qb):
+    """Two-atom pattern `[query]-C`: the engine verdict must equal the
+    exhaustive scan over every substrate bond in both orientations —
+    one endpoint satisfying the query predicate, the other an aliphatic
+    carbon, joined by a single (or any-ring) bond."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        has_substructure,
+        parse_graph,
+    )
+
+    pattern, (kind, prims) = qb
+    try:
+        atoms, edges = parse_graph(s)
+    except ValueError:
+        return
+
+    def atom_ok(a):
+        hits = any(_ref_prim_pred(p, a.elem, a.aromatic) for p in prims)
+        return hits if kind == "alt" else not hits
+
+    def is_c(a):
+        return a.elem == "C" and not a.aromatic
+
+    want = any(
+        lab in (None, "-")
+        and ((atom_ok(atoms[i]) and is_c(atoms[j])) or (atom_ok(atoms[j]) and is_c(atoms[i])))
+        for (i, j), lab in edges.items()
+    )
+    assert has_substructure(s, pattern + "C") == want
