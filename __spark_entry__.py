@@ -49,6 +49,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # round.  Rotated-out queries keep their local sf0.01 oracle checks in
 # tests/test_queries_oracle.py.
 #
+# r8 late addition: events_interval_join_outer (NEW left-outer interval
+# join — matched pairs PLUS null-padded unmatched clicks, a strict
+# superset of the inner form's evidence) replaces events_interval_join
+# (green r7; its pair set is contained in the outer result, and the
+# batch==stream parity tests cover both forms).
+#
 # r8 rotation: fourteen longest-green queries out, each with an
 # in-window sibling exercising the same machinery or a golden pin +
 # local sf0.01 oracle: k6_pairwise_corr (k6_corr_pvalue = same corr
@@ -171,7 +177,7 @@ _PRIORITY = [
     "clusterone_modules",
     # streaming-equivalent windows
     "events_sessions",
-    "events_interval_join",
+    "events_interval_join_outer",
     # core relational representatives
     "j4_band_join",
     "j12_event_join",

@@ -925,6 +925,40 @@ FROM l JOIN r ON l.user_id = r.user_id AND r.t BETWEEN l.t AND l.t + 3600
 """
 
 
+def q_events_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER form of the stream-stream interval join — the other
+    production shape ("click with no purchase within the hour"): every
+    click row survives, unmatched ones with null right columns.  Same
+    logical join runs under readStream with how='left_outer' (null rows
+    emit when the watermark proves no match can arrive); batch==stream
+    parity in tests/test_streaming.py."""
+    from ..streaming.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    return interval_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        lower_seconds=0,
+        upper_seconds=3600,
+        how="left_outer",
+    )
+
+
+SQL_EVENTS_INTERVAL_JOIN_OUTER = """
+WITH l AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS t, event_type, value
+  FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS t, event_type, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.user_id, l.t AS left_time, r.t AS right_time,
+       l.event_type AS left_type, r.event_type AS right_type,
+       l.value AS left_value, r.value AS right_value
+FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.t BETWEEN l.t AND l.t + 3600
+"""
+
+
 # --------------------------------------------------------------------------
 # registry assembly (part 1 — relational spine). Dedup/similarity/text
 # entries live in registry_docs.py and are merged in __spark_entry__.
@@ -965,6 +999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessions": q_events_sessions,
     "events_hopping": q_events_hopping,
     "events_interval_join": q_events_interval_join,
+    "events_interval_join_outer": q_events_interval_join_outer,
 }
 
 ORACLES: dict[str, str] = {
@@ -1001,5 +1036,6 @@ ORACLES: dict[str, str] = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
+    "events_interval_join_outer": SQL_EVENTS_INTERVAL_JOIN_OUTER,
     "events_hopping": SQL_EVENTS_HOPPING,
 }

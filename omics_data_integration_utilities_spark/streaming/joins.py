@@ -36,9 +36,14 @@ def interval_join(
     upper_seconds: int = 3600,
     left_ts: str = "ts",
     right_ts: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
     """Batch interval join: one row per (left, right) pair with equal
     ``key`` and ``t_right - t_left ∈ [lower_seconds, upper_seconds]``.
+
+    ``how='left_outer'`` keeps unmatched left rows with nulls on the
+    right columns — the other production shape ("impression with no
+    click inside the window").
 
     Returns (key, left_time, right_time, left_type, right_type,
     left_value, right_value) with event times in epoch seconds (long) so
@@ -67,6 +72,7 @@ def interval_join(
                 r["right_time"] >= l["left_time"] + F.lit(int(lower_seconds)),
                 r["right_time"] <= l["left_time"] + F.lit(int(upper_seconds)),
             ],
+            how=how,
         )
         .select(
             l["k"].alias(key),
@@ -89,9 +95,10 @@ def interval_join_stream(
     upper_seconds: int = 3600,
     watermark: str = "2 hours",
     max_files_per_trigger: int | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Streaming form of :func:`interval_join`: file sources → watermark
-    BOTH sides → stateful inner join with the time-range condition.
+    BOTH sides → stateful join with the time-range condition.
 
     Spark uses the watermarks + interval to evict join state: a left row
     is dropped once the right watermark passes ``left_time +
@@ -99,6 +106,13 @@ def interval_join_stream(
     watermark horizon plus the interval width — the property that makes
     this run forever on an unbounded feed.  Output columns match the
     batch form exactly; tests assert set equality.
+
+    ``how='left_outer'``: an unmatched left row emits with null right
+    columns only once the watermark proves no match can still arrive
+    (``left_time + upper_seconds`` behind the right watermark) — so on a
+    finite feed the last rows stay pending unless a later event advances
+    the watermark past them (the parity test appends a future sentinel
+    on the right for exactly this).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
@@ -140,6 +154,7 @@ def interval_join_stream(
             F.col("__rt") >= F.col("__lt") + F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"),
             F.col("__rt") <= F.col("__lt") + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"),
         ],
+        how=how,
     )
     return joined.select(
         F.col("k").alias(key),

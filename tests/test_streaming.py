@@ -540,3 +540,72 @@ def test_interval_join_stream_multi_batch_and_state_cleanup(spark, tmp_path):
     # time span, so eviction must have happened — state stays bounded
     assert removed > 0
     assert got == expect
+
+
+def test_interval_join_stream_left_outer_matches_batch(spark, tmp_path):
+    """LEFT-OUTER stream-stream interval join == batch left-outer join:
+    unmatched clicks emit with null right columns only once the
+    watermark proves no purchase can still arrive, so the right feed
+    carries a far-future sentinel (user_id -1, matching nothing) that
+    pushes the watermark past every pending left row.  The batch side
+    joins the identical augmented inputs — the sentinel never matches,
+    so it changes nothing there — making the comparison exact."""
+    import datetime
+
+    from omics_data_integration_utilities_spark.streaming.joins import (
+        interval_join,
+        interval_join_stream,
+    )
+
+    path = f"{SF_SMOKE}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(path)
+    left = ev.where(F.col("event_type") == "click")
+    right = ev.where(F.col("event_type") == "purchase")
+    lp, rp = str(tmp_path / "left"), str(tmp_path / "right")
+    left.write.parquet(lp)
+    right.coalesce(1).write.parquet(rp)
+    # sentinel: one purchase 400 days after the feed's max event time,
+    # on a user id that exists nowhere in the left feed
+    from omics_data_integration_utilities_spark.streaming.events import _event_time
+    max_ts = ev.agg(F.max(_event_time(ev))).collect()[0][0]
+    far = max_ts + datetime.timedelta(days=400)
+    # the global watermark is the MIN over both sides' watermarks, so
+    # BOTH feeds need a sentinel or the slower side holds everything back
+    schema = "user_id long, ts timestamp_ntz, event_type string, value double"
+    spark.createDataFrame([(-1, far, "purchase", 0.0)], schema) \
+        .coalesce(1).write.mode("append").parquet(rp)
+    spark.createDataFrame([(-2, far, "click", 0.0)], schema) \
+        .coalesce(1).write.mode("append").parquet(lp)
+
+    batch = interval_join(
+        spark.read.parquet(lp), spark.read.parquet(rp),
+        lower_seconds=0, upper_seconds=7200, how="left_outer",
+    )
+    # sentinels excluded on both sides: the left sentinel's own null row
+    # can never emit in the stream (nothing later advances the watermark
+    # past it) and is not part of the data under test
+    expect = sorted(tuple(r) for r in batch.where(F.col("user_id") >= 0).collect())
+    n_null = sum(1 for r in expect if r[2] is None)
+    assert n_null > 0, "no unmatched clicks; outer parity would be vacuous"
+
+    stream_df = interval_join_stream(
+        spark, lp, rp, lower_seconds=0, upper_seconds=7200,
+        watermark="1 minute", how="left_outer",
+    )
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_outer_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r)
+            for r in spark.sql("SELECT * FROM ij_outer_out WHERE user_id >= 0").collect()
+        )
+    finally:
+        q.stop()
+    assert got == expect
