@@ -5,6 +5,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
 MEDIAN, so one GC pause or JIT warm-up can't masquerade as a regression.
+Sub-0.5s queries (decided from the untimed warm-up run) get 5 reps —
+they carry the worst relative noise — and every query also reports its
+MIN under "mins": on a loaded machine the median inflates uniformly but
+the min stays close to the true cost, so min-vs-min separates machine
+load from real plan regressions (the r7 driver-box noise incident).
 If a previous round's BENCH_r*.json exists next to this file, a per-query
 delta (median / previous) is reported under "deltas" and anything over
 1.3x is listed under "regressions" — the driver's contract fields
@@ -90,6 +95,11 @@ REGRESSION_FLAG = 1.3
 # round-over-round deltas interpretable
 REPS_OVERRIDE = {"p6_mad_filter": 5}
 
+# sub-0.5s queries carry the worst RELATIVE noise (a 0.1s scheduler
+# hiccup is a 1.5x "regression" on a 0.2s query); bump them to 5 reps
+FAST_QUERY_CUTOFF_S = 0.5
+FAST_QUERY_REPS = 5
+
 # Methodology note carried in the JSON: round 3 added the untimed
 # warm-up execution per query (whole-stage-codegen compile cost excluded
 # from medians).  Deltas against BENCH_r01/r02 therefore conflate plan
@@ -143,6 +153,7 @@ def main() -> None:
 
     prev = _previous_round_timings(here)
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     deltas: dict[str, float] = {}
     regressions: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -157,9 +168,17 @@ def main() -> None:
             # one untimed warm-up execution: whole-stage-codegen compilation
             # of a query's expression chain lands on its first run (observed
             # 5.8s → 1.2s steady state on dedup_lsh_pairs) and would
-            # otherwise masquerade as a regression in a 3-rep median
+            # otherwise masquerade as a regression in a 3-rep median.
+            # Its wall time (compile-inflated, so an overestimate — never
+            # misclassifies a slow query as fast) picks the rep count.
+            t0 = time.perf_counter()
             rows = fn(spark, sf_dir).count()
-            q_reps = max(reps, REPS_OVERRIDE.get(name, 0))
+            warm = time.perf_counter() - t0
+            q_reps = max(
+                reps,
+                REPS_OVERRIDE.get(name, 0),
+                FAST_QUERY_REPS if warm < FAST_QUERY_CUTOFF_S else 0,
+            )
             for _ in range(q_reps):
                 t0 = time.perf_counter()
                 rows = fn(spark, sf_dir).count()
@@ -171,8 +190,9 @@ def main() -> None:
             continue
         med = statistics.median(times)
         timings[name] = round(med, 3)
+        mins[name] = round(min(times), 3)
         total += med
-        line = f"# {name}: median {med:.3f}s over {len(times)} reps {[round(t, 3) for t in times]} rows={rows}"
+        line = f"# {name}: median {med:.3f}s min {min(times):.3f}s over {len(times)} reps {[round(t, 3) for t in times]} rows={rows}"
         if name in prev and prev[name] > 0:
             d = med / prev[name]
             deltas[name] = round(d, 3)
@@ -225,6 +245,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "reps": reps,
+                "mins": mins,
                 "slow_queries": slow_timings,
                 "errors": errors,
                 # an erroring headline query silently SHRINKS the total,
