@@ -107,6 +107,14 @@ FAST_QUERY_REPS = 5
 # baseline for the warm-up+median protocol.
 METHODOLOGY = "warmup+median since r3; deltas vs pre-r3 rounds are not comparable"
 
+# per-query WORKLOAD changes this round: a grown fixture is more work,
+# not a regression — carried in the JSON so round-over-round deltas on
+# these queries are read against the new workload
+WORKLOAD_CHANGES = {
+    "k3_substructure": "13 -> 19 probes (r8 query-primitive fixtures)",
+    "k1_graph_rewrite": "3 -> 6 rules (r8 query-primitive fixtures)",
+}
+
 
 def _previous_round_timings(here: str) -> dict[str, float]:
     """Latest BENCH_r{N}.json next to the repo root, if any."""
@@ -232,6 +240,7 @@ def main() -> None:
                 "deltas": deltas,
                 "regressions": regressions,
                 "methodology": METHODOLOGY,
+                "workload_changes": WORKLOAD_CHANGES,
             }
         ),
         file=sys.stderr,

@@ -37,9 +37,9 @@ SUBSET engine; the honest scope is:
   are IGNORED, exactly as the reference's own
   ``remove_valence_from_smarts`` strips them (gizmos.py:237-239).
   Query primitives (pattern-side only): atomic numbers ``[#6]``
-  (aromaticity-agnostic), alternation of bare primitives ``[C,N]`` /
-  ``[#6,#7]``, and negation ``[!O]`` / ``[!#1]`` / ``[!C!N]`` (none may
-  match).  Mixing alternation with negation, per-alternative modifiers,
+  (aromaticity-agnostic), any-aromatic/any-aliphatic ``[a]`` / ``[A]``,
+  alternation of bare primitives ``[C,N]`` / ``[#6,#7]`` / ``[a,Cl]``,
+  and negation ``[!O]`` / ``[!#1]`` / ``[!C!N]`` (none may match).  Mixing alternation with negation, per-alternative modifiers,
   recursive SMARTS ``$()``, and stereo remain OUTSIDE the subset; a
   product template carrying a query primitive yields no products
   (nothing concrete to write — RDKit errors on such templates).
@@ -115,11 +115,14 @@ class Atom:
     ring_end: int       # end after trailing ring-closure digits
     rings: list[str] = field(default_factory=list)
     # query primitives (pattern-side only; mutually exclusive by grammar):
-    # alts — substrate must match ONE ("elem"/"num"/"any" prims);
-    # negs — substrate must match NONE.  Concrete [#6] parses as a
-    # single-alt query (atomic numbers are aromaticity-agnostic).
+    # alts — substrate must match ONE ("elem"/"num"/"any"/"arom"/"ring"
+    # prims); negs — substrate must match NONE.  Concrete [#6]/[a]/[R]
+    # parse as single-alt queries.
     alts: tuple | None = None
     negs: tuple | None = None
+    # set by parse_graph only (bridge analysis); parse_chain atoms keep
+    # False — the linear matcher declines ring-primitive patterns
+    in_ring: bool = False
 
 
 def _parse_mods(mods: str) -> tuple[int | None, int | None]:
@@ -144,6 +147,15 @@ def _prim(p: str):
         return ("any", None)
     if p.startswith("#"):
         return ("num", int(p[1:]))
+    if p in ("a", "A"):
+        # SMARTS any-aromatic / any-aliphatic wildcards ('a'/'A' are not
+        # element symbols in the subset, so this claims dead grammar)
+        return ("arom", p == "a")
+    if p == "R":
+        # SMARTS ring membership (bare R = in at least one ring; ring
+        # COUNTS like R2 stay outside the subset — the bracket regex
+        # rejects them).  'R' is not an element symbol in the subset.
+        return ("ring", True)
     return ("elem", (p, p.islower()))
 
 
@@ -156,9 +168,13 @@ def _parse_bracket_atom(s: str, i: int) -> Atom:
         elem = m.group("elem")
         h, charge = _parse_mods(m.group("mods") or "")
         raw = re.sub(r":\d+\]$", "]", m.group(0))
-        alts = (("num", int(elem[1:])),) if elem.startswith("#") else None
+        if elem.startswith("#") or elem in ("a", "A", "R"):
+            alts = (_prim(elem),)
+        else:
+            alts = None
         return Atom(
-            elem, elem.islower() and elem != "*" and not elem.startswith("#"),
+            elem,
+            elem.islower() and elem not in ("*", "a") and not elem.startswith("#"),
             h, charge,
             int(m.group("map")) if m.group("map") else None,
             raw, i, m.end(), m.end(), alts=alts,
@@ -196,8 +212,20 @@ def _match_bracket_end(s: str, i: int) -> int | None:
 
 def _is_query(a: Atom) -> bool:
     """True when the atom carries pattern-only primitives that cannot be
-    WRITTEN into a product (alternation, negation, #n)."""
+    WRITTEN into a product (alternation, negation, #n, a/A, R)."""
     return a.alts is not None or a.negs is not None
+
+
+def _has_ring_prim(atoms: list[Atom]) -> bool:
+    """True when any atom carries an [R]/[!R] primitive — evaluable only
+    with graph context (parse_chain atoms keep in_ring=False), so the
+    linear splice path declines such patterns and the graph path owns
+    every embedding."""
+    return any(
+        prim[0] == "ring"
+        for a in atoms
+        for prim in (a.alts or ()) + (a.negs or ())
+    )
 
 
 def parse_chain(s: str) -> list[Atom]:
@@ -277,6 +305,10 @@ def _prim_matches(prim, sub: Atom) -> bool:
     if kind == "num":
         sym = sub.elem if len(sub.elem) > 1 else sub.elem.upper()
         return _ATOMIC_NUM.get(sym) == val
+    if kind == "arom":
+        return sub.aromatic == val
+    if kind == "ring":
+        return sub.in_ring == val
     sym, arom = val
     return sym.upper() == sub.elem.upper() and arom == sub.aromatic
 
@@ -388,7 +420,56 @@ def parse_graph(s: str) -> tuple[list[Atom], dict[tuple[int, int], str | None]]:
             raise ValueError(f"unsupported character {ch!r} at {i}")
     # an unclosed ring digit = a closure pairing outside this string; keep
     # the atoms (the linear matcher tolerates it) but no edge is created
+    #
+    # ring membership (for the [R]/[!R] primitives): an atom is in a ring
+    # iff it has an incident NON-BRIDGE edge — computed here once so the
+    # flag rides the memoized parse
+    for (a, b) in _non_bridge_edges(len(atoms), edges):
+        atoms[a].in_ring = True
+        atoms[b].in_ring = True
     return atoms, edges
+
+
+def _non_bridge_edges(
+    n: int, edges: dict[tuple[int, int], str | None]
+) -> list[tuple[int, int]]:
+    """Edges lying on a cycle (non-bridges), via one iterative DFS with
+    low-link values (Tarjan bridges).  Molecules are small, but the DFS
+    is iterative anyway so a pathological chain cannot blow the Python
+    stack."""
+    adj: dict[int, list[int]] = {i: [] for i in range(n)}
+    for (a, b) in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    disc = [-1] * n
+    low = [0] * n
+    bridges: set[tuple[int, int]] = set()
+    timer = 0
+    for root in range(n):
+        if disc[root] != -1:
+            continue
+        # stack holds (node, parent, neighbor-iterator index)
+        stack = [(root, -1, 0)]
+        disc[root] = low[root] = timer
+        timer += 1
+        while stack:
+            u, parent, idx = stack.pop()
+            if idx < len(adj[u]):
+                stack.append((u, parent, idx + 1))
+                v = adj[u][idx]
+                if v == parent:
+                    continue
+                if disc[v] == -1:
+                    disc[v] = low[v] = timer
+                    timer += 1
+                    stack.append((v, u, 0))
+                else:
+                    low[u] = min(low[u], disc[v])
+            elif parent != -1:
+                low[parent] = min(low[parent], low[u])
+                if low[u] > disc[parent]:
+                    bridges.add((min(parent, u), max(parent, u)))
+    return [e for e in edges if e not in bridges]
 
 
 def _bond_ok(pb: str | None, sb: str | None) -> bool:
@@ -982,6 +1063,10 @@ def _apply_linear(
         # alternation/negation/#n are pattern-only: a product template
         # carrying one has no concrete atom to WRITE (RDKit errors on
         # such templates) — outside-subset semantics, no products
+        return []
+    if _has_ring_prim(p_atoms):
+        # [R]/[!R] need graph context (bridge analysis); parse_chain
+        # atoms carry none — the graph path owns these embeddings
         return []
     k = len(p_atoms)
     p_pairs, _ = _ring_pairing(p_atoms)

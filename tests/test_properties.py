@@ -500,7 +500,10 @@ def test_canonical_form_coincides_with_isomorphism(a, b):
 
 # ------------------------- query-primitive matching (r8 widened grammar) --
 
-_QUERY_PRIMS = ["C", "N", "O", "S", "c", "n", "Cl", "Br", "*", "#6", "#7", "#8", "#1", "#16"]
+_QUERY_PRIMS = [
+    "C", "N", "O", "S", "c", "n", "Cl", "Br", "*",
+    "#6", "#7", "#8", "#1", "#16", "a", "A",
+]
 
 _NUM_TO_SYM = {1: "H", 6: "C", 7: "N", 8: "O", 16: "S", 17: "Cl", 35: "Br"}
 
@@ -508,12 +511,17 @@ _NUM_TO_SYM = {1: "H", 6: "C", 7: "N", 8: "O", 16: "S", 17: "Cl", 35: "Br"}
 def _ref_prim_pred(p: str, elem: str, aromatic: bool) -> bool:
     """Independent restatement of SMARTS primitive semantics (Daylight
     theory manual): element symbols carry aromaticity, #n atomic numbers
-    do not, * matches anything."""
+    do not, a/A are the aromatic/aliphatic wildcards, * matches
+    anything."""
     if p == "*":
         return True
     if p.startswith("#"):
         sym = elem if len(elem) > 1 else elem.upper()
         return _NUM_TO_SYM.get(int(p[1:])) == sym
+    if p == "a":
+        return aromatic
+    if p == "A":
+        return not aromatic
     return p.upper() == elem.upper() and p.islower() == aromatic
 
 
@@ -589,3 +597,46 @@ def test_query_bracket_matches_exhaustive_edge(s, qb):
         for (i, j), lab in edges.items()
     )
     assert has_substructure(s, pattern + "C") == want
+
+
+@given(s=_smiles_subset())
+@settings(max_examples=300, deadline=None)
+def test_ring_membership_matches_bruteforce(s):
+    """The engine's per-atom in_ring flag (Tarjan bridge analysis inside
+    parse_graph, backing the [R]/[!R] primitives) must equal the
+    brute-force definition: an atom is in a ring iff it has an incident
+    edge whose removal leaves its endpoints still connected."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        has_substructure,
+        parse_graph,
+    )
+
+    try:
+        atoms, edges = parse_graph(s)
+    except ValueError:
+        return
+
+    def connected_without(a, b, skip):
+        seen = {a}
+        frontier = [a]
+        while frontier:
+            u = frontier.pop()
+            if u == b:
+                return True
+            for (x, y) in edges:
+                if (x, y) == skip:
+                    continue
+                if x == u and y not in seen:
+                    seen.add(y)
+                    frontier.append(y)
+                elif y == u and x not in seen:
+                    seen.add(x)
+                    frontier.append(x)
+        return False
+
+    cyclic_edges = {e for e in edges if connected_without(e[0], e[1], e)}
+    want = [any(i in e for e in cyclic_edges) for i in range(len(atoms))]
+    got = [a.in_ring for a in atoms]
+    assert got == want
+    assert has_substructure(s, "[R]") == any(want)
+    assert has_substructure(s, "[!R]") == (not all(want) and len(atoms) > 0)
