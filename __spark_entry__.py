@@ -115,11 +115,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Every registered query the cap EXCLUDES is still verified, just not by
 # the driver; the exclusions fall into exactly three safe classes:
-#   1. Micro relational/F-family/single-projection queries (a1/a2/a7/a9,
-#      p1-p5/p7/p8, j2/j3/j7-j11, u1-u3, f1-f12, o1/o2, w1-w3, a4/a6,
-#      text_lang_id, doc_chunks, dedup_simhash, dedup_minhash_signatures
-#      — whose signature machinery the in-window dedup_lsh_pairs
-#      exercises end-to-end …): each one is
+#   1. Micro relational/F-family/single-projection queries (as of r8:
+#      a3, p1-p5/p7, j1/j2/j5-j9, u3, f1-f12 except f5, o2, w1/w3-,
+#      k2_mass, k6_pairwise_corr/k6_spearman, text singles, doc_split,
+#      dedup_simhash/_pairs, dedup_minhash_signatures — whose signature
+#      machinery the in-window dedup_lsh_pairs exercises end-to-end,
+#      sim_ann_topk whose GEMM sim_ivf_topk runs …): each one is
 #      hash-checked against its DuckDB oracle at sf0.01 by
 #      tests/test_queries_oracle.py — the same sorted-columns/round-6/
 #      multiset compare the driver runs — and their plans are single-

@@ -85,6 +85,10 @@ SLOW_TIER = [
     "sim_semantic_dedup_digest",
     "doc_pack_chunks",
     "events_interval_join",
+    # round 8: bucketed SemDeDup (IVF operating point) and the
+    # left-outer interval join
+    "sim_semantic_dedup_bucketed_digest",
+    "events_interval_join_outer",
 ]
 
 REGRESSION_FLAG = 1.3
