@@ -354,6 +354,11 @@ def test_splice_and_graph_paths_agree_on_molecules(s):
         ("[C:1]O[C:2]", "[C:1][C:2]"),  # interior deletion
         ("[O:1]", "[O:1]C"),            # boundary insertion
         ("[N:1]", "[N:1]=O"),           # boundary insertion, bond order
+        # r8 query primitives: both paths must still agree when the
+        # pattern matches via alternation / negation / atomic number
+        ("[C,N:1]O", "[C:1]S"),
+        ("[!O:1]O", "[C:1]N"),
+        ("[#6:1][O:2]", "[C:1]=[O:2]"),
     ):
         composed = {canonical_form(p) for p in apply_reaction(s, pat, tpl)}
         graph_only = {canonical_form(p) for p in _apply_graph(s, pat, tpl, set())}
