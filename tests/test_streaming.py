@@ -609,3 +609,51 @@ def test_interval_join_stream_left_outer_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == expect
+
+
+def test_interval_join_stream_left_outer_evicts_state(spark, tmp_path):
+    """Outer-join state is bounded exactly like the inner form: with a
+    watermark horizon narrower than the feed's span, Spark must remove
+    buffered rows (numRowsRemoved > 0) while still emitting every
+    matched pair and every watermark-resolved null row."""
+    from omics_data_integration_utilities_spark.streaming.joins import (
+        interval_join_stream,
+    )
+
+    path = f"{SF_SMOKE}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(path)
+    left = ev.where(F.col("event_type") == "click")
+    right = ev.where(F.col("event_type") == "purchase")
+    lp, rp = str(tmp_path / "left"), str(tmp_path / "right")
+    # two files per side so the watermark advances between micro-batches
+    left.where(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(lp)
+    left.where(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(lp)
+    right.where(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(rp)
+    right.where(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(rp)
+
+    stream_df = interval_join_stream(
+        spark, lp, rp, lower_seconds=0, upper_seconds=3600,
+        watermark="30 minutes", max_files_per_trigger=1, how="left_outer",
+    )
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_outer_evict")
+        .option("checkpointLocation", str(tmp_path / "ckpt_oev"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM ij_outer_evict").collect()
+        removed = sum(
+            (p.stateOperators[0].numRowsRemoved if p.stateOperators else 0)
+            for p in q.recentProgress
+        )
+    finally:
+        q.stop()
+    assert removed > 0
+    # watermark-resolved null rows did emit (the horizon passed old
+    # unmatched clicks), alongside matched pairs
+    assert any(r["right_time"] is None for r in out)
+    assert any(r["right_time"] is not None for r in out)
