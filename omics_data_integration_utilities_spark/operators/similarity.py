@@ -261,6 +261,14 @@ def ivf_assign(
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
                 < max(1, int(sample_fraction * 1_000_000))
             )
+        # BOUNDED regardless of the requested fraction: the same
+        # smallest-secondary-hash top-k cap as the auto path — below the
+        # cap this keeps exactly the same row set (training sorts by id,
+        # so the collect order is irrelevant), above it driver memory
+        # stays fixed instead of scaling with the corpus
+        src = src.orderBy(
+            F.xxhash64(F.col(id_col), F.lit(7)).asc(), F.col(id_col).asc()
+        ).limit(max_train_rows)
     ids, m, _ = _ids_matrix(src, id_col, vec_col)
     if len(ids) < n_lists:
         # degenerate sample (tiny corpus or over-aggressive fraction):
