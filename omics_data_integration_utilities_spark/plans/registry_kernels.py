@@ -541,6 +541,15 @@ K3_PROBES = [
     ("probe_neg_ch3", "[!Cl][CH3]"),
     ("probe_neg_h", "[!#1][N&X3:2]"),
     ("probe_alt_n", "[#7,#16]"),
+    # a/A aromatic wildcards and R ring membership (late r8):
+    #   arom_wild [a]   — aromatic atoms exist iff ring variant
+    #   aliph     [A]   — the leading C chain is always aliphatic
+    #   ring_mem  [R]   — only the benzene ring puts atoms in a cycle
+    #   acyclic   [!R]  — the leading C chain is always acyclic
+    ("probe_arom_wild", "[a]"),
+    ("probe_aliph", "[A]"),
+    ("probe_ring_mem", "[R]"),
+    ("probe_acyclic", "[!R]"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
@@ -548,8 +557,8 @@ _K3_STRUCTURAL_TRUE_ON_CL = (
     "probe_ccl", "probe_branch", "probe_branch_swap",
     "probe_alt_halo", "probe_neg_before_cl",
 )
-_K3_TRUE_ON_RING = ("probe_num_arom", "probe_neg_ch3")
-_K3_ALWAYS_TRUE = ("probe_neg_h", "probe_alt_n")
+_K3_TRUE_ON_RING = ("probe_num_arom", "probe_neg_ch3", "probe_arom_wild", "probe_ring_mem")
+_K3_ALWAYS_TRUE = ("probe_neg_h", "probe_alt_n", "probe_aliph", "probe_acyclic")
 _K3_ALWAYS_FALSE = ("probe_ocl", "probe_dbl")
 
 
