@@ -74,3 +74,34 @@ def test_cluster_one_seed_parallel_parity(spark):
     )
     assert driver == dist
     assert len({r[0] for r in driver}) >= 2
+
+
+def test_cluster_one_auto_switch_parity_large_graph(spark):
+    """Above seed_parallel_threshold the dual strategy switches to the
+    distributed grow path AUTOMATICALLY; on a 600-node planted-module
+    graph (100 hexagon blocks + weak bridges) the auto-switched run must
+    equal a driver-loop-forced run exactly."""
+    import pytest
+
+    pytest.importorskip("pandas")
+    from omics_data_integration_utilities_spark.analytics.clusterone import cluster_one
+
+    rows = []
+    n_blocks, blk_size = 100, 6
+    for blk in range(n_blocks):
+        base = blk * blk_size
+        for i in range(blk_size):
+            for j in range(i + 1, blk_size):
+                if (i + j + blk) % 7:
+                    rows.append((f"n{base+i}", f"n{base+j}", 1.0 + (i + j * blk) % 4))
+    n = n_blocks * blk_size
+    for k in range(0, n, 3):
+        rows.append((f"n{k}", f"n{(k * 13 + 7) % n}", 0.15))
+    edges = spark.createDataFrame(rows, "src string, dst string, weight double")
+
+    auto = sorted(map(tuple, cluster_one(edges).collect()))          # 600 > 512 → distributed
+    forced_driver = sorted(
+        map(tuple, cluster_one(edges, seed_parallel_threshold=10**9).collect())
+    )
+    assert auto == forced_driver
+    assert len({r[0] for r in auto}) > 50
