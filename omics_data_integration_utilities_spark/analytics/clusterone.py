@@ -43,7 +43,14 @@ def _grow(seed: str, adj: dict, penalty: float) -> frozenset:
     """Greedy best-step growth from one seed: at each step evaluate every
     adjacent external vertex (add) and every member (remove, never the
     seed); take the single step with the largest cohesiveness gain,
-    node-key ties ascending; stop when no step improves."""
+    node-key ties ascending; stop when no step improves.
+
+    Candidate evaluation is INCREMENTAL — adding v moves ``w_v`` (v's
+    weight into the cluster) from boundary to internal and contributes
+    v's remaining degree to the boundary; removal is the mirror — so one
+    candidate costs O(deg(v)) instead of an O(|V|·deg) full recount.
+    The (w_in, w_bound) base is recounted from scratch after every
+    APPLIED step, so float drift cannot accumulate across steps."""
     members = {seed}
 
     def stats(vset):
@@ -68,14 +75,23 @@ def _grow(seed: str, adj: dict, penalty: float) -> frozenset:
         ]
         step_best = None
         for op, v in candidates:
-            trial = members | {v} if op == "add" else members - {v}
-            f = _cohesiveness(*stats(trial), len(trial), penalty)
+            w_v = sum(w for u, w in adj[v].items() if u in members)
+            ext_v = sum(adj[v].values()) - w_v
+            if op == "add":
+                f = _cohesiveness(
+                    w_in + w_v, w_bound - w_v + ext_v, len(members) + 1, penalty
+                )
+            else:
+                f = _cohesiveness(
+                    w_in - w_v, w_bound - ext_v + w_v, len(members) - 1, penalty
+                )
             if f > best_f + 1e-12 and (step_best is None or f > step_best[0] + 1e-12):
                 step_best = (f, op, v)
         if step_best is None:
             return frozenset(members)
         best_f, op, v = step_best
         members = members | {v} if op == "add" else members - {v}
+        w_in, w_bound = stats(members)
 
 
 def _overlap(a: frozenset, b: frozenset) -> float:
