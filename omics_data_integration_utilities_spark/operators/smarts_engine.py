@@ -1068,6 +1068,14 @@ def _apply_linear(
         # [R]/[!R] need graph context (bridge analysis); parse_chain
         # atoms carry none — the graph path owns these embeddings
         return []
+    if pattern[: p_atoms[0].start] or pattern[p_atoms[-1].ring_end:]:
+        # the splice replaces exactly substrate[first_atom..last_atom];
+        # pattern text OUTSIDE that window (an unclosed ')' when the
+        # pattern's last atom sits inside a branch, e.g. '[C,N:1](=O)')
+        # has no replacement slot — splicing would orphan the matching
+        # substrate text ('[CH3])').  The graph path owns these
+        # embeddings (r8 fuzz finding).
+        return []
     k = len(p_atoms)
     p_pairs, _ = _ring_pairing(p_atoms)
     t_maps = {a.amap for a in t_atoms if a.amap is not None}
@@ -1174,15 +1182,14 @@ def _apply_linear(
                 or (_ext(span_hi) and t_atoms[-1].amap != p_atoms[-1].amap)
             ):
                 continue
-        if keys_out is not None:
-            keys_out.add((
-                frozenset(
-                    (p_atoms[j].amap, i0 + j)
-                    for j in range(k)
-                    if p_atoms[j].amap is not None and p_atoms[j].amap in t_maps
-                ),
-                frozenset(i0 + j for j in deleted),
-            ))
+        embedding_key = (
+            frozenset(
+                (p_atoms[j].amap, i0 + j)
+                for j in range(k)
+                if p_atoms[j].amap is not None and p_atoms[j].amap in t_maps
+            ),
+            frozenset(i0 + j for j in deleted),
+        )
         by_map_idx = {
             p_atoms[j].amap: j for j in range(k) if p_atoms[j].amap is not None
         }
@@ -1229,8 +1236,17 @@ def _apply_linear(
         product = (
             substrate[: span[0].start] + "".join(pieces) + substrate[span[-1].ring_end :]
         )
-        if product != substrate and product not in products:
-            products.append(product)
+        if product != substrate:
+            if product not in products:
+                products.append(product)
+            # the key is registered ONLY on emission: a splice whose
+            # product string-equals the substrate (template rebuilt the
+            # span verbatim) emits nothing here, and marking its key
+            # would make the graph path skip a live embedding — losing
+            # the RunReactants identity product entirely (r8 fuzz
+            # finding).  The graph path emits its own writing instead.
+            if keys_out is not None:
+                keys_out.add(embedding_key)
     return products
 
 

@@ -359,6 +359,12 @@ def test_splice_and_graph_paths_agree_on_molecules(s):
         ("[C,N:1]O", "[C:1]S"),
         ("[!O:1]O", "[C:1]N"),
         ("[#6:1][O:2]", "[C:1]=[O:2]"),
+        # r8 fuzz regressions: a pattern whose last atom sits inside a
+        # branch (trailing ')' outside the splice window) must decline
+        # the splice, and a template that rebuilds the span verbatim
+        # (identity product) must not key-block the graph path
+        ("[C,N:1](=O)", "[C:1]"),
+        ("[A:1]O", "[N:1]O"),
     ):
         composed = {canonical_form(p) for p in apply_reaction(s, pat, tpl)}
         graph_only = {canonical_form(p) for p in _apply_graph(s, pat, tpl, set())}
