@@ -588,3 +588,58 @@ def unigram_perplexity(
         F.round(F.col("__h"), 6).alias("cross_entropy"),
         F.round(F.exp(F.col("__h")), 6).alias("perplexity"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_ratio: float = 0.4,
+    level: int = 6,
+) -> DataFrame:
+    """Deflate-compression-ratio quality signal (the RefinedWeb /
+    MassiveText-family heuristic): highly compressible text is
+    boilerplate or repetition; near-incompressible text is noise.
+    Returns (id, n_bytes, ratio = deflate_bytes/utf8_bytes rounded to 6,
+    keep = ratio > ``max_ratio``); empty documents get ratio null and
+    keep false.
+
+    zlib is not expressible as a column expression, so this is one
+    Arrow-batched ``pandas_udf`` — per-batch Python cost, never per-row
+    pickling; zlib level pinned so the ratio is a pure deterministic
+    function of the bytes (same library everywhere in the cluster).
+    Scale shape: one projection, zero shuffle.
+    """
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which the pandas_udf signature inference rejects
+    @pandas_udf("double")
+    def _ratio(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            if not raw:
+                out.append(None)
+                continue
+            out.append(len(zlib.compress(raw, lvl)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col).cast("binary")).alias("n_bytes"),
+        F.round(_ratio(F.col(text_col)), 6).alias("ratio"),
+    ).withColumn(
+        "keep",
+        F.when(F.col("ratio").isNull(), F.lit(False)).otherwise(
+            F.col("ratio") > F.lit(float(max_ratio))
+        ),
+    )

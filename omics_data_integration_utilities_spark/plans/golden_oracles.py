@@ -933,3 +933,22 @@ FROM (VALUES
 GOLDEN_ORACLES.update({
     "sim_semantic_dedup_bucketed_digest": SQL_GOLDEN_SIM_SEMANTIC_DEDUP_BUCKETED_DIGEST,
 })
+
+# ---- batch 6 (r8): deflate-compression-ratio quality digest.  zlib is
+# not SQL-expressible; the registered query digests the per-document
+# ratio/keep table per verdict (any single ratio change or keep flip
+# moves id_sum/bytes_sum/ratio_sum).  Independent no-Spark replica:
+# tests/test_golden_replicas.py recomputes every ratio from parquet with
+# a plain zlib loop.  reference semantics: compression-ratio filtering
+# as in RefinedWeb (Penedo et al. 2023) / MassiveText (Rae et al. 2021)
+SQL_GOLDEN_TEXT_COMPRESSION_RATIO_DIGEST = """
+SELECT CAST(keep AS BOOLEAN) AS keep, CAST(n AS BIGINT) AS n, CAST(id_sum AS BIGINT) AS id_sum, CAST(bytes_sum AS BIGINT) AS bytes_sum, CAST(ratio_sum AS DOUBLE) AS ratio_sum
+FROM (VALUES
+  (FALSE, 2, 126, 1050, 0.796),
+  (TRUE, 498, 124624, 148124, 276.443)
+) AS t(keep, n, id_sum, bytes_sum, ratio_sum)
+"""
+
+GOLDEN_ORACLES.update({
+    "text_compression_ratio_digest": SQL_GOLDEN_TEXT_COMPRESSION_RATIO_DIGEST,
+})

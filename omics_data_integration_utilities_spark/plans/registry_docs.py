@@ -559,6 +559,27 @@ def q_sim_semantic_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_compression_ratio_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate-compression-ratio quality signal (RefinedWeb-family
+    heuristic) digested per keep verdict: any single ratio change or
+    keep flip moves its group's sums.  zlib has no SQL form, so the
+    sf0.01 digest is golden-pinned (plans/golden_oracles.py) with a
+    no-Spark replica recomputing the ratios from parquet."""
+    out = text_ops.compression_ratio(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_ratio=0.4
+    )
+    return (
+        out.groupBy("keep")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_bytes").alias("bytes_sum"),
+            F.round(F.sum(F.coalesce("ratio", F.lit(0.0))), 3).alias("ratio_sum"),
+        )
+        .orderBy("keep")
+    )
+
+
 def q_sim_semantic_dedup_bucketed_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup at the BUCKETED operating point a 100 TB corpus actually
     uses: IVF coarse quantizer (n_lists=4) partitions the embedding
@@ -1102,6 +1123,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_neardup": q_cosine_neardup,
     "sim_semantic_dedup_digest": q_sim_semantic_dedup_digest,
     "sim_semantic_dedup_bucketed_digest": q_sim_semantic_dedup_bucketed_digest,
+    "text_compression_ratio_digest": q_text_compression_ratio_digest,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_gopher": q_text_gopher,

@@ -119,3 +119,32 @@ def read_sqlite_table(
         schema = ", ".join(f"`{n}` string" for n in names)
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(rows, names)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines scan (north-star source: the interchange format LLM
+    curation pipelines actually ingest — one document object per line).
+
+    Schema is REQUIRED (never inferred: inference scans the data twice
+    and locks in whatever the first files happened to contain).
+    PERMISSIVE mode lands malformed lines in ``corrupt_col`` instead of
+    failing the task — the multimodal module's corrupt-media contract:
+    bad input is a row you can count and quarantine, not a dead job.
+    Scale shape: json-lines splits by newline, so a single huge file
+    still fans out across tasks (unlike multiline JSON).
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if corrupt_col not in schema.fieldNames():
+        schema = schema.add(T.StructField(corrupt_col, T.StringType(), True))
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

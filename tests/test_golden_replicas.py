@@ -820,3 +820,38 @@ def test_sim_semantic_dedup_bucketed_digest_pin_reproduces_without_spark():
     cols, want = _pinned(SQL_GOLDEN_SIM_SEMANTIC_DEDUP_BUCKETED_DIGEST)
     assert cols == ["list_id", "keep", "n", "id_sum", "sim_sum"]
     assert got == sorted(want)
+
+
+def test_text_compression_ratio_digest_pin_reproduces_without_spark():
+    """Re-derives the compression-ratio golden with duckdb + zlib only:
+    per document, deflate(level 6) bytes over utf-8 bytes, rounded to 6;
+    keep = rounded ratio > 0.4 (empty/null -> ratio null, keep false);
+    digest per verdict with ratio_sum rounded to 3 — mirroring
+    operators/text.py compression_ratio exactly."""
+    import zlib
+
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT doc_id, text
+        FROM read_parquet('{SF_CORRECTNESS}/documents.parquet')
+        """
+    ).fetchall()
+    agg: dict[bool, list] = {}
+    for did, text in rows:
+        raw = text.encode("utf-8") if text is not None else b""
+        ratio = round(len(zlib.compress(raw, 6)) / len(raw), 6) if raw else None
+        keep = ratio is not None and ratio > 0.4
+        a = agg.setdefault(keep, [0, 0, 0, 0.0])
+        a[0] += 1
+        a[1] += int(did)
+        a[2] += len(raw)
+        a[3] += ratio if ratio is not None else 0.0
+    got = sorted((k, n, s, b, round(rs, 3)) for k, (n, s, b, rs) in agg.items())
+
+    from omics_data_integration_utilities_spark.plans.golden_oracles import (
+        SQL_GOLDEN_TEXT_COMPRESSION_RATIO_DIGEST,
+    )
+
+    cols, want = _pinned(SQL_GOLDEN_TEXT_COMPRESSION_RATIO_DIGEST)
+    assert cols == ["keep", "n", "id_sum", "bytes_sum", "ratio_sum"]
+    assert got == sorted(want)

@@ -777,3 +777,32 @@ def test_canonical_form_molecule_identity():
     # graph products dedupe at molecule level (the reference's canonical
     # MolToSmiles guard): symmetric embeddings emit ONE product
     assert apply_reaction("C1CCC1O", "[C:1]1CC[C:2]1O", "[C:1]1CC[C:2]1N") == ("C1CCC1N",)
+
+
+def test_compression_ratio_signal(spark):
+    """Deflate-ratio quality signal: value equals a direct zlib
+    computation, repetitive text compresses below random-ish text, and
+    empty/null docs get ratio null + keep false."""
+    import zlib
+
+    from omics_data_integration_utilities_spark.operators.text import compression_ratio
+
+    import hashlib
+
+    rep = "spam " * 200
+    # hex digests ≈ incompressible: ratio ~0.56, comfortably above the cut
+    var = " ".join(hashlib.sha256(str(i).encode()).hexdigest() for i in range(20))
+    df = spark.createDataFrame(
+        [(1, rep), (2, var), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in compression_ratio(df, "text", "doc_id").collect()}
+    for did, txt in ((1, rep), (2, var)):
+        want = round(len(zlib.compress(txt.encode(), 6)) / len(txt.encode()), 6)
+        assert abs(out[did]["ratio"] - want) < 1e-9
+        assert out[did]["n_bytes"] == len(txt.encode())
+    assert out[1]["ratio"] < out[2]["ratio"]
+    assert out[1]["keep"] is False          # boilerplate: too compressible
+    assert out[2]["keep"] is True
+    assert out[3]["ratio"] is None and out[3]["keep"] is False
+    assert out[4]["ratio"] is None and out[4]["keep"] is False

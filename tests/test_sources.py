@@ -137,3 +137,29 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_read_jsonl_permissive_corrupt_quarantine(spark, tmp_path):
+    """JSONL source (north-star ingest format): declared schema, one
+    object per line, malformed lines land in _corrupt_record instead of
+    failing the scan."""
+    from omics_data_integration_utilities_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr"}\n'
+        "this line is not json at all\n"
+        '{"doc_id": 4, "text": null, "lang": "de"}\n'
+    )
+    df = read_jsonl(spark, str(p), "doc_id long, text string, lang string")
+    rows = df.collect()
+    assert len(rows) == 4
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["doc_id"] for r in good} == {1, 2, 4}
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+    # schema is the declared one + quarantine column, never inferred
+    assert df.schema.simpleString() == (
+        "struct<doc_id:bigint,text:string,lang:string,_corrupt_record:string>"
+    )
