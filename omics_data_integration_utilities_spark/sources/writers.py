@@ -128,3 +128,30 @@ def write_sqlite_table(
         return n
     finally:
         con.close()
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    target_rows_per_file: int | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines sink (pairs with ``sources.readers.read_jsonl``): the
+    interchange format downstream tokenizers and data loaders consume.
+
+    ``target_rows_per_file`` controls shard granularity via
+    ``repartition`` — size it so a shard is O(100 MB-1 GB) at the
+    corpus's average document length (too many tiny files throttle
+    object-store listing; too few starve loader parallelism).  Gzip by
+    default: json-lines compresses 5-10x and every loader reads it.
+    """
+    writer = df
+    if target_rows_per_file is not None:
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // int(target_rows_per_file)))
+        writer = df.repartition(n_files)
+    out = writer.write.mode(mode)
+    if compression:
+        out = out.option("compression", compression)
+    out.json(path)

@@ -163,3 +163,26 @@ def test_read_jsonl_permissive_corrupt_quarantine(spark, tmp_path):
     assert df.schema.simpleString() == (
         "struct<doc_id:bigint,text:string,lang:string,_corrupt_record:string>"
     )
+
+
+def test_write_jsonl_roundtrip(spark, tmp_path):
+    """JSONL sink → read_jsonl roundtrip preserves rows; shard count
+    follows target_rows_per_file."""
+    from omics_data_integration_utilities_spark.sources.readers import read_jsonl
+    from omics_data_integration_utilities_spark.sources.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    )
+    p = str(tmp_path / "out")
+    write_jsonl(df, p, target_rows_per_file=25, compression=None)
+    back = read_jsonl(spark, p, "doc_id long, text string")
+    rows = back.collect()
+    assert len(rows) == 100
+    assert all(r["_corrupt_record"] is None for r in rows)
+    assert sorted((r["doc_id"], r["text"]) for r in rows) == [
+        (i, f"doc {i}") for i in range(100)
+    ]
+    import glob
+
+    assert len(glob.glob(f"{p}/part-*")) == 4
