@@ -365,6 +365,12 @@ def test_splice_and_graph_paths_agree_on_molecules(s):
         # (identity product) must not key-block the graph path
         ("[C,N:1](=O)", "[C:1]"),
         ("[A:1]O", "[N:1]O"),
+        # ring-forming / ring-opening / heavy-deletion shapes (fuzzed at
+        # 31k checks in r8, clean; kept here as cheap regression cover)
+        ("[C:1]CC[C:2]", "[C:1]1CC[C:2]1"),
+        ("[C:1]1CC[C:2]1", "[C:1]CC[C:2]"),
+        ("C[C:1]C", "[C:1]"),
+        ("[!R:1]O[A:2]", "[C:1][C:2]"),
     ):
         composed = {canonical_form(p) for p in apply_reaction(s, pat, tpl)}
         graph_only = {canonical_form(p) for p in _apply_graph(s, pat, tpl, set())}
