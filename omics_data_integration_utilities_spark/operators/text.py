@@ -216,16 +216,24 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 # engine-portable PII patterns (Java regex ∩ RE2: no lookarounds/backrefs)
+# ORDER MATTERS: specific shapes before the greedy digit-run phone
+# pattern (an SSN or card number is also a phone-shaped digit run; the
+# typed placeholder must win).  Patterns stay in the Java∩RE2 subset and
+# contain no single quotes, so the DuckDB oracles are GENERATED from
+# this list verbatim (plans/registry_docs.py `_pii_scrub_sql_ctes`).
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("card", r"\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b", "<CARD>"),
     ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
 ]
 
 
 def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Redact common PII shapes (emails, IPv4, phone-like digit runs) with
-    typed placeholders — a chained regexp_replace projection, scan-speed.
+    """Redact common PII shapes (emails, IPv4, SSN-style ids,
+    payment-card numbers, phone-like digit runs) with typed
+    placeholders — a chained regexp_replace projection, scan-speed.
     Patterns stay in the Java∩RE2 regex subset so the DuckDB oracle runs
     the identical expressions.  Returns (id, scrubbed, n_redactions);
     each pattern's matches are counted against the PROGRESSIVELY scrubbed

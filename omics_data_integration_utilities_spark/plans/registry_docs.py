@@ -196,10 +196,50 @@ FROM documents
 """
 
 
+def _pii_scrub_sql_ctes(src: str) -> str:
+    """CTE chain mirroring ``operators.text.scrub_pii`` over relation
+    ``src`` (columns: doc_id, text) — GENERATED from ``PII_PATTERNS`` so
+    the engine and every oracle can never drift.  Emits ``s1..s{n-1}``
+    plus a final ``scrub`` CTE with (doc_id, scrubbed, n_redactions);
+    counts run against the progressively-scrubbed text, exactly the
+    Spark chaining (a digit run inside an already-replaced <EMAIL> is
+    not double-counted).  Patterns are Java∩RE2 and quote-free, so the
+    same strings are valid DuckDB single-quoted literals verbatim."""
+    from ..operators.text import PII_PATTERNS
+
+    pats = [(p, r) for _, p, r in PII_PATTERNS]
+    n = len(pats)
+    parts = []
+    carry = "text AS t0"
+    prev_rel, prev_col = src, "text"
+    for i, (pat, repl) in enumerate(pats[:-1], start=1):
+        parts.append(
+            f"s{i} AS (\n"
+            f"  SELECT doc_id, {carry},\n"
+            f"         regexp_replace({prev_col}, '{pat}', '{repl}', 'g') AS t{i}\n"
+            f"  FROM {prev_rel}\n)"
+        )
+        carry = ", ".join([f"t{j}" for j in range(i + 1)])
+        prev_rel, prev_col = f"s{i}", f"t{i}"
+    counts = "\n     + ".join(
+        f"len(regexp_extract_all(t{i}, '{pat}'))" for i, (pat, _) in enumerate(pats)
+    )
+    last_pat, last_repl = pats[-1]
+    parts.append(
+        "scrub AS (\n"
+        "  SELECT doc_id,\n"
+        f"    regexp_replace(t{n - 1}, '{last_pat}', '{last_repl}', 'g') AS scrubbed,\n"
+        f"    ({counts})::BIGINT AS n_redactions\n"
+        f"  FROM s{n - 1}\n)"
+    )
+    return ", ".join(parts)
+
+
 def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction over docs with planted deterministic PII (email + IP
-    derived from doc_id, so every row exercises the patterns); typed
-    placeholders + redaction count."""
+    """PII redaction over docs with planted deterministic PII (email,
+    IP, SSN-shaped id, and card-shaped number derived from doc_id, so
+    every row exercises every pattern); typed placeholders + redaction
+    count."""
     from ..operators.text import scrub_pii
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -210,38 +250,29 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"),
             F.lit("@example.com or 10.0.0."),
             (F.col("doc_id") % 256).cast("string"),
+            F.lit(" ssn "),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-45-6789 card 4242-4242-4242-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         ).alias("text"),
     )
     return scrub_pii(docs, "text", "doc_id")
 
 
-SQL_TEXT_PII_SCRUB = r"""
+SQL_TEXT_PII_SCRUB = (
+    """
 WITH d AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS VARCHAR)
-              || '@example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
+              || '@example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-45-6789 card 4242-4242-4242-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
   FROM documents
-),
--- counts run against the progressively-scrubbed text, mirroring the
--- Spark chaining: each pattern sees the previous replacements applied
-s1 AS (
-  SELECT doc_id, text AS t0,
-         regexp_replace(text,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
-  FROM d
-), s2 AS (
-  SELECT doc_id, t0, t1,
-         regexp_replace(t1,
-           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
-  FROM s1
+), """
+    + _pii_scrub_sql_ctes("d")
+    + "\nSELECT doc_id, scrubbed, n_redactions FROM scrub\n"
 )
-SELECT doc_id,
-  regexp_replace(t2, '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
-  (len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-   + len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
-   + len(regexp_extract_all(t2, '\+?[0-9][0-9()\-\s]{7,}[0-9]')))::BIGINT AS n_redactions
-FROM s2
-"""
 
 
 def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1042,24 +1073,7 @@ kept AS (
     AND (CAST(alpha_words AS DOUBLE) / n_tokens >= 0.6)
     AND (stop_hits >= 1)
 ),
-s1 AS (
-  SELECT doc_id, text AS t0,
-         regexp_replace(text,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t1
-  FROM kept
-), s2 AS (
-  SELECT doc_id, t0, t1,
-         regexp_replace(t1,
-           '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IP>', 'g') AS t2
-  FROM s1
-), scrub AS (
-  SELECT doc_id,
-    regexp_replace(t2, '\\+?[0-9][0-9()\\-\\s]{{7,}}[0-9]', '<PHONE>', 'g') AS scrubbed,
-    (len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
-     + len(regexp_extract_all(t1, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
-     + len(regexp_extract_all(t2, '\\+?[0-9][0-9()\\-\\s]{{7,}}[0-9]')))::BIGINT AS n_redactions
-  FROM s2
-), uniq AS (
+{_pii_scrub_sql_ctes("kept")}, uniq AS (
   SELECT doc_id, scrubbed, n_redactions FROM (
     SELECT *, row_number() OVER (PARTITION BY md5(scrubbed) ORDER BY doc_id) AS rn
     FROM scrub

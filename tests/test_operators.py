@@ -806,3 +806,32 @@ def test_compression_ratio_signal(spark):
     assert out[2]["keep"] is True
     assert out[3]["ratio"] is None and out[3]["keep"] is False
     assert out[4]["ratio"] is None and out[4]["keep"] is False
+
+
+def test_scrub_pii_pattern_order_and_new_shapes(spark):
+    """SSN and card shapes get their TYPED placeholders (pattern order
+    puts them before the greedy phone digit-run), n_redactions counts
+    each substitution once, and a digit run inside an already-replaced
+    placeholder is not double-counted."""
+    from omics_data_integration_utilities_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me: bob@x.org or 10.1.2.3"),
+            (2, "ssn 123-45-6789 stays typed"),
+            (3, "card 4242-4242-4242-4242 and card 4111 1111 1111 1111"),
+            (4, "call +1 (555) 123-4567 now"),
+            (5, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(df, "text", "doc_id").collect()}
+    assert out[1]["scrubbed"] == "reach me: <EMAIL> or <IP>"
+    assert out[1]["n_redactions"] == 2
+    assert out[2]["scrubbed"] == "ssn <SSN> stays typed"
+    assert out[2]["n_redactions"] == 1
+    assert out[3]["scrubbed"] == "card <CARD> and card <CARD>"
+    assert out[3]["n_redactions"] == 2
+    assert out[4]["scrubbed"] == "call <PHONE> now"
+    assert out[4]["n_redactions"] == 1
+    assert out[5]["scrubbed"] == "no pii here" and out[5]["n_redactions"] == 0
