@@ -104,6 +104,12 @@ REPS_OVERRIDE = {"p6_mad_filter": 5}
 FAST_QUERY_CUTOFF_S = 0.5
 FAST_QUERY_REPS = 5
 
+# slow-tier queries that get one untimed warm-up before their single
+# timed rep: the flagship composite has shown ~2x single-rep swings
+# (r8: 11.1s cold at the end of a bench session vs 4.2s steady) that
+# read as regressions; one warm-up buys reliable signal for ~5s
+SLOW_WARMUP = {"plan_data_pipeline"}
+
 # Methodology note carried in the JSON: round 3 added the untimed
 # warm-up execution per query (whole-stage-codegen compile cost excluded
 # from medians).  Deltas against BENCH_r01/r02 therefore conflate plan
@@ -219,6 +225,8 @@ def main() -> None:
         for name in SLOW_TIER:
             try:
                 fn = queries[name]
+                if name in SLOW_WARMUP:
+                    fn(spark, sf_dir).count()
                 t0 = time.perf_counter()
                 rows = fn(spark, sf_dir).count()
                 t = time.perf_counter() - t0
