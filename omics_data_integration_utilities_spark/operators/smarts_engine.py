@@ -38,8 +38,10 @@ SUBSET engine; the honest scope is:
   ``remove_valence_from_smarts`` strips them (gizmos.py:237-239).
   Query primitives (pattern-side only): atomic numbers ``[#6]``
   (aromaticity-agnostic), any-aromatic/any-aliphatic ``[a]`` / ``[A]``,
-  alternation of bare primitives ``[C,N]`` / ``[#6,#7]`` / ``[a,Cl]``,
-  and negation ``[!O]`` / ``[!#1]`` / ``[!C!N]`` (none may match).  Mixing alternation with negation, per-alternative modifiers,
+  ring membership ``[R]`` / ``[!R]``, elem-less charge ``[+]`` / ``[-]``
+  / ``[+2]``, alternation of bare primitives ``[C,N]`` / ``[#6,#7]`` /
+  ``[a,Cl]``, and negation ``[!O]`` / ``[!#1]`` / ``[!C!N]`` (none may
+  match).  Mixing alternation with negation, per-alternative modifiers,
   recursive SMARTS ``$()``, and stereo remain OUTSIDE the subset; a
   product template carrying a query primitive yields no products
   (nothing concrete to write — RDKit errors on such templates).
@@ -93,6 +95,9 @@ _BRACKET_ALT_RE = re.compile(
 _BRACKET_NEG_RE = re.compile(
     rf"\[(?P<nlist>(?:!{_PRIM_SRC})+)(?::(?P<map>\d+))?\]"
 )
+# elem-less charge query: [+] / [-] / [+2] — any atom carrying exactly
+# that formal charge (pattern-side only; nothing concrete to write)
+_BRACKET_CHG_RE = re.compile(r"\[(?P<chg>\+\d*|-\d*)(?::(?P<map>\d+))?\]")
 
 # atomic numbers for the parser subset's elements (for #n primitives;
 # aromaticity-agnostic, as in SMARTS)
@@ -197,13 +202,25 @@ def _parse_bracket_atom(s: str, i: int) -> Atom:
             raw, i, m.end(), m.end(),
             negs=tuple(_prim(p) for p in m.group("nlist")[1:].split("!")),
         )
+    m = _BRACKET_CHG_RE.match(s, i)
+    if m:
+        chg = m.group("chg")
+        mag = int(chg[1:]) if len(chg) > 1 else 1
+        raw = re.sub(r":\d+\]$", "]", m.group(0))
+        # alts=("any",) marks this a query atom (template guard) while
+        # matching any element; the charge mod carries the constraint
+        return Atom(
+            "*", False, None, mag if chg[0] == "+" else -mag,
+            int(m.group("map")) if m.group("map") else None,
+            raw, i, m.end(), m.end(), alts=(("any", None),),
+        )
     raise ValueError(f"unsupported bracket atom at {i}: {s[i:i + 12]!r}")
 
 
 def _match_bracket_end(s: str, i: int) -> int | None:
     """End offset of the bracket token at ``s[i]`` (any accepted form),
     or None."""
-    for rx in (_BRACKET_RE, _BRACKET_ALT_RE, _BRACKET_NEG_RE):
+    for rx in (_BRACKET_RE, _BRACKET_ALT_RE, _BRACKET_NEG_RE, _BRACKET_CHG_RE):
         m = rx.match(s, i)
         if m:
             return m.end()

@@ -550,6 +550,9 @@ K3_PROBES = [
     ("probe_aliph", "[A]"),
     ("probe_ring_mem", "[R]"),
     ("probe_acyclic", "[!R]"),
+    # elem-less charge query: no atom in the construction carries a
+    # formal charge, so [+] can never match (negative-verdict probe)
+    ("probe_charge", "[+]"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
@@ -559,7 +562,7 @@ _K3_STRUCTURAL_TRUE_ON_CL = (
 )
 _K3_TRUE_ON_RING = ("probe_num_arom", "probe_neg_ch3", "probe_arom_wild", "probe_ring_mem")
 _K3_ALWAYS_TRUE = ("probe_neg_h", "probe_alt_n", "probe_aliph", "probe_acyclic")
-_K3_ALWAYS_FALSE = ("probe_ocl", "probe_dbl")
+_K3_ALWAYS_FALSE = ("probe_ocl", "probe_dbl", "probe_charge")
 
 
 def q_k3_substructure(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -835,3 +835,25 @@ def test_scrub_pii_pattern_order_and_new_shapes(spark):
     assert out[4]["scrubbed"] == "call <PHONE> now"
     assert out[4]["n_redactions"] == 1
     assert out[5]["scrubbed"] == "no pii here" and out[5]["n_redactions"] == 0
+
+
+def test_query_primitive_charge_and_combined():
+    """Elem-less charge queries [+]/[-]/[+2] and their interaction with
+    the rewrite engines: matching any atom with that exact formal
+    charge, neutralization via a mapped charge query, and the product
+    template guard (a charge query has nothing concrete to write)."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        apply_reaction,
+        has_substructure,
+    )
+
+    assert has_substructure("C[N+]C", "[+]")
+    assert not has_substructure("CNC", "[+]")
+    assert has_substructure("C[O-]", "[-]")
+    assert not has_substructure("C[O-]", "[+]")
+    assert has_substructure("C[N+]C", "[+]C")
+    assert has_substructure("[N+].[O-]", "[-]")
+    # mapped charge query + concrete template = neutralization
+    assert apply_reaction("C[N+]C", "[+:1]", "[N:1]") == ("C[N]C",)
+    # charge query in the TEMPLATE: nothing concrete to write
+    assert apply_reaction("C[N+]C", "[N:1]", "[+:1]") == ()
