@@ -39,10 +39,11 @@ SUBSET engine; the honest scope is:
   Query primitives (pattern-side only): atomic numbers ``[#6]``
   (aromaticity-agnostic), any-aromatic/any-aliphatic ``[a]`` / ``[A]``,
   ring membership ``[R]`` / ``[!R]``, elem-less charge ``[+]`` / ``[-]``
-  / ``[+2]``, alternation of bare primitives ``[C,N]`` / ``[#6,#7]`` /
-  ``[a,Cl]``, and negation ``[!O]`` / ``[!#1]`` / ``[!C!N]`` (none may
-  match).  Mixing alternation with negation, per-alternative modifiers,
-  recursive SMARTS ``$()``, and stereo remain OUTSIDE the subset; a
+  / ``[+2]``, recursive environments ``[$(C=O)]`` / ``[!$(CO)]`` (one
+  nesting level; anchor = the sub-pattern's first atom), alternation of
+  bare primitives ``[C,N]`` / ``[#6,#7]`` / ``[a,Cl]``, and negation
+  ``[!O]`` / ``[!#1]`` / ``[!C!N]`` (none may match).  Mixing alternation with negation, per-alternative modifiers,
+  nested recursion, and stereo remain OUTSIDE the subset; a
   product template carrying a query primitive yields no products
   (nothing concrete to write — RDKit errors on such templates).
 - **Ring closures**: a match requires the pattern's internal ring-bond
@@ -98,6 +99,10 @@ _BRACKET_NEG_RE = re.compile(
 # elem-less charge query: [+] / [-] / [+2] — any atom carrying exactly
 # that formal charge (pattern-side only; nothing concrete to write)
 _BRACKET_CHG_RE = re.compile(r"\[(?P<chg>\+\d*|-\d*)(?::(?P<map>\d+))?\]")
+
+# bound on the per-sub-pattern embedding enumeration behind a
+# recursive [$(...)] anchor-set computation (see _all_embeddings)
+_REC_EMBED_CAP = 4096
 
 # atomic numbers for the parser subset's elements (for #n primitives;
 # aromaticity-agnostic, as in SMARTS)
@@ -164,10 +169,51 @@ def _prim(p: str):
     return ("elem", (p, p.islower()))
 
 
+def _match_recursive_bracket(s: str, i: int):
+    """Parse a recursive-SMARTS bracket ``[$(SP)]`` / ``[!$(SP)]`` /
+    ``[$(SP):n]`` starting at ``s[i]``.  Returns (neg, subpat, amap,
+    end) or None when the text is not a recursive bracket.  ONE nesting
+    level only: a ``$(`` inside the sub-pattern raises (documented
+    subset bound)."""
+    neg = s.startswith("[!$(", i)
+    if not neg and not s.startswith("[$(", i):
+        return None
+    start = i + (4 if neg else 3)
+    depth, j = 1, start
+    n = len(s)
+    while j < n and depth:
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+        j += 1
+    if depth:
+        raise ValueError(f"unbalanced recursive SMARTS at {i}")
+    subpat = s[start : j - 1]
+    if "$(" in subpat:
+        raise ValueError(
+            f"nested recursive SMARTS at {i} is outside the subset"
+        )
+    m = re.compile(r"(?::(\d+))?\]").match(s, j)
+    if not m:
+        raise ValueError(f"malformed recursive bracket at {i}")
+    amap = int(m.group(1)) if m.group(1) else None
+    return neg, subpat, amap, m.end()
+
+
 def _parse_bracket_atom(s: str, i: int) -> Atom:
     """Parse one bracket atom starting at ``s[i]`` (concrete, #n,
-    alternation, or negation form) into an Atom with source offsets set.
-    Raises ValueError outside the subset."""
+    alternation, negation, charge, or recursive form) into an Atom with
+    source offsets set.  Raises ValueError outside the subset."""
+    rec = _match_recursive_bracket(s, i)
+    if rec is not None:
+        neg, subpat, amap, end = rec
+        prim = (("rec", subpat),)
+        raw = re.sub(r":\d+\]$", "]", s[i:end])
+        return Atom(
+            "*", False, None, None, amap, raw, i, end, end,
+            alts=None if neg else prim, negs=prim if neg else None,
+        )
     m = _BRACKET_RE.match(s, i)
     if m:
         elem = m.group("elem")
@@ -220,6 +266,9 @@ def _parse_bracket_atom(s: str, i: int) -> Atom:
 def _match_bracket_end(s: str, i: int) -> int | None:
     """End offset of the bracket token at ``s[i]`` (any accepted form),
     or None."""
+    rec = _match_recursive_bracket(s, i)
+    if rec is not None:
+        return rec[3]
     for rx in (_BRACKET_RE, _BRACKET_ALT_RE, _BRACKET_NEG_RE, _BRACKET_CHG_RE):
         m = rx.match(s, i)
         if m:
@@ -234,12 +283,13 @@ def _is_query(a: Atom) -> bool:
 
 
 def _has_ring_prim(atoms: list[Atom]) -> bool:
-    """True when any atom carries an [R]/[!R] primitive — evaluable only
-    with graph context (parse_chain atoms keep in_ring=False), so the
-    linear splice path declines such patterns and the graph path owns
-    every embedding."""
+    """True when any atom carries an [R]/[!R] or recursive [$(...)]
+    primitive — both evaluable only with graph context (parse_chain
+    atoms keep in_ring=False; rec anchor sets come from the graph
+    matcher), so the linear splice path declines such patterns and the
+    graph path owns every embedding."""
     return any(
-        prim[0] == "ring"
+        prim[0] in ("ring", "rec")
         for a in atoms
         for prim in (a.alts or ()) + (a.negs or ())
     )
@@ -330,12 +380,29 @@ def _prim_matches(prim, sub: Atom) -> bool:
     return sym.upper() == sub.elem.upper() and arom == sub.aromatic
 
 
-def _atom_matches(pat: Atom, sub: Atom) -> bool:
+def _atom_matches(
+    pat: Atom,
+    sub: Atom,
+    sub_idx: int | None = None,
+    rec_anchor: dict | None = None,
+) -> bool:
+    """``sub_idx``/``rec_anchor`` carry graph context for recursive
+    ``[$(...)]`` primitives (anchor sets precomputed per substrate by
+    :func:`_all_embeddings`); without context a rec primitive never
+    matches — the linear splice path declines such patterns anyway."""
+
+    def prim_ok(prim) -> bool:
+        if prim[0] == "rec":
+            if rec_anchor is None or sub_idx is None:
+                return False
+            return sub_idx in rec_anchor.get(prim[1], ())
+        return _prim_matches(prim, sub)
+
     if pat.negs is not None:
-        if any(_prim_matches(p, sub) for p in pat.negs):
+        if any(prim_ok(p) for p in pat.negs):
             return False
     elif pat.alts is not None:
-        if not any(_prim_matches(p, sub) for p in pat.alts):
+        if not any(prim_ok(p) for p in pat.alts):
             return False
     elif pat.elem != "*":
         if pat.elem.upper() != sub.elem.upper() or pat.aromatic != sub.aromatic:
@@ -527,10 +594,43 @@ def _all_embeddings(
     assignment (dict pattern-idx → substrate-idx) that preserves every
     pattern bond (extra substrate bonds tolerated — the relaxed ring
     semantics of the linear matcher).  Deterministic: candidates are
-    tried in substrate index order."""
+    tried in substrate index order.
+
+    Recursive ``[$(SP)]`` primitives: anchor sets (substrate atoms where
+    SP embeds with its first atom) are precomputed here per sub-pattern
+    by a recursive sub-search — sub-patterns parse with
+    :func:`parse_graph` and must not themselves contain ``$(`` (one
+    nesting level, enforced at parse).  The sub-search enumerates at
+    most ``_REC_EMBED_CAP`` embeddings per sub-pattern (NOT silent:
+    a pathologically symmetric sub-pattern on a large substrate could
+    otherwise enumerate factorially; RetroRules sub-patterns are tiny)."""
     k = len(p_atoms)
     if k > len(s_atoms):
         return
+    rec_anchor: dict[str, set[int]] | None = None
+    rec_pats = {
+        val
+        for a in p_atoms
+        for kind, val in ((a.alts or ()) + (a.negs or ()))
+        if kind == "rec"
+    }
+    if rec_pats:
+        from itertools import islice
+
+        rec_anchor = {}
+        for sp in sorted(rec_pats):
+            try:
+                sp_atoms, sp_edges = parse_graph(sp)
+            except ValueError:
+                rec_anchor[sp] = set()
+                continue
+            rec_anchor[sp] = {
+                assign[0]
+                for assign in islice(
+                    _all_embeddings(sp_atoms, sp_edges, s_atoms, s_edges),
+                    _REC_EMBED_CAP,
+                )
+            }
     s_adj: dict[int, list[int]] = {}
     for (a, b) in s_edges:
         s_adj.setdefault(a, []).append(b)
@@ -540,7 +640,11 @@ def _all_embeddings(
         p_adj.setdefault(a, []).append(b)
         p_adj.setdefault(b, []).append(a)
     cand = [
-        [j for j in range(len(s_atoms)) if _atom_matches(p, s_atoms[j])]
+        [
+            j
+            for j in range(len(s_atoms))
+            if _atom_matches(p, s_atoms[j], j, rec_anchor)
+        ]
         for p in p_atoms
     ]
     if any(not c for c in cand):
@@ -576,7 +680,7 @@ def _all_embeddings(
             else range(len(s_atoms))
         )
         for sj in pool:
-            if sj in used or not _atom_matches(p_atoms[pi], s_atoms[sj]):
+            if sj in used or not _atom_matches(p_atoms[pi], s_atoms[sj], sj, rec_anchor):
                 continue
             ok = True
             for q in anchored:

@@ -553,15 +553,30 @@ K3_PROBES = [
     # elem-less charge query: no atom in the construction carries a
     # formal charge, so [+] can never match (negative-verdict probe)
     ("probe_charge", "[+]"),
+    # recursive SMARTS (late r8):
+    #   rec_ring   [$(c1ccccc1)]  — an atom anchoring a benzene embed
+    #                               exists iff ring variant
+    #   rec_cl_ch3 [$(Cl)][CH3]   — a Cl-anchored atom bonded to the
+    #                               [CH3] carbon exists iff Cl variant
+    #   rec_not_cl [!$(Cl)]       — non-Cl atoms always exist
+    ("probe_rec_ring", "[$(c1ccccc1)]"),
+    ("probe_rec_cl_ch3", "[$(Cl)][CH3]"),
+    ("probe_rec_not_cl", "[!$(Cl)]"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
 _K3_STRUCTURAL_TRUE_ON_CL = (
     "probe_ccl", "probe_branch", "probe_branch_swap",
-    "probe_alt_halo", "probe_neg_before_cl",
+    "probe_alt_halo", "probe_neg_before_cl", "probe_rec_cl_ch3",
 )
-_K3_TRUE_ON_RING = ("probe_num_arom", "probe_neg_ch3", "probe_arom_wild", "probe_ring_mem")
-_K3_ALWAYS_TRUE = ("probe_neg_h", "probe_alt_n", "probe_aliph", "probe_acyclic")
+_K3_TRUE_ON_RING = (
+    "probe_num_arom", "probe_neg_ch3", "probe_arom_wild",
+    "probe_ring_mem", "probe_rec_ring",
+)
+_K3_ALWAYS_TRUE = (
+    "probe_neg_h", "probe_alt_n", "probe_aliph", "probe_acyclic",
+    "probe_rec_not_cl",
+)
 _K3_ALWAYS_FALSE = ("probe_ocl", "probe_dbl", "probe_charge")
 
 

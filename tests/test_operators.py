@@ -857,3 +857,30 @@ def test_query_primitive_charge_and_combined():
     assert apply_reaction("C[N+]C", "[+:1]", "[N:1]") == ("C[N]C",)
     # charge query in the TEMPLATE: nothing concrete to write
     assert apply_reaction("C[N+]C", "[N:1]", "[+:1]") == ()
+
+
+def test_recursive_smarts_primitives():
+    """[$(SP)] matches atoms where SP embeds anchored at its FIRST atom;
+    [!$(SP)] the complement; one nesting level only (nested $() falls
+    outside the subset); a product template carrying one yields no
+    products; rewrites route through the graph writer."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        apply_reaction,
+        has_substructure,
+    )
+
+    assert has_substructure("CC(=O)O", "[$(C=O)]")          # carbonyl C
+    assert not has_substructure("CCO", "[$(C=O)]")
+    assert has_substructure("CCO", "[$(CO)]")
+    assert not has_substructure("CC", "[$(CO)]")
+    assert has_substructure("CC(=O)OC", "[$(C=O)]O")        # env atom + bond
+    assert has_substructure("c1ccccc1C", "[$(c1ccccc1)]")
+    assert not has_substructure("CCCCC", "[$(c1ccccc1)]")
+    assert has_substructure("CO", "[!$(C)]")                # the O
+    assert not has_substructure("C", "[!$(C)]")
+    # environment-guarded rewrite (graph path owns rec patterns)
+    assert apply_reaction("CCO", "[$(CO):1]O", "[N:1]O") == ("C[N]O",)
+    # rec primitive in a product template: nothing concrete to write
+    assert apply_reaction("CCO", "[C:1]", "[$(CO):1]") == ()
+    # nested recursion is outside the subset → parse fails → False
+    assert not has_substructure("CCO", "[$(C$(O))]")
