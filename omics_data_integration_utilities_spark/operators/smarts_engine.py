@@ -83,12 +83,11 @@ _BRACKET_RE = re.compile(
 )
 # SMARTS query brackets (pattern-side only): alternation of bare
 # primitives ([C,N], [#6,#7]) and negation ([!O], [!#1], [!C!N] = none
-# may match).  Mixing forms, per-alternative mods, recursive $() and
-# stereo stay outside the subset (module docstring) — RDKit's
-# ReactionFromSmarts accepts the wider grammar
-# (/root/reference/integrative_omics/gizmos.py:193-234); these two plus
-# #n atomic numbers are the common non-concrete primitives in public
-# RetroRules SMARTS.
+# may match).  Recursive [$(...)] brackets are hand-parsed (balanced
+# parens — see _match_recursive_bracket); mixing forms, per-alternative
+# mods, nested recursion and stereo stay outside the subset (module
+# docstring) — RDKit's ReactionFromSmarts accepts the wider grammar
+# (/root/reference/integrative_omics/gizmos.py:193-234).
 _PRIM_SRC = r"(?:\*|#\d+|[A-Z][a-z]?|[a-z])"
 _BRACKET_ALT_RE = re.compile(
     rf"\[(?P<alist>{_PRIM_SRC}(?:,{_PRIM_SRC})+)(?::(?P<map>\d+))?\]"
