@@ -124,9 +124,9 @@ class Atom:
     ring_end: int       # end after trailing ring-closure digits
     rings: list[str] = field(default_factory=list)
     # query primitives (pattern-side only; mutually exclusive by grammar):
-    # alts — substrate must match ONE ("elem"/"num"/"any"/"arom"/"ring"
-    # prims); negs — substrate must match NONE.  Concrete [#6]/[a]/[R]
-    # parse as single-alt queries.
+    # alts — substrate must match ONE ("elem"/"num"/"any"/"arom"/"ring"/
+    # "rec" prims); negs — substrate must match NONE.  Concrete
+    # [#6]/[a]/[R]/[$(SP)] parse as single-alt queries.
     alts: tuple | None = None
     negs: tuple | None = None
     # set by parse_graph only (bridge analysis); parse_chain atoms keep
