@@ -49,6 +49,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # round.  Rotated-out queries keep their local sf0.01 oracle checks in
 # tests/test_queries_oracle.py.
 #
+# r9 rotation candidates (for the next round): never-driver-checked
+# remaining = f-family singles (f1-f4, f6-f12), o2_limit, u3_except,
+# p-family singles (p1-p5, p7), text_token_counts, text_dup_spans,
+# text_bm25, plus the r8-registered text_compression_ratio_digest
+# (golden digest + zlib replica, ready to enter).  Longest-green
+# rotation-out candidates by then: the composite plans stay; j3/j8/
+# j10/j11 and the a-family singles entering in r8 become one-round
+# green and can cycle out for the f/p singles.
+#
 # r8 late addition: events_interval_join_outer (NEW left-outer interval
 # join — matched pairs PLUS null-padded unmatched clicks, a strict
 # superset of the inner form's evidence) replaces events_interval_join
