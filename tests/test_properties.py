@@ -657,3 +657,71 @@ def test_ring_membership_matches_bruteforce(s):
     assert got == want
     assert has_substructure(s, "[R]") == any(want)
     assert has_substructure(s, "[!R]") == (not all(want) and len(atoms) > 0)
+
+
+@st.composite
+def _charge_bracket(draw):
+    mag = draw(st.integers(min_value=1, max_value=2))
+    sign = draw(st.sampled_from(["+", "-"]))
+    txt = sign if mag == 1 else f"{sign}{mag}"
+    return f"[{txt}]", (1 if sign == "+" else -1) * mag
+
+
+@given(s=_smiles_subset(), cb=_charge_bracket())
+@settings(max_examples=200, deadline=None)
+def test_charge_bracket_matches_exhaustive(s, cb):
+    """Elem-less charge queries: [+]/[-]/[+2] match exactly the atoms
+    carrying that formal charge (neutral atoms count as charge 0)."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        has_substructure,
+        parse_graph,
+    )
+
+    pattern, chg = cb
+    try:
+        atoms, _ = parse_graph(s)
+    except ValueError:
+        return
+    want = any((a.charge or 0) == chg for a in atoms)
+    assert has_substructure(s, pattern) == want
+
+
+@given(s=_smiles_subset(), sp=_smiles_subset())
+@settings(max_examples=150, deadline=None)
+def test_recursive_bracket_matches_brute_force(s, sp):
+    """Recursive [$(SP)] against an independent exhaustive anchored
+    search: the anchor set is every substrate atom x such that SOME
+    injective bond-preserving mapping sends SP's first atom to x —
+    computed here by raw permutation enumeration, not the engine's
+    candidate-pruned backtracking."""
+    from itertools import permutations
+
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        _atom_matches,
+        _bond_ok,
+        has_substructure,
+        parse_graph,
+    )
+
+    try:
+        sa, se = parse_graph(s)
+        pa, pe = parse_graph(sp)
+    except ValueError:
+        return
+    if len(sa) > 7 or len(pa) > 4 or not pa:
+        return
+
+    anchors = set()
+    if len(pa) <= len(sa):
+        for combo in permutations(range(len(sa)), len(pa)):
+            if not all(_atom_matches(pa[i], sa[combo[i]]) for i in range(len(pa))):
+                continue
+            if all(
+                (min(combo[a], combo[b]), max(combo[a], combo[b])) in se
+                and _bond_ok(lab, se[(min(combo[a], combo[b]), max(combo[a], combo[b]))])
+                for (a, b), lab in pe.items()
+            ):
+                anchors.add(combo[0])
+
+    assert has_substructure(s, f"[$({sp})]") == (len(anchors) > 0)
+    assert has_substructure(s, f"[!$({sp})]") == (len(anchors) < len(sa))
