@@ -41,9 +41,12 @@ SUBSET engine; the honest scope is:
   ring membership ``[R]`` / ``[!R]``, elem-less charge ``[+]`` / ``[-]``
   / ``[+2]``, recursive environments ``[$(C=O)]`` / ``[!$(CO)]`` (one
   nesting level; anchor = the sub-pattern's first atom), alternation of
-  bare primitives ``[C,N]`` / ``[#6,#7]`` / ``[a,Cl]``, and negation
-  ``[!O]`` / ``[!#1]`` / ``[!C!N]`` (none may match).  Mixing alternation with negation, per-alternative modifiers,
-  nested recursion, and stereo remain OUTSIDE the subset; a
+  bare primitives ``[C,N]`` / ``[#6,#7]`` / ``[a,Cl]``, negation
+  ``[!O]`` / ``[!#1]`` / ``[!C!N]`` (none may match), and
+  ``;``-conjuncts on concrete atoms (``[C;R]`` / ``[c;!R]``; ``;`` and
+  ``&`` are both AND for H/charge/X/v mods).  Mixing alternation with
+  negation, per-alternative modifiers, nested recursion, and stereo
+  remain OUTSIDE the subset; a
   product template carrying a query primitive yields no products
   (nothing concrete to write — RDKit errors on such templates).
 - **Ring closures**: a match requires the pattern's internal ring-bond
@@ -76,9 +79,13 @@ _SINGLE = set("BCNOSPFI")
 _AROMATIC = set("bcnosp")
 _BOND_CHARS = set("-=#:/\\.")
 
+# ';' is SMARTS low-precedence AND — for this subset (no OR mixing
+# inside a component) it is equivalent to '&', so [N;X3] == [N&X3] and
+# [c;H1] == [cH1]; ';R' / ';!R' / ';a' / ';A' add ring/aromaticity
+# conjuncts ([C;R] = aliphatic carbon in a ring)
 _BRACKET_RE = re.compile(
     r"\[(?P<isotope>\d+)?(?P<elem>\*|#\d+|[A-Z][a-z]?|[a-z])"
-    r"(?P<mods>(?:&?[Xv]\d+|H\d*|\+\d*|-\d*)*)"
+    r"(?P<mods>(?:[&;]?[Xv]\d+|[&;]?H\d*|[&;]?\+\d*|[&;]?-\d*|;!?[RaA])*)"
     r"(?::(?P<map>\d+))?\]"
 )
 # SMARTS query brackets (pattern-side only): alternation of bare
@@ -129,17 +136,24 @@ class Atom:
     # [#6]/[a]/[R]/[$(SP)] parse as single-alt queries.
     alts: tuple | None = None
     negs: tuple | None = None
+    # ';'-conjuncts from the concrete bracket form ([C;R], [c;!R]):
+    # (negated, prim) pairs that must ALL hold in ADDITION to the
+    # element/mod checks
+    conj: tuple | None = None
     # set by parse_graph only (bridge analysis); parse_chain atoms keep
     # False — the linear matcher declines ring-primitive patterns
     in_ring: bool = False
 
 
-def _parse_mods(mods: str) -> tuple[int | None, int | None]:
-    """H-count and charge from a bracket-atom modifier string (X/v specs
-    are parsed over but ignored, per remove_valence_from_smarts)."""
+def _parse_mods(mods: str) -> tuple[int | None, int | None, tuple | None]:
+    """H-count, charge, and ring/aromaticity conjuncts from a
+    bracket-atom modifier string ('&' and ';' are both AND here; X/v
+    specs are parsed over but ignored, per remove_valence_from_smarts).
+    Conjuncts are (negated, prim) pairs that must ALL hold."""
     h: int | None = None
     charge: int | None = None
-    for m in re.finditer(r"&?(H\d*|\+\d*|-\d*|[Xv]\d+)", mods):
+    conj: list = []
+    for m in re.finditer(r"[&;]?(!?[RaA]|H\d*|\+\d*|-\d*|[Xv]\d+)", mods):
         t = m.group(1)
         if t.startswith("H"):
             h = int(t[1:]) if len(t) > 1 else 1
@@ -147,7 +161,9 @@ def _parse_mods(mods: str) -> tuple[int | None, int | None]:
             charge = int(t[1:]) if len(t) > 1 else 1
         elif t.startswith("-"):
             charge = -(int(t[1:]) if len(t) > 1 else 1)
-    return h, charge
+        elif t.lstrip("!") in ("R", "a", "A"):
+            conj.append((t.startswith("!"), _prim(t.lstrip("!"))))
+    return h, charge, tuple(conj) or None
 
 
 def _prim(p: str):
@@ -216,7 +232,7 @@ def _parse_bracket_atom(s: str, i: int) -> Atom:
     m = _BRACKET_RE.match(s, i)
     if m:
         elem = m.group("elem")
-        h, charge = _parse_mods(m.group("mods") or "")
+        h, charge, conj = _parse_mods(m.group("mods") or "")
         raw = re.sub(r":\d+\]$", "]", m.group(0))
         if elem.startswith("#") or elem in ("a", "A", "R"):
             alts = (_prim(elem),)
@@ -227,7 +243,7 @@ def _parse_bracket_atom(s: str, i: int) -> Atom:
             elem.islower() and elem not in ("*", "a") and not elem.startswith("#"),
             h, charge,
             int(m.group("map")) if m.group("map") else None,
-            raw, i, m.end(), m.end(), alts=alts,
+            raw, i, m.end(), m.end(), alts=alts, conj=conj,
         )
     m = _BRACKET_ALT_RE.match(s, i)
     if m:
@@ -277,20 +293,26 @@ def _match_bracket_end(s: str, i: int) -> int | None:
 
 def _is_query(a: Atom) -> bool:
     """True when the atom carries pattern-only primitives that cannot be
-    WRITTEN into a product (alternation, negation, #n, a/A, R)."""
-    return a.alts is not None or a.negs is not None
+    WRITTEN into a product (alternation, negation, #n, a/A, R, $(),
+    ';'-conjuncts)."""
+    return a.alts is not None or a.negs is not None or a.conj is not None
+
+
+def _atom_prims(a: Atom):
+    yield from a.alts or ()
+    yield from a.negs or ()
+    for _, prim in a.conj or ():
+        yield prim
 
 
 def _has_ring_prim(atoms: list[Atom]) -> bool:
-    """True when any atom carries an [R]/[!R] or recursive [$(...)]
-    primitive — both evaluable only with graph context (parse_chain
-    atoms keep in_ring=False; rec anchor sets come from the graph
-    matcher), so the linear splice path declines such patterns and the
-    graph path owns every embedding."""
+    """True when any atom carries an [R]/[!R] (incl. ';R' conjuncts) or
+    recursive [$(...)] primitive — both evaluable only with graph
+    context (parse_chain atoms keep in_ring=False; rec anchor sets come
+    from the graph matcher), so the linear splice path declines such
+    patterns and the graph path owns every embedding."""
     return any(
-        prim[0] in ("ring", "rec")
-        for a in atoms
-        for prim in (a.alts or ()) + (a.negs or ())
+        prim[0] in ("ring", "rec") for a in atoms for prim in _atom_prims(a)
     )
 
 
@@ -406,6 +428,10 @@ def _atom_matches(
     elif pat.elem != "*":
         if pat.elem.upper() != sub.elem.upper() or pat.aromatic != sub.aromatic:
             return False
+    if pat.conj is not None:
+        for negated, prim in pat.conj:
+            if prim_ok(prim) == negated:
+                return False
     if pat.hcount is not None and sub.hcount != pat.hcount:
         return False
     if pat.charge is not None and (sub.charge or 0) != pat.charge:
@@ -608,10 +634,7 @@ def _all_embeddings(
         return
     rec_anchor: dict[str, set[int]] | None = None
     rec_pats = {
-        val
-        for a in p_atoms
-        for kind, val in ((a.alts or ()) + (a.negs or ()))
-        if kind == "rec"
+        val for a in p_atoms for kind, val in _atom_prims(a) if kind == "rec"
     }
     if rec_pats:
         from itertools import islice

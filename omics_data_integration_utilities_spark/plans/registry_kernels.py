@@ -562,6 +562,11 @@ K3_PROBES = [
     ("probe_rec_ring", "[$(c1ccccc1)]"),
     ("probe_rec_cl_ch3", "[$(Cl)][CH3]"),
     ("probe_rec_not_cl", "[!$(Cl)]"),
+    # ';'-conjunct brackets (late r8):
+    #   conj_arom_ring [c;R]   — aromatic carbon in a ring iff ring variant
+    #   conj_acyclic_c [C;!R]  — the leading chain carbons, always
+    ("probe_conj_arom_ring", "[c;R]"),
+    ("probe_conj_acyclic_c", "[C;!R]"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
@@ -571,11 +576,11 @@ _K3_STRUCTURAL_TRUE_ON_CL = (
 )
 _K3_TRUE_ON_RING = (
     "probe_num_arom", "probe_neg_ch3", "probe_arom_wild",
-    "probe_ring_mem", "probe_rec_ring",
+    "probe_ring_mem", "probe_rec_ring", "probe_conj_arom_ring",
 )
 _K3_ALWAYS_TRUE = (
     "probe_neg_h", "probe_alt_n", "probe_aliph", "probe_acyclic",
-    "probe_rec_not_cl",
+    "probe_rec_not_cl", "probe_conj_acyclic_c",
 )
 _K3_ALWAYS_FALSE = ("probe_ocl", "probe_dbl", "probe_charge")
 

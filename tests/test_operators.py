@@ -884,3 +884,27 @@ def test_recursive_smarts_primitives():
     assert apply_reaction("CCO", "[C:1]", "[$(CO):1]") == ()
     # nested recursion is outside the subset → parse fails → False
     assert not has_substructure("CCO", "[$(C$(O))]")
+
+
+def test_conjunct_brackets():
+    """';'-conjuncts: low-precedence AND, equivalent to '&' for the
+    parsed-over mods, plus ring/aromaticity conjuncts ([C;R] = aliphatic
+    carbon in a ring); a conjunct template yields no products and
+    conjunct rewrites route through the graph writer."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        apply_reaction,
+        has_substructure,
+    )
+
+    assert has_substructure("C1CCC1C", "[C;R]")
+    assert not has_substructure("CCCC", "[C;R]")
+    assert has_substructure("C1CCC1C", "[C;!R]")
+    assert not has_substructure("C1CCC1", "[C;!R]")
+    assert has_substructure("Cn1cccc1", "[n;R]")
+    assert has_substructure("CN", "[N;X3]")         # X parsed over, ignored
+    assert has_substructure("C[NH1]", "[N;H1]")
+    assert has_substructure("C[N+]", "[N;+]")
+    assert not has_substructure("CN", "[N;+]")
+    # graph path owns ring-conjunct rewrites; only the acyclic C matches
+    assert apply_reaction("C1CCC1C", "[C;!R:1]", "[N:1]") == ("C1CCC1[N]",)
+    assert apply_reaction("C1CCC1C", "[C:1]", "[C;R:1]") == ()
