@@ -371,6 +371,9 @@ def test_splice_and_graph_paths_agree_on_molecules(s):
         ("[C:1]1CC[C:2]1", "[C:1]CC[C:2]"),
         ("C[C:1]C", "[C:1]"),
         ("[!R:1]O[A:2]", "[C:1][C:2]"),
+        # ';'-conjunct and recursive shapes (late r8)
+        ("[C;!R:1]O", "[C:1]N"),
+        ("[$(CO):1]O", "[N:1]O"),
     ):
         composed = {canonical_form(p) for p in apply_reaction(s, pat, tpl)}
         graph_only = {canonical_form(p) for p in _apply_graph(s, pat, tpl, set())}
