@@ -121,7 +121,8 @@ METHODOLOGY = "warmup+median since r3; deltas vs pre-r3 rounds are not comparabl
 # not a regression — carried in the JSON so round-over-round deltas on
 # these queries are read against the new workload
 WORKLOAD_CHANGES = {
-    "k3_substructure": "13 -> 19 probes (r8 query-primitive fixtures)",
+    "k3_substructure": "13 -> 29 probes (r8 query-primitive fixtures: "
+    "alternation/negation/#n/a/A/R/charge/recursive/conjunct)",
     "k1_graph_rewrite": "3 -> 6 rules (r8 query-primitive fixtures)",
 }
 
