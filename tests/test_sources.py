@@ -186,3 +186,22 @@ def test_write_jsonl_roundtrip(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{p}/part-*")) == 4
+
+
+def test_write_jsonl_gzip_roundtrip(spark, tmp_path):
+    """Default gzip compression roundtrips through read_jsonl (the
+    json-lines reader decompresses by extension)."""
+    from omics_data_integration_utilities_spark.sources.readers import read_jsonl
+    from omics_data_integration_utilities_spark.sources.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(50)], "doc_id long, text string"
+    )
+    p = str(tmp_path / "gz")
+    write_jsonl(df, p)  # gzip default
+    import glob
+
+    assert glob.glob(f"{p}/part-*.gz"), "expected gzip-compressed shards"
+    back = read_jsonl(spark, p, "doc_id long, text string")
+    assert back.count() == 50
+    assert back.where("_corrupt_record IS NOT NULL").count() == 0
