@@ -203,5 +203,8 @@ def test_write_jsonl_gzip_roundtrip(spark, tmp_path):
 
     assert glob.glob(f"{p}/part-*.gz"), "expected gzip-compressed shards"
     back = read_jsonl(spark, p, "doc_id long, text string")
-    assert back.count() == 50
-    assert back.where("_corrupt_record IS NOT NULL").count() == 0
+    # Spark disallows referencing ONLY _corrupt_record on a raw JSON
+    # scan; collecting the full rows sidesteps that and checks content
+    rows = back.collect()
+    assert len(rows) == 50
+    assert all(r["_corrupt_record"] is None for r in rows)
