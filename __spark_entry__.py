@@ -49,14 +49,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # round.  Rotated-out queries keep their local sf0.01 oracle checks in
 # tests/test_queries_oracle.py.
 #
-# r9 rotation candidates (for the next round): never-driver-checked
-# remaining = f-family singles (f1-f4, f6-f12), o2_limit, u3_except,
-# p-family singles (p1-p5, p7), text_token_counts, text_dup_spans,
-# text_bm25, plus the r8-registered text_compression_ratio_digest
-# (golden digest + zlib replica, ready to enter).  Longest-green
-# rotation-out candidates by then: the composite plans stay; j3/j8/
-# j10/j11 and the a-family singles entering in r8 become one-round
-# green and can cycle out for the f/p singles.
+# r9 rotation (this round): the r8 VERDICT corrected the stale
+# candidate list — p1-p5/p7, u3, f2/f3, text_dup_spans,
+# text_token_counts were driver-green in r1-r2; the TRUE
+# never-driver-checked set was 14: f1_set_encode, f4_concat_key,
+# f6_rounding, f8_exp_log, f10_unpivot, f12_size_predicate, o2_limit,
+# text_bm25, text_compression_ratio_digest, k10_knn_impute,
+# k11_cluster_probes, k12_partial_corr, k14_dag_break,
+# methylmix_states.  ALL 14 enter this round (methylmix_states as the
+# one rows-only entry — no SQL oracle exists for the seeded EM state
+# labels; its digest sibling methylmix_states_digest stays in-window),
+# plus four NEW queries: plan_enzyme_annotation (closes the last §3
+# sub-lifecycle), doc_pack_chunks_digest + probe_double_pmod +
+# probe_cum_frame (the r8-verdict bisect kit for the doc_pack_chunks
+# red — the root cause found this round is oracle-side: DuckDB
+# sum(BIGINT) returns HUGEINT → float64 under a pandas/arrow fetch
+# while Spark stays int64, so the uncast tok_offset hash-red on
+# identical values; fixed by CAST in SQL_DOC_PACK_CHUNKS and now
+# guarded for every oracle by the dtype-class check in
+# tests/conftest.py::compare_query_to_oracle).  Eighteen out, each
+# driver-green r8 (or earlier) with an in-window sibling or local
+# sf0.01 oracle: j3/j8/j10/j11 (single-op native joins; j4/j12 stay),
+# a1/a2/a4/a6/a7/a9 (trivial singles; digest + window families stay),
+# o1_global_topk (o2_limit enters), u1/u2, f5_id_generation
+# (probe_double_pmod enters the same md5-bucket family), w2 (w3
+# stays), p8, k6_corr_pvalue (k12/k13 keep the analytic family),
+# events_sessions (events_interval_join_outer keeps streaming).
 #
 # r8 late addition: events_interval_join_outer (NEW left-outer interval
 # join — matched pairs PLUS null-padded unmatched clicks, a strict
@@ -155,13 +173,13 @@ _PRIORITY = [
     "plan_corr_multiomics",
     "plan_reaction_mass",
     "plan_data_pipeline",
+    "plan_enzyme_annotation",
     # chemistry / rule kernels
     "k1_graph_rewrite",
     "k4_rule_bfs",
     "rulemap_containment",
     "k3_substructure",
     # analytics kernels
-    "k6_corr_pvalue",
     "k10_pca_batch",
     # k10_pca_closed rotated out r6 (same pca_batch_check machinery now
     # hash-locked via the k10_pca_batch golden oracle) to admit the
@@ -171,8 +189,13 @@ _PRIORITY = [
     "k13_poisson_2group",
     "plan_methylmix",
     "methylmix_states_digest",
+    "methylmix_states",
     "drivernet_significance",
     "combat_adjust_digest",
+    "k10_knn_impute",
+    "k11_cluster_probes",
+    "k12_partial_corr",
+    "k14_dag_break",
     # LLM-pipeline surface
     "dedup_lsh_pairs",
     "dedup_components",
@@ -180,34 +203,29 @@ _PRIORITY = [
     "sim_semantic_dedup_digest",
     "sim_semantic_dedup_bucketed_digest",
     "doc_pack_chunks",
+    "doc_pack_chunks_digest",
+    "probe_double_pmod",
+    "probe_cum_frame",
     "doc_chunks",
     "text_winnowing",
+    "text_compression_ratio_digest",
+    "text_bm25",
     "multimodal_features",
     "multimodal_frames",
     "clusterone_modules",
     # streaming-equivalent windows
-    "events_sessions",
     "events_interval_join_outer",
     # core relational representatives
     "j4_band_join",
     "j12_event_join",
-    "j3_left_join",
-    "j8_anti_join",
-    "j10_explode_parent",
-    "j11_matrix_align",
-    "w2_topk_per_group",
     "w3_lag_diff",
-    "p8_outlier_matrix",
-    "a1_group_count",
-    "a2_distinct",
-    "a4_set_union",
-    "a6_argmin_dedup",
-    "a7_group_mean_profile",
-    "a9_na_fraction",
-    "o1_global_topk",
-    "u1_union_all",
-    "u2_intersect",
-    "f5_id_generation",
+    "o2_limit",
+    "f1_set_encode",
+    "f4_concat_key",
+    "f6_rounding",
+    "f8_exp_log",
+    "f10_unpivot",
+    "f12_size_predicate",
 ]
 
 

@@ -406,11 +406,104 @@ WITH d AS (
   FROM d
 )
 SELECT doc_id, token_count, shard,
-       (cum - token_count) AS tok_offset,
+       -- DuckDB sum(BIGINT) returns HUGEINT (arrow decimal128(38,0)); a
+       -- pandas/arrow fetch turns that into float64 while Spark's window
+       -- sum stays int64, so a type-sensitive value-hash mismatches on
+       -- identical numbers (the r7/r8 doc_pack_chunks red).  CAST every
+       -- integer-sum-derived output back to BIGINT.
+       CAST(cum - token_count AS BIGINT) AS tok_offset,
        CAST(floor((cum - token_count) / 1024.0) AS BIGINT) AS chunk_first,
        greatest(CAST(floor((cum - 1) / 1024.0) AS BIGINT),
                 CAST(floor((cum - token_count) / 1024.0) AS BIGINT)) AS chunk_last
 FROM c
+"""
+
+
+def q_doc_pack_chunks_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(shard, chunk_first) digest of the pack-and-chunk output —
+    count + sum(tok_offset) + sum(token_count); any single-row change in
+    the packing moves a group.  Registered alongside the row-level form
+    after the r7/r8 driver reds so the digest family (100% driver-green
+    across 8 rounds) carries independent evidence for the same operator."""
+    from ..operators.sampling import pack_and_chunk
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", text_ops.token_count_col("text").alias("n_tokens")
+    )
+    packed = pack_and_chunk(docs, "doc_id", "n_tokens", budget=1024, n_shards=4)
+    return packed.groupBy("shard", "chunk_first").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok_offset").alias("sum_offset"),
+        F.sum("token_count").alias("sum_tokens"),
+    )
+
+
+SQL_DOC_PACK_CHUNKS_DIGEST = f"""
+WITH base AS ({SQL_DOC_PACK_CHUNKS.strip()})
+SELECT shard, chunk_first,
+       count(*) AS n_docs,
+       CAST(sum(tok_offset) AS BIGINT) AS sum_offset,
+       CAST(sum(token_count) AS BIGINT) AS sum_tokens
+FROM base
+GROUP BY shard, chunk_first
+"""
+
+
+def q_probe_double_pmod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-probe (r9 bisect, VERDICT r8 item 1): isolates the
+    double-mod ``md5-bucket % 1e6 % 4`` shard arithmetic of
+    ``doc_pack_chunks`` with NO window — f5_id_generation already proves
+    the single-mod md5 family, so green here + red doc_pack_chunks would
+    localize any residual driver divergence to the window construct."""
+    from ..operators.sampling import _hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.pmod(_hash_bucket(F.col("doc_id"), "pack-v1"), F.lit(4))
+        .cast("long")
+        .alias("shard"),
+    )
+
+
+SQL_PROBE_DOUBLE_PMOD = """
+SELECT doc_id,
+       ('0x' || substr(md5('pack-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % 1000000 % 4 AS shard
+FROM documents
+"""
+
+
+def q_probe_cum_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-probe (r9 bisect): isolates the cumulative-SUM window frame
+    (``ROWS UNBOUNDED PRECEDING``) + integer ``div`` of
+    ``doc_pack_chunks`` with NO hash sharding — one global stream
+    ordered by doc_id, so the only constructs under test are the frame
+    and the truncating division."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", text_ops.token_count_col("text").alias("token_count")
+    )
+    w = (
+        Window.orderBy(F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return docs.withColumn(
+        "cum_tokens", F.sum(F.col("token_count").cast("long")).over(w)
+    ).withColumn("cum_chunk", F.expr("cum_tokens div 1024"))
+
+
+SQL_PROBE_CUM_FRAME = """
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS token_count,
+       CAST(sum(len(string_split(text, ' '))::BIGINT)
+              OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_tokens,
+       CAST(sum(len(string_split(text, ' '))::BIGINT)
+              OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) // 1024
+         AS cum_chunk
+FROM documents
 """
 
 
@@ -1132,6 +1225,9 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": q_simhash_pairs,
     "doc_split": q_doc_split,
     "doc_pack_chunks": q_doc_pack_chunks,
+    "doc_pack_chunks_digest": q_doc_pack_chunks_digest,
+    "probe_double_pmod": q_probe_double_pmod,
+    "probe_cum_frame": q_probe_cum_frame,
     "sim_ann_topk": q_ann_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_cosine_neardup": q_cosine_neardup,
@@ -1166,6 +1262,9 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_simhash_pairs": SQL_SIMHASH_PAIRS,
     "doc_split": SQL_DOC_SPLIT,
     "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
+    "doc_pack_chunks_digest": SQL_DOC_PACK_CHUNKS_DIGEST,
+    "probe_double_pmod": SQL_PROBE_DOUBLE_PMOD,
+    "probe_cum_frame": SQL_PROBE_CUM_FRAME,
     "sim_ann_topk": SQL_ANN_TOPK,
     "sim_ivf_topk": SQL_ANN_TOPK,
     "sim_cosine_neardup": SQL_COSINE_NEARDUP,

@@ -71,6 +71,54 @@ def normalize_rows(columns, rows, float_digits: int = 6):
     return sorted(out)
 
 
+def _spark_type_class(simple: str) -> str:
+    """Collapse a Spark simpleString dtype to the class the driver's
+    value-hash distinguishes after a pandas/arrow fetch."""
+    s = simple.lower()
+    if s.startswith(("array", "map", "struct")):
+        return "nested"
+    if s.startswith("decimal"):
+        return "f"  # Spark decimals collect as Decimal → canon as float
+    if s in ("double", "float"):
+        return "f"
+    if s in ("tinyint", "smallint", "int", "bigint", "long"):
+        return "i"
+    if s == "boolean":
+        return "b"
+    if s.startswith("timestamp"):
+        return "ts"
+    if s == "date":
+        return "date"
+    return "s"
+
+
+def _duck_type_class(arrow_type) -> str:
+    """Same collapse for the DuckDB arrow schema.  The one driver trap:
+    integer aggregates (sum of BIGINT → HUGEINT → arrow decimal128(38,0))
+    become float64 in a pandas fetch, so an UNCAST integer sum lands in
+    class 'f' while the Spark side stays 'i' — the r7/r8 doc_pack_chunks
+    hash-red.  Oracles must CAST integer sums back to BIGINT."""
+    import pyarrow as pa
+    import pyarrow.types as pat
+
+    t = arrow_type
+    if pat.is_list(t) or pat.is_large_list(t) or pat.is_struct(t) or pat.is_map(t):
+        return "nested"
+    if pat.is_decimal(t):
+        return "f"  # any decimal (incl. HUGEINT's decimal128(38,0)) → float64
+    if pat.is_floating(t):
+        return "f"
+    if pat.is_integer(t):
+        return "i"
+    if pat.is_boolean(t):
+        return "b"
+    if pat.is_timestamp(t):
+        return "ts"
+    if pat.is_date(t):
+        return "date"
+    return "s"
+
+
 def compare_query_to_oracle(spark, duck, name, fn, sql, sf_dir):
     """Run the Spark query and the DuckDB oracle; assert multiset equality."""
     sdf = fn(spark, sf_dir)
@@ -82,6 +130,25 @@ def compare_query_to_oracle(spark, duck, name, fn, sql, sf_dir):
     drows = res.fetchall()
     assert sorted(scols) == sorted(dcols), (
         f"{name}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}"
+    )
+    # Driver-compare emulation ALSO needs type-class alignment: the driver
+    # fetches through pandas/arrow, where DuckDB HUGEINT (uncast integer
+    # sums) becomes float64 while Spark stays int64 — a hash mismatch on
+    # numerically identical values that fetchall()-based compares miss.
+    duck_schema = duck.execute(
+        f"SELECT * FROM ({sql.strip().rstrip(';')}) AS __tc LIMIT 0"
+    ).arrow().schema
+    d_class = {f.name: _duck_type_class(f.type) for f in duck_schema}
+    s_class = {f.name: _spark_type_class(f.dataType.simpleString()) for f in sdf.schema.fields}
+    bad = {
+        c: (s_class[c], d_class[c])
+        for c in s_class
+        if c in d_class and s_class[c] != d_class[c]
+    }
+    assert not bad, (
+        f"{name}: dtype-class mismatch (spark, duck) per column: {bad} — "
+        "cast the oracle (or the Spark side) so both fetch as the same "
+        "python type; uncast DuckDB integer sums are HUGEINT → float64"
     )
     sn = normalize_rows(scols, srows)
     dn = normalize_rows(dcols, drows)
