@@ -89,6 +89,8 @@ SLOW_TIER = [
     # left-outer interval join
     "sim_semantic_dedup_bucketed_digest",
     "events_interval_join_outer",
+    # round 9: the composed enzyme-annotation lifecycle (§3, last slice)
+    "plan_enzyme_annotation",
 ]
 
 REGRESSION_FLAG = 1.3
@@ -104,18 +106,24 @@ REPS_OVERRIDE = {"p6_mad_filter": 5}
 FAST_QUERY_CUTOFF_S = 0.5
 FAST_QUERY_REPS = 5
 
-# slow-tier queries that get one untimed warm-up before their single
-# timed rep: the flagship composite has shown ~2x single-rep swings
-# (r8: 11.1s cold at the end of a bench session vs 4.2s steady) that
-# read as regressions; one warm-up buys reliable signal for ~5s
-SLOW_WARMUP = {"plan_data_pipeline"}
+# r9 (VERDICT r8 item 8): the whole slow tier now runs one untimed
+# warm-up + two timed reps — its former 1-rep numbers caused the r8
+# plan_data_pipeline cold-vs-steady ambiguity.  "slow_queries" carries
+# the FIRST timed (warm) rep for continuity with prior rounds'
+# steady-state readings; "slow_mins" carries the min of the two, the
+# same load-robust signal the headline tier's "mins" provides.
+SLOW_TIMED_REPS = 2
 
 # Methodology note carried in the JSON: round 3 added the untimed
 # warm-up execution per query (whole-stage-codegen compile cost excluded
 # from medians).  Deltas against BENCH_r01/r02 therefore conflate plan
 # wins with that harness change; r3 is the first apples-to-apples
 # baseline for the warm-up+median protocol.
-METHODOLOGY = "warmup+median since r3; deltas vs pre-r3 rounds are not comparable"
+METHODOLOGY = (
+    "warmup+median since r3; slow tier warmup+2reps with slow_mins since r9 "
+    "(pre-r9 slow numbers were 1 cold rep); deltas vs pre-r3 rounds are not "
+    "comparable"
+)
 
 # per-query WORKLOAD changes this round: a grown fixture is more work,
 # not a regression — carried in the JSON so round-over-round deltas on
@@ -222,22 +230,29 @@ def main() -> None:
         print(line, file=sys.stderr)
 
     slow_timings: dict[str, float] = {}
+    slow_mins: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SLOW", "1") != "0":
         for name in SLOW_TIER:
             try:
                 fn = queries[name]
-                if name in SLOW_WARMUP:
-                    fn(spark, sf_dir).count()
-                t0 = time.perf_counter()
-                rows = fn(spark, sf_dir).count()
-                t = time.perf_counter() - t0
+                fn(spark, sf_dir).count()  # untimed warm-up (codegen compile)
+                stimes = []
+                for _ in range(SLOW_TIMED_REPS):
+                    t0 = time.perf_counter()
+                    rows = fn(spark, sf_dir).count()
+                    stimes.append(time.perf_counter() - t0)
+                t = stimes[0]
             except Exception as exc:  # noqa: BLE001
                 msg = f"{type(exc).__name__}: {exc}"
                 errors[name] = msg[:300]
                 print(f"# [slow] {name}: ERROR {msg[:300]}", file=sys.stderr)
                 continue
             slow_timings[name] = round(t, 3)
-            line = f"# [slow] {name}: {t:.3f}s (1 rep, excluded from total) rows={rows}"
+            slow_mins[name] = round(min(stimes), 3)
+            line = (
+                f"# [slow] {name}: {t:.3f}s min {min(stimes):.3f}s "
+                f"(warm-up + {len(stimes)} reps, excluded from total) rows={rows}"
+            )
             if name in prev and prev[name] > 0:
                 d = t / prev[name]
                 deltas[name] = round(d, 3)
@@ -269,6 +284,7 @@ def main() -> None:
                 "reps": reps,
                 "mins": mins,
                 "slow_queries": slow_timings,
+                "slow_mins": slow_mins,
                 "errors": errors,
                 # an erroring headline query silently SHRINKS the total,
                 # which would read as a speedup round-over-round; this flag

@@ -77,10 +77,242 @@ def _pathway_sql() -> str:
 SQL_PATHWAY_CENSUS = _pathway_sql()
 
 
+# --------------------------------------------------------------------------
+# the §3 enzyme-annotation sub-lifecycle (composed end-to-end)
+# --------------------------------------------------------------------------
+
+ENZYME_MIN_TOKEN = 5      # "pfam" tokens = the long words of the doc vocab
+ENZYME_REACTION_MOD = 50  # rule docs group into reaction ids
+ENZYME_CORR_CUTOFF = 0.05  # Options.corr_cutoff (gizmos.py:646-647)
+ENZYME_DAY_US = 86_400_000_000
+
+
+def q_plan_enzyme_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's enzyme-annotation chain composed end-to-end
+    (``gizmos.load_enzyme_input``, gizmos.py:654-745, plus the
+    substrate⊗product coexpression merge, heraldPathways.py:274-281):
+
+    1. gene annotations exploded one-pfam-per-row (gizmos.py:667-672);
+    2. pfam-RR rules filtered by the strict/medium/loose boolean flags
+       (gizmos.py:689-696, medium = validated OR predicted);
+    3. accession→Name via the small pfam dictionary — the reference's
+       row-at-a-time ``pfam_dict.Name.loc[k] if k in pfam_dict.index``
+       (gizmos.py:698-704) becomes a broadcast hash join that both
+       FILTERS unknown accessions and renames;
+    4. annotations ⋈ rules on the exploded pfam_rule, key dropped,
+       duplicate cleanup (gizmos.py:729-741);
+    5. inner merge with the correlation table under the corr cutoff
+       (gizmos.py:627-652; ``corr_p_cutoff == 1`` skip-path, i.e. no P
+       filter — the reference's default-config branch);
+    6. per-reaction transitions joined twice — ms_name renamed to
+       ms_substrate / ms_product — then FULL OUTER merged so unilateral
+       coexpression evidence survives (heraldPathways.py:274-281).
+
+    Testdata mapping: genes/rules/dictionary = documents partitioned by
+    ``source`` (the shared synthetic vocabulary plays the pfam space),
+    correlations = day-aligned event matrices (§3.1 machinery).
+
+    Scale shape: the dictionary and the transition/type tables broadcast
+    (tiny); the annotation⋈rule join shuffles on the 15-word pfam key —
+    skew-prone at 100 TB, which AQE's skew-join handles since every
+    other join keys on high-cardinality (gene, reaction) pairs.  No UDF
+    anywhere; the correlation leg reuses correlate_long_matrices (one
+    shuffle on the day key, one on the pair key).
+    """
+    from pyspark.sql import Window
+
+    from ..operators.aggregates import correlate_long_matrices
+    from ..streaming.events import ts_event_micros_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    events = _t(spark, sf_dir, "events")
+    tok_ok = F.length("tok") >= ENZYME_MIN_TOKEN
+
+    # 1. gene annotations: one pfam Name per row
+    ann = (
+        docs.where(F.col("source").isin("src1", "src2"))
+        .select(
+            F.col("doc_id").alias("gene"),
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .where(tok_ok)
+        .select("gene", F.upper("tok").alias("pfam_rule"))
+        .distinct()
+    )
+
+    # 3. accession dictionary (acc → Name) — small, broadcast
+    pfam_dict = (
+        docs.where(F.col("source") == "src6")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .where(tok_ok)
+        .distinct()
+        .select(F.col("tok").alias("acc"), F.upper("tok").alias("pfam_rule"))
+    )
+
+    # 2. pfam-RR rules under the medium flag filter, acc→Name, dedup
+    rules = (
+        docs.where(F.col("source").isin("src3", "src4", "src5"))
+        .where((F.col("n_chars") % 2 == 0) | (F.col("n_chars") % 3 == 0))
+        .select(
+            (F.col("doc_id") % ENZYME_REACTION_MOD).alias("reaction_id"),
+            F.col("doc_id").alias("uniprot_id"),
+            F.explode(F.split(F.col("text"), " ")).alias("acc"),
+        )
+        .where(F.length("acc") >= ENZYME_MIN_TOKEN)
+        .join(F.broadcast(pfam_dict), "acc")
+        .select("reaction_id", "uniprot_id", "pfam_rule")
+        .distinct()
+    )
+
+    # 4. integrate annotations and rules on pfam_rule; drop key; dedup
+    merged = ann.join(rules, "pfam_rule").drop("pfam_rule").distinct()
+
+    # 5. correlation table (day-aligned event matrices) + corr cutoff
+    day = F.expr(f"{ts_event_micros_sql(events)} div {ENZYME_DAY_US}")
+    m1 = events.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.avg("value").alias("v"))
+    m2 = events.groupBy(
+        "user_id", day.alias("day")
+    ).agg(F.avg("value").alias("g"))
+    corr = correlate_long_matrices(
+        m1, m2, sample_col="day", left_key="event_type", right_key="user_id",
+        left_val="v", right_val="g", min_n=5,
+    )
+    corr = (
+        corr.where(
+            (F.abs(F.col("r")) >= ENZYME_CORR_CUTOFF)
+            & (F.abs(F.col("r")) < 0.999999)
+        )
+        .select(
+            F.col("lk").alias("ms_name"),
+            F.col("rk").alias("gene"),
+            F.round("r", 6).alias("correlation"),
+        )
+    )
+    enzyme = merged.join(corr, "gene").distinct()
+
+    # 6. per-reaction transitions; substrate/product renames; outer merge
+    types = (
+        events.select("event_type").distinct()
+        .withColumn(
+            "ti", F.row_number().over(Window.orderBy("event_type")) - 1
+        )
+    )
+    reactions = rules.select("reaction_id").distinct()
+    rt = (
+        reactions
+        .join(
+            F.broadcast(types.select(F.col("ti").alias("ti_s"), F.col("event_type").alias("ms_substrate"))),
+            F.pmod(F.col("reaction_id"), F.lit(5)) == F.col("ti_s"),
+        )
+        .join(
+            F.broadcast(types.select(F.col("ti").alias("ti_p"), F.col("event_type").alias("ms_product"))),
+            F.pmod(F.col("reaction_id") + 2, F.lit(5)) == F.col("ti_p"),
+        )
+        .select("reaction_id", "ms_substrate", "ms_product")
+        .distinct()
+    )
+    subs = rt.join(
+        enzyme.select(
+            "reaction_id", "gene", "uniprot_id",
+            F.col("ms_name").alias("ms_substrate"),
+            F.col("correlation").alias("correlation_substrate"),
+        ),
+        ["reaction_id", "ms_substrate"],
+    )
+    prod = rt.join(
+        enzyme.select(
+            "reaction_id", "gene", "uniprot_id",
+            F.col("ms_name").alias("ms_product"),
+            F.col("correlation").alias("correlation_product"),
+        ),
+        ["reaction_id", "ms_product"],
+    )
+    keys = ["reaction_id", "ms_substrate", "ms_product", "gene", "uniprot_id"]
+    return subs.join(prod, keys, "full_outer").select(
+        *keys, "correlation_substrate", "correlation_product"
+    )
+
+
+SQL_PLAN_ENZYME = f"""
+WITH ann AS (
+  SELECT DISTINCT doc_id AS gene, upper(tok) AS pfam_rule FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE source IN ('src1', 'src2'))
+  WHERE length(tok) >= {ENZYME_MIN_TOKEN}
+), pfdict AS (
+  SELECT DISTINCT tok AS acc, upper(tok) AS pfam_rule FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE source = 'src6')
+  WHERE length(tok) >= {ENZYME_MIN_TOKEN}
+), rules AS (
+  SELECT DISTINCT doc_id % {ENZYME_REACTION_MOD} AS reaction_id,
+         doc_id AS uniprot_id, d.pfam_rule
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS acc
+    FROM documents
+    WHERE source IN ('src3', 'src4', 'src5')
+      AND (n_chars % 2 = 0 OR n_chars % 3 = 0)
+  ) r JOIN pfdict d ON r.acc = d.acc
+  WHERE length(r.acc) >= {ENZYME_MIN_TOKEN}
+), merged AS (
+  SELECT DISTINCT a.gene, r.reaction_id, r.uniprot_id
+  FROM ann a JOIN rules r ON a.pfam_rule = r.pfam_rule
+), m1 AS (
+  SELECT event_type, epoch_us(ts) // {ENZYME_DAY_US} AS day, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), m2 AS (
+  SELECT user_id, epoch_us(ts) // {ENZYME_DAY_US} AS day, avg(value) AS g
+  FROM events GROUP BY 1, 2
+), corrs AS (
+  SELECT event_type AS ms_name, user_id AS gene, count(*) AS n, corr(v, g) AS r
+  FROM m1 JOIN m2 USING (day) GROUP BY 1, 2
+), corr_f AS (
+  SELECT ms_name, gene, round(r, 6) AS correlation FROM corrs
+  WHERE n >= 5 AND r IS NOT NULL
+    AND abs(r) >= {ENZYME_CORR_CUTOFF!r} AND abs(r) < 0.999999
+), enzyme AS (
+  SELECT DISTINCT m.gene, m.reaction_id, m.uniprot_id, c.ms_name, c.correlation
+  FROM merged m JOIN corr_f c ON m.gene = c.gene
+), types AS (
+  SELECT event_type, row_number() OVER (ORDER BY event_type) - 1 AS ti
+  FROM (SELECT DISTINCT event_type FROM events)
+), rt AS (
+  SELECT DISTINCT r.reaction_id, ts_s.event_type AS ms_substrate,
+         ts_p.event_type AS ms_product
+  FROM (SELECT DISTINCT reaction_id FROM rules) r
+  JOIN types ts_s ON ts_s.ti = r.reaction_id % 5
+  JOIN types ts_p ON ts_p.ti = (r.reaction_id + 2) % 5
+), subs AS (
+  SELECT rt.reaction_id, rt.ms_substrate, rt.ms_product, e.gene, e.uniprot_id,
+         e.correlation AS correlation_substrate
+  FROM rt JOIN enzyme e
+    ON e.reaction_id = rt.reaction_id AND e.ms_name = rt.ms_substrate
+), prod AS (
+  SELECT rt.reaction_id, rt.ms_substrate, rt.ms_product, e.gene, e.uniprot_id,
+         e.correlation AS correlation_product
+  FROM rt JOIN enzyme e
+    ON e.reaction_id = rt.reaction_id AND e.ms_name = rt.ms_product
+)
+SELECT coalesce(s.reaction_id, p.reaction_id) AS reaction_id,
+       coalesce(s.ms_substrate, p.ms_substrate) AS ms_substrate,
+       coalesce(s.ms_product, p.ms_product) AS ms_product,
+       coalesce(s.gene, p.gene) AS gene,
+       coalesce(s.uniprot_id, p.uniprot_id) AS uniprot_id,
+       s.correlation_substrate, p.correlation_product
+FROM subs s FULL OUTER JOIN prod p
+  ON s.reaction_id = p.reaction_id AND s.ms_substrate = p.ms_substrate
+ AND s.ms_product = p.ms_product AND s.gene = p.gene AND s.uniprot_id = p.uniprot_id
+"""
+
+
 QUERIES_PATHWAY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan_pathway_expand": q_pathway_census,
+    "plan_enzyme_annotation": q_plan_enzyme_annotation,
 }
 
 ORACLES_PATHWAY: dict[str, str] = {
     "plan_pathway_expand": SQL_PATHWAY_CENSUS,
+    "plan_enzyme_annotation": SQL_PLAN_ENZYME,
 }
