@@ -39,7 +39,14 @@ def _cohesiveness(w_in: float, w_bound: float, size: int, penalty: float) -> flo
     return w_in / denom if denom > 0 else 0.0
 
 
-def _grow(seed: str, adj: dict, penalty: float) -> frozenset:
+class EgoOverflow(Exception):
+    """Raised by :func:`_grow` when growth under a radius-bounded ego
+    adjacency needs a node whose neighbor rows were not delivered —
+    the caller escalates the radius and retries (exactness guard for
+    the ego-delivery path; never raised with ``complete=None``)."""
+
+
+def _grow(seed: str, adj: dict, penalty: float, complete: set | None = None) -> frozenset:
     """Greedy best-step growth from one seed: at each step evaluate every
     adjacent external vertex (add) and every member (remove, never the
     seed); take the single step with the largest cohesiveness gain,
@@ -50,7 +57,16 @@ def _grow(seed: str, adj: dict, penalty: float) -> frozenset:
     v's remaining degree to the boundary; removal is the mirror — so one
     candidate costs O(deg(v)) instead of an O(|V|·deg) full recount.
     The (w_in, w_bound) base is recounted from scratch after every
-    APPLIED step, so float drift cannot accumulate across steps."""
+    APPLIED step, so float drift cannot accumulate across steps.
+
+    ``complete``: optional set of nodes whose ``adj`` rows are known to
+    be COMPLETE (ego-delivery path).  Members stay inside it by
+    induction (the seed starts there and every applied step passed the
+    guard), so the one guard needed is on the evaluated candidates: a
+    candidate outside ``complete`` has partial adjacency, which would
+    silently corrupt ``ext_v`` — raise :class:`EgoOverflow` instead."""
+    if complete is not None and seed not in complete:
+        raise EgoOverflow(seed)
     members = {seed}
 
     def stats(vset):
@@ -73,6 +89,10 @@ def _grow(seed: str, adj: dict, penalty: float) -> frozenset:
         candidates = [("add", v) for v in frontier] + [
             ("del", v) for v in sorted(members) if v != seed and len(members) > 1
         ]
+        if complete is not None:
+            for _, v in candidates:
+                if v not in complete:
+                    raise EgoOverflow(seed)
         step_best = None
         for op, v in candidates:
             w_v = sum(w for u, w in adj[v].items() if u in members)
@@ -97,6 +117,234 @@ def _grow(seed: str, adj: dict, penalty: float) -> frozenset:
 def _overlap(a: frozenset, b: frozenset) -> float:
     inter = len(a & b)
     return (inter * inter) / (len(a) * len(b))
+
+
+def _collect_adj(und: DataFrame) -> dict:
+    """Full adjacency dict from the aggregated undirected edge list —
+    the small-graph operating point (and the documented last-resort
+    fallback of the ego path)."""
+    adj: dict = defaultdict(dict)
+    for r in und.collect():
+        adj[r["a"]][r["b"]] = adj[r["a"]].get(r["b"], 0.0) + float(r["w"])
+        adj[r["b"]][r["a"]] = adj[r["b"]].get(r["a"], 0.0) + float(r["w"])
+    return adj
+
+
+def _merge_overlaps(raw: list, overlap_threshold: float) -> list:
+    """Transitive merge of accepted clusters with ω ≥ threshold (shared
+    by the driver-adjacency and ego-delivery paths)."""
+    merged = [set(c) for c in raw]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(merged)):
+            if merged[i] is None:
+                continue
+            for j in range(i + 1, len(merged)):
+                if merged[j] is None:
+                    continue
+                if _overlap(frozenset(merged[i]), frozenset(merged[j])) >= overlap_threshold:
+                    merged[i] |= merged[j]
+                    merged[j] = None
+                    changed = True
+    return merged
+
+
+def _grow_ego_blocks(
+    spark, sym: DataFrame, seeds: list, penalty: float, radius: int, n_blocks: int
+) -> dict:
+    """One ego-delivery round: BFS each pending seed's radius-``radius``
+    ball distributed, join every block's ball union to its incident edge
+    rows, and grow all of the block's seeds inside one cogrouped
+    ``applyInPandas`` task.  A task never sees the full graph — only the
+    edges incident to its block's ball nodes.  Returns
+    ``{seed: (ok, members)}``; ``ok=False`` means growth escaped the
+    delivered ball (EgoOverflow) and the caller must escalate the
+    radius for that seed."""
+    import pandas as pd
+
+    seed_df = spark.createDataFrame(
+        [(i % n_blocks, s) for i, s in enumerate(seeds)], "block int, seed string"
+    )
+    ball = seed_df.select("block", "seed", F.col("seed").alias("node"))
+    frontier = ball
+    for _ in range(radius):
+        # the frontier/ball lineages share ancestors — alias every side so
+        # the self-join column references stay unambiguous
+        nxt = (
+            frontier.alias("f")
+            .join(sym.alias("s"), F.col("f.node") == F.col("s.u"))
+            .select(
+                F.col("f.block").alias("block"),
+                F.col("f.seed").alias("seed"),
+                F.col("s.v").alias("node"),
+            )
+            .distinct()
+        )
+        frontier = (
+            nxt.alias("n")
+            .join(
+                ball.alias("b"),
+                (F.col("n.seed") == F.col("b.seed"))
+                & (F.col("n.node") == F.col("b.node")),
+                "left_anti",
+            )
+            .select("n.block", "n.seed", "n.node")
+        )
+        ball = ball.unionByName(frontier)
+    ball = ball.persist()
+    block_nodes = ball.select("block", "node").distinct()
+    edges_b = (
+        block_nodes.alias("bn")
+        .join(sym.alias("s2"), F.col("bn.node") == F.col("s2.u"))
+        # (block + 0) mints a fresh attribute: the cogroup below keys both
+        # sides on "block", and edges_b's block descends from ball's — the
+        # shared exprId would trip the ambiguous-self-join check
+        .select(
+            (F.col("bn.block") + F.lit(0)).alias("block"), "s2.u", "s2.v", "s2.w"
+        )
+    )
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        local: dict = defaultdict(dict)
+        for u, v, w in right[["u", "v", "w"]].itertuples(index=False):
+            local[u][v] = float(w)
+        out = {"seed": [], "members": [], "ok": []}
+        for s, grp in left.groupby("seed"):
+            comp = set(grp["node"])
+            try:
+                mem = sorted(_grow(s, local, penalty, complete=comp))
+                ok = True
+            except EgoOverflow:
+                mem, ok = [], False
+            out["seed"].append(s)
+            out["members"].append(mem)
+            out["ok"].append(ok)
+        return pd.DataFrame(out)
+
+    rows = (
+        ball.groupBy("block")
+        .cogroup(edges_b.groupBy("block"))
+        .applyInPandas(kernel, "seed string, members array<string>, ok boolean")
+        .collect()
+    )
+    ball.unpersist()
+    return {r["seed"]: (r["ok"], r["members"]) for r in rows}
+
+
+def _cluster_one_ego(
+    spark,
+    und: DataFrame,
+    penalty: float,
+    overlap_threshold: float,
+    min_size: int,
+    min_density: float,
+    radius: int,
+    max_doublings: int,
+) -> DataFrame:
+    """ClusterOne without any full-graph driver materialization: the
+    driver holds only the node/degree list (O(V)), the grown sets and
+    the final cluster stats; the edge list stays distributed.
+
+    Growth runs under :func:`_grow_ego_blocks` with escalating radius
+    (doubled per round, ``max_doublings`` times) for the seeds whose
+    greedy escaped the delivered ball; any stubborn residue after the
+    last escalation falls back to one full-adjacency collect — the
+    documented exactness backstop (growth provably equals the
+    broadcast path's, so outputs are bit-identical to the other two
+    strategies).  Final per-cluster w_in/w_bound/density are computed
+    as distributed joins of the membership table against the edge
+    list, replacing the driver-side adjacency walk."""
+    sym = (
+        und.selectExpr("a AS u", "b AS v", "w")
+        .unionByName(und.selectExpr("b AS u", "a AS v", "w"))
+        .persist()
+    )
+    degree = {r["u"]: float(r["d"]) for r in sym.groupBy("u").agg(F.sum("w").alias("d")).collect()}
+    seeds = sorted(degree, key=lambda u: (-degree[u], u))
+    n_blocks = max(2, spark.sparkContext.defaultParallelism)
+
+    grown_map: dict = {}
+    pending = seeds
+    r = radius
+    rounds = 0
+    while pending and rounds <= max_doublings:
+        res = _grow_ego_blocks(spark, sym, pending, penalty, r, n_blocks)
+        for s, (ok, mem) in res.items():
+            if ok:
+                grown_map[s] = frozenset(mem)
+        pending = [s for s in pending if s not in grown_map]
+        r *= 2
+        rounds += 1
+    if pending:
+        # exactness backstop: growth for these seeds escaped every
+        # escalated ball — rare (deep greedy walks), and the only point
+        # where the ego path may touch the full edge list
+        adj = _collect_adj(und)
+        for s in pending:
+            grown_map[s] = _grow(s, adj, penalty)
+
+    clustered: set = set()
+    raw: list[frozenset] = []
+    for seed in seeds:
+        if seed in clustered:
+            continue
+        grown = grown_map[seed]
+        raw.append(grown)
+        clustered |= grown
+
+    merged = _merge_overlaps(raw, overlap_threshold)
+    cand = [frozenset(c) for c in merged if c is not None and len(c) >= min_size]
+    if not cand:
+        sym.unpersist()
+        return spark.createDataFrame(
+            [],
+            "cluster_id long, member string, size long, density double, cohesiveness double",
+        )
+
+    memb = spark.createDataFrame(
+        [(i, m) for i, c in enumerate(cand) for m in sorted(c)], "cid long, member string"
+    )
+    ma = memb.withColumnRenamed("member", "a")
+    mb = memb.withColumnRenamed("member", "b")
+    ea = und.join(ma, "a")  # (cid, a, b, w) with a ∈ cluster cid
+    internal = ea.join(mb, ["cid", "b"], "leftsemi")
+    w_in_rows = internal.groupBy("cid").agg(
+        F.sum("w").alias("w_in"), F.count(F.lit(1)).alias("n_in")
+    ).collect()
+    bound_a = ea.join(mb, ["cid", "b"], "left_anti").groupBy("cid").agg(
+        F.sum("w").alias("wb")
+    ).collect()
+    eb = und.join(mb, "b")
+    bound_b = eb.join(ma, ["cid", "a"], "left_anti").groupBy("cid").agg(
+        F.sum("w").alias("wb")
+    ).collect()
+    sym.unpersist()
+    w_in = {r["cid"]: (float(r["w_in"]), int(r["n_in"])) for r in w_in_rows}
+    w_bound: dict = defaultdict(float)
+    for r in bound_a:
+        w_bound[r["cid"]] += float(r["wb"])
+    for r in bound_b:
+        w_bound[r["cid"]] += float(r["wb"])
+
+    final = []
+    for i, vset in enumerate(cand):
+        wi, n_in = w_in.get(i, (0.0, 0))
+        density = n_in / (len(vset) * (len(vset) - 1) / 2.0)
+        if density < min_density:
+            continue
+        coh = _cohesiveness(wi, w_bound[i], len(vset), penalty)
+        final.append((round(coh, 6), sorted(vset), len(vset), round(density, 6)))
+    final.sort(key=lambda t: (-t[0], t[1]))
+    rows = [
+        (cid, member, size, density, coh)
+        for cid, (coh, members, size, density) in enumerate(final)
+        for member in members
+    ]
+    return spark.createDataFrame(
+        rows,
+        "cluster_id long, member string, size long, density double, cohesiveness double",
+    )
 
 
 def _grow_distributed(
@@ -145,21 +393,31 @@ def cluster_one(
     min_size: int = 3,
     min_density: float = 0.5,
     seed_parallel_threshold: int = 512,
+    ego_edge_threshold: int = 2_000_000,
+    ego_radius: int = 2,
+    ego_max_doublings: int = 2,
 ) -> DataFrame:
     """Run the ClusterOne greedy over an undirected weighted edge list.
 
     Parallel/duplicate/self edges are aggregated distributed (undirected:
-    (a,b) and (b,a) pool their weight) before the collect.  Returns one
+    (a,b) and (b,a) pool their weight) before any collect.  Returns one
     row per (cluster_id, member) with the cluster's size, density and
     cohesiveness; cluster_id is the rank by (-cohesiveness, members) so
     output is a pure function of the edge list.
 
-    Dual strategy (the drivernet/rule-BFS pattern): graphs with at most
-    ``seed_parallel_threshold`` seeds grow in the driver loop; larger
-    graphs fan the per-seed growth out over executors against a
-    broadcast adjacency (:func:`_grow_distributed` — provably the same
-    output), leaving only the cheap accept/skip replay and overlap merge
-    driver-side.
+    Triple strategy (the drivernet/rule-BFS pattern, one more rung):
+
+    - ≤ ``seed_parallel_threshold`` seeds: driver-loop growth over the
+      collected adjacency (the jar's single-node operating point);
+    - more seeds, ≤ ``ego_edge_threshold`` aggregated edges: per-seed
+      growth fans out over executors against a broadcast adjacency
+      (:func:`_grow_distributed` — provably the same output);
+    - above ``ego_edge_threshold``: ego-delivery
+      (:func:`_cluster_one_ego`) — the full edge list is never
+      collected OR broadcast; each task receives only its seed block's
+      radius-bounded ego-network edges, with radius escalation plus a
+      documented full-collect backstop guaranteeing exactness.  This
+      removes the adjacency-memory ceiling the broadcast path carries.
     """
     spark = edges.sparkSession
     und = (
@@ -172,10 +430,18 @@ def cluster_one(
         .groupBy("a", "b")
         .agg(F.sum("w").alias("w"))
     )
-    adj: dict = defaultdict(dict)
-    for r in und.collect():
-        adj[r["a"]][r["b"]] = adj[r["a"]].get(r["b"], 0.0) + float(r["w"])
-        adj[r["b"]][r["a"]] = adj[r["b"]].get(r["a"], 0.0) + float(r["w"])
+    if und.count() > ego_edge_threshold:
+        return _cluster_one_ego(
+            spark,
+            und,
+            penalty,
+            overlap_threshold,
+            min_size,
+            min_density,
+            ego_radius,
+            ego_max_doublings,
+        )
+    adj = _collect_adj(und)
 
     degree = {u: sum(nb.values()) for u, nb in adj.items()}
     seeds = sorted(degree, key=lambda u: (-degree[u], u))
@@ -195,20 +461,7 @@ def cluster_one(
         clustered |= grown
 
     # merge overlapping clusters transitively (ω ≥ threshold)
-    merged = [set(c) for c in raw]
-    changed = True
-    while changed:
-        changed = False
-        for i in range(len(merged)):
-            if merged[i] is None:
-                continue
-            for j in range(i + 1, len(merged)):
-                if merged[j] is None:
-                    continue
-                if _overlap(frozenset(merged[i]), frozenset(merged[j])) >= overlap_threshold:
-                    merged[i] |= merged[j]
-                    merged[j] = None
-                    changed = True
+    merged = _merge_overlaps(raw, overlap_threshold)
     final = []
     for c in merged:
         if c is None or len(c) < min_size:

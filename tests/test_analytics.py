@@ -105,3 +105,64 @@ def test_cluster_one_auto_switch_parity_large_graph(spark):
     )
     assert auto == forced_driver
     assert len({r[0] for r in auto}) > 50
+
+    # r9: the ego-delivery path (threshold 0 forces it — full edge list
+    # never collected/broadcast, each task sees only its block's
+    # radius-2 ego edges) must be bit-identical on the same 600-node
+    # planted-module graph
+    ego = sorted(
+        map(
+            tuple,
+            cluster_one(
+                edges, seed_parallel_threshold=10**9, ego_edge_threshold=0
+            ).collect(),
+        )
+    )
+    assert ego == forced_driver
+
+
+def test_cluster_one_ego_radius_escalation_parity(spark):
+    """Ego-delivery with radius 1 forces EgoOverflow for every seed whose
+    greedy reaches 2 hops out; the escalation loop (1 → 2 → 4) must
+    recover them and the output must still equal the driver path — this
+    exercises the overflow guard, the escalation rounds AND (with
+    max_doublings=0) the full-collect backstop."""
+    from omics_data_integration_utilities_spark.analytics.clusterone import cluster_one
+
+    rows = []
+    for blk in range(4):
+        base = blk * 6
+        for i in range(6):
+            for j in range(i + 1, 6):
+                if (i + j + blk) % 5:
+                    rows.append((f"n{base+i}", f"n{base+j}", 1.0 + (i * j) % 3))
+    for k in range(12):
+        rows.append((f"n{k}", f"n{(k * 7 + 5) % 24}", 0.2))
+    edges = spark.createDataFrame(rows, "src string, dst string, weight double")
+
+    driver = sorted(map(tuple, cluster_one(edges).collect()))
+    escalated = sorted(
+        map(
+            tuple,
+            cluster_one(
+                edges,
+                seed_parallel_threshold=10**9,
+                ego_edge_threshold=0,
+                ego_radius=1,
+            ).collect(),
+        )
+    )
+    assert escalated == driver
+    backstop = sorted(
+        map(
+            tuple,
+            cluster_one(
+                edges,
+                seed_parallel_threshold=10**9,
+                ego_edge_threshold=0,
+                ego_radius=1,
+                ego_max_doublings=0,
+            ).collect(),
+        )
+    )
+    assert backstop == driver
