@@ -129,9 +129,9 @@ METHODOLOGY = (
 # not a regression — carried in the JSON so round-over-round deltas on
 # these queries are read against the new workload
 WORKLOAD_CHANGES = {
-    "k3_substructure": "13 -> 29 probes (r8 query-primitive fixtures: "
-    "alternation/negation/#n/a/A/R/charge/recursive/conjunct)",
-    "k1_graph_rewrite": "3 -> 6 rules (r8 query-primitive fixtures)",
+    "k3_substructure": "29 -> 34 probes (r9 per-alternative-modifier "
+    "brackets [CH2,NH]-class)",
+    "k1_graph_rewrite": "6 -> 7 rules (r9 per-alternative-modifier rule)",
 }
 
 

@@ -41,11 +41,13 @@ SUBSET engine; the honest scope is:
   ring membership ``[R]`` / ``[!R]``, elem-less charge ``[+]`` / ``[-]``
   / ``[+2]``, recursive environments ``[$(C=O)]`` / ``[!$(CO)]`` (one
   nesting level; anchor = the sub-pattern's first atom), alternation of
-  bare primitives ``[C,N]`` / ``[#6,#7]`` / ``[a,Cl]``, negation
+  primitives ``[C,N]`` / ``[#6,#7]`` / ``[a,Cl]`` — each alternative
+  optionally carrying its OWN H-count/charge modifiers (``[CH2,NH]``,
+  ``[O-,OH]``; r9) — negation
   ``[!O]`` / ``[!#1]`` / ``[!C!N]`` (none may match), and
   ``;``-conjuncts on concrete atoms (``[C;R]`` / ``[c;!R]``; ``;`` and
   ``&`` are both AND for H/charge/X/v mods).  Mixing alternation with
-  negation, per-alternative modifiers, nested recursion, and stereo
+  negation, nested recursion, and stereo
   remain OUTSIDE the subset; a
   product template carrying a query primitive yields no products
   (nothing concrete to write — RDKit errors on such templates).
@@ -88,16 +90,25 @@ _BRACKET_RE = re.compile(
     r"(?P<mods>(?:[&;]?[Xv]\d+|[&;]?H\d*|[&;]?\+\d*|[&;]?-\d*|;!?[RaA])*)"
     r"(?::(?P<map>\d+))?\]"
 )
-# SMARTS query brackets (pattern-side only): alternation of bare
-# primitives ([C,N], [#6,#7]) and negation ([!O], [!#1], [!C!N] = none
+# SMARTS query brackets (pattern-side only): alternation of primitives
+# ([C,N], [#6,#7]; each alternative may carry its own H/charge mods —
+# [CH2,NH], r9) and negation ([!O], [!#1], [!C!N] = none
 # may match).  Recursive [$(...)] brackets are hand-parsed (balanced
-# parens — see _match_recursive_bracket); mixing forms, per-alternative
-# mods, nested recursion and stereo stay outside the subset (module
+# parens — see _match_recursive_bracket); mixing forms, nested
+# recursion and stereo stay outside the subset (module
 # docstring) — RDKit's ReactionFromSmarts accepts the wider grammar
 # (/root/reference/integrative_omics/gizmos.py:193-234).
 _PRIM_SRC = r"(?:\*|#\d+|[A-Z][a-z]?|[a-z])"
+# r9: each alternative may carry its own H-count / charge modifiers
+# ([CH2,NH], [CH3,NH2,OH], [O-,OH] — the common RetroRules shapes); the
+# modifier applies to ITS alternative only, unlike the concrete form's
+# global mods
+_ALT_ITEM_SRC = rf"{_PRIM_SRC}(?:H\d*)?(?:\+\d*|-\d*)?"
 _BRACKET_ALT_RE = re.compile(
-    rf"\[(?P<alist>{_PRIM_SRC}(?:,{_PRIM_SRC})+)(?::(?P<map>\d+))?\]"
+    rf"\[(?P<alist>{_ALT_ITEM_SRC}(?:,{_ALT_ITEM_SRC})+)(?::(?P<map>\d+))?\]"
+)
+_ALT_ITEM_RE = re.compile(
+    rf"(?P<prim>{_PRIM_SRC})(?P<h>H\d*)?(?P<chg>\+\d*|-\d*)?$"
 )
 _BRACKET_NEG_RE = re.compile(
     rf"\[(?P<nlist>(?:!{_PRIM_SRC})+)(?::(?P<map>\d+))?\]"
@@ -184,6 +195,27 @@ def _prim(p: str):
     return ("elem", (p, p.islower()))
 
 
+def _alt_item(item: str):
+    """One alternative of an alternation bracket → matcher tuple.  A bare
+    primitive stays a bare prim; one carrying its own H/charge modifiers
+    ([CH2,NH] — r9) wraps as ("mod", (base_prim, hcount, charge)) so the
+    modifier binds to ITS alternative only."""
+    m = _ALT_ITEM_RE.match(item)
+    if not m:  # pragma: no cover — the bracket regex pre-validates
+        raise ValueError(f"unsupported alternation item {item!r}")
+    base = _prim(m.group("prim"))
+    h = chg = None
+    if m.group("h"):
+        h = int(m.group("h")[1:]) if len(m.group("h")) > 1 else 1
+    if m.group("chg"):
+        c = m.group("chg")
+        mag = int(c[1:]) if len(c) > 1 else 1
+        chg = mag if c[0] == "+" else -mag
+    if h is None and chg is None:
+        return base
+    return ("mod", (base, h, chg))
+
+
 def _match_recursive_bracket(s: str, i: int):
     """Parse a recursive-SMARTS bracket ``[$(SP)]`` / ``[!$(SP)]`` /
     ``[$(SP):n]`` starting at ``s[i]``.  Returns (neg, subpat, amap,
@@ -252,7 +284,7 @@ def _parse_bracket_atom(s: str, i: int) -> Atom:
             "*", False, None, None,
             int(m.group("map")) if m.group("map") else None,
             raw, i, m.end(), m.end(),
-            alts=tuple(_prim(p) for p in m.group("alist").split(",")),
+            alts=tuple(_alt_item(p) for p in m.group("alist").split(",")),
         )
     m = _BRACKET_NEG_RE.match(s, i)
     if m:
@@ -299,8 +331,10 @@ def _is_query(a: Atom) -> bool:
 
 
 def _atom_prims(a: Atom):
-    yield from a.alts or ()
-    yield from a.negs or ()
+    for prim in (*(a.alts or ()), *(a.negs or ())):
+        yield prim
+        if prim[0] == "mod":  # unwrap so ring detection sees the base
+            yield prim[1][0]
     for _, prim in a.conj or ():
         yield prim
 
@@ -388,6 +422,13 @@ def _ring_pairing(span: list[Atom]) -> tuple[set[tuple[int, int]], set[int]]:
 
 def _prim_matches(prim, sub: Atom) -> bool:
     kind, val = prim
+    if kind == "mod":  # per-alternative H/charge modifiers ([CH2,NH])
+        base, h, chg = val
+        if not _prim_matches(base, sub):
+            return False
+        if h is not None and sub.hcount != h:
+            return False
+        return chg is None or (sub.charge or 0) == chg
     if kind == "any":
         return True
     if kind == "num":

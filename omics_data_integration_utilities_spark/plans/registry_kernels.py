@@ -567,22 +567,40 @@ K3_PROBES = [
     #   conj_acyclic_c [C;!R]  — the leading chain carbons, always
     ("probe_conj_arom_ring", "[c;R]"),
     ("probe_conj_acyclic_c", "[C;!R]"),
+    # r9 per-alternative modifier brackets ([CH2,NH]-class — each
+    # alternative carries its OWN H/charge mods).  Closed forms:
+    #   malt_ch3_nh2 [CH3,NH2]   — the [CH3] atom always exists
+    #   malt_ch2_nh  [CH2,NH]    — no atom writes H2/H1 explicitly
+    #   malt_chg     [O-,CH3]    — no O⁻ anywhere; CH3 always
+    #   malt_cl_nh2  [Cl,NH2]    — Cl iff even partkey; NH2 never
+    #   malt_ch3_arom [CH3,OH]c  — CH3 bonded to an aromatic carbon
+    #                              exists iff ring variant
+    ("probe_malt_ch3_nh2", "[CH3,NH2]"),
+    ("probe_malt_ch2_nh", "[CH2,NH]"),
+    ("probe_malt_chg", "[O-,CH3]"),
+    ("probe_malt_cl_nh2", "[Cl,NH2]"),
+    ("probe_malt_ch3_arom", "[CH3,OH]c"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
 _K3_STRUCTURAL_TRUE_ON_CL = (
     "probe_ccl", "probe_branch", "probe_branch_swap",
     "probe_alt_halo", "probe_neg_before_cl", "probe_rec_cl_ch3",
+    "probe_malt_cl_nh2",
 )
 _K3_TRUE_ON_RING = (
     "probe_num_arom", "probe_neg_ch3", "probe_arom_wild",
     "probe_ring_mem", "probe_rec_ring", "probe_conj_arom_ring",
+    "probe_malt_ch3_arom",
 )
 _K3_ALWAYS_TRUE = (
     "probe_neg_h", "probe_alt_n", "probe_aliph", "probe_acyclic",
     "probe_rec_not_cl", "probe_conj_acyclic_c",
+    "probe_malt_ch3_nh2", "probe_malt_chg",
 )
-_K3_ALWAYS_FALSE = ("probe_ocl", "probe_dbl", "probe_charge")
+_K3_ALWAYS_FALSE = (
+    "probe_ocl", "probe_dbl", "probe_charge", "probe_malt_ch2_nh",
+)
 
 
 def q_k3_substructure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -898,6 +916,10 @@ GRAPH_RXN_RULES = [
     ("r_alt_thio", "[C,N:1]O", "[C:1]S", "S"),
     ("r_neg_homolog", "[!#1:1]O", "[C:1]CN", "CN"),
     ("r_num_aminate", "[#6:1]O", "[C:1]N", "N"),
+    # r9 per-alternative modifier probe: the C+ alternative carries its
+    # own charge mod and never matches (no charged atoms), so the bare C
+    # alternative selects the same unique C–O site
+    ("r_malt_phos", "[C+,C:1]O", "[C:1]P", "P"),
 ]
 
 

@@ -586,6 +586,68 @@ def test_query_bracket_matches_exhaustive_single_atom(s, qb):
     assert has_substructure(s, pattern) == want
 
 
+_MOD_ALT_ITEMS = [
+    # (item text, prim, hcount, charge) — per-alternative modifier forms
+    ("CH3", "C", 3, None),
+    ("CH2", "C", 2, None),
+    ("NH", "N", 1, None),
+    ("NH2", "N", 2, None),
+    ("OH", "O", 1, None),
+    ("O-", "O", None, -1),
+    ("N+", "N", None, 1),
+    ("C", "C", None, None),
+    ("O", "O", None, None),
+    ("#7", "#7", None, None),
+    ("a", "a", None, None),
+]
+
+
+@st.composite
+def _mod_alt_bracket(draw):
+    """An alternation bracket where alternatives may carry their own
+    H-count/charge modifiers ([CH2,NH] — the r9 grammar extension)."""
+    items = draw(
+        st.lists(st.sampled_from(_MOD_ALT_ITEMS), min_size=2, max_size=3,
+                 unique_by=lambda t: t[0])
+    )
+    return "[" + ",".join(t[0] for t in items) + "]", items
+
+
+@given(s=_smiles_subset(), mb=_mod_alt_bracket())
+@settings(max_examples=300, deadline=None)
+def test_mod_alternation_matches_exhaustive_single_atom(s, mb):
+    """Per-alternative modifiers: [CH2,NH] matches an atom iff SOME
+    alternative's primitive AND its own H/charge modifiers all hold —
+    the modifier binds to its alternative, not the whole bracket.
+    Exhaustive independent scan over every substrate atom (explicit-H
+    semantics: an H modifier requires the substrate atom's EXPLICIT
+    hcount to equal it, matching the engine's no-implicit-valence
+    model; charge compares against 0 when unwritten)."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        has_substructure,
+        parse_graph,
+    )
+
+    pattern, items = mb
+    try:
+        atoms, _ = parse_graph(s)
+    except ValueError:
+        return
+
+    def alt_ok(a, prim, h, chg):
+        if not _ref_prim_pred(prim, a.elem, a.aromatic):
+            return False
+        if h is not None and a.hcount != h:
+            return False
+        return chg is None or (a.charge or 0) == chg
+
+    want = any(
+        any(alt_ok(a, prim, h, chg) for _, prim, h, chg in items)
+        for a in atoms
+    )
+    assert has_substructure(s, pattern) == want
+
+
 @given(s=_smiles_subset(), qb=_query_bracket())
 @settings(max_examples=300, deadline=None)
 def test_query_bracket_matches_exhaustive_edge(s, qb):
