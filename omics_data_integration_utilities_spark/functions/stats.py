@@ -61,11 +61,15 @@ def betainc(a, b, x):
     with np.errstate(divide="ignore", invalid="ignore"):
         front = np.exp(ln_beta + a * np.log(x) + b * np.log1p(-x))
     # continued fraction converges fast for x < (a+1)/(a+b+2); use the
-    # symmetry I_x(a,b) = 1 − I_{1−x}(b,a) otherwise
+    # symmetry I_x(a,b) = 1 − I_{1−x}(b,a) otherwise.  The x∈{0,1}
+    # boundaries make log/log1p emit ±inf (front factor 0 by intent —
+    # the final np.where pins those outputs), so both front
+    # computations sit under the same errstate guard
     direct = x < (a + 1.0) / (a + b + 2.0)
-    res_direct = front * _betacf(a, b, np.where(direct, x, 0.5)) / a
-    front_sym = np.exp(ln_beta + a * np.log(x) + b * np.log1p(-x))
-    res_sym = 1.0 - front_sym * _betacf(b, a, np.where(direct, 0.5, 1.0 - x)) / b
+    with np.errstate(divide="ignore", invalid="ignore"):
+        res_direct = front * _betacf(a, b, np.where(direct, x, 0.5)) / a
+        front_sym = np.exp(ln_beta + a * np.log(x) + b * np.log1p(-x))
+        res_sym = 1.0 - front_sym * _betacf(b, a, np.where(direct, 0.5, 1.0 - x)) / b
     out = np.where(direct, res_direct, res_sym)
     out = np.where(x <= 0.0, 0.0, out)
     out = np.where(x >= 1.0, 1.0, out)

@@ -140,18 +140,22 @@ def write_jsonl(
     """JSON-lines sink (pairs with ``sources.readers.read_jsonl``): the
     interchange format downstream tokenizers and data loaders consume.
 
-    ``target_rows_per_file`` controls shard granularity via
-    ``repartition`` — size it so a shard is O(100 MB-1 GB) at the
-    corpus's average document length (too many tiny files throttle
-    object-store listing; too few starve loader parallelism).  Gzip by
-    default: json-lines compresses 5-10x and every loader reads it.
+    ``target_rows_per_file`` controls shard granularity — size it so a
+    shard is O(100 MB-1 GB) at the corpus's average document length
+    (too many tiny files throttle object-store listing; too few starve
+    loader parallelism).  Implemented as one job (r9; the previous
+    ``count()+repartition`` ran an extra full pass): an AQE REBALANCE
+    merges undersized partitions to the advisory size, then the
+    writer's ``maxRecordsPerFile`` cuts each partition into
+    ``target``-row files.  Gzip by default: json-lines compresses 5-10x
+    and every loader reads it.
     """
     writer = df
+    out_opts: dict[str, str] = {}
     if target_rows_per_file is not None:
-        n_rows = df.count()
-        n_files = max(1, -(-n_rows // int(target_rows_per_file)))
-        writer = df.repartition(n_files)
-    out = writer.write.mode(mode)
+        writer = df.hint("rebalance")
+        out_opts["maxRecordsPerFile"] = str(int(target_rows_per_file))
+    out = writer.write.mode(mode).options(**out_opts)
     if compression:
         out = out.option("compression", compression)
     out.json(path)
