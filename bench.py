@@ -129,8 +129,8 @@ METHODOLOGY = (
 # not a regression — carried in the JSON so round-over-round deltas on
 # these queries are read against the new workload
 WORKLOAD_CHANGES = {
-    "k3_substructure": "29 -> 34 probes (r9 per-alternative-modifier "
-    "brackets [CH2,NH]-class)",
+    "k3_substructure": "29 -> 37 probes (r9 per-alternative-modifier "
+    "[CH2,NH]-class + list-conjunct [C,N;R]-class brackets)",
     "k1_graph_rewrite": "6 -> 7 rules (r9 per-alternative-modifier rule)",
 }
 

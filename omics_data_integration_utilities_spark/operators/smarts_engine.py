@@ -46,8 +46,10 @@ SUBSET engine; the honest scope is:
   ``[O-,OH]``; r9) — negation
   ``[!O]`` / ``[!#1]`` / ``[!C!N]`` (none may match), and
   ``;``-conjuncts on concrete atoms (``[C;R]`` / ``[c;!R]``; ``;`` and
-  ``&`` are both AND for H/charge/X/v mods).  Mixing alternation with
-  negation, nested recursion, and stereo
+  ``&`` are both AND for H/charge/X/v mods) AND on whole
+  alternation/negation lists (``[C,N;R]`` / ``[!C!N;R]`` — SMARTS
+  precedence: ``,`` binds tighter than ``;``; r9).  Mixing ``!`` inside
+  an alternation list, nested recursion, and stereo
   remain OUTSIDE the subset; a
   product template carrying a query primitive yields no products
   (nothing concrete to write — RDKit errors on such templates).
@@ -104,14 +106,19 @@ _PRIM_SRC = r"(?:\*|#\d+|[A-Z][a-z]?|[a-z])"
 # modifier applies to ITS alternative only, unlike the concrete form's
 # global mods
 _ALT_ITEM_SRC = rf"{_PRIM_SRC}(?:H\d*)?(?:\+\d*|-\d*)?"
+# r9: the whole alternation/negation may carry ';'-conjuncts ([C,N;R],
+# [!C!N;R] — SMARTS precedence: ',' binds tighter than ';', so the
+# conjunct ANDs with the whole OR/none-of list)
+_CONJ_SRC = r"(?:;!?[RaA])*"
 _BRACKET_ALT_RE = re.compile(
-    rf"\[(?P<alist>{_ALT_ITEM_SRC}(?:,{_ALT_ITEM_SRC})+)(?::(?P<map>\d+))?\]"
+    rf"\[(?P<alist>{_ALT_ITEM_SRC}(?:,{_ALT_ITEM_SRC})+)"
+    rf"(?P<conj>{_CONJ_SRC})(?::(?P<map>\d+))?\]"
 )
 _ALT_ITEM_RE = re.compile(
     rf"(?P<prim>{_PRIM_SRC})(?P<h>H\d*)?(?P<chg>\+\d*|-\d*)?$"
 )
 _BRACKET_NEG_RE = re.compile(
-    rf"\[(?P<nlist>(?:!{_PRIM_SRC})+)(?::(?P<map>\d+))?\]"
+    rf"\[(?P<nlist>(?:!{_PRIM_SRC})+)(?P<conj>{_CONJ_SRC})(?::(?P<map>\d+))?\]"
 )
 # elem-less charge query: [+] / [-] / [+2] — any atom carrying exactly
 # that formal charge (pattern-side only; nothing concrete to write)
@@ -193,6 +200,17 @@ def _prim(p: str):
         # rejects them).  'R' is not an element symbol in the subset.
         return ("ring", True)
     return ("elem", (p, p.islower()))
+
+
+def _parse_conj(cstr: str | None) -> tuple | None:
+    """';'-conjunct string of an alternation/negation bracket (';R',
+    ';!R;a' — r9) → (negated, prim) pairs, None when absent."""
+    if not cstr:
+        return None
+    return tuple(
+        (t.startswith("!"), _prim(t.lstrip("!")))
+        for t in re.findall(r";(!?[RaA])", cstr)
+    ) or None
 
 
 def _alt_item(item: str):
@@ -285,6 +303,7 @@ def _parse_bracket_atom(s: str, i: int) -> Atom:
             int(m.group("map")) if m.group("map") else None,
             raw, i, m.end(), m.end(),
             alts=tuple(_alt_item(p) for p in m.group("alist").split(",")),
+            conj=_parse_conj(m.group("conj")),
         )
     m = _BRACKET_NEG_RE.match(s, i)
     if m:
@@ -294,6 +313,7 @@ def _parse_bracket_atom(s: str, i: int) -> Atom:
             int(m.group("map")) if m.group("map") else None,
             raw, i, m.end(), m.end(),
             negs=tuple(_prim(p) for p in m.group("nlist")[1:].split("!")),
+            conj=_parse_conj(m.group("conj")),
         )
     m = _BRACKET_CHG_RE.match(s, i)
     if m:

@@ -580,18 +580,27 @@ K3_PROBES = [
     ("probe_malt_chg", "[O-,CH3]"),
     ("probe_malt_cl_nh2", "[Cl,NH2]"),
     ("probe_malt_ch3_arom", "[CH3,OH]c"),
+    # r9 list-level ';'-conjuncts ([C,N;R]-class — the conjunct ANDs the
+    # whole alternation/negation).  Closed forms:
+    #   aconj_ring [c,n;R]    — aromatic ring carbons iff ring variant
+    #   aconj_halo [Cl,Br;!R] — the acyclic Cl iff even partkey
+    #   nconj_ring [!C!N;R]   — ring atoms are aromatic c (not aliphatic
+    #                           C/N), so true iff ring variant
+    ("probe_aconj_ring", "[c,n;R]"),
+    ("probe_aconj_halo", "[Cl,Br;!R]"),
+    ("probe_nconj_ring", "[!C!N;R]"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
 _K3_STRUCTURAL_TRUE_ON_CL = (
     "probe_ccl", "probe_branch", "probe_branch_swap",
     "probe_alt_halo", "probe_neg_before_cl", "probe_rec_cl_ch3",
-    "probe_malt_cl_nh2",
+    "probe_malt_cl_nh2", "probe_aconj_halo",
 )
 _K3_TRUE_ON_RING = (
     "probe_num_arom", "probe_neg_ch3", "probe_arom_wild",
     "probe_ring_mem", "probe_rec_ring", "probe_conj_arom_ring",
-    "probe_malt_ch3_arom",
+    "probe_malt_ch3_arom", "probe_aconj_ring", "probe_nconj_ring",
 )
 _K3_ALWAYS_TRUE = (
     "probe_neg_h", "probe_alt_n", "probe_aliph", "probe_acyclic",

@@ -374,6 +374,12 @@ def test_splice_and_graph_paths_agree_on_molecules(s):
         # ';'-conjunct and recursive shapes (late r8)
         ("[C;!R:1]O", "[C:1]N"),
         ("[$(CO):1]O", "[N:1]O"),
+        # r9 per-alternative modifier shapes ([CH2,NH]-class): the mod
+        # binds to its alternative, so [C+,C:1] matches any neutral C
+        # while [CH3,N:1] needs an explicit-H3 carbon OR any N
+        ("[C+,C:1]O", "[C:1]P"),
+        ("[CH3,N:1]", "[C:1]O"),
+        ("[O-,OH,O:1]C", "[N:1]C"),
     ):
         composed = {canonical_form(p) for p in apply_reaction(s, pat, tpl)}
         graph_only = {canonical_form(p) for p in _apply_graph(s, pat, tpl, set())}
@@ -722,6 +728,73 @@ def test_ring_membership_matches_bruteforce(s):
     assert got == want
     assert has_substructure(s, "[R]") == any(want)
     assert has_substructure(s, "[!R]") == (not all(want) and len(atoms) > 0)
+
+
+@given(
+    s=_smiles_subset(),
+    prims=st.lists(st.sampled_from(_QUERY_PRIMS), min_size=2, max_size=3, unique=True),
+    neg_form=st.booleans(),
+    conj=st.sampled_from([";R", ";!R", ";a", ";A", ";R;A"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_list_conjunct_matches_exhaustive(s, prims, neg_form, conj):
+    """r9 list-level ';'-conjuncts: [C,N;R] / [!C!N;R] match an atom iff
+    the OR/none-of list verdict AND every conjunct hold.  Exhaustive
+    independent scan with brute-force ring membership (an atom is in a
+    ring iff it touches an edge whose removal leaves its endpoints
+    connected) — fully independent of the engine's Tarjan analysis."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        has_substructure,
+        parse_graph,
+    )
+
+    try:
+        atoms, edges = parse_graph(s)
+    except ValueError:
+        return
+
+    def connected_without(a, b, skip):
+        seen = {a}
+        frontier = [a]
+        while frontier:
+            u = frontier.pop()
+            if u == b:
+                return True
+            for (x, y) in edges:
+                if (x, y) == skip:
+                    continue
+                if x == u and y not in seen:
+                    seen.add(y)
+                    frontier.append(y)
+                elif y == u and x not in seen:
+                    seen.add(x)
+                    frontier.append(x)
+        return False
+
+    cyclic_edges = {e for e in edges if connected_without(e[0], e[1], e)}
+    in_ring = [any(i in e for e in cyclic_edges) for i in range(len(atoms))]
+
+    if neg_form:
+        pattern = "[" + "".join("!" + p for p in prims) + conj + "]"
+    else:
+        pattern = "[" + ",".join(prims) + conj + "]"
+
+    def conj_ok(i, a):
+        for t in conj.lstrip(";").split(";"):
+            want = not t.startswith("!")
+            t = t.lstrip("!")
+            v = in_ring[i] if t == "R" else (a.aromatic if t == "a" else not a.aromatic)
+            if v != want:
+                return False
+        return True
+
+    def atom_ok(i, a):
+        hits = any(_ref_prim_pred(p, a.elem, a.aromatic) for p in prims)
+        base = (not hits) if neg_form else hits
+        return base and conj_ok(i, a)
+
+    want = any(atom_ok(i, a) for i, a in enumerate(atoms))
+    assert has_substructure(s, pattern) == want, pattern
 
 
 @st.composite
