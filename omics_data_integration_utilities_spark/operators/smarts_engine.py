@@ -44,7 +44,8 @@ SUBSET engine; the honest scope is:
   primitives ``[C,N]`` / ``[#6,#7]`` / ``[a,Cl]`` — each alternative
   optionally carrying its OWN H-count/charge modifiers (``[CH2,NH]``,
   ``[O-,OH]``; r9) — negation
-  ``[!O]`` / ``[!#1]`` / ``[!C!N]`` (none may match), and
+  ``[!O]`` / ``[!#1]`` / ``[!C!N]`` (none may match; items may carry
+  their own mods — ``[!CH3]``, ``[!O-]``; r9), and
   ``;``-conjuncts on concrete atoms (``[C;R]`` / ``[c;!R]``; ``;`` and
   ``&`` are both AND for H/charge/X/v mods) AND on whole
   alternation/negation lists (``[C,N;R]`` / ``[!C!N;R]`` — SMARTS
@@ -117,8 +118,11 @@ _BRACKET_ALT_RE = re.compile(
 _ALT_ITEM_RE = re.compile(
     rf"(?P<prim>{_PRIM_SRC})(?P<h>H\d*)?(?P<chg>\+\d*|-\d*)?$"
 )
+# negation items may carry per-item mods too ([!CH3], [!O-] — r9): the
+# negated conjunction "no listed item matches" evaluates each item with
+# its own mods, mirroring the alternation form
 _BRACKET_NEG_RE = re.compile(
-    rf"\[(?P<nlist>(?:!{_PRIM_SRC})+)(?P<conj>{_CONJ_SRC})(?::(?P<map>\d+))?\]"
+    rf"\[(?P<nlist>(?:!{_ALT_ITEM_SRC})+)(?P<conj>{_CONJ_SRC})(?::(?P<map>\d+))?\]"
 )
 # elem-less charge query: [+] / [-] / [+2] — any atom carrying exactly
 # that formal charge (pattern-side only; nothing concrete to write)
@@ -312,7 +316,7 @@ def _parse_bracket_atom(s: str, i: int) -> Atom:
             "*", False, None, None,
             int(m.group("map")) if m.group("map") else None,
             raw, i, m.end(), m.end(),
-            negs=tuple(_prim(p) for p in m.group("nlist")[1:].split("!")),
+            negs=tuple(_alt_item(p) for p in m.group("nlist")[1:].split("!")),
             conj=_parse_conj(m.group("conj")),
         )
     m = _BRACKET_CHG_RE.match(s, i)

@@ -621,6 +621,39 @@ def _mod_alt_bracket(draw):
 
 @given(s=_smiles_subset(), mb=_mod_alt_bracket())
 @settings(max_examples=300, deadline=None)
+def test_mod_negation_matches_exhaustive_single_atom(s, mb):
+    """Negation items with per-item modifiers ([!CH3!O-] — r9): an atom
+    matches iff NO listed item (primitive AND its own mods) matches —
+    the De-Morgan mirror of the modified alternation below, against the
+    same independent exhaustive scan."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        has_substructure,
+        parse_graph,
+    )
+
+    _, items = mb
+    pattern = "[" + "".join("!" + t[0] for t in items) + "]"
+    try:
+        atoms, _edges = parse_graph(s)
+    except ValueError:
+        return
+
+    def alt_ok(a, prim, h, chg):
+        if not _ref_prim_pred(prim, a.elem, a.aromatic):
+            return False
+        if h is not None and a.hcount != h:
+            return False
+        return chg is None or (a.charge or 0) == chg
+
+    want = any(
+        not any(alt_ok(a, prim, h, chg) for _, prim, h, chg in items)
+        for a in atoms
+    )
+    assert has_substructure(s, pattern) == want, pattern
+
+
+@given(s=_smiles_subset(), mb=_mod_alt_bracket())
+@settings(max_examples=300, deadline=None)
 def test_mod_alternation_matches_exhaustive_single_atom(s, mb):
     """Per-alternative modifiers: [CH2,NH] matches an atom iff SOME
     alternative's primitive AND its own H/charge modifiers all hold —
