@@ -129,3 +129,17 @@ def test_data_pipeline_neardup_is_inverted_index(spark):
         j in plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_enzyme_annotation_plan_shape(spark):
+    """The r9 enzyme-annotation composite must keep its 100 TB shape:
+    pure JVM except the one documented Arrow p-value kernel is ABSENT
+    here (corr cutoff only — no corr_pvalues in this plan), the pfam
+    dictionary and event-type tables broadcast, and no join degrades to
+    a cartesian/nested-loop."""
+    plan = _plan(spark, "plan_enzyme_annotation")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan          # dict/type lookups
+    assert "FullOuter" in plan                  # the coexpression merge
