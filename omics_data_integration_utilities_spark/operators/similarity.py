@@ -213,6 +213,82 @@ def brute_force_topk_np(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def lloyd_refine_distributed(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 2,
+) -> "object":
+    """Distributed Lloyd refinement over the FULL corpus — the 100 TB
+    training path when the bounded driver sample under-represents the
+    distribution.  Each iteration broadcasts the (tiny) centroid matrix,
+    computes per-partition partial sums/counts per list inside one
+    Arrow-batched ``mapInPandas`` pass (driver never sees vectors), then
+    reduces the n_lists×dim partials with a groupBy — the only collect
+    is n_lists×dim scalars.
+
+    OPT-IN (``ivf_assign(full_refine_iterations=N)``), not wired into
+    the registered oracle queries: cross-partition float-sum order makes
+    the refined centroids deterministic only up to ulps, which is the
+    right trade for quality at scale but not for bit-pinned digests.
+    Empty lists keep their previous centroid (standard Lloyd)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    cents = np.asarray(centroids, dtype="float64").copy()
+    n_lists, dim = cents.shape
+    src = df.select(F.col(id_col), F.col(vec_col))
+    for _ in range(int(iterations)):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(batches):
+            cc = bc.value
+            sums = np.zeros((n_lists, dim))
+            counts = np.zeros(n_lists, dtype="int64")
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                a = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+                d2 = ((a[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+                asn = d2.argmin(axis=1)
+                np.add.at(sums, asn, a)
+                counts += np.bincount(asn, minlength=n_lists)
+                seen = True
+            if seen:
+                yield pd.DataFrame(
+                    {
+                        "list_id": np.arange(n_lists, dtype="int64"),
+                        "s": [sums[i].tolist() for i in range(n_lists)],
+                        "n": counts,
+                    }
+                )
+
+        # reduce the per-partition partials: explode the dim axis (tiny:
+        # partitions × n_lists × dim rows) and sum per (list, pos)
+        part = src.mapInPandas(
+            partials, schema="list_id long, s array<double>, n long"
+        )
+        sums_rows = (
+            part.select("list_id", F.posexplode("s").alias("pos", "v"))
+            .groupBy("list_id", "pos")
+            .agg(F.sum("v").alias("sv"))
+            .collect()
+        )
+        count_rows = part.groupBy("list_id").agg(F.sum("n").alias("cn")).collect()
+        new_sums = np.zeros((n_lists, dim))
+        for r in sums_rows:
+            new_sums[r["list_id"], r["pos"]] = r["sv"]
+        new_counts = np.zeros(n_lists)
+        for r in count_rows:
+            new_counts[r["list_id"]] = r["cn"]
+        nz = new_counts > 0
+        cents[nz] = new_sums[nz] / new_counts[nz, None]
+    return cents
+
+
 def ivf_assign(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -221,6 +297,7 @@ def ivf_assign(
     lloyd_iterations: int = 2,
     sample_fraction: float | None = None,
     max_train_rows: int = 100_000,
+    full_refine_iterations: int = 0,
 ) -> tuple[DataFrame, "object"]:
     """IVF coarse quantizer: deterministic k-means-lite centroids, vectors
     assigned to their nearest list.
@@ -288,6 +365,14 @@ def ivf_assign(
             members = m[assign == c]
             if len(members):
                 cents[c] = members.mean(axis=0)
+    if full_refine_iterations:
+        # 100 TB path: refine the sample-trained centroids over the full
+        # corpus without materializing it anywhere (see
+        # lloyd_refine_distributed for the determinism trade)
+        cents = lloyd_refine_distributed(
+            df, cents, vec_col=vec_col, id_col=id_col,
+            iterations=full_refine_iterations,
+        )
     bc = spark.sparkContext.broadcast(cents)
 
     def run(batches):

@@ -143,3 +143,58 @@ def test_semantic_dedup_threshold_one_keeps_only_exact(spark):
     out = {r["vec_id"]: r["keep"] for r in semantic_dedup(
         df, threshold=0.9999, n_lists=1).collect()}
     assert out == {1: True, 2: False, 3: True}
+
+
+def test_lloyd_refine_distributed_matches_numpy_replica(spark):
+    """The opt-in full-corpus Lloyd refinement must reach the same
+    assignments as a numpy full-data Lloyd from the same initial
+    centroids on a well-separated planted clustering (ulp-order noise in
+    the distributed float sums cannot flip a separated argmin), and the
+    refined centroids must land on the true cluster means."""
+    import numpy as np
+
+    centers = np.array(
+        [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0], [7.0, 7.0, 7.0]]
+    )
+    rows = []
+    for i in range(200):
+        # cluster pattern 0,0,1,1,2,2,3,3,... so the fallback training
+        # prefix (first ids) seeds every planted cluster — Lloyd with one
+        # seed per cluster converges to the planted partition instead of
+        # a split/merged local optimum
+        c = (i // 2) % 4
+        # deterministic integer jitter in [-0.4, 0.4]
+        jit = np.array([((i * 7 + d * 13) % 9 - 4) / 10.0 for d in range(3)])
+        rows.append((i, c, (centers[c] + jit).tolist()))
+    df = spark.createDataFrame(
+        [(i, e) for i, _, e in rows], "vec_id long, embedding array<double>"
+    )
+
+    # deliberately bad init: all four seeds near cluster 0's corner
+    init = centers[0][None, :] + np.array(
+        [[0.0, 0.0, 0.0], [0.5, 0.0, 0.0], [0.0, 0.5, 0.0], [0.0, 0.0, 0.5]]
+    )
+    refined = S.lloyd_refine_distributed(df, init, iterations=5)
+
+    # numpy replica: same init, same rule (empty list keeps centroid)
+    m = np.array([e for _, _, e in rows])
+    cents = init.copy()
+    for _ in range(5):
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        asn = d2.argmin(axis=1)
+        for c in range(4):
+            if (asn == c).any():
+                cents[c] = m[asn == c].mean(axis=0)
+    assert np.allclose(refined, cents, atol=1e-9)
+
+    # end-to-end through ivf_assign: refined assignment must split the
+    # planted clusters exactly (4 lists, one per cluster)
+    assigned, _ = S.ivf_assign(
+        df, n_lists=4, max_train_rows=8, full_refine_iterations=5
+    )
+    got = {r["vec_id"]: r["list_id"] for r in assigned.collect()}
+    by_cluster = {}
+    for i, c, _ in rows:
+        by_cluster.setdefault(c, set()).add(got[i])
+    assert all(len(v) == 1 for v in by_cluster.values())
+    assert len({next(iter(v)) for v in by_cluster.values()}) == 4
