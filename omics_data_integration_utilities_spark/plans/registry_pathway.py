@@ -190,7 +190,13 @@ def q_plan_enzyme_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("r", 6).alias("correlation"),
         )
     )
-    enzyme = merged.join(corr, "gene").distinct()
+    # the reference drop_duplicates()s after the corr merge
+    # (gizmos.py:741-744) because ITS merges can duplicate; here both
+    # sides are unique on the join key structure (merged is distinct on
+    # (gene, reaction_id, uniprot_id); corr has one row per
+    # (ms_name, gene)), so the join output is already duplicate-free —
+    # an extra distinct() would only add a shuffle
+    enzyme = merged.join(corr, "gene")
 
     # 6. per-reaction transitions; substrate/product renames; outer merge
     types = (
@@ -210,8 +216,9 @@ def q_plan_enzyme_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(types.select(F.col("ti").alias("ti_p"), F.col("event_type").alias("ms_product"))),
             F.pmod(F.col("reaction_id") + 2, F.lit(5)) == F.col("ti_p"),
         )
+        # reactions is distinct and each ti matches exactly one type row,
+        # so rt is already unique — no distinct shuffle needed
         .select("reaction_id", "ms_substrate", "ms_product")
-        .distinct()
     )
     subs = rt.join(
         enzyme.select(
