@@ -250,11 +250,22 @@ def _cluster_one_ego(
     (doubled per round, ``max_doublings`` times) for the seeds whose
     greedy escaped the delivered ball; any stubborn residue after the
     last escalation falls back to one full-adjacency collect — the
-    documented exactness backstop (growth provably equals the
-    broadcast path's, so outputs are bit-identical to the other two
-    strategies).  Final per-cluster w_in/w_bound/density are computed
-    as distributed joins of the membership table against the edge
-    list, replacing the driver-side adjacency walk."""
+    documented exactness backstop.  Per-seed growth provably equals the
+    broadcast path's (same adjacency values reach ``_grow``).  Final
+    per-cluster w_in/w_bound/density are computed as distributed joins
+    of the membership table against the edge list, replacing the
+    driver-side adjacency walk.
+
+    Float-ordering caveat (parity bound, not a bug): the seed ORDER
+    comes from a distributed ``sum(w)`` degree whereas the driver path
+    sums collected values in Python — two nodes whose true degrees
+    differ by less than the accumulated rounding ulps could sort
+    differently and shift the accept/skip replay; likewise the
+    distributed stat sums could land on the other side of a
+    ``round(·, 6)`` boundary.  Exact ties are safe (tie-break is the
+    node key); only sub-ulp near-ties diverge — none exist in the
+    parity fixtures, and at scale the output difference is bounded by
+    that degeneracy, not by the strategy."""
     sym = (
         und.selectExpr("a AS u", "b AS v", "w")
         .unionByName(und.selectExpr("b AS u", "a AS v", "w"))
@@ -429,19 +440,26 @@ def cluster_one(
         .where(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.sum("w").alias("w"))
+        # the aggregate feeds the strategy-dispatch count AND (small
+        # path) the adjacency collect / (ego path) the BFS + stats
+        # joins — persist so the edge aggregation runs once
+        .persist()
     )
-    if und.count() > ego_edge_threshold:
-        return _cluster_one_ego(
-            spark,
-            und,
-            penalty,
-            overlap_threshold,
-            min_size,
-            min_density,
-            ego_radius,
-            ego_max_doublings,
-        )
-    adj = _collect_adj(und)
+    try:
+        if und.count() > ego_edge_threshold:
+            return _cluster_one_ego(
+                spark,
+                und,
+                penalty,
+                overlap_threshold,
+                min_size,
+                min_density,
+                ego_radius,
+                ego_max_doublings,
+            )
+        adj = _collect_adj(und)
+    finally:
+        und.unpersist()
 
     degree = {u: sum(nb.values()) for u, nb in adj.items()}
     seeds = sorted(degree, key=lambda u: (-degree[u], u))

@@ -266,23 +266,30 @@ def lloyd_refine_distributed(
                     }
                 )
 
-        # reduce the per-partition partials: explode the dim axis (tiny:
-        # partitions × n_lists × dim rows) and sum per (list, pos)
+        # reduce the per-partition partials in ONE action (the corpus
+        # scan is the dominant cost — a second collect would rerun it):
+        # element-wise array sum via zip_with aggregation per list, with
+        # the count summed alongside
         part = src.mapInPandas(
             partials, schema="list_id long, s array<double>, n long"
         )
-        sums_rows = (
-            part.select("list_id", F.posexplode("s").alias("pos", "v"))
-            .groupBy("list_id", "pos")
-            .agg(F.sum("v").alias("sv"))
+        rows = (
+            part.groupBy("list_id")
+            .agg(
+                F.aggregate(
+                    F.collect_list("s"),
+                    F.array_repeat(F.lit(0.0), dim),
+                    lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
+                ).alias("sv"),
+                F.sum("n").alias("cn"),
+            )
             .collect()
         )
-        count_rows = part.groupBy("list_id").agg(F.sum("n").alias("cn")).collect()
+        bc.unpersist()
         new_sums = np.zeros((n_lists, dim))
-        for r in sums_rows:
-            new_sums[r["list_id"], r["pos"]] = r["sv"]
         new_counts = np.zeros(n_lists)
-        for r in count_rows:
+        for r in rows:
+            new_sums[r["list_id"]] = r["sv"]
             new_counts[r["list_id"]] = r["cn"]
         nz = new_counts > 0
         cents[nz] = new_sums[nz] / new_counts[nz, None]

@@ -44,8 +44,10 @@ SUBSET engine; the honest scope is:
   primitives ``[C,N]`` / ``[#6,#7]`` / ``[a,Cl]`` — each alternative
   optionally carrying its OWN H-count/charge modifiers (``[CH2,NH]``,
   ``[O-,OH]``; r9) — negation
-  ``[!O]`` / ``[!#1]`` / ``[!C!N]`` (none may match; items may carry
-  their own mods — ``[!CH3]``, ``[!O-]``; r9), and
+  ``[!O]`` / ``[!#1]`` / ``[!C!N]`` (none may match; Daylight
+  precedence — ``!`` binds ONE primitive, so trailing H/charge mods
+  AND with the none-of verdict: ``[!CH3]`` = not-carbon WITH 3
+  explicit H, ``[!O-]`` = not-oxygen carrying −1; r9), and
   ``;``-conjuncts on concrete atoms (``[C;R]`` / ``[c;!R]``; ``;`` and
   ``&`` are both AND for H/charge/X/v mods) AND on whole
   alternation/negation lists (``[C,N;R]`` / ``[!C!N;R]`` — SMARTS
@@ -118,11 +120,15 @@ _BRACKET_ALT_RE = re.compile(
 _ALT_ITEM_RE = re.compile(
     rf"(?P<prim>{_PRIM_SRC})(?P<h>H\d*)?(?P<chg>\+\d*|-\d*)?$"
 )
-# negation items may carry per-item mods too ([!CH3], [!O-] — r9): the
-# negated conjunction "no listed item matches" evaluates each item with
-# its own mods, mirroring the alternation form
+# Daylight precedence: '!' binds to exactly ONE primitive, so in
+# [!CH3] the tokens are !C and H3 — (not carbon) AND (3 explicit H).
+# The negation list may therefore be followed by bracket-level H/charge
+# mods that AND with the none-of verdict ([!CH3], [!O-], [!C!NH2] —
+# r9; per-ITEM mods would be the wrong semantics for negation, unlike
+# the alternation form where ',' separates complete atom exprs)
 _BRACKET_NEG_RE = re.compile(
-    rf"\[(?P<nlist>(?:!{_ALT_ITEM_SRC})+)(?P<conj>{_CONJ_SRC})(?::(?P<map>\d+))?\]"
+    rf"\[(?P<nlist>(?:!{_PRIM_SRC})+)(?P<mods>(?:H\d*|\+\d*|-\d*)*)"
+    rf"(?P<conj>{_CONJ_SRC})(?::(?P<map>\d+))?\]"
 )
 # elem-less charge query: [+] / [-] / [+2] — any atom carrying exactly
 # that formal charge (pattern-side only; nothing concrete to write)
@@ -312,11 +318,12 @@ def _parse_bracket_atom(s: str, i: int) -> Atom:
     m = _BRACKET_NEG_RE.match(s, i)
     if m:
         raw = re.sub(r":\d+\]$", "]", m.group(0))
+        h, charge, _ = _parse_mods(m.group("mods") or "")
         return Atom(
-            "*", False, None, None,
+            "*", False, h, charge,
             int(m.group("map")) if m.group("map") else None,
             raw, i, m.end(), m.end(),
-            negs=tuple(_alt_item(p) for p in m.group("nlist")[1:].split("!")),
+            negs=tuple(_prim(p) for p in m.group("nlist")[1:].split("!")),
             conj=_parse_conj(m.group("conj")),
         )
     m = _BRACKET_CHG_RE.match(s, i)

@@ -145,17 +145,40 @@ def write_jsonl(
     (too many tiny files throttle object-store listing; too few starve
     loader parallelism).  Implemented as one job (r9; the previous
     ``count()+repartition`` ran an extra full pass): an AQE REBALANCE
-    merges undersized partitions to the advisory size, then the
-    writer's ``maxRecordsPerFile`` cuts each partition into
-    ``target``-row files.  Gzip by default: json-lines compresses 5-10x
-    and every loader reads it.
+    merges undersized partitions, then the writer's
+    ``maxRecordsPerFile`` cuts each partition into ``target``-row
+    files.  The rebalance advisory size is raised to 1 GiB for the
+    write (and restored after) so the row cap — not AQE's default
+    64 MB merge target — decides shard size even for large targets; a
+    file can still come out under target when AQE is disabled (the
+    hint is then a no-op and input partitioning rules) or a partition
+    exceeds 1 GiB.  Gzip by default: json-lines compresses 5-10x and
+    every loader reads it.
     """
     writer = df
     out_opts: dict[str, str] = {}
+    advisory_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    saved_advisory: str | None = None
+    spark = df.sparkSession
     if target_rows_per_file is not None:
         writer = df.hint("rebalance")
         out_opts["maxRecordsPerFile"] = str(int(target_rows_per_file))
-    out = writer.write.mode(mode).options(**out_opts)
-    if compression:
-        out = out.option("compression", compression)
-    out.json(path)
+        try:
+            saved_advisory = spark.conf.get(advisory_key, None)
+            spark.conf.set(advisory_key, "1g")
+        except Exception:
+            saved_advisory = None
+    try:
+        out = writer.write.mode(mode).options(**out_opts)
+        if compression:
+            out = out.option("compression", compression)
+        out.json(path)
+    finally:
+        if target_rows_per_file is not None:
+            try:
+                if saved_advisory is None:
+                    spark.conf.unset(advisory_key)
+                else:
+                    spark.conf.set(advisory_key, saved_advisory)
+            except Exception:
+                pass

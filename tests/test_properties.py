@@ -619,36 +619,45 @@ def _mod_alt_bracket(draw):
     return "[" + ",".join(t[0] for t in items) + "]", items
 
 
-@given(s=_smiles_subset(), mb=_mod_alt_bracket())
+@given(
+    s=_smiles_subset(),
+    prims=st.lists(st.sampled_from(_QUERY_PRIMS), min_size=1, max_size=2, unique=True),
+    mod=st.sampled_from(["H1", "H2", "H3", "+", "-", "H3+", ""]),
+)
 @settings(max_examples=300, deadline=None)
-def test_mod_negation_matches_exhaustive_single_atom(s, mb):
-    """Negation items with per-item modifiers ([!CH3!O-] — r9): an atom
-    matches iff NO listed item (primitive AND its own mods) matches —
-    the De-Morgan mirror of the modified alternation below, against the
-    same independent exhaustive scan."""
+def test_neg_bracket_trailing_mods_daylight_semantics(s, prims, mod):
+    """Daylight precedence for negation brackets with trailing mods
+    ([!CH3], [!O-] — r9): '!' binds exactly ONE primitive, so the
+    pattern means (no listed primitive matches) AND (the explicit
+    H-count/charge mods hold) — NOT a negation of (prim AND mods).
+    Independent exhaustive scan restating that precedence."""
     from omics_data_integration_utilities_spark.operators.smarts_engine import (
         has_substructure,
         parse_graph,
     )
 
-    _, items = mb
-    pattern = "[" + "".join("!" + t[0] for t in items) + "]"
+    pattern = "[" + "".join("!" + p for p in prims) + mod + "]"
     try:
         atoms, _edges = parse_graph(s)
     except ValueError:
         return
 
-    def alt_ok(a, prim, h, chg):
-        if not _ref_prim_pred(prim, a.elem, a.aromatic):
+    h = None
+    chg = None
+    mh = __import__("re").match(r"(H(\d*))?([+-])?$", mod)
+    if mh.group(1):
+        h = int(mh.group(2)) if mh.group(2) else 1
+    if mh.group(3):
+        chg = 1 if mh.group(3) == "+" else -1
+
+    def atom_ok(a):
+        if any(_ref_prim_pred(p, a.elem, a.aromatic) for p in prims):
             return False
         if h is not None and a.hcount != h:
             return False
         return chg is None or (a.charge or 0) == chg
 
-    want = any(
-        not any(alt_ok(a, prim, h, chg) for _, prim, h, chg in items)
-        for a in atoms
-    )
+    want = any(atom_ok(a) for a in atoms)
     assert has_substructure(s, pattern) == want, pattern
 
 
