@@ -148,3 +148,33 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    corrupt_col: str = "_corrupt_record",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl`: a ``readStream`` JSON-lines
+    source with the same required-schema + PERMISSIVE corrupt-record
+    quarantine contract, for curation pipelines that ingest documents as
+    they land (one shard file per upload) instead of in batches.  Any
+    stateless curation op in ``operators/text.py`` composes on the
+    result unchanged — batch==stream parity is pinned in
+    tests/test_streaming.py.  ``max_files_per_trigger`` bounds
+    per-micro-batch work (backpressure when a backfill drops thousands
+    of shards at once)."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if corrupt_col not in schema.fieldNames():
+        schema = schema.add(T.StructField(corrupt_col, T.StringType(), True))
+    reader = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.json(path)
