@@ -39,8 +39,8 @@ SUBSET engine; the honest scope is:
   Query primitives (pattern-side only): atomic numbers ``[#6]``
   (aromaticity-agnostic), any-aromatic/any-aliphatic ``[a]`` / ``[A]``,
   ring membership ``[R]`` / ``[!R]``, elem-less charge ``[+]`` / ``[-]``
-  / ``[+2]``, recursive environments ``[$(C=O)]`` / ``[!$(CO)]`` (one
-  nesting level; anchor = the sub-pattern's first atom), alternation of
+  / ``[+2]``, recursive environments ``[$(C=O)]`` / ``[!$(CO)]`` (depth 2 since
+  r9; anchor = the sub-pattern's first atom), alternation of
   primitives ``[C,N]`` / ``[#6,#7]`` / ``[a,Cl]`` — each alternative
   optionally carrying its OWN H-count/charge modifiers (``[CH2,NH]``,
   ``[O-,OH]``; r9) — negation
@@ -51,9 +51,10 @@ SUBSET engine; the honest scope is:
   ``;``-conjuncts on concrete atoms (``[C;R]`` / ``[c;!R]``; ``;`` and
   ``&`` are both AND for H/charge/X/v mods) AND on whole
   alternation/negation lists (``[C,N;R]`` / ``[!C!N;R]`` — SMARTS
-  precedence: ``,`` binds tighter than ``;``; r9).  Mixing ``!`` inside
-  an alternation list, nested recursion, and stereo
-  remain OUTSIDE the subset; a
+  precedence: ``,`` binds tighter than ``;``; r9).  Recursive
+  environments nest to depth 2 (``[$([$(CO)]N)]``; r9).  Mixing ``!``
+  inside an alternation list, recursion past depth 2, ring counts
+  (``[R2]``), and stereo remain OUTSIDE the subset; a
   product template carrying a query primitive yields no products
   (nothing concrete to write — RDKit errors on such templates).
 - **Ring closures**: a match requires the pattern's internal ring-bond
@@ -244,12 +245,36 @@ def _alt_item(item: str):
     return ("mod", (base, h, chg))
 
 
+def _rec_nesting(s: str) -> int:
+    """Maximum ``$(...)`` nesting depth inside ``s`` (0 = none)."""
+    mx = cur = 0
+    stack: list[bool] = []  # True where the '(' was opened by '$('
+    i, n = 0, len(s)
+    while i < n:
+        if s.startswith("$(", i):
+            stack.append(True)
+            cur += 1
+            mx = max(mx, cur)
+            i += 2
+        elif s[i] == "(":
+            stack.append(False)
+            i += 1
+        elif s[i] == ")":
+            if stack and stack.pop():
+                cur -= 1
+            i += 1
+        else:
+            i += 1
+    return mx
+
+
 def _match_recursive_bracket(s: str, i: int):
     """Parse a recursive-SMARTS bracket ``[$(SP)]`` / ``[!$(SP)]`` /
     ``[$(SP):n]`` starting at ``s[i]``.  Returns (neg, subpat, amap,
-    end) or None when the text is not a recursive bracket.  ONE nesting
-    level only: a ``$(`` inside the sub-pattern raises (documented
-    subset bound)."""
+    end) or None when the text is not a recursive bracket.  TWO nesting
+    levels (r9 — the sub-pattern may itself carry ``[$(...)]`` atoms,
+    whose anchor sets the embedding search computes recursively); a
+    third level raises (documented subset bound)."""
     neg = s.startswith("[!$(", i)
     if not neg and not s.startswith("[$(", i):
         return None
@@ -265,9 +290,9 @@ def _match_recursive_bracket(s: str, i: int):
     if depth:
         raise ValueError(f"unbalanced recursive SMARTS at {i}")
     subpat = s[start : j - 1]
-    if "$(" in subpat:
+    if _rec_nesting(subpat) > 1:
         raise ValueError(
-            f"nested recursive SMARTS at {i} is outside the subset"
+            f"recursive SMARTS nested deeper than 2 at {i} is outside the subset"
         )
     m = re.compile(r"(?::(\d+))?\]").match(s, j)
     if not m:
@@ -696,8 +721,10 @@ def _all_embeddings(
     Recursive ``[$(SP)]`` primitives: anchor sets (substrate atoms where
     SP embeds with its first atom) are precomputed here per sub-pattern
     by a recursive sub-search — sub-patterns parse with
-    :func:`parse_graph` and must not themselves contain ``$(`` (one
-    nesting level, enforced at parse).  The sub-search enumerates at
+    :func:`parse_graph`; a sub-pattern carrying its own ``[$(...)]``
+    atoms (depth 2, the r9 bound — enforced at parse) re-enters this
+    function, which computes the inner anchors first, so nesting costs
+    one extra sub-search per inner pattern.  The sub-search enumerates at
     most ``_REC_EMBED_CAP`` embeddings per sub-pattern (NOT silent:
     a pathologically symmetric sub-pattern on a large substrate could
     otherwise enumerate factorially; RetroRules sub-patterns are tiny)."""

@@ -589,13 +589,17 @@ K3_PROBES = [
     ("probe_aconj_ring", "[c,n;R]"),
     ("probe_aconj_halo", "[Cl,Br;!R]"),
     ("probe_nconj_ring", "[!C!N;R]"),
+    # r9 depth-2 recursive environment: an atom anchoring (an atom that
+    # anchors Cl, bonded to the [CH3] carbon) — the Cl of the even
+    # variant, nested form of probe_rec_cl_ch3
+    ("probe_rec_nested", "[$([$(Cl)][CH3])]"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
 _K3_STRUCTURAL_TRUE_ON_CL = (
     "probe_ccl", "probe_branch", "probe_branch_swap",
     "probe_alt_halo", "probe_neg_before_cl", "probe_rec_cl_ch3",
-    "probe_malt_cl_nh2", "probe_aconj_halo",
+    "probe_malt_cl_nh2", "probe_aconj_halo", "probe_rec_nested",
 )
 _K3_TRUE_ON_RING = (
     "probe_num_arom", "probe_neg_ch3", "probe_arom_wild",

@@ -839,6 +839,51 @@ def test_list_conjunct_matches_exhaustive(s, prims, neg_form, conj):
     assert has_substructure(s, pattern) == want, pattern
 
 
+@given(s=_smiles_subset())
+@settings(max_examples=250, deadline=None)
+def test_nested_recursive_bracket_matches_bruteforce(s):
+    """Depth-2 recursive SMARTS (r9): [$([$(CO)]N)] anchors at an atom x
+    iff x itself anchors a C–O embedding (x is an aliphatic C with an O
+    neighbor, any bond) AND x has an aliphatic-N neighbor — restated
+    here directly from the adjacency, independent of the engine's
+    recursive anchor machinery.  Also pins the depth bound: a
+    third-level nesting must raise."""
+    import pytest
+
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        has_substructure,
+        parse_graph,
+    )
+
+    try:
+        atoms, edges = parse_graph(s)
+    except ValueError:
+        return
+
+    # single-bond adjacency only: a bare pattern bond means single, so
+    # CO must NOT anchor at C=O (Daylight default-bond semantics)
+    adj: dict = {}
+    for (a, b), lab in edges.items():
+        if lab in (None, "-"):
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+
+    def is_elem(i, sym):
+        return atoms[i].elem == sym and not atoms[i].aromatic
+
+    def anchors_co(i):
+        return is_elem(i, "C") and any(is_elem(j, "O") for j in adj.get(i, []))
+
+    want = any(
+        anchors_co(i) and any(is_elem(j, "N") for j in adj.get(i, []))
+        for i in range(len(atoms))
+    )
+    assert has_substructure(s, "[$([$(CO)]N)]") == want
+
+    with pytest.raises(ValueError):
+        parse_graph("[$([$([$(C)]O)]N)]")
+
+
 @st.composite
 def _charge_bracket(draw):
     mag = draw(st.integers(min_value=1, max_value=2))
