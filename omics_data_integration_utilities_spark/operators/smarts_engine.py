@@ -52,8 +52,9 @@ SUBSET engine; the honest scope is:
   ``&`` are both AND for H/charge/X/v mods) AND on whole
   alternation/negation lists (``[C,N;R]`` / ``[!C!N;R]`` — SMARTS
   precedence: ``,`` binds tighter than ``;``; r9).  Recursive
-  environments nest to depth 2 (``[$([$(CO)]N)]``; r9).  Mixing ``!``
-  inside an alternation list, recursion past depth 2, ring counts
+  environments nest to depth 2 (``[$([$(CO)]N)]``; r9).  An
+  alternation item may negate its primitive (``[C,!N]`` — ``!`` binds
+  the item's one primitive; r9).  Recursion past depth 2, ring counts
   (``[R2]``), and stereo remain OUTSIDE the subset; a
   product template carrying a query primitive yields no products
   (nothing concrete to write — RDKit errors on such templates).
@@ -108,8 +109,10 @@ _PRIM_SRC = r"(?:\*|#\d+|[A-Z][a-z]?|[a-z])"
 # r9: each alternative may carry its own H-count / charge modifiers
 # ([CH2,NH], [CH3,NH2,OH], [O-,OH] — the common RetroRules shapes); the
 # modifier applies to ITS alternative only, unlike the concrete form's
-# global mods
-_ALT_ITEM_SRC = rf"{_PRIM_SRC}(?:H\d*)?(?:\+\d*|-\d*)?"
+# global mods.  An alternative may also negate ITS primitive ([C,!N] —
+# Daylight: ',' separates complete exprs and '!' binds one primitive,
+# so "!CH3" as an item means (!C) AND H3).
+_ALT_ITEM_SRC = rf"!?{_PRIM_SRC}(?:H\d*)?(?:\+\d*|-\d*)?"
 # r9: the whole alternation/negation may carry ';'-conjuncts ([C,N;R],
 # [!C!N;R] — SMARTS precedence: ',' binds tighter than ';', so the
 # conjunct ANDs with the whole OR/none-of list)
@@ -119,7 +122,7 @@ _BRACKET_ALT_RE = re.compile(
     rf"(?P<conj>{_CONJ_SRC})(?::(?P<map>\d+))?\]"
 )
 _ALT_ITEM_RE = re.compile(
-    rf"(?P<prim>{_PRIM_SRC})(?P<h>H\d*)?(?P<chg>\+\d*|-\d*)?$"
+    rf"(?P<neg>!)?(?P<prim>{_PRIM_SRC})(?P<h>H\d*)?(?P<chg>\+\d*|-\d*)?$"
 )
 # Daylight precedence: '!' binds to exactly ONE primitive, so in
 # [!CH3] the tokens are !C and H3 — (not carbon) AND (3 explicit H).
@@ -228,11 +231,15 @@ def _alt_item(item: str):
     """One alternative of an alternation bracket → matcher tuple.  A bare
     primitive stays a bare prim; one carrying its own H/charge modifiers
     ([CH2,NH] — r9) wraps as ("mod", (base_prim, hcount, charge)) so the
-    modifier binds to ITS alternative only."""
+    modifier binds to ITS alternative only; a '!' on the item ([C,!N] —
+    r9) negates the item's PRIMITIVE (Daylight: '!' binds one
+    primitive), wrapping the base as ("not", base_prim)."""
     m = _ALT_ITEM_RE.match(item)
     if not m:  # pragma: no cover — the bracket regex pre-validates
         raise ValueError(f"unsupported alternation item {item!r}")
     base = _prim(m.group("prim"))
+    if m.group("neg"):
+        base = ("not", base)
     h = chg = None
     if m.group("h"):
         h = int(m.group("h")[1:]) if len(m.group("h")) > 1 else 1
@@ -386,11 +393,19 @@ def _is_query(a: Atom) -> bool:
     return a.alts is not None or a.negs is not None or a.conj is not None
 
 
+def _flatten_prim(prim):
+    """Yield ``prim`` and every base under its wrappers ("mod"/"not") so
+    ring/rec detection sees wrapped primitives."""
+    yield prim
+    if prim[0] == "mod":
+        yield from _flatten_prim(prim[1][0])
+    elif prim[0] == "not":
+        yield from _flatten_prim(prim[1])
+
+
 def _atom_prims(a: Atom):
     for prim in (*(a.alts or ()), *(a.negs or ())):
-        yield prim
-        if prim[0] == "mod":  # unwrap so ring detection sees the base
-            yield prim[1][0]
+        yield from _flatten_prim(prim)
     for _, prim in a.conj or ():
         yield prim
 
@@ -485,6 +500,8 @@ def _prim_matches(prim, sub: Atom) -> bool:
         if h is not None and sub.hcount != h:
             return False
         return chg is None or (sub.charge or 0) == chg
+    if kind == "not":  # negated item primitive inside an alternation
+        return not _prim_matches(val, sub)
     if kind == "any":
         return True
     if kind == "num":

@@ -593,7 +593,8 @@ def test_query_bracket_matches_exhaustive_single_atom(s, qb):
 
 
 _MOD_ALT_ITEMS = [
-    # (item text, prim, hcount, charge) — per-alternative modifier forms
+    # (item text, prim, hcount, charge) — per-alternative modifier forms;
+    # a leading '!' negates the item's PRIMITIVE only (Daylight binding)
     ("CH3", "C", 3, None),
     ("CH2", "C", 2, None),
     ("NH", "N", 1, None),
@@ -605,6 +606,10 @@ _MOD_ALT_ITEMS = [
     ("O", "O", None, None),
     ("#7", "#7", None, None),
     ("a", "a", None, None),
+    ("!C", "!C", None, None),
+    ("!NH", "!N", 1, None),
+    ("!O-", "!O", None, -1),
+    ("!#6", "!#6", None, None),
 ]
 
 
@@ -683,7 +688,10 @@ def test_mod_alternation_matches_exhaustive_single_atom(s, mb):
         return
 
     def alt_ok(a, prim, h, chg):
-        if not _ref_prim_pred(prim, a.elem, a.aromatic):
+        hit = _ref_prim_pred(prim.lstrip("!"), a.elem, a.aromatic)
+        if prim.startswith("!"):
+            hit = not hit
+        if not hit:
             return False
         if h is not None and a.hcount != h:
             return False
