@@ -129,10 +129,11 @@ METHODOLOGY = (
 # not a regression — carried in the JSON so round-over-round deltas on
 # these queries are read against the new workload
 WORKLOAD_CHANGES = {
-    "k3_substructure": "29 -> 38 probes (r9 per-alternative-modifier "
+    "k3_substructure": "29 -> 39 probes (r9 per-alternative-modifier "
     "[CH2,NH]-class + list-conjunct [C,N;R]-class + depth-2 recursive "
-    "brackets)",
-    "k1_graph_rewrite": "6 -> 7 rules (r9 per-alternative-modifier rule)",
+    "+ negated-item [C,!N]-class brackets)",
+    "k1_graph_rewrite": "6 -> 8 rules (r9 per-alternative-modifier + "
+    "negated-item rules)",
 }
 
 

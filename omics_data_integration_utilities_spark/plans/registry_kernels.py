@@ -593,6 +593,9 @@ K3_PROBES = [
     # anchors Cl, bonded to the [CH3] carbon) — the Cl of the even
     # variant, nested form of probe_rec_cl_ch3
     ("probe_rec_nested", "[$([$(Cl)][CH3])]"),
+    # r9 negated-item alternation: Br never occurs and !A = aromatic
+    # atom, so [Br,!A] is true exactly on the ring variant
+    ("probe_nalt_arom", "[Br,!A]"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
@@ -605,6 +608,7 @@ _K3_TRUE_ON_RING = (
     "probe_num_arom", "probe_neg_ch3", "probe_arom_wild",
     "probe_ring_mem", "probe_rec_ring", "probe_conj_arom_ring",
     "probe_malt_ch3_arom", "probe_aconj_ring", "probe_nconj_ring",
+    "probe_nalt_arom",
 )
 _K3_ALWAYS_TRUE = (
     "probe_neg_h", "probe_alt_n", "probe_aliph", "probe_acyclic",
@@ -933,6 +937,9 @@ GRAPH_RXN_RULES = [
     # own charge mod and never matches (no charged atoms), so the bare C
     # alternative selects the same unique C–O site
     ("r_malt_phos", "[C+,C:1]O", "[C:1]P", "P"),
+    # r9 negated-item alternation: !N never matters here (the site is a
+    # C), so the C alternative selects the same unique C–O site
+    ("r_nalt_bor", "[C,!N:1]O", "[C:1]B", "B"),
 ]
 
 
