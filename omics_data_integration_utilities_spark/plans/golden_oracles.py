@@ -884,6 +884,9 @@ FROM (VALUES
 
 GOLDEN_ORACLES.update({
     "clusterone_modules": SQL_GOLDEN_CLUSTERONE_MODULES,
+    # r9: the SAME pin also locks the ego-delivery strategy (integer
+    # count weights → exact sums → bit-identical by construction)
+    "clusterone_modules_ego": SQL_GOLDEN_CLUSTERONE_MODULES,
 })
 
 

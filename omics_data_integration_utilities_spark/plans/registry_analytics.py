@@ -140,6 +140,33 @@ def q_clusterone_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_one(edges)
 
 
+def q_clusterone_modules_ego(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME planted-module K15 query forced through the r9
+    ego-delivery strategy (``ego_edge_threshold=0`` — the full edge list
+    is never collected or broadcast) against the SAME golden pin.  The
+    edge weights are integer counts, so every distributed float sum is
+    exact and the strategies are bit-identical by construction — this
+    registers real-testdata evidence for the scale path, not just the
+    synthetic parity graphs."""
+    from ..analytics.clusterone import cluster_one
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.col("user_id") % 12
+    blk = F.floor(s / 4)
+    j = (F.col("user_id") / 12).cast("long")
+    within = blk * 4 + ((s + 1 + j % 3) % 4)
+    bridge = (s + 4) % 12
+    edges = (
+        ev.groupBy(
+            s.cast("string").alias("src"),
+            F.when(j % 10 == 0, bridge).otherwise(within).cast("string").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    return cluster_one(edges, ego_edge_threshold=0)
+
+
 def q_combat_mean_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K10 family: closed-form mean-only ComBat (location-shift batch
     correction, no EB scale solve) — fully SQL-expressible, hash-checked;
@@ -185,6 +212,7 @@ QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "combat_adjust": q_combat_adjust,
     "combat_adjust_digest": q_combat_adjust_digest,
     "clusterone_modules": q_clusterone_modules,
+    "clusterone_modules_ego": q_clusterone_modules_ego,
 }
 
 
