@@ -50,9 +50,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_queries_oracle.py.
 #
 # r9 rotation (this round): with the full never-checked-14 entering,
-# the cumulative driver-verified set reaches ALL 122 registered
-# queries once this round's CORRECTNESS lands (104 previously checked
-# + the 14 + the 4 new r9 registrations, all in-window).  The r8
+# the cumulative driver-verified set reaches all registered queries
+# except one once this round's CORRECTNESS lands (104 previously
+# checked + the 14 + the 4 new r9 registrations, all in-window; the
+# only never-checked residue is the late-r9 clusterone_modules_ego —
+# golden-pinned locally, first r10 rotation candidate).  The r8
 # VERDICT corrected the stale candidate list — p1-p5/p7, u3, f2/f3, text_dup_spans,
 # text_token_counts were driver-green in r1-r2; the TRUE
 # never-driver-checked set was 14: f1_set_encode, f4_concat_key,
