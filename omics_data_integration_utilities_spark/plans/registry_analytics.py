@@ -124,12 +124,19 @@ def q_clusterone_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recover exactly the three blocks; a uniform graph would collapse
     # into one cluster and a bare functional graph is an undetectable
     # cycle, so the planted structure is what makes this a real check
+    return cluster_one(_planted_module_edges(ev))
+
+
+def _planted_module_edges(ev: DataFrame) -> DataFrame:
+    """The planted-module edge construction SHARED by clusterone_modules
+    and its ego-forced twin — both check against the same golden pin, so
+    the same-graph invariant must be structural, not copy-paste."""
     s = F.col("user_id") % 12
     blk = F.floor(s / 4)
     j = (F.col("user_id") / 12).cast("long")
     within = blk * 4 + ((s + 1 + j % 3) % 4)
     bridge = (s + 4) % 12
-    edges = (
+    return (
         ev.groupBy(
             s.cast("string").alias("src"),
             F.when(j % 10 == 0, bridge).otherwise(within).cast("string").alias("dst"),
@@ -137,7 +144,6 @@ def q_clusterone_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("weight"))
         .where(F.col("src") != F.col("dst"))
     )
-    return cluster_one(edges)
 
 
 def q_clusterone_modules_ego(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,20 +157,7 @@ def q_clusterone_modules_ego(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..analytics.clusterone import cluster_one
 
     ev = _t(spark, sf_dir, "events")
-    s = F.col("user_id") % 12
-    blk = F.floor(s / 4)
-    j = (F.col("user_id") / 12).cast("long")
-    within = blk * 4 + ((s + 1 + j % 3) % 4)
-    bridge = (s + 4) % 12
-    edges = (
-        ev.groupBy(
-            s.cast("string").alias("src"),
-            F.when(j % 10 == 0, bridge).otherwise(within).cast("string").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("weight"))
-        .where(F.col("src") != F.col("dst"))
-    )
-    return cluster_one(edges, ego_edge_threshold=0)
+    return cluster_one(_planted_module_edges(ev), ego_edge_threshold=0)
 
 
 def q_combat_mean_only(spark: SparkSession, sf_dir: str) -> DataFrame:

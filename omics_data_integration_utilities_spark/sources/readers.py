@@ -138,15 +138,26 @@ def read_jsonl(
     Scale shape: json-lines splits by newline, so a single huge file
     still fans out across tasks (unlike multiline JSON).
     """
-    if isinstance(schema, str):
-        schema = T.StructType.fromDDL(schema)
-    if corrupt_col not in schema.fieldNames():
-        schema = schema.add(T.StructField(corrupt_col, T.StringType(), True))
+    schema = _with_corrupt_col(schema, corrupt_col)
     return (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
+    )
+
+
+def _with_corrupt_col(schema: T.StructType | str, corrupt_col: str) -> T.StructType:
+    """Schema + the corrupt-record column, WITHOUT mutating the caller's
+    StructType (StructType.add appends in place and returns self — a
+    caller reusing its schema object for a sink or validation would
+    otherwise find the quarantine column silently injected)."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if corrupt_col in schema.fieldNames():
+        return schema
+    return T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
     )
 
 
@@ -166,10 +177,7 @@ def read_jsonl_stream(
     tests/test_streaming.py.  ``max_files_per_trigger`` bounds
     per-micro-batch work (backpressure when a backfill drops thousands
     of shards at once)."""
-    if isinstance(schema, str):
-        schema = T.StructType.fromDDL(schema)
-    if corrupt_col not in schema.fieldNames():
-        schema = schema.add(T.StructField(corrupt_col, T.StringType(), True))
+    schema = _with_corrupt_col(schema, corrupt_col)
     reader = (
         spark.readStream.schema(schema)
         .option("mode", "PERMISSIVE")

@@ -664,8 +664,6 @@ def test_jsonl_stream_curation_matches_batch(spark, tmp_path):
     curation projection (token counts + Gopher keep verdict) must equal
     the batch path over the same shard files, corrupt lines landing in
     the quarantine column on both."""
-    import gzip
-
     from omics_data_integration_utilities_spark.operators.text import gopher_quality_rules
     from omics_data_integration_utilities_spark.sources.readers import (
         read_jsonl,
