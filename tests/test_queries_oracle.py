@@ -91,6 +91,33 @@ def test_oracle_portability_lint(duck):
     assert not bad, "\n".join(bad)
 
 
+# Every registered query must carry an oracle (SQL or golden VALUES).
+# The ONLY sanctioned exceptions are the seeded iterative kernels whose
+# outputs have no ANSI-SQL form AND whose digest successors are oracled
+# (VERDICT r8: 'the only never-green are the two rows-only kernels whose
+# digest successors ARE green').  Adding a query without an oracle must
+# be a deliberate, reviewed decision — extend this list in the same
+# commit or the lint fails.
+ROWS_ONLY_SANCTIONED = {
+    "combat_adjust",      # combat_adjust_digest is golden-oracled
+    "methylmix_states",   # methylmix_states_digest is golden-oracled
+}
+
+
+def test_every_query_oracled_or_sanctioned():
+    """Registry-consistency lint: no query silently lands with only the
+    weak rows-only check."""
+    missing = set(QUERIES) - set(ORACLES) - ROWS_ONLY_SANCTIONED
+    assert not missing, (
+        f"queries without an oracle and not in ROWS_ONLY_SANCTIONED: "
+        f"{sorted(missing)}"
+    )
+    stale = ROWS_ONLY_SANCTIONED - set(QUERIES) | (
+        ROWS_ONLY_SANCTIONED & set(ORACLES)
+    )
+    assert not stale, f"stale ROWS_ONLY_SANCTIONED entries: {sorted(stale)}"
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("name", WITH_ORACLE_SF001)
 def test_oracle_parity_sf001(spark, duck, name):
