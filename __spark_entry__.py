@@ -68,11 +68,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # sub-lifecycle), doc_pack_chunks_digest + probe_double_pmod +
 # probe_cum_frame (the r8-verdict bisect kit for the doc_pack_chunks
 # red — the root cause found this round is oracle-side: DuckDB
-# sum(BIGINT) returns HUGEINT → float64 under a pandas/arrow fetch
-# while Spark stays int64, so the uncast tok_offset hash-red on
-# identical values; fixed by CAST in SQL_DOC_PACK_CHUNKS and now
-# guarded for every oracle by the dtype-class check in
-# tests/conftest.py::compare_query_to_oracle).  Eighteen out, each
+# sum(BIGINT) returns HUGEINT (arrow decimal128(38,0) → Decimal/float
+# under the driver's fetch) while Spark stays int64, so the uncast
+# tok_offset hash-red on identical values; fixed by CAST in
+# SQL_DOC_PACK_CHUNKS and now guarded for every oracle by the
+# dtype-class check in tests/conftest.py::compare_query_to_oracle.
+# Pre-driver validation: an arrow-fetch emulation of the driver
+# compare — the one fetch model consistent with every historical
+# green AND the doc_pack red (nullable int64 stays int64, HUGEINT
+# becomes Decimal) — matches ALL 50 window queries at sf0.01).  Eighteen out, each
 # driver-green r8 (or earlier) with an in-window sibling or local
 # sf0.01 oracle: j3/j8/j10/j11 (single-op native joins; j4/j12 stay),
 # a1/a2/a4/a6/a7/a9 (trivial singles; digest + window families stay),
