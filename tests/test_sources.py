@@ -175,7 +175,11 @@ def test_write_jsonl_roundtrip(spark, tmp_path):
         [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
     )
     p = str(tmp_path / "out")
+    advisory_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    before = spark.conf.get(advisory_key, None)
     write_jsonl(df, p, target_rows_per_file=25, compression=None)
+    # the 1 GiB advisory override is write-scoped: restored afterwards
+    assert spark.conf.get(advisory_key, None) == before
     back = read_jsonl(spark, p, "doc_id long, text string")
     rows = back.collect()
     assert len(rows) == 100
