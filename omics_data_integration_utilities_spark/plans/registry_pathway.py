@@ -84,6 +84,10 @@ SQL_PATHWAY_CENSUS = _pathway_sql()
 ENZYME_MIN_TOKEN = 5      # "pfam" tokens = the long words of the doc vocab
 ENZYME_REACTION_MOD = 50  # rule docs group into reaction ids
 ENZYME_CORR_CUTOFF = 0.05  # Options.corr_cutoff (gizmos.py:646-647)
+# Options.corr_p_cutoff (gizmos.py:648-649) — 0.7 makes the cutoff
+# BINDING on the testdata (drops ~12% of pairs at sf0.01), so the
+# oracle compare exercises the p filter, not just the p column
+ENZYME_P_CUTOFF = 0.7
 ENZYME_DAY_US = 86_400_000_000
 
 
@@ -101,9 +105,10 @@ def q_plan_enzyme_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
        FILTERS unknown accessions and renames;
     4. annotations ⋈ rules on the exploded pfam_rule, key dropped,
        duplicate cleanup (gizmos.py:729-741);
-    5. inner merge with the correlation table under the corr cutoff
-       (gizmos.py:627-652; ``corr_p_cutoff == 1`` skip-path, i.e. no P
-       filter — the reference's default-config branch);
+    5. inner merge with the correlation table under BOTH cutoffs
+       (gizmos.py:627-652: |corr| >= corr_cutoff AND P <= corr_p_cutoff;
+       P from the exact Student-t tail — the same Arrow kernel and
+       closed-form DuckDB series the driver-green k6_corr_pvalue pins);
     6. per-reaction transitions joined twice — ms_name renamed to
        ms_substrate / ms_product — then FULL OUTER merged so unilateral
        coexpression evidence survives (heraldPathways.py:274-281).
@@ -179,15 +184,20 @@ def q_plan_enzyme_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
         m1, m2, sample_col="day", left_key="event_type", right_key="user_id",
         left_val="v", right_val="g", min_n=5,
     )
+    from ..operators.aggregates import corr_pvalues
+
+    corr = corr.where(
+        (F.abs(F.col("r")) >= ENZYME_CORR_CUTOFF)
+        & (F.abs(F.col("r")) < 0.999999)
+    )
     corr = (
-        corr.where(
-            (F.abs(F.col("r")) >= ENZYME_CORR_CUTOFF)
-            & (F.abs(F.col("r")) < 0.999999)
-        )
+        corr_pvalues(corr)
+        .where(F.col("p") <= ENZYME_P_CUTOFF)
         .select(
             F.col("lk").alias("ms_name"),
             F.col("rk").alias("gene"),
             F.round("r", 6).alias("correlation"),
+            F.round("p", 6).alias("p_value"),
         )
     )
     # the reference drop_duplicates()s after the corr merge
@@ -195,8 +205,17 @@ def q_plan_enzyme_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides are unique on the join key structure (merged is distinct on
     # (gene, reaction_id, uniprot_id); corr has one row per
     # (ms_name, gene)), so the join output is already duplicate-free —
-    # an extra distinct() would only add a shuffle
-    enzyme = merged.join(corr, "gene")
+    # an extra distinct() would only add a shuffle.
+    #
+    # `enzyme` fans out to the substrate AND product branches of the
+    # coexpression merge: checkpoint the branch point (the
+    # data_pipeline pattern) so the corr leg — joins, aggregates and
+    # the one Arrow p-value kernel — runs once, not once per branch.
+    enzyme = (
+        merged.join(corr, "gene")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("gene"))
+        .localCheckpoint(eager=False)
+    )
 
     # 6. per-reaction transitions; substrate/product renames; outer merge
     types = (
@@ -225,6 +244,7 @@ def q_plan_enzyme_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reaction_id", "gene", "uniprot_id",
             F.col("ms_name").alias("ms_substrate"),
             F.col("correlation").alias("correlation_substrate"),
+            F.col("p_value").alias("p_substrate"),
         ),
         ["reaction_id", "ms_substrate"],
     )
@@ -233,12 +253,15 @@ def q_plan_enzyme_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reaction_id", "gene", "uniprot_id",
             F.col("ms_name").alias("ms_product"),
             F.col("correlation").alias("correlation_product"),
+            F.col("p_value").alias("p_product"),
         ),
         ["reaction_id", "ms_product"],
     )
     keys = ["reaction_id", "ms_substrate", "ms_product", "gene", "uniprot_id"]
     return subs.join(prod, keys, "full_outer").select(
-        *keys, "correlation_substrate", "correlation_product"
+        *keys,
+        "correlation_substrate", "p_substrate",
+        "correlation_product", "p_product",
     )
 
 
@@ -275,12 +298,44 @@ WITH ann AS (
 ), corrs AS (
   SELECT event_type AS ms_name, user_id AS gene, count(*) AS n, corr(v, g) AS r
   FROM m1 JOIN m2 USING (day) GROUP BY 1, 2
-), corr_f AS (
-  SELECT ms_name, gene, round(r, 6) AS correlation FROM corrs
+), corr_b AS (
+  -- exact Student-t tail via the finite closed forms for integer df —
+  -- the same independent route the driver-green k6_corr_pvalue pins
+  SELECT ms_name, gene, n, r, n - 2 AS nu,
+         abs(r) * sqrt((n - 2) / (1 - r * r)) AS t
+  FROM corrs
   WHERE n >= 5 AND r IS NOT NULL
     AND abs(r) >= {ENZYME_CORR_CUTOFF!r} AND abs(r) < 0.999999
+), corr_tx AS (
+  SELECT *, nu / (nu + t * t) AS x,
+         CASE WHEN nu % 2 = 0 THEN nu // 2 - 1 ELSE (nu - 3) // 2 END AS jmax
+  FROM corr_b
+), corr_js AS (
+  SELECT ms_name, gene, nu, x, unnest(range(0, CAST(jmax AS BIGINT) + 1)) AS j
+  FROM corr_tx
+), corr_terms AS (
+  SELECT ms_name, gene,
+    CASE WHEN nu % 2 = 0
+      THEN exp(lgamma(2 * j + 1.0) - 2 * lgamma(j + 1.0) - j * ln(4.0)) * pow(x, j)
+      ELSE exp(j * ln(4.0) + 2 * lgamma(j + 1.0) - lgamma(2 * j + 2.0)) * pow(x, j)
+    END AS term
+  FROM corr_js
+), corr_s AS (
+  SELECT ms_name, gene, sum(term) AS ssum FROM corr_terms GROUP BY 1, 2
+), corr_p AS (
+  SELECT b.ms_name, b.gene, b.r,
+    CASE WHEN b.nu % 2 = 0
+      THEN 1 - b.t / sqrt(b.nu + b.t * b.t) * s.ssum
+      ELSE 1 - 2 / pi() * (atan(b.t / sqrt(b.nu))
+                           + b.t * sqrt(b.nu) / (b.nu + b.t * b.t) * s.ssum)
+    END AS p_raw
+  FROM corr_tx b JOIN corr_s s USING (ms_name, gene)
+), corr_f AS (
+  SELECT ms_name, gene, round(r, 6) AS correlation, round(p_raw, 6) AS p_value
+  FROM corr_p WHERE p_raw <= {ENZYME_P_CUTOFF!r}
 ), enzyme AS (
-  SELECT DISTINCT m.gene, m.reaction_id, m.uniprot_id, c.ms_name, c.correlation
+  SELECT DISTINCT m.gene, m.reaction_id, m.uniprot_id, c.ms_name,
+         c.correlation, c.p_value
   FROM merged m JOIN corr_f c ON m.gene = c.gene
 ), types AS (
   SELECT event_type, row_number() OVER (ORDER BY event_type) - 1 AS ti
@@ -293,12 +348,12 @@ WITH ann AS (
   JOIN types ts_p ON ts_p.ti = (r.reaction_id + 2) % 5
 ), subs AS (
   SELECT rt.reaction_id, rt.ms_substrate, rt.ms_product, e.gene, e.uniprot_id,
-         e.correlation AS correlation_substrate
+         e.correlation AS correlation_substrate, e.p_value AS p_substrate
   FROM rt JOIN enzyme e
     ON e.reaction_id = rt.reaction_id AND e.ms_name = rt.ms_substrate
 ), prod AS (
   SELECT rt.reaction_id, rt.ms_substrate, rt.ms_product, e.gene, e.uniprot_id,
-         e.correlation AS correlation_product
+         e.correlation AS correlation_product, e.p_value AS p_product
   FROM rt JOIN enzyme e
     ON e.reaction_id = rt.reaction_id AND e.ms_name = rt.ms_product
 )
@@ -307,7 +362,8 @@ SELECT coalesce(s.reaction_id, p.reaction_id) AS reaction_id,
        coalesce(s.ms_product, p.ms_product) AS ms_product,
        coalesce(s.gene, p.gene) AS gene,
        coalesce(s.uniprot_id, p.uniprot_id) AS uniprot_id,
-       s.correlation_substrate, p.correlation_product
+       s.correlation_substrate, s.p_substrate,
+       p.correlation_product, p.p_product
 FROM subs s FULL OUTER JOIN prod p
   ON s.reaction_id = p.reaction_id AND s.ms_substrate = p.ms_substrate
  AND s.ms_product = p.ms_product AND s.gene = p.gene AND s.uniprot_id = p.uniprot_id

@@ -133,12 +133,17 @@ def test_data_pipeline_neardup_is_inverted_index(spark):
 
 def test_enzyme_annotation_plan_shape(spark):
     """The r9 enzyme-annotation composite must keep its 100 TB shape:
-    pure JVM except the one documented Arrow p-value kernel is ABSENT
-    here (corr cutoff only — no corr_pvalues in this plan), the pfam
-    dictionary and event-type tables broadcast, and no join degrades to
-    a cartesian/nested-loop."""
+    JVM throughout except the ONE documented Arrow p-value kernel
+    (corr_pvalues — the same sanctioned non-SQL step k6_corr_pvalue
+    carries), the pfam dictionary and event-type tables broadcast, and
+    no join degrades to a cartesian/nested-loop."""
     plan = _plan(spark, "plan_enzyme_annotation")
-    assert "EvalPython" not in plan
+    # the corr leg (joins + the one sanctioned Arrow p-value kernel) runs
+    # BEHIND the enzyme branch-point checkpoint — the final plan's two
+    # consumers read the materialized RDD instead of re-inlining it
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan        # never row-at-a-time Python
+    assert plan.count("ExistingRDD") >= 2       # both branches checkpointed
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan          # dict/type lookups
