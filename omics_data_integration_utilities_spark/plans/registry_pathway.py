@@ -209,8 +209,11 @@ def q_plan_enzyme_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     #
     # `enzyme` fans out to the substrate AND product branches of the
     # coexpression merge: checkpoint the branch point (the
-    # data_pipeline pattern) so the corr leg — joins, aggregates and
-    # the one Arrow p-value kernel — runs once, not once per branch.
+    # data_pipeline pattern) so EVERYTHING upstream — the doc-scan
+    # explode/dict/merge chain AND the corr leg with its one Arrow
+    # p-value kernel — runs once, not once per branch (measured:
+    # checkpointing only `corr` re-runs the merged chain per branch and
+    # is strictly worse at every scale).
     enzyme = (
         merged.join(corr, "gene")
         .repartition(spark.sparkContext.defaultParallelism, F.col("gene"))
