@@ -137,14 +137,28 @@ def test_enzyme_annotation_plan_shape(spark):
     (corr_pvalues — the same sanctioned non-SQL step k6_corr_pvalue
     carries), the pfam dictionary and event-type tables broadcast, and
     no join degrades to a cartesian/nested-loop."""
+    from omics_data_integration_utilities_spark.plans.registry_pathway import (
+        q_plan_enzyme_annotation,
+    )
+
+    # the default (checkpointed) plan: both coexpression branches read
+    # the materialized branch point instead of re-inlining the corr leg
     plan = _plan(spark, "plan_enzyme_annotation")
-    # the corr leg (joins + the one sanctioned Arrow p-value kernel) runs
-    # BEHIND the enzyme branch-point checkpoint — the final plan's two
-    # consumers read the materialized RDD instead of re-inlining it
-    assert "ArrowEvalPython" not in plan
-    assert "BatchEvalPython" not in plan        # never row-at-a-time Python
-    assert plan.count("ExistingRDD") >= 2       # both branches checkpointed
+    assert plan.count("ExistingRDD") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan          # dict/type lookups
     assert "FullOuter" in plan                  # the coexpression merge
+
+    # the checkpoint HIDES the upstream lineage, so assert the 100 TB
+    # shape on the un-checkpointed form: exactly one Arrow kernel per
+    # branch fan-out (the sanctioned p-value step), no row-at-a-time
+    # Python, no cartesian anywhere in the full chain
+    full = (
+        q_plan_enzyme_annotation(spark, SF_SMOKE, checkpoint=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert full.count("ArrowEvalPython") >= 1   # the p-value kernel is Arrow
+    assert "BatchEvalPython" not in full        # never row-at-a-time Python
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full
+    assert "BroadcastHashJoin" in full          # dict/type lookups
