@@ -212,3 +212,29 @@ def test_write_jsonl_gzip_roundtrip(spark, tmp_path):
     rows = back.collect()
     assert len(rows) == 50
     assert all(r["_corrupt_record"] is None for r in rows)
+
+
+def test_read_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
+    """r9 review regression: StructType.add appends IN PLACE, so the
+    readers must add the quarantine column on a copy — the caller's
+    schema object stays exactly as built (batch and streaming)."""
+    from pyspark.sql import types as T
+
+    from omics_data_integration_utilities_spark.sources.readers import (
+        read_jsonl,
+        read_jsonl_stream,
+    )
+
+    p = tmp_path / "s"
+    p.mkdir()
+    (p / "a.jsonl").write_text('{"doc_id": 1, "text": "x"}\n')
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    read_jsonl(spark, str(p), schema)
+    assert schema.fieldNames() == ["doc_id", "text"]
+    read_jsonl_stream(spark, str(p), schema)
+    assert schema.fieldNames() == ["doc_id", "text"]
