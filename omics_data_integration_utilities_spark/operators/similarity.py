@@ -258,39 +258,35 @@ def lloyd_refine_distributed(
                 counts += np.bincount(asn, minlength=n_lists)
                 seen = True
             if seen:
-                yield pd.DataFrame(
-                    {
-                        "list_id": np.arange(n_lists, dtype="int64"),
-                        "s": [sums[i].tolist() for i in range(n_lists)],
-                        "n": counts,
-                    }
+                # long form: one (list, pos, value) row per dimension,
+                # plus the count as a pos=-1 sentinel row — the reduce
+                # below is then ONE flat sum aggregation, no per-list
+                # array buffers (a collect_list over partition partials
+                # would hold #partitions × dim doubles per group)
+                lid = np.repeat(np.arange(n_lists, dtype="int64"), dim + 1)
+                pos = np.tile(np.arange(-1, dim, dtype="int64"), n_lists)
+                val = np.concatenate(
+                    [np.concatenate(([float(counts[i])], sums[i])) for i in range(n_lists)]
                 )
+                yield pd.DataFrame({"list_id": lid, "pos": pos, "v": val})
 
         # reduce the per-partition partials in ONE action (the corpus
         # scan is the dominant cost — a second collect would rerun it):
-        # element-wise array sum via zip_with aggregation per list, with
-        # the count summed alongside
-        part = src.mapInPandas(
-            partials, schema="list_id long, s array<double>, n long"
-        )
+        # a flat sum per (list, pos); pos=-1 carries the count
         rows = (
-            part.groupBy("list_id")
-            .agg(
-                F.aggregate(
-                    F.collect_list("s"),
-                    F.array_repeat(F.lit(0.0), dim),
-                    lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
-                ).alias("sv"),
-                F.sum("n").alias("cn"),
-            )
+            src.mapInPandas(partials, schema="list_id long, pos long, v double")
+            .groupBy("list_id", "pos")
+            .agg(F.sum("v").alias("sv"))
             .collect()
         )
         bc.unpersist()
         new_sums = np.zeros((n_lists, dim))
         new_counts = np.zeros(n_lists)
         for r in rows:
-            new_sums[r["list_id"]] = r["sv"]
-            new_counts[r["list_id"]] = r["cn"]
+            if r["pos"] < 0:
+                new_counts[r["list_id"]] = r["sv"]
+            else:
+                new_sums[r["list_id"], r["pos"]] = r["sv"]
         nz = new_counts > 0
         cents[nz] = new_sums[nz] / new_counts[nz, None]
     return cents
