@@ -98,8 +98,11 @@ REGRESSION_FLAG = 1.3
 # per-query rep overrides: p6's exact-median two-pass is correct but its
 # wall time swings ~3x with machine load (r5 1.19s / judge r6 3.56s —
 # same code, same data), so its median draws from 5 reps to keep
-# round-over-round deltas interpretable
-REPS_OVERRIDE = {"p6_mad_filter": 5}
+# round-over-round deltas interpretable.  plan_mass_annotation is the
+# flagship and moved 1.49→2.15s min r8→r9 on untouched code (r9 verdict
+# watch item): 5 reps so its min is drawn from a deeper sample and a
+# single lucky/unlucky rep can't swing the round-over-round read.
+REPS_OVERRIDE = {"p6_mad_filter": 5, "plan_mass_annotation": 5}
 
 # sub-0.5s queries carry the worst RELATIVE noise (a 0.1s scheduler
 # hiccup is a 1.5x "regression" on a 0.2s query); bump them to 5 reps
@@ -122,7 +125,9 @@ SLOW_TIMED_REPS = 2
 METHODOLOGY = (
     "warmup+median since r3; slow tier warmup+2reps with slow_mins since r9 "
     "(pre-r9 slow numbers were 1 cold rep); deltas vs pre-r3 rounds are not "
-    "comparable"
+    "comparable; the slow-tier deltas IN THE R9 JSON compared r9 warm reps "
+    "to r8 cold reps and overstate speedups by the cold/warm gap — r10 "
+    "onward is warm-vs-warm and comparable again"
 )
 
 # per-query WORKLOAD changes this round: a grown fixture is more work,

@@ -39,6 +39,16 @@ def _cohesiveness(w_in: float, w_bound: float, size: int, penalty: float) -> flo
     return w_in / denom if denom > 0 else 0.0
 
 
+def _density(n_in: int, size: int) -> float:
+    """Internal-edge density ``n_in / C(size, 2)``.  A singleton cluster
+    (reachable only when a caller passes ``min_size <= 1``) has no
+    required internal pair — vacuously complete, density 1.0 by
+    convention.  Shared by both strategy paths so the convention (and
+    the divide-by-zero guard) cannot drift between them."""
+    pairs = size * (size - 1) / 2.0
+    return n_in / pairs if pairs else 1.0
+
+
 class EgoOverflow(Exception):
     """Raised by :func:`_grow` when growth under a radius-bounded ego
     adjacency needs a node whose neighbor rows were not delivered —
@@ -193,42 +203,44 @@ def _grow_ego_blocks(
         )
         ball = ball.unionByName(frontier)
     ball = ball.persist()
-    block_nodes = ball.select("block", "node").distinct()
-    edges_b = (
-        block_nodes.alias("bn")
-        .join(sym.alias("s2"), F.col("bn.node") == F.col("s2.u"))
-        # (block + 0) mints a fresh attribute: the cogroup below keys both
-        # sides on "block", and edges_b's block descends from ball's — the
-        # shared exprId would trip the ambiguous-self-join check
-        .select(
-            (F.col("bn.block") + F.lit(0)).alias("block"), "s2.u", "s2.v", "s2.w"
+    try:
+        block_nodes = ball.select("block", "node").distinct()
+        edges_b = (
+            block_nodes.alias("bn")
+            .join(sym.alias("s2"), F.col("bn.node") == F.col("s2.u"))
+            # (block + 0) mints a fresh attribute: the cogroup below keys both
+            # sides on "block", and edges_b's block descends from ball's — the
+            # shared exprId would trip the ambiguous-self-join check
+            .select(
+                (F.col("bn.block") + F.lit(0)).alias("block"), "s2.u", "s2.v", "s2.w"
+            )
         )
-    )
 
-    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        local: dict = defaultdict(dict)
-        for u, v, w in right[["u", "v", "w"]].itertuples(index=False):
-            local[u][v] = float(w)
-        out = {"seed": [], "members": [], "ok": []}
-        for s, grp in left.groupby("seed"):
-            comp = set(grp["node"])
-            try:
-                mem = sorted(_grow(s, local, penalty, complete=comp))
-                ok = True
-            except EgoOverflow:
-                mem, ok = [], False
-            out["seed"].append(s)
-            out["members"].append(mem)
-            out["ok"].append(ok)
-        return pd.DataFrame(out)
+        def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            local: dict = defaultdict(dict)
+            for u, v, w in right[["u", "v", "w"]].itertuples(index=False):
+                local[u][v] = float(w)
+            out = {"seed": [], "members": [], "ok": []}
+            for s, grp in left.groupby("seed"):
+                comp = set(grp["node"])
+                try:
+                    mem = sorted(_grow(s, local, penalty, complete=comp))
+                    ok = True
+                except EgoOverflow:
+                    mem, ok = [], False
+                out["seed"].append(s)
+                out["members"].append(mem)
+                out["ok"].append(ok)
+            return pd.DataFrame(out)
 
-    rows = (
-        ball.groupBy("block")
-        .cogroup(edges_b.groupBy("block"))
-        .applyInPandas(kernel, "seed string, members array<string>, ok boolean")
-        .collect()
-    )
-    ball.unpersist()
+        rows = (
+            ball.groupBy("block")
+            .cogroup(edges_b.groupBy("block"))
+            .applyInPandas(kernel, "seed string, members array<string>, ok boolean")
+            .collect()
+        )
+    finally:
+        ball.unpersist()
     return {r["seed"]: (r["ok"], r["members"]) for r in rows}
 
 
@@ -271,29 +283,35 @@ def _cluster_one_ego(
         .unionByName(und.selectExpr("b AS u", "a AS v", "w"))
         .persist()
     )
-    degree = {r["u"]: float(r["d"]) for r in sym.groupBy("u").agg(F.sum("w").alias("d")).collect()}
-    seeds = sorted(degree, key=lambda u: (-degree[u], u))
-    n_blocks = max(2, spark.sparkContext.defaultParallelism)
+    # try/finally: a kernel failure mid-growth must not leave the cached
+    # union pinned for the session (sym is only needed during growth —
+    # the final stats joins below read the smaller `und` directly)
+    try:
+        degree = {r["u"]: float(r["d"]) for r in sym.groupBy("u").agg(F.sum("w").alias("d")).collect()}
+        seeds = sorted(degree, key=lambda u: (-degree[u], u))
+        n_blocks = max(2, spark.sparkContext.defaultParallelism)
 
-    grown_map: dict = {}
-    pending = seeds
-    r = radius
-    rounds = 0
-    while pending and rounds <= max_doublings:
-        res = _grow_ego_blocks(spark, sym, pending, penalty, r, n_blocks)
-        for s, (ok, mem) in res.items():
-            if ok:
-                grown_map[s] = frozenset(mem)
-        pending = [s for s in pending if s not in grown_map]
-        r *= 2
-        rounds += 1
-    if pending:
-        # exactness backstop: growth for these seeds escaped every
-        # escalated ball — rare (deep greedy walks), and the only point
-        # where the ego path may touch the full edge list
-        adj = _collect_adj(und)
-        for s in pending:
-            grown_map[s] = _grow(s, adj, penalty)
+        grown_map: dict = {}
+        pending = seeds
+        r = radius
+        rounds = 0
+        while pending and rounds <= max_doublings:
+            res = _grow_ego_blocks(spark, sym, pending, penalty, r, n_blocks)
+            for s, (ok, mem) in res.items():
+                if ok:
+                    grown_map[s] = frozenset(mem)
+            pending = [s for s in pending if s not in grown_map]
+            r *= 2
+            rounds += 1
+        if pending:
+            # exactness backstop: growth for these seeds escaped every
+            # escalated ball — rare (deep greedy walks), and the only point
+            # where the ego path may touch the full edge list
+            adj = _collect_adj(und)
+            for s in pending:
+                grown_map[s] = _grow(s, adj, penalty)
+    finally:
+        sym.unpersist()
 
     clustered: set = set()
     raw: list[frozenset] = []
@@ -307,7 +325,6 @@ def _cluster_one_ego(
     merged = _merge_overlaps(raw, overlap_threshold)
     cand = [frozenset(c) for c in merged if c is not None and len(c) >= min_size]
     if not cand:
-        sym.unpersist()
         return spark.createDataFrame(
             [],
             "cluster_id long, member string, size long, density double, cohesiveness double",
@@ -319,29 +336,39 @@ def _cluster_one_ego(
     ma = memb.withColumnRenamed("member", "a")
     mb = memb.withColumnRenamed("member", "b")
     ea = und.join(ma, "a")  # (cid, a, b, w) with a ∈ cluster cid
-    internal = ea.join(mb, ["cid", "b"], "leftsemi")
-    w_in_rows = internal.groupBy("cid").agg(
-        F.sum("w").alias("w_in"), F.count(F.lit(1)).alias("n_in")
-    ).collect()
-    bound_a = ea.join(mb, ["cid", "b"], "left_anti").groupBy("cid").agg(
-        F.sum("w").alias("wb")
-    ).collect()
-    eb = und.join(mb, "b")
-    bound_b = eb.join(ma, ["cid", "a"], "left_anti").groupBy("cid").agg(
-        F.sum("w").alias("wb")
-    ).collect()
-    sym.unpersist()
-    w_in = {r["cid"]: (float(r["w_in"]), int(r["n_in"])) for r in w_in_rows}
+    eb = und.join(mb, "b")  # (cid, a, b, w) with b ∈ cluster cid
+    # ONE aggregated pass for all per-cluster stats (was three collects):
+    # tag each a-side incidence internal/boundary with a membership left
+    # join; the b-side contributes only its BOUNDARY rows (internal edges
+    # already counted once from the a side); union → groupBy → collect.
+    a_side = (
+        ea.join(mb.withColumn("b_in", F.lit(True)), ["cid", "b"], "left")
+        .select("cid", "w", F.coalesce("b_in", F.lit(False)).alias("internal"))
+    )
+    b_side = (
+        eb.join(ma.withColumn("a_in", F.lit(True)), ["cid", "a"], "left")
+        .where(F.col("a_in").isNull())
+        .select("cid", "w", F.lit(False).alias("internal"))
+    )
+    stats_rows = (
+        a_side.unionByName(b_side)
+        .groupBy("cid")
+        .agg(
+            F.sum(F.when(F.col("internal"), F.col("w"))).alias("w_in"),
+            F.count(F.when(F.col("internal"), F.lit(1))).alias("n_in"),
+            F.sum(F.when(~F.col("internal"), F.col("w"))).alias("wb"),
+        )
+        .collect()
+    )
+    w_in = {r["cid"]: (float(r["w_in"] or 0.0), int(r["n_in"])) for r in stats_rows}
     w_bound: dict = defaultdict(float)
-    for r in bound_a:
-        w_bound[r["cid"]] += float(r["wb"])
-    for r in bound_b:
-        w_bound[r["cid"]] += float(r["wb"])
+    for r in stats_rows:
+        w_bound[r["cid"]] = float(r["wb"] or 0.0)
 
     final = []
     for i, vset in enumerate(cand):
         wi, n_in = w_in.get(i, (0.0, 0))
-        density = n_in / (len(vset) * (len(vset) - 1) / 2.0)
+        density = _density(n_in, len(vset))
         if density < min_density:
             continue
         coh = _cohesiveness(wi, w_bound[i], len(vset), penalty)
@@ -492,7 +519,7 @@ def cluster_one(
             w for u in vset for v, w in adj[u].items() if v not in vset
         )
         n_in = sum(1 for u in vset for v in adj[u] if v in vset) // 2
-        density = n_in / (len(vset) * (len(vset) - 1) / 2.0)
+        density = _density(n_in, len(vset))
         if density < min_density:
             continue
         coh = _cohesiveness(w_in, w_bound, len(vset), penalty)

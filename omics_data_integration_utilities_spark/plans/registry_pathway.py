@@ -200,9 +200,16 @@ def q_plan_enzyme_annotation(
     )
     from ..operators.aggregates import corr_pvalues
 
+    # The cutoff binds on round(r, 6) — the SAME expression both engines
+    # emit as the output column — so a pair within ulps of the raw
+    # boundary (Spark's sum-formula r vs DuckDB's corr() accumulate
+    # differently) cannot pass on one engine and fail on the other
+    # unless the rounded OUTPUT already differs (which the hash compare
+    # flags regardless).  round(r,6) < 0.999999 still keeps 1-r² well
+    # away from 0 for the t statistic.
     corr = corr.where(
-        (F.abs(F.col("r")) >= ENZYME_CORR_CUTOFF)
-        & (F.abs(F.col("r")) < 0.999999)
+        (F.abs(F.round(F.col("r"), 6)) >= ENZYME_CORR_CUTOFF)
+        & (F.abs(F.round(F.col("r"), 6)) < 0.999999)
     )
     corr = (
         corr_pvalues(corr)
@@ -322,7 +329,10 @@ WITH ann AS (
          abs(r) * sqrt((n - 2) / (1 - r * r)) AS t
   FROM corrs
   WHERE n >= 5 AND r IS NOT NULL
-    AND abs(r) >= {ENZYME_CORR_CUTOFF!r} AND abs(r) < 0.999999
+    -- boundary-stable cutoff: bind on round(r,6), the same expression
+    -- as the output column (see the Spark side's comment)
+    AND abs(round(r, 6)) >= {ENZYME_CORR_CUTOFF!r}
+    AND abs(round(r, 6)) < 0.999999
 ), corr_tx AS (
   SELECT *, nu / (nu + t * t) AS x,
          CASE WHEN nu % 2 = 0 THEN nu // 2 - 1 ELSE (nu - 3) // 2 END AS jmax

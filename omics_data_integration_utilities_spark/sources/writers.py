@@ -163,6 +163,14 @@ def write_jsonl(
     if target_rows_per_file is not None:
         writer = df.hint("rebalance")
         out_opts["maxRecordsPerFile"] = str(int(target_rows_per_file))
+        # save/restore semantics (probed on this Spark build): when the
+        # key was never explicitly set, ``conf.get(key, None)`` returns
+        # None (NOT the registered '64MB' default), so the unset-restore
+        # branch below genuinely restores the never-set state; a
+        # session-level explicit value (incl. spark-defaults at build
+        # time) comes back as a string and is restored by set.  The conf
+        # mutation is session-global and therefore NOT safe against a
+        # concurrent writer in the same session racing this window.
         try:
             saved_advisory = spark.conf.get(advisory_key, None)
             spark.conf.set(advisory_key, "1g")

@@ -48,6 +48,53 @@ def test_cluster_one_merge_and_filters(spark):
     assert all(r[0] == 0 and r[2] == 3 for r in rows)
 
 
+def test_cluster_one_min_size_one_and_density_guard(spark):
+    """The shared _density helper defines singleton density as 1.0 by
+    convention (vacuously complete) instead of dividing by zero.  A
+    singleton cannot actually arise from _grow (any incident edge makes
+    the first add improve f from exactly 0), so the guard is defensive —
+    but min_size=1 is a legal argument and must not be a crash hazard on
+    either strategy path."""
+    from omics_data_integration_utilities_spark.analytics.clusterone import (
+        _cluster_one_ego,
+        cluster_one,
+        _density,
+    )
+    from pyspark.sql import functions as F
+
+    assert _density(0, 1) == 1.0
+    assert _density(0, 0) == 1.0
+    assert _density(3, 3) == 1.0
+    assert _density(1, 3) == 1.0 / 3.0
+
+    edges = spark.createDataFrame(
+        [("a", "b", 5.0), ("b", "c", 5.0), ("a", "c", 5.0), ("c", "z", 0.01)],
+        "src string, dst string, weight double",
+    )
+    rows = sorted(map(tuple, cluster_one(edges, min_size=1, min_density=0.0).collect()))
+    assert rows  # no ZeroDivisionError, non-empty clustering
+    # ego stats path with min_size=1: same graph through _cluster_one_ego
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col("weight").alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    ego = sorted(
+        map(
+            tuple,
+            _cluster_one_ego(
+                spark, und, penalty=2.0, overlap_threshold=0.8, min_size=1,
+                min_density=0.0, radius=2, max_doublings=2,
+            ).collect(),
+        )
+    )
+    assert ego == rows
+
+
 def test_cluster_one_seed_parallel_parity(spark):
     """The seed-parallel growth path (threshold 0 forces it) must be
     bit-identical to the driver-loop core on a planted-module graph with
