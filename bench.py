@@ -134,11 +134,11 @@ METHODOLOGY = (
 # not a regression — carried in the JSON so round-over-round deltas on
 # these queries are read against the new workload
 WORKLOAD_CHANGES = {
-    "k3_substructure": "29 -> 39 probes (r9 per-alternative-modifier "
-    "[CH2,NH]-class + list-conjunct [C,N;R]-class + depth-2 recursive "
-    "+ negated-item [C,!N]-class brackets)",
-    "k1_graph_rewrite": "6 -> 8 rules (r9 per-alternative-modifier + "
-    "negated-item rules)",
+    "k3_substructure": "39 -> 43 probes (r10 ring-count [R1]/[R2]/"
+    "[C;R0]/[c;R1] brackets; r9 added per-alternative-modifier, "
+    "list-conjunct, depth-2 recursive, negated-item families)",
+    "k1_graph_rewrite": "8 -> 9 rules (r10 ring-count-conjunct "
+    "[C;R0:1] rule; r9 added per-alternative-modifier + negated-item)",
 }
 
 

@@ -54,8 +54,21 @@ SUBSET engine; the honest scope is:
   precedence: ``,`` binds tighter than ``;``; r9).  Recursive
   environments nest to depth 2 (``[$([$(CO)]N)]``; r9).  An
   alternation item may negate its primitive (``[C,!N]`` — ``!`` binds
-  the item's one primitive; r9).  Recursion past depth 2, ring counts
-  (``[R2]``), and stereo remain OUTSIDE the subset; a
+  the item's one primitive; r9).  Ring COUNTS ``[R1]`` / ``[R2]`` /
+  ``[R0]`` (standalone, conjunct ``[c;R1]``, or negated ``[!R2]``;
+  r10): an atom matches ``R<n>`` iff it lies in exactly ``n`` rings of
+  a canonical minimum cycle basis — the SSSR notion RDKit's
+  ``NumAtomRings`` implements — computed per molecule as: enumerate
+  every simple cycle, sort by (length, sorted atom indices), greedily
+  keep the GF(2)-independent ones (a matroid greedy, so the selection
+  is a true minimum cycle basis; the length-tie ORDER is this engine's
+  canonical choice, the same caveat RDKit's own SSSR carries on
+  degenerate symmetric ring systems).  ``[R0]`` ≡ ``[!R]``.  The
+  enumeration carries a step budget (molecules are tiny; a pathological
+  fused mega-system past the budget leaves counts undefined and a
+  ring-count query on it raises ValueError = outside the subset, while
+  bare ``[R]``/``[!R]`` still work from bridge analysis).  Recursion
+  past depth 2 and stereo remain OUTSIDE the subset; a
   product template carrying a query primitive yields no products
   (nothing concrete to write — RDKit errors on such templates).
 - **Ring closures**: a match requires the pattern's internal ring-bond
@@ -93,8 +106,8 @@ _BOND_CHARS = set("-=#:/\\.")
 # [c;H1] == [cH1]; ';R' / ';!R' / ';a' / ';A' add ring/aromaticity
 # conjuncts ([C;R] = aliphatic carbon in a ring)
 _BRACKET_RE = re.compile(
-    r"\[(?P<isotope>\d+)?(?P<elem>\*|#\d+|[A-Z][a-z]?|[a-z])"
-    r"(?P<mods>(?:[&;]?[Xv]\d+|[&;]?H\d*|[&;]?\+\d*|[&;]?-\d*|;!?[RaA])*)"
+    r"\[(?P<isotope>\d+)?(?P<elem>\*|#\d+|R\d+|[A-Z][a-z]?|[a-z])"
+    r"(?P<mods>(?:[&;]?[Xv]\d+|[&;]?H\d*|[&;]?\+\d*|[&;]?-\d*|;!?(?:R\d*|[aA]))*)"
     r"(?::(?P<map>\d+))?\]"
 )
 # SMARTS query brackets (pattern-side only): alternation of primitives
@@ -105,7 +118,7 @@ _BRACKET_RE = re.compile(
 # recursion and stereo stay outside the subset (module
 # docstring) — RDKit's ReactionFromSmarts accepts the wider grammar
 # (/root/reference/integrative_omics/gizmos.py:193-234).
-_PRIM_SRC = r"(?:\*|#\d+|[A-Z][a-z]?|[a-z])"
+_PRIM_SRC = r"(?:\*|#\d+|R\d+|[A-Z][a-z]?|[a-z])"
 # r9: each alternative may carry its own H-count / charge modifiers
 # ([CH2,NH], [CH3,NH2,OH], [O-,OH] — the common RetroRules shapes); the
 # modifier applies to ITS alternative only, unlike the concrete form's
@@ -116,7 +129,7 @@ _ALT_ITEM_SRC = rf"!?{_PRIM_SRC}(?:H\d*)?(?:\+\d*|-\d*)?"
 # r9: the whole alternation/negation may carry ';'-conjuncts ([C,N;R],
 # [!C!N;R] — SMARTS precedence: ',' binds tighter than ';', so the
 # conjunct ANDs with the whole OR/none-of list)
-_CONJ_SRC = r"(?:;!?[RaA])*"
+_CONJ_SRC = r"(?:;!?(?:R\d*|[aA]))*"
 _BRACKET_ALT_RE = re.compile(
     rf"\[(?P<alist>{_ALT_ITEM_SRC}(?:,{_ALT_ITEM_SRC})+)"
     rf"(?P<conj>{_CONJ_SRC})(?::(?P<map>\d+))?\]"
@@ -175,6 +188,11 @@ class Atom:
     # set by parse_graph only (bridge analysis); parse_chain atoms keep
     # False — the linear matcher declines ring-primitive patterns
     in_ring: bool = False
+    # set by parse_graph only: number of canonical-minimum-cycle-basis
+    # rings containing the atom (backs [R<n>]); None = the molecule's
+    # ring system exceeded the enumeration budget (a ringcount query on
+    # it raises — module docstring)
+    ring_count: int | None = 0
 
 
 def _parse_mods(mods: str) -> tuple[int | None, int | None, tuple | None]:
@@ -185,7 +203,7 @@ def _parse_mods(mods: str) -> tuple[int | None, int | None, tuple | None]:
     h: int | None = None
     charge: int | None = None
     conj: list = []
-    for m in re.finditer(r"[&;]?(!?[RaA]|H\d*|\+\d*|-\d*|[Xv]\d+)", mods):
+    for m in re.finditer(r"[&;]?(!?(?:R\d*|[aA])|H\d*|\+\d*|-\d*|[Xv]\d+)", mods):
         t = m.group(1)
         if t.startswith("H"):
             h = int(t[1:]) if len(t) > 1 else 1
@@ -193,7 +211,7 @@ def _parse_mods(mods: str) -> tuple[int | None, int | None, tuple | None]:
             charge = int(t[1:]) if len(t) > 1 else 1
         elif t.startswith("-"):
             charge = -(int(t[1:]) if len(t) > 1 else 1)
-        elif t.lstrip("!") in ("R", "a", "A"):
+        elif re.fullmatch(r"R\d*|[aA]", t.lstrip("!")):
             conj.append((t.startswith("!"), _prim(t.lstrip("!"))))
     return h, charge, tuple(conj) or None
 
@@ -209,10 +227,13 @@ def _prim(p: str):
         # element symbols in the subset, so this claims dead grammar)
         return ("arom", p == "a")
     if p == "R":
-        # SMARTS ring membership (bare R = in at least one ring; ring
-        # COUNTS like R2 stay outside the subset — the bracket regex
-        # rejects them).  'R' is not an element symbol in the subset.
+        # SMARTS ring membership (bare R = in at least one ring).
+        # 'R' is not an element symbol in the subset.
         return ("ring", True)
+    if p[0] == "R" and p[1:].isdigit():
+        # ring COUNT (r10): atom in exactly n rings of the canonical
+        # minimum cycle basis (module docstring); R0 ≡ !R
+        return ("ringcount", int(p[1:]))
     return ("elem", (p, p.islower()))
 
 
@@ -223,7 +244,7 @@ def _parse_conj(cstr: str | None) -> tuple | None:
         return None
     return tuple(
         (t.startswith("!"), _prim(t.lstrip("!")))
-        for t in re.findall(r";(!?[RaA])", cstr)
+        for t in re.findall(r";(!?(?:R\d*|[aA]))", cstr)
     ) or None
 
 
@@ -326,7 +347,11 @@ def _parse_bracket_atom(s: str, i: int) -> Atom:
         elem = m.group("elem")
         h, charge, conj = _parse_mods(m.group("mods") or "")
         raw = re.sub(r":\d+\]$", "]", m.group(0))
-        if elem.startswith("#") or elem in ("a", "A", "R"):
+        if (
+            elem.startswith("#")
+            or elem in ("a", "A", "R")
+            or (elem[0] == "R" and elem[1:].isdigit())
+        ):
             alts = (_prim(elem),)
         else:
             alts = None
@@ -417,7 +442,9 @@ def _has_ring_prim(atoms: list[Atom]) -> bool:
     from the graph matcher), so the linear splice path declines such
     patterns and the graph path owns every embedding."""
     return any(
-        prim[0] in ("ring", "rec") for a in atoms for prim in _atom_prims(a)
+        prim[0] in ("ring", "ringcount", "rec")
+        for a in atoms
+        for prim in _atom_prims(a)
     )
 
 
@@ -511,6 +538,13 @@ def _prim_matches(prim, sub: Atom) -> bool:
         return sub.aromatic == val
     if kind == "ring":
         return sub.in_ring == val
+    if kind == "ringcount":
+        if sub.ring_count is None:
+            raise ValueError(
+                "ring-count query on a molecule whose ring system exceeded "
+                "the cycle-enumeration budget is outside the subset"
+            )
+        return sub.ring_count == val
     sym, arom = val
     return sym.upper() == sub.elem.upper() and arom == sub.aromatic
 
@@ -647,9 +681,22 @@ def parse_graph(s: str) -> tuple[list[Atom], dict[tuple[int, int], str | None]]:
     # ring membership (for the [R]/[!R] primitives): an atom is in a ring
     # iff it has an incident NON-BRIDGE edge — computed here once so the
     # flag rides the memoized parse
-    for (a, b) in _non_bridge_edges(len(atoms), edges):
+    cyc_edges = _non_bridge_edges(len(atoms), edges)
+    for (a, b) in cyc_edges:
         atoms[a].in_ring = True
         atoms[b].in_ring = True
+    # ring COUNTS (for the [R<n>] primitives, r10): per-atom membership
+    # count over a canonical minimum cycle basis, also riding the
+    # memoized parse.  None per atom-in-ring = enumeration budget hit
+    # (pathological fused systems only; bare [R]/[!R] stay valid).
+    if cyc_edges:
+        counts = _ring_basis_counts(len(atoms), cyc_edges)
+        for i, a in enumerate(atoms):
+            if counts is not None:
+                a.ring_count = counts[i]
+            elif a.in_ring:
+                a.ring_count = None  # unknown — a ringcount query raises
+            # (an atom outside every ring is R0 regardless of the cap)
     return atoms, edges
 
 
@@ -693,6 +740,106 @@ def _non_bridge_edges(
                 if low[u] > disc[parent]:
                     bridges.add((min(parent, u), max(parent, u)))
     return [e for e in edges if e not in bridges]
+
+
+# DFS step budget for the simple-cycle enumeration behind [R<n>] ring
+# counts: real molecules have a handful of rings (a steroid's fused
+# 4-ring system enumerates in tens of steps); only a pathological
+# clique-like ring system can hit this, and then only ring-count
+# queries on it are refused (None counts), never bare [R]/[!R]
+_CYCLE_ENUM_BUDGET = 200_000
+
+
+def _ring_basis_counts(
+    n: int, cyc_edges: list[tuple[int, int]]
+) -> list[int] | None:
+    """Per-atom ring counts over a canonical minimum cycle basis of the
+    non-bridge subgraph — the engine's SSSR notion backing ``[R<n>]``.
+
+    Enumerate every simple cycle (each found exactly once: rooted at its
+    minimum vertex, orientation fixed by ``path[1] < path[-1]``), sort
+    by ``(length, sorted atom indices)``, then greedily keep the
+    GF(2)-independent ones until the cycle-space dimension
+    ``|E| − |V| + components`` is reached.  Greedy-by-weight over a
+    spanning candidate set is the matroid greedy, so the selection is a
+    true minimum cycle basis; the sort is the deterministic tie-break
+    among equal-length bases (the same degenerate-symmetry caveat
+    RDKit's SSSR documents).  Returns None when the enumeration budget
+    is exceeded (counts unknown)."""
+    adjc: dict[int, list[int]] = {}
+    for (a, b) in cyc_edges:
+        adjc.setdefault(a, []).append(b)
+        adjc.setdefault(b, []).append(a)
+    for v in adjc:
+        adjc[v].sort()
+    verts = sorted(adjc)
+    # components of the cyclic subgraph (for the cycle-space dimension)
+    comp_seen: set[int] = set()
+    n_comp = 0
+    for v in verts:
+        if v in comp_seen:
+            continue
+        n_comp += 1
+        stack = [v]
+        comp_seen.add(v)
+        while stack:
+            u = stack.pop()
+            for w in adjc[u]:
+                if w not in comp_seen:
+                    comp_seen.add(w)
+                    stack.append(w)
+    dim = len(cyc_edges) - len(verts) + n_comp
+    if dim <= 0:  # pragma: no cover — cyc_edges nonempty implies dim >= 1
+        return [0] * n
+    # enumerate all simple cycles of the cyclic subgraph
+    budget = _CYCLE_ENUM_BUDGET
+    cycles: list[tuple[int, ...]] = []
+    for s in verts:
+        stack2: list[tuple[int, int]] = [(s, 0)]
+        path = [s]
+        onpath = {s}
+        while stack2:
+            budget -= 1
+            if budget < 0:
+                return None
+            u, i = stack2.pop()
+            if i < len(adjc[u]):
+                stack2.append((u, i + 1))
+                v = adjc[u][i]
+                if v == s and len(path) >= 3 and path[1] < path[-1]:
+                    cycles.append(tuple(path))
+                elif v > s and v not in onpath:
+                    stack2.append((v, 0))
+                    path.append(v)
+                    onpath.add(v)
+            else:
+                path.pop()
+                onpath.discard(u)
+    # canonical greedy GF(2) selection
+    eidx = {e: i for i, e in enumerate(sorted(cyc_edges))}
+    counts = [0] * n
+    pivots: dict[int, int] = {}
+    chosen = 0
+    for path in sorted(cycles, key=lambda p: (len(p), tuple(sorted(p)))):
+        mask = 0
+        for a, b in zip(path, path[1:] + (path[0],)):
+            mask |= 1 << eidx[(min(a, b), max(a, b))]
+        m = mask
+        while m:
+            h = m.bit_length() - 1
+            if h in pivots:
+                m ^= pivots[h]
+            else:
+                pivots[h] = m
+                break
+        if not m:
+            continue  # dependent on already-chosen cycles
+        for v in path:
+            counts[v] += 1
+        chosen += 1
+        if chosen == dim:
+            break
+    return counts
 
 
 def _bond_ok(pb: str | None, sb: str | None) -> bool:

@@ -596,6 +596,16 @@ K3_PROBES = [
     # r9 negated-item alternation: Br never occurs and !A = aromatic
     # atom, so [Br,!A] is true exactly on the ring variant
     ("probe_nalt_arom", "[Br,!A]"),
+    # r10 ring counts ([R<n>] = atom in exactly n canonical-minimum-
+    # cycle-basis rings).  Closed forms on the construction:
+    #   r1        [R1]    — the benzene atoms are each in exactly 1 ring
+    #   r2        [R2]    — no fused system anywhere, never matches
+    #   r0_chain  [C;R0]  — the leading aliphatic chain is acyclic
+    #   conj_r1   [c;R1]  — aromatic carbon in exactly 1 ring iff ring
+    ("probe_r1", "[R1]"),
+    ("probe_r2", "[R2]"),
+    ("probe_r0_chain", "[C;R0]"),
+    ("probe_conj_r1", "[c;R1]"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
@@ -608,15 +618,16 @@ _K3_TRUE_ON_RING = (
     "probe_num_arom", "probe_neg_ch3", "probe_arom_wild",
     "probe_ring_mem", "probe_rec_ring", "probe_conj_arom_ring",
     "probe_malt_ch3_arom", "probe_aconj_ring", "probe_nconj_ring",
-    "probe_nalt_arom",
+    "probe_nalt_arom", "probe_r1", "probe_conj_r1",
 )
 _K3_ALWAYS_TRUE = (
     "probe_neg_h", "probe_alt_n", "probe_aliph", "probe_acyclic",
     "probe_rec_not_cl", "probe_conj_acyclic_c",
-    "probe_malt_ch3_nh2", "probe_malt_chg",
+    "probe_malt_ch3_nh2", "probe_malt_chg", "probe_r0_chain",
 )
 _K3_ALWAYS_FALSE = (
     "probe_ocl", "probe_dbl", "probe_charge", "probe_malt_ch2_nh",
+    "probe_r2",
 )
 
 
@@ -940,6 +951,9 @@ GRAPH_RXN_RULES = [
     # r9 negated-item alternation: !N never matters here (the site is a
     # C), so the C alternative selects the same unique C–O site
     ("r_nalt_bor", "[C,!N:1]O", "[C:1]B", "B"),
+    # r10 ring-count conjunct: every substrate is acyclic, so [C;R0]
+    # selects the same unique C–O site through the ring-count matcher
+    ("r_ring0_iod", "[C;R0:1]O", "[C:1]I", "I"),
 ]
 
 

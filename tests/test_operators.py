@@ -717,6 +717,48 @@ def test_structural_substructure_branches():
     assert has_substructure("CC(C(F)Cl)N", "CN")
 
 
+def test_ring_count_primitives():
+    """r10 [R<n>] ring counts (canonical minimum cycle basis — the SSSR
+    notion behind RDKit's NumAtomRings): pinned verdicts on the
+    classical ring systems, in every bracket position (standalone,
+    concrete-atom conjunct, list conjunct, negation)."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        has_substructure,
+        parse_graph,
+    )
+
+    # per-atom counts on the canonical systems
+    assert [a.ring_count for a in parse_graph("c1ccccc1")[0]] == [1] * 6
+    # naphthalene: the two fusion atoms sit in both hexagons
+    assert [a.ring_count for a in parse_graph("c1ccc2ccccc2c1")[0]] == [
+        1, 1, 1, 2, 1, 1, 1, 1, 2, 1,
+    ]
+    # spiro[4.5]decane-ish: only the spiro atom is in two rings
+    assert [a.ring_count for a in parse_graph("C1CCC2(CC1)CCCC2")[0]] == [
+        1, 1, 1, 2, 1, 1, 1, 1, 1, 1,
+    ]
+    # bicyclo fused triangles: the shared-edge atoms count 2
+    assert [a.ring_count for a in parse_graph("C1CC2CC12")[0]] == [1, 1, 2, 1, 2]
+    # acyclic molecules are all R0
+    assert [a.ring_count for a in parse_graph("CC(F)O")[0]] == [0] * 4
+
+    # bracket verdicts
+    assert has_substructure("c1ccccc1", "[R1]")
+    assert not has_substructure("c1ccccc1", "[R2]")
+    assert has_substructure("c1ccc2ccccc2c1", "[R2]")
+    assert has_substructure("CCO", "[R0]")
+    assert not has_substructure("c1ccccc1", "[R0]")
+    assert has_substructure("c1ccc2ccccc2c1", "[c;R1]")
+    assert has_substructure("c1ccc2ccccc2c1", "[c;R2]")
+    assert not has_substructure("c1ccccc1", "[c;R2]")
+    assert has_substructure("C1CCNC1", "[C,N;R1]")
+    assert has_substructure("c1ccccc1", "[!R2]")
+    assert not has_substructure("c1ccc2ccccc2c1C", "[R3]")
+    # R0 conjunct selects the acyclic atom of a mixed molecule
+    assert has_substructure("Cc1ccccc1", "[C;R0]")
+    assert not has_substructure("c1ccccc1", "[C;R0]")
+
+
 def test_structural_kernel_branched_patterns():
     """K1 rewrite with branched patterns: the branch-order linearization
     finds the embedding however the substrate writes it, and the rewrite

@@ -780,6 +780,79 @@ def test_ring_membership_matches_bruteforce(s):
     assert has_substructure(s, "[!R]") == (not all(want) and len(atoms) > 0)
 
 
+@given(s=_smiles_subset())
+@settings(max_examples=300, deadline=None)
+def test_ring_counts_match_independent_min_basis(s):
+    """r10 [R<n>] ring counts: the engine's per-atom canonical-minimum-
+    cycle-basis counts (rooted-DFS cycle enumeration + int-bitmask GF(2)
+    greedy inside parse_graph) must equal an INDEPENDENT reconstruction:
+    cycles enumerated by per-edge simple-path search, eliminated by
+    frozenset-symmetric-difference Gaussian reduction, selected under
+    the same canonical (length, sorted-atom-indices) order.  Also pins
+    in_ring == (count > 0) and the [R0]/[R1]/[R2] bracket verdicts."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        has_substructure,
+        parse_graph,
+    )
+
+    try:
+        atoms, edges = parse_graph(s)
+    except ValueError:
+        return
+
+    adj: dict[int, list[int]] = {i: [] for i in range(len(atoms))}
+    for (a, b) in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+
+    # independent enumeration: every simple cycle = a simple u→v path
+    # plus the edge (u,v), deduped by its edge set
+    seen_cycles: dict[frozenset, tuple] = {}
+    for (u, v) in edges:
+        stack = [(u, (u,))]
+        while stack:
+            node, path = stack.pop()
+            if node == v:
+                if len(path) >= 3:
+                    es = frozenset(
+                        (min(a, b), max(a, b)) for a, b in zip(path, path[1:])
+                    ) | {(min(u, v), max(u, v))}
+                    seen_cycles.setdefault(es, tuple(sorted(set(path))))
+                continue
+            for w in adj[node]:
+                if node == u and w == v and len(path) == 1:
+                    continue  # that IS the closing edge
+                if w in path:
+                    continue
+                stack.append((w, path + (w,)))
+
+    # canonical greedy over frozenset-XOR Gaussian reduction
+    order = sorted(
+        seen_cycles.items(), key=lambda kv: (len(kv[0]), kv[1])
+    )
+    pivots: dict[tuple, frozenset] = {}
+    want = [0] * len(atoms)
+    for es, atoms_of in order:
+        m = es
+        while m:
+            h = max(m)
+            if h in pivots:
+                m = m ^ pivots[h]
+            else:
+                pivots[h] = m
+                break
+        if not m:
+            continue
+        for i in atoms_of:
+            want[i] += 1
+
+    got = [a.ring_count for a in atoms]
+    assert got == want, f"{s}: engine {got} != independent {want}"
+    assert [a.in_ring for a in atoms] == [c > 0 for c in want]
+    for k in (0, 1, 2):
+        assert has_substructure(s, f"[R{k}]") == any(c == k for c in want)
+
+
 @given(
     s=_smiles_subset(),
     prims=st.lists(st.sampled_from(_QUERY_PRIMS), min_size=2, max_size=3, unique=True),
