@@ -279,10 +279,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(QUERIES_MORE)
     merged.update(QUERIES_KERNELS)
     merged.update(QUERIES_PATHWAY)
+    # a typo'd rotation entry must fail LOUDLY here (this runs in every
+    # local pre-validation), never silently shift the 50-query window
+    # and record phantom driver evidence for a query that never ran
+    missing = [n for n in _PRIORITY if n not in merged]
+    assert not missing, f"_PRIORITY names not in any registry: {missing}"
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _PRIORITY:
-        if name in merged:
-            out[name] = merged[name]
+        out[name] = merged[name]
     out.update(merged)
     return out
 

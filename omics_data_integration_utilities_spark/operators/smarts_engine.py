@@ -64,10 +64,13 @@ SUBSET engine; the honest scope is:
   is a true minimum cycle basis; the length-tie ORDER is this engine's
   canonical choice, the same caveat RDKit's own SSSR carries on
   degenerate symmetric ring systems).  ``[R0]`` ≡ ``[!R]``.  The
-  enumeration carries a step budget (molecules are tiny; a pathological
-  fused mega-system past the budget leaves counts undefined and a
-  ring-count query on it raises ValueError = outside the subset, while
-  bare ``[R]``/``[!R]`` still work from bridge analysis).  Recursion
+  enumeration is LAZY (first ringcount-carrying pattern matched against
+  the molecule; no-[R<n>] workloads never pay it) and carries a step
+  budget: a pathological fused mega-system past the budget leaves
+  counts undefined, and a ring-count query against it gets the same
+  outside-subset verdict as a parse failure (``has_substructure`` →
+  False, rewrites → no products; internally :class:`RingCountBudget`),
+  while bare ``[R]``/``[!R]`` still work from bridge analysis.  Recursion
   past depth 2 and stereo remain OUTSIDE the subset; a
   product template carrying a query primitive yields no products
   (nothing concrete to write — RDKit errors on such templates).
@@ -188,10 +191,14 @@ class Atom:
     # set by parse_graph only (bridge analysis); parse_chain atoms keep
     # False — the linear matcher declines ring-primitive patterns
     in_ring: bool = False
-    # set by parse_graph only: number of canonical-minimum-cycle-basis
-    # rings containing the atom (backs [R<n>]); None = the molecule's
-    # ring system exceeded the enumeration budget (a ringcount query on
-    # it raises — module docstring)
+    # number of canonical-minimum-cycle-basis rings containing the atom
+    # (backs [R<n>]).  parse_graph marks in-ring atoms _RC_PENDING; the
+    # basis is computed LAZILY (and idempotently) by
+    # _ensure_ring_counts at the graph-matcher chokepoint, only when a
+    # pattern actually carries a ringcount primitive — the common
+    # no-[R<n>] workload never pays for it.  None = the molecule's ring
+    # system exceeded the enumeration budget (a ringcount query on it
+    # gets outside-subset semantics via RingCountBudget)
     ring_count: int | None = 0
 
 
@@ -540,10 +547,14 @@ def _prim_matches(prim, sub: Atom) -> bool:
         return sub.in_ring == val
     if kind == "ringcount":
         if sub.ring_count is None:
-            raise ValueError(
+            raise RingCountBudget(
                 "ring-count query on a molecule whose ring system exceeded "
                 "the cycle-enumeration budget is outside the subset"
             )
+        if sub.ring_count == _RC_PENDING:  # pragma: no cover — fill missed
+            # loud, not a silent False: every graph-matcher entry runs
+            # _ensure_ring_counts, so reaching here is an engine bug
+            raise RuntimeError("ring counts not materialized before match")
         return sub.ring_count == val
     sym, arom = val
     return sym.upper() == sub.elem.upper() and arom == sub.aromatic
@@ -601,7 +612,11 @@ def parse_graph(s: str) -> tuple[list[Atom], dict[tuple[int, int], str | None]]:
     repeat the same pattern strings millions of times and the same
     substrates across patterns; the parse and verdict are pure functions
     of the strings, so the cache turns per-pair cost into per-distinct
-    cost.  Results are treated as immutable by all consumers.
+    cost.  Results are treated as immutable by all consumers, with ONE
+    sanctioned exception: :func:`_ensure_ring_counts` monotonically
+    fills the lazy ``ring_count`` field (PENDING → value) on first
+    ringcount-pattern match — idempotent, so shared cached atoms stay
+    consistent.
     """
     atoms: list[Atom] = []
     edges: dict[tuple[int, int], str | None] = {}
@@ -685,18 +700,15 @@ def parse_graph(s: str) -> tuple[list[Atom], dict[tuple[int, int], str | None]]:
     for (a, b) in cyc_edges:
         atoms[a].in_ring = True
         atoms[b].in_ring = True
-    # ring COUNTS (for the [R<n>] primitives, r10): per-atom membership
-    # count over a canonical minimum cycle basis, also riding the
-    # memoized parse.  None per atom-in-ring = enumeration budget hit
-    # (pathological fused systems only; bare [R]/[!R] stay valid).
-    if cyc_edges:
-        counts = _ring_basis_counts(len(atoms), cyc_edges)
-        for i, a in enumerate(atoms):
-            if counts is not None:
-                a.ring_count = counts[i]
-            elif a.in_ring:
-                a.ring_count = None  # unknown — a ringcount query raises
-            # (an atom outside every ring is R0 regardless of the cap)
+    # ring COUNTS (for the [R<n>] primitives, r10): in-ring atoms are
+    # marked PENDING; the canonical-minimum-cycle-basis computation runs
+    # lazily in _ensure_ring_counts only when a pattern carries a
+    # ringcount primitive, so the common no-[R<n>] workload never pays
+    # the cycle enumeration.  (An atom outside every ring is R0 with no
+    # enumeration needed — it keeps the 0 default.)
+    for (a, b) in cyc_edges:
+        atoms[a].ring_count = _RC_PENDING
+        atoms[b].ring_count = _RC_PENDING
     return atoms, edges
 
 
@@ -748,6 +760,36 @@ def _non_bridge_edges(
 # clique-like ring system can hit this, and then only ring-count
 # queries on it are refused (None counts), never bare [R]/[!R]
 _CYCLE_ENUM_BUDGET = 200_000
+
+_RC_PENDING = -1  # parse_graph marks in-ring atoms; _ensure_ring_counts fills
+
+
+class RingCountBudget(ValueError):
+    """A ``[R<n>]`` primitive was evaluated against a molecule whose ring
+    system exceeded the cycle-enumeration budget — outside-subset
+    semantics: :func:`has_substructure` returns False and the rewrite
+    paths yield no products for that substrate (bare ``[R]``/``[!R]``
+    still work from bridge analysis)."""
+
+
+def _needs_ring_counts(p_atoms: list) -> bool:
+    return any(
+        prim[0] == "ringcount" for a in p_atoms for prim in _atom_prims(a)
+    )
+
+
+def _ensure_ring_counts(s_atoms: list, s_edges: dict) -> None:
+    """Idempotent lazy fill of per-atom ring counts on a memoized
+    parse_graph result.  Called at the graph-matcher chokepoint
+    (:func:`_all_embeddings`) only when the pattern carries a ringcount
+    primitive — recursive ``[$(...)]`` sub-patterns re-enter the same
+    chokepoint, so an [R<n>] inside a rec environment fills too."""
+    if not any(a.ring_count == _RC_PENDING for a in s_atoms):
+        return
+    counts = _ring_basis_counts(len(s_atoms), _non_bridge_edges(len(s_atoms), s_edges))
+    for i, a in enumerate(s_atoms):
+        if a.ring_count == _RC_PENDING:
+            a.ring_count = None if counts is None else counts[i]
 
 
 def _ring_basis_counts(
@@ -895,6 +937,11 @@ def _all_embeddings(
     k = len(p_atoms)
     if k > len(s_atoms):
         return
+    if _needs_ring_counts(p_atoms):
+        # lazy [R<n>] materialization (raises RingCountBudget past the
+        # enumeration budget — callers map it to outside-subset); rec
+        # sub-patterns re-enter here, so nested [$([R2]...)] fills too
+        _ensure_ring_counts(s_atoms, s_edges)
     rec_anchor: dict[str, set[int]] | None = None
     rec_pats = {
         val for a in p_atoms for kind, val in _atom_prims(a) if kind == "rec"
@@ -1229,9 +1276,16 @@ def _apply_graph(
     if not (t_maps & p_maps):
         return []
     products: list[str] = []
-    for assign in islice(
-        _all_embeddings(p_atoms, p_edges, s_atoms, s_edges), limit_embeddings
-    ):
+    try:
+        embeddings = list(
+            islice(_all_embeddings(p_atoms, p_edges, s_atoms, s_edges), limit_embeddings)
+        )
+    except RingCountBudget:
+        # [R<n>] on a ring system past the enumeration budget: outside
+        # the subset — no products for this substrate (parse-failure
+        # contract), never a job-level error
+        return []
+    for assign in embeddings:
         matched = set(assign.values())
         by_map = {
             p_atoms[pi].amap: si
@@ -1675,7 +1729,12 @@ def has_substructure(substrate: str, pattern: str) -> bool:
         return False
     if not p_atoms or len(p_atoms) > len(s_atoms):
         return False
-    return _embeds(p_atoms, p_edges, s_atoms, s_edges)
+    try:
+        return _embeds(p_atoms, p_edges, s_atoms, s_edges)
+    except RingCountBudget:
+        # [R<n>] against a ring system past the enumeration budget:
+        # outside the subset, same contract as a parse failure
+        return False
 
 
 def structural_reaction_kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -211,9 +211,14 @@ def q_plan_enzyme_annotation(
         (F.abs(F.round(F.col("r"), 6)) >= ENZYME_CORR_CUTOFF)
         & (F.abs(F.round(F.col("r"), 6)) < 0.999999)
     )
+    # p binds on round(p, 6) — the output expression — for the same
+    # boundary-stability reason as the r cutoff above (the two engines
+    # compute p by different formulas: betainc vs the closed-form
+    # series, divergence ~5e-14; the 0.9 default is deliberately loose
+    # but the rounding removes the ulp-boundary flake class entirely)
     corr = (
         corr_pvalues(corr)
-        .where(F.col("p") <= ENZYME_P_CUTOFF)
+        .where(F.round(F.col("p"), 6) <= ENZYME_P_CUTOFF)
         .select(
             F.col("lk").alias("ms_name"),
             F.col("rk").alias("gene"),
@@ -358,8 +363,9 @@ WITH ann AS (
     END AS p_raw
   FROM corr_tx b JOIN corr_s s USING (ms_name, gene)
 ), corr_f AS (
+  -- boundary-stable p cutoff: bind on round(p,6), the output expression
   SELECT ms_name, gene, round(r, 6) AS correlation, round(p_raw, 6) AS p_value
-  FROM corr_p WHERE p_raw <= {ENZYME_P_CUTOFF!r}
+  FROM corr_p WHERE round(p_raw, 6) <= {ENZYME_P_CUTOFF!r}
 ), enzyme AS (
   SELECT DISTINCT m.gene, m.reaction_id, m.uniprot_id, c.ms_name,
          c.correlation, c.p_value

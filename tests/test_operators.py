@@ -723,24 +723,26 @@ def test_ring_count_primitives():
     classical ring systems, in every bracket position (standalone,
     concrete-atom conjunct, list conjunct, negation)."""
     from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        _ensure_ring_counts,
         has_substructure,
         parse_graph,
     )
 
+    def counts(s):
+        atoms, edges = parse_graph(s)
+        _ensure_ring_counts(atoms, edges)  # lazy fill (matcher chokepoint)
+        return [a.ring_count for a in atoms]
+
     # per-atom counts on the canonical systems
-    assert [a.ring_count for a in parse_graph("c1ccccc1")[0]] == [1] * 6
+    assert counts("c1ccccc1") == [1] * 6
     # naphthalene: the two fusion atoms sit in both hexagons
-    assert [a.ring_count for a in parse_graph("c1ccc2ccccc2c1")[0]] == [
-        1, 1, 1, 2, 1, 1, 1, 1, 2, 1,
-    ]
+    assert counts("c1ccc2ccccc2c1") == [1, 1, 1, 2, 1, 1, 1, 1, 2, 1]
     # spiro[4.5]decane-ish: only the spiro atom is in two rings
-    assert [a.ring_count for a in parse_graph("C1CCC2(CC1)CCCC2")[0]] == [
-        1, 1, 1, 2, 1, 1, 1, 1, 1, 1,
-    ]
+    assert counts("C1CCC2(CC1)CCCC2") == [1, 1, 1, 2, 1, 1, 1, 1, 1, 1]
     # bicyclo fused triangles: the shared-edge atoms count 2
-    assert [a.ring_count for a in parse_graph("C1CC2CC12")[0]] == [1, 1, 2, 1, 2]
+    assert counts("C1CC2CC12") == [1, 1, 2, 1, 2]
     # acyclic molecules are all R0
-    assert [a.ring_count for a in parse_graph("CC(F)O")[0]] == [0] * 4
+    assert counts("CC(F)O") == [0] * 4
 
     # bracket verdicts
     assert has_substructure("c1ccccc1", "[R1]")
@@ -757,6 +759,30 @@ def test_ring_count_primitives():
     # R0 conjunct selects the acyclic atom of a mixed molecule
     assert has_substructure("Cc1ccccc1", "[C;R0]")
     assert not has_substructure("c1ccccc1", "[C;R0]")
+
+
+def test_ring_count_budget_maps_to_outside_subset(monkeypatch):
+    """A ring system past the cycle-enumeration budget must get the
+    parse-failure contract on ring-COUNT queries — has_substructure
+    False, rewrites no products, never a raised error reaching the
+    caller — while bare [R]/[!R] (bridge analysis) stay valid."""
+    import omics_data_integration_utilities_spark.operators.smarts_engine as se
+
+    def clear():
+        se.parse_graph.cache_clear()
+        se.has_substructure.cache_clear()
+        se.apply_reaction.cache_clear()
+
+    clear()
+    monkeypatch.setattr(se, "_CYCLE_ENUM_BUDGET", 0)
+    try:
+        assert se.has_substructure("C1CCCCC1", "[R1]") is False
+        assert se.has_substructure("C1CCCCC1", "[R]") is True
+        assert se.apply_reaction("C1CC1O", "[C;R1:1]O", "[C:1]N") == ()
+        # acyclic atoms are R0 with no enumeration — unaffected by budget
+        assert se.has_substructure("CCO", "[C;R0]") is True
+    finally:
+        clear()  # budget-poisoned parses must not leak into other tests
 
 
 def test_structural_kernel_branched_patterns():

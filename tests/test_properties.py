@@ -791,6 +791,7 @@ def test_ring_counts_match_independent_min_basis(s):
     the same canonical (length, sorted-atom-indices) order.  Also pins
     in_ring == (count > 0) and the [R0]/[R1]/[R2] bracket verdicts."""
     from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        _ensure_ring_counts,
         has_substructure,
         parse_graph,
     )
@@ -799,6 +800,7 @@ def test_ring_counts_match_independent_min_basis(s):
         atoms, edges = parse_graph(s)
     except ValueError:
         return
+    _ensure_ring_counts(atoms, edges)  # lazy fill (matcher chokepoint)
 
     adj: dict[int, list[int]] = {i: [] for i in range(len(atoms))}
     for (a, b) in edges:
