@@ -134,11 +134,13 @@ METHODOLOGY = (
 # not a regression — carried in the JSON so round-over-round deltas on
 # these queries are read against the new workload
 WORKLOAD_CHANGES = {
-    "k3_substructure": "39 -> 43 probes (r10 ring-count [R1]/[R2]/"
-    "[C;R0]/[c;R1] brackets; r9 added per-alternative-modifier, "
-    "list-conjunct, depth-2 recursive, negated-item families)",
-    "k1_graph_rewrite": "8 -> 9 rules (r10 ring-count-conjunct "
-    "[C;R0:1] rule; r9 added per-alternative-modifier + negated-item)",
+    "k3_substructure": "39 -> 46 probes (r10 ring-count [R1]/[R2]/"
+    "[C;R0]/[c;R1] brackets + depth-3 recursive wraps; r9 added "
+    "per-alternative-modifier, list-conjunct, depth-2 recursive, "
+    "negated-item families)",
+    "k1_graph_rewrite": "8 -> 10 rules (r10 ring-count-conjunct "
+    "[C;R0:1] and depth-3 recursive [$([$([$(C)]O)]):1] rules; r9 "
+    "added per-alternative-modifier + negated-item)",
 }
 
 

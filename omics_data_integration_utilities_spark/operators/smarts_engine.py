@@ -39,8 +39,9 @@ SUBSET engine; the honest scope is:
   Query primitives (pattern-side only): atomic numbers ``[#6]``
   (aromaticity-agnostic), any-aromatic/any-aliphatic ``[a]`` / ``[A]``,
   ring membership ``[R]`` / ``[!R]``, elem-less charge ``[+]`` / ``[-]``
-  / ``[+2]``, recursive environments ``[$(C=O)]`` / ``[!$(CO)]`` (depth 2 since
-  r9; anchor = the sub-pattern's first atom), alternation of
+  / ``[+2]``, recursive environments ``[$(C=O)]`` / ``[!$(CO)]`` (nesting to
+  depth 8 since r10, depth 2 in r9; anchor = the sub-pattern's first
+  atom), alternation of
   primitives ``[C,N]`` / ``[#6,#7]`` / ``[a,Cl]`` — each alternative
   optionally carrying its OWN H-count/charge modifiers (``[CH2,NH]``,
   ``[O-,OH]``; r9) — negation
@@ -52,7 +53,10 @@ SUBSET engine; the honest scope is:
   ``&`` are both AND for H/charge/X/v mods) AND on whole
   alternation/negation lists (``[C,N;R]`` / ``[!C!N;R]`` — SMARTS
   precedence: ``,`` binds tighter than ``;``; r9).  Recursive
-  environments nest to depth 2 (``[$([$(CO)]N)]``; r9).  An
+  environments nest to ``_MAX_REC_NESTING`` = 8 levels
+  (``[$([$(CO)]N)]``, ``[$([$([$(C)]O)]N)]``; depth 2 r9, generalized
+  r10 — the matcher was always depth-generic, each level one capped
+  sub-search, cost linear in depth).  An
   alternation item may negate its primitive (``[C,!N]`` — ``!`` binds
   the item's one primitive; r9).  Ring COUNTS ``[R1]`` / ``[R2]`` /
   ``[R0]`` (standalone, conjunct ``[c;R1]``, or negated ``[!R2]``;
@@ -71,7 +75,7 @@ SUBSET engine; the honest scope is:
   outside-subset verdict as a parse failure (``has_substructure`` →
   False, rewrites → no products; internally :class:`RingCountBudget`),
   while bare ``[R]``/``[!R]`` still work from bridge analysis.  Recursion
-  past depth 2 and stereo remain OUTSIDE the subset; a
+  past depth 8 and stereo remain OUTSIDE the subset; a
   product template carrying a query primitive yields no products
   (nothing concrete to write — RDKit errors on such templates).
 - **Ring closures**: a match requires the pattern's internal ring-bond
@@ -157,6 +161,14 @@ _BRACKET_CHG_RE = re.compile(r"\[(?P<chg>\+\d*|-\d*)(?::(?P<map>\d+))?\]")
 # bound on the per-sub-pattern embedding enumeration behind a
 # recursive [$(...)] anchor-set computation (see _all_embeddings)
 _REC_EMBED_CAP = 4096
+
+# maximum total nesting of recursive environments ($(...) inside $(...)):
+# the matcher is depth-generic (anchor sets re-enter _all_embeddings, so
+# each level costs one extra capped sub-search over the substrate — cost
+# linear in depth), and this bound exists only to keep a pathological
+# pattern from stacking unbounded sub-searches.  RetroRules-shaped rules
+# rarely exceed depth 1; 8 is far past anything real.
+_MAX_REC_NESTING = 8
 
 # atomic numbers for the parser subset's elements (for #n primitives;
 # aromaticity-agnostic, as in SMARTS)
@@ -306,10 +318,12 @@ def _rec_nesting(s: str) -> int:
 def _match_recursive_bracket(s: str, i: int):
     """Parse a recursive-SMARTS bracket ``[$(SP)]`` / ``[!$(SP)]`` /
     ``[$(SP):n]`` starting at ``s[i]``.  Returns (neg, subpat, amap,
-    end) or None when the text is not a recursive bracket.  TWO nesting
-    levels (r9 — the sub-pattern may itself carry ``[$(...)]`` atoms,
-    whose anchor sets the embedding search computes recursively); a
-    third level raises (documented subset bound)."""
+    end) or None when the text is not a recursive bracket.  The
+    sub-pattern may itself carry ``[$(...)]`` atoms to any depth up to
+    ``_MAX_REC_NESTING`` (r10; r9 shipped depth 2 — the matcher was
+    already depth-generic, anchor sets re-entering the embedding search,
+    so the bound is purely the parse-time guard below); deeper raises
+    (documented subset bound)."""
     neg = s.startswith("[!$(", i)
     if not neg and not s.startswith("[$(", i):
         return None
@@ -325,9 +339,10 @@ def _match_recursive_bracket(s: str, i: int):
     if depth:
         raise ValueError(f"unbalanced recursive SMARTS at {i}")
     subpat = s[start : j - 1]
-    if _rec_nesting(subpat) > 1:
+    if _rec_nesting(subpat) > _MAX_REC_NESTING - 1:
         raise ValueError(
-            f"recursive SMARTS nested deeper than 2 at {i} is outside the subset"
+            f"recursive SMARTS nested deeper than {_MAX_REC_NESTING} at {i} "
+            "is outside the subset"
         )
     m = re.compile(r"(?::(\d+))?\]").match(s, j)
     if not m:
@@ -928,7 +943,7 @@ def _all_embeddings(
     SP embeds with its first atom) are precomputed here per sub-pattern
     by a recursive sub-search — sub-patterns parse with
     :func:`parse_graph`; a sub-pattern carrying its own ``[$(...)]``
-    atoms (depth 2, the r9 bound — enforced at parse) re-enters this
+    atoms (to ``_MAX_REC_NESTING`` levels — enforced at parse) re-enters this
     function, which computes the inner anchors first, so nesting costs
     one extra sub-search per inner pattern.  The sub-search enumerates at
     most ``_REC_EMBED_CAP`` embeddings per sub-pattern (NOT silent:

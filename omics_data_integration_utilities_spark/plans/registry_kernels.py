@@ -606,6 +606,16 @@ K3_PROBES = [
     ("probe_r2", "[R2]"),
     ("probe_r0_chain", "[C;R0]"),
     ("probe_conj_r1", "[c;R1]"),
+    # r10 depth-3+ recursive environments (the r9 depth-2 bound is now
+    # _MAX_REC_NESTING = 8).  A pure [$(X)] wrap preserves the anchor
+    # set, so the closed forms follow from the wrapped r8/r9 probes:
+    #   rec_nested3    wrap of probe_rec_nested   — Cl variant only
+    #   rec_deep_ring  wrap² of probe_rec_ring    — ring variant only
+    #   not_nested3    negated wrap — a non-(Cl-bonded-to-CH3) atom
+    #                  always exists (the leading chain C)
+    ("probe_rec_nested3", "[$([$([$(Cl)][CH3])])]"),
+    ("probe_rec_deep_ring", "[$([$([$(c1ccccc1)])])]"),
+    ("probe_not_nested3", "[!$([$([$(Cl)][CH3])])]"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
@@ -613,17 +623,20 @@ _K3_STRUCTURAL_TRUE_ON_CL = (
     "probe_ccl", "probe_branch", "probe_branch_swap",
     "probe_alt_halo", "probe_neg_before_cl", "probe_rec_cl_ch3",
     "probe_malt_cl_nh2", "probe_aconj_halo", "probe_rec_nested",
+    "probe_rec_nested3",
 )
 _K3_TRUE_ON_RING = (
     "probe_num_arom", "probe_neg_ch3", "probe_arom_wild",
     "probe_ring_mem", "probe_rec_ring", "probe_conj_arom_ring",
     "probe_malt_ch3_arom", "probe_aconj_ring", "probe_nconj_ring",
     "probe_nalt_arom", "probe_r1", "probe_conj_r1",
+    "probe_rec_deep_ring",
 )
 _K3_ALWAYS_TRUE = (
     "probe_neg_h", "probe_alt_n", "probe_aliph", "probe_acyclic",
     "probe_rec_not_cl", "probe_conj_acyclic_c",
     "probe_malt_ch3_nh2", "probe_malt_chg", "probe_r0_chain",
+    "probe_not_nested3",
 )
 _K3_ALWAYS_FALSE = (
     "probe_ocl", "probe_dbl", "probe_charge", "probe_malt_ch2_nh",
@@ -954,6 +967,12 @@ GRAPH_RXN_RULES = [
     # r10 ring-count conjunct: every substrate is acyclic, so [C;R0]
     # selects the same unique C–O site through the ring-count matcher
     ("r_ring0_iod", "[C;R0:1]O", "[C:1]I", "I"),
+    # r10 depth-3 recursive environment as a MAPPED reactant atom:
+    # [$(C)] = aliphatic C, [$([$(C)]O)] = C single-bonded to O, and the
+    # outer wrap preserves the anchor set — the substrate's single O has
+    # exactly one C neighbour, so the pattern selects the same unique
+    # C–O site through three levels of anchor recursion
+    ("r_rec3_fluor", "[$([$([$(C)]O)]):1]O", "[C:1]F", "F"),
 ]
 
 

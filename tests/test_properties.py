@@ -925,12 +925,16 @@ def test_list_conjunct_matches_exhaustive(s, prims, neg_form, conj):
 @given(s=_smiles_subset())
 @settings(max_examples=250, deadline=None)
 def test_nested_recursive_bracket_matches_bruteforce(s):
-    """Depth-2 recursive SMARTS (r9): [$([$(CO)]N)] anchors at an atom x
+    """Nested recursive SMARTS: [$([$(CO)]N)] anchors at an atom x
     iff x itself anchors a C–O embedding (x is an aliphatic C with an O
     neighbor, any bond) AND x has an aliphatic-N neighbor — restated
     here directly from the adjacency, independent of the engine's
-    recursive anchor machinery.  Also pins the depth bound: a
-    third-level nesting must raise."""
+    recursive anchor machinery.  The depth-3 spelling
+    [$([$([$(C)]O)]N)] is semantically identical ([$(C)] = an aliphatic
+    C, so [$([$(C)]O)] = C single-bonded to aliphatic O = [$(CO)]) and
+    must agree with the same reconstruction (r10: the depth bound is
+    _MAX_REC_NESTING = 8; r9 shipped 2).  Also pins the bound: depth-9
+    nesting must raise while depth-8 parses."""
     import pytest
 
     from omics_data_integration_utilities_spark.operators.smarts_engine import (
@@ -962,9 +966,14 @@ def test_nested_recursive_bracket_matches_bruteforce(s):
         for i in range(len(atoms))
     )
     assert has_substructure(s, "[$([$(CO)]N)]") == want
+    assert has_substructure(s, "[$([$([$(C)]O)]N)]") == want
 
+    deep8 = "C"
+    for _ in range(8):
+        deep8 = f"[$({deep8})]"
+    parse_graph(deep8)  # depth 8: inside the subset
     with pytest.raises(ValueError):
-        parse_graph("[$([$([$(C)]O)]N)]")
+        parse_graph(f"[$({deep8})]")  # depth 9: outside
 
 
 @st.composite
