@@ -76,8 +76,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # (count_glm keeps the IRLS), sim_semantic_dedup_digest (bucketed
 # digest stays).
 #
-# combat_adjust: formally SUPERSEDED by combat_adjust_digest (in-window,
-# hash-green r9) — the full 10k-row adjusted matrix has no ANSI-SQL
+# r10 late addition: the exact-substring dedup family (NEW this round —
+# dedup_substring_spans / dedup_substring_stats / dedup_substring_remove,
+# the Lee-et-al. span-merge + cut operators in operators/dedup.py) enters
+# never-driver-checked, replacing three digest queries that are each
+# hash-green r9 with a family representative still in-window:
+# doc_pack_chunks_digest (row-level doc_pack_chunks stays),
+# methylmix_states_digest (plan_methylmix keeps the EM family),
+# combat_adjust_digest (golden-pinned r9-green; the numpy replica in
+# tests/test_combat.py and the golden pin remain the standing evidence).
+# All three evictions keep their local sf0.01 oracle checks.
+#
+# combat_adjust: formally SUPERSEDED by combat_adjust_digest (in-window
+# through r9, hash-green r9) — the full 10k-row adjusted matrix has no ANSI-SQL
 # oracle and is too large for a golden VALUES pin; the digest
 # value-locks the same computation (identical kernel, aggregated to a
 # pinnable shape) and tests/test_combat.py holds the numpy replica.  It
@@ -230,10 +241,8 @@ _PRIORITY = [
     "k12_perm_fdr",
     "k13_count_glm",
     "plan_methylmix",
-    "methylmix_states_digest",
     "drivernet_significance",
     "drivernet_permutation",
-    "combat_adjust_digest",
     "k6_spearman",
     # LLM-pipeline surface
     "dedup_lsh_pairs",
@@ -243,7 +252,9 @@ _PRIORITY = [
     "sim_ivf_topk",
     "sim_semantic_dedup_bucketed_digest",
     "doc_pack_chunks",
-    "doc_pack_chunks_digest",
+    "dedup_substring_spans",
+    "dedup_substring_stats",
+    "dedup_substring_remove",
     "text_quality",
     "text_token_count",
     "text_token_counts",

@@ -91,6 +91,11 @@ SLOW_TIER = [
     "events_interval_join_outer",
     # round 9: the composed enzyme-annotation lifecycle (§3, last slice)
     "plan_enzyme_annotation",
+    # round 10: exact-substring dedup — the span-merge (spans) and the
+    # full cut action (remove, the heaviest: rank windows + indexed
+    # array filter) bracket the new family's cost
+    "dedup_substring_spans",
+    "dedup_substring_remove",
 ]
 
 REGRESSION_FLAG = 1.3

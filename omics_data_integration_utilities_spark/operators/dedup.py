@@ -538,3 +538,225 @@ def simhash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr family): find token
+# spans of >= width tokens that occur more than once in the corpus, as
+# opposed to the document-level families above.  The reference corpus
+# operators (dedup/minhash above) work at document granularity; this is
+# the substring-granular sibling a training-data pipeline runs alongside
+# them.  Suffix arrays (the paper's single-node structure) don't
+# distribute; the Spark-first equivalent is fixed-width token-gram
+# fingerprinting: every duplicated substring of length >= width is a run
+# of duplicated width-grams, so merging duplicated gram starts into
+# maximal islands recovers exactly the duplicated regions at token
+# resolution (width-1 tokens of slack at span edges, the standard
+# fingerprinting trade).
+#
+# Scale shape (the 100 TB plan):
+# - gram table: |tokens| rows of (id, pos, 128-bit digest) — row-local
+#   array expressions + one explode, no UDF; this linear blow-up is the
+#   inherent cost of substring granularity (a suffix array is O(tokens)
+#   too), and the rows are ~50 bytes each.
+# - duplicate detection: groupBy(digest) count — partial map-side
+#   combine collapses hot grams (boilerplate spam) BEFORE the shuffle,
+#   then grams ⋈ dup-digests is a plain equi-join AQE can turn into a
+#   broadcast (few duplicated grams) or skew-split (hot grams) at
+#   runtime.  A window count over the digest would be one shuffle
+#   cheaper but forfeits both: no partial aggregation and no skew-split
+#   (AQE cannot split window partitions).
+# - island merge: two same-spec windows per doc_id (lag + running sum)
+#   — one sort shuffle, partitions bounded by document length.
+# ---------------------------------------------------------------------------
+
+
+def with_token_grams(
+    df: DataFrame, text_col: str, id_col: str, width: int
+) -> DataFrame:
+    """(id, pos, g): one row per token position, ``g`` the md5 digest of
+    the ``width``-token gram starting there (1-based ``pos``).
+
+    Staged like :func:`with_shingle_hashes`: tokens materialize in their
+    own projection so gram assembly reads a column.  ``explode_outer`` +
+    null filter, not ``explode`` — the inner variant makes Catalyst
+    synthesize a ``size(...) > 0`` pre-filter that inlines the whole
+    gram-transform chain a second time (the minhash_signatures lesson).
+    Docs shorter than ``width`` yield zero rows — guarded with the same
+    ``when(n >= width, ...)`` as :func:`shingles_from_tokens`, because
+    ``sequence(1, stop)`` with ``stop < 1`` counts DOWN in Spark
+    (``[1, 0]``), it does not return the empty array DuckDB's
+    ``generate_series`` would.
+    """
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    n = F.size("__toks")
+    idx = F.sequence(F.lit(1), n - F.lit(width - 1))
+    pg = F.when(
+        n >= width,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(F.col("__toks"), i + F.lit(j)) for j in range(width)],
+                    )
+                ).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,g:string>>"))
+    return (
+        toks.select(F.col(id_col), F.explode_outer(pg).alias("__pg"))
+        .where(F.col("__pg").isNotNull())
+        .select(F.col(id_col), F.col("__pg.pos").alias("pos"), F.col("__pg.g").alias("g"))
+    )
+
+
+def _merge_gram_islands(
+    starts: DataFrame, id_col: str, width: int
+) -> DataFrame:
+    """Merge duplicated gram-start positions into maximal spans.
+
+    Gram starts p, q (p < q) cover overlapping-or-adjacent token ranges
+    [p, p+width-1], [q, q+width-1] iff q <= p + width, so a new island
+    begins exactly when the gap exceeds ``width`` (gaps-and-islands with
+    a fixed range width: ``lag`` suffices because every range has the
+    same end offset).  Returns (id, span_start, span_end, span_tokens),
+    all longs.  Both windows share one partitioning+sort.
+    """
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w_ord)
+    brk = F.when(prev.isNull() | (F.col("pos") > prev + F.lit(width)), 1).otherwise(0)
+    w_run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    isl = starts.select(
+        F.col(id_col), F.col("pos"), F.sum(brk).over(w_run).alias("__isl")
+    )
+    return (
+        isl.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(width - 1)).alias("span_end"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("span_start"),
+            F.col("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal token spans made of ``width``-grams occurring >=
+    ``min_count`` times corpus-wide (within-doc repetition counts, as in
+    the paper's self-similar boilerplate case).  Returns one row per
+    (doc, maximal duplicated span): (id, span_start, span_end,
+    span_tokens), token positions 1-based inclusive.
+    """
+    grams = with_token_grams(df, text_col, id_col, width)
+    dup_g = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("g")
+    )
+    starts = grams.join(dup_g, "g").select(F.col(id_col), F.col("pos"))
+    return _merge_gram_islands(starts, id_col, width)
+
+
+def substring_dedup_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-token accounting over
+    :func:`duplicated_substring_spans`: (id, n_tokens, dup_tokens,
+    dup_fraction) for EVERY document (zero-dup docs included) — the
+    corpus-health summary a pipeline thresholds on before dropping or
+    trimming documents.
+    """
+    spans = duplicated_substring_spans(df, text_col, id_col, width, min_count)
+    per_doc = spans.groupBy(id_col).agg(F.sum("span_tokens").alias("__dt"))
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    dt = F.coalesce(F.col("__dt"), F.lit(0).cast("long"))
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        dt.alias("dup_tokens"),
+        (dt.cast("double") / F.col("n_tokens")).alias("dup_fraction"),
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Drop every duplicated span EXCEPT its corpus-first occurrence —
+    the paper's actual dedup action (keep one copy, cut the rest).
+
+    Keeper per gram = the minimum (id, pos) occurrence, computed as a
+    ``min(struct)`` INSIDE the same groupBy as the duplicate count — no
+    rank window over the gram key, so hot grams stay in the partial-agg
+    + AQE-join regime described above.  Non-keeper gram starts merge
+    into spans; tokens inside any span are cut with one row-local
+    indexed array filter (nested higher-order lambdas, zero extra
+    shuffle).  Returns (id, text); an exact-duplicate document collapses
+    to the empty string.
+    """
+    grams = with_token_grams(df, text_col, id_col, width)
+    agg = (
+        grams.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__keep"),
+        )
+        .where(F.col("__c") >= min_count)
+    )
+    starts = (
+        grams.join(agg, "g")
+        .where(
+            ~(
+                (F.col(id_col) == F.col(f"__keep.{id_col}"))
+                & (F.col("pos") == F.col("__keep.pos"))
+            )
+        )
+        .select(F.col(id_col), F.col("pos"))
+    )
+    spans = _merge_gram_islands(starts, id_col, width)
+    spans_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return toks.join(spans_arr, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col("__spans").isNull(), F.concat_ws(" ", F.col("__toks")))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias(text_col),
+    )

@@ -1050,6 +1050,130 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# Exact-substring dedup at SPAN granularity (Lee et al. 2022 ExactSubstr):
+# where text_dup_spans above COUNTS duplicated windows per doc, these
+# three recover the duplicated regions positionally (maximal token spans),
+# account them per document, and perform the paper's actual dedup action
+# (cut every occurrence but the corpus-first).  Operators in
+# operators/dedup.py (gram fingerprinting + gaps-and-islands merge).
+# --------------------------------------------------------------------------
+
+
+def _substr_gram_ctes(w: int) -> str:
+    """toks + grams CTEs: one row per (doc, pos) with the md5 digest of
+    the w-token gram starting at 1-based pos — DuckDB twin of
+    operators/dedup.with_token_grams (generate_series is empty for short
+    docs where Spark needs the explicit n >= width guard)."""
+    return f"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, i.i AS pos,
+         md5(array_to_string(list_slice(t, i.i::INT, i.i::INT + {w - 1}), ' ')) AS g
+  FROM toks CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - {w} + 1, 0))) AS i) i
+)"""
+
+
+def _substr_island_ctes(src: str, w: int) -> str:
+    """brk/isl/m CTEs merging gram-start rows of ``src`` (doc_id, pos)
+    into maximal spans — DuckDB twin of dedup._merge_gram_islands."""
+    return f"""brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER win IS NULL
+                   OR pos > lag(pos) OVER win + {w} THEN 1 ELSE 0 END AS b
+  FROM {src} WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gi
+  FROM brk
+),
+m AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + {w - 1} AS span_end
+  FROM isl GROUP BY doc_id, gi
+)"""
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans (>= _SUBSTR_K-gram resolution)."""
+    return dedup_ops.duplicated_substring_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", width=_SUBSTR_K
+    )
+
+
+SQL_DEDUP_SUBSTRING_SPANS = f"""
+WITH {_substr_gram_ctes(_SUBSTR_K)},
+cnt AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM grams JOIN cnt USING (g)),
+{_substr_island_ctes("dup", _SUBSTR_K)}
+SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end AS BIGINT) AS span_end,
+       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+FROM m
+"""
+
+
+def q_dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-TOKEN accounting over the merged spans (the
+    fraction-of-corpus-removable number the paper reports); token-level
+    sibling of text_dup_spans' window-level counts."""
+    return dedup_ops.substring_dedup_stats(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", width=_SUBSTR_K
+    )
+
+
+SQL_DEDUP_SUBSTRING_STATS = f"""
+WITH {_substr_gram_ctes(_SUBSTR_K)},
+cnt AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM grams JOIN cnt USING (g)),
+{_substr_island_ctes("dup", _SUBSTR_K)},
+pd AS (
+  SELECT doc_id, CAST(sum(span_end - span_start + 1) AS BIGINT) AS dt
+  FROM m GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(coalesce(pd.dt, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(pd.dt, 0) AS DOUBLE) / len(string_split(d.text, ' '))
+           AS dup_fraction
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
+def q_dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION: text with every duplicated span cut except its
+    corpus-first occurrence (exact-duplicate docs collapse to '')."""
+    return dedup_ops.remove_duplicated_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", width=_SUBSTR_K
+    )
+
+
+SQL_DEDUP_SUBSTRING_REMOVE = f"""
+WITH {_substr_gram_ctes(_SUBSTR_K)},
+rk AS (
+  SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM grams
+),
+marked AS (SELECT doc_id, pos FROM rk WHERE c >= 2 AND rn > 1),
+{_substr_island_ctes("marked", _SUBSTR_K)},
+tokpos AS (
+  SELECT doc_id, i.i AS pos, t[i.i::INT] AS tok
+  FROM toks CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(t))) AS i) i
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM m
+    WHERE m.doc_id = tp.doc_id AND tp.pos BETWEEN m.span_start AND m.span_end)
+)
+SELECT d.doc_id, coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text
+FROM documents d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
 _BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 5
 
 
@@ -1245,6 +1369,9 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_decontaminate": q_text_decontaminate,
     "doc_chunks": q_doc_chunks,
     "text_dup_spans": q_text_dup_spans,
+    "dedup_substring_spans": q_dedup_substring_spans,
+    "dedup_substring_stats": q_dedup_substring_stats,
+    "dedup_substring_remove": q_dedup_substring_remove,
     "text_bm25": q_text_bm25,
     "text_perplexity": q_text_perplexity,
 }
@@ -1281,6 +1408,9 @@ ORACLES_DOCS: dict[str, str] = {
     "text_decontaminate": SQL_TEXT_DECONTAMINATE,
     "doc_chunks": SQL_DOC_CHUNKS,
     "text_dup_spans": SQL_TEXT_DUP_SPANS,
+    "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
+    "dedup_substring_stats": SQL_DEDUP_SUBSTRING_STATS,
+    "dedup_substring_remove": SQL_DEDUP_SUBSTRING_REMOVE,
     "text_bm25": SQL_TEXT_BM25,
     "text_perplexity": SQL_TEXT_PERPLEXITY,
 }

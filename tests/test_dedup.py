@@ -387,3 +387,186 @@ def test_simhash_pairs_pigeonhole_complete_at_sf001(spark):
         if bin((fp[a] ^ fp[b]) & mask).count("1") <= 3
     }
     assert got == want and len(want) > 0
+
+
+def test_substring_spans_merge_positions_and_short_docs(spark):
+    """Closed-form ExactSubstr check: a shared 8-gram is recovered as a
+    positional span in BOTH docs, an exact-duplicate doc spans end to
+    end, and docs shorter than the width yield no grams (the Spark
+    sequence(1, n<1) counts DOWN, so the guard matters)."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        duplicated_substring_spans,
+        substring_dedup_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h x y z"),        # 11 tokens; dup of 4
+            (2, "q q a b c d e f g h p p"),       # shared run at pos 3-10
+            (3, "m n o p q r s t u v"),           # unique
+            (4, "a b c d e f g h x y z"),         # exact duplicate of 1
+            (5, "s h o r t"),                     # below width
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_substring_spans(docs, "text", "doc_id", width=8).collect()
+    }
+    assert spans == {1: (1, 11, 11), 2: (3, 10, 8), 4: (1, 11, 11)}
+
+    stats = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in substring_dedup_stats(docs, "text", "doc_id", width=8).collect()
+    }
+    assert stats == {1: (11, 11), 2: (12, 8), 3: (10, 0), 4: (11, 11), 5: (5, 0)}
+
+
+def test_substring_remove_keeps_corpus_first_occurrence(spark):
+    """The dedup action: doc 1 (corpus-first by (id, pos)) keeps its
+    text, the later copies are cut — the exact duplicate to '' — and
+    within-doc self-repetition keeps only the first repeat."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    run = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{run} x y z"),
+            (2, f"q q {run} p p"),
+            (3, f"{run} x y z"),
+            (4, f"w {run} u {run} v"),  # self-repeat: second copy cut
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(docs, "text", "doc_id", width=8).collect()
+    }
+    assert out[1] == f"{run} x y z"      # keeper untouched
+    assert out[3] == ""                  # exact duplicate emptied
+    assert out[2] == "q q p p"           # shared run cut, frame kept
+    assert out[4] == f"w u v"            # both in-doc copies are non-first
+
+
+def _ref_substring_spans(docs, width, min_count=2):
+    """Independent pure-Python ExactSubstr reference: dict-of-Counter gram
+    census + linear island merge — none of the operator's join/window
+    machinery."""
+    from collections import Counter
+
+    cnt = Counter()
+    per_doc = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        grams = (
+            [" ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)]
+            if len(toks) >= width
+            else []
+        )
+        per_doc[did] = grams
+        cnt.update(grams)
+    out = set()
+    for did, grams in per_doc.items():
+        starts = [i + 1 for i, g in enumerate(grams) if cnt[g] >= min_count]
+        run = []
+        for p in starts:
+            if run and p > run[-1] + width:
+                out.add((did, run[0], run[-1] + width - 1))
+                run = []
+            run.append(p)
+        if run:
+            out.add((did, run[0], run[-1] + width - 1))
+    return out
+
+
+def _ref_remove_spans(docs, width, min_count=2):
+    """Reference for the cut action: corpus-first keeper by (id, pos)."""
+    from collections import Counter
+
+    cnt = Counter()
+    per_doc = {}
+    keeper = {}
+    for did, text in sorted(docs):
+        toks = text.split(" ")
+        grams = (
+            [" ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)]
+            if len(toks) >= width
+            else []
+        )
+        per_doc[did] = (toks, grams)
+        cnt.update(grams)
+        for i, g in enumerate(grams):
+            keeper.setdefault(g, (did, i + 1))
+    out = {}
+    for did, (toks, grams) in per_doc.items():
+        starts = [
+            i + 1
+            for i, g in enumerate(grams)
+            if cnt[g] >= min_count and keeper[g] != (did, i + 1)
+        ]
+        cut = set()
+        run = []
+        for p in starts + [None]:
+            if run and (p is None or p > run[-1] + width):
+                cut.update(range(run[0], run[-1] + width))
+                run = []
+            if p is not None:
+                run.append(p)
+        out[did] = " ".join(t for i, t in enumerate(toks, start=1) if i not in cut)
+    return out
+
+
+def test_substring_dedup_differential_random_corpora(spark):
+    """Differential sweep: 30 seeded random small-vocab corpora (the
+    regime where width-3 grams collide constantly — adjacent, nested and
+    overlapping duplicate runs) vs the independent reference, all
+    corpora in ONE Spark job via per-corpus token namespacing (tokens
+    tagged c{k}_ so grams never collide across corpora)."""
+    import random
+
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        duplicated_substring_spans,
+        remove_duplicated_spans,
+    )
+
+    rng = random.Random(42)
+    vocab = list("abcde")
+    width = 3
+    corpora = {}
+    rows = []
+    for k in range(30):
+        docs = []
+        for d in range(8):
+            n = rng.randint(1, 25)
+            toks = [rng.choice(vocab) for _ in range(n)]
+            docs.append((d, " ".join(toks)))
+        corpora[k] = docs
+        for d, text in docs:
+            tagged = " ".join(f"c{k}_{t}" for t in text.split(" "))
+            rows.append((k * 1000 + d, tagged))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got_spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_substring_spans(df, "text", "doc_id", width=width).collect()
+    }
+    want_spans = set()
+    for k, docs in corpora.items():
+        for did, s, e in _ref_substring_spans(docs, width):
+            want_spans.add((k * 1000 + did, s, e))
+    assert got_spans == want_spans
+
+    got_rm = {
+        r["doc_id"]: " ".join(t.split("_", 1)[1] for t in r["text"].split(" ") if t)
+        for r in remove_duplicated_spans(df, "text", "doc_id", width=width).collect()
+    }
+    want_rm = {}
+    for k, docs in corpora.items():
+        # reference keeper order must match the tagged corpus' global
+        # (doc_id, pos) order, which sorts by the NAMESPACED ids — within
+        # one corpus that is the local id order, so plain ids are fine
+        for did, txt in _ref_remove_spans(docs, width).items():
+            want_rm[k * 1000 + did] = txt
+    assert got_rm == want_rm
