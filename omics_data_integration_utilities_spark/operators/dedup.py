@@ -722,6 +722,14 @@ def remove_duplicated_spans(
     indexed array filter (nested higher-order lambdas, zero extra
     shuffle).  Returns (id, text); an exact-duplicate document collapses
     to the empty string.
+
+    Overlap caveat (alongside the width−1 edge-slack trade): when a
+    non-keeper occurrence overlaps the keeper occurrence of the same
+    gram INSIDE one document (self-overlapping repetition like
+    ``a b a b a`` at width 2), the merged non-keeper island can cut
+    tokens the keeper shares, so such content may survive in no copy —
+    span-merge semantics shared exactly by the DuckDB oracle and pinned
+    by the differential reference in ``tests/test_dedup.py``.
     """
     grams = with_token_grams(df, text_col, id_col, width)
     agg = (

@@ -259,6 +259,10 @@ def q_plan_enzyme_annotation(
     # checkpointing only `corr` re-runs the merged chain per branch and
     # is strictly worse at every scale).
     enzyme = merged.join(corr, "gene")
+    if checkpoint_storage not in ("local", "disk"):
+        raise ValueError(
+            f"checkpoint_storage must be 'local' or 'disk', got {checkpoint_storage!r}"
+        )
     if checkpoint:
         enzyme = enzyme.repartition(
             spark.sparkContext.defaultParallelism, F.col("gene")
