@@ -1,0 +1,126 @@
+"""Driver-evidence ledger: per-query book built from CORRECTNESS_r*.json.
+
+The driver checks a 50-query window per round (``__spark_entry__._PRIORITY``);
+this tool aggregates every round's record into the per-query evidence book
+the rotation decisions need — last-checked round, last-green round,
+staleness, and the never-checked / never-green residues.  Run before each
+round's rotation so the "stalest cohort" is computed, not recalled:
+
+    python ledger.py            # full table + residue summary
+    python ledger.py --stale 5  # only queries last green > 5 rounds ago
+
+A query is GREEN in a round when every *_match flag recorded for it is
+true and err is null (rows-only entries with err="no_oracle" count as
+green-rows-only, tracked separately — the driver's weaker check).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def load_rounds(here: str = HERE) -> dict[int, dict]:
+    rounds: dict[int, dict] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        with open(path) as f:
+            rounds[int(m.group(1))] = json.load(f)
+    return rounds
+
+
+def entry_status(rec: dict) -> str:
+    """'green' | 'rows_only' | 'red' for one driver record.
+
+    no_oracle is the driver's sanctioned weaker check: the query ran and
+    produced rows, nothing was value-compared — rows_only, not red,
+    when spark_rows landed (>= 0; None means the run itself failed)."""
+    if rec.get("err") == "no_oracle":
+        return "rows_only" if rec.get("spark_rows") is not None else "red"
+    if rec.get("err"):
+        return "red"
+    flags = [v for k, v in rec.items() if k.endswith("_match")]
+    return "green" if flags and all(flags) else "red"
+
+
+def build_ledger(here: str = HERE) -> dict[str, dict]:
+    """name -> {last_checked, last_green, last_rows_only, statuses}.
+
+    last_green is HASH-green only; the sanctioned weaker rows-only pass
+    is tracked separately (the verdict's book distinguishes them)."""
+    rounds = load_rounds(here)
+    ledger: dict[str, dict] = {}
+    for rnd in sorted(rounds):
+        for name, rec in rounds[rnd].items():
+            st = entry_status(rec)
+            row = ledger.setdefault(
+                name,
+                {
+                    "last_checked": None,
+                    "last_green": None,
+                    "last_rows_only": None,
+                    "statuses": {},
+                },
+            )
+            row["last_checked"] = rnd
+            row["statuses"][rnd] = st
+            if st == "green":
+                row["last_green"] = rnd
+            elif st == "rows_only":
+                row["last_rows_only"] = rnd
+    return ledger
+
+
+def registered_names() -> list[str]:
+    sys.path.insert(0, HERE)
+    import __spark_entry__ as e  # noqa: PLC0415
+
+    return list(e.queries())
+
+
+def main(argv: list[str]) -> int:
+    stale_cut = None
+    if "--stale" in argv:
+        stale_cut = int(argv[argv.index("--stale") + 1])
+    ledger = build_ledger()
+    names = registered_names()
+    latest = max((r for row in ledger.values() for r in row["statuses"]), default=0)
+    print(f"# rounds on file: through r{latest}; registered queries: {len(names)}")
+    never_checked, never_green, stale_rows = [], [], []
+    for name in names:
+        row = ledger.get(name)
+        if row is None:
+            never_checked.append(name)
+            continue
+        if row["last_green"] is None:
+            never_green.append(name)
+        best = max(row["last_green"] or 0, row["last_rows_only"] or 0)
+        staleness = latest - best
+        if stale_cut is None or staleness > stale_cut:
+            stale_rows.append((staleness, name, row))
+    for staleness, name, row in sorted(stale_rows, reverse=True):
+        st = row["statuses"][row["last_checked"]]
+        green = "r%d" % row["last_green"] if row["last_green"] else "-"
+        ro = "r%d" % row["last_rows_only"] if row["last_rows_only"] else "-"
+        print(
+            f"{name:45s} last_checked=r{row['last_checked']:<3d} "
+            f"hash_green={green:4s} rows_only={ro:4s} "
+            f"stale={staleness:<3d} latest_status={st}"
+        )
+    print(f"# never driver-checked ({len(never_checked)}): {never_checked}")
+    print(
+        f"# checked but never hash-green ({len(never_green)}): {never_green}"
+        " (rows-only evidence shown above)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -1,0 +1,48 @@
+"""Ledger classification: the evidence book must match the driver's
+record semantics (hash-green vs the sanctioned rows-only vs red)."""
+
+import json
+
+import ledger
+
+
+def test_entry_status_classes():
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 5, "oracle_rows": 5, "err": None}
+    rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": 8550, "oracle_rows": None, "err": "no_oracle"}
+    failed_rows_only = {"rows_match": None, "spark_rows": None, "err": "no_oracle"}
+    hash_red = {"rows_match": True, "schema_match": True, "hash_match": False,
+                "spark_rows": 5, "oracle_rows": 5, "err": None}
+    errored = {"rows_match": None, "spark_rows": None, "err": "Boom"}
+    assert ledger.entry_status(green) == "green"
+    assert ledger.entry_status(rows_only) == "rows_only"
+    assert ledger.entry_status(failed_rows_only) == "red"
+    assert ledger.entry_status(hash_red) == "red"
+    assert ledger.entry_status(errored) == "red"
+
+
+def test_build_ledger_tracks_green_and_rows_only_separately(tmp_path):
+    r1 = {"q": {"rows_match": None, "spark_rows": 3, "err": "no_oracle"}}
+    r2 = {"q": {"rows_match": True, "hash_match": True, "spark_rows": 3,
+                "oracle_rows": 3, "err": None},
+          "p": {"rows_match": True, "hash_match": False, "spark_rows": 3,
+                "oracle_rows": 3, "err": None}}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(r2))
+    book = ledger.build_ledger(str(tmp_path))
+    assert book["q"]["last_rows_only"] == 1
+    assert book["q"]["last_green"] == 2
+    assert book["p"]["last_green"] is None
+    assert book["p"]["statuses"] == {2: "red"}
+
+
+def test_ledger_matches_checked_in_book():
+    """The real book: the never-hash-green residue can only shrink from
+    the three entries sanctioned as of r9 (drivernet_permutation clears
+    once its r10 golden-oracle pass lands; methylmix_states is rows-only
+    by design and combat_adjust is formally superseded, so both stay)."""
+    book = ledger.build_ledger()
+    never_green = {n for n, row in book.items() if row["last_green"] is None}
+    assert never_green <= {"combat_adjust", "drivernet_permutation", "methylmix_states"}
+    assert {"combat_adjust", "methylmix_states"} <= never_green
