@@ -139,13 +139,15 @@ METHODOLOGY = (
 # not a regression — carried in the JSON so round-over-round deltas on
 # these queries are read against the new workload
 WORKLOAD_CHANGES = {
-    "k3_substructure": "39 -> 46 probes (r10 ring-count [R1]/[R2]/"
-    "[C;R0]/[c;R1] brackets + depth-3 recursive wraps; r9 added "
-    "per-alternative-modifier, list-conjunct, depth-2 recursive, "
-    "negated-item families)",
-    "k1_graph_rewrite": "8 -> 10 rules (r10 ring-count-conjunct "
-    "[C;R0:1] and depth-3 recursive [$([$([$(C)]O)]):1] rules; r9 "
-    "added per-alternative-modifier + negated-item)",
+    "k3_substructure": "39 -> 50 probes (r10 ring-count [R1]/[R2]/"
+    "[C;R0]/[c;R1] brackets, depth-3 recursive wraps, and stereo "
+    "parse-and-ignore probes [C@H3]/[C@@H3]Cl/dirbond/invalid; r9 "
+    "added per-alternative-modifier, list-conjunct, depth-2 "
+    "recursive, negated-item families)",
+    "k1_graph_rewrite": "8 -> 11 rules (r10 ring-count-conjunct "
+    "[C;R0:1], depth-3 recursive [$([$([$(C)]O)]):1], and "
+    "stereo-marked [C@:1]O >> [C@@:1]N rules; r9 added "
+    "per-alternative-modifier + negated-item)",
 }
 
 

@@ -74,8 +74,13 @@ SUBSET engine; the honest scope is:
   counts undefined, and a ring-count query against it gets the same
   outside-subset verdict as a parse failure (``has_substructure`` →
   False, rewrites → no products; internally :class:`RingCountBudget`),
-  while bare ``[R]``/``[!R]`` still work from bridge analysis.  Recursion
-  past depth 8 and stereo remain OUTSIDE the subset; a
+  while bare ``[R]``/``[!R]`` still work from bridge analysis.  Stereo
+  marks on the PATTERN side (``[C@H]``, ``C/C=C/O``; r10) are accepted
+  and IGNORED at match time — exactly RDKit's default
+  ``useChirality=False`` substructure/reaction matching, which is how
+  the reference calls it (see :func:`strip_stereo` for the scope
+  guards); MOLECULE-side stereo and recursion past depth 8 remain
+  OUTSIDE the subset; a
   product template carrying a query primitive yields no products
   (nothing concrete to write — RDKit errors on such templates).
 - **Ring closures**: a match requires the pattern's internal ring-bond
@@ -121,9 +126,11 @@ _BRACKET_RE = re.compile(
 # ([C,N], [#6,#7]; each alternative may carry its own H/charge mods —
 # [CH2,NH], r9) and negation ([!O], [!#1], [!C!N] = none
 # may match).  Recursive [$(...)] brackets are hand-parsed (balanced
-# parens — see _match_recursive_bracket); mixing forms, nested
-# recursion and stereo stay outside the subset (module
-# docstring) — RDKit's ReactionFromSmarts accepts the wider grammar
+# parens — see _match_recursive_bracket); mixing forms and nesting
+# past depth 8 stay outside the subset; pattern-side stereo marks are
+# stripped before these regexes run (strip_stereo — RDKit-default
+# useChirality=False semantics; module docstring).  RDKit's
+# ReactionFromSmarts accepts the wider grammar
 # (/root/reference/integrative_omics/gizmos.py:193-234).
 _PRIM_SRC = r"(?:\*|#\d+|R\d+|[A-Z][a-z]?|[a-z])"
 # r9: each alternative may carry its own H-count / charge modifiers
@@ -468,6 +475,45 @@ def _has_ring_prim(atoms: list[Atom]) -> bool:
         for a in atoms
         for prim in _atom_prims(a)
     )
+
+
+def strip_stereo(pattern: str) -> str:
+    """Drop stereo marks from a PATTERN (or product template) string —
+    RDKit's DEFAULT matching semantics: ``GetSubstructMatch`` /
+    ``RunReactants`` template matching run with ``useChirality=False``
+    unless asked otherwise, so tetrahedral ``@``/``@@`` marks inside
+    brackets and directional bond marks ``/`` ``\\`` constrain nothing
+    at match time (the reference calls both through the defaults,
+    gizmos.py:193-234, mapBaseRetroRules.py:37-53).  The engine
+    therefore accepts stereo-marked rules by stripping the marks before
+    parsing: ``[C@H]`` ≡ ``[CH]``, ``C/C=C/O`` ≡ ``CC=CO``.
+
+    Scope guards (kept OUTSIDE the subset, so they still parse-fail):
+    - a ``@`` at bracket depth 0 is invalid SMARTS, not stereo — left
+      in place rather than silently legalized;
+    - ``/``/``\\`` inside a bracket is likewise left for the parser;
+    - extended chirality classes (``@TH1``, ``@SP2``, …) strip only the
+      ``@``, leaving a class token the bracket parser rejects;
+    - MOLECULE-side stereo stays outside the subset: substrates are
+      parsed verbatim, and RDKit would preserve their marks in product
+      writings where this engine cannot — honest rejection over a
+      silently different product string.
+    """
+    if "@" not in pattern and "/" not in pattern and "\\" not in pattern:
+        return pattern
+    out = []
+    depth = 0
+    for ch in pattern:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch in "/\\" and depth == 0:
+            continue
+        if ch == "@" and depth >= 1:
+            continue
+        out.append(ch)
+    return "".join(out)
 
 
 def parse_chain(s: str) -> list[Atom]:
@@ -1500,6 +1546,8 @@ def apply_reaction(substrate: str, pattern: str, template: str) -> tuple[str, ..
     # writing (ClCCCl + Cl>>O gives OCCCl and ClCCO, one molecule), graph
     # products the serializer's — and a string compare would emit twice
     # what the reference emits once.  First occurrence keeps its writing.
+    pattern = strip_stereo(pattern)
+    template = strip_stereo(template)
     products: list[str] = []
     seen_canon: set[str] = set()
     seen_keys: set = set()
@@ -1739,7 +1787,7 @@ def has_substructure(substrate: str, pattern: str) -> bool:
     the parser subset."""
     try:
         s_atoms, s_edges = parse_graph(substrate)
-        p_atoms, p_edges = parse_graph(pattern)
+        p_atoms, p_edges = parse_graph(strip_stereo(pattern))
     except ValueError:
         return False
     if not p_atoms or len(p_atoms) > len(s_atoms):

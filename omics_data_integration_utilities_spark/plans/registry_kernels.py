@@ -616,11 +616,23 @@ K3_PROBES = [
     ("probe_rec_nested3", "[$([$([$(Cl)][CH3])])]"),
     ("probe_rec_deep_ring", "[$([$([$(c1ccccc1)])])]"),
     ("probe_not_nested3", "[!$([$([$(Cl)][CH3])])]"),
+    # r10 pattern-side stereo (parse-and-ignore = RDKit's default
+    # useChirality=False — strip_stereo).  Closed forms: the marks
+    # constrain nothing, so each probe's truth is its stripped twin's:
+    #   stereo_ch3     [C@H3]          ≡ [CH3]       — always present
+    #   stereo_ch3_cl  [C@@H3]Cl       ≡ [CH3]Cl     — Cl iff even
+    #   stereo_dirbond [!#1]/[N&X3:2]  ≡ [!#1][N...] — always true
+    #   stereo_invalid C@Cl — a depth-0 @ is invalid SMARTS, NOT
+    #                  stereo; never legalized → outside subset → False
+    ("probe_stereo_ch3", "[C@H3]"),
+    ("probe_stereo_ch3_cl", "[C@@H3]Cl"),
+    ("probe_stereo_dirbond", "[!#1]/[N&X3:2]"),
+    ("probe_stereo_invalid", "C@Cl"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
 _K3_STRUCTURAL_TRUE_ON_CL = (
-    "probe_ccl", "probe_branch", "probe_branch_swap",
+    "probe_ccl", "probe_branch", "probe_branch_swap", "probe_stereo_ch3_cl",
     "probe_alt_halo", "probe_neg_before_cl", "probe_rec_cl_ch3",
     "probe_malt_cl_nh2", "probe_aconj_halo", "probe_rec_nested",
     "probe_rec_nested3",
@@ -636,11 +648,11 @@ _K3_ALWAYS_TRUE = (
     "probe_neg_h", "probe_alt_n", "probe_aliph", "probe_acyclic",
     "probe_rec_not_cl", "probe_conj_acyclic_c",
     "probe_malt_ch3_nh2", "probe_malt_chg", "probe_r0_chain",
-    "probe_not_nested3",
+    "probe_not_nested3", "probe_stereo_ch3", "probe_stereo_dirbond",
 )
 _K3_ALWAYS_FALSE = (
     "probe_ocl", "probe_dbl", "probe_charge", "probe_malt_ch2_nh",
-    "probe_r2",
+    "probe_r2", "probe_stereo_invalid",
 )
 
 
@@ -973,6 +985,10 @@ GRAPH_RXN_RULES = [
     # exactly one C neighbour, so the pattern selects the same unique
     # C–O site through three levels of anchor recursion
     ("r_rec3_fluor", "[$([$([$(C)]O)]):1]O", "[C:1]F", "F"),
+    # r10 stereo marks on BOTH sides of a mapped rule (parse-and-ignore,
+    # RDKit useChirality=False default): strips to [C:1]O >> [C:1]N,
+    # the same unique C-O site and tail as r_aminate
+    ("r_stereo_aminate", "[C@:1]O", "[C@@:1]N", "N"),
 ]
 
 

@@ -976,3 +976,42 @@ def test_conjunct_brackets():
     # graph path owns ring-conjunct rewrites; only the acyclic C matches
     assert apply_reaction("C1CCC1C", "[C;!R:1]", "[N:1]") == ("C1CCC1[N]",)
     assert apply_reaction("C1CCC1C", "[C:1]", "[C;R:1]") == ()
+
+
+def test_stereo_marks_parse_and_ignore_rdkit_default():
+    """Pattern-side stereo (r10): tetrahedral @/@@ and directional / \\
+    marks are accepted and IGNORED at match time — RDKit's default
+    useChirality=False, which is how the reference invokes matching —
+    while the scope guards keep invalid and molecule-side stereo
+    outside the subset."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        apply_reaction,
+        has_substructure,
+        strip_stereo,
+    )
+
+    assert strip_stereo("[C@H](N)O") == "[CH](N)O"
+    assert strip_stereo("[C@@H3:1]Cl") == "[CH3:1]Cl"
+    assert strip_stereo("C/C=C/O") == "CC=CO"
+    assert strip_stereo("C\\C=C\\O") == "CC=CO"
+    # scope guards: depth-0 @ is invalid SMARTS, not stereo; extended
+    # chirality classes leave a rejected token; bracket-interior / stays
+    assert strip_stereo("C@C") == "C@C"
+    assert strip_stereo("[C@TH1]") == "[CTH1]"
+
+    sub = "CCO[N&X3:2]Cl[CH3]"
+    assert has_substructure(sub, "[C@H3]") is True
+    assert has_substructure(sub, "[C@@H3]Cl") is True
+    assert has_substructure(sub, "[!#1]/[N&X3:2]") is True
+    assert has_substructure(sub, "C@Cl") is False       # invalid stays rejected
+    # molecule-side stereo: outside the subset (honest rejection — RDKit
+    # would preserve the marks in product writings where we cannot)
+    assert has_substructure("C[C@H](N)O", "CC") is False
+
+    # reactions: stereo on the pattern AND the template strips to the
+    # plain rule's exact products
+    plain = apply_reaction(sub, "[CH3:1]Cl", "[C:1]F")
+    assert plain and apply_reaction(sub, "[C@H3:1]Cl", "[C:1]F") == plain
+    assert apply_reaction(sub, "[CH3:1]Cl", "[C@@H3:1]F") == apply_reaction(
+        sub, "[CH3:1]Cl", "[CH3:1]F"
+    )

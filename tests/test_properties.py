@@ -1042,3 +1042,28 @@ def test_recursive_bracket_matches_brute_force(s, sp):
 
     assert has_substructure(s, f"[$({sp})]") == (len(anchors) > 0)
     assert has_substructure(s, f"[!$({sp})]") == (len(anchors) < len(sa))
+
+
+@given(s=_smiles_subset(), p=_smiles_subset(), data=st.data())
+@settings(max_examples=200, deadline=None)
+def test_stereo_decoration_never_changes_verdict(s, p, data):
+    """Random tetrahedral decoration of a pattern's bracket atoms is
+    match-invariant (parse-and-ignore = RDKit useChirality=False), and
+    strip_stereo recovers the plain pattern exactly."""
+    import re
+
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        has_substructure,
+        strip_stereo,
+    )
+
+    marks = iter(
+        data.draw(st.lists(st.sampled_from(["", "@", "@@"]), min_size=16, max_size=16))
+    )
+    decorated = re.sub(
+        r"\[([A-Z][a-z]?|[a-z])",
+        lambda m: "[" + m.group(1) + next(marks, ""),
+        p,
+    )
+    assert strip_stereo(decorated) == p
+    assert has_substructure(s, decorated) == has_substructure(s, p)
