@@ -2,12 +2,17 @@
 
 The driver checks a 50-query window per round (``__spark_entry__._PRIORITY``);
 this tool aggregates every round's record into the per-query evidence book
-the rotation decisions need — last-checked round, last-green round,
-staleness, and the never-checked / never-green residues.  Run before each
-round's rotation so the "stalest cohort" is computed, not recalled:
+the rotation decisions need — last-checked round, last-hash-green and
+last-rows-only rounds, staleness, and the never-checked / never-green
+residues.  Staleness counts rounds since the last driver EVIDENCE of
+either kind (hash-green, or the sanctioned rows-only pass — the only
+check that exists for queries registered without an oracle; a query
+never flips between the two kinds, so the max is well-defined).  Run
+before each round's rotation so the "stalest cohort" is computed, not
+recalled:
 
     python ledger.py            # full table + residue summary
-    python ledger.py --stale 5  # only queries last green > 5 rounds ago
+    python ledger.py --stale 5  # only queries with evidence > 5 rounds old
 
 A query is GREEN in a round when every *_match flag recorded for it is
 true and err is null (rows-only entries with err="no_oracle" count as
@@ -88,7 +93,11 @@ def registered_names() -> list[str]:
 def main(argv: list[str]) -> int:
     stale_cut = None
     if "--stale" in argv:
-        stale_cut = int(argv[argv.index("--stale") + 1])
+        idx = argv.index("--stale") + 1
+        if idx >= len(argv) or not argv[idx].lstrip("-").isdigit():
+            print("usage: python ledger.py [--stale N]")
+            return 2
+        stale_cut = int(argv[idx])
     ledger = build_ledger()
     names = registered_names()
     latest = max((r for row in ledger.values() for r in row["statuses"]), default=0)

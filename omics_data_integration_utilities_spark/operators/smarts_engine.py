@@ -75,11 +75,15 @@ SUBSET engine; the honest scope is:
   outside-subset verdict as a parse failure (``has_substructure`` →
   False, rewrites → no products; internally :class:`RingCountBudget`),
   while bare ``[R]``/``[!R]`` still work from bridge analysis.  Stereo
-  marks on the PATTERN side (``[C@H]``, ``C/C=C/O``; r10) are accepted
-  and IGNORED at match time — exactly RDKit's default
+  marks (r10) are IGNORED at match time — exactly RDKit's default
   ``useChirality=False`` substructure/reaction matching, which is how
-  the reference calls it (see :func:`strip_stereo` for the scope
-  guards); MOLECULE-side stereo and recursion past depth 8 remain
+  the reference calls it: pattern-side tetrahedral ``@``/``@@`` strips
+  before parsing (:func:`strip_stereo`), and directional ``/`` ``\\``
+  bond marks — accepted by BOTH parsers as labels, so every side's
+  writing survives into products — compare equal to the single bond
+  they decorate (:func:`_bond_ok`).  Ring-bond queries (``@`` BETWEEN
+  atoms), extended chirality classes (``@TH1``…), MOLECULE-side
+  tetrahedral marks, and recursion past depth 8 remain
   OUTSIDE the subset; a
   product template carrying a query primitive yields no products
   (nothing concrete to write — RDKit errors on such templates).
@@ -477,43 +481,45 @@ def _has_ring_prim(atoms: list[Atom]) -> bool:
     )
 
 
+# tetrahedral mark directly after a bracket atom's element token (the
+# '[' anchor is what distinguishes it from the RING-BOND '@' between
+# chain atoms); the lookahead keeps extended chirality classes
+# (@TH1/@AL1/@SP1/@TB1/@OH1 — class token + mandatory digit) in place
+# so they still parse-fail, while plain [C@H]/[C@H1] strips (bare 'H'
+# is the hydrogen-count mod, not a class: classes need their digit)
+_TETRAHEDRAL_RE = re.compile(
+    r"(\[(?:\d+)?(?:#\d+|[A-Z][a-z]?|[a-z]|\*))@{1,2}(?!(?:TH|AL|SP|TB|OH)\d)"
+)
+
+
 def strip_stereo(pattern: str) -> str:
-    """Drop stereo marks from a PATTERN (or product template) string —
+    """Drop TETRAHEDRAL marks from a PATTERN (or product template) —
     RDKit's DEFAULT matching semantics: ``GetSubstructMatch`` /
     ``RunReactants`` template matching run with ``useChirality=False``
-    unless asked otherwise, so tetrahedral ``@``/``@@`` marks inside
-    brackets and directional bond marks ``/`` ``\\`` constrain nothing
-    at match time (the reference calls both through the defaults,
-    gizmos.py:193-234, mapBaseRetroRules.py:37-53).  The engine
-    therefore accepts stereo-marked rules by stripping the marks before
-    parsing: ``[C@H]`` ≡ ``[CH]``, ``C/C=C/O`` ≡ ``CC=CO``.
+    unless asked otherwise (the reference calls both through the
+    defaults, gizmos.py:193-234, mapBaseRetroRules.py:37-53), so
+    ``@``/``@@`` after a bracket atom's element constrains nothing at
+    match time: ``[C@H]`` ≡ ``[CH]``.  Directional bond marks ``/``
+    ``\\`` are NOT text-stripped — both parsers accept them as bond
+    labels (preserving each side's writing) and :func:`_bond_ok`
+    equates them with the single bond at match time, the other half of
+    the same defaults.
 
     Scope guards (kept OUTSIDE the subset, so they still parse-fail):
-    - a ``@`` at bracket depth 0 is invalid SMARTS, not stereo — left
-      in place rather than silently legalized;
-    - ``/``/``\\`` inside a bracket is likewise left for the parser;
-    - extended chirality classes (``@TH1``, ``@SP2``, …) strip only the
-      ``@``, leaving a class token the bracket parser rejects;
-    - MOLECULE-side stereo stays outside the subset: substrates are
-      parsed verbatim, and RDKit would preserve their marks in product
-      writings where this engine cannot — honest rejection over a
-      silently different product string.
+    - ``@`` BETWEEN atoms (``C@C``, including inside a recursive
+      environment) is the SMARTS ring-bond query, not tetrahedral
+      stereo — never stripped; the chain parsers reject it, an honest
+      outside-subset verdict (RDKit would match ring bonds there);
+    - extended chirality classes (``@TH1``, ``@OH5``, …) keep their
+      class token, which the bracket parser rejects;
+    - MOLECULE-side tetrahedral marks stay outside the subset: a
+      substrate ``[C@H]`` is parsed verbatim and rejected — RDKit
+      would preserve its marks in product writings where this engine
+      cannot, and honest rejection beats a silently different product.
     """
-    if "@" not in pattern and "/" not in pattern and "\\" not in pattern:
+    if "@" not in pattern:
         return pattern
-    out = []
-    depth = 0
-    for ch in pattern:
-        if ch == "[":
-            depth += 1
-        elif ch == "]":
-            depth -= 1
-        if ch in "/\\" and depth == 0:
-            continue
-        if ch == "@" and depth >= 1:
-            continue
-        out.append(ch)
-    return "".join(out)
+    return _TETRAHEDRAL_RE.sub(r"\1", pattern)
 
 
 def parse_chain(s: str) -> list[Atom]:
@@ -945,7 +951,16 @@ def _ring_basis_counts(
     return counts
 
 
+# directional bond marks denote cis/trans ORIENTATION of a single bond;
+# default-settings RDKit matching ignores the orientation, so '/' and
+# '\' compare as the single bond they decorate (both sides — pattern
+# marks match plain substrates AND vice versa, writings preserved)
+_BOND_MATCH_EQUIV = {"/": "-", "\\": "-"}
+
+
 def _bond_ok(pb: str | None, sb: str | None) -> bool:
+    pb = _BOND_MATCH_EQUIV.get(pb, pb)
+    sb = _BOND_MATCH_EQUIV.get(sb, sb)
     return pb is None or sb is None or pb == sb
 
 

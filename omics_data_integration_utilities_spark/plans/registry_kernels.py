@@ -616,14 +616,19 @@ K3_PROBES = [
     ("probe_rec_nested3", "[$([$([$(Cl)][CH3])])]"),
     ("probe_rec_deep_ring", "[$([$([$(c1ccccc1)])])]"),
     ("probe_not_nested3", "[!$([$([$(Cl)][CH3])])]"),
-    # r10 pattern-side stereo (parse-and-ignore = RDKit's default
-    # useChirality=False — strip_stereo).  Closed forms: the marks
-    # constrain nothing, so each probe's truth is its stripped twin's:
+    # r10 pattern-side stereo (ignored at match = RDKit's default
+    # useChirality=False: tetrahedral @/@@ strips before parse, the
+    # directional / bond mark compares equal to the single bond it
+    # decorates).  Closed forms: the marks constrain nothing, so each
+    # probe's truth is its unmarked twin's:
     #   stereo_ch3     [C@H3]          ≡ [CH3]       — always present
     #   stereo_ch3_cl  [C@@H3]Cl       ≡ [CH3]Cl     — Cl iff even
     #   stereo_dirbond [!#1]/[N&X3:2]  ≡ [!#1][N...] — always true
-    #   stereo_invalid C@Cl — a depth-0 @ is invalid SMARTS, NOT
-    #                  stereo; never legalized → outside subset → False
+    #   stereo_invalid C@Cl — '@' BETWEEN atoms is the SMARTS
+    #                  RING-BOND query, not stereo; it stays outside
+    #                  the subset (honest rejection → False; RDKit
+    #                  would match ring bonds, and no substrate here
+    #                  has a ring-bonded Cl anyway)
     ("probe_stereo_ch3", "[C@H3]"),
     ("probe_stereo_ch3_cl", "[C@@H3]Cl"),
     ("probe_stereo_dirbond", "[!#1]/[N&X3:2]"),

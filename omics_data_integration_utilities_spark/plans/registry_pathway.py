@@ -156,6 +156,10 @@ def q_plan_enzyme_annotation(
     get identical performance without holding cache entries that need
     explicit unpersist.
     """
+    if checkpoint_storage not in ("local", "disk"):
+        raise ValueError(
+            f"checkpoint_storage must be 'local' or 'disk', got {checkpoint_storage!r}"
+        )
     from pyspark.sql import Window
 
     from ..operators.aggregates import correlate_long_matrices
@@ -259,10 +263,6 @@ def q_plan_enzyme_annotation(
     # checkpointing only `corr` re-runs the merged chain per branch and
     # is strictly worse at every scale).
     enzyme = merged.join(corr, "gene")
-    if checkpoint_storage not in ("local", "disk"):
-        raise ValueError(
-            f"checkpoint_storage must be 'local' or 'disk', got {checkpoint_storage!r}"
-        )
     if checkpoint:
         enzyme = enzyme.repartition(
             spark.sparkContext.defaultParallelism, F.col("gene")

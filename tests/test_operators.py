@@ -992,21 +992,42 @@ def test_stereo_marks_parse_and_ignore_rdkit_default():
 
     assert strip_stereo("[C@H](N)O") == "[CH](N)O"
     assert strip_stereo("[C@@H3:1]Cl") == "[CH3:1]Cl"
-    assert strip_stereo("C/C=C/O") == "CC=CO"
-    assert strip_stereo("C\\C=C\\O") == "CC=CO"
-    # scope guards: depth-0 @ is invalid SMARTS, not stereo; extended
-    # chirality classes leave a rejected token; bracket-interior / stays
+    assert strip_stereo("[13C@H]") == "[13CH]"
+    # directional marks are NOT text-stripped — both parsers keep them
+    # as bond labels (writings preserved) and _bond_ok equates them
+    # with the single bond at match time
+    assert strip_stereo("C/C=C/O") == "C/C=C/O"
+    # scope guards: '@' BETWEEN atoms is the SMARTS ring-bond query,
+    # never stripped (incl. inside a recursive environment); extended
+    # chirality classes keep their rejected class token
     assert strip_stereo("C@C") == "C@C"
-    assert strip_stereo("[C@TH1]") == "[CTH1]"
+    assert strip_stereo("[$(C@C)]") == "[$(C@C)]"
+    assert strip_stereo("[C@TH1]") == "[C@TH1]"
+    assert strip_stereo("[C@OH1]") == "[C@OH1]"   # octahedral class, not @ + H-count
 
     sub = "CCO[N&X3:2]Cl[CH3]"
     assert has_substructure(sub, "[C@H3]") is True
     assert has_substructure(sub, "[C@@H3]Cl") is True
     assert has_substructure(sub, "[!#1]/[N&X3:2]") is True
-    assert has_substructure(sub, "C@Cl") is False       # invalid stays rejected
-    # molecule-side stereo: outside the subset (honest rejection — RDKit
-    # would preserve the marks in product writings where we cannot)
+    # directional marks are orientation decorations of a single bond:
+    # marked patterns match plain substrates AND vice versa, identical
+    # markings self-match, and marks inside recursive environments are
+    # equally ignored
+    assert has_substructure("CC=CO", "C/C=C/O") is True
+    assert has_substructure("C/C=C/O", "CC=CO") is True
+    assert has_substructure("C/C=C/O", "C/C=C/O") is True
+    assert has_substructure("CC=CO", "[$(C/C=C/O)]") is True
+    # ring-bond queries stay honestly outside the subset (RDKit would
+    # match ring bonds; this engine rejects rather than mis-answers)
+    assert has_substructure(sub, "C@Cl") is False
+    assert has_substructure("C1CC1Cl", "C@C") is False
+    assert has_substructure("CCO", "[$(C@C)]") is False
+    # molecule-side TETRAHEDRAL marks: outside the subset (honest
+    # rejection — RDKit would preserve the marks in product writings
+    # where we cannot); molecule-side directional marks parse and keep
+    # their writing in products
     assert has_substructure("C[C@H](N)O", "CC") is False
+    assert apply_reaction("C/C=C/O", "[O:1]", "[N:1]") == ("C/C=C/[N]",)
 
     # reactions: stereo on the pattern AND the template strips to the
     # plain rule's exact products
