@@ -94,10 +94,13 @@ def main(argv: list[str]) -> int:
     stale_cut = None
     if "--stale" in argv:
         idx = argv.index("--stale") + 1
-        if idx >= len(argv) or not argv[idx].lstrip("-").isdigit():
-            print("usage: python ledger.py [--stale N]")
+        try:
+            stale_cut = int(argv[idx])
+        except (IndexError, ValueError):
+            stale_cut = -1
+        if stale_cut < 0:
+            print("usage: python ledger.py [--stale N]  (N a round count >= 0)")
             return 2
-        stale_cut = int(argv[idx])
     ledger = build_ledger()
     names = registered_names()
     latest = max((r for row in ledger.values() for r in row["statuses"]), default=0)

@@ -839,6 +839,16 @@ class RingCountBudget(ValueError):
     still work from bridge analysis)."""
 
 
+class OutsideSubsetMatch(ValueError):
+    """A pattern construct fell outside the subset only at MATCH time —
+    e.g. a recursive environment whose sub-pattern does not parse
+    (``[$(C@C)]``: ring-bond query inside the environment).  Raised
+    instead of treating the anchor set as empty, because an empty set
+    INVERTS under negation: ``[!$(C@C)]`` would silently match every
+    atom where the contract is an outside-subset rejection of the whole
+    pattern.  Same handling as :class:`RingCountBudget`."""
+
+
 def _needs_ring_counts(p_atoms: list) -> bool:
     return any(
         prim[0] == "ringcount" for a in p_atoms for prim in _atom_prims(a)
@@ -959,9 +969,12 @@ _BOND_MATCH_EQUIV = {"/": "-", "\\": "-"}
 
 
 def _bond_ok(pb: str | None, sb: str | None) -> bool:
-    pb = _BOND_MATCH_EQUIV.get(pb, pb)
-    sb = _BOND_MATCH_EQUIV.get(sb, sb)
-    return pb is None or sb is None or pb == sb
+    # fast path first: this sits in the backtracking matcher's innermost
+    # edge check, and directional marks are rare — only consult the
+    # equivalence map when the plain compare fails
+    if pb is None or sb is None or pb == sb:
+        return True
+    return _BOND_MATCH_EQUIV.get(pb, pb) == _BOND_MATCH_EQUIV.get(sb, sb)
 
 
 def _rewrite_token(t: Atom, src: Atom) -> str:
@@ -1029,9 +1042,13 @@ def _all_embeddings(
         for sp in sorted(rec_pats):
             try:
                 sp_atoms, sp_edges = parse_graph(sp)
-            except ValueError:
-                rec_anchor[sp] = set()
-                continue
+            except ValueError as ex:
+                # an unparseable sub-pattern makes the WHOLE pattern
+                # outside-subset; an empty anchor set would invert to
+                # always-true under [!$(...)] (see OutsideSubsetMatch)
+                raise OutsideSubsetMatch(
+                    f"recursive sub-pattern outside the subset: {sp!r}"
+                ) from ex
             rec_anchor[sp] = {
                 assign[0]
                 for assign in islice(
@@ -1219,6 +1236,15 @@ def canonical_form(s: str) -> str:
     n = len(atoms)
     if n == 0:
         return s
+    # identity is orientation-AGNOSTIC: the engine ignores directional
+    # marks at match time (RDKit-default), so two writings of one
+    # molecule differing only in '/' vs '\' vs '-' must share one key —
+    # and dropping the marks from the canonical WRITING also keeps this
+    # function from emitting a mark a re-rooted traversal would flip
+    # into the opposite isomer's reading
+    edges = {
+        k: ("-" if lab in ("/", "\\") else lab) for k, lab in edges.items()
+    }
     adj: dict[int, list[int]] = {i: [] for i in range(n)}
     for (a, b) in edges:
         adj[a].append(b)
@@ -1335,6 +1361,16 @@ def _apply_graph(
     """
     from itertools import islice
 
+    if any(c in substrate for c in "/\\") or any(c in template for c in "/\\"):
+        # the graph writer re-roots its traversal, and a directional
+        # mark moved into (or out of) a branch must FLIP to keep the
+        # same cis/trans reading — this serializer writes marks
+        # verbatim, so a re-rooted writing could denote the opposite
+        # isomer.  Honest decline (the module's stereo policy): the
+        # splice path still rewrites directional substrates wherever
+        # the pattern's separator text matches verbatim, preserving the
+        # substrate's own (correct) writing.
+        return []
     try:
         s_atoms, s_edges = parse_graph(substrate)
         p_atoms, p_edges = parse_graph(pattern)
@@ -1356,10 +1392,11 @@ def _apply_graph(
         embeddings = list(
             islice(_all_embeddings(p_atoms, p_edges, s_atoms, s_edges), limit_embeddings)
         )
-    except RingCountBudget:
-        # [R<n>] on a ring system past the enumeration budget: outside
-        # the subset — no products for this substrate (parse-failure
-        # contract), never a job-level error
+    except (RingCountBudget, OutsideSubsetMatch):
+        # [R<n>] past the enumeration budget, or a match-time
+        # outside-subset construct (unparseable recursive sub-pattern):
+        # no products for this substrate (parse-failure contract),
+        # never a job-level error
         return []
     for assign in embeddings:
         matched = set(assign.values())
@@ -1809,9 +1846,10 @@ def has_substructure(substrate: str, pattern: str) -> bool:
         return False
     try:
         return _embeds(p_atoms, p_edges, s_atoms, s_edges)
-    except RingCountBudget:
-        # [R<n>] against a ring system past the enumeration budget:
-        # outside the subset, same contract as a parse failure
+    except (RingCountBudget, OutsideSubsetMatch):
+        # [R<n>] past the enumeration budget, or a match-time
+        # outside-subset construct (e.g. an unparseable recursive
+        # sub-pattern): same contract as a parse failure
         return False
 
 

@@ -1036,3 +1036,37 @@ def test_stereo_marks_parse_and_ignore_rdkit_default():
     assert apply_reaction(sub, "[CH3:1]Cl", "[C@@H3:1]F") == apply_reaction(
         sub, "[CH3:1]Cl", "[CH3:1]F"
     )
+
+
+def test_stereo_molecule_identity_and_graph_path_honesty():
+    """Second-review pins: orientation-agnostic molecule identity (no
+    double-emission from mark-variant writings, no marks in the
+    canonical writing), graph-path decline on directional substrates,
+    and negation-safe rejection of unparseable recursive environments."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        apply_reaction,
+        canonical_form,
+        has_substructure,
+    )
+
+    # mark-variant writings of one molecule share one identity key, and
+    # the canonical writing itself carries no directional mark (a
+    # re-rooted traversal would have to flip it to keep the isomer)
+    assert (
+        canonical_form("F/C=C/F")
+        == canonical_form("F\\C=C\\F")
+        == canonical_form("FC=CF")
+    )
+    assert "/" not in canonical_form("F\\C=C\\F")
+    # symmetric splice embeddings on a directional substrate dedup to
+    # ONE product (the MolToSmiles-guard count), writing preserved
+    assert apply_reaction("F/C=C\\F", "[F:1]", "[Cl:1]") == ("[Cl]/C=C\\F",)
+    # the graph path declines directional substrates (its serializer
+    # cannot guarantee the isomer reading under re-rooting), so a
+    # pattern the splice cannot text-match yields no products — honest
+    assert apply_reaction("F/C=C\\F", "F[C:1]", "Cl[C:1]") == ()
+    # an unparseable recursive sub-pattern rejects the WHOLE pattern —
+    # including under negation, where an empty anchor set would invert
+    # into match-everything
+    assert has_substructure("C1CC1", "[!$(C@C)]") is False
+    assert has_substructure("CCO", "[$(C@C)]") is False
