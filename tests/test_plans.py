@@ -182,3 +182,26 @@ def test_enzyme_annotation_disk_storage_parity(spark):
         # the persist is on the internal branch-point frame, not the
         # returned one — clear the cache so the shared session is clean
         spark.catalog.clearCache()
+
+
+def test_substring_dedup_plan_shape(spark):
+    """The exact-substring dedup family must keep its 100 TB shape: pure
+    JVM (array expressions + explode, no Python workers), duplicate
+    detection as partial-agg groupBy + equi-join (never a window over
+    the hot gram key, never a cartesian), and the island merge as
+    same-spec windows over doc_id."""
+    for name in ("dedup_substring_spans", "dedup_substring_remove"):
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, name          # JVM throughout
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "Generate" in plan, name                # the gram explode
+        # partial aggregation BEFORE the digest exchange: the hot-gram
+        # collapse the scale design depends on (two HashAggregates per
+        # grouping — partial + final)
+        assert plan.count("HashAggregate") >= 2, name
+        assert any(
+            j in plan
+            for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        ), name
+        assert "Window" in plan, name                  # island merge
