@@ -81,10 +81,14 @@ SUBSET engine; the honest scope is:
   before parsing (:func:`strip_stereo`), and directional ``/`` ``\\``
   bond marks — accepted by BOTH parsers as labels, so every side's
   writing survives into products — compare equal to the single bond
-  they decorate (:func:`_bond_ok`).  Ring-bond queries (``@`` BETWEEN
-  atoms), extended chirality classes (``@TH1``…), MOLECULE-side
-  tetrahedral marks, and recursion past depth 8 remain
-  OUTSIDE the subset; a
+  they decorate (:func:`_bond_ok`).  Ring-bond query
+  primitives ``@`` / ``!@`` in PATTERN bond position (late r10) match
+  substrate bonds by non-bridge (RDKit ``IsInRing``) membership —
+  ``C@C`` finds a ring C–C bond, ``C!@Cl`` an acyclic C–Cl — including
+  inside recursive environments.  Extended chirality classes
+  (``@TH1``…), MOLECULE-side tetrahedral marks and query bonds,
+  query-bond-qualified ring closures (``C@1...1``), and recursion past
+  depth 8 remain OUTSIDE the subset; a
   product template carrying a query primitive yields no products
   (nothing concrete to write — RDKit errors on such templates).
 - **Ring closures**: a match requires the pattern's internal ring-bond
@@ -505,11 +509,12 @@ def strip_stereo(pattern: str) -> str:
     equates them with the single bond at match time, the other half of
     the same defaults.
 
-    Scope guards (kept OUTSIDE the subset, so they still parse-fail):
+    Scope guards:
     - ``@`` BETWEEN atoms (``C@C``, including inside a recursive
       environment) is the SMARTS ring-bond query, not tetrahedral
-      stereo — never stripped; the chain parsers reject it, an honest
-      outside-subset verdict (RDKit would match ring bonds there);
+      stereo — never stripped; it parses on the pattern side as a
+      query-bond edge label (``parse_graph(..., bond_queries=True)``)
+      the matcher resolves by ring membership;
     - extended chirality classes (``@TH1``, ``@OH5``, …) keep their
       class token, which the bracket parser rejects;
     - MOLECULE-side tetrahedral marks stay outside the subset: a
@@ -666,7 +671,9 @@ def _atom_matches(
 
 
 @lru_cache(maxsize=4096)
-def parse_graph(s: str) -> tuple[list[Atom], dict[tuple[int, int], str | None]]:
+def parse_graph(
+    s: str, bond_queries: bool = False
+) -> tuple[list[Atom], dict[tuple[int, int], str | None]]:
     """Parse into atoms + bond edges: branch parentheses attach following
     atoms to the branch point, ring-closure digit pairs become edges.
 
@@ -674,6 +681,15 @@ def parse_graph(s: str) -> tuple[list[Atom], dict[tuple[int, int], str | None]]:
     edges carry ``None`` = matches any bond (the linear matcher's
     topology-only ring semantics).  A ``.`` separator produces NO edge
     (disconnected components).  Raises ValueError outside the subset.
+
+    ``bond_queries=True`` (PATTERN side only — r10) additionally accepts
+    the SMARTS ring-bond query primitives ``@`` (bond in a ring) and
+    ``!@`` (bond not in a ring) in bond position, carried as edge labels
+    the matcher resolves against the substrate's non-bridge edge set
+    (RDKit ``IsInRing`` bond semantics).  MOLECULE strings must never
+    carry them, so the default rejects — a substrate with a query bond
+    stays honestly outside the subset.  A ring-closure digit qualified
+    by a query bond (``C@1...1``) remains outside the subset.
 
     Memoized (as is :func:`has_substructure`): batch verification calls
     repeat the same pattern strings millions of times and the same
@@ -755,6 +771,12 @@ def parse_graph(s: str) -> tuple[list[Atom], dict[tuple[int, int], str | None]]:
         elif ch in _BOND_CHARS:
             bond = ch
             i += 1
+        elif bond_queries and ch == "@":
+            bond = "@"
+            i += 1
+        elif bond_queries and ch == "!" and s[i + 1 : i + 2] == "@":
+            bond = "!@"
+            i += 2
         else:
             raise ValueError(f"unsupported character {ch!r} at {i}")
     # an unclosed ring digit = a closure pairing outside this string; keep
@@ -1041,7 +1063,7 @@ def _all_embeddings(
         rec_anchor = {}
         for sp in sorted(rec_pats):
             try:
-                sp_atoms, sp_edges = parse_graph(sp)
+                sp_atoms, sp_edges = parse_graph(sp, True)
             except ValueError as ex:
                 # an unparseable sub-pattern makes the WHOLE pattern
                 # outside-subset; an empty anchor set would invert to
@@ -1056,6 +1078,12 @@ def _all_embeddings(
                     _REC_EMBED_CAP,
                 )
             }
+    # ring-bond query edges (pattern side): resolved against the
+    # substrate's non-bridge edge set — RDKit IsInRing bond semantics;
+    # computed only when the pattern carries one
+    s_cyc: frozenset | None = None
+    if any(lab in ("@", "!@") for lab in p_edges.values()):
+        s_cyc = frozenset(_non_bridge_edges(len(s_atoms), s_edges))
     s_adj: dict[int, list[int]] = {}
     for (a, b) in s_edges:
         s_adj.setdefault(a, []).append(b)
@@ -1111,8 +1139,17 @@ def _all_embeddings(
             for q in anchored:
                 key_p = (min(pi, q), max(pi, q))
                 key_s = (min(sj, assign[q]), max(sj, assign[q]))
-                if key_s not in s_edges or not _bond_ok(p_edges[key_p], s_edges[key_s]):
+                if key_s not in s_edges:
                     ok = False
+                    break
+                pl = p_edges[key_p]
+                if pl == "@":
+                    ok = key_s in s_cyc            # any ring bond
+                elif pl == "!@":
+                    ok = key_s not in s_cyc        # any non-ring bond
+                else:
+                    ok = _bond_ok(pl, s_edges[key_s])
+                if not ok:
                     break
             if not ok:
                 continue
@@ -1373,7 +1410,7 @@ def _apply_graph(
         return []
     try:
         s_atoms, s_edges = parse_graph(substrate)
-        p_atoms, p_edges = parse_graph(pattern)
+        p_atoms, p_edges = parse_graph(pattern, True)
         t_atoms, t_edges = parse_graph(template)
     except ValueError:
         return []
@@ -1839,7 +1876,7 @@ def has_substructure(substrate: str, pattern: str) -> bool:
     the parser subset."""
     try:
         s_atoms, s_edges = parse_graph(substrate)
-        p_atoms, p_edges = parse_graph(strip_stereo(pattern))
+        p_atoms, p_edges = parse_graph(strip_stereo(pattern), True)
     except ValueError:
         return False
     if not p_atoms or len(p_atoms) > len(s_atoms):

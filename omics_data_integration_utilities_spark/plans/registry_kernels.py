@@ -624,20 +624,24 @@ K3_PROBES = [
     #   stereo_ch3     [C@H3]          ≡ [CH3]       — always present
     #   stereo_ch3_cl  [C@@H3]Cl       ≡ [CH3]Cl     — Cl iff even
     #   stereo_dirbond [!#1]/[N&X3:2]  ≡ [!#1][N...] — always true
-    #   stereo_invalid C@Cl — '@' BETWEEN atoms is the SMARTS
-    #                  RING-BOND query, not stereo; it stays outside
-    #                  the subset (honest rejection → False; RDKit
-    #                  would match ring bonds, and no substrate here
-    #                  has a ring-bonded Cl anyway)
+    # late-r10 ring-bond query primitives (@ = bond in a ring, !@ =
+    # bond not in a ring — RDKit IsInRing bond semantics, matched via
+    # the engine's non-bridge edge set).  Closed forms:
+    #   ringbond_cl   C@Cl      — no substrate has a ring-bonded Cl
+    #   ringbond_arom c@c       — benzene ring bonds iff ring variant
+    #   notringbond   [CH3]!@Cl — the acyclic CH3-Cl bond iff even
     ("probe_stereo_ch3", "[C@H3]"),
     ("probe_stereo_ch3_cl", "[C@@H3]Cl"),
     ("probe_stereo_dirbond", "[!#1]/[N&X3:2]"),
-    ("probe_stereo_invalid", "C@Cl"),
+    ("probe_ringbond_cl", "C@Cl"),
+    ("probe_ringbond_arom", "c@c"),
+    ("probe_notringbond", "[CH3]!@Cl"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
 _K3_STRUCTURAL_TRUE_ON_CL = (
     "probe_ccl", "probe_branch", "probe_branch_swap", "probe_stereo_ch3_cl",
+    "probe_notringbond",
     "probe_alt_halo", "probe_neg_before_cl", "probe_rec_cl_ch3",
     "probe_malt_cl_nh2", "probe_aconj_halo", "probe_rec_nested",
     "probe_rec_nested3",
@@ -647,7 +651,7 @@ _K3_TRUE_ON_RING = (
     "probe_ring_mem", "probe_rec_ring", "probe_conj_arom_ring",
     "probe_malt_ch3_arom", "probe_aconj_ring", "probe_nconj_ring",
     "probe_nalt_arom", "probe_r1", "probe_conj_r1",
-    "probe_rec_deep_ring",
+    "probe_rec_deep_ring", "probe_ringbond_arom",
 )
 _K3_ALWAYS_TRUE = (
     "probe_neg_h", "probe_alt_n", "probe_aliph", "probe_acyclic",
@@ -657,7 +661,7 @@ _K3_ALWAYS_TRUE = (
 )
 _K3_ALWAYS_FALSE = (
     "probe_ocl", "probe_dbl", "probe_charge", "probe_malt_ch2_nh",
-    "probe_r2", "probe_stereo_invalid",
+    "probe_r2", "probe_ringbond_cl",
 )
 
 
@@ -994,6 +998,11 @@ GRAPH_RXN_RULES = [
     # RDKit useChirality=False default): strips to [C:1]O >> [C:1]N,
     # the same unique C-O site and tail as r_aminate
     ("r_stereo_aminate", "[C@:1]O", "[C@@:1]N", "N"),
+    # late-r10 ring-bond query as a reactant bond: every substrate's
+    # single C-O attachment is acyclic, so [C:1]!@O selects the same
+    # unique site through the query-bond matcher (the linear splice
+    # declines query bonds, so this rule also pins the graph path)
+    ("r_nrb_chlor", "[C:1]!@O", "[C:1]Cl", "Cl"),
 ]
 
 

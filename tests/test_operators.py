@@ -1017,11 +1017,11 @@ def test_stereo_marks_parse_and_ignore_rdkit_default():
     assert has_substructure("C/C=C/O", "CC=CO") is True
     assert has_substructure("C/C=C/O", "C/C=C/O") is True
     assert has_substructure("CC=CO", "[$(C/C=C/O)]") is True
-    # ring-bond queries stay honestly outside the subset (RDKit would
-    # match ring bonds; this engine rejects rather than mis-answers)
-    assert has_substructure(sub, "C@Cl") is False
-    assert has_substructure("C1CC1Cl", "C@C") is False
-    assert has_substructure("CCO", "[$(C@C)]") is False
+    # '@' BETWEEN atoms is the ring-bond query, not stereo — supported
+    # on the pattern side (late r10): matches by ring membership
+    assert has_substructure(sub, "C@Cl") is False          # no ring-bonded Cl
+    assert has_substructure("C1CC1Cl", "C@C") is True
+    assert has_substructure("CCO", "[$(C@C)]") is False    # no ring bond in CCO
     # molecule-side TETRAHEDRAL marks: outside the subset (honest
     # rejection — RDKit would preserve the marks in product writings
     # where we cannot); molecule-side directional marks parse and keep
@@ -1065,8 +1065,43 @@ def test_stereo_molecule_identity_and_graph_path_honesty():
     # cannot guarantee the isomer reading under re-rooting), so a
     # pattern the splice cannot text-match yields no products — honest
     assert apply_reaction("F/C=C\\F", "F[C:1]", "Cl[C:1]") == ()
-    # an unparseable recursive sub-pattern rejects the WHOLE pattern —
-    # including under negation, where an empty anchor set would invert
-    # into match-everything
+    # ring-bond queries resolve inside recursive environments: every
+    # cyclopropane atom anchors a ring-bond C-C, so the negation
+    # matches nothing; acyclic CCO is the mirror case
     assert has_substructure("C1CC1", "[!$(C@C)]") is False
+    assert has_substructure("C1CC1", "[$(C@C)]") is True
     assert has_substructure("CCO", "[$(C@C)]") is False
+    assert has_substructure("CCO", "[!$(C@C)]") is True
+    # a genuinely unparseable recursive sub-pattern still rejects the
+    # WHOLE pattern — including under negation, where an empty anchor
+    # set would invert into match-everything (OutsideSubsetMatch)
+    assert has_substructure("C1CC1", "[!$(C~C)]") is False
+    assert has_substructure("C1CC1", "[$(C~C)]") is False
+
+
+def test_ring_bond_query_primitives():
+    """SMARTS ring-bond queries @ / !@ in pattern bond position (late
+    r10): matched by non-bridge membership — RDKit IsInRing bond
+    semantics — with molecule-side query bonds and query-qualified ring
+    closures staying outside the subset."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        apply_reaction,
+        has_substructure,
+    )
+
+    assert has_substructure("C1CC1Cl", "C@C") is True
+    assert has_substructure("CCCl", "C@C") is False
+    assert has_substructure("C1CC1Cl", "C!@Cl") is True
+    assert has_substructure("C1CC1", "C!@C") is False     # every C-C bond cyclic
+    assert has_substructure("c1ccccc1", "c@c") is True
+    # fused/bridge discrimination: the biphenyl-style bridge bond is
+    # the one acyclic c-c bond
+    assert has_substructure("c1ccccc1c1ccccc1", "c!@c") is True
+    assert has_substructure("c1ccccc1", "c!@c") is False
+    # molecule-side query bond / query-qualified ring closure: outside
+    assert has_substructure("C@C", "CC") is False
+    assert has_substructure("C1CC1", "C@1CC1") is False
+    # rewrites: a ring-bond-query pattern drives the graph path; a
+    # query bond in a TEMPLATE has nothing concrete to write
+    assert apply_reaction("C1CC1Cl", "[C:1]!@Cl", "[C:1]F") == ("C1CC1F",)
+    assert apply_reaction("C1CC1Cl", "[C:1]Cl", "[C:1]@F") == ()
