@@ -765,27 +765,46 @@ def parse_graph(
         elif ch == ")":
             if not stack:
                 raise ValueError(f"unbalanced ')' at {i}")
+            if bond in ("@", "!@"):
+                # 'C(C!@)': query bond pending at branch close binds
+                # nothing — RDKit errors; a plain pending bond keeps the
+                # parser's existing leniency
+                raise ValueError(f"dangling bond query before ')' at {i}")
             prev = stack.pop()
             bond = ""
             i += 1
         elif ch in _BOND_CHARS:
+            if bond in ("@", "!@"):
+                # '@=' etc: RDKit's bond-AND conjunction — outside the
+                # subset; overwriting would silently match the wrong
+                # (single-primitive) semantics
+                raise ValueError(f"bond-query conjunction at {i}")
             bond = ch
             i += 1
         elif bond_queries and ch == "@":
+            if bond != "" or not atoms:
+                # '=@' / '!@@' conjunctions and a leading '@' (no prior
+                # atom — RDKit errors) stay outside the subset
+                raise ValueError(f"bond-query conjunction or dangling '@' at {i}")
             bond = "@"
             i += 1
         elif bond_queries and ch == "!" and s[i + 1 : i + 2] == "@":
+            if bond != "" or not atoms:
+                raise ValueError(f"bond-query conjunction or dangling '!@' at {i}")
             bond = "!@"
             i += 2
         else:
             raise ValueError(f"unsupported character {ch!r} at {i}")
+    if bond in ("@", "!@"):
+        # trailing query bond with no atom to bind ('C!@') — RDKit errors
+        raise ValueError("dangling bond query at end of pattern")
     # an unclosed ring digit = a closure pairing outside this string; keep
     # the atoms (the linear matcher tolerates it) but no edge is created
     #
     # ring membership (for the [R]/[!R] primitives): an atom is in a ring
     # iff it has an incident NON-BRIDGE edge — computed here once so the
     # flag rides the memoized parse
-    cyc_edges = _non_bridge_edges(len(atoms), edges)
+    cyc_edges = _cyc_edge_set(len(atoms), frozenset(edges))
     for (a, b) in cyc_edges:
         atoms[a].in_ring = True
         atoms[b].in_ring = True
@@ -853,6 +872,15 @@ _CYCLE_ENUM_BUDGET = 200_000
 _RC_PENDING = -1  # parse_graph marks in-ring atoms; _ensure_ring_counts fills
 
 
+@lru_cache(maxsize=8192)
+def _cyc_edge_set(n: int, edge_keys: frozenset) -> frozenset:
+    """Memoized non-bridge (ring) edge set — one Tarjan DFS per distinct
+    graph, shared by parse_graph's in_ring flags, _ensure_ring_counts,
+    and the @/!@ query-bond matcher (labels don't matter, so the key is
+    the edge-key set alone)."""
+    return frozenset(_non_bridge_edges(n, dict.fromkeys(edge_keys)))
+
+
 class RingCountBudget(ValueError):
     """A ``[R<n>]`` primitive was evaluated against a molecule whose ring
     system exceeded the cycle-enumeration budget — outside-subset
@@ -885,7 +913,9 @@ def _ensure_ring_counts(s_atoms: list, s_edges: dict) -> None:
     chokepoint, so an [R<n>] inside a rec environment fills too."""
     if not any(a.ring_count == _RC_PENDING for a in s_atoms):
         return
-    counts = _ring_basis_counts(len(s_atoms), _non_bridge_edges(len(s_atoms), s_edges))
+    counts = _ring_basis_counts(
+        len(s_atoms), sorted(_cyc_edge_set(len(s_atoms), frozenset(s_edges)))
+    )
     for i, a in enumerate(s_atoms):
         if a.ring_count == _RC_PENDING:
             a.ring_count = None if counts is None else counts[i]
@@ -1083,7 +1113,7 @@ def _all_embeddings(
     # computed only when the pattern carries one
     s_cyc: frozenset | None = None
     if any(lab in ("@", "!@") for lab in p_edges.values()):
-        s_cyc = frozenset(_non_bridge_edges(len(s_atoms), s_edges))
+        s_cyc = _cyc_edge_set(len(s_atoms), frozenset(s_edges))
     s_adj: dict[int, list[int]] = {}
     for (a, b) in s_edges:
         s_adj.setdefault(a, []).append(b)

@@ -1105,3 +1105,22 @@ def test_ring_bond_query_primitives():
     # query bond in a TEMPLATE has nothing concrete to write
     assert apply_reaction("C1CC1Cl", "[C:1]!@Cl", "[C:1]F") == ("C1CC1F",)
     assert apply_reaction("C1CC1Cl", "[C:1]Cl", "[C:1]@F") == ()
+
+
+def test_ring_bond_query_conjunctions_stay_outside_subset():
+    """RDKit bond-AND conjunctions (=@, @=, !@@) and dangling/leading
+    query bonds must reject, never silently match the last primitive
+    (third-review pin)."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        has_substructure,
+    )
+
+    assert has_substructure("C1CC1", "C=@C") is False   # ring-AND-double
+    assert has_substructure("CC=C", "C@=C") is False
+    assert has_substructure("C1CC1", "C!@@C") is False  # unsatisfiable AND
+    assert has_substructure("C1CC1", "C!@") is False    # dangling
+    assert has_substructure("C1CC1", "@CC") is False    # leading
+    assert has_substructure("C1CC1", "C(C!@)C") is False  # dangling in branch
+    # the single-primitive forms stay supported
+    assert has_substructure("C1CC1Cl", "C@C") is True
+    assert has_substructure("C1CC1Cl", "C!@Cl") is True
