@@ -683,8 +683,8 @@ def parse_graph(
     (disconnected components).  Raises ValueError outside the subset.
 
     ``bond_queries=True`` (PATTERN side only — r10) additionally accepts
-    the SMARTS ring-bond query primitives ``@`` (bond in a ring) and
-    ``!@`` (bond not in a ring) in bond position, carried as edge labels
+    the SMARTS bond query primitives ``~`` (any bond), ``@`` (bond in a
+    ring) and ``!@`` (bond not in a ring) in bond position, carried as edge labels
     the matcher resolves against the substrate's non-bridge edge set
     (RDKit ``IsInRing`` bond semantics).  MOLECULE strings must never
     carry them, so the default rejects — a substrate with a query bond
@@ -765,7 +765,7 @@ def parse_graph(
         elif ch == ")":
             if not stack:
                 raise ValueError(f"unbalanced ')' at {i}")
-            if bond in ("@", "!@"):
+            if bond in ("@", "!@", "~"):
                 # 'C(C!@)': query bond pending at branch close binds
                 # nothing — RDKit errors; a plain pending bond keeps the
                 # parser's existing leniency
@@ -774,7 +774,7 @@ def parse_graph(
             bond = ""
             i += 1
         elif ch in _BOND_CHARS:
-            if bond in ("@", "!@"):
+            if bond in ("@", "!@", "~"):
                 # '@=' etc: RDKit's bond-AND conjunction — outside the
                 # subset; overwriting would silently match the wrong
                 # (single-primitive) semantics
@@ -788,6 +788,11 @@ def parse_graph(
                 raise ValueError(f"bond-query conjunction or dangling '@' at {i}")
             bond = "@"
             i += 1
+        elif bond_queries and ch == "~":
+            if bond != "" or not atoms:
+                raise ValueError(f"bond-query conjunction or dangling '~' at {i}")
+            bond = "~"
+            i += 1
         elif bond_queries and ch == "!" and s[i + 1 : i + 2] == "@":
             if bond != "" or not atoms:
                 raise ValueError(f"bond-query conjunction or dangling '!@' at {i}")
@@ -795,7 +800,7 @@ def parse_graph(
             i += 2
         else:
             raise ValueError(f"unsupported character {ch!r} at {i}")
-    if bond in ("@", "!@"):
+    if bond in ("@", "!@", "~"):
         # trailing query bond with no atom to bind ('C!@') — RDKit errors
         raise ValueError("dangling bond query at end of pattern")
     # an unclosed ring digit = a closure pairing outside this string; keep
@@ -1173,7 +1178,9 @@ def _all_embeddings(
                     ok = False
                     break
                 pl = p_edges[key_p]
-                if pl == "@":
+                if pl == "~":
+                    ok = True                      # any bond (edge exists)
+                elif pl == "@":
                     ok = key_s in s_cyc            # any ring bond
                 elif pl == "!@":
                     ok = key_s not in s_cyc        # any non-ring bond

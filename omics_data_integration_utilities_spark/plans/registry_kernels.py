@@ -636,6 +636,12 @@ K3_PROBES = [
     ("probe_ringbond_cl", "C@Cl"),
     ("probe_ringbond_arom", "c@c"),
     ("probe_notringbond", "[CH3]!@Cl"),
+    # late-r10 any-bond query (~ matches any bond — RDKit's most common
+    # bond query in RetroRules-shaped rules).  Closed forms:
+    #   anybond_n    [!#1]~[N&X3:2] — some atom always bonds the N
+    #   anybond_arom c~c            — aromatic c-c bonds iff ring variant
+    ("probe_anybond_n", "[!#1]~[N&X3:2]"),
+    ("probe_anybond_arom", "c~c"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
@@ -651,13 +657,14 @@ _K3_TRUE_ON_RING = (
     "probe_ring_mem", "probe_rec_ring", "probe_conj_arom_ring",
     "probe_malt_ch3_arom", "probe_aconj_ring", "probe_nconj_ring",
     "probe_nalt_arom", "probe_r1", "probe_conj_r1",
-    "probe_rec_deep_ring", "probe_ringbond_arom",
+    "probe_rec_deep_ring", "probe_ringbond_arom", "probe_anybond_arom",
 )
 _K3_ALWAYS_TRUE = (
     "probe_neg_h", "probe_alt_n", "probe_aliph", "probe_acyclic",
     "probe_rec_not_cl", "probe_conj_acyclic_c",
     "probe_malt_ch3_nh2", "probe_malt_chg", "probe_r0_chain",
     "probe_not_nested3", "probe_stereo_ch3", "probe_stereo_dirbond",
+    "probe_anybond_n",
 )
 _K3_ALWAYS_FALSE = (
     "probe_ocl", "probe_dbl", "probe_charge", "probe_malt_ch2_nh",
@@ -1003,6 +1010,9 @@ GRAPH_RXN_RULES = [
     # unique site through the query-bond matcher (the linear splice
     # declines query bonds, so this rule also pins the graph path)
     ("r_nrb_chlor", "[C:1]!@O", "[C:1]Cl", "Cl"),
+    # late-r10 any-bond query as a reactant bond: ~ matches the same
+    # unique (single) C-O attachment
+    ("r_anyb_sulf", "[C:1]~O", "[C:1]S", "S"),
 ]
 
 

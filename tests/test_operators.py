@@ -1074,9 +1074,13 @@ def test_stereo_molecule_identity_and_graph_path_honesty():
     assert has_substructure("CCO", "[!$(C@C)]") is True
     # a genuinely unparseable recursive sub-pattern still rejects the
     # WHOLE pattern — including under negation, where an empty anchor
-    # set would invert into match-everything (OutsideSubsetMatch)
+    # set would invert into match-everything (OutsideSubsetMatch);
+    # '?' is outside the grammar ('~' graduated to a supported query)
+    assert has_substructure("C1CC1", "[!$(C?C)]") is False
+    assert has_substructure("C1CC1", "[$(C?C)]") is False
+    # '~' inside a recursive environment resolves (any C-C bond)
+    assert has_substructure("C1CC1", "[$(C~C)]") is True
     assert has_substructure("C1CC1", "[!$(C~C)]") is False
-    assert has_substructure("C1CC1", "[$(C~C)]") is False
 
 
 def test_ring_bond_query_primitives():
@@ -1124,3 +1128,23 @@ def test_ring_bond_query_conjunctions_stay_outside_subset():
     # the single-primitive forms stay supported
     assert has_substructure("C1CC1Cl", "C@C") is True
     assert has_substructure("C1CC1Cl", "C!@Cl") is True
+
+
+def test_any_bond_query_primitive():
+    """SMARTS ~ (any bond) in pattern bond position — RDKit's most
+    common bond query in rule tables — with the same conjunction /
+    dangling / molecule-side guards as @ and !@."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        apply_reaction,
+        has_substructure,
+    )
+
+    assert has_substructure("C=O", "C~O") is True
+    assert has_substructure("CO", "C~O") is True
+    assert has_substructure("CN", "C~O") is False
+    assert has_substructure("CC=O", "[$(C~O)]") is True
+    assert has_substructure("C=O", "C~~O") is False   # conjunction
+    assert has_substructure("C=O", "C~") is False     # dangling
+    assert has_substructure("C~O", "CO") is False     # molecule-side
+    assert apply_reaction("CC=O", "[C:1]~O", "[C:1]F") == ("CCF",)
+    assert apply_reaction("CO", "[C:1]O", "[C:1]~F") == ()  # template query
