@@ -81,11 +81,14 @@ SUBSET engine; the honest scope is:
   before parsing (:func:`strip_stereo`), and directional ``/`` ``\\``
   bond marks — accepted by BOTH parsers as labels, so every side's
   writing survives into products — compare equal to the single bond
-  they decorate (:func:`_bond_ok`).  Ring-bond query
-  primitives ``@`` / ``!@`` in PATTERN bond position (late r10) match
-  substrate bonds by non-bridge (RDKit ``IsInRing``) membership —
-  ``C@C`` finds a ring C–C bond, ``C!@Cl`` an acyclic C–Cl — including
-  inside recursive environments.  Extended chirality classes
+  they decorate (:func:`_bond_ok`).  Bond QUERY
+  primitives in PATTERN bond position (late r10): ``~`` matches any
+  bond, ``@`` / ``!@`` match by non-bridge (RDKit ``IsInRing``)
+  membership — ``C@C`` finds a ring C–C bond, ``C!@Cl`` an acyclic
+  C–Cl — including inside recursive environments; a query bond between
+  two mapped atoms kept bonded by a product template DECLINES the
+  rewrite (RDKit preserves the matched bond there; overwriting with
+  the template's written bond would be a silently different product).  Extended chirality classes
   (``@TH1``…), MOLECULE-side tetrahedral marks and query bonds,
   query-bond-qualified ring closures (``C@1...1``), and recursion past
   depth 8 remain OUTSIDE the subset; a
@@ -120,6 +123,10 @@ _TWO_LETTER = ("Cl", "Br")
 _SINGLE = set("BCNOSPFI")
 _AROMATIC = set("bcnosp")
 _BOND_CHARS = set("-=#:/\\.")
+# pattern-side bond QUERY labels (parse_graph(..., bond_queries=True)):
+# any-bond, ring-bond, not-ring-bond — one place, consulted by every
+# parser guard and the rewrite decline below
+_QUERY_BONDS = ("~", "@", "!@")
 
 # ';' is SMARTS low-precedence AND — for this subset (no OR mixing
 # inside a component) it is equivalent to '&', so [N;X3] == [N&X3] and
@@ -760,12 +767,16 @@ def parse_graph(
                 ring_open[d] = (prev, ring_bond)
             i += len(d)
         elif ch == "(":
+            if bond in _QUERY_BONDS:
+                # 'C~(O)': a bond symbol must be followed by an atom or
+                # ring digit — RDKit rejects this at parse
+                raise ValueError(f"bond query before '(' at {i}")
             stack.append(prev)
             i += 1
         elif ch == ")":
             if not stack:
                 raise ValueError(f"unbalanced ')' at {i}")
-            if bond in ("@", "!@", "~"):
+            if bond in _QUERY_BONDS:
                 # 'C(C!@)': query bond pending at branch close binds
                 # nothing — RDKit errors; a plain pending bond keeps the
                 # parser's existing leniency
@@ -774,33 +785,26 @@ def parse_graph(
             bond = ""
             i += 1
         elif ch in _BOND_CHARS:
-            if bond in ("@", "!@", "~"):
+            if bond in _QUERY_BONDS:
                 # '@=' etc: RDKit's bond-AND conjunction — outside the
                 # subset; overwriting would silently match the wrong
                 # (single-primitive) semantics
                 raise ValueError(f"bond-query conjunction at {i}")
             bond = ch
             i += 1
-        elif bond_queries and ch == "@":
+        elif bond_queries and (
+            ch in "@~" or (ch == "!" and s[i + 1 : i + 2] == "@")
+        ):
+            tok = "!@" if ch == "!" else ch
             if bond != "" or not atoms:
-                # '=@' / '!@@' conjunctions and a leading '@' (no prior
-                # atom — RDKit errors) stay outside the subset
-                raise ValueError(f"bond-query conjunction or dangling '@' at {i}")
-            bond = "@"
-            i += 1
-        elif bond_queries and ch == "~":
-            if bond != "" or not atoms:
-                raise ValueError(f"bond-query conjunction or dangling '~' at {i}")
-            bond = "~"
-            i += 1
-        elif bond_queries and ch == "!" and s[i + 1 : i + 2] == "@":
-            if bond != "" or not atoms:
-                raise ValueError(f"bond-query conjunction or dangling '!@' at {i}")
-            bond = "!@"
-            i += 2
+                # '=@' / '!@@' / '~~' conjunctions and a leading query
+                # bond (no prior atom — RDKit errors) stay outside
+                raise ValueError(f"bond-query conjunction or dangling {tok!r} at {i}")
+            bond = tok
+            i += len(tok)
         else:
             raise ValueError(f"unsupported character {ch!r} at {i}")
-    if bond in ("@", "!@", "~"):
+    if bond in _QUERY_BONDS:
         # trailing query bond with no atom to bind ('C!@') — RDKit errors
         raise ValueError("dangling bond query at end of pattern")
     # an unclosed ring digit = a closure pairing outside this string; keep
@@ -1461,6 +1465,27 @@ def _apply_graph(
     p_maps = {a.amap for a in p_atoms if a.amap is not None}
     if not (t_maps & p_maps):
         return []
+    # a QUERY bond between two mapped atoms that stay bonded in the
+    # template: the template's written bond would overwrite whatever
+    # bond the query matched, where RDKit PRESERVES the reactant bond
+    # when the product bond is the unspecified default — and an
+    # explicit template bond is indistinguishable from that default
+    # after parsing.  Honest decline (the module's policy) rather than
+    # a silently different product; rules whose query-bonded atom is
+    # deleted (unmapped) are unaffected.
+    t_edge_maps = {
+        frozenset((t_atoms[a].amap, t_atoms[b].amap))
+        for (a, b) in t_edges
+        if t_atoms[a].amap is not None and t_atoms[b].amap is not None
+    }
+    for (a, b), lab in p_edges.items():
+        if (
+            lab in _QUERY_BONDS
+            and p_atoms[a].amap is not None
+            and p_atoms[b].amap is not None
+            and frozenset((p_atoms[a].amap, p_atoms[b].amap)) in t_edge_maps
+        ):
+            return []
     products: list[str] = []
     try:
         embeddings = list(

@@ -1148,3 +1148,24 @@ def test_any_bond_query_primitive():
     assert has_substructure("C~O", "CO") is False     # molecule-side
     assert apply_reaction("CC=O", "[C:1]~O", "[C:1]F") == ("CCF",)
     assert apply_reaction("CO", "[C:1]O", "[C:1]~F") == ()  # template query
+
+
+def test_query_bond_mapped_rewrite_declines():
+    """Fourth-review pin: a query bond between two mapped atoms kept
+    bonded by the template declines the rewrite (RDKit preserves the
+    matched reactant bond when the product bond is the unspecified
+    default, indistinguishable from an explicit single after parsing —
+    honest decline beats a silently different product); deletion-case
+    rules and query-bond-before-branch rejection also pinned."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        apply_reaction,
+        has_substructure,
+    )
+
+    assert apply_reaction("C=O", "[C:1]~[O:2]", "[C:1][O:2]") == ()
+    assert apply_reaction("C1CC1", "[C:1]@[C:2]", "[C:1][C:2]") == ()
+    # the query-bonded atom deleted (unmapped): rewrite proceeds
+    assert apply_reaction("CC=O", "[C:1]~O", "[C:1]F") == ("CCF",)
+    assert apply_reaction("C1CC1Cl", "[C:1]!@Cl", "[C:1]F") == ("C1CC1F",)
+    # bond symbol before '(' is a SMARTS syntax error (RDKit parity)
+    assert has_substructure("C(O)N", "C~(O)N") is False
