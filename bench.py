@@ -139,16 +139,17 @@ METHODOLOGY = (
 # not a regression — carried in the JSON so round-over-round deltas on
 # these queries are read against the new workload
 WORKLOAD_CHANGES = {
-    "k3_substructure": "39 -> 54 probes (r10 ring-count [R1]/[R2]/"
+    "k3_substructure": "39 -> 56 probes (r10 ring-count [R1]/[R2]/"
     "[C;R0]/[c;R1] brackets, depth-3 recursive wraps, stereo "
     "parse-and-ignore probes [C@H3]/[C@@H3]Cl/dirbond, and ring-bond "
-    "query probes C@Cl/c@c/[CH3]!@Cl + any-bond c~c probes (54 total); r9 added "
+    "query probes C@Cl/c@c/[CH3]!@Cl, any-bond c~c, and OR-list "
+    "[CH3]-,=Cl probes (56 total); r9 added "
     "per-alternative-modifier, list-conjunct, depth-2 recursive, "
     "negated-item families)",
-    "k1_graph_rewrite": "8 -> 13 rules (r10 ring-count-conjunct "
+    "k1_graph_rewrite": "8 -> 14 rules (r10 ring-count-conjunct "
     "[C;R0:1], depth-3 recursive [$([$([$(C)]O)]):1], stereo-marked "
     "[C@:1]O >> [C@@:1]N, ring-bond-query [C:1]!@O, and any-bond "
-    "[C:1]~O rules; r9 "
+    "[C:1]~O and OR-list [C:1]-,=O rules; r9 "
     "added per-alternative-modifier + negated-item)",
 }
 

@@ -125,8 +125,14 @@ _AROMATIC = set("bcnosp")
 _BOND_CHARS = set("-=#:/\\.")
 # pattern-side bond QUERY labels (parse_graph(..., bond_queries=True)):
 # any-bond, ring-bond, not-ring-bond — one place, consulted by every
-# parser guard and the rewrite decline below
+# parser guard and the rewrite decline below.  OR-lists of plain bonds
+# ('-,=' = single-or-double; late r10) are also query bonds: they carry
+# a ',' in the label, which _is_query_bond covers.
 _QUERY_BONDS = ("~", "@", "!@")
+
+
+def _is_query_bond(lab: str | None) -> bool:
+    return lab is not None and (lab in _QUERY_BONDS or "," in lab)
 
 # ';' is SMARTS low-precedence AND — for this subset (no OR mixing
 # inside a component) it is equivalent to '&', so [N;X3] == [N&X3] and
@@ -767,7 +773,7 @@ def parse_graph(
                 ring_open[d] = (prev, ring_bond)
             i += len(d)
         elif ch == "(":
-            if bond in _QUERY_BONDS:
+            if _is_query_bond(bond) and bond != "":
                 # 'C~(O)': a bond symbol must be followed by an atom or
                 # ring digit — RDKit rejects this at parse
                 raise ValueError(f"bond query before '(' at {i}")
@@ -776,7 +782,7 @@ def parse_graph(
         elif ch == ")":
             if not stack:
                 raise ValueError(f"unbalanced ')' at {i}")
-            if bond in _QUERY_BONDS:
+            if _is_query_bond(bond) and bond != "":
                 # 'C(C!@)': query bond pending at branch close binds
                 # nothing — RDKit errors; a plain pending bond keeps the
                 # parser's existing leniency
@@ -785,13 +791,22 @@ def parse_graph(
             bond = ""
             i += 1
         elif ch in _BOND_CHARS:
-            if bond in _QUERY_BONDS:
+            if _is_query_bond(bond) and bond != "":
                 # '@=' etc: RDKit's bond-AND conjunction — outside the
                 # subset; overwriting would silently match the wrong
                 # (single-primitive) semantics
                 raise ValueError(f"bond-query conjunction at {i}")
             bond = ch
             i += 1
+            # OR-list of plain bonds ('-,=', '=,#', '-,:'; pattern side
+            # only): consumed atomically into a comma-joined label the
+            # matcher resolves as any-of.  '.' cannot appear in a list.
+            while bond_queries and s[i : i + 1] == "," and s[i + 1 : i + 2] in _BOND_CHARS:
+                nxt = s[i + 1]
+                if nxt == "." or ch == ".":
+                    raise ValueError(f"'.' in bond list at {i}")
+                bond += "," + nxt
+                i += 2
         elif bond_queries and (
             ch in "@~" or (ch == "!" and s[i + 1 : i + 2] == "@")
         ):
@@ -804,7 +819,7 @@ def parse_graph(
             i += len(tok)
         else:
             raise ValueError(f"unsupported character {ch!r} at {i}")
-    if bond in _QUERY_BONDS:
+    if _is_query_bond(bond) and bond != "":
         # trailing query bond with no atom to bind ('C!@') — RDKit errors
         raise ValueError("dangling bond query at end of pattern")
     # an unclosed ring digit = a closure pairing outside this string; keep
@@ -1188,6 +1203,10 @@ def _all_embeddings(
                     ok = key_s in s_cyc            # any ring bond
                 elif pl == "!@":
                     ok = key_s not in s_cyc        # any non-ring bond
+                elif pl is not None and "," in pl:
+                    ok = any(                      # OR-list: any-of
+                        _bond_ok(alt, s_edges[key_s]) for alt in pl.split(",")
+                    )
                 else:
                     ok = _bond_ok(pl, s_edges[key_s])
                 if not ok:
@@ -1480,7 +1499,7 @@ def _apply_graph(
     }
     for (a, b), lab in p_edges.items():
         if (
-            lab in _QUERY_BONDS
+            _is_query_bond(lab)
             and p_atoms[a].amap is not None
             and p_atoms[b].amap is not None
             and frozenset((p_atoms[a].amap, p_atoms[b].amap)) in t_edge_maps

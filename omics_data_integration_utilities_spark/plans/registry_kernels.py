@@ -642,12 +642,17 @@ K3_PROBES = [
     #   anybond_arom c~c            — aromatic c-c bonds iff ring variant
     ("probe_anybond_n", "[!#1]~[N&X3:2]"),
     ("probe_anybond_arom", "c~c"),
+    # late-r10 bond OR-lists ('-,=' = single-or-double).  Closed forms:
+    #   bondlist_cl  [CH3]-,=Cl — the single CH3-Cl bond iff even
+    #   bondlist_co  C=,#O      — every C-O bond is single, never
+    ("probe_bondlist_cl", "[CH3]-,=Cl"),
+    ("probe_bondlist_co", "C=,#O"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
 _K3_STRUCTURAL_TRUE_ON_CL = (
     "probe_ccl", "probe_branch", "probe_branch_swap", "probe_stereo_ch3_cl",
-    "probe_notringbond",
+    "probe_notringbond", "probe_bondlist_cl",
     "probe_alt_halo", "probe_neg_before_cl", "probe_rec_cl_ch3",
     "probe_malt_cl_nh2", "probe_aconj_halo", "probe_rec_nested",
     "probe_rec_nested3",
@@ -668,7 +673,7 @@ _K3_ALWAYS_TRUE = (
 )
 _K3_ALWAYS_FALSE = (
     "probe_ocl", "probe_dbl", "probe_charge", "probe_malt_ch2_nh",
-    "probe_r2", "probe_ringbond_cl",
+    "probe_r2", "probe_ringbond_cl", "probe_bondlist_co",
 )
 
 
@@ -1013,6 +1018,9 @@ GRAPH_RXN_RULES = [
     # late-r10 any-bond query as a reactant bond: ~ matches the same
     # unique (single) C-O attachment
     ("r_anyb_sulf", "[C:1]~O", "[C:1]S", "S"),
+    # late-r10 bond OR-list as a reactant bond: the unique C-O site is
+    # single, so '-,=' selects it through the any-of matcher
+    ("r_blist_brom", "[C:1]-,=O", "[C:1]Br", "Br"),
 ]
 
 

@@ -1169,3 +1169,28 @@ def test_query_bond_mapped_rewrite_declines():
     assert apply_reaction("C1CC1Cl", "[C:1]!@Cl", "[C:1]F") == ("C1CC1F",)
     # bond symbol before '(' is a SMARTS syntax error (RDKit parity)
     assert has_substructure("C(O)N", "C~(O)N") is False
+
+
+def test_bond_or_list_query():
+    """SMARTS bond OR-lists ('-,=' single-or-double, '-,:' the common
+    aromatic-or-single idiom) in pattern bond position, with the full
+    guard battery (dangling, conjunction, before-paren, molecule-side,
+    mapped-pair rewrite decline); list-qualified ring closures stay
+    outside the subset."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        apply_reaction,
+        has_substructure,
+    )
+
+    assert has_substructure("C=O", "C-,=O") is True
+    assert has_substructure("CO", "C-,=O") is True
+    assert has_substructure("C#N", "C-,=N") is False
+    assert has_substructure("c1ccccc1", "c-,:c") is True
+    assert has_substructure("CC=O", "[$(C-,=O)]") is True
+    assert has_substructure("C=O", "C-,=") is False
+    assert has_substructure("C=O", "C-,=~O") is False
+    assert has_substructure("C(O)N", "C-,=(O)N") is False
+    assert has_substructure("C-,=O", "CO") is False
+    assert has_substructure("C1CC1", "C-,=1CC1") is False  # closure: outside
+    assert apply_reaction("CC=O", "[C:1]-,=O", "[C:1]F") == ("CCF",)
+    assert apply_reaction("C=O", "[C:1]-,=[O:2]", "[C:1][O:2]") == ()
