@@ -724,6 +724,12 @@ def parse_graph(
 
     def _attach(idx: int) -> None:
         nonlocal prev, bond
+        if prev is None and _is_query_bond(bond):
+            # '-,=O' / '(~O)': a query bond with no prior atom to bind —
+            # RDKit errors; silently dropping it would degrade the
+            # pattern to the bare atom (the ~/@/!@ branch guards its own
+            # leading position, but OR-lists reach here)
+            raise ValueError(f"dangling bond query with no prior atom before {idx}")
         if prev is not None and bond != ".":
             edges[(min(prev, idx), max(prev, idx))] = "-" if bond == "" else bond
         prev = idx
@@ -773,7 +779,7 @@ def parse_graph(
                 ring_open[d] = (prev, ring_bond)
             i += len(d)
         elif ch == "(":
-            if _is_query_bond(bond) and bond != "":
+            if _is_query_bond(bond):
                 # 'C~(O)': a bond symbol must be followed by an atom or
                 # ring digit — RDKit rejects this at parse
                 raise ValueError(f"bond query before '(' at {i}")
@@ -782,7 +788,7 @@ def parse_graph(
         elif ch == ")":
             if not stack:
                 raise ValueError(f"unbalanced ')' at {i}")
-            if _is_query_bond(bond) and bond != "":
+            if _is_query_bond(bond):
                 # 'C(C!@)': query bond pending at branch close binds
                 # nothing — RDKit errors; a plain pending bond keeps the
                 # parser's existing leniency
@@ -791,11 +797,17 @@ def parse_graph(
             bond = ""
             i += 1
         elif ch in _BOND_CHARS:
-            if _is_query_bond(bond) and bond != "":
+            if _is_query_bond(bond):
                 # '@=' etc: RDKit's bond-AND conjunction — outside the
                 # subset; overwriting would silently match the wrong
                 # (single-primitive) semantics
                 raise ValueError(f"bond-query conjunction at {i}")
+            if bond == "." or (ch == "." and bond != ""):
+                # 'C.-O' / 'C-.O': a '.' separator adjacent to a bond
+                # symbol is a syntax error in RDKit; overwriting would
+                # silently turn a DISCONNECTED pattern into a bonded one
+                # (or vice versa)
+                raise ValueError(f"'.' adjacent to a bond at {i}")
             bond = ch
             i += 1
             # OR-list of plain bonds ('-,=', '=,#', '-,:'; pattern side
@@ -819,7 +831,7 @@ def parse_graph(
             i += len(tok)
         else:
             raise ValueError(f"unsupported character {ch!r} at {i}")
-    if _is_query_bond(bond) and bond != "":
+    if _is_query_bond(bond):
         # trailing query bond with no atom to bind ('C!@') — RDKit errors
         raise ValueError("dangling bond query at end of pattern")
     # an unclosed ring digit = a closure pairing outside this string; keep
@@ -1138,6 +1150,13 @@ def _all_embeddings(
     s_cyc: frozenset | None = None
     if any(lab in ("@", "!@") for lab in p_edges.values()):
         s_cyc = _cyc_edge_set(len(s_atoms), frozenset(s_edges))
+    # OR-list edges pre-split once per call: bt() re-checks the same
+    # label for every candidate substrate edge in its innermost loop
+    p_alts: dict[tuple[int, int], tuple[str, ...]] = {
+        key: tuple(lab.split(","))
+        for key, lab in p_edges.items()
+        if lab is not None and "," in lab
+    }
     s_adj: dict[int, list[int]] = {}
     for (a, b) in s_edges:
         s_adj.setdefault(a, []).append(b)
@@ -1203,9 +1222,9 @@ def _all_embeddings(
                     ok = key_s in s_cyc            # any ring bond
                 elif pl == "!@":
                     ok = key_s not in s_cyc        # any non-ring bond
-                elif pl is not None and "," in pl:
+                elif key_p in p_alts:
                     ok = any(                      # OR-list: any-of
-                        _bond_ok(alt, s_edges[key_s]) for alt in pl.split(",")
+                        _bond_ok(alt, s_edges[key_s]) for alt in p_alts[key_p]
                     )
                 else:
                     ok = _bond_ok(pl, s_edges[key_s])
