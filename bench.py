@@ -139,17 +139,19 @@ METHODOLOGY = (
 # not a regression — carried in the JSON so round-over-round deltas on
 # these queries are read against the new workload
 WORKLOAD_CHANGES = {
-    "k3_substructure": "39 -> 56 probes (r10 ring-count [R1]/[R2]/"
+    "k3_substructure": "39 -> 62 probes (r10 ring-count [R1]/[R2]/"
     "[C;R0]/[c;R1] brackets, depth-3 recursive wraps, stereo "
-    "parse-and-ignore probes [C@H3]/[C@@H3]Cl/dirbond, and ring-bond "
-    "query probes C@Cl/c@c/[CH3]!@Cl, any-bond c~c, and OR-list "
-    "[CH3]-,=Cl probes (56 total); r9 added "
-    "per-alternative-modifier, list-conjunct, depth-2 recursive, "
-    "negated-item families)",
-    "k1_graph_rewrite": "8 -> 14 rules (r10 ring-count-conjunct "
+    "parse-and-ignore probes [C@H3]/[C@@H3]Cl/dirbond, ring-bond "
+    "query probes C@Cl/c@c/[CH3]!@Cl, any-bond c~c, OR-list "
+    "[CH3]-,=Cl, and six full bond-expression probes (c-;@c, "
+    "c-,=;@c, [CH3]-&!@Cl, [CH3]!-,!=Cl, [!#1]!=[N&X3:2], C=;!@O); "
+    "r9 added per-alternative-modifier, list-conjunct, depth-2 "
+    "recursive, negated-item families)",
+    "k1_graph_rewrite": "8 -> 16 rules (r10 ring-count-conjunct "
     "[C;R0:1], depth-3 recursive [$([$([$(C)]O)]):1], stereo-marked "
-    "[C@:1]O >> [C@@:1]N, ring-bond-query [C:1]!@O, and any-bond "
-    "[C:1]~O and OR-list [C:1]-,=O rules; r9 "
+    "[C@:1]O >> [C@@:1]N, ring-bond-query [C:1]!@O, any-bond "
+    "[C:1]~O, OR-list [C:1]-,=O, bond-expression [C:1]-&!@O and "
+    "negated-OR [C:1]!=,!#O rules; r9 "
     "added per-alternative-modifier + negated-item)",
 }
 

@@ -82,15 +82,23 @@ SUBSET engine; the honest scope is:
   bond marks — accepted by BOTH parsers as labels, so every side's
   writing survives into products — compare equal to the single bond
   they decorate (:func:`_bond_ok`).  Bond QUERY
-  primitives in PATTERN bond position (late r10): ``~`` matches any
-  bond, ``@`` / ``!@`` match by non-bridge (RDKit ``IsInRing``)
-  membership — ``C@C`` finds a ring C–C bond, ``C!@Cl`` an acyclic
-  C–Cl — including inside recursive environments; a query bond between
+  expressions in PATTERN bond position (late r10) cover the full
+  Daylight bond grammar: primitives ``-``/``=``/``#``/``:``/``/``/
+  ``\\``/``~`` (any bond) and ``@`` (non-bridge = RDKit ``IsInRing``
+  membership; ``C@C`` finds a ring C–C bond), combined with ``!``
+  negation > ``&``/ADJACENCY (high AND — ``=@`` ≡ ``=&@``) > ``,``
+  (OR) > ``;`` (low AND): ``C!@Cl`` an acyclic C–Cl, ``-,=``
+  single-or-double, ``=;@`` a double ring bond, ``!=`` not-double —
+  including inside recursive environments.  Substrate ring-CLOSURE
+  edges keep their order-wildcard semantics (they satisfy any
+  satisfiable order constraint; ring primitives consult real
+  membership, and ``!~`` never matches).  A query bond between
   two mapped atoms kept bonded by a product template DECLINES the
   rewrite (RDKit preserves the matched bond there; overwriting with
   the template's written bond would be a silently different product).  Extended chirality classes
   (``@TH1``…), MOLECULE-side tetrahedral marks and query bonds,
-  query-bond-qualified ring closures (``C@1...1``), and recursion past
+  query-bond-qualified ring closures (``C@1...1``, ``C-,=1...1``),
+  double bond negation (``!!=``), and recursion past
   depth 8 remain OUTSIDE the subset; a
   product template carrying a query primitive yields no products
   (nothing concrete to write — RDKit errors on such templates).
@@ -125,14 +133,106 @@ _AROMATIC = set("bcnosp")
 _BOND_CHARS = set("-=#:/\\.")
 # pattern-side bond QUERY labels (parse_graph(..., bond_queries=True)):
 # any-bond, ring-bond, not-ring-bond — one place, consulted by every
-# parser guard and the rewrite decline below.  OR-lists of plain bonds
-# ('-,=' = single-or-double; late r10) are also query bonds: they carry
-# a ',' in the label, which _is_query_bond covers.
+# parser guard and the rewrite decline below.  Full Daylight bond
+# EXPRESSIONS (late r10: '!' negation > '&'/adjacency AND > ',' OR >
+# ';' AND, e.g. '=;@' double-in-ring, '-,=' single-or-double, '!='
+# not-double) are also query bonds: the normalized label carries one of
+# ',&;!', which _is_query_bond covers.
 _QUERY_BONDS = ("~", "@", "!@")
+# primitives a bond expression may combine ('.' is a separator, never
+# a primitive); '/' and '\' compare as the single bond they decorate
+# (_BOND_MATCH_EQUIV), matching their plain-label treatment
+_BOND_PRIMS = set("-=#:/\\~@")
 
 
 def _is_query_bond(lab: str | None) -> bool:
-    return lab is not None and (lab in _QUERY_BONDS or "," in lab)
+    return lab is not None and (
+        lab in _QUERY_BONDS or any(c in lab for c in ",&;!")
+    )
+
+
+def _parse_bond_expr(s: str, i: int) -> tuple[str, int]:
+    """Parse a full Daylight bond expression at ``i`` (PATTERN side
+    only): precedence ``!`` (negate a primitive) > ``&`` / adjacency
+    (high AND — ``=@`` ≡ ``=&@``) > ``,`` (OR) > ``;`` (low AND).
+    Returns the NORMALIZED label (implicit adjacency written out as
+    ``&``) and the index one past the expression.  Raises ValueError on
+    malformed forms — ``!`` with no primitive, a trailing operator,
+    double negation — which RDKit's SMARTS parser also rejects."""
+    n = len(s)
+
+    def factor(j: int) -> tuple[str, int]:
+        neg = ""
+        if s[j : j + 1] == "!":
+            neg = "!"
+            j += 1
+            if s[j : j + 1] == "!":
+                raise ValueError(f"double bond negation at {j}")
+        c = s[j : j + 1]
+        if c not in _BOND_PRIMS:
+            raise ValueError(f"bond primitive expected at {j}")
+        return neg + c, j + 1
+
+    tok, i = factor(i)
+    parts = [tok]
+    while i < n:
+        c = s[i]
+        if c in ",;&":
+            tok, j = factor(i + 1)
+            parts.append(c)
+            parts.append(tok)
+            i = j
+        elif c in _BOND_PRIMS or c == "!":
+            tok, j = factor(i)
+            parts.append("&")
+            parts.append(tok)
+            i = j
+        else:
+            break
+    return "".join(parts), i
+
+
+def _compile_bond_expr(label: str):
+    """Evaluator ``fn(sb, in_cyc) -> bool`` for a normalized bond
+    expression: AND over ``;``-terms of OR over ``,``-alternatives of
+    AND over ``&``-factors, each factor an optionally ``!``-negated
+    primitive.  A substrate ring-closure edge carries label ``None`` =
+    unknown bond order (the topology-only ring semantics): it satisfies
+    any satisfiable ORDER constraint — positive AND negated — while
+    ring primitives consult actual membership and ``!~`` (not any bond)
+    stays unsatisfiable everywhere."""
+    terms: list[list[list[tuple[bool, str]]]] = []
+    for t in label.split(";"):
+        alts: list[list[tuple[bool, str]]] = []
+        for a in t.split(","):
+            fs: list[tuple[bool, str]] = []
+            for f in a.split("&"):
+                neg = f.startswith("!")
+                fs.append((neg, f[1:] if neg else f))
+            alts.append(fs)
+        terms.append(alts)
+
+    def fac(neg: bool, prim: str, sb: str | None, in_cyc: bool) -> bool:
+        if prim == "@":
+            v = in_cyc
+        elif prim == "~":
+            v = True
+        elif sb is None:
+            return True
+        else:
+            v = _bond_ok(prim, sb)
+        return (not v) if neg else v
+
+    def ev(sb: str | None, in_cyc: bool) -> bool:
+        return all(
+            any(
+                all(fac(neg, prim, sb, in_cyc) for neg, prim in fs)
+                for fs in alts
+            )
+            for alts in terms
+        )
+
+    return ev
 
 # ';' is SMARTS low-precedence AND — for this subset (no OR mixing
 # inside a component) it is equivalent to '&', so [N;X3] == [N&X3] and
@@ -798,9 +898,10 @@ def parse_graph(
             i += 1
         elif ch in _BOND_CHARS:
             if _is_query_bond(bond):
-                # '@=' etc: RDKit's bond-AND conjunction — outside the
-                # subset; overwriting would silently match the wrong
-                # (single-primitive) semantics
+                # a pending query expression followed by another bond
+                # token — expressions are consumed atomically below, so
+                # this is '.'-adjacency ('C~.O') or a stray separator;
+                # RDKit rejects both
                 raise ValueError(f"bond-query conjunction at {i}")
             if bond == "." or (ch == "." and bond != ""):
                 # 'C.-O' / 'C-.O': a '.' separator adjacent to a bond
@@ -808,27 +909,22 @@ def parse_graph(
                 # silently turn a DISCONNECTED pattern into a bonded one
                 # (or vice versa)
                 raise ValueError(f"'.' adjacent to a bond at {i}")
-            bond = ch
-            i += 1
-            # OR-list of plain bonds ('-,=', '=,#', '-,:'; pattern side
-            # only): consumed atomically into a comma-joined label the
-            # matcher resolves as any-of.  '.' cannot appear in a list.
-            while bond_queries and s[i : i + 1] == "," and s[i + 1 : i + 2] in _BOND_CHARS:
-                nxt = s[i + 1]
-                if nxt == "." or ch == ".":
-                    raise ValueError(f"'.' in bond list at {i}")
-                bond += "," + nxt
-                i += 2
-        elif bond_queries and (
-            ch in "@~" or (ch == "!" and s[i + 1 : i + 2] == "@")
-        ):
-            tok = "!@" if ch == "!" else ch
+            if bond_queries and ch != ".":
+                # pattern side: a full Daylight bond expression ('-,=',
+                # '=;@', '-&!@', '!=', …) consumed atomically; a single
+                # plain primitive comes back unchanged, preserving the
+                # ring-closure qualification logic below
+                bond, i = _parse_bond_expr(s, i)
+            else:
+                bond = ch
+                i += 1
+        elif bond_queries and ch in "~@!":
             if bond != "" or not atoms:
-                # '=@' / '!@@' / '~~' conjunctions and a leading query
-                # bond (no prior atom — RDKit errors) stay outside
-                raise ValueError(f"bond-query conjunction or dangling {tok!r} at {i}")
-            bond = tok
-            i += len(tok)
+                # a query expression after a pending bond cannot occur
+                # (atomic consumption) except via '.' ('C.~O'), and a
+                # leading query bond has no prior atom — RDKit errors
+                raise ValueError(f"bond-query conjunction or dangling {ch!r} at {i}")
+            bond, i = _parse_bond_expr(s, i)
         else:
             raise ValueError(f"unsupported character {ch!r} at {i}")
     if _is_query_bond(bond):
@@ -1148,14 +1244,17 @@ def _all_embeddings(
     # substrate's non-bridge edge set — RDKit IsInRing bond semantics;
     # computed only when the pattern carries one
     s_cyc: frozenset | None = None
-    if any(lab in ("@", "!@") for lab in p_edges.values()):
+    if any(lab is not None and "@" in lab for lab in p_edges.values()):
         s_cyc = _cyc_edge_set(len(s_atoms), frozenset(s_edges))
-    # OR-list edges pre-split once per call: bt() re-checks the same
-    # label for every candidate substrate edge in its innermost loop
-    p_alts: dict[tuple[int, int], tuple[str, ...]] = {
-        key: tuple(lab.split(","))
+    # bond-expression edges compiled once per call: bt() re-checks the
+    # same label for every candidate substrate edge in its innermost
+    # loop.  The single primitives ~ / @ / !@ / plain keep their inline
+    # fast paths below
+    p_expr: dict[tuple[int, int], object] = {
+        key: _compile_bond_expr(lab)
         for key, lab in p_edges.items()
-        if lab is not None and "," in lab
+        if lab is not None
+        and (any(c in lab for c in ",&;") or ("!" in lab and lab != "!@"))
     }
     s_adj: dict[int, list[int]] = {}
     for (a, b) in s_edges:
@@ -1222,9 +1321,10 @@ def _all_embeddings(
                     ok = key_s in s_cyc            # any ring bond
                 elif pl == "!@":
                     ok = key_s not in s_cyc        # any non-ring bond
-                elif key_p in p_alts:
-                    ok = any(                      # OR-list: any-of
-                        _bond_ok(alt, s_edges[key_s]) for alt in p_alts[key_p]
+                elif key_p in p_expr:
+                    ok = p_expr[key_p](           # compiled expression
+                        s_edges[key_s],
+                        key_s in s_cyc if s_cyc is not None else False,
                     )
                 else:
                     ok = _bond_ok(pl, s_edges[key_s])

@@ -647,12 +647,34 @@ K3_PROBES = [
     #   bondlist_co  C=,#O      — every C-O bond is single, never
     ("probe_bondlist_cl", "[CH3]-,=Cl"),
     ("probe_bondlist_co", "C=,#O"),
+    # late-r10 full bond expressions ('!' > '&'/adjacency > ',' > ';'
+    # with Daylight precedence).  Closed forms on the construction
+    # (every written bond single; ring bonds = the benzene of the odd
+    # variant, whose CLOSURE edge is the engine's order-wildcard):
+    #   bexpr_ringsingle c-;@c        — aromatic single-in-ring iff ring
+    #   bexpr_prec       c-,=;@c      — (single or double) AND ring iff
+    #                                   ring (',' binds tighter than ';')
+    #   bexpr_notring_cl [CH3]-&!@Cl  — the acyclic CH3-Cl bond iff even
+    #   bexpr_negor_cl   [CH3]!-,!=Cl — '!=' holds on the single CH3-Cl
+    #                                   bond iff even
+    #   bexpr_neg_n      [!#1]!=[N&X3:2] — the N's neighbours all bond
+    #                                   single, always true
+    #   bexpr_dbl_acyc   C=;!@O       — no written C-O bond is double
+    #                                   (acyclic bonds are never the
+    #                                   order-wildcard closure), never
+    ("probe_bexpr_ringsingle", "c-;@c"),
+    ("probe_bexpr_prec", "c-,=;@c"),
+    ("probe_bexpr_notring_cl", "[CH3]-&!@Cl"),
+    ("probe_bexpr_negor_cl", "[CH3]!-,!=Cl"),
+    ("probe_bexpr_neg_n", "[!#1]!=[N&X3:2]"),
+    ("probe_bexpr_dbl_acyc", "C=;!@O"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
 _K3_STRUCTURAL_TRUE_ON_CL = (
     "probe_ccl", "probe_branch", "probe_branch_swap", "probe_stereo_ch3_cl",
     "probe_notringbond", "probe_bondlist_cl",
+    "probe_bexpr_notring_cl", "probe_bexpr_negor_cl",
     "probe_alt_halo", "probe_neg_before_cl", "probe_rec_cl_ch3",
     "probe_malt_cl_nh2", "probe_aconj_halo", "probe_rec_nested",
     "probe_rec_nested3",
@@ -663,17 +685,19 @@ _K3_TRUE_ON_RING = (
     "probe_malt_ch3_arom", "probe_aconj_ring", "probe_nconj_ring",
     "probe_nalt_arom", "probe_r1", "probe_conj_r1",
     "probe_rec_deep_ring", "probe_ringbond_arom", "probe_anybond_arom",
+    "probe_bexpr_ringsingle", "probe_bexpr_prec",
 )
 _K3_ALWAYS_TRUE = (
     "probe_neg_h", "probe_alt_n", "probe_aliph", "probe_acyclic",
     "probe_rec_not_cl", "probe_conj_acyclic_c",
     "probe_malt_ch3_nh2", "probe_malt_chg", "probe_r0_chain",
     "probe_not_nested3", "probe_stereo_ch3", "probe_stereo_dirbond",
-    "probe_anybond_n",
+    "probe_anybond_n", "probe_bexpr_neg_n",
 )
 _K3_ALWAYS_FALSE = (
     "probe_ocl", "probe_dbl", "probe_charge", "probe_malt_ch2_nh",
     "probe_r2", "probe_ringbond_cl", "probe_bondlist_co",
+    "probe_bexpr_dbl_acyc",
 )
 
 
@@ -1021,6 +1045,14 @@ GRAPH_RXN_RULES = [
     # late-r10 bond OR-list as a reactant bond: the unique C-O site is
     # single, so '-,=' selects it through the any-of matcher
     ("r_blist_brom", "[C:1]-,=O", "[C:1]Br", "Br"),
+    # late-r10 bond-expression conjunction as a reactant bond: the
+    # unique C-O site is single AND acyclic, so '-&!@' selects it
+    # through the compiled-expression matcher (linear splice declines,
+    # pinning the graph path like r_nrb_chlor)
+    ("r_bexpr_carb", "[C:1]-&!@O", "[C:1]C", "C"),
+    # late-r10 negated-primitive OR: the single C-O bond fails '=' so
+    # '!=' holds; '!=,!#' (not-double or not-triple) selects the site
+    ("r_bexpr_phos2", "[C:1]!=,!#O", "[C:1]P", "P"),
 ]
 
 

@@ -1111,23 +1111,79 @@ def test_ring_bond_query_primitives():
     assert apply_reaction("C1CC1Cl", "[C:1]Cl", "[C:1]@F") == ()
 
 
-def test_ring_bond_query_conjunctions_stay_outside_subset():
-    """RDKit bond-AND conjunctions (=@, @=, !@@) and dangling/leading
-    query bonds must reject, never silently match the last primitive
-    (third-review pin)."""
+def test_bond_conjunctions_daylight_semantics():
+    """RDKit bond-AND conjunctions — implicit adjacency (``=@``),
+    ``&`` (high AND) and ``;`` (low AND) — now evaluate with Daylight
+    semantics (late r10; previously rejected); dangling/leading query
+    bonds keep rejecting.  Substrate ring-CLOSURE edges stay
+    order-wildcards (the engine's documented topology-only ring
+    semantics: C1CC1 matches C=C), so conjunction verdicts follow that
+    same model."""
     from omics_data_integration_utilities_spark.operators.smarts_engine import (
         has_substructure,
     )
 
-    assert has_substructure("C1CC1", "C=@C") is False   # ring-AND-double
-    assert has_substructure("CC=C", "C@=C") is False
-    assert has_substructure("C1CC1", "C!@@C") is False  # unsatisfiable AND
-    assert has_substructure("C1CC1", "C!@") is False    # dangling
-    assert has_substructure("C1CC1", "@CC") is False    # leading
+    assert has_substructure("C1=CC1", "C=@C") is True    # double in ring
+    assert has_substructure("CCC=CCC", "C=@C") is False  # acyclic double
+    assert has_substructure("C1=CC1", "C=&@C") is True   # explicit & form
+    assert has_substructure("C1=CC1", "C=;@C") is True   # low-AND form
+    assert has_substructure("CC=C", "C@=C") is False     # ring-AND on acyclic
+    assert has_substructure("C1CC1", "C=@C") is True     # closure edge: order-wildcard
+    assert has_substructure("C=C", "C=!@C") is True      # double AND not-ring
+    assert has_substructure("C1=CC1", "C=!@C") is False
+    assert has_substructure("CCC", "C!@@C") is False     # unsatisfiable AND
+    assert has_substructure("C=O", "C=-O") is False      # adjacency AND, not last-wins
+    assert has_substructure("C1CC1", "C!@") is False     # dangling
+    assert has_substructure("C1CC1", "@CC") is False     # leading
     assert has_substructure("C1CC1", "C(C!@)C") is False  # dangling in branch
     # the single-primitive forms stay supported
     assert has_substructure("C1CC1Cl", "C@C") is True
     assert has_substructure("C1CC1Cl", "C!@Cl") is True
+
+
+def test_bond_expression_grammar():
+    """Full Daylight bond expressions in pattern bond position (late
+    r10): ``!`` negation > ``&``/adjacency > ``,`` > ``;`` with RDKit
+    precedence; malformed forms and expression-qualified ring closures
+    reject; mapped-pair rewrite decline extends to expressions."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        apply_reaction,
+        has_substructure,
+    )
+
+    # negated primitives
+    assert has_substructure("CO", "C!=O") is True
+    assert has_substructure("C=O", "C!=O") is False
+    assert has_substructure("C#N", "C!-N") is True
+    assert has_substructure("CO", "C!~O") is False       # not-any: unsatisfiable
+    # precedence: ',' binds tighter than ';'
+    assert has_substructure("C1=CC1", "C-,=;@C") is True
+    assert has_substructure("C=C", "C-,=;@C") is False
+    assert has_substructure("C#N", "C=,#;!@N") is True
+    assert has_substructure("CCCC", "C=,#;!@C") is False
+    # OR of negations vs AND of negations
+    assert has_substructure("C=C", "C!-,!=C") is True    # '=' fails !=, passes !-
+    assert has_substructure("CC", "C!-&!=C") is False
+    assert has_substructure("C#C", "C!-&!=C") is True
+    # in a recursive environment
+    assert has_substructure("CC=O", "[$(C=;!@O)]") is True
+    # malformed: '!' with no primitive, trailing operator, double '!'
+    assert has_substructure("CO", "C!O") is False
+    assert has_substructure("CO", "C!!=O") is False
+    assert has_substructure("CO", "C-,O") is False
+    assert has_substructure("CO", "C-&O") is False
+    assert has_substructure("CO", "C-;") is False
+    # expression-qualified ring closures stay outside
+    assert has_substructure("C1CC1", "C=;@1CC1") is False
+    # dangling expression before ')' / '(' and leading position
+    assert has_substructure("C(O)N", "C!=(O)N") is False
+    assert has_substructure("CO", "!=O") is False
+    # rewrites: expression bond on a deleted atom proceeds; between
+    # mapped atoms kept bonded, declines (query-bond policy)
+    assert apply_reaction("CC=O", "[C:1]=;!@O", "[C:1]F") == ("CCF",)
+    assert apply_reaction("CC=O", "[C:1]!-O", "[C:1]F") == ("CCF",)
+    assert apply_reaction("C=O", "[C:1]=,-[O:2]", "[C:1][O:2]") == ()
+    assert apply_reaction("C1=CC1Cl", "[C:1]!@Cl", "[C:1]F") == ("C1=CC1F",)
 
 
 def test_any_bond_query_primitive():
@@ -1143,7 +1199,7 @@ def test_any_bond_query_primitive():
     assert has_substructure("CO", "C~O") is True
     assert has_substructure("CN", "C~O") is False
     assert has_substructure("CC=O", "[$(C~O)]") is True
-    assert has_substructure("C=O", "C~~O") is False   # conjunction
+    assert has_substructure("C=O", "C~~O") is True    # adjacency AND: any&any = any (late r10)
     assert has_substructure("C=O", "C~") is False     # dangling
     assert has_substructure("C~O", "CO") is False     # molecule-side
     assert apply_reaction("CC=O", "[C:1]~O", "[C:1]F") == ("CCF",)
@@ -1188,7 +1244,10 @@ def test_bond_or_list_query():
     assert has_substructure("c1ccccc1", "c-,:c") is True
     assert has_substructure("CC=O", "[$(C-,=O)]") is True
     assert has_substructure("C=O", "C-,=") is False
-    assert has_substructure("C=O", "C-,=~O") is False
+    # '-,=~O' parses as '-,(=&~)' under Daylight precedence (late r10):
+    # single OR (double AND any) — satisfied by the double bond
+    assert has_substructure("C=O", "C-,=~O") is True
+    assert has_substructure("C#O", "C-,=~O") is False
     assert has_substructure("C(O)N", "C-,=(O)N") is False
     assert has_substructure("C-,=O", "CO") is False
     assert has_substructure("C1CC1", "C-,=1CC1") is False  # closure: outside

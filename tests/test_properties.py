@@ -1067,3 +1067,148 @@ def test_stereo_decoration_never_changes_verdict(s, p, data):
     )
     assert strip_stereo(decorated) == p
     assert has_substructure(s, decorated) == has_substructure(s, p)
+
+
+# ---- bond expressions: independent-evaluator parity (late r10) ----
+
+_BEXPR_PRIMS = ["-", "=", "#", ":", "~", "@", "/"]
+
+
+@st.composite
+def _bond_expr(draw):
+    """A random RAW Daylight bond expression: 1-2 ';'-terms, each 1-3
+    ','-alternatives, each 1-2 optionally-negated factors joined by '&'
+    or by ADJACENCY (the implicit high-precedence AND)."""
+    def factor():
+        neg = "!" if draw(st.booleans()) else ""
+        return neg + draw(st.sampled_from(_BEXPR_PRIMS))
+
+    def and_term():
+        k = draw(st.integers(min_value=1, max_value=2))
+        parts = [factor()]
+        for _ in range(k - 1):
+            joiner = draw(st.sampled_from(["&", ""]))
+            parts.append(joiner + factor())
+        return "".join(parts)
+
+    def or_term():
+        k = draw(st.integers(min_value=1, max_value=3))
+        return ",".join(and_term() for _ in range(k))
+
+    k = draw(st.integers(min_value=1, max_value=2))
+    return ";".join(or_term() for _ in range(k))
+
+
+def _ref_cycle_edges(edges: dict) -> set:
+    """Brute-force ring-bond set, independent of the engine's Tarjan
+    bridge finder: an edge is cyclic iff its endpoints stay connected
+    after removing it (BFS per edge)."""
+    keys = list(edges)
+    cyc = set()
+    for drop in keys:
+        adj: dict[int, list[int]] = {}
+        for (a, b) in keys:
+            if (a, b) == drop:
+                continue
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        start, goal = drop
+        seen = {start}
+        queue = [start]
+        while queue:
+            cur = queue.pop()
+            for nb in adj.get(cur, []):
+                if nb not in seen:
+                    seen.add(nb)
+                    queue.append(nb)
+        if goal in seen:
+            cyc.add(drop)
+    return cyc
+
+
+def _ref_bond_expr_eval(expr: str, sb, in_ring: bool) -> bool:
+    """Independent recursive-descent evaluator over the RAW expression
+    text (the engine normalizes to '&' labels and splits; this walks
+    the source with a cursor).  Unknown-order substrate edges (label
+    None — ring closures) satisfy any order factor, positive or
+    negated; '~' is order-independent truth, so '!~' stays False."""
+    pos = 0
+    n = len(expr)
+
+    def fac() -> bool:
+        nonlocal pos
+        neg = False
+        if expr[pos] == "!":
+            neg = True
+            pos += 1
+        p = expr[pos]
+        pos += 1
+        if p == "@":
+            v = in_ring
+        elif p == "~":
+            v = True
+        elif sb is None:
+            return True
+        else:
+            eq = {"/": "-", "\\": "-"}
+            v = eq.get(p, p) == eq.get(sb, sb)
+        return (not v) if neg else v
+
+    def and_term() -> bool:
+        nonlocal pos
+        v = fac()
+        while pos < n and (expr[pos] == "&" or expr[pos] in "-=#:~@/!\\"):
+            if expr[pos] == "&":
+                pos += 1
+            v = fac() and v
+        return v
+
+    def or_term() -> bool:
+        nonlocal pos
+        v = and_term()
+        while pos < n and expr[pos] == ",":
+            pos += 1
+            v = and_term() or v
+        return v
+
+    v = or_term()
+    while pos < n and expr[pos] == ";":
+        pos += 1
+        v = or_term() and v
+    return v
+
+
+@given(s=_smiles_subset(), expr=_bond_expr(),
+       ends=st.tuples(st.sampled_from(["C", "N", "O", "c", "*"]),
+                      st.sampled_from(["C", "N", "O", "c", "*"])))
+@settings(max_examples=400, deadline=None)
+def test_bond_expr_matches_exhaustive_edge(s, expr, ends):
+    """Two-atom pattern `A<expr>B`: the engine verdict must equal the
+    exhaustive scan over every substrate edge in both orientations,
+    with the expression decided by an INDEPENDENT recursive-descent
+    evaluator and ring membership by an independent remove-and-reconnect
+    cycle finder."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        has_substructure,
+        parse_graph,
+    )
+
+    ea, eb = ends
+    try:
+        atoms, edges = parse_graph(s)
+    except ValueError:
+        return
+    cyc = _ref_cycle_edges(edges)
+
+    def atom_ok(a, p):
+        return _ref_prim_pred(p, a.elem, a.aromatic)
+
+    want = any(
+        _ref_bond_expr_eval(expr, lab, key in cyc)
+        and (
+            (atom_ok(atoms[key[0]], ea) and atom_ok(atoms[key[1]], eb))
+            or (atom_ok(atoms[key[1]], ea) and atom_ok(atoms[key[0]], eb))
+        )
+        for key, lab in edges.items()
+    )
+    assert has_substructure(s, ea + expr + eb) == want, (s, expr, ends)
