@@ -244,8 +244,12 @@ _PRIORITY = [
     "drivernet_significance",
     "drivernet_permutation",
     "k6_spearman",
-    # LLM-pipeline surface
-    "dedup_lsh_pairs",
+    # LLM-pipeline surface — dedup_incremental (NEW r10: snapshot-ingest
+    # verdicts vs a reference corpus) takes the dedup_lsh_pairs slot:
+    # lsh_pairs is hash-green r9 and the incremental plan transitively
+    # exercises the same band-key machinery (lsh_band_keys +
+    # lsh_candidate_pairs) plus the exact-digest semi-join
+    "dedup_incremental",
     "dedup_components",
     "dedup_simhash",
     "dedup_fingerprint",

@@ -768,3 +768,91 @@ def remove_duplicated_spans(
         .otherwise(F.concat_ws(" ", kept))
         .alias(text_col),
     )
+
+
+def incremental_dedup_verdicts(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_posting: int = MAX_POSTING,
+) -> DataFrame:
+    """Verdict for every NEW-batch document against an already-kept
+    reference corpus — the snapshot-ingest staple: dedupe tonight's crawl
+    against the 100 TB corpus without re-deduping the corpus itself.
+
+    One row per new doc: ``(id, verdict, keep)`` where verdict is the
+    FIRST matching of
+
+    - ``exact_ref``   — md5(text) already present in the reference,
+    - ``near_ref``    — shares >=1 LSH band key with a reference doc
+      (reference buckets larger than ``max_posting`` are ignored, the
+      same lost-locality rule as :func:`lsh_candidate_pairs`),
+    - ``exact_batch`` — an identical batch doc with a smaller id exists
+      (the min-id copy is the keeper),
+    - ``near_batch``  — an in-batch LSH candidate pair (a, id) with
+      a < id exists (single-pass pruning: the rule is a pure predicate
+      on the pair table, NOT iterated through survivorship, so verdicts
+      are order- and partitioning-free),
+    - ``novel``       — none of the above; ``keep`` is true only here.
+
+    Scale shape: every stage is a projected semi/anti join — reference
+    digests and band keys are 1-2 narrow columns regardless of corpus
+    width, the batch side is the small side throughout, and nothing
+    quadratic forms outside the capped in-batch posting lists.  The
+    reference is never rewritten; admitting the kept docs is the
+    caller's append.
+    """
+    ids = new_df.select(F.col(id_col))
+    n_digest = new_df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__digest")
+    )
+    r_digest = ref_df.select(F.md5(F.col(text_col)).alias("__digest")).distinct()
+    exact_ref = n_digest.join(r_digest, "__digest", "left_semi").select(id_col)
+
+    n_bands = lsh_band_keys(new_df, text_col, id_col)
+    r_bands_ok = (
+        lsh_band_keys(ref_df, text_col, id_col)
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") <= max_posting)
+        .select("band", "band_key")
+    )
+    near_ref = (
+        n_bands.join(r_bands_ok, ["band", "band_key"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+    batch_keep = (
+        n_digest.groupBy("__digest")
+        .agg(F.min(id_col).alias("__keep_id"))
+        .select(F.col("__keep_id").alias(id_col))
+    )
+    near_batch = (
+        lsh_candidate_pairs(new_df, text_col, id_col, max_posting)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+
+    def _flag(src: DataFrame, name: str) -> DataFrame:
+        return src.select(F.col(id_col), F.lit(True).alias(name))
+
+    out = (
+        ids.join(_flag(exact_ref, "__xr"), id_col, "left")
+        .join(_flag(near_ref, "__nr"), id_col, "left")
+        .join(_flag(batch_keep, "__bk"), id_col, "left")
+        .join(_flag(near_batch, "__nb"), id_col, "left")
+    )
+    verdict = (
+        F.when(F.col("__xr"), F.lit("exact_ref"))
+        .when(F.col("__nr"), F.lit("near_ref"))
+        .when(F.col("__bk").isNull(), F.lit("exact_batch"))
+        .when(F.col("__nb"), F.lit("near_batch"))
+        .otherwise(F.lit("novel"))
+    )
+    return out.select(
+        F.col(id_col),
+        verdict.alias("verdict"),
+        (verdict == "novel").alias("keep"),
+    )

@@ -147,6 +147,102 @@ def _lsh_sql() -> str:
 SQL_LSH_CANDIDATE_PAIRS = _lsh_sql()
 
 
+# --------------------------------------------------------------------------
+# incremental dedup (snapshot ingest vs reference corpus)
+# --------------------------------------------------------------------------
+
+_INCR_SALT = "incr-v1"
+_INCR_REF_CUT = 700_000  # 70% ref corpus / 30% new batch
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-reference dedup verdicts: a deterministic md5 70/30
+    split of ``documents`` plays reference corpus vs tonight's batch;
+    every batch doc gets (verdict, keep) — exact_ref / near_ref /
+    exact_batch / near_batch / novel."""
+    from ..operators.sampling import _hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = docs.withColumn("__b", _hash_bucket(F.col("doc_id"), _INCR_SALT))
+    ref = tagged.where(F.col("__b") < _INCR_REF_CUT).drop("__b")
+    new = tagged.where(F.col("__b") >= _INCR_REF_CUT).drop("__b")
+    return dedup_ops.incremental_dedup_verdicts(new, ref, "text", "doc_id")
+
+
+def _minhash_band_ctes(src: str, p: str) -> str:
+    """The shingle→minhash→band chain as prefixed CTEs over ``src`` —
+    generated from the same constants as :data:`_SHINGLE_CTES` and
+    :func:`_lsh_sql` so a constant change cannot desynchronize them."""
+    m_cols = ", ".join(f"{_mh_expr(a, b)} AS m{i}" for i, (a, b) in enumerate(MINHASH_PERMS))
+    r = MINHASH_ROWS_PER_BAND
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bkey FROM {p}sig".format(
+            b=b, cols=", ".join(f"m{b * r + i}" for i in range(r)), p=p
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+{p}tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src}),
+{p}sh AS (
+  SELECT doc_id,
+         list_distinct([{_SHINGLE_CONCAT}
+                        for i in generate_series(1, len(t) - {SHINGLE_WIDTH - 1})]) AS s
+  FROM {p}tok
+),
+{p}hs AS (
+  SELECT doc_id,
+         list_transform(s, x -> {_HEX60.format(x='x')} % {MINHASH_P}) AS h
+  FROM {p}sh
+),
+{p}sig AS (SELECT doc_id, {m_cols} FROM {p}hs),
+{p}bands AS ({band_selects})
+"""
+
+
+def _incremental_sql() -> str:
+    bucket = (
+        f"('0x' || substr(md5('{_INCR_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+        " % 1000000"
+    )
+    return (
+        f"""
+WITH base AS (SELECT doc_id, text, {bucket} AS b FROM documents),
+ref AS (SELECT doc_id, text FROM base WHERE b < {_INCR_REF_CUT}),
+batch AS (SELECT doc_id, text FROM base WHERE b >= {_INCR_REF_CUT}),
+"""
+        + _minhash_band_ctes("ref", "r")
+        + ","
+        + _minhash_band_ctes("batch", "n")
+        + f""",
+rb_ok AS (SELECT band, bkey FROM rbands GROUP BY band, bkey HAVING count(*) <= {MAX_POSTING}),
+xr AS (SELECT DISTINCT b.doc_id FROM batch b
+       WHERE md5(b.text) IN (SELECT md5(text) FROM ref)),
+nr AS (SELECT DISTINCT a.doc_id FROM nbands a
+       JOIN rb_ok o ON a.band = o.band AND a.bkey = o.bkey),
+bk AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY md5(text)),
+nok AS (SELECT band, bkey FROM nbands GROUP BY band, bkey
+        HAVING count(*) BETWEEN 2 AND {MAX_POSTING}),
+nb AS (SELECT DISTINCT b2.doc_id FROM nok o
+       JOIN nbands b1 ON b1.band = o.band AND b1.bkey = o.bkey
+       JOIN nbands b2 ON b2.band = o.band AND b2.bkey = o.bkey
+                     AND b1.doc_id < b2.doc_id),
+verdicts AS (
+  SELECT t.doc_id,
+         CASE WHEN t.doc_id IN (SELECT doc_id FROM xr) THEN 'exact_ref'
+              WHEN t.doc_id IN (SELECT doc_id FROM nr) THEN 'near_ref'
+              WHEN t.doc_id NOT IN (SELECT doc_id FROM bk) THEN 'exact_batch'
+              WHEN t.doc_id IN (SELECT doc_id FROM nb) THEN 'near_batch'
+              ELSE 'novel' END AS verdict
+  FROM batch t
+)
+SELECT doc_id, verdict, verdict = 'novel' AS keep FROM verdicts
+"""
+    )
+
+
+SQL_DEDUP_INCREMENTAL = _incremental_sql()
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join."""
     return dedup_ops.ngram_jaccard_pairs(
@@ -1343,6 +1439,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_minhash_signatures": q_minhash_signatures,
     "dedup_lsh_pairs": q_lsh_candidate_pairs,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_components": q_dedup_components,
     "dedup_simhash": q_simhash,
@@ -1383,6 +1480,7 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_fingerprint": SQL_DEDUP_FINGERPRINT,
     "dedup_minhash_signatures": SQL_MINHASH_SIGNATURES,
     "dedup_lsh_pairs": SQL_LSH_CANDIDATE_PAIRS,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "dedup_simhash": SQL_SIMHASH,

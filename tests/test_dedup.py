@@ -570,3 +570,83 @@ def test_substring_dedup_differential_random_corpora(spark):
         for did, txt in _ref_remove_spans(docs, width).items():
             want_rm[k * 1000 + did] = txt
     assert got_rm == want_rm
+
+
+def test_incremental_dedup_all_five_verdicts(spark):
+    """Synthetic ref/batch corpus exercising every verdict with a known
+    answer: exact_ref (verbatim copy of a ref doc), near_ref (one token
+    changed from a ref doc — shares band keys), exact_batch (identical
+    pair inside the batch, min id keeps), near_batch (in-batch near pair,
+    larger id drops), novel (disjoint vocabulary)."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        incremental_dedup_verdicts,
+    )
+
+    # periodic texts: "x y x y x" and "x y x y x y x" have IDENTICAL
+    # distinct-shingle sets ({x y x, y x y} at width 3) but different
+    # strings, so the minhash signatures — hence every band key — are
+    # equal by construction and the near_* verdicts fire
+    # deterministically (a one-token edit only collides with LSH
+    # probability < 1 and would make this test flaky-by-design)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref = spark.createDataFrame(
+        [(1, base), (2, "echo foxtrot echo foxtrot echo")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),                                    # exact_ref
+            (11, "echo foxtrot echo foxtrot echo foxtrot echo"),  # near_ref
+            (12, "one two three four five six seven"),     # exact_batch pair
+            (13, "one two three four five six seven"),     #   keeper = 12
+            (14, "red green red green red"),
+            (15, "red green red green red green red"),     # near_batch of 14
+            (16, "totally disjoint vocabulary nothing shared anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["verdict"], r["keep"])
+        for r in incremental_dedup_verdicts(batch, ref, "text", "doc_id").collect()
+    }
+    assert got[10] == ("exact_ref", False)
+    assert got[11] == ("near_ref", False)
+    assert got[12] == ("novel", True)          # min-id keeper of the exact pair
+    assert got[13] == ("exact_batch", False)
+    assert got[14] == ("novel", True)
+    assert got[15] == ("near_batch", False)
+    assert got[16] == ("novel", True)
+
+
+def test_incremental_dedup_ref_hot_bucket_ignored(spark):
+    """A reference band bucket past max_posting has lost its locality
+    signal and must NOT mark batch docs near_ref (the same rule
+    lsh_candidate_pairs applies in-batch)."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        incremental_dedup_verdicts,
+    )
+
+    txt = "alpha beta alpha beta alpha"
+    ref = spark.createDataFrame(
+        [(i, txt) for i in range(6)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame([(100, txt)], "doc_id long, text string")
+    capped = incremental_dedup_verdicts(
+        batch, ref, "text", "doc_id", max_posting=4
+    ).collect()
+    # exact_ref still fires (digest match is cap-independent); with a
+    # CHANGED doc the near path is the one the cap gates
+    assert capped[0]["verdict"] == "exact_ref"
+    # same distinct-shingle set as txt (periodic extension), different
+    # string — band keys equal deterministically, digest not
+    near = spark.createDataFrame(
+        [(100, txt + " beta alpha")], "doc_id long, text string"
+    )
+    v_capped = incremental_dedup_verdicts(
+        near, ref, "text", "doc_id", max_posting=4
+    ).collect()[0]
+    v_open = incremental_dedup_verdicts(
+        near, ref, "text", "doc_id", max_posting=100
+    ).collect()[0]
+    assert v_capped["verdict"] == "novel"
+    assert v_open["verdict"] == "near_ref"
