@@ -95,9 +95,17 @@ SUBSET engine; the honest scope is:
   membership, and ``!~`` never matches).  A query bond between
   two mapped atoms kept bonded by a product template DECLINES the
   rewrite (RDKit preserves the matched bond there; overwriting with
-  the template's written bond would be a silently different product).  Extended chirality classes
+  the template's written bond would be a silently different product).
+  Bond expressions also qualify pattern RING CLOSURES (late r10):
+  ``C-,=1CCCC1`` / ``C~1ccccc1`` / ``c:1ccccc1`` parse with the
+  expression as the closure edge's label, evaluated by the same
+  compiled machinery (a pattern closure matched onto an UNQUALIFIED
+  substrate closure edge meets the order-wildcard rule above — any
+  satisfiable order constraint passes); closure bonds written on BOTH
+  digits must agree textually (``C-1CCCC=1`` is RDKit's closure-bond
+  mismatch error; an equivalent-but-reordered query pair declines
+  conservatively).  Extended chirality classes
   (``@TH1``…), MOLECULE-side tetrahedral marks and query bonds,
-  query-bond-qualified ring closures (``C@1...1``, ``C-,=1...1``),
   double bond negation (``!!=``), and recursion past
   depth 8 remain OUTSIDE the subset; a
   product template carrying a query primitive yields no products
@@ -802,7 +810,9 @@ def parse_graph(
     (RDKit ``IsInRing`` bond semantics).  MOLECULE strings must never
     carry them, so the default rejects — a substrate with a query bond
     stays honestly outside the subset.  A ring-closure digit qualified
-    by a query bond (``C@1...1``) remains outside the subset.
+    by a bond expression (``C-,=1...1``, ``C~1...1``; late r10) carries
+    the expression as the closure edge's label; closure bonds written
+    on both pairing digits must agree textually.
 
     Memoized (as is :func:`has_substructure`): batch verification calls
     repeat the same pattern strings millions of times and the same
@@ -820,6 +830,7 @@ def parse_graph(
     ring_open: dict[str, tuple[int, str]] = {}
     prev: int | None = None
     bond = ""
+    bond_start = -1  # index where the pending bond text begins
     i, n = 0, len(s)
 
     def _attach(idx: int) -> None:
@@ -851,12 +862,15 @@ def parse_graph(
             _attach(len(atoms) - 1)
             i += 1
         elif ch.isdigit() or ch == "%":
-            # ring digit directly after the atom, or after ONE bond char
-            # qualifying the ring bond ("C=1...1"): the bond then belongs
-            # to the ring closure, not to the next atom
+            # ring digit directly after the atom, or after a bond
+            # qualifying the ring bond — a plain char ("C=1...1") or,
+            # pattern side, a full query expression ("C-,=1...1",
+            # "C~1...1"; r10): the bond then belongs to the ring
+            # closure, not to the next atom.  bond_start == ring_end
+            # means the bond text sits BETWEEN the atom and this digit.
             bonded = (
-                bond != "" and i > 0 and s[i - 1] in _BOND_CHARS
-                and atoms and atoms[-1].ring_end == i - 1
+                bond != "" and bond != "."
+                and atoms and atoms[-1].ring_end == bond_start
             )
             if prev is None or not atoms or (atoms[-1].ring_end != i and not bonded):
                 raise ValueError(f"ring digit not attached to an atom at {i}")
@@ -873,6 +887,12 @@ def parse_graph(
                     # a molecule (and a self-loop edge would crash the
                     # serializer's back-edge bookkeeping downstream)
                     raise ValueError(f"ring closure {d} pairs an atom with itself at {i}")
+                if ring_bond and open_bond and ring_bond != open_bond:
+                    # "C-1CCCC=1": RDKit rejects conflicting closure
+                    # bonds; equality is on the NORMALIZED text, so an
+                    # equivalent-but-reordered query pair ("-,=1...=,-1")
+                    # conservatively declines too
+                    raise ValueError(f"ring closure {d} bond mismatch at {i}")
                 lab = ring_bond or open_bond or None
                 edges[(min(j, prev), max(j, prev))] = lab
             else:
@@ -909,6 +929,7 @@ def parse_graph(
                 # silently turn a DISCONNECTED pattern into a bonded one
                 # (or vice versa)
                 raise ValueError(f"'.' adjacent to a bond at {i}")
+            bond_start = i
             if bond_queries and ch != ".":
                 # pattern side: a full Daylight bond expression ('-,=',
                 # '=;@', '-&!@', '!=', …) consumed atomically; a single
@@ -924,6 +945,7 @@ def parse_graph(
                 # (atomic consumption) except via '.' ('C.~O'), and a
                 # leading query bond has no prior atom — RDKit errors
                 raise ValueError(f"bond-query conjunction or dangling {ch!r} at {i}")
+            bond_start = i
             bond, i = _parse_bond_expr(s, i)
         else:
             raise ValueError(f"unsupported character {ch!r} at {i}")

@@ -668,6 +668,17 @@ K3_PROBES = [
     ("probe_bexpr_negor_cl", "[CH3]!-,!=Cl"),
     ("probe_bexpr_neg_n", "[!#1]!=[N&X3:2]"),
     ("probe_bexpr_dbl_acyc", "C=;!@O"),
+    # late-r10 expression-QUALIFIED ring closures (the expression labels
+    # the closure edge itself).  Closed forms:
+    #   closure_arom     c~1ccccc1   — a benzene with any-bond closure
+    #                                  iff ring variant
+    #   closure_aliph    C~1CCCC1    — no aliphatic ring anywhere, never
+    #   closure_mismatch c-1ccccc:1  — conflicting closure bonds parse
+    #                                  outside the subset (RDKit's
+    #                                  mismatch error), never matches
+    ("probe_closure_arom", "c~1ccccc1"),
+    ("probe_closure_aliph", "C~1CCCC1"),
+    ("probe_closure_mismatch", "c-1ccccc:1"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
@@ -685,7 +696,7 @@ _K3_TRUE_ON_RING = (
     "probe_malt_ch3_arom", "probe_aconj_ring", "probe_nconj_ring",
     "probe_nalt_arom", "probe_r1", "probe_conj_r1",
     "probe_rec_deep_ring", "probe_ringbond_arom", "probe_anybond_arom",
-    "probe_bexpr_ringsingle", "probe_bexpr_prec",
+    "probe_bexpr_ringsingle", "probe_bexpr_prec", "probe_closure_arom",
 )
 _K3_ALWAYS_TRUE = (
     "probe_neg_h", "probe_alt_n", "probe_aliph", "probe_acyclic",
@@ -697,7 +708,7 @@ _K3_ALWAYS_TRUE = (
 _K3_ALWAYS_FALSE = (
     "probe_ocl", "probe_dbl", "probe_charge", "probe_malt_ch2_nh",
     "probe_r2", "probe_ringbond_cl", "probe_bondlist_co",
-    "probe_bexpr_dbl_acyc",
+    "probe_bexpr_dbl_acyc", "probe_closure_aliph", "probe_closure_mismatch",
 )
 
 

@@ -1102,9 +1102,12 @@ def test_ring_bond_query_primitives():
     # the one acyclic c-c bond
     assert has_substructure("c1ccccc1c1ccccc1", "c!@c") is True
     assert has_substructure("c1ccccc1", "c!@c") is False
-    # molecule-side query bond / query-qualified ring closure: outside
+    # molecule-side query bond: outside; a PATTERN-side query-qualified
+    # ring closure is IN the subset (late r10) — the cyclopropane
+    # closure is a ring bond
     assert has_substructure("C@C", "CC") is False
-    assert has_substructure("C1CC1", "C@1CC1") is False
+    assert has_substructure("C1CC1", "C@1CC1") is True
+    assert has_substructure("CCC", "C@1CC1") is False
     # rewrites: a ring-bond-query pattern drives the graph path; a
     # query bond in a TEMPLATE has nothing concrete to write
     assert apply_reaction("C1CC1Cl", "[C:1]!@Cl", "[C:1]F") == ("C1CC1F",)
@@ -1173,8 +1176,11 @@ def test_bond_expression_grammar():
     assert has_substructure("CO", "C-,O") is False
     assert has_substructure("CO", "C-&O") is False
     assert has_substructure("CO", "C-;") is False
-    # expression-qualified ring closures stay outside
-    assert has_substructure("C1CC1", "C=;@1CC1") is False
+    # expression-qualified ring closure (in-subset late r10): '=;@' =
+    # double AND in-ring; the substrate's UNQUALIFIED closure edge is an
+    # order wildcard, so the satisfiable constraint passes
+    assert has_substructure("C1CC1", "C=;@1CC1") is True
+    assert has_substructure("CCC", "C=;@1CC1") is False
     # dangling expression before ')' / '(' and leading position
     assert has_substructure("C(O)N", "C!=(O)N") is False
     assert has_substructure("CO", "!=O") is False
@@ -1250,6 +1256,46 @@ def test_bond_or_list_query():
     assert has_substructure("C#O", "C-,=~O") is False
     assert has_substructure("C(O)N", "C-,=(O)N") is False
     assert has_substructure("C-,=O", "CO") is False
-    assert has_substructure("C1CC1", "C-,=1CC1") is False  # closure: outside
+    assert has_substructure("C1CC1", "C-,=1CC1") is True  # closure: in-subset (late r10)
     assert apply_reaction("CC=O", "[C:1]-,=O", "[C:1]F") == ("CCF",)
     assert apply_reaction("C=O", "[C:1]-,=[O:2]", "[C:1][O:2]") == ()
+
+
+def test_closure_bond_expressions():
+    """Expression-qualified ring closures (late r10): the expression
+    labels the closure edge; both-digit conflicts decline; molecule-side
+    query closures stay outside; rewrites honour the mapped-query-bond
+    decline and template-query rules."""
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        apply_reaction,
+        has_substructure,
+        parse_graph,
+    )
+
+    # matching: the qualified closure evaluates like the same expression
+    # inline; an unqualified substrate closure is the order wildcard
+    assert has_substructure("C1CCCC1", "C-,=1CCCC1") is True
+    assert has_substructure("C1CCCC1", "C~1CCCC1") is True
+    assert has_substructure("c1ccccc1", "c:1ccccc1") is True
+    assert has_substructure("C1=CCCC1", "C=1CCCC1") is True
+    assert has_substructure("CCCCC", "C~1CCCC1") is False   # no ring
+    assert has_substructure("C1CCCC1", "C!~1CCCC1") is False  # never
+    # both digits qualified: textual agreement required (RDKit's
+    # closure-bond mismatch error on conflict)
+    assert has_substructure("C1CCCC1", "C-1CCCC-1") is True
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bond mismatch"):
+        parse_graph("C-1CCCC=1")
+    assert has_substructure("C1CCCC1", "C-1CCCC=1") is False
+    # molecule side must still reject a query closure
+    with _pytest.raises(ValueError):
+        parse_graph("C~1CCCC1")
+    # ring OPENING through a qualified closure: the template drops the
+    # mapped pair's bond, so the rewrite is allowed
+    assert apply_reaction("C1CCC1", "[C:1]~1CC[C:2]1", "[C:1]CC[C:2]") == ("CCCC",)
+    # mapped query CLOSURE kept bonded by the template closure: declined
+    # (RDKit preserves the matched bond; the template's written bond
+    # would be a silently different product)
+    assert apply_reaction("C1CCC1", "[C:1]~1CC[C:2]1", "[C:1]1CC[C:2]1") == ()
+    # template closure carrying a query bond: nothing concrete to write
+    assert apply_reaction("C1CCC1", "[C:1]1CC[C:2]1", "[C:1]~1CC[C:2]1") == ()

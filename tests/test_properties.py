@@ -1212,3 +1212,30 @@ def test_bond_expr_matches_exhaustive_edge(s, expr, ends):
         for key, lab in edges.items()
     )
     assert has_substructure(s, ea + expr + eb) == want, (s, expr, ends)
+
+
+@given(s=_smiles_subset(), expr=_bond_expr(),
+       ends=st.sampled_from(["C", "N", "O", "c", "*"]))
+@settings(max_examples=300, deadline=None)
+def test_closure_bond_expr_equals_inline_writing(s, expr, ends):
+    """Expression-qualified ring closures (late r10): qualifying the
+    CLOSURE digit must label the closure edge exactly as the same
+    expression written on an INLINE bond of the identical pattern graph.
+
+    ``{A}{expr}1CC1`` (triangle, expr on the 0-2 closure) and
+    ``C1{A}{expr}C-1`` (same labeled triangle, expr inline, '-' on the
+    closure both ends) are one graph — edges {A-C '-', C-C '-', A-C
+    expr} — so every substrate must give the same verdict.  Also pins
+    open-side vs close-side qualification equivalence:
+    ``{A}{expr}1CC1`` == ``{A}1CC{expr}1``.
+    """
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        has_substructure,
+    )
+
+    closure_q = f"{ends}{expr}1CC1"
+    inline_q = f"C1{ends}{expr}C-1"
+    close_side = f"{ends}1CC{expr}1"
+    got = has_substructure(s, closure_q)
+    assert got == has_substructure(s, inline_q), (s, closure_q, inline_q)
+    assert got == has_substructure(s, close_side), (s, closure_q, close_side)
