@@ -96,6 +96,9 @@ SLOW_TIER = [
     # array filter) bracket the new family's cost
     "dedup_substring_spans",
     "dedup_substring_remove",
+    # late round 10: incremental dedup (new batch vs reference corpus —
+    # digest + band-key semi-joins over the 70/30 documents split)
+    "dedup_incremental",
 ]
 
 REGRESSION_FLAG = 1.3
@@ -139,7 +142,9 @@ METHODOLOGY = (
 # not a regression — carried in the JSON so round-over-round deltas on
 # these queries are read against the new workload
 WORKLOAD_CHANGES = {
-    "k3_substructure": "39 -> 62 probes (r10 ring-count [R1]/[R2]/"
+    "k3_substructure": "39 -> 65 probes (late-r10 expression-qualified "
+    "ring closures c~1ccccc1 / C~1CCCC1 / c-1ccccc:1; earlier r10: "
+    "ring-count [R1]/[R2]/"
     "[C;R0]/[c;R1] brackets, depth-3 recursive wraps, stereo "
     "parse-and-ignore probes [C@H3]/[C@@H3]Cl/dirbond, ring-bond "
     "query probes C@Cl/c@c/[CH3]!@Cl, any-bond c~c, OR-list "

@@ -166,20 +166,28 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def lsh_band_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, band, band_key) — band_key is the md5 of the band's minhash
-    slice; docs sharing a band_key are near-dup candidates."""
-    sig = with_minhash_signature(df, text_col, id_col)
+def _band_keys_array() -> Column:
+    """The 4-element LSH band-key array over a ``__sig`` column — md5 of
+    each band's minhash slice; shared by the long-form and wide-form
+    band-key shapes."""
     r = MINHASH_ROWS_PER_BAND
-    bands = F.array(
+    return F.array(
         *[
             F.md5(F.concat_ws(",", *[F.element_at("__sig", b * r + i + 1).cast("string") for i in range(r)]))
             for b in range(MINHASH_BANDS)
         ]
     )
+
+
+def lsh_band_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, band, band_key) — band_key is the md5 of the band's minhash
+    slice; docs sharing a band_key are near-dup candidates."""
+    sig = with_minhash_signature(df, text_col, id_col)
     # outer for the same Generate-filter-pushdown reason as
     # minhash_signatures; the bands array is a 4-element constructor
-    return sig.select(id_col, F.posexplode_outer(bands).alias("band", "band_key"))
+    return sig.select(
+        id_col, F.posexplode_outer(_band_keys_array()).alias("band", "band_key")
+    )
 
 
 def _pairs_from_ids(ids_col: Column) -> Column:
@@ -856,3 +864,70 @@ def incremental_dedup_verdicts(
         verdict.alias("verdict"),
         (verdict == "novel").alias("keep"),
     )
+
+
+def ref_dedup_verdicts_wide(
+    df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_posting: int = MAX_POSTING,
+) -> DataFrame:
+    """Reference-only dedup verdicts — the first two stages of
+    :func:`incremental_dedup_verdicts` (``exact_ref`` / ``near_ref`` /
+    ``novel``) in a STATELESS wide-join shape: the doc's digest and its
+    ``MINHASH_BANDS`` band keys become columns, each probed with one
+    left join against a distinct reference-side table, so every join is
+    1:<=1 — no explode-then-dedup, no aggregation on ``df``'s side.
+
+    That shape is what makes the operator legal as the STREAM side of a
+    stream-static join (aggregations and ``dropDuplicates`` on a stream
+    need watermark state; these joins need none), and it is exactly
+    equivalent on a batch ``df``: a doc is ``exact_ref`` iff its digest
+    appears in the reference, ``near_ref`` iff any band key hits a
+    reference bucket within ``max_posting``, else ``novel``.  The
+    in-batch stages (``exact_batch`` / ``near_batch``) need cross-row
+    state by definition and stay with the batch operator.
+    """
+    mins = [
+        F.array_min(F.transform(F.col("__h"), _perm_lambda(a, b)))
+        for a, b in MINHASH_PERMS
+    ]
+    base = df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__digest"),
+        shingle_hashes_col(F.col(text_col)).alias("__h"),
+    ).select(F.col(id_col), F.col("__digest"), F.array(*mins).alias("__sig"))
+    bands = _band_keys_array()
+    wide = base.select(
+        F.col(id_col),
+        F.col("__digest"),
+        *[F.element_at(bands, b + 1).alias(f"__bk{b}") for b in range(MINHASH_BANDS)],
+    )
+    r_digest = (
+        ref_df.select(F.md5(F.col(text_col)).alias("__digest"))
+        .distinct()
+        .withColumn("__xr", F.lit(True))
+    )
+    ref_keys = (
+        lsh_band_keys(ref_df, text_col, id_col)
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") <= max_posting)
+    )
+    out = wide.join(r_digest, "__digest", "left")
+    for b in range(MINHASH_BANDS):
+        rb = ref_keys.where(F.col("band") == b).select(
+            F.col("band_key").alias(f"__bk{b}"), F.lit(True).alias(f"__nr{b}")
+        )
+        out = out.join(rb, f"__bk{b}", "left")
+    near = None
+    for b in range(MINHASH_BANDS):
+        flag = F.col(f"__nr{b}")
+        near = flag if near is None else (near | flag)
+    verdict = (
+        F.when(F.col("__xr"), F.lit("exact_ref"))
+        .when(F.coalesce(near, F.lit(False)), F.lit("near_ref"))
+        .otherwise(F.lit("novel"))
+    )
+    return out.select(F.col(id_col), verdict.alias("verdict"))

@@ -67,3 +67,47 @@ def dedup_doc_stream(
             "__event_time"
         )
     return hashed.dropDuplicates(["content_hash"])
+
+
+def incremental_dedup_verdicts_stream(
+    spark: SparkSession,
+    docs_path: str,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_posting: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming incremental dedup: a document feed gets per-doc
+    verdicts (``exact_ref`` / ``near_ref`` / ``novel``) against a STATIC
+    reference corpus — admit-on-arrival for the nightly-ingest shape
+    that :func:`...operators.dedup.incremental_dedup_verdicts` handles
+    in batch.
+
+    Built entirely from STATELESS stream-static left joins (see
+    ``ref_dedup_verdicts_wide``): the stream side carries one row per
+    doc with digest + band-key columns, every join is 1:<=1 against a
+    distinct static table, so the query runs in append mode with no
+    watermark and no state store — the static reference projections are
+    re-resolved per micro-batch (cache ``ref_df`` for a long-running
+    query).  In-batch duplicate suppression (exact_batch/near_batch)
+    needs cross-row state and belongs to the batch operator or a
+    downstream ``dropDuplicatesWithinWatermark``.
+
+    Returns the unstarted streaming DataFrame (id, verdict).
+    """
+    from ..operators.constants import MAX_POSTING
+    from ..operators.dedup import ref_dedup_verdicts_wide
+
+    schema = spark.read.parquet(docs_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(_stage_dir(docs_path))
+    return ref_dedup_verdicts_wide(
+        stream,
+        ref_df,
+        text_col,
+        id_col,
+        MAX_POSTING if max_posting is None else int(max_posting),
+    )

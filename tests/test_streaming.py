@@ -721,3 +721,66 @@ def test_jsonl_stream_curation_matches_batch(spark, tmp_path):
         if r["_corrupt_record"] is not None
     ]
     assert len(corrupt_rows) == 1
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """Stream-static incremental dedup: the streaming verdicts equal the
+    batch wide form on the same feed, and the wide form is exactly the
+    first-two-stages projection of incremental_dedup_verdicts
+    (exact_ref/near_ref agree; every in-batch or novel verdict maps to
+    wide 'novel')."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        incremental_dedup_verdicts,
+        ref_dedup_verdicts_wide,
+    )
+    from omics_data_integration_utilities_spark.streaming.dedup import (
+        incremental_dedup_verdicts_stream,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref = spark.createDataFrame(
+        [(1, base), (2, "echo foxtrot echo foxtrot echo")],
+        "doc_id long, text string",
+    )
+    batch_rows = [
+        (10, base),                                         # exact_ref
+        (11, "echo foxtrot echo foxtrot echo foxtrot echo"),  # near_ref
+        (12, "one two three four five six seven"),          # in-batch pair:
+        (13, "one two three four five six seven"),          #   wide = novel
+        (16, "totally disjoint vocabulary nothing shared anywhere"),
+    ]
+    feed = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    feed_path = str(tmp_path / "feed.parquet")
+    feed.coalesce(1).write.parquet(feed_path)
+
+    wide = {
+        r["doc_id"]: r["verdict"]
+        for r in ref_dedup_verdicts_wide(feed, ref, "text", "doc_id").collect()
+    }
+    full = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup_verdicts(feed, ref, "text", "doc_id").collect()
+    }
+    assert set(wide) == set(full)
+    for i, v in full.items():
+        assert wide[i] == (v if v in ("exact_ref", "near_ref") else "novel"), (i, v)
+
+    stream_df = incremental_dedup_verdicts_stream(
+        spark, feed_path, ref, max_files_per_trigger=1
+    )
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("incr_dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_incr"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r["verdict"]
+            for r in spark.sql("SELECT * FROM incr_dedup_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == wide
