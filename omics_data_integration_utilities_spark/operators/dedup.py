@@ -115,6 +115,16 @@ def with_shingle_hashes(
     return toks.select(id_col, hashes.alias("__h"))
 
 
+def _sig_from_hashes_col() -> Column:
+    """The 16-permutation signature array over a materialized ``__h``
+    column — the single definition every signature consumer (long form,
+    band keys, the wide incremental shape) derives from, so a
+    permutation/constant change cannot desynchronize them."""
+    return F.array(
+        *[F.array_min(F.transform(F.col("__h"), _perm_lambda(a, b))) for a, b in MINHASH_PERMS]
+    )
+
+
 def with_minhash_signature(
     df: DataFrame, text_col: str, id_col: str, width: int = SHINGLE_WIDTH
 ) -> DataFrame:
@@ -123,10 +133,7 @@ def with_minhash_signature(
     column (CollapseProject keeps expensive multiply-referenced
     expressions un-inlined, so the md5 chain runs once per row)."""
     hashed = with_shingle_hashes(df, text_col, id_col, width)
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("__h"), _perm_lambda(a, b))) for a, b in MINHASH_PERMS]
-    )
-    return hashed.select(id_col, sig.alias("__sig"))
+    return hashed.select(id_col, _sig_from_hashes_col().alias("__sig"))
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -778,6 +785,16 @@ def remove_duplicated_spans(
     )
 
 
+def _no_shingle_signal(text_col: str) -> "Column":
+    """True when a doc has NO shingles (fewer than SHINGLE_WIDTH
+    tokens).  Such a doc has an empty minhash input — every one of them
+    would hash to the SAME md5('') band keys, so near-dup machinery
+    would deterministically (and wrongly) glue all short docs together.
+    LSH has no signal below one shingle; short docs participate in the
+    EXACT stages only."""
+    return F.size(F.split(F.col(text_col), " ")) < SHINGLE_WIDTH
+
+
 def incremental_dedup_verdicts(
     new_df: DataFrame,
     ref_df: DataFrame,
@@ -804,12 +821,19 @@ def incremental_dedup_verdicts(
       are order- and partitioning-free),
     - ``novel``       — none of the above; ``keep`` is true only here.
 
-    Scale shape: every stage is a projected semi/anti join — reference
-    digests and band keys are 1-2 narrow columns regardless of corpus
-    width, the batch side is the small side throughout, and nothing
-    quadratic forms outside the capped in-batch posting lists.  The
-    reference is never rewritten; admitting the kept docs is the
-    caller's append.
+    Docs with no shingles (fewer than SHINGLE_WIDTH tokens, on either
+    side) are excluded from BOTH near stages — see
+    :func:`_no_shingle_signal`; the exact stages still catch identical
+    short docs.
+
+    Scale shape: the two near stages share ONE shuffle — new and
+    reference band keys union into a single (band, band_key) groupBy
+    that collects the new ids and merely COUNTS the reference members,
+    so each side's minhash chain evaluates once and the reference is
+    never collected or rewritten.  Everything else is a projected
+    semi/anti join with the batch as the small side; nothing quadratic
+    forms outside the capped in-batch posting lists.  Admitting the
+    kept docs is the caller's append.
     """
     ids = new_df.select(F.col(id_col))
     n_digest = new_df.select(
@@ -818,17 +842,39 @@ def incremental_dedup_verdicts(
     r_digest = ref_df.select(F.md5(F.col(text_col)).alias("__digest")).distinct()
     exact_ref = n_digest.join(r_digest, "__digest", "left_semi").select(id_col)
 
-    n_bands = lsh_band_keys(new_df, text_col, id_col)
-    r_bands_ok = (
-        lsh_band_keys(ref_df, text_col, id_col)
+    signal = ~_no_shingle_signal(text_col)
+    n_bands = lsh_band_keys(new_df.where(signal), text_col, id_col).withColumn(
+        "__src", F.lit("n")
+    )
+    r_bands = lsh_band_keys(ref_df.where(signal), text_col, id_col).withColumn(
+        "__src", F.lit("r")
+    )
+    buckets = (
+        n_bands.unionByName(r_bands)
         .groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .where(F.col("__c") <= max_posting)
-        .select("band", "band_key")
+        .agg(
+            # collect_list skips the nulls the when() leaves on ref rows
+            F.collect_list(
+                F.when(F.col("__src") == "n", F.col(id_col))
+            ).alias("__nids"),
+            F.count(F.when(F.col("__src") == "r", F.lit(1))).alias("__rn"),
+        )
     )
     near_ref = (
-        n_bands.join(r_bands_ok, ["band", "band_key"], "left_semi")
-        .select(id_col)
+        buckets.where(
+            (F.col("__rn") >= 1)
+            & (F.col("__rn") <= max_posting)
+            & (F.size("__nids") >= 1)
+        )
+        .select(F.explode("__nids").alias(id_col))
+        .distinct()
+    )
+    near_batch = (
+        buckets.where(
+            (F.size("__nids") >= 2) & (F.size("__nids") <= max_posting)
+        )
+        .select(F.explode(_pairs_from_ids(F.col("__nids"))).alias("p"))
+        .select(F.col("p.id_b").alias(id_col))
         .distinct()
     )
 
@@ -836,11 +882,6 @@ def incremental_dedup_verdicts(
         n_digest.groupBy("__digest")
         .agg(F.min(id_col).alias("__keep_id"))
         .select(F.col("__keep_id").alias(id_col))
-    )
-    near_batch = (
-        lsh_candidate_pairs(new_df, text_col, id_col, max_posting)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
     )
 
     def _flag(src: DataFrame, name: str) -> DataFrame:
@@ -865,7 +906,6 @@ def incremental_dedup_verdicts(
         (verdict == "novel").alias("keep"),
     )
 
-
 def ref_dedup_verdicts_wide(
     df: DataFrame,
     ref_df: DataFrame,
@@ -888,21 +928,39 @@ def ref_dedup_verdicts_wide(
     reference bucket within ``max_posting``, else ``novel``.  The
     in-batch stages (``exact_batch`` / ``near_batch``) need cross-row
     state by definition and stay with the batch operator.
+
+    Docs with no shingles carry NULL band-key columns (null join keys
+    never match) and shingle-less reference docs are excluded from the
+    reference key table — the same no-LSH-signal rule as the batch
+    operator.  The minhash input is built through the same staged
+    projections as :func:`with_shingle_hashes` (materialized token
+    array, then hashes, then the 16 minima over the ``__h`` column), so
+    the md5 chain runs once per row per micro-batch.
     """
-    mins = [
-        F.array_min(F.transform(F.col("__h"), _perm_lambda(a, b)))
-        for a, b in MINHASH_PERMS
-    ]
-    base = df.select(
+    toks = df.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("__digest"),
-        shingle_hashes_col(F.col(text_col)).alias("__h"),
-    ).select(F.col(id_col), F.col("__digest"), F.array(*mins).alias("__sig"))
-    bands = _band_keys_array()
-    wide = base.select(
+        F.split(F.col(text_col), " ").alias("__toks"),
+    )
+    hashes = F.transform(
+        shingles_from_tokens(F.col("__toks")),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P,
+    )
+    hashed = toks.select(F.col(id_col), F.col("__digest"), hashes.alias("__h"))
+    sigd = hashed.select(
         F.col(id_col),
         F.col("__digest"),
-        *[F.element_at(bands, b + 1).alias(f"__bk{b}") for b in range(MINHASH_BANDS)],
+        (F.size("__h") > 0).alias("__hasb"),
+        _sig_from_hashes_col().alias("__sig"),
+    )
+    bands = _band_keys_array()
+    wide = sigd.select(
+        F.col(id_col),
+        F.col("__digest"),
+        *[
+            F.when(F.col("__hasb"), F.element_at(bands, b + 1)).alias(f"__bk{b}")
+            for b in range(MINHASH_BANDS)
+        ],
     )
     r_digest = (
         ref_df.select(F.md5(F.col(text_col)).alias("__digest"))
@@ -910,7 +968,9 @@ def ref_dedup_verdicts_wide(
         .withColumn("__xr", F.lit(True))
     )
     ref_keys = (
-        lsh_band_keys(ref_df, text_col, id_col)
+        lsh_band_keys(
+            ref_df.where(~_no_shingle_signal(text_col)), text_col, id_col
+        )
         .groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("__c"))
         .where(F.col("__c") <= max_posting)

@@ -887,11 +887,22 @@ def parse_graph(
                     # a molecule (and a self-loop edge would crash the
                     # serializer's back-edge bookkeeping downstream)
                     raise ValueError(f"ring closure {d} pairs an atom with itself at {i}")
-                if ring_bond and open_bond and ring_bond != open_bond:
+                if (
+                    ring_bond
+                    and open_bond
+                    and _BOND_MATCH_EQUIV.get(ring_bond, ring_bond)
+                    != _BOND_MATCH_EQUIV.get(open_bond, open_bond)
+                ):
                     # "C-1CCCC=1": RDKit rejects conflicting closure
-                    # bonds; equality is on the NORMALIZED text, so an
-                    # equivalent-but-reordered query pair ("-,=1...=,-1")
-                    # conservatively declines too
+                    # bonds.  Equality is on the MATCH-equivalence class
+                    # (/ and \ ≡ the single bond they decorate), because
+                    # a legal SMILES directional closure writes OPPOSITE
+                    # slashes at its two ends ("C/1CCCCC\\1") — raw-text
+                    # comparison would reject exactly the well-formed
+                    # case; direction is ignored at match time anyway
+                    # (the stereo-ignored contract).  Query expressions
+                    # compare textually, so an equivalent-but-reordered
+                    # pair ("-,=1...=,-1") conservatively declines.
                     raise ValueError(f"ring closure {d} bond mismatch at {i}")
                 lab = ring_bond or open_bond or None
                 edges[(min(j, prev), max(j, prev))] = lab

@@ -194,7 +194,7 @@ def _minhash_band_ctes(src: str, p: str) -> str:
          list_transform(s, x -> {_HEX60.format(x='x')} % {MINHASH_P}) AS h
   FROM {p}sh
 ),
-{p}sig AS (SELECT doc_id, {m_cols} FROM {p}hs),
+{p}sig AS (SELECT doc_id, {m_cols} FROM {p}hs WHERE len(h) > 0),
 {p}bands AS ({band_selects})
 """
 

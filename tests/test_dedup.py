@@ -650,3 +650,52 @@ def test_incremental_dedup_ref_hot_bucket_ignored(spark):
     ).collect()[0]
     assert v_capped["verdict"] == "novel"
     assert v_open["verdict"] == "near_ref"
+
+
+def test_incremental_dedup_short_docs_never_near(spark):
+    """Docs with fewer than SHINGLE_WIDTH tokens have an EMPTY shingle
+    set — every such doc would hash to the same md5('') band keys, so
+    without the no-signal rule any short novel doc would be glued to any
+    short reference doc.  Short docs must participate in the EXACT
+    stages only (review finding, r10)."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        incremental_dedup_verdicts,
+        ref_dedup_verdicts_wide,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "foo bar"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "baz qux"),    # short + zero shared vocab: NOVEL
+            (11, "foo bar"),    # short but identical to ref: exact_ref
+            (12, "one two"),    # short in-batch identical pair:
+            (13, "one two"),    #   12 keeps, 13 exact_batch
+            (14, "red green"),  # short, distinct from 12/13: novel
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup_verdicts(batch, ref, "text", "doc_id").collect()
+    }
+    assert got == {
+        10: "novel",
+        11: "exact_ref",
+        12: "novel",
+        13: "exact_batch",
+        14: "novel",
+    }
+    wide = {
+        r["doc_id"]: r["verdict"]
+        for r in ref_dedup_verdicts_wide(batch, ref, "text", "doc_id").collect()
+    }
+    assert wide == {
+        10: "novel",
+        11: "exact_ref",
+        12: "novel",
+        13: "novel",
+        14: "novel",
+    }

@@ -1287,6 +1287,13 @@ def test_closure_bond_expressions():
     with _pytest.raises(ValueError, match="bond mismatch"):
         parse_graph("C-1CCCC=1")
     assert has_substructure("C1CCCC1", "C-1CCCC=1") is False
+    # directional closures compare by MATCH-equivalence class: a legal
+    # SMILES directional closure writes opposite slashes at its two
+    # ends, so /1...\\1 must keep parsing (regression guard — raw-text
+    # equality would reject exactly the well-formed case)
+    assert has_substructure("C/1CCCCC\\1", "C1CCCCC1") is True
+    assert has_substructure("C1CCCCC1", "C/1CCCCC\\1") is True
+    assert has_substructure("C/1CCCCC-1", "C1CCCCC1") is True
     # molecule side must still reject a query closure
     with _pytest.raises(ValueError):
         parse_graph("C~1CCCC1")
