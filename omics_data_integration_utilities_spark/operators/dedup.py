@@ -860,22 +860,28 @@ def incremental_dedup_verdicts(
             F.count(F.when(F.col("__src") == "r", F.lit(1))).alias("__rn"),
         )
     )
-    near_ref = (
-        buckets.where(
-            (F.col("__rn") >= 1)
-            & (F.col("__rn") <= max_posting)
-            & (F.size("__nids") >= 1)
-        )
-        .select(F.explode("__nids").alias(id_col))
-        .distinct()
-    )
-    near_batch = (
-        buckets.where(
+    # BOTH near verdicts fall out of ONE pass over the buckets (so the
+    # union groupBy — and the minhash chains under it — appear exactly
+    # once in the physical plan; two separate flag branches would make
+    # Catalyst recompute the whole chain per branch):
+    #   near_ref   — the bucket holds 1..cap reference members;
+    #   near_batch — the bucket holds 2..cap new members and this id is
+    #                not the smallest (⟺ a pair (a, id) with a < id
+    #                exists — the same single-pass pruning rule, without
+    #                ever materializing the quadratic pair list).
+    ex = buckets.select(
+        F.explode("__nids").alias(id_col),
+        ((F.col("__rn") >= 1) & (F.col("__rn") <= max_posting)).alias("__f_nr"),
+        (
             (F.size("__nids") >= 2) & (F.size("__nids") <= max_posting)
-        )
-        .select(F.explode(_pairs_from_ids(F.col("__nids"))).alias("p"))
-        .select(F.col("p.id_b").alias(id_col))
-        .distinct()
+        ).alias("__b_nb"),
+        F.array_min("__nids").alias("__min_nid"),
+    )
+    near = ex.groupBy(id_col).agg(
+        F.max("__f_nr").alias("__nr"),
+        F.max(F.col("__b_nb") & (F.col(id_col) != F.col("__min_nid"))).alias(
+            "__nb"
+        ),
     )
 
     batch_keep = (
@@ -889,9 +895,8 @@ def incremental_dedup_verdicts(
 
     out = (
         ids.join(_flag(exact_ref, "__xr"), id_col, "left")
-        .join(_flag(near_ref, "__nr"), id_col, "left")
+        .join(near, id_col, "left")
         .join(_flag(batch_keep, "__bk"), id_col, "left")
-        .join(_flag(near_batch, "__nb"), id_col, "left")
     )
     verdict = (
         F.when(F.col("__xr"), F.lit("exact_ref"))

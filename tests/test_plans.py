@@ -205,3 +205,34 @@ def test_substring_dedup_plan_shape(spark):
             for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
         ), name
         assert "Window" in plan, name                  # island merge
+
+
+def test_incremental_dedup_plan_shape(spark):
+    """Incremental dedup must keep its 100 TB shape: pure JVM, no
+    cartesian/nested-loop anywhere, the reference touched only through
+    hash joins on projected columns, and the two near stages sharing
+    ONE band-key aggregation (the union-bucket formulation — a second
+    groupBy over band keys would mean the batch minhash chain runs
+    twice)."""
+    from omics_data_integration_utilities_spark.plans.registry_docs import (
+        QUERIES_DOCS,
+    )
+
+    df = QUERIES_DOCS["dedup_incremental"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    # exactly one grouping over the union-tagged band keys (the
+    # collect_list ObjectHashAggregate): both near flags derive from one
+    # pass over the buckets, so a SECOND final bucket aggregate in the
+    # plan would betray a branch recomputing the whole minhash chain
+    n_bucket_aggs = sum(
+        1
+        for ln in plan.splitlines()
+        if "collect_list" in ln and "partial" not in ln
+    )
+    assert n_bucket_aggs == 1, plan
