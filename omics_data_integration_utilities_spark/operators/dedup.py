@@ -20,7 +20,10 @@ Scale design
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .constants import (
@@ -913,10 +916,11 @@ def incremental_dedup_verdicts(
 
 def ref_dedup_verdicts_wide(
     df: DataFrame,
-    ref_df: DataFrame,
+    ref_df: DataFrame | None,
     text_col: str,
     id_col: str,
     max_posting: int = MAX_POSTING,
+    index: "DedupIndex | None" = None,
 ) -> DataFrame:
     """Reference-only dedup verdicts — the first two stages of
     :func:`incremental_dedup_verdicts` (``exact_ref`` / ``near_ref`` /
@@ -941,7 +945,15 @@ def ref_dedup_verdicts_wide(
     projections as :func:`with_shingle_hashes` (materialized token
     array, then hashes, then the 16 minima over the ``__h`` column), so
     the md5 chain runs once per row per micro-batch.
+
+    Pass ``index=`` (a :class:`DedupIndex`, with ``ref_df=None``) to
+    probe the persisted projections instead of deriving them from
+    ``ref_df`` — for a long-running stream this removes the per-micro-
+    batch reference re-scan entirely, which is the difference between
+    O(batch) and O(corpus) work per trigger at production scale.
     """
+    if (ref_df is None) == (index is None):
+        raise ValueError("provide exactly one of ref_df or index")
     toks = df.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("__digest"),
@@ -967,19 +979,30 @@ def ref_dedup_verdicts_wide(
             for b in range(MINHASH_BANDS)
         ],
     )
-    r_digest = (
-        ref_df.select(F.md5(F.col(text_col)).alias("__digest"))
-        .distinct()
-        .withColumn("__xr", F.lit(True))
-    )
-    ref_keys = (
-        lsh_band_keys(
-            ref_df.where(~_no_shingle_signal(text_col)), text_col, id_col
+    if index is not None:
+        spark = df.sparkSession
+        r_digest = spark.table(index.digests_table).select(
+            F.col("digest").alias("__digest"), F.lit(True).alias("__xr")
         )
-        .groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .where(F.col("__c") <= max_posting)
-    )
+        ref_keys = (
+            spark.table(index.bands_table)
+            .where(F.col("ref_count") <= max_posting)
+            .select("band", "band_key")
+        )
+    else:
+        r_digest = (
+            ref_df.select(F.md5(F.col(text_col)).alias("__digest"))
+            .distinct()
+            .withColumn("__xr", F.lit(True))
+        )
+        ref_keys = (
+            lsh_band_keys(
+                ref_df.where(~_no_shingle_signal(text_col)), text_col, id_col
+            )
+            .groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") <= max_posting)
+        )
     out = wide.join(r_digest, "__digest", "left")
     for b in range(MINHASH_BANDS):
         rb = ref_keys.where(F.col("band") == b).select(
@@ -996,3 +1019,237 @@ def ref_dedup_verdicts_wide(
         .otherwise(F.lit("novel"))
     )
     return out.select(F.col(id_col), verdict.alias("verdict"))
+
+
+# ---------------------------------------------------------------------------
+# persisted dedup index — the materialized form of the two reference
+# projections every incremental-dedup probe needs
+
+
+@dataclass(frozen=True)
+class DedupIndex:
+    """Handle for a persisted incremental-dedup index.
+
+    The index is exactly the two reference projections
+    :func:`incremental_dedup_verdicts` derives on the fly — nothing
+    more:
+
+    - ``digests_table`` — one row per DISTINCT ``md5(text)`` in the
+      kept corpus, bucketed+sorted by ``digest``;
+    - ``bands_table`` — one row per distinct LSH ``(band, band_key)``
+      with the reference member count, bucketed+sorted by ``band_key``.
+
+    Both are plain external parquet tables, so the bytes survive the
+    session; the BUCKET SPEC lives in the session catalog, which is why
+    :func:`attach_dedup_index` exists — it re-issues the ``CLUSTERED
+    BY`` DDL over the existing files so a fresh session (or a real
+    metastore-less cluster job) gets shuffle-free probes again.
+
+    ``ref_count`` is stored UNFILTERED: the ``max_posting``
+    lost-locality cap is a probe-time predicate, so one index serves
+    any cap without a rebuild.
+    """
+
+    name: str
+    path: str
+    n_buckets: int
+
+    @property
+    def digests_table(self) -> str:
+        return f"{self.name}_digests"
+
+    @property
+    def bands_table(self) -> str:
+        return f"{self.name}_bands"
+
+
+def _ref_digest_projection(ref_df: DataFrame, text_col: str) -> DataFrame:
+    return ref_df.select(F.md5(F.col(text_col)).alias("digest")).distinct()
+
+
+def _ref_band_projection(
+    ref_df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    return (
+        lsh_band_keys(ref_df.where(~_no_shingle_signal(text_col)), text_col, id_col)
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("ref_count"))
+    )
+
+
+def build_dedup_index(
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    name: str,
+    path: str,
+    n_buckets: int = 64,
+) -> DedupIndex:
+    """Materialize the incremental-dedup reference projections as two
+    bucketed external parquet tables under ``path``.
+
+    Why this beats re-deriving per batch: the nightly probe against a
+    100 TB corpus otherwise pays two full reference scans per batch
+    (digest projection + band-key aggregation).  The index pays them
+    ONCE; afterwards every probe joins the (tiny) batch against tables
+    whose ``HashPartitioning(digest)`` / ``HashPartitioning(band_key)``
+    already satisfies the join's required distribution, so the
+    reference side is read bucket-pruned and never re-shuffled — only
+    the batch side exchanges, and it is the small side by construction.
+
+    The bucket columns are deliberately the SINGLE highest-cardinality
+    key of each join (``digest``; ``band_key`` rather than
+    ``(band, band_key)``): Spark accepts a bucketed table whose
+    partitioning is a subset of the join keys, and a 1-column spec
+    keeps the DDL in :func:`attach_dedup_index` portable.
+
+    Maintenance contract: after admitting a batch's kept docs, the
+    index is stale by exactly those docs; rebuild incrementally by
+    appending the batch's own projections (union + re-aggregate on the
+    band side) on whatever cadence the ingest pipeline already
+    compacts — the probe semantics only need the index to cover the
+    *kept* corpus as of the last rebuild.
+    """
+    spark = ref_df.sparkSession
+    idx = DedupIndex(name=name, path=path, n_buckets=int(n_buckets))
+    spark.sql(f"DROP TABLE IF EXISTS {idx.digests_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {idx.bands_table}")
+    (
+        _ref_digest_projection(ref_df, text_col)
+        .write.mode("overwrite")
+        .bucketBy(idx.n_buckets, "digest")
+        .sortBy("digest")
+        .option("path", os.path.join(path, idx.digests_table))
+        .saveAsTable(idx.digests_table)
+    )
+    (
+        _ref_band_projection(ref_df, text_col, id_col)
+        .write.mode("overwrite")
+        .bucketBy(idx.n_buckets, "band_key")
+        .sortBy("band_key")
+        .option("path", os.path.join(path, idx.bands_table))
+        .saveAsTable(idx.bands_table)
+    )
+    return idx
+
+
+def attach_dedup_index(
+    spark: SparkSession, name: str, path: str, n_buckets: int = 64
+) -> DedupIndex:
+    """Re-register an existing on-disk index in THIS session's catalog.
+
+    The parquet bytes persist across sessions but the bucket spec lives
+    in the catalog, so a fresh session must re-declare it — otherwise
+    Spark would read the files as an unbucketed scan and silently
+    reintroduce the reference-side shuffle.  ``CREATE TABLE IF NOT
+    EXISTS`` makes this idempotent within a session.
+    """
+    idx = DedupIndex(name=name, path=path, n_buckets=int(n_buckets))
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {idx.digests_table} (digest STRING) "
+        f"USING parquet CLUSTERED BY (digest) SORTED BY (digest) "
+        f"INTO {idx.n_buckets} BUCKETS "
+        f"LOCATION '{os.path.join(path, idx.digests_table)}'"
+    )
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {idx.bands_table} "
+        f"(band INT, band_key STRING, ref_count BIGINT) "
+        f"USING parquet CLUSTERED BY (band_key) SORTED BY (band_key) "
+        f"INTO {idx.n_buckets} BUCKETS "
+        f"LOCATION '{os.path.join(path, idx.bands_table)}'"
+    )
+    return idx
+
+
+def incremental_dedup_verdicts_indexed(
+    new_df: DataFrame,
+    index: DedupIndex,
+    text_col: str,
+    id_col: str,
+    max_posting: int = MAX_POSTING,
+) -> DataFrame:
+    """:func:`incremental_dedup_verdicts` probing a persisted
+    :class:`DedupIndex` instead of scanning the reference corpus.
+
+    Verdict-for-verdict equivalent to the scan form (asserted by
+    ``tests/test_dedup.py``): the five verdicts and their priority are
+    identical; only where the two reference projections COME FROM
+    differs.  The equivalence argument per stage:
+
+    - ``exact_ref`` — semi-join against the distinct-digest table is
+      the same existence test as the scan form's semi-join.
+    - ``near_ref`` — the scan form flags a doc when a shared bucket's
+      reference count is in ``[1, max_posting]``; here the stored
+      (unfiltered) ``ref_count`` is filtered by the same predicate and
+      existence-tested with a semi-join.
+    - ``exact_batch`` / ``near_batch`` — involve only batch rows, so
+      the batch-only bucket pass reproduces the shared-pass result
+      exactly (reference members never entered those stages' logic).
+
+    The scan form's one-shuffle union trick exists to amortize the
+    per-batch reference scan it cannot avoid; with the scan amortized
+    into the index there is nothing left to share, and the probe's
+    only wide work is exchanging the BATCH side to meet the bucketed
+    tables' layout.
+    """
+    spark = new_df.sparkSession
+    ids = new_df.select(F.col(id_col))
+    n_digest = new_df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__digest")
+    )
+    r_digest = spark.table(index.digests_table).select(
+        F.col("digest").alias("__digest")
+    )
+    exact_ref = n_digest.join(r_digest, "__digest", "left_semi").select(id_col)
+
+    signal = ~_no_shingle_signal(text_col)
+    n_bands = lsh_band_keys(new_df.where(signal), text_col, id_col)
+    ref_keys = spark.table(index.bands_table).where(
+        (F.col("ref_count") >= 1) & (F.col("ref_count") <= max_posting)
+    )
+    near_ref = (
+        n_bands.join(ref_keys, ["band", "band_key"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+    ex = (
+        n_bands.groupBy("band", "band_key")
+        .agg(F.collect_list(F.col(id_col)).alias("__nids"))
+        .where((F.size("__nids") >= 2) & (F.size("__nids") <= max_posting))
+        .select(
+            F.explode("__nids").alias(id_col),
+            F.array_min("__nids").alias("__min_nid"),
+        )
+    )
+    near_batch = (
+        ex.where(F.col(id_col) != F.col("__min_nid")).select(id_col).distinct()
+    )
+
+    batch_keep = (
+        n_digest.groupBy("__digest")
+        .agg(F.min(id_col).alias("__keep_id"))
+        .select(F.col("__keep_id").alias(id_col))
+    )
+
+    def _flag(src: DataFrame, flag: str) -> DataFrame:
+        return src.select(F.col(id_col), F.lit(True).alias(flag))
+
+    out = (
+        ids.join(_flag(exact_ref, "__xr"), id_col, "left")
+        .join(_flag(near_ref, "__nr"), id_col, "left")
+        .join(_flag(near_batch, "__nb"), id_col, "left")
+        .join(_flag(batch_keep, "__bk"), id_col, "left")
+    )
+    verdict = (
+        F.when(F.col("__xr"), F.lit("exact_ref"))
+        .when(F.col("__nr"), F.lit("near_ref"))
+        .when(F.col("__bk").isNull(), F.lit("exact_batch"))
+        .when(F.col("__nb"), F.lit("near_batch"))
+        .otherwise(F.lit("novel"))
+    )
+    return out.select(
+        F.col(id_col),
+        verdict.alias("verdict"),
+        (verdict == "novel").alias("keep"),
+    )

@@ -72,11 +72,12 @@ def dedup_doc_stream(
 def incremental_dedup_verdicts_stream(
     spark: SparkSession,
     docs_path: str,
-    ref_df: DataFrame,
+    ref_df: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_posting: int | None = None,
     max_files_per_trigger: int | None = None,
+    index=None,
 ) -> DataFrame:
     """Streaming incremental dedup: a document feed gets per-doc
     verdicts (``exact_ref`` / ``near_ref`` / ``novel``) against a STATIC
@@ -90,7 +91,10 @@ def incremental_dedup_verdicts_stream(
     distinct static table, so the query runs in append mode with no
     watermark and no state store — the static reference projections are
     re-resolved per micro-batch (cache ``ref_df`` for a long-running
-    query).  In-batch duplicate suppression (exact_batch/near_batch)
+    query, or pass ``index=`` — a persisted
+    :class:`...operators.dedup.DedupIndex` with ``ref_df=None`` — so
+    each trigger probes the bucketed tables instead of re-scanning the
+    corpus).  In-batch duplicate suppression (exact_batch/near_batch)
     needs cross-row state and belongs to the batch operator or a
     downstream ``dropDuplicatesWithinWatermark``.
 
@@ -110,4 +114,5 @@ def incremental_dedup_verdicts_stream(
         text_col,
         id_col,
         MAX_POSTING if max_posting is None else int(max_posting),
+        index=index,
     )

@@ -699,3 +699,168 @@ def test_incremental_dedup_short_docs_never_near(spark):
         13: "novel",
         14: "novel",
     }
+
+
+def _five_verdict_fixture(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref = spark.createDataFrame(
+        [(1, base), (2, "echo foxtrot echo foxtrot echo")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),
+            (11, "echo foxtrot echo foxtrot echo foxtrot echo"),
+            (12, "one two three four five six seven"),
+            (13, "one two three four five six seven"),
+            (14, "red green red green red"),
+            (15, "red green red green red green red"),
+            (16, "totally disjoint vocabulary nothing shared anywhere"),
+            (17, "so"),  # short: exact stages only
+        ],
+        "doc_id long, text string",
+    )
+    return ref, batch
+
+
+def test_dedup_index_probe_matches_scan_form(spark, tmp_path):
+    """The persisted-index probe must be verdict-for-verdict identical
+    to the reference-scan form — on the all-five-verdicts fixture AND on
+    a real corpus split (sf0.001 documents, odd ids as the reference,
+    even ids as the batch)."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_verdicts,
+        incremental_dedup_verdicts_indexed,
+    )
+    from .conftest import SF_SMOKE
+
+    ref, batch = _five_verdict_fixture(spark)
+    idx = build_dedup_index(ref, "text", "doc_id", "idx_parity", str(tmp_path))
+    scan = {
+        (r["doc_id"], r["verdict"], r["keep"])
+        for r in incremental_dedup_verdicts(batch, ref, "text", "doc_id").collect()
+    }
+    probed = {
+        (r["doc_id"], r["verdict"], r["keep"])
+        for r in incremental_dedup_verdicts_indexed(
+            batch, idx, "text", "doc_id"
+        ).collect()
+    }
+    assert probed == scan and len(scan) == 8
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    dref = docs.where("doc_id % 2 = 1")
+    dbatch = docs.where("doc_id % 2 = 0")
+    didx = build_dedup_index(dref, "text", "doc_id", "idx_docs", str(tmp_path))
+    dscan = {
+        (r["doc_id"], r["verdict"])
+        for r in incremental_dedup_verdicts(dbatch, dref, "text", "doc_id").collect()
+    }
+    dprobed = {
+        (r["doc_id"], r["verdict"])
+        for r in incremental_dedup_verdicts_indexed(
+            dbatch, didx, "text", "doc_id"
+        ).collect()
+    }
+    assert dprobed == dscan and len(dscan) > 0
+
+
+def test_dedup_index_cap_applies_at_probe_time(spark, tmp_path):
+    """ref_count is stored UNFILTERED, so one index must serve any
+    max_posting: a 6-member reference bucket is ignored at cap 4
+    (novel) but matched at cap 100 (near_ref) from the SAME index."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_verdicts_indexed,
+    )
+
+    txt = "alpha beta alpha beta alpha"
+    ref = spark.createDataFrame(
+        [(i, txt) for i in range(6)], "doc_id long, text string"
+    )
+    idx = build_dedup_index(ref, "text", "doc_id", "idx_cap", str(tmp_path))
+    near = spark.createDataFrame(
+        [(100, txt + " beta alpha")], "doc_id long, text string"
+    )
+    v_capped = incremental_dedup_verdicts_indexed(
+        near, idx, "text", "doc_id", max_posting=4
+    ).collect()[0]
+    v_open = incremental_dedup_verdicts_indexed(
+        near, idx, "text", "doc_id", max_posting=100
+    ).collect()[0]
+    assert v_capped["verdict"] == "novel"
+    assert v_open["verdict"] == "near_ref"
+
+
+def test_dedup_index_bucketed_scan_avoids_ref_exchange(spark, tmp_path):
+    """The point of the index: the probe's physical plan reads both
+    tables through their bucket layout (no Exchange above the reference
+    scans — only the batch side shuffles)."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_verdicts_indexed,
+    )
+
+    ref, batch = _five_verdict_fixture(spark)
+    idx = build_dedup_index(ref, "text", "doc_id", "idx_plan", str(tmp_path))
+    out = incremental_dedup_verdicts_indexed(batch, idx, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+
+
+def test_attach_dedup_index_reregisters_bucket_spec(spark, tmp_path):
+    """Dropping the catalog entries (what a fresh session looks like)
+    and re-attaching via DDL must restore identical probe results AND
+    the bucketed read."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        attach_dedup_index,
+        build_dedup_index,
+        incremental_dedup_verdicts_indexed,
+    )
+
+    ref, batch = _five_verdict_fixture(spark)
+    built = build_dedup_index(ref, "text", "doc_id", "idx_att", str(tmp_path))
+    want = {
+        (r["doc_id"], r["verdict"])
+        for r in incremental_dedup_verdicts_indexed(
+            batch, built, "text", "doc_id"
+        ).collect()
+    }
+    spark.sql(f"DROP TABLE {built.digests_table}")
+    spark.sql(f"DROP TABLE {built.bands_table}")
+    idx = attach_dedup_index(spark, "idx_att", str(tmp_path))
+    out = incremental_dedup_verdicts_indexed(batch, idx, "text", "doc_id")
+    got = {(r["doc_id"], r["verdict"]) for r in out.collect()}
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+
+
+def test_wide_form_index_matches_ref_df_form(spark, tmp_path):
+    """ref_dedup_verdicts_wide(index=...) — the stream-side shape — must
+    equal the ref_df derivation, and exactly one source must be given."""
+    import pytest
+
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        build_dedup_index,
+        ref_dedup_verdicts_wide,
+    )
+
+    ref, batch = _five_verdict_fixture(spark)
+    idx = build_dedup_index(ref, "text", "doc_id", "idx_wide", str(tmp_path))
+    want = {
+        (r["doc_id"], r["verdict"])
+        for r in ref_dedup_verdicts_wide(batch, ref, "text", "doc_id").collect()
+    }
+    got = {
+        (r["doc_id"], r["verdict"])
+        for r in ref_dedup_verdicts_wide(
+            batch, None, "text", "doc_id", index=idx
+        ).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        ref_dedup_verdicts_wide(batch, None, "text", "doc_id")
+    with pytest.raises(ValueError):
+        ref_dedup_verdicts_wide(batch, ref, "text", "doc_id", index=idx)
