@@ -784,3 +784,56 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == wide
+
+def test_incremental_dedup_stream_probes_persisted_index(spark, tmp_path):
+    """The index= form of the stream query: per-trigger probes against
+    the persisted bucketed tables (no ref_df, no per-micro-batch corpus
+    re-scan) must produce the same verdicts as the ref_df form."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        build_dedup_index,
+        ref_dedup_verdicts_wide,
+    )
+    from omics_data_integration_utilities_spark.streaming.dedup import (
+        incremental_dedup_verdicts_stream,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref = spark.createDataFrame(
+        [(1, base), (2, "echo foxtrot echo foxtrot echo")],
+        "doc_id long, text string",
+    )
+    feed = spark.createDataFrame(
+        [
+            (10, base),
+            (11, "echo foxtrot echo foxtrot echo foxtrot echo"),
+            (16, "totally disjoint vocabulary nothing shared anywhere"),
+            (17, "so"),
+        ],
+        "doc_id long, text string",
+    )
+    feed_path = str(tmp_path / "feed.parquet")
+    feed.coalesce(1).write.parquet(feed_path)
+    idx = build_dedup_index(ref, "text", "doc_id", "idx_stream", str(tmp_path))
+    want = {
+        r["doc_id"]: r["verdict"]
+        for r in ref_dedup_verdicts_wide(feed, ref, "text", "doc_id").collect()
+    }
+    stream_df = incremental_dedup_verdicts_stream(
+        spark, feed_path, None, max_files_per_trigger=1, index=idx
+    )
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("incr_dedup_idx_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_incr_idx"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r["verdict"]
+            for r in spark.sql("SELECT * FROM incr_dedup_idx_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want == {10: "exact_ref", 11: "near_ref", 16: "novel", 17: "novel"}
