@@ -87,6 +87,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_combat.py and the golden pin remain the standing evidence).
 # All three evictions keep their local sf0.01 oracle checks.
 #
+# r10 late addition 2: mix_domains (NEW — deterministic domain-mixture
+# sampling, operators/sampling.py mixture_sample: largest-remainder
+# quotas + md5-priority per-domain selection with an availability cap
+# that BINDS at sf0.01 by construction) enters never-driver-checked,
+# replacing text_token_count from the refreshed stale cohort — its
+# sibling text_token_counts (same tokenization machinery) stays
+# in-window, and text_token_count keeps its local sf0.01 oracle check.
+#
 # combat_adjust: formally SUPERSEDED by combat_adjust_digest (in-window
 # through r9, hash-green r9) — the full 10k-row adjusted matrix has no ANSI-SQL
 # oracle and is too large for a golden VALUES pin; the digest
@@ -260,7 +268,7 @@ _PRIORITY = [
     "dedup_substring_stats",
     "dedup_substring_remove",
     "text_quality",
-    "text_token_count",
+    "mix_domains",
     "text_token_counts",
     "text_dup_spans",
     "multimodal_features",

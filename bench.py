@@ -99,6 +99,9 @@ SLOW_TIER = [
     # late round 10: incremental dedup (new batch vs reference corpus —
     # digest + band-key semi-joins over the 70/30 documents split)
     "dedup_incremental",
+    # late round 10: deterministic domain-mixture sampling (window rank
+    # + broadcast quota map)
+    "mix_domains",
 ]
 
 REGRESSION_FLAG = 1.3

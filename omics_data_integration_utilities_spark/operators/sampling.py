@@ -86,6 +86,88 @@ def stratified_hash_sample(
     return df.where(bucket < thresh)
 
 
+def mixture_quotas(weights: dict[str, float], total: int) -> dict[str, int]:
+    """Largest-remainder (Hamilton) apportionment of ``total`` draws over
+    domain weights — the standard exact-rounding rule for turning mixture
+    proportions into integer per-domain document counts.
+
+    Pure arithmetic, shared verbatim by :func:`mixture_sample` and its
+    SQL oracle: quotas sum to exactly ``total`` and ties in the
+    fractional remainders break deterministically (larger remainder
+    first, then domain name), so both engines pin identical quotas.
+    """
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and sum > 0")
+    exact = {d: total * w / wsum for d, w in weights.items()}
+    base = {d: int(exact[d]) for d in weights}
+    leftover = total - sum(base.values())
+    by_rem = sorted(weights, key=lambda d: (-(exact[d] - base[d]), d))
+    for d in by_rem[:leftover]:
+        base[d] += 1
+    return base
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    total: int,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling — the data-mixing stage of a
+    training pipeline: compose a corpus of ``total`` documents from
+    weighted domains (sources, languages, quality tiers).
+
+    Per-domain quotas come from :func:`mixture_quotas`; each domain
+    contributes its ``min(quota, available)`` lowest-priority documents,
+    where priority is ``md5(salt || id)`` — so the selection is a pure
+    function of (salt, id, domain weights): reproducible across runs,
+    engines and partitionings, and STABLE under corpus growth (a new
+    document displaces at most one old pick in its own domain, never
+    reshuffles other domains — the property RNG-based ``df.sample``
+    cannot give).  Domains absent from ``weights`` contribute nothing;
+    a domain with fewer rows than its quota contributes everything it
+    has and the shortfall is NOT redistributed (rebalance weights at
+    the caller if hitting caps matters — silent redistribution would
+    make quotas data-dependent and break the engine-portable oracle).
+
+    Plan shape: one tiny aggregate for per-domain counts (|domains|
+    rows, broadcast back), one window rank per domain, no collect.  The
+    skew bound is the largest weighted domain's row count in one sort;
+    at 100 TB prefilter with :func:`stratified_hash_sample` at a few×
+    the quota fraction first, then rank the survivors — priorities are
+    hash-uniform, so the prefilter keeps every winner with near
+    certainty and the final rank is exact on a corpus orders smaller.
+
+    Returns (``id_col``, ``domain_col``) of the selected documents.
+    """
+    from pyspark.sql import Window
+
+    quotas = mixture_quotas(weights, total)
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(d, q) for d, q in sorted(quotas.items())], f"{domain_col} string, __quota long"
+    )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    lim = counts.join(qdf, domain_col).select(
+        F.col(domain_col), F.least("__quota", "__cnt").alias("__take")
+    )
+    pri = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(pri, F.col(id_col))
+    ranked = df.select(F.col(id_col), F.col(domain_col)).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    return (
+        ranked.join(F.broadcast(lim), domain_col)
+        .where(F.col("__rn") <= F.col("__take"))
+        .select(F.col(id_col), F.col(domain_col))
+    )
+
+
 def pack_and_chunk(
     df: DataFrame,
     id_col: str,

@@ -475,6 +475,49 @@ def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.unionByName(kept)
 
 
+# data-mixing weights for mix_domains: uneven on purpose, with src1's
+# apportioned quota (32 of 60) EXCEEDING its sf0.01 row count (25) so the
+# availability cap binds in the driver compare
+MIX_WEIGHTS = {"src1": 8.0, "src3": 4.0, "src7": 2.0, "src12": 1.0}
+MIX_TOTAL = 60
+
+
+def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling (the data-mixing stage):
+    compose a 60-doc corpus from 4 weighted sources via largest-remainder
+    quotas + md5-priority selection; a domain short of its quota
+    contributes everything it has (no redistribution).  Pure window
+    algebra + a broadcast quota map — exact SQL oracle."""
+    from ..operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(docs, "doc_id", "source", MIX_WEIGHTS, MIX_TOTAL)
+
+
+def _mix_sql() -> str:
+    from ..operators.sampling import mixture_quotas
+
+    quotas = mixture_quotas(MIX_WEIGHTS, MIX_TOTAL)
+    values = ", ".join(f"('{d}', {q})" for d, q in sorted(quotas.items()))
+    return f"""
+WITH quotas(source, quota) AS (VALUES {values}),
+cnts AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+lim AS (SELECT q.source, least(q.quota, c.cnt) AS take
+        FROM quotas q JOIN cnts c USING (source)),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('mix-v1' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT r.doc_id, r.source FROM ranked r JOIN lim l USING (source)
+WHERE r.rn <= l.take
+"""
+
+
+SQL_MIX_DOMAINS = _mix_sql()
+
+
 def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (pack-and-chunk): documents hash into 4 shard
     streams, each stream's token run is cut into budget-1024 chunks —
@@ -1445,6 +1488,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_simhash,
     "dedup_simhash_pairs": q_simhash_pairs,
     "doc_split": q_doc_split,
+    "mix_domains": q_mix_domains,
     "doc_pack_chunks": q_doc_pack_chunks,
     "doc_pack_chunks_digest": q_doc_pack_chunks_digest,
     "probe_double_pmod": q_probe_double_pmod,
@@ -1486,6 +1530,7 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_simhash": SQL_SIMHASH,
     "dedup_simhash_pairs": SQL_SIMHASH_PAIRS,
     "doc_split": SQL_DOC_SPLIT,
+    "mix_domains": SQL_MIX_DOMAINS,
     "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
     "doc_pack_chunks_digest": SQL_DOC_PACK_CHUNKS_DIGEST,
     "probe_double_pmod": SQL_PROBE_DOUBLE_PMOD,

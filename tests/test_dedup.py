@@ -864,3 +864,88 @@ def test_wide_form_index_matches_ref_df_form(spark, tmp_path):
         ref_dedup_verdicts_wide(batch, None, "text", "doc_id")
     with pytest.raises(ValueError):
         ref_dedup_verdicts_wide(batch, ref, "text", "doc_id", index=idx)
+
+
+def test_mixture_quotas_apportionment():
+    """Largest-remainder quotas: sum exactly to total, deterministic
+    remainder tie-break (larger remainder first, then domain name)."""
+    import pytest
+
+    from omics_data_integration_utilities_spark.operators.sampling import (
+        mixture_quotas,
+    )
+
+    q = mixture_quotas({"a": 8.0, "b": 4.0, "c": 2.0, "d": 1.0}, 60)
+    assert q == {"a": 32, "b": 16, "c": 8, "d": 4}
+    # 3 equal weights over 10: exact shares 3.333... — remainders tie,
+    # name order decides who gets the extra
+    q = mixture_quotas({"x": 1, "y": 1, "z": 1}, 10)
+    assert q == {"x": 4, "y": 3, "z": 3} and sum(q.values()) == 10
+    # fractional remainder ordering beats name order: b's .714 > a's .286
+    q = mixture_quotas({"a": 1, "b": 6}, 2)  # shares 0.286 / 1.714
+    assert q == {"a": 0, "b": 2}
+    # equal remainders (.5/.5): name order gives 'a' the extra
+    assert mixture_quotas({"a": 1, "b": 3}, 2) == {"a": 1, "b": 1}
+    with pytest.raises(ValueError):
+        mixture_quotas({"a": -1, "b": 2}, 5)
+    with pytest.raises(ValueError):
+        mixture_quotas({}, 5)
+
+
+def test_mixture_sample_quotas_caps_and_determinism(spark):
+    """mixture_sample fills each domain's quota exactly when available,
+    caps at availability without redistribution, ignores unweighted
+    domains, and is invariant under repartitioning."""
+    from collections import Counter
+
+    from omics_data_integration_utilities_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    rows = [(i, "big") for i in range(50)]
+    rows += [(100 + i, "small") for i in range(3)]
+    rows += [(200 + i, "other") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # quotas: big 16, small 4 (only 3 available -> capped, no backfill)
+    out = mixture_sample(df, "doc_id", "source", {"big": 4.0, "small": 1.0}, 20)
+    got = Counter(r["source"] for r in out.collect())
+    assert got == {"big": 16, "small": 3}
+
+    a = {tuple(r) for r in out.collect()}
+    b = {
+        tuple(r)
+        for r in mixture_sample(
+            df.repartition(7, "doc_id"), "doc_id", "source",
+            {"big": 4.0, "small": 1.0}, 20,
+        ).collect()
+    }
+    assert a == b
+    # a different salt re-draws the big-domain picks
+    c = {
+        tuple(r)
+        for r in mixture_sample(
+            df, "doc_id", "source", {"big": 4.0, "small": 1.0}, 20, salt="mix-v2"
+        ).collect()
+    }
+    assert {s for _, s in c} == {"big", "small"} and c != a
+
+
+def test_mixture_sample_stable_under_corpus_growth(spark):
+    """Adding documents to one domain displaces at most (new picks) in
+    THAT domain and never changes another domain's selection — the
+    stability property RNG sampling lacks."""
+    from omics_data_integration_utilities_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    base = [(i, "a") for i in range(30)] + [(100 + i, "b") for i in range(30)]
+    grown = base + [(50 + i, "a") for i in range(5)]
+    w = {"a": 1.0, "b": 1.0}
+    before = {tuple(r) for r in mixture_sample(
+        spark.createDataFrame(base, "doc_id long, source string"),
+        "doc_id", "source", w, 20).collect()}
+    after = {tuple(r) for r in mixture_sample(
+        spark.createDataFrame(grown, "doc_id long, source string"),
+        "doc_id", "source", w, 20).collect()}
+    assert {t for t in before if t[1] == "b"} == {t for t in after if t[1] == "b"}
+    assert len([t for t in after if t[1] == "a"]) == 10
