@@ -95,6 +95,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # sibling text_token_counts (same tokenization machinery) stays
 # in-window, and text_token_count keeps its local sf0.01 oracle check.
 #
+# r10 late addition 3: sim_diversity_digest (NEW — greedy k-center
+# coreset selection, operators/similarity.py diversity_sample:
+# size-proportional largest-remainder quotas + per-IVF-cluster
+# farthest-point greedy; golden-pinned at sf0.01 with a no-Spark
+# replica in tests/test_golden_replicas.py) enters never-driver-checked,
+# replacing sim_semantic_dedup_bucketed_digest (hash-green r8 AND r9,
+# golden-pinned, replica-tested) — the new query exercises the SAME
+# machinery (full-corpus IVF quantizer training + per-cluster
+# applyInPandas greedy) plus the apportionment, so the family stays
+# represented while the never-checked count stays flat.
+#
 # combat_adjust: formally SUPERSEDED by combat_adjust_digest (in-window
 # through r9, hash-green r9) — the full 10k-row adjusted matrix has no ANSI-SQL
 # oracle and is too large for a golden VALUES pin; the digest
@@ -262,7 +273,7 @@ _PRIORITY = [
     "dedup_simhash",
     "dedup_fingerprint",
     "sim_ivf_topk",
-    "sim_semantic_dedup_bucketed_digest",
+    "sim_diversity_digest",
     "doc_pack_chunks",
     "dedup_substring_spans",
     "dedup_substring_stats",

@@ -601,3 +601,112 @@ def semantic_dedup(
 
     out_schema = f"{id_col} long, list_id long, keep boolean, max_sim_to_kept double"
     return assigned.groupBy("list_id").applyInPandas(dedup_one, schema=out_schema)
+
+
+def diversity_sample(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n: int = 1000,
+    n_lists: int = 16,
+    max_cluster: int = 100_000,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Greedy k-center (farthest-point traversal) coreset selection: pick
+    ``n`` representatives that COVER the embedding space — the diversity
+    counterpart of :func:`semantic_dedup` (which removes redundancy,
+    this keeps informative spread; Sener & Savarese 2018's core-set
+    active-learning selection, run per IVF cluster like SemDeDup runs
+    its dedup).
+
+    Budget split: ``n`` apportions over clusters proportionally to
+    cluster size (largest-remainder via
+    ``operators.sampling.mixture_quotas`` — same exact-rounding rule as
+    the domain mixer), capped at cluster size with no redistribution.
+    Within a cluster the classic greedy: seed = lowest id, then
+    repeatedly take the point FARTHEST (cosine distance on unit
+    vectors) from everything selected so far, ties to the lowest id —
+    fully deterministic, 2-approximation of the optimal k-center cover.
+
+    Scale shape: quantizer training is the bounded hash-sample from
+    :func:`ivf_assign`; assignment one GEMM ``mapInPandas`` pass; the
+    greedy is one ``applyInPandas`` per cluster at O(quota·|cluster|·d)
+    flops (each pick one gemv against the running min-distance vector —
+    never a pairwise matrix); the only driver state is the
+    ``n_lists``-row cluster-count table the apportionment needs.
+
+    Returns ONLY the selected rows: (id, list_id, pick_rank,
+    min_dist) — ``min_dist`` is the cosine distance to the nearest
+    earlier pick at selection time (null for each cluster's seed), a
+    per-pick coverage radius the caller can threshold or monitor.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .sampling import mixture_quotas
+
+    if n_lists == 1:
+        assigned = df.select(id_col, vec_col).withColumn(
+            "list_id", F.lit(0).cast("long")
+        )
+    else:
+        assigned, _ = ivf_assign(
+            df.select(id_col, vec_col),
+            vec_col,
+            id_col,
+            n_lists=n_lists,
+            sample_fraction=sample_fraction,
+        )
+    sizes = {
+        int(r["list_id"]): int(r["n"])
+        for r in assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not sizes:
+        raise ValueError("diversity_sample: corpus is empty")
+    quotas = {
+        int(k): q
+        for k, q in mixture_quotas({str(k): float(v) for k, v in sizes.items()}, n).items()
+    }
+
+    def pick_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster:
+            raise ValueError(
+                f"diversity_sample: cluster of {len(pdf)} exceeds max_cluster="
+                f"{max_cluster}; raise n_lists for this corpus size"
+            )
+        lid = int(pdf["list_id"].iloc[0])
+        quota = min(quotas.get(lid, 0), len(pdf))
+        if quota <= 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "list_id": pd.Series(dtype="int64"),
+                 "pick_rank": pd.Series(dtype="int64"),
+                 "min_dist": pd.Series(dtype="float64")}
+            )
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        m = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        u = m / norms[:, None]
+        sel = np.empty(quota, dtype=np.int64)
+        dist_at_pick = np.full(quota, np.nan)
+        sel[0] = 0  # seed: lowest id (pdf is id-sorted)
+        mind = 1.0 - u @ u[0]
+        mind[0] = -np.inf
+        for r in range(1, quota):
+            i = int(np.argmax(mind))  # first max = lowest id on ties
+            sel[r] = i
+            dist_at_pick[r] = mind[i]
+            np.minimum(mind, 1.0 - u @ u[i], out=mind)
+            mind[i] = -np.inf
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy()[sel],
+                "list_id": np.full(quota, lid, dtype=np.int64),
+                "pick_rank": np.arange(quota, dtype=np.int64),
+                "min_dist": np.round(dist_at_pick, 6),
+            }
+        )
+
+    out_schema = f"{id_col} long, list_id long, pick_rank long, min_dist double"
+    return assigned.groupBy("list_id").applyInPandas(pick_one, schema=out_schema)

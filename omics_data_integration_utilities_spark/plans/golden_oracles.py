@@ -955,3 +955,26 @@ FROM (VALUES
 GOLDEN_ORACLES.update({
     "text_compression_ratio_digest": SQL_GOLDEN_TEXT_COMPRESSION_RATIO_DIGEST,
 })
+
+# ---- batch 8 (r10): greedy k-center diversity sampling digest.  The
+# farthest-point greedy is order-sequential (each pick conditions on all
+# earlier picks), so no ANSI-SQL oracle exists; determinism is by
+# construction (full-corpus quantizer training at the registered
+# operating point, id-sorted greedy with first-max tie-break) and the
+# independent no-Spark replica in tests/test_golden_replicas.py
+# re-derives this exact pin from the parquet bytes.
+# reference semantics: north-star surface (Sener & Savarese 2018 core-set
+# greedy); quota apportionment = operators/sampling.py mixture_quotas.
+SQL_GOLDEN_SIM_DIVERSITY_DIGEST = """
+SELECT CAST(list_id AS BIGINT) AS list_id, CAST(n_sel AS BIGINT) AS n_sel, CAST(id_sum AS BIGINT) AS id_sum, CAST(dist_sum AS DOUBLE) AS dist_sum
+FROM (VALUES
+  (0, 18, 4833, 15.906),
+  (1, 15, 3728, 13.411),
+  (2, 13, 3041, 11.913),
+  (3, 14, 3671, 12.453)
+) AS t(list_id, n_sel, id_sum, dist_sum)
+"""
+
+GOLDEN_ORACLES.update({
+    "sim_diversity_digest": SQL_GOLDEN_SIM_DIVERSITY_DIGEST,
+})

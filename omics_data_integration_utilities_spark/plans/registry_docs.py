@@ -868,6 +868,31 @@ def q_sim_semantic_dedup_bucketed_digest(spark: SparkSession, sf_dir: str) -> Da
     )
 
 
+def q_sim_diversity_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (diversity sampling, the
+    keep-spread counterpart of SemDeDup) at the deterministic bucketed
+    operating point (n_lists=4, full-corpus quantizer training like the
+    bucketed SemDeDup digest): 60 picks apportioned over the 4 IVF
+    clusters by size.  The farthest-point greedy is order-sequential —
+    no ANSI-SQL oracle — so the per-cluster digest below is
+    golden-pinned at sf0.01 with an independent no-Spark replica; any
+    single pick change moves id_sum, any coverage change moves
+    dist_sum."""
+    out = sim_ops.diversity_sample(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        n=60, n_lists=4, sample_fraction=1.0,
+    )
+    return (
+        out.groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sel"),
+            F.sum("vec_id").alias("id_sum"),
+            F.round(F.sum(F.coalesce("min_dist", F.lit(0.0))), 3).alias("dist_sum"),
+        )
+        .orderBy("list_id")
+    )
+
+
 SQL_COSINE_NEARDUP = """
 WITH ce AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, generate_subscripts(embedding, 1) AS i FROM embeddings),
 norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY vec_id),
@@ -1498,6 +1523,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_neardup": q_cosine_neardup,
     "sim_semantic_dedup_digest": q_sim_semantic_dedup_digest,
     "sim_semantic_dedup_bucketed_digest": q_sim_semantic_dedup_bucketed_digest,
+    "sim_diversity_digest": q_sim_diversity_digest,
     "text_compression_ratio_digest": q_text_compression_ratio_digest,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,

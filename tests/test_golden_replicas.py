@@ -855,3 +855,81 @@ def test_text_compression_ratio_digest_pin_reproduces_without_spark():
     cols, want = _pinned(SQL_GOLDEN_TEXT_COMPRESSION_RATIO_DIGEST)
     assert cols == ["keep", "n", "id_sum", "bytes_sum", "ratio_sum"]
     assert got == sorted(want)
+
+
+def test_sim_diversity_digest_pin_reproduces_without_spark():
+    """Re-derives the sim_diversity_digest golden (greedy k-center
+    coreset, n=60, n_lists=4, full-corpus quantizer training) with
+    duckdb + numpy only — the full chain the engine runs: id-sorted
+    quantizer training (evenly-spaced seeds, 2 Lloyd iterations,
+    squared-euclidean assignment), size-proportional largest-remainder
+    quotas (re-implemented inline, not imported), then per cluster the
+    farthest-point greedy on unit vectors (seed = lowest id, cosine
+    distance, first-max tie-break, per-pick distance rounded to 6, the
+    aggregated dist_sum to 3 — mirroring operators/similarity.py
+    diversity_sample exactly)."""
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT vec_id, embedding
+        FROM read_parquet('{SF_CORRECTNESS}/embeddings.parquet')
+        ORDER BY vec_id
+        """
+    ).fetchall()
+    ids = np.array([int(r[0]) for r in rows])
+    m = np.array([r[1] for r in rows], dtype="float64")
+
+    n_lists, total = 4, 60
+    cents = m[np.linspace(0, len(m) - 1, n_lists).astype(int)].copy()
+    for _ in range(2):
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_lists):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    lists = d2.argmin(axis=1)
+
+    # largest-remainder apportionment, inline (weights = cluster sizes,
+    # key order = str(list_id) name order on remainder ties)
+    sizes = {int(c): int((lists == c).sum()) for c in range(n_lists)}
+    wsum = float(sum(sizes.values()))
+    exact = {str(c): total * v / wsum for c, v in sizes.items()}
+    base = {d: int(exact[d]) for d in exact}
+    for d in sorted(exact, key=lambda d: (-(exact[d] - base[d]), d))[
+        : total - sum(base.values())
+    ]:
+        base[d] += 1
+    quotas = {int(d): q for d, q in base.items()}
+
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0.0] = 1.0
+    u = m / norms[:, None]
+    got = []
+    for c in range(n_lists):
+        idx = np.where(lists == c)[0]
+        idx = idx[np.argsort(ids[idx], kind="stable")]
+        quota = min(quotas.get(c, 0), len(idx))
+        if quota <= 0:
+            continue
+        sel = [0]
+        dist_sum = 0.0
+        mind = 1.0 - u[idx] @ u[idx[0]]
+        mind[0] = -np.inf
+        for _ in range(1, quota):
+            i = int(np.argmax(mind))
+            sel.append(i)
+            dist_sum += float(np.round(mind[i], 6))
+            np.minimum(mind, 1.0 - u[idx] @ u[idx[i]], out=mind)
+            mind[i] = -np.inf
+        got.append(
+            (c, quota, int(ids[idx][sel].sum()), round(dist_sum, 3))
+        )
+
+    from omics_data_integration_utilities_spark.plans.golden_oracles import (
+        SQL_GOLDEN_SIM_DIVERSITY_DIGEST,
+    )
+
+    cols, want = _pinned(SQL_GOLDEN_SIM_DIVERSITY_DIGEST)
+    assert cols == ["list_id", "n_sel", "id_sum", "dist_sum"]
+    assert sorted(got) == sorted(want)

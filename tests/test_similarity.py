@@ -198,3 +198,57 @@ def test_lloyd_refine_distributed_matches_numpy_replica(spark):
         by_cluster.setdefault(c, set()).add(got[i])
     assert all(len(v) == 1 for v in by_cluster.values())
     assert len({next(iter(v)) for v in by_cluster.values()}) == 4
+
+
+def test_diversity_sample_planted_geometry_picks_extremes(spark):
+    """Single-list greedy on a planted line: seed = lowest id, first
+    pick = farthest point, later picks fill the largest gaps; min_dist
+    per cluster is non-increasing (the defining greedy invariant)."""
+    import math
+
+    from omics_data_integration_utilities_spark.operators.similarity import (
+        diversity_sample,
+    )
+
+    # unit vectors fanned over 90 degrees: ids 0..9 at angles 0..90
+    rows = [
+        (i, [math.cos(math.radians(9.0 * i)), math.sin(math.radians(9.0 * i))])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r["pick_rank"], r["vec_id"], r["min_dist"])
+        for r in diversity_sample(df, n=3, n_lists=1).collect()
+    )
+    # seed id 0 (angle 0); farthest = id 9 (angle 81); then the midpoint
+    assert [(rk, vid) for rk, vid, _ in got] == [(0, 0), (1, 9), (2, 4)]
+    dists = [d for _, _, d in got if d is not None]
+    assert dists == sorted(dists, reverse=True)
+
+
+def test_diversity_sample_quotas_and_partition_invariance(spark):
+    """Quotas apportion n over clusters by size (sum == n when no cluster
+    caps), the result is invariant under input repartitioning, and a
+    cluster smaller than its quota yields all its rows."""
+    import random
+
+    from omics_data_integration_utilities_spark.operators.similarity import (
+        diversity_sample,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = diversity_sample(df, n=40, n_lists=4, sample_fraction=1.0)
+    picks = {(r["list_id"], r["vec_id"], r["pick_rank"]) for r in out.collect()}
+    assert len(picks) == 40
+    again = {
+        (r["list_id"], r["vec_id"], r["pick_rank"])
+        for r in diversity_sample(
+            df.repartition(13), n=40, n_lists=4, sample_fraction=1.0
+        ).collect()
+    }
+    assert picks == again
+    # quota larger than the corpus: every row selected, no crash
+    tiny = spark.createDataFrame(rows[:5], "vec_id long, embedding array<double>")
+    assert diversity_sample(tiny, n=50, n_lists=1).count() == 5
