@@ -1103,6 +1103,12 @@ def build_dedup_index(
     partitioning is a subset of the join keys, and a 1-column spec
     keeps the DDL in :func:`attach_dedup_index` portable.
 
+    Size ``n_buckets`` so each bucket holds O(100 MB-1 GB): every bucket
+    is at least one parquet file per table, and a bucket count far above
+    the data (measured, SCALE.md r10: 64 buckets on a 5k-row corpus)
+    spends more bytes on parquet footers than on rows and erases the
+    probe win under file-listing overhead.
+
     Maintenance contract: after admitting a batch's kept docs, the
     index is stale by exactly those docs; rebuild incrementally by
     appending the batch's own projections (union + re-aggregate on the
@@ -1131,6 +1137,66 @@ def build_dedup_index(
         .saveAsTable(idx.bands_table)
     )
     return idx
+
+
+def extend_dedup_index(
+    index: DedupIndex,
+    new_kept_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    name: str,
+    path: str,
+    n_buckets: int | None = None,
+) -> DedupIndex:
+    """Fold a batch's ADMITTED documents into the index, producing the
+    next index generation under a NEW name/path (blue-green: Spark
+    cannot overwrite a table it is reading from, and the old generation
+    must stay probe-able until the swap anyway — the caller drops it
+    after cutting probes over).
+
+    Cost is O(index + batch), never O(corpus): the old generation is
+    read back as its two projections (digests re-distinct-ed, band
+    counts summed with the batch's own aggregation), the corpus text is
+    never rescanned.  Run on whatever cadence the ingest pipeline
+    already compacts; between extends the probe semantics only require
+    the index to cover the kept corpus as of the last generation.
+    """
+    if (name, path) == (index.name, index.path):
+        raise ValueError(
+            "extend_dedup_index: the new generation needs a different "
+            "name/path (cannot overwrite tables being read)"
+        )
+    spark = new_kept_df.sparkSession
+    nb = index.n_buckets if n_buckets is None else int(n_buckets)
+    out = DedupIndex(name=name, path=path, n_buckets=nb)
+    digests = (
+        spark.table(index.digests_table)
+        .unionByName(_ref_digest_projection(new_kept_df, text_col))
+        .distinct()
+    )
+    bands = (
+        spark.table(index.bands_table)
+        .unionByName(_ref_band_projection(new_kept_df, text_col, id_col))
+        .groupBy("band", "band_key")
+        .agg(F.sum("ref_count").alias("ref_count"))
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {out.digests_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {out.bands_table}")
+    (
+        digests.write.mode("overwrite")
+        .bucketBy(nb, "digest")
+        .sortBy("digest")
+        .option("path", os.path.join(path, out.digests_table))
+        .saveAsTable(out.digests_table)
+    )
+    (
+        bands.write.mode("overwrite")
+        .bucketBy(nb, "band_key")
+        .sortBy("band_key")
+        .option("path", os.path.join(path, out.bands_table))
+        .saveAsTable(out.bands_table)
+    )
+    return out
 
 
 def attach_dedup_index(

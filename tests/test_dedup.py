@@ -949,3 +949,41 @@ def test_mixture_sample_stable_under_corpus_growth(spark):
         "doc_id", "source", w, 20).collect()}
     assert {t for t in before if t[1] == "b"} == {t for t in after if t[1] == "b"}
     assert len([t for t in after if t[1] == "a"]) == 10
+
+
+def test_extend_dedup_index_equals_rebuild(spark, tmp_path):
+    """Folding a batch into an index (next generation) must probe
+    identically to an index built from scratch over the union — and the
+    same-name overwrite foot-gun is refused."""
+    import pytest
+
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+        incremental_dedup_verdicts_indexed,
+    )
+    from .conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ref1 = docs.where("doc_id % 3 = 0")
+    ref2 = docs.where("doc_id % 3 = 1")
+    batch = docs.where("doc_id % 3 = 2").select("doc_id", "text")
+
+    g1 = build_dedup_index(ref1, "text", "doc_id", "gen1", str(tmp_path / "g1"))
+    with pytest.raises(ValueError):
+        extend_dedup_index(g1, ref2, "text", "doc_id", "gen1", str(tmp_path / "g1"))
+    g2 = extend_dedup_index(g1, ref2, "text", "doc_id", "gen2", str(tmp_path / "g2"))
+    fresh = build_dedup_index(
+        ref1.unionByName(ref2), "text", "doc_id", "fresh", str(tmp_path / "f")
+    )
+    via_extend = {
+        tuple(r)
+        for r in incremental_dedup_verdicts_indexed(batch, g2, "text", "doc_id").collect()
+    }
+    via_fresh = {
+        tuple(r)
+        for r in incremental_dedup_verdicts_indexed(batch, fresh, "text", "doc_id").collect()
+    }
+    assert via_extend == via_fresh and len(via_extend) > 0
+    # generation tables are distinct and both still attached
+    assert spark.table(g1.digests_table).count() <= spark.table(g2.digests_table).count()
