@@ -1118,25 +1118,56 @@ def build_dedup_index(
     """
     spark = ref_df.sparkSession
     idx = DedupIndex(name=name, path=path, n_buckets=int(n_buckets))
-    spark.sql(f"DROP TABLE IF EXISTS {idx.digests_table}")
-    spark.sql(f"DROP TABLE IF EXISTS {idx.bands_table}")
-    (
-        _ref_digest_projection(ref_df, text_col)
-        .write.mode("overwrite")
-        .bucketBy(idx.n_buckets, "digest")
-        .sortBy("digest")
-        .option("path", os.path.join(path, idx.digests_table))
-        .saveAsTable(idx.digests_table)
+    _write_index_table(
+        _ref_digest_projection(ref_df, text_col), idx.digests_table, path,
+        "digest", idx.n_buckets,
     )
-    (
-        _ref_band_projection(ref_df, text_col, id_col)
-        .write.mode("overwrite")
-        .bucketBy(idx.n_buckets, "band_key")
-        .sortBy("band_key")
-        .option("path", os.path.join(path, idx.bands_table))
-        .saveAsTable(idx.bands_table)
+    _write_index_table(
+        _ref_band_projection(ref_df, text_col, id_col), idx.bands_table, path,
+        "band_key", idx.n_buckets,
     )
+    _write_index_meta(spark, idx)
     return idx
+
+
+def _write_index_table(
+    df: DataFrame, table: str, path: str, bucket_col: str, n_buckets: int
+) -> None:
+    """Drop-then-write one bucketed external index table (shared by
+    build and extend so every write option lives in one place)."""
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", os.path.join(path, table))
+        .saveAsTable(table)
+    )
+
+
+_INDEX_META_DIR = "_dedup_index_meta"
+
+
+def _write_index_meta(spark: SparkSession, idx: DedupIndex) -> None:
+    """Persist the bucket spec NEXT TO the data (a 1-row Spark-written
+    JSON dir, so it lands on whatever filesystem the tables use): the
+    bucket count is load-bearing for correctness — an attach that
+    declares the wrong count makes Spark route join keys to the wrong
+    bucket and silently miss duplicates — so it must never depend on
+    the caller remembering a number."""
+    (
+        spark.createDataFrame(
+            [(idx.name, idx.n_buckets)], "name string, n_buckets int"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(os.path.join(idx.path, _INDEX_META_DIR))
+    )
+
+
+def _read_index_meta(spark: SparkSession, path: str) -> tuple[str, int]:
+    row = spark.read.json(os.path.join(path, _INDEX_META_DIR)).collect()[0]
+    return str(row["name"]), int(row["n_buckets"])
 
 
 def extend_dedup_index(
@@ -1161,10 +1192,17 @@ def extend_dedup_index(
     already compacts; between extends the probe semantics only require
     the index to cover the kept corpus as of the last generation.
     """
-    if (name, path) == (index.name, index.path):
+    if name == index.name or path == index.path:
+        # a shared NAME breaks blue-green even when the path differs (the
+        # DROP below would unregister the old generation's catalog
+        # entries — the very tables live probes resolve by name — before
+        # the new data exists); a shared PATH would overwrite the old
+        # generation's metadata dir
         raise ValueError(
             "extend_dedup_index: the new generation needs a different "
-            "name/path (cannot overwrite tables being read)"
+            "name AND path (same-name write would unregister the "
+            "generation being read; same-path write would clobber its "
+            "metadata)"
         )
     spark = new_kept_df.sparkSession
     nb = index.n_buckets if n_buckets is None else int(n_buckets)
@@ -1180,50 +1218,73 @@ def extend_dedup_index(
         .groupBy("band", "band_key")
         .agg(F.sum("ref_count").alias("ref_count"))
     )
-    spark.sql(f"DROP TABLE IF EXISTS {out.digests_table}")
-    spark.sql(f"DROP TABLE IF EXISTS {out.bands_table}")
-    (
-        digests.write.mode("overwrite")
-        .bucketBy(nb, "digest")
-        .sortBy("digest")
-        .option("path", os.path.join(path, out.digests_table))
-        .saveAsTable(out.digests_table)
-    )
-    (
-        bands.write.mode("overwrite")
-        .bucketBy(nb, "band_key")
-        .sortBy("band_key")
-        .option("path", os.path.join(path, out.bands_table))
-        .saveAsTable(out.bands_table)
-    )
+    _write_index_table(digests, out.digests_table, path, "digest", nb)
+    _write_index_table(bands, out.bands_table, path, "band_key", nb)
+    _write_index_meta(spark, out)
     return out
 
 
 def attach_dedup_index(
-    spark: SparkSession, name: str, path: str, n_buckets: int = 64
+    spark: SparkSession, name: str, path: str, n_buckets: int | None = None
 ) -> DedupIndex:
     """Re-register an existing on-disk index in THIS session's catalog.
 
     The parquet bytes persist across sessions but the bucket spec lives
     in the catalog, so a fresh session must re-declare it — otherwise
     Spark would read the files as an unbucketed scan and silently
-    reintroduce the reference-side shuffle.  ``CREATE TABLE IF NOT
-    EXISTS`` makes this idempotent within a session.
+    reintroduce the reference-side shuffle.
+
+    The bucket count comes from the metadata the build wrote next to
+    the data — it is load-bearing for CORRECTNESS, not just speed: a
+    declared count different from the physical one makes Spark route
+    each join key to the wrong bucket and silently verdict true
+    duplicates as ``novel``.  Passing ``n_buckets`` explicitly is
+    therefore only an assertion: it must MATCH the stored value or the
+    attach refuses.  A table of the same name already registered in
+    this session must point at this index's location (``CREATE TABLE
+    IF NOT EXISTS`` would otherwise silently no-op onto someone else's
+    table and probe the wrong corpus).
     """
-    idx = DedupIndex(name=name, path=path, n_buckets=int(n_buckets))
-    spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {idx.digests_table} (digest STRING) "
-        f"USING parquet CLUSTERED BY (digest) SORTED BY (digest) "
-        f"INTO {idx.n_buckets} BUCKETS "
-        f"LOCATION '{os.path.join(path, idx.digests_table)}'"
-    )
-    spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {idx.bands_table} "
-        f"(band INT, band_key STRING, ref_count BIGINT) "
-        f"USING parquet CLUSTERED BY (band_key) SORTED BY (band_key) "
-        f"INTO {idx.n_buckets} BUCKETS "
-        f"LOCATION '{os.path.join(path, idx.bands_table)}'"
-    )
+    meta_name, meta_nb = _read_index_meta(spark, path)
+    if meta_name != name:
+        raise ValueError(
+            f"attach_dedup_index: metadata at {path!r} names index "
+            f"{meta_name!r}, not {name!r}"
+        )
+    if n_buckets is not None and int(n_buckets) != meta_nb:
+        raise ValueError(
+            f"attach_dedup_index: requested n_buckets={n_buckets} but the "
+            f"index was built with {meta_nb} (declared != physical bucket "
+            f"count silently breaks probe joins)"
+        )
+    idx = DedupIndex(name=name, path=path, n_buckets=meta_nb)
+    for table, cols, col in (
+        (idx.digests_table, "(digest STRING)", "digest"),
+        (idx.bands_table, "(band INT, band_key STRING, ref_count BIGINT)", "band_key"),
+    ):
+        expect_loc = os.path.join(path, table)
+        if spark.catalog.tableExists(table):
+            loc = [
+                r["data_type"]
+                for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+                if r["col_name"] == "Location"
+            ]
+            got = loc[0] if loc else ""
+            if got.rstrip("/").removeprefix("file:") != os.path.abspath(
+                expect_loc
+            ).rstrip("/"):
+                raise ValueError(
+                    f"attach_dedup_index: table {table!r} is already "
+                    f"registered at {got!r}, not {expect_loc!r} — drop it "
+                    f"or attach under a different name"
+                )
+            continue
+        spark.sql(
+            f"CREATE TABLE {table} {cols} "
+            f"USING parquet CLUSTERED BY ({col}) SORTED BY ({col}) "
+            f"INTO {idx.n_buckets} BUCKETS "
+            f"LOCATION '{expect_loc}'"
+        )
     return idx
 
 
@@ -1252,11 +1313,14 @@ def incremental_dedup_verdicts_indexed(
       the batch-only bucket pass reproduces the shared-pass result
       exactly (reference members never entered those stages' logic).
 
-    The scan form's one-shuffle union trick exists to amortize the
-    per-batch reference scan it cannot avoid; with the scan amortized
-    into the index there is nothing left to share, and the probe's
-    only wide work is exchanging the BATCH side to meet the bucketed
-    tables' layout.
+    The scan form's union-groupBy shares the REFERENCE band chain it
+    cannot avoid re-deriving; here the reference chain is amortized
+    into the index, but the same share-one-pass rule still applies to
+    the BATCH side: both near flags read off a single bucket aggregate
+    (left-joined with the cap-filtered index buckets), so the batch
+    minhash chain appears exactly once in the physical plan, and the
+    probe's only wide work is exchanging the BATCH side to meet the
+    bucketed tables' layout.
     """
     spark = new_df.sparkSession
     ids = new_df.select(F.col(id_col))
@@ -1273,23 +1337,33 @@ def incremental_dedup_verdicts_indexed(
     ref_keys = spark.table(index.bands_table).where(
         (F.col("ref_count") >= 1) & (F.col("ref_count") <= max_posting)
     )
-    near_ref = (
-        n_bands.join(ref_keys, ["band", "band_key"], "left_semi")
-        .select(id_col)
-        .distinct()
+    # BOTH near verdicts from ONE pass over the batch's band keys (same
+    # reasoning as the scan form's shared union-groupBy: a semi-join
+    # branch for near_ref plus a separate groupBy branch for near_batch
+    # would make Catalyst evaluate the whole minhash md5 chain once per
+    # branch — the exchanges differ, so ReuseExchange never fires):
+    # aggregate the batch buckets once, LEFT-join the cap-filtered index
+    # buckets onto them, and read both flags off the joined row.
+    buckets = n_bands.groupBy("band", "band_key").agg(
+        F.collect_list(F.col(id_col)).alias("__nids")
     )
-
-    ex = (
-        n_bands.groupBy("band", "band_key")
-        .agg(F.collect_list(F.col(id_col)).alias("__nids"))
-        .where((F.size("__nids") >= 2) & (F.size("__nids") <= max_posting))
-        .select(
-            F.explode("__nids").alias(id_col),
-            F.array_min("__nids").alias("__min_nid"),
-        )
+    ex = buckets.join(
+        ref_keys.select("band", "band_key", F.lit(True).alias("__hasref")),
+        ["band", "band_key"],
+        "left",
+    ).select(
+        F.explode("__nids").alias(id_col),
+        F.coalesce("__hasref", F.lit(False)).alias("__f_nr"),
+        (
+            (F.size("__nids") >= 2) & (F.size("__nids") <= max_posting)
+        ).alias("__b_nb"),
+        F.array_min("__nids").alias("__min_nid"),
     )
-    near_batch = (
-        ex.where(F.col(id_col) != F.col("__min_nid")).select(id_col).distinct()
+    near = ex.groupBy(id_col).agg(
+        F.max("__f_nr").alias("__nr"),
+        F.max(F.col("__b_nb") & (F.col(id_col) != F.col("__min_nid"))).alias(
+            "__nb"
+        ),
     )
 
     batch_keep = (
@@ -1303,8 +1377,7 @@ def incremental_dedup_verdicts_indexed(
 
     out = (
         ids.join(_flag(exact_ref, "__xr"), id_col, "left")
-        .join(_flag(near_ref, "__nr"), id_col, "left")
-        .join(_flag(near_batch, "__nb"), id_col, "left")
+        .join(near, id_col, "left")
         .join(_flag(batch_keep, "__bk"), id_col, "left")
     )
     verdict = (

@@ -152,15 +152,23 @@ def mixture_sample(
     qdf = spark.createDataFrame(
         [(d, q) for d, q in sorted(quotas.items())], f"{domain_col} string, __quota long"
     )
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    lim = counts.join(qdf, domain_col).select(
+    # restrict to WEIGHTED domains before anything wide: per-domain ranks
+    # don't see other domains' rows, so dropping unweighted domains up
+    # front changes nothing — but ranking first would sort-shuffle the
+    # whole corpus (a join can't be pushed below a window), paying for
+    # rows guaranteed to be discarded
+    weighted = df.select(F.col(id_col), F.col(domain_col)).join(
+        F.broadcast(qdf), domain_col
+    )
+    counts = weighted.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("__cnt"), F.first("__quota").alias("__quota")
+    )
+    lim = counts.select(
         F.col(domain_col), F.least("__quota", "__cnt").alias("__take")
     )
     pri = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     w = Window.partitionBy(domain_col).orderBy(pri, F.col(id_col))
-    ranked = df.select(F.col(id_col), F.col(domain_col)).withColumn(
-        "__rn", F.row_number().over(w)
-    )
+    ranked = weighted.withColumn("__rn", F.row_number().over(w))
     return (
         ranked.join(F.broadcast(lim), domain_col)
         .where(F.col("__rn") <= F.col("__take"))

@@ -657,6 +657,13 @@ def diversity_sample(
             n_lists=n_lists,
             sample_fraction=sample_fraction,
         )
+        # the sizes collect below is an ACTION: without a checkpoint the
+        # per-cluster greedy would re-run the whole assignment GEMM (and
+        # the source scan) a second time — Spark never reuses results
+        # across actions.  localCheckpoint materializes the assignment
+        # once (executor block store, memory-and-disk); both the count
+        # and the greedy read the materialized form.
+        assigned = assigned.localCheckpoint(eager=False)
     sizes = {
         int(r["list_id"]): int(r["n"])
         for r in assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()
