@@ -987,3 +987,41 @@ def test_extend_dedup_index_equals_rebuild(spark, tmp_path):
     assert via_extend == via_fresh and len(via_extend) > 0
     # generation tables are distinct and both still attached
     assert spark.table(g1.digests_table).count() <= spark.table(g2.digests_table).count()
+
+
+def test_attach_dedup_index_validates_meta_and_location(spark, tmp_path):
+    """The r10 review hardening: attach reads the bucket count from the
+    stored metadata (a wrong explicit count is refused, not trusted —
+    declared != physical buckets silently mis-routes join keys), a wrong
+    name is refused, and an already-registered same-name table at a
+    DIFFERENT location is refused instead of silently probed."""
+    import pytest
+
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        attach_dedup_index,
+        build_dedup_index,
+    )
+
+    ref, _ = _five_verdict_fixture(spark)
+    built = build_dedup_index(
+        ref, "text", "doc_id", "idx_val", str(tmp_path / "a"), n_buckets=8
+    )
+    spark.sql(f"DROP TABLE {built.digests_table}")
+    spark.sql(f"DROP TABLE {built.bands_table}")
+    # wrong explicit bucket count: refused
+    with pytest.raises(ValueError, match="n_buckets"):
+        attach_dedup_index(spark, "idx_val", str(tmp_path / "a"), n_buckets=64)
+    # wrong name for this path's metadata: refused
+    with pytest.raises(ValueError, match="names index"):
+        attach_dedup_index(spark, "idx_other", str(tmp_path / "a"))
+    # n_buckets comes from metadata when omitted
+    idx = attach_dedup_index(spark, "idx_val", str(tmp_path / "a"))
+    assert idx.n_buckets == 8
+    # same-name table registered elsewhere: build a second index under a
+    # different path but identical name — the catalog entry now points
+    # at path b, so re-attaching path a must refuse
+    spark.sql(f"DROP TABLE {idx.digests_table}")
+    spark.sql(f"DROP TABLE {idx.bands_table}")
+    build_dedup_index(ref, "text", "doc_id", "idx_val", str(tmp_path / "b"))
+    with pytest.raises(ValueError, match="already"):
+        attach_dedup_index(spark, "idx_val", str(tmp_path / "a"))
