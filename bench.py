@@ -100,8 +100,10 @@ SLOW_TIER = [
     # digest + band-key semi-joins over the 70/30 documents split)
     "dedup_incremental",
     # late round 10: deterministic domain-mixture sampling (window rank
-    # + broadcast quota map)
+    # + broadcast quota map) and greedy k-center diversity sampling
+    # (IVF assignment + per-cluster farthest-point applyInPandas)
     "mix_domains",
+    "sim_diversity_digest",
 ]
 
 REGRESSION_FLAG = 1.3
