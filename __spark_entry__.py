@@ -106,6 +106,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # applyInPandas greedy) plus the apportionment, so the family stays
 # represented while the never-checked count stays flat.
 #
+# Registered PAST the window this round (first r11 rotation candidate):
+# pipeline_funnel (one-scan cumulative stage-survival counts,
+# operators/aggregates.py funnel_counts — exact SQL oracle, sf0.001 +
+# sf0.01 parity green locally, single-aggregate plan-shape-locked in
+# tests/test_operators.py).  The window's 50 slots this round are spent
+# on the stale-cohort refresh + the five new-operator entries; the
+# funnel is a trivial-plan single aggregate whose local oracle evidence
+# carries it one round.
+#
 # combat_adjust: formally SUPERSEDED by combat_adjust_digest (in-window
 # through r9, hash-green r9) — the full 10k-row adjusted matrix has no ANSI-SQL
 # oracle and is too large for a golden VALUES pin; the digest

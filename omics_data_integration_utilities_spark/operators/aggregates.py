@@ -138,3 +138,58 @@ def correlate_long_matrices(
         "__s",
     )
     return pairwise_corr(joined, ["lk", "rk"], "lv", "rv", min_n=min_n, method=method)
+
+
+def funnel_counts(
+    df: DataFrame,
+    stages: "list[tuple[str, object]]",
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Stage-survival funnel in ONE scan: given ordered filter stages
+    ``[(name, predicate Column), ...]``, count the rows surviving the
+    CUMULATIVE conjunction of stages 1..k for every k — the monitoring
+    table every curation pipeline wants ("how many docs did each rule
+    cost?") without running one count job per stage.
+
+    Implemented as conditional aggregation (``sum(when(p1 and … pk,
+    1))`` per stage) so the whole funnel is one map-side-combinable
+    aggregate over one scan: at 100 TB that is the difference between
+    one pass and |stages| passes, and the cumulative AND is computed
+    incrementally inside the projection so stage k's predicate
+    evaluates once, not k times.  Optional ``group_cols`` produce one
+    funnel row-set per group (e.g. per source).
+
+    Returns ``group_cols + (stage, stage_idx, n_in, n_surviving,
+    n_dropped)`` with one row per stage; ``n_in`` is the survivor count
+    of the previous stage (total rows for the first), so
+    ``n_dropped = n_in - n_surviving`` attributes losses to exactly one
+    stage.
+    """
+    if not stages:
+        raise ValueError("funnel_counts: need at least one stage")
+    gcols = list(group_cols or [])
+    cum = None
+    aggs = [F.count(F.lit(1)).alias("__n0")]
+    for i, (name, pred) in enumerate(stages):
+        p = pred if not isinstance(pred, str) else F.expr(pred)
+        cum = p if cum is None else (cum & p)
+        aggs.append(
+            F.sum(F.when(cum, F.lit(1)).otherwise(F.lit(0))).alias(f"__n{i + 1}")
+        )
+    wide = df.groupBy(*gcols).agg(*aggs) if gcols else df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("stage"),
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.col(f"__n{i}").cast("long").alias("n_in"),
+                F.col(f"__n{i + 1}").cast("long").alias("n_surviving"),
+                (F.col(f"__n{i}") - F.col(f"__n{i + 1}")).cast("long").alias("n_dropped"),
+            )
+            for i, (name, _) in enumerate(stages)
+        ]
+    )
+    return wide.select(*gcols, F.explode(rows).alias("__s")).select(
+        *gcols, "__s.stage", "__s.stage_idx", "__s.n_in", "__s.n_surviving",
+        "__s.n_dropped",
+    )

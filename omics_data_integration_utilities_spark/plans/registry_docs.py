@@ -475,6 +475,48 @@ def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.unionByName(kept)
 
 
+def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stage-survival funnel (min-chars -> min-tokens ->
+    english) over the documents table in ONE conditional-aggregation
+    scan — the curation-monitoring staple ("which rule cost how many
+    docs") that naively runs one count job per stage."""
+    from ..operators.aggregates import funnel_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return funnel_counts(
+        docs,
+        [
+            ("min_chars", F.col("n_chars") >= 50),
+            ("min_tokens", F.size(F.split(F.col("text"), " ")) >= 10),
+            ("english", F.col("lang") == "en"),
+        ],
+        group_cols=["source"],
+    )
+
+
+# DuckDB sum(CASE..) returns HUGEINT — CAST every count to BIGINT (the
+# r9 doc_pack_chunks fetched-dtype lesson)
+SQL_PIPELINE_FUNNEL = """
+WITH base AS (
+  SELECT source, n_chars, len(string_split(text, ' ')) AS toks, lang
+  FROM documents
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN n_chars >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN n_chars >= 50 AND toks >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN n_chars >= 50 AND toks >= 10 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM base GROUP BY source
+)
+SELECT source, 'min_chars' AS stage, CAST(0 AS BIGINT) AS stage_idx,
+       n0 AS n_in, n1 AS n_surviving, n0 - n1 AS n_dropped FROM agg
+UNION ALL
+SELECT source, 'min_tokens', CAST(1 AS BIGINT), n1, n2, n1 - n2 FROM agg
+UNION ALL
+SELECT source, 'english', CAST(2 AS BIGINT), n2, n3, n2 - n3 FROM agg
+"""
+
+
 # data-mixing weights for mix_domains: uneven on purpose, with src1's
 # apportioned quota (32 of 60) EXCEEDING its sf0.01 row count (25) so the
 # availability cap binds in the driver compare
@@ -1514,6 +1556,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": q_simhash_pairs,
     "doc_split": q_doc_split,
     "mix_domains": q_mix_domains,
+    "pipeline_funnel": q_pipeline_funnel,
     "doc_pack_chunks": q_doc_pack_chunks,
     "doc_pack_chunks_digest": q_doc_pack_chunks_digest,
     "probe_double_pmod": q_probe_double_pmod,
@@ -1557,6 +1600,7 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_simhash_pairs": SQL_SIMHASH_PAIRS,
     "doc_split": SQL_DOC_SPLIT,
     "mix_domains": SQL_MIX_DOMAINS,
+    "pipeline_funnel": SQL_PIPELINE_FUNNEL,
     "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
     "doc_pack_chunks_digest": SQL_DOC_PACK_CHUNKS_DIGEST,
     "probe_double_pmod": SQL_PROBE_DOUBLE_PMOD,

@@ -1306,3 +1306,42 @@ def test_closure_bond_expressions():
     assert apply_reaction("C1CCC1", "[C:1]~1CC[C:2]1", "[C:1]1CC[C:2]1") == ()
     # template closure carrying a query bond: nothing concrete to write
     assert apply_reaction("C1CCC1", "[C:1]1CC[C:2]1", "[C:1]~1CC[C:2]1") == ()
+
+
+def test_funnel_counts_cumulative_and_one_scan(spark):
+    """Funnel semantics are CUMULATIVE (a row failing stage 1 never
+    counts for stage 2 even if stage 2's predicate holds), n_dropped
+    attributes each loss to exactly one stage, and the whole funnel is
+    one aggregate over one scan (no per-stage jobs: exactly one
+    HashAggregate pair / no join in the plan)."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.operators.aggregates import (
+        funnel_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "en"), (2, 100, "en"), (3, 100, "de"), (4, 5, "de")],
+        "id long, n long, lang string",
+    )
+    out = funnel_counts(
+        df,
+        [("big", F.col("n") >= 50), ("english", F.col("lang") == "en")],
+    )
+    rows = {r["stage"]: r for r in out.collect()}
+    assert rows["big"]["n_in"] == 4 and rows["big"]["n_surviving"] == 2
+    assert rows["big"]["n_dropped"] == 2
+    # id 1 is english but failed 'big' — must not survive 'english'
+    assert rows["english"]["n_in"] == 2 and rows["english"]["n_surviving"] == 1
+    assert rows["english"]["n_dropped"] == 1
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes both forms
+    assert "Join" not in final
+    # one partial+final aggregate pair, not one per stage
+    assert final.count("HashAggregate") <= 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        funnel_counts(df, [])
