@@ -147,7 +147,8 @@ METHODOLOGY = (
 # not a regression — carried in the JSON so round-over-round deltas on
 # these queries are read against the new workload
 WORKLOAD_CHANGES = {
-    "k3_substructure": "39 -> 65 probes (late-r10 expression-qualified "
+    "k3_substructure": "39 -> 68 probes (late-r10 extended chirality "
+    "classes [C@TH1H3]Cl/[C@OH1]/[c@SP3] and expression-qualified "
     "ring closures c~1ccccc1 / C~1CCCC1 / c-1ccccc:1; earlier r10: "
     "ring-count [R1]/[R2]/"
     "[C;R0]/[c;R1] brackets, depth-3 recursive wraps, stereo "

@@ -104,8 +104,11 @@ SUBSET engine; the honest scope is:
   satisfiable order constraint passes); closure bonds written on BOTH
   digits must agree textually (``C-1CCCC=1`` is RDKit's closure-bond
   mismatch error; an equivalent-but-reordered query pair declines
-  conservatively).  Extended chirality classes
-  (``@TH1``…), MOLECULE-side tetrahedral marks and query bonds,
+  conservatively).  Extended chirality classes (``@TH1``/``@AL2``/
+  ``@SP3``/``@TB13``/``@OH30``…) on PATTERN atoms strip as whole
+  tokens like ``@``/``@@`` (late r10 — the same useChirality=False
+  default; ``[C@OH1]`` is octahedral-class-1, not ``@``+H-count).
+  MOLECULE-side tetrahedral marks and query bonds,
   double bond negation (``!!=``), and recursion past
   depth 8 remain OUTSIDE the subset; a
   product template carrying a query primitive yields no products
@@ -613,7 +616,12 @@ def _has_ring_prim(atoms: list[Atom]) -> bool:
 # so they still parse-fail, while plain [C@H]/[C@H1] strips (bare 'H'
 # is the hydrogen-count mod, not a class: classes need their digit)
 _TETRAHEDRAL_RE = re.compile(
-    r"(\[(?:\d+)?(?:#\d+|[A-Z][a-z]?|[a-z]|\*))@{1,2}(?!(?:TH|AL|SP|TB|OH)\d)"
+    # after the bracket-atom element: '@' / '@@' (tetrahedral) or a full
+    # extended chirality class token (Daylight ranges: TH1-2, AL1-2,
+    # SP1-3, TB1-20, OH1-30; two-digit alternatives first so 'TB13'
+    # never half-matches as 'TB1')
+    r"(\[(?:\d+)?(?:#\d+|[A-Z][a-z]?|[a-z]|\*))"
+    r"@(?:TH[12]|AL[12]|SP[1-3]|TB(?:1[0-9]|20|[1-9])|OH(?:[12][0-9]|30|[1-9])|@|)"
 )
 
 
@@ -636,8 +644,11 @@ def strip_stereo(pattern: str) -> str:
       stereo — never stripped; it parses on the pattern side as a
       query-bond edge label (``parse_graph(..., bond_queries=True)``)
       the matcher resolves by ring membership;
-    - extended chirality classes (``@TH1``, ``@OH5``, …) keep their
-      class token, which the bracket parser rejects;
+    - extended chirality classes (``@TH1``, ``@SP3``, ``@TB13``,
+      ``@OH30``, …) strip as whole tokens (late r10) — the same
+      useChirality=False semantics as ``@``/``@@``; the token is
+      consumed atomically so ``[C@OH1]`` is octahedral-class-1 (→
+      ``[C]``), NOT ``@`` + an H1 count, matching the Daylight read;
     - MOLECULE-side tetrahedral marks stay outside the subset: a
       substrate ``[C@H]`` is parsed verbatim and rejected — RDKit
       would preserve its marks in product writings where this engine

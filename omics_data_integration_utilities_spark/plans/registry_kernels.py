@@ -679,13 +679,24 @@ K3_PROBES = [
     ("probe_closure_arom", "c~1ccccc1"),
     ("probe_closure_aliph", "C~1CCCC1"),
     ("probe_closure_mismatch", "c-1ccccc:1"),
+    # late-r10 extended chirality classes (strip as whole tokens,
+    # useChirality=False like @/@@).  Closed forms:
+    #   ext_th_ch3  [C@TH1H3]Cl — ≡ [CH3]Cl, CH3–Cl bond iff Cl variant
+    #   ext_oh      [C@OH1]     — ≡ [C] (octahedral class consumed
+    #                             ATOMICALLY: a '@'+H1-count misread
+    #                             would give [CH1], false everywhere),
+    #                             always true
+    #   ext_sp_ring [c@SP3]     — ≡ [c], iff ring variant
+    ("probe_ext_th_ch3", "[C@TH1H3]Cl"),
+    ("probe_ext_oh", "[C@OH1]"),
+    ("probe_ext_sp_ring", "[c@SP3]"),
 ]
 
 # probes whose truth is a closed form of the construction, not strpos
 _K3_STRUCTURAL_TRUE_ON_CL = (
     "probe_ccl", "probe_branch", "probe_branch_swap", "probe_stereo_ch3_cl",
     "probe_notringbond", "probe_bondlist_cl",
-    "probe_bexpr_notring_cl", "probe_bexpr_negor_cl",
+    "probe_bexpr_notring_cl", "probe_bexpr_negor_cl", "probe_ext_th_ch3",
     "probe_alt_halo", "probe_neg_before_cl", "probe_rec_cl_ch3",
     "probe_malt_cl_nh2", "probe_aconj_halo", "probe_rec_nested",
     "probe_rec_nested3",
@@ -697,13 +708,14 @@ _K3_TRUE_ON_RING = (
     "probe_nalt_arom", "probe_r1", "probe_conj_r1",
     "probe_rec_deep_ring", "probe_ringbond_arom", "probe_anybond_arom",
     "probe_bexpr_ringsingle", "probe_bexpr_prec", "probe_closure_arom",
+    "probe_ext_sp_ring",
 )
 _K3_ALWAYS_TRUE = (
     "probe_neg_h", "probe_alt_n", "probe_aliph", "probe_acyclic",
     "probe_rec_not_cl", "probe_conj_acyclic_c",
     "probe_malt_ch3_nh2", "probe_malt_chg", "probe_r0_chain",
     "probe_not_nested3", "probe_stereo_ch3", "probe_stereo_dirbond",
-    "probe_anybond_n", "probe_bexpr_neg_n",
+    "probe_anybond_n", "probe_bexpr_neg_n", "probe_ext_oh",
 )
 _K3_ALWAYS_FALSE = (
     "probe_ocl", "probe_dbl", "probe_charge", "probe_malt_ch2_nh",

@@ -998,16 +998,25 @@ def test_stereo_marks_parse_and_ignore_rdkit_default():
     # with the single bond at match time
     assert strip_stereo("C/C=C/O") == "C/C=C/O"
     # scope guards: '@' BETWEEN atoms is the SMARTS ring-bond query,
-    # never stripped (incl. inside a recursive environment); extended
-    # chirality classes keep their rejected class token
+    # never stripped (incl. inside a recursive environment)
     assert strip_stereo("C@C") == "C@C"
     assert strip_stereo("[$(C@C)]") == "[$(C@C)]"
-    assert strip_stereo("[C@TH1]") == "[C@TH1]"
-    assert strip_stereo("[C@OH1]") == "[C@OH1]"   # octahedral class, not @ + H-count
+    # extended chirality classes strip as WHOLE tokens (late r10,
+    # useChirality=False like @/@@): '@OH1' is octahedral-class-1, not
+    # '@' + an H1 count; two-digit class ids never half-strip
+    assert strip_stereo("[C@TH1]") == "[C]"
+    assert strip_stereo("[C@OH1]") == "[C]"
+    assert strip_stereo("[C@OH13]") == "[C]"
+    assert strip_stereo("[C@TB20](N)O") == "[C](N)O"
+    assert strip_stereo("[C@SP3H2:4]") == "[CH2:4]"
 
     sub = "CCO[N&X3:2]Cl[CH3]"
     assert has_substructure(sub, "[C@H3]") is True
     assert has_substructure(sub, "[C@@H3]Cl") is True
+    # extended classes constrain nothing at match time (RDKit default)
+    assert has_substructure(sub, "[C@TH1H3]Cl") is True
+    assert has_substructure(sub, "[C@OH1]") is True
+    assert has_substructure("CC=CO", "[$([C@SP1]=C)]") is True
     assert has_substructure(sub, "[!#1]/[N&X3:2]") is True
     # directional marks are orientation decorations of a single bond:
     # marked patterns match plain substrates AND vice versa, identical
