@@ -1058,7 +1058,19 @@ def test_stereo_decoration_never_changes_verdict(s, p, data):
     )
 
     marks = iter(
-        data.draw(st.lists(st.sampled_from(["", "@", "@@"]), min_size=16, max_size=16))
+        data.draw(
+            st.lists(
+                st.sampled_from(
+                    # extended chirality classes strip like @/@@ (late
+                    # r10), including the @OH-vs-@+H-count trap and
+                    # two-digit class ids
+                    ["", "@", "@@", "@TH1", "@AL2", "@SP3", "@TB13",
+                     "@OH1", "@OH30"]
+                ),
+                min_size=16,
+                max_size=16,
+            )
+        )
     )
     decorated = re.sub(
         r"\[([A-Z][a-z]?|[a-z])",
