@@ -154,10 +154,14 @@ def funnel_counts(
     Implemented as conditional aggregation (``sum(when(p1 and … pk,
     1))`` per stage) so the whole funnel is one map-side-combinable
     aggregate over one scan: at 100 TB that is the difference between
-    one pass and |stages| passes, and the cumulative AND is computed
-    incrementally inside the projection so stage k's predicate
-    evaluates once, not k times.  Optional ``group_cols`` produce one
-    funnel row-set per group (e.g. per source).
+    one pass and |stages| passes.  The cumulative AND is built
+    incrementally so the aggregate expressions share subtrees — stage
+    k's predicate appears in stages k..n and collapses to one
+    evaluation per row under Spark's subexpression elimination (the
+    codegen default); with elimination disabled an expensive predicate
+    re-evaluates per later stage, so front-load costly regex/UDF
+    stages or pre-project them into a column.  Optional ``group_cols``
+    produce one funnel row-set per group (e.g. per source).
 
     Returns ``group_cols + (stage, stage_idx, n_in, n_surviving,
     n_dropped)`` with one row per stage; ``n_in`` is the survivor count
@@ -174,7 +178,12 @@ def funnel_counts(
         p = pred if not isinstance(pred, str) else F.expr(pred)
         cum = p if cum is None else (cum & p)
         aggs.append(
-            F.sum(F.when(cum, F.lit(1)).otherwise(F.lit(0))).alias(f"__n{i + 1}")
+            # coalesce: ungrouped agg over ZERO rows yields sum=NULL while
+            # count=0 — a monitoring funnel must report 0 survivors, not
+            # NULLs that silently defeat threshold alerts downstream
+            F.coalesce(
+                F.sum(F.when(cum, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            ).alias(f"__n{i + 1}")
         )
     wide = df.groupBy(*gcols).agg(*aggs) if gcols else df.agg(*aggs)
     rows = F.array(

@@ -609,12 +609,14 @@ def _has_ring_prim(atoms: list[Atom]) -> bool:
     )
 
 
-# tetrahedral mark directly after a bracket atom's element token (the
+# chirality mark directly after a bracket atom's element token (the
 # '[' anchor is what distinguishes it from the RING-BOND '@' between
-# chain atoms); the lookahead keeps extended chirality classes
-# (@TH1/@AL1/@SP1/@TB1/@OH1 — class token + mandatory digit) in place
-# so they still parse-fail, while plain [C@H]/[C@H1] strips (bare 'H'
-# is the hydrogen-count mod, not a class: classes need their digit)
+# chain atoms); matches '@'/'@@' AND full extended class tokens, which
+# strip as atomic units — [C@OH1] is octahedral-class-1 (→ [C]), never
+# '@' + an H1 count, while plain [C@H]/[C@H1] strips to [CH]/[CH1]
+# (bare 'H' is the hydrogen-count mod: classes need their digit).  An
+# OUT-OF-RANGE class id (e.g. @TH3) matches only the bare '@', leaving
+# 'TH3' as a residue the bracket parser still rejects.
 _TETRAHEDRAL_RE = re.compile(
     # after the bracket-atom element: '@' / '@@' (tetrahedral) or a full
     # extended chirality class token (Daylight ranges: TH1-2, AL1-2,

@@ -1354,3 +1354,23 @@ def test_funnel_counts_cumulative_and_one_scan(spark):
 
     with pytest.raises(ValueError):
         funnel_counts(df, [])
+
+
+def test_funnel_counts_empty_ungrouped_reports_zeros(spark):
+    """Ungrouped agg over ZERO rows yields sum=NULL in Spark; the funnel
+    must coalesce that to 0 so monitoring consumers see counts, never
+    NULLs (r10 review finding)."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.operators.aggregates import (
+        funnel_counts,
+    )
+
+    df = spark.createDataFrame([], "id long, n long")
+    rows = funnel_counts(
+        df, [("a", F.col("n") > 0), ("b", F.col("n") > 1)]
+    ).collect()
+    assert [(r["stage"], r["n_in"], r["n_surviving"], r["n_dropped"]) for r in rows] == [
+        ("a", 0, 0, 0),
+        ("b", 0, 0, 0),
+    ]
