@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from urllib.parse import urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1130,17 +1131,61 @@ def build_dedup_index(
     return idx
 
 
+def _normalize_table_location(loc: str) -> str:
+    """Scheme-aware normalization for catalog Location comparisons.
+
+    The catalog reports locations as URIs (``file:/x``, ``file:///x``,
+    ``s3://bucket/x``, ``hdfs://nn/x``); callers pass plain paths or
+    URIs.  Compare on ``(scheme-or-file, netloc, normalized path)`` so a
+    ``file://``-with-authority form or an object-store location never
+    gets mangled by prefix-stripping (``os.path.abspath`` on an
+    ``s3://...`` string would prepend the cwd).  Only scheme-less local
+    paths go through ``abspath``."""
+    parsed = urlparse(loc)
+    if parsed.scheme in ("", "file"):
+        return "file::" + os.path.abspath(parsed.path or loc).rstrip("/")
+    return f"{parsed.scheme}:{parsed.netloc}:" + parsed.path.rstrip("/")
+
+
+def _registered_table_location(spark: SparkSession, table: str) -> str:
+    loc = [
+        r["data_type"]
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        if r["col_name"] == "Location"
+    ]
+    return loc[0] if loc else ""
+
+
 def _write_index_table(
     df: DataFrame, table: str, path: str, bucket_col: str, n_buckets: int
 ) -> None:
     """Drop-then-write one bucketed external index table (shared by
-    build and extend so every write option lives in one place)."""
-    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    build and extend so every write option lives in one place).
+
+    Ownership guard before the DROP: a session may already hold an
+    UNRELATED table under this derived name (``<name>_digests`` /
+    ``<name>_bands``); dropping it — especially a MANAGED table, whose
+    DROP deletes its data files — would destroy someone else's data.
+    Mirror :func:`attach_dedup_index`'s same-name collision check: only
+    drop when the registered Location is exactly this index's own
+    subdirectory; otherwise refuse loudly."""
+    spark = df.sparkSession
+    expect_loc = os.path.join(path, table)
+    if spark.catalog.tableExists(table):
+        got = _registered_table_location(spark, table)
+        if _normalize_table_location(got) != _normalize_table_location(expect_loc):
+            raise ValueError(
+                f"build/extend_dedup_index: table {table!r} is already "
+                f"registered at {got!r}, not {expect_loc!r} — refusing to "
+                f"DROP a table this index does not own (a managed table's "
+                f"drop deletes its data); pick a different index name"
+            )
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
-        .option("path", os.path.join(path, table))
+        .option("path", expect_loc)
         .saveAsTable(table)
     )
 
@@ -1264,15 +1309,10 @@ def attach_dedup_index(
     ):
         expect_loc = os.path.join(path, table)
         if spark.catalog.tableExists(table):
-            loc = [
-                r["data_type"]
-                for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
-                if r["col_name"] == "Location"
-            ]
-            got = loc[0] if loc else ""
-            if got.rstrip("/").removeprefix("file:") != os.path.abspath(
+            got = _registered_table_location(spark, table)
+            if _normalize_table_location(got) != _normalize_table_location(
                 expect_loc
-            ).rstrip("/"):
+            ):
                 raise ValueError(
                     f"attach_dedup_index: table {table!r} is already "
                     f"registered at {got!r}, not {expect_loc!r} — drop it "

@@ -622,7 +622,9 @@ def diversity_sample(
     Budget split: ``n`` apportions over clusters proportionally to
     cluster size (largest-remainder via
     ``operators.sampling.mixture_quotas`` — same exact-rounding rule as
-    the domain mixer), capped at cluster size with no redistribution.
+    the domain mixer; cluster ids are zero-padded before keying so
+    remainder ties break in NUMERIC list_id order, not lexicographic
+    string order), capped at cluster size with no redistribution.
     Within a cluster the classic greedy: seed = lowest id, then
     repeatedly take the point FARTHEST (cosine distance on unit
     vectors) from everything selected so far, ties to the lowest id —
@@ -670,9 +672,14 @@ def diversity_sample(
     }
     if not sizes:
         raise ValueError("diversity_sample: corpus is empty")
+    # zero-pad the stringified cluster ids: mixture_quotas breaks
+    # remainder ties by key order, and '10' < '2' lexicographically —
+    # padding makes the tie-break numeric once n_lists >= 10
     quotas = {
         int(k): q
-        for k, q in mixture_quotas({str(k): float(v) for k, v in sizes.items()}, n).items()
+        for k, q in mixture_quotas(
+            {f"{k:09d}": float(v) for k, v in sizes.items()}, n
+        ).items()
     }
 
     def pick_one(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -615,15 +615,19 @@ def _has_ring_prim(atoms: list[Atom]) -> bool:
 # strip as atomic units — [C@OH1] is octahedral-class-1 (→ [C]), never
 # '@' + an H1 count, while plain [C@H]/[C@H1] strips to [CH]/[CH1]
 # (bare 'H' is the hydrogen-count mod: classes need their digit).  An
-# OUT-OF-RANGE class id (e.g. @TH3) matches only the bare '@', leaving
-# 'TH3' as a residue the bracket parser still rejects.
+# OUT-OF-RANGE class id (e.g. @TH3, @OH31, @TB21) matches only the
+# bare '@' — each class alternative carries a (?!\d) guard so a longer
+# digit run never half-strips a valid shorter class (without it,
+# '@OH31' would consume 'OH3' and leave '[C1]') — leaving the class
+# token as a residue the bracket parser still rejects.
 _TETRAHEDRAL_RE = re.compile(
     # after the bracket-atom element: '@' / '@@' (tetrahedral) or a full
     # extended chirality class token (Daylight ranges: TH1-2, AL1-2,
     # SP1-3, TB1-20, OH1-30; two-digit alternatives first so 'TB13'
     # never half-matches as 'TB1')
     r"(\[(?:\d+)?(?:#\d+|[A-Z][a-z]?|[a-z]|\*))"
-    r"@(?:TH[12]|AL[12]|SP[1-3]|TB(?:1[0-9]|20|[1-9])|OH(?:[12][0-9]|30|[1-9])|@|)"
+    r"@(?:TH[12](?!\d)|AL[12](?!\d)|SP[1-3](?!\d)"
+    r"|TB(?:1[0-9]|20|[1-9])(?!\d)|OH(?:[12][0-9]|30|[1-9])(?!\d)|@|)"
 )
 
 

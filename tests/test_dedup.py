@@ -1025,3 +1025,84 @@ def test_attach_dedup_index_validates_meta_and_location(spark, tmp_path):
     build_dedup_index(ref, "text", "doc_id", "idx_val", str(tmp_path / "b"))
     with pytest.raises(ValueError, match="already"):
         attach_dedup_index(spark, "idx_val", str(tmp_path / "a"))
+
+
+def test_build_dedup_index_refuses_to_drop_foreign_table(spark, tmp_path):
+    """The r11 review hardening (ADVICE r10, medium): build/extend's
+    drop-then-write must NOT delete a same-name table it does not own —
+    a MANAGED table's DROP deletes its data files, so an unguarded
+    ``DROP TABLE IF EXISTS <name>_digests`` could silently destroy an
+    unrelated dataset that happens to collide on the derived name.  The
+    guard mirrors attach_dedup_index's location check."""
+    import pytest
+
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    ref, batch = _five_verdict_fixture(spark)
+    # squat an unrelated MANAGED table on the derived digests name
+    spark.sql("DROP TABLE IF EXISTS idx_squat_digests")
+    spark.createDataFrame([("precious",)], "payload string").write.saveAsTable(
+        "idx_squat_digests"
+    )
+    try:
+        with pytest.raises(ValueError, match="does not own"):
+            build_dedup_index(
+                ref, "text", "doc_id", "idx_squat", str(tmp_path / "a")
+            )
+        # the squatter's data survived the refused build
+        assert spark.table("idx_squat_digests").collect()[0]["payload"] == "precious"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS idx_squat_digests")
+    # a clean build under a fresh name still works, and EXTEND hits the
+    # same guard when its target generation name collides
+    built = build_dedup_index(
+        ref, "text", "doc_id", "idx_own", str(tmp_path / "b"), n_buckets=8
+    )
+    spark.sql("DROP TABLE IF EXISTS idx_squat2_bands")
+    spark.createDataFrame([(1, "k", 2)], "band int, band_key string, ref_count long").write.saveAsTable(
+        "idx_squat2_bands"
+    )
+    try:
+        with pytest.raises(ValueError, match="does not own"):
+            extend_dedup_index(
+                built, batch, "text", "doc_id", "idx_squat2", str(tmp_path / "c")
+            )
+        assert spark.table("idx_squat2_bands").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS idx_squat2_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {built.digests_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {built.bands_table}")
+    # rebuild over the SAME index's own registration is still allowed
+    built2 = build_dedup_index(
+        ref, "text", "doc_id", "idx_own2", str(tmp_path / "d"), n_buckets=8
+    )
+    rebuilt = build_dedup_index(
+        ref, "text", "doc_id", "idx_own2", str(tmp_path / "d"), n_buckets=8
+    )
+    assert spark.table(rebuilt.digests_table).count() == spark.table(
+        built2.digests_table
+    ).count()
+    spark.sql(f"DROP TABLE IF EXISTS {rebuilt.digests_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {rebuilt.bands_table}")
+
+
+def test_normalize_table_location_scheme_aware():
+    """ADVICE r10 (low): location comparison must be scheme-aware — a
+    'file://'-with-authority URI or an object-store location must not be
+    mangled by prefix-stripping + abspath (abspath would prepend the cwd
+    to 's3://...')."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        _normalize_table_location as norm,
+    )
+
+    # local forms all agree
+    assert norm("/x/y") == norm("file:/x/y") == norm("file:///x/y/")
+    # object-store locations compare on (scheme, netloc, path) — never
+    # through abspath
+    assert norm("s3://bucket/idx/t") == norm("s3://bucket/idx/t/")
+    assert norm("s3://bucket/idx/t") != norm("s3://other/idx/t")
+    assert norm("hdfs://nn:8020/idx") == norm("hdfs://nn:8020/idx/")
+    assert norm("s3://bucket/idx") != norm("/idx")

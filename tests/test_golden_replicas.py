@@ -891,10 +891,11 @@ def test_sim_diversity_digest_pin_reproduces_without_spark():
     lists = d2.argmin(axis=1)
 
     # largest-remainder apportionment, inline (weights = cluster sizes,
-    # key order = str(list_id) name order on remainder ties)
+    # key order = zero-padded list_id — numeric order on remainder ties,
+    # mirroring diversity_sample's f"{k:09d}" keying)
     sizes = {int(c): int((lists == c).sum()) for c in range(n_lists)}
     wsum = float(sum(sizes.values()))
-    exact = {str(c): total * v / wsum for c, v in sizes.items()}
+    exact = {f"{c:09d}": total * v / wsum for c, v in sizes.items()}
     base = {d: int(exact[d]) for d in exact}
     for d in sorted(exact, key=lambda d: (-(exact[d] - base[d]), d))[
         : total - sum(base.values())
