@@ -8,6 +8,8 @@ stopword lists and band layouts by construction.
 
 from __future__ import annotations
 
+import itertools
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -241,6 +243,36 @@ SELECT doc_id, verdict, verdict = 'novel' AS keep FROM verdicts
 
 
 SQL_DEDUP_INCREMENTAL = _incremental_sql()
+
+
+_INCR_IDX_SEQ = itertools.count()
+
+
+def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`q_dedup_incremental` probing a PERSISTED dedup index
+    instead of re-scanning the reference corpus — the end-to-end driver
+    check of the index semantics (build two bucketed external tables,
+    then :func:`incremental_dedup_verdicts_indexed`): same 70/30 split,
+    same five-verdict output, same oracle as ``dedup_incremental``.
+
+    The index lands in a fresh temp dir with a per-invocation table
+    name (pid + counter): every call — driver correctness pass, bench
+    rep — builds its OWN generation, so repeated invocations never
+    trip the ownership guard (a fixed name with a rotating temp path
+    would: the guard refuses to drop a table registered at a different
+    location, by design) and never read a stale catalog entry."""
+    import tempfile
+
+    from ..operators.sampling import _hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = docs.withColumn("__b", _hash_bucket(F.col("doc_id"), _INCR_SALT))
+    ref = tagged.where(F.col("__b") < _INCR_REF_CUT).drop("__b")
+    new = tagged.where(F.col("__b") >= _INCR_REF_CUT).drop("__b")
+    name = f"incr_idx_{os.getpid()}_{next(_INCR_IDX_SEQ)}"
+    path = tempfile.mkdtemp(prefix="dedup_incr_idx_")
+    idx = dedup_ops.build_dedup_index(ref, "text", "doc_id", name, path)
+    return dedup_ops.incremental_dedup_verdicts_indexed(new, idx, "text", "doc_id")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1550,6 +1582,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_signatures": q_minhash_signatures,
     "dedup_lsh_pairs": q_lsh_candidate_pairs,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_indexed": q_dedup_incremental_indexed,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_components": q_dedup_components,
     "dedup_simhash": q_simhash,
@@ -1594,6 +1627,9 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_minhash_signatures": SQL_MINHASH_SIGNATURES,
     "dedup_lsh_pairs": SQL_LSH_CANDIDATE_PAIRS,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    # the indexed probe path must produce verdicts IDENTICAL to the scan
+    # path, so it answers to the very same oracle
+    "dedup_incremental_indexed": SQL_DEDUP_INCREMENTAL,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "dedup_simhash": SQL_SIMHASH,
