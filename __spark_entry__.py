@@ -106,14 +106,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # applyInPandas greedy) plus the apportionment, so the family stays
 # represented while the never-checked count stays flat.
 #
-# Registered PAST the window this round (first r11 rotation candidate):
+# Registered PAST the window in r10 (rotated IN below, r11):
 # pipeline_funnel (one-scan cumulative stage-survival counts,
 # operators/aggregates.py funnel_counts — exact SQL oracle, sf0.001 +
 # sf0.01 parity green locally, single-aggregate plan-shape-locked in
-# tests/test_operators.py).  The window's 50 slots this round are spent
+# tests/test_operators.py).  The r10 window's 50 slots were spent
 # on the stale-cohort refresh + the five new-operator entries; the
 # funnel is a trivial-plan single aggregate whose local oracle evidence
-# carries it one round.
+# carried it one round.
+#
+# r11 rotation (this round): evidence-hygiene sweep per the r10
+# verdict.  Nineteen in — (a) pipeline_funnel, the ONLY query of 130
+# with zero driver evidence (registered past the cap late r10); (b)
+# dedup_incremental_indexed (NEW r11 — the persisted-index probe path
+# as an end-to-end driver query: builds the two bucketed external
+# tables to a per-invocation temp path inside the query, probes with
+# incremental_dedup_verdicts_indexed, answers the SAME oracle as
+# dedup_incremental, so the driver hash-checks the index semantics
+# themselves); (c) the full ≥4-rounds-stale cohort — text_token_count
+# (r2, staleness 8 — the book's stalest row) and the sixteen r6 rows:
+# k1_reaction_products, k2_mass, dedup_exact, dedup_ngram_jaccard,
+# text_gopher, text_perplexity, text_lang_id, text_repetition,
+# text_decontaminate, j2_outer_join, j7_semi_join, j9_dict_join,
+# a3_pricing_summary, events_tumbling, events_hopping,
+# sim_cosine_neardup.  Every incoming query re-passed its sf0.01
+# oracle locally this session (19/19 green) before rotating in.
+# Nineteen out, each hash-green in r10's window with an in-window
+# sibling exercising the same machinery and/or a golden pin, plus the
+# standing sf0.01 local oracle: the trivial r1-r2 singles refreshed
+# r10 (p1-p5, p7_dropna, u3_except, f2_substring_parse,
+# f3_regex_rewrite, f9_explode_tokens, f11_conditional_swap — eleven
+# single-operator projections/filters/set-ops), j5_adduct_expand +
+# j6_transition_match (ppm/adduct machinery stays in-window via
+# plan_mass_annotation + j4_band_join), k10_pca_closed (k10_pca_batch
+# keeps the Gram kernel), k6_spearman (plan_corr_multiomics keeps the
+# corr engine), dedup_fingerprint (text_dup_spans keeps the rolling-
+# hash family), dedup_simhash (hash-green r10; pairs proof + local
+# oracle stand), dedup_substring_stats (spans + remove keep the
+# substring family bracketed end-to-end), clusterone_modules_ego
+# (first-checked-and-green r10; clusterone_modules stays, the ego
+# rung is bit-identical by construction and golden-pinned).
 #
 # combat_adjust: formally SUPERSEDED by combat_adjust_digest (in-window
 # through r9, hash-green r9) — the full 10k-row adjusted matrix has no ANSI-SQL
@@ -258,59 +290,58 @@ _PRIORITY = [
     "plan_reaction_mass",
     "plan_data_pipeline",
     "plan_enzyme_annotation",
-    # chemistry / rule kernels (k1/k3 carry the r10 ring-count probes)
+    # chemistry / rule kernels (k1/k3 carry the r10 ring-count probes;
+    # k1_reaction_products + k2_mass re-enter from the r6-stale cohort)
     "k1_graph_rewrite",
+    "k1_reaction_products",
+    "k2_mass",
     "k4_rule_bfs",
     "rulemap_containment",
     "k3_substructure",
     # analytics kernels
     "k10_pca_batch",
-    "k10_pca_closed",
     "k12_perm_fdr",
     "k13_count_glm",
     "plan_methylmix",
     "drivernet_significance",
     "drivernet_permutation",
-    "k6_spearman",
-    # LLM-pipeline surface — dedup_incremental (NEW r10: snapshot-ingest
-    # verdicts vs a reference corpus) takes the dedup_lsh_pairs slot:
-    # lsh_pairs is hash-green r9 and the incremental plan transitively
-    # exercises the same band-key machinery (lsh_band_keys +
-    # lsh_candidate_pairs) plus the exact-digest semi-join
+    # LLM-pipeline surface — dedup_incremental_indexed (NEW r11) sits
+    # next to its scan-form sibling so the driver hash-checks both
+    # against the one shared oracle in the same window
     "dedup_incremental",
+    "dedup_incremental_indexed",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_components",
-    "dedup_simhash",
-    "dedup_fingerprint",
     "sim_ivf_topk",
+    "sim_cosine_neardup",
     "sim_diversity_digest",
     "doc_pack_chunks",
     "dedup_substring_spans",
-    "dedup_substring_stats",
     "dedup_substring_remove",
     "text_quality",
     "mix_domains",
+    "pipeline_funnel",
     "text_token_counts",
+    "text_token_count",
     "text_dup_spans",
+    "text_gopher",
+    "text_perplexity",
+    "text_lang_id",
+    "text_repetition",
+    "text_decontaminate",
     "multimodal_features",
     "clusterone_modules",
-    "clusterone_modules_ego",
-    # streaming-equivalent windows
+    # streaming-equivalent windows (tumbling/hopping re-enter from r6)
     "events_interval_join_outer",
-    # core relational representatives (r10: the r1-r2 stale cohort)
+    "events_tumbling",
+    "events_hopping",
+    # core relational representatives (r11: the r6-stale join cohort)
     "j4_band_join",
-    "j5_adduct_expand",
-    "j6_transition_match",
-    "p1_project_rename",
-    "p2_threshold",
-    "p3_categorical_filter",
-    "p4_nonzero",
-    "p5_remove_zeros",
-    "p7_dropna",
-    "u3_except",
-    "f2_substring_parse",
-    "f3_regex_rewrite",
-    "f9_explode_tokens",
-    "f11_conditional_swap",
+    "j2_outer_join",
+    "j7_semi_join",
+    "j9_dict_join",
+    "a3_pricing_summary",
 ]
 
 

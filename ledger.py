@@ -29,6 +29,25 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
+# Formally-closed ledger rows (r10 verdict item 4): queries whose book
+# state can never change by re-windowing, with the standing evidence
+# that closes them.  They stay registered (API parity) but are excluded
+# from the actionable residues — a ledger row that can never clear is
+# book noise, not a to-do.
+CLOSED = {
+    "combat_adjust": (
+        "superseded by combat_adjust_digest (hash-green r9, golden pin + "
+        "numpy replica in tests/test_combat.py): the full 10k-row adjusted "
+        "matrix has no ANSI-SQL oracle and is too large for a VALUES pin; "
+        "the digest value-locks the identical kernel"
+    ),
+    "methylmix_states": (
+        "rows-only by nature (seeded EM state labels have no SQL oracle; "
+        "driver rows-only pass r9) — digest sibling methylmix_states_digest "
+        "is golden-oracled and was hash-green in-window"
+    ),
+}
+
 
 def load_rounds(here: str = HERE) -> dict[int, dict]:
     rounds: dict[int, dict] = {}
@@ -107,6 +126,8 @@ def main(argv: list[str]) -> int:
     print(f"# rounds on file: through r{latest}; registered queries: {len(names)}")
     never_checked, never_green, stale_rows = [], [], []
     for name in names:
+        if name in CLOSED:
+            continue
         row = ledger.get(name)
         if row is None:
             never_checked.append(name)
@@ -131,6 +152,8 @@ def main(argv: list[str]) -> int:
         f"# checked but never hash-green ({len(never_green)}): {never_green}"
         " (rows-only evidence shown above)"
     )
+    for name, why in CLOSED.items():
+        print(f"# formally closed: {name} — {why}")
     return 0
 
 

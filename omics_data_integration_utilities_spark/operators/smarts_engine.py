@@ -113,6 +113,21 @@ SUBSET engine; the honest scope is:
   depth 8 remain OUTSIDE the subset; a
   product template carrying a query primitive yields no products
   (nothing concrete to write — RDKit errors on such templates).
+  Molecule-side stereo is moreover OUT OF SCOPE at the reference's
+  operating point, not merely out of subset (r11 closing measurement):
+  the reference reads RetroRules rules through exactly TWO SQL entry
+  points, and both filter ``isStereo=0``
+  (getMassTransitions.py:85 — ``WHERE diameter=16 and isStereo=0``;
+  validateRulesWithOrigins.py:50 — ``WHERE isStereo=0``); every other
+  consumer (heraldPathways.py:169,647) reads the CSVs those two
+  produce, inheriting the filter.  So the number of rules at the
+  reference's operating point that could ever exercise
+  chirality-aware matching is structurally zero — no rule with stereo
+  semantics survives ingestion, and the matching RDKit would run on
+  the survivors is the ``useChirality=False`` default this engine
+  already implements.  Declining molecule-side ``[C@H]`` substrates
+  is therefore a conservative guard against inputs the reference
+  pipeline itself never produces.
 - **Ring closures**: a match requires the pattern's internal ring-bond
   pairing to be reproduced inside the matched span (digit labels are
   arbitrary, the pairing topology is what must agree), and a match is

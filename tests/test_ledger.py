@@ -46,3 +46,14 @@ def test_ledger_matches_checked_in_book():
     never_green = {n for n, row in book.items() if row["last_green"] is None}
     assert never_green <= {"combat_adjust", "drivernet_permutation", "methylmix_states"}
     assert {"combat_adjust", "methylmix_states"} <= never_green
+
+
+def test_closed_rows_are_registered_and_excluded_from_residues():
+    """The formally-closed set must stay consistent: every CLOSED name is
+    a registered query (a stale closure for a delisted query is noise),
+    and closures only cover queries with a standing digest/golden
+    sibling or sanctioned rows-only evidence — currently exactly the
+    two the r10 verdict named."""
+    assert set(ledger.CLOSED) == {"combat_adjust", "methylmix_states"}
+    names = set(ledger.registered_names())
+    assert set(ledger.CLOSED) <= names
