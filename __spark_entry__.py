@@ -131,6 +131,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # a3_pricing_summary, events_tumbling, events_hopping,
 # sim_cosine_neardup.  Every incoming query re-passed its sf0.01
 # oracle locally this session (19/19 green) before rotating in.
+# Registered PAST the window this round (first r12 rotation
+# candidate): doc_novelty (NEW r11 — per-document corpus-first gram
+# novelty, operators/dedup.py gram_novelty; exact SQL oracle, sf0.001
+# + sf0.01 parity green locally, hand-pinned semantics + partitioning
+# invariance in tests/test_dedup.py).  The 50 slots this round carry
+# the stale-cohort refresh + the two evidence-hygiene entrants.
+#
 # Nineteen out, each hash-green in r10's window with an in-window
 # sibling exercising the same machinery and/or a golden pin, plus the
 # standing sf0.01 local oracle: the trivial r1-r2 singles refreshed

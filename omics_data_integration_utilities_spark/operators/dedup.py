@@ -789,6 +789,60 @@ def remove_duplicated_spans(
     )
 
 
+def gram_novelty(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 8,
+) -> DataFrame:
+    """Per-document corpus-first n-gram novelty — the curation signal a
+    training pipeline ranks ingest candidates by (a doc whose grams all
+    appeared in earlier docs adds nothing; Lee et al. 2022 §5 measure
+    exactly this as the residual value of deduplicated data).
+
+    A doc's DISTINCT ``width``-grams split into *novel* (this doc is the
+    minimum-``id`` owner corpus-wide — the deterministic "first" under
+    the same id-order rule the substring-dedup keeper uses) and *seen*.
+    Returns one row per document: (id, n_grams, n_novel, novelty), with
+    ``novelty = n_novel / n_grams`` and NULL for docs too short to carry
+    a single gram (no signal ≠ zero novelty).
+
+    Scale shape: distinct (id, gram) projection → groupBy(gram) with
+    ``min(id)`` (partial map-side combine collapses hot boilerplate
+    grams before the exchange, the same regime as
+    :func:`duplicated_substring_spans`) → one equi-join back on the
+    gram digest (both sides pruned to 2 columns; AQE broadcast/skew
+    handles the hot-gram tail) → groupBy(id) count.  No all-pairs
+    anywhere; everything partial-aggregates.
+    """
+    grams = (
+        with_token_grams(df, text_col, id_col, width)
+        .select(F.col(id_col), F.col("g"))
+        .distinct()
+    )
+    first = grams.groupBy("g").agg(F.min(id_col).alias("__first"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col(id_col) == F.col("__first"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    base = df.select(F.col(id_col))
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+        F.when(
+            F.col("n_grams").isNotNull(),
+            F.round(F.col("n_novel") / F.col("n_grams"), 6),
+        ).alias("novelty"),
+    )
+
+
 def _no_shingle_signal(text_col: str) -> "Column":
     """True when a doc has NO shingles (fewer than SHINGLE_WIDTH
     tokens).  Such a doc has an empty minhash input — every one of them

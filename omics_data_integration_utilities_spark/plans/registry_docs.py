@@ -1332,6 +1332,31 @@ m AS (
 )"""
 
 
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-first gram novelty (ingest-ranking signal)."""
+    return dedup_ops.gram_novelty(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", width=_SUBSTR_K
+    )
+
+
+SQL_DOC_NOVELTY = f"""
+WITH {_substr_gram_ctes(_SUBSTR_K)},
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+fst AS (SELECT g, min(doc_id) AS f FROM dg GROUP BY g),
+pd AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN doc_id = f THEN 1 ELSE 0 END) AS n_novel
+  FROM dg JOIN fst USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(pd.n_grams, 0) AS n_grams,
+       coalesce(pd.n_novel, 0) AS n_novel,
+       CASE WHEN pd.n_grams IS NOT NULL
+            THEN round(pd.n_novel / pd.n_grams, 6) END AS novelty
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal duplicated token spans (>= _SUBSTR_K-gram resolution)."""
     return dedup_ops.duplicated_substring_spans(
@@ -1612,6 +1637,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_decontaminate": q_text_decontaminate,
     "doc_chunks": q_doc_chunks,
     "text_dup_spans": q_text_dup_spans,
+    "doc_novelty": q_doc_novelty,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_substring_stats": q_dedup_substring_stats,
     "dedup_substring_remove": q_dedup_substring_remove,
@@ -1657,6 +1683,7 @@ ORACLES_DOCS: dict[str, str] = {
     "text_decontaminate": SQL_TEXT_DECONTAMINATE,
     "doc_chunks": SQL_DOC_CHUNKS,
     "text_dup_spans": SQL_TEXT_DUP_SPANS,
+    "doc_novelty": SQL_DOC_NOVELTY,
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
     "dedup_substring_stats": SQL_DEDUP_SUBSTRING_STATS,
     "dedup_substring_remove": SQL_DEDUP_SUBSTRING_REMOVE,

@@ -1106,3 +1106,43 @@ def test_normalize_table_location_scheme_aware():
     assert norm("s3://bucket/idx/t") != norm("s3://other/idx/t")
     assert norm("hdfs://nn:8020/idx") == norm("hdfs://nn:8020/idx/")
     assert norm("s3://bucket/idx") != norm("/idx")
+
+
+def test_gram_novelty_semantics(spark):
+    """Hand-computed corpus-first novelty at width 8: the min-doc_id
+    owner of a gram is the novel one; repeats score 0; short docs carry
+    NULL (no signal, not zero novelty)."""
+    from omics_data_integration_utilities_spark.operators.dedup import gram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i"),   # grams: a..h, b..i — both first
+            (2, "a b c d e f g h i"),   # exact repeat — both seen
+            (3, "x y"),                  # too short for one gram
+            (4, "a b c d e f g h z"),    # a..h seen (doc 1), b..z novel
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in gram_novelty(df, "text", "doc_id", width=8).collect()
+    }
+    assert rows[1] == (2, 2, 1.0)
+    assert rows[2] == (2, 0, 0.0)
+    assert rows[3] == (0, 0, None)
+    assert rows[4] == (2, 1, 0.5)
+
+
+def test_gram_novelty_partitioning_invariant(spark):
+    """Novelty is a pure function of (id, text) — repartitioning the
+    input must not move any score (the min-id owner rule is global,
+    not partition-local)."""
+    from omics_data_integration_utilities_spark.operators.dedup import gram_novelty
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {tuple(r) for r in gram_novelty(docs, "text", "doc_id").collect()}
+    b = {
+        tuple(r)
+        for r in gram_novelty(docs.repartition(7, "source"), "text", "doc_id").collect()
+    }
+    assert a == b and len(a) == docs.count()
