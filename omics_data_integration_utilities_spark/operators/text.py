@@ -651,3 +651,39 @@ def compression_ratio(
             F.col("ratio") > F.lit(float(max_ratio))
         ),
     )
+
+
+def length_quantiles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    percentages: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+) -> DataFrame:
+    """Per-group EXACT token-length quantiles — the distribution
+    monitoring a pipeline runs per source/shard before and after every
+    filter stage (a collapsed p99 after a dedup pass means the pass ate
+    the long tail, not just duplicates).
+
+    Exact ``percentile`` rather than ``approx_percentile`` because the
+    value domain is BOUNDED: token counts are small integers, so the
+    aggregate's internal value→count map holds at most |distinct
+    lengths| entries per group regardless of corpus size — it partial-
+    aggregates map-side and merges like any combinable agg.  For an
+    UNBOUNDED domain (e.g. float scores) the same call site would flip
+    to ``approx_percentile``; the exact form here keeps the DuckDB
+    oracle bit-comparable (both engines interpolate linearly at
+    ``p*(n-1)``).
+
+    Returns one row per group: (group, n_docs, mean_tokens, then one
+    ``p<pct>`` column per requested percentage, rounded to 6).
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(n_tok), 6).alias("mean_tokens"),
+    ]
+    for p in percentages:
+        label = f"p{str(p).replace('0.', '').ljust(2, '0')}"
+        aggs.append(F.round(F.percentile(n_tok, F.lit(p)), 6).alias(label))
+    return df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)

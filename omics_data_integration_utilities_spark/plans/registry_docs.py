@@ -1332,6 +1332,27 @@ m AS (
 )"""
 
 
+def q_text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact token-length quantiles (pipeline distribution
+    monitoring)."""
+    return text_ops.length_quantiles(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", "source"
+    )
+
+
+_LQ_TOK = "len(string_split(text, ' '))"
+SQL_TEXT_LENGTH_QUANTILES = f"""
+SELECT source AS grp, count(*) AS n_docs,
+       round(avg({_LQ_TOK}), 6) AS mean_tokens,
+       round(quantile_cont({_LQ_TOK}, 0.25), 6) AS p25,
+       round(quantile_cont({_LQ_TOK}, 0.5), 6) AS p50,
+       round(quantile_cont({_LQ_TOK}, 0.75), 6) AS p75,
+       round(quantile_cont({_LQ_TOK}, 0.95), 6) AS p95,
+       round(quantile_cont({_LQ_TOK}, 0.99), 6) AS p99
+FROM documents GROUP BY source
+"""
+
+
 def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document corpus-first gram novelty (ingest-ranking signal)."""
     return dedup_ops.gram_novelty(
@@ -1638,6 +1659,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "text_dup_spans": q_text_dup_spans,
     "doc_novelty": q_doc_novelty,
+    "text_length_quantiles": q_text_length_quantiles,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_substring_stats": q_dedup_substring_stats,
     "dedup_substring_remove": q_dedup_substring_remove,
@@ -1684,6 +1706,7 @@ ORACLES_DOCS: dict[str, str] = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "text_dup_spans": SQL_TEXT_DUP_SPANS,
     "doc_novelty": SQL_DOC_NOVELTY,
+    "text_length_quantiles": SQL_TEXT_LENGTH_QUANTILES,
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
     "dedup_substring_stats": SQL_DEDUP_SUBSTRING_STATS,
     "dedup_substring_remove": SQL_DEDUP_SUBSTRING_REMOVE,
