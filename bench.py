@@ -104,6 +104,12 @@ SLOW_TIER = [
     # (IVF assignment + per-cluster farthest-point applyInPandas)
     "mix_domains",
     "sim_diversity_digest",
+    # round 11: the persisted-index probe path (index build + probe per
+    # rep — measures the end-to-end generation cost, not just the
+    # probe), corpus-first gram novelty, and exact length quantiles
+    "dedup_incremental_indexed",
+    "doc_novelty",
+    "text_length_quantiles",
 ]
 
 REGRESSION_FLAG = 1.3

@@ -246,6 +246,7 @@ SQL_DEDUP_INCREMENTAL = _incremental_sql()
 
 
 _INCR_IDX_SEQ = itertools.count()
+_INCR_IDX_LAST: list[str] = []  # previous invocation's tables, for cleanup
 
 
 def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,11 +261,18 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep — builds its OWN generation, so repeated invocations never
     trip the ownership guard (a fixed name with a rotating temp path
     would: the guard refuses to drop a table registered at a different
-    location, by design) and never read a stale catalog entry."""
+    location, by design) and never read a stale catalog entry.  The
+    PREVIOUS invocation's catalog entries are dropped on entry (the
+    files stay until /tmp cleanup) so bench reps don't accumulate
+    tables; a caller holding the previous invocation's un-collected
+    DataFrame across a new call would lose it — registry calls never
+    do (each driver/bench rep collects before the next begins)."""
     import tempfile
 
     from ..operators.sampling import _hash_bucket
 
+    while _INCR_IDX_LAST:
+        spark.sql(f"DROP TABLE IF EXISTS {_INCR_IDX_LAST.pop()}")
     docs = _t(spark, sf_dir, "documents")
     tagged = docs.withColumn("__b", _hash_bucket(F.col("doc_id"), _INCR_SALT))
     ref = tagged.where(F.col("__b") < _INCR_REF_CUT).drop("__b")
@@ -272,6 +280,7 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"incr_idx_{os.getpid()}_{next(_INCR_IDX_SEQ)}"
     path = tempfile.mkdtemp(prefix="dedup_incr_idx_")
     idx = dedup_ops.build_dedup_index(ref, "text", "doc_id", name, path)
+    _INCR_IDX_LAST.extend([idx.digests_table, idx.bands_table])
     return dedup_ops.incremental_dedup_verdicts_indexed(new, idx, "text", "doc_id")
 
 
