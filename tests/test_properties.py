@@ -1251,3 +1251,75 @@ def test_closure_bond_expr_equals_inline_writing(s, expr, ends):
     got = has_substructure(s, closure_q)
     assert got == has_substructure(s, inline_q), (s, closure_q, inline_q)
     assert got == has_substructure(s, close_side), (s, closure_q, close_side)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=14),
+        min_size=1,
+        max_size=12,
+    ),
+    width=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=10, deadline=None)
+def test_gram_novelty_matches_brute_force(spark, docs, width):
+    """doc_novelty independent verification: novelty from plain Python
+    sets (first-seen in doc_id order) must equal the engine's
+    distinct+min-id-owner plan on random corpora, including short docs
+    (NULL) and fully-duplicated ones (0.0)."""
+    from omics_data_integration_utilities_spark.operators.dedup import gram_novelty
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in gram_novelty(df, "text", "doc_id", width=width).collect()
+    }
+    seen: set = set()
+    for i, toks in enumerate(docs):
+        grams = {
+            " ".join(toks[j : j + width]) for j in range(len(toks) - width + 1)
+        }
+        novel = grams - seen
+        seen |= grams
+        want = (
+            len(grams),
+            len(novel),
+            round(len(novel) / len(grams), 6) if grams else None,
+        )
+        assert got[i] == want, f"doc {i}: {got[i]} != {want}"
+
+
+@given(
+    lengths=st.lists(
+        st.tuples(st.sampled_from(["s1", "s2"]), st.integers(1, 40)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_length_quantiles_match_numpy_linear(spark, lengths):
+    """text_length_quantiles independent verification: Spark's exact
+    percentile must agree with numpy's linear interpolation (the same
+    p*(n-1) rule DuckDB's quantile_cont uses) on random groups."""
+    import numpy as np
+
+    from omics_data_integration_utilities_spark.operators.text import length_quantiles
+
+    rows = [(i, grp, " ".join(["t"] * n)) for i, (grp, n) in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["grp"]: r.asDict()
+        for r in length_quantiles(df, "text", "doc_id", "source").collect()
+    }
+    by_grp: dict = {}
+    for _, (grp, n) in zip(rows, lengths):
+        by_grp.setdefault(grp, []).append(n)
+    for grp, ns in by_grp.items():
+        r = got[grp]
+        assert r["n_docs"] == len(ns)
+        assert r["mean_tokens"] == round(float(np.mean(ns)), 6)
+        for p, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
+                       (0.95, "p95"), (0.99, "p99")):
+            want = round(float(np.percentile(ns, p * 100, method="linear")), 6)
+            assert r[col] == want, f"{grp} {col}: {r[col]} != {want}"
