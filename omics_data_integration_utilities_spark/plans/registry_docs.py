@@ -1374,8 +1374,11 @@ WITH {_substr_gram_ctes(_SUBSTR_K)},
 dg AS (SELECT DISTINCT doc_id, g FROM grams),
 fst AS (SELECT g, min(doc_id) AS f FROM dg GROUP BY g),
 pd AS (
+  -- CAST: uncast DuckDB integer sums are HUGEINT and arrow-fetch as a
+  -- different dtype class than Spark's int64 (the doc_pack_chunks
+  -- lesson, guarded by conftest's dtype-class check)
   SELECT doc_id, count(*) AS n_grams,
-         sum(CASE WHEN doc_id = f THEN 1 ELSE 0 END) AS n_novel
+         CAST(sum(CASE WHEN doc_id = f THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
   FROM dg JOIN fst USING (g) GROUP BY doc_id
 )
 SELECT d.doc_id,
