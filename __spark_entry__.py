@@ -132,11 +132,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # sim_cosine_neardup.  Every incoming query re-passed its sf0.01
 # oracle locally this session (19/19 green) before rotating in.
 # Registered PAST the window this round (first r12 rotation
-# candidate): doc_novelty (NEW r11 — per-document corpus-first gram
+# candidates): doc_novelty (NEW r11 — per-document corpus-first gram
 # novelty, operators/dedup.py gram_novelty; exact SQL oracle, sf0.001
 # + sf0.01 parity green locally, hand-pinned semantics + partitioning
-# invariance in tests/test_dedup.py).  The 50 slots this round carry
-# the stale-cohort refresh + the two evidence-hygiene entrants.
+# invariance + hypothesis brute-force replica), text_length_quantiles
+# (NEW r11 — per-group exact token-length quantiles, operators/text.py
+# length_quantiles; exact oracle via DuckDB quantile_cont, numpy
+# replica property test), and dedup_keep_best (NEW r11 — quality-aware
+# duplicate-cluster canonicalization, operators/dedup.py
+# keep_best_per_component composed pairs→components→representative;
+# exact recursive-CTE + window oracle).  All three are sf0.01
+# harness-green (the driver-grade dtype-class compare) this session.
+# The 50 slots this round carry the stale-cohort refresh + the two
+# evidence-hygiene entrants.
 #
 # Nineteen out, each hash-green in r10's window with an in-window
 # sibling exercising the same machinery and/or a golden pin, plus the

@@ -789,6 +789,51 @@ def remove_duplicated_spans(
     )
 
 
+def keep_best_per_component(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_id_col: str = "doc_id",
+    comp_col: str = "component",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Duplicate-cluster canonicalization: per near-dup component keep
+    the HIGHEST-scoring member (ties to the lowest id) — the production
+    policy after :func:`connected_components`, replacing its min-id
+    ``is_canonical`` default with a quality-aware choice (you keep the
+    best copy of a duplicated page, not the one with the smallest id).
+
+    ``components`` is (id, component, ...) from
+    :func:`connected_components`; ``scores`` is any (doc_id, score)
+    table (e.g. ``text.quality_score``).  Returns one row per doc:
+    (id, component, score, keep).
+
+    Scale shape: one equi-join components⋈scores on the doc id, then
+    the winner per component via ``max(struct(score, -id))`` — a
+    partial-aggregating groupBy (no rank window over the component key,
+    so hot mega-components stay in the map-side-combine + AQE regime),
+    joined back on the component key.
+    """
+    scored = components.select(F.col(id_col), F.col(comp_col)).join(
+        scores.select(
+            F.col(score_id_col).alias(id_col), F.col(score_col).alias("__s")
+        ),
+        id_col,
+    )
+    best = scored.groupBy(comp_col).agg(
+        F.max(F.struct(F.col("__s"), (-F.col(id_col)).alias("__nid"))).alias("__b")
+    )
+    return (
+        scored.join(best, comp_col)
+        .select(
+            F.col(id_col),
+            F.col(comp_col),
+            F.col("__s").alias(score_col),
+            (F.col(id_col) == -F.col("__b.__nid")).alias("keep"),
+        )
+    )
+
+
 def gram_novelty(
     df: DataFrame,
     text_col: str,

@@ -1146,3 +1146,31 @@ def test_gram_novelty_partitioning_invariant(spark):
         for r in gram_novelty(docs.repartition(7, "source"), "text", "doc_id").collect()
     }
     assert a == b and len(a) == docs.count()
+
+
+def test_keep_best_per_component_semantics(spark):
+    """Quality-aware canonicalization: highest score wins the component,
+    ties break to the LOWEST id, singletons keep themselves."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        keep_best_per_component,
+    )
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "id long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.5), (6, 0.5)],
+        "doc_id long, quality double",
+    )
+    rows = {
+        r["id"]: (r["component"], r["quality"], r["keep"])
+        for r in keep_best_per_component(comps, scores).collect()
+    }
+    assert rows[2] == (1, 0.9, True)   # max quality...
+    assert rows[3] == (1, 0.9, False)  # ...tie to lowest id
+    assert rows[1] == (1, 0.2, False)
+    assert rows[4] == (4, 0.1, True)   # singleton keeps itself
+    assert rows[5] == (5, 0.5, True)   # tie to lowest id again
+    assert rows[6] == (5, 0.5, False)
+    assert sum(1 for _, _, k in rows.values() if k) == 3  # one per component
