@@ -1081,6 +1081,42 @@ def test_stereo_decoration_never_changes_verdict(s, p, data):
     assert has_substructure(s, decorated) == has_substructure(s, p)
 
 
+@given(s=_smiles_subset(), p=_smiles_subset(), data=st.data())
+@settings(max_examples=100, deadline=None)
+def test_out_of_range_chirality_ids_decline_conservatively(s, p, data):
+    """An OUT-OF-RANGE extended chirality id (@TH3, @SP9, @TB21, @OH31,
+    @AL5...) is not valid Daylight SMARTS: strip_stereo must fall back
+    to bare-@ stripping (never half-consume a shorter valid class — the
+    r10-ADVICE partial-strip bug), leaving a class residue the bracket
+    parser rejects, so the decorated pattern DECLINES (verdict False)
+    rather than silently matching something."""
+    import re
+
+    from omics_data_integration_utilities_spark.operators.smarts_engine import (
+        has_substructure,
+        strip_stereo,
+    )
+
+    bad = data.draw(
+        st.sampled_from(
+            ["@TH3", "@TH12", "@AL5", "@SP4", "@TB21", "@TB99",
+             "@OH31", "@OH99", "@SP31"]
+        )
+    )
+    # decorate the FIRST bracket atom only (one poisoned atom is enough
+    # to invalidate the whole pattern)
+    decorated, n = re.subn(
+        r"\[([A-Z][a-z]?|[a-z])", "[" + "\\1" + bad, p, count=1
+    )
+    if n == 0:
+        return  # pattern had no bracket atom to poison
+    stripped = strip_stereo(decorated)
+    # the class token must survive bare-@ stripping as a residue...
+    assert bad[1:] in stripped
+    # ...and the poisoned pattern must decline, never match
+    assert has_substructure(s, decorated) is False
+
+
 # ---- bond expressions: independent-evaluator parity (late r10) ----
 
 _BEXPR_PRIMS = ["-", "=", "#", ":", "~", "@", "/"]
