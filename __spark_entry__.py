@@ -141,7 +141,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # replica property test), and dedup_keep_best (NEW r11 — quality-aware
 # duplicate-cluster canonicalization, operators/dedup.py
 # keep_best_per_component composed pairs→components→representative;
-# exact recursive-CTE + window oracle).  All three are sf0.01
+# exact recursive-CTE + window oracle), plus events_funnel (NEW r11 —
+# per-tumbling-window stage-survival funnel, the batch twin of
+# streaming/funnel.windowed_funnel_stream with a stream==batch parity
+# test; exact conditional-aggregation oracle).  All four are sf0.01
 # harness-green (the driver-grade dtype-class compare) this session.
 # The 50 slots this round carry the stale-cohort refresh + the two
 # evidence-hygiene entrants.

@@ -586,6 +586,44 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB sum(CASE..) returns HUGEINT — CAST every count to BIGINT (the
 # r9 doc_pack_chunks fetched-dtype lesson)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tumbling-window stage-survival funnel over the events feed —
+    the batch twin of streaming/funnel.windowed_funnel_stream (the
+    stream==batch parity test pins the two equal on identical input);
+    registered so the driver hash-checks the windowed funnel algebra."""
+    from ..streaming.funnel import windowed_funnel_batch
+
+    events = _t(spark, sf_dir, "events")
+    return windowed_funnel_batch(
+        events,
+        [
+            ("nonzero", F.col("value") > 0.1),
+            ("mid", F.col("value") > 5.0),
+            ("clicky", F.col("event_type").isin("click", "view")),
+        ],
+        window_seconds=3600,
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH agg AS (
+  SELECT epoch_us(ts) // 3600000000 AS bucket,
+         CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN value > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN value > 0.1 AND value > 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN value > 0.1 AND value > 5.0
+                        AND event_type IN ('click', 'view') THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM events GROUP BY 1
+)
+SELECT bucket, 'nonzero' AS stage, CAST(0 AS BIGINT) AS stage_idx,
+       n0 AS n_in, n1 AS n_surviving, n0 - n1 AS n_dropped FROM agg
+UNION ALL
+SELECT bucket, 'mid', CAST(1 AS BIGINT), n1, n2, n1 - n2 FROM agg
+UNION ALL
+SELECT bucket, 'clicky', CAST(2 AS BIGINT), n2, n3, n2 - n3 FROM agg
+"""
+
+
 SQL_PIPELINE_FUNNEL = """
 WITH base AS (
   SELECT source, n_chars, len(string_split(text, ' ')) AS toks, lang
@@ -1698,6 +1736,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_split": q_doc_split,
     "mix_domains": q_mix_domains,
     "pipeline_funnel": q_pipeline_funnel,
+    "events_funnel": q_events_funnel,
     "doc_pack_chunks": q_doc_pack_chunks,
     "doc_pack_chunks_digest": q_doc_pack_chunks_digest,
     "probe_double_pmod": q_probe_double_pmod,
@@ -1748,6 +1787,7 @@ ORACLES_DOCS: dict[str, str] = {
     "doc_split": SQL_DOC_SPLIT,
     "mix_domains": SQL_MIX_DOMAINS,
     "pipeline_funnel": SQL_PIPELINE_FUNNEL,
+    "events_funnel": SQL_EVENTS_FUNNEL,
     "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
     "doc_pack_chunks_digest": SQL_DOC_PACK_CHUNKS_DIGEST,
     "probe_double_pmod": SQL_PROBE_DOUBLE_PMOD,

@@ -837,3 +837,57 @@ def test_incremental_dedup_stream_probes_persisted_index(spark, tmp_path):
     finally:
         q.stop()
     assert got == want == {10: "exact_ref", 11: "near_ref", 16: "novel", 17: "novel"}
+
+
+def test_windowed_funnel_stream_matches_batch(spark, tmp_path):
+    """Per-window funnel under readStream equals the batch twin on the
+    same input: every (window, stage) row's survivor accounting matches,
+    and per window the cumulative counts are monotone non-increasing."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.streaming.funnel import (
+        windowed_funnel_batch,
+        windowed_funnel_stream,
+    )
+
+    path = f"{SF_SMOKE}/events.parquet"
+    stages = [
+        ("nonzero", F.col("value") > 0.1),
+        ("mid", F.col("value") > 5.0),
+        ("clicky", F.col("event_type").isin("click", "view")),
+    ]
+    stream_df = windowed_funnel_stream(spark, path, stages, window="1 hour")
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("funnel_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["win_start"], r["stage"]): (r["n_in"], r["n_surviving"], r["n_dropped"])
+            for r in spark.sql("SELECT * FROM funnel_out").collect()
+        }
+    finally:
+        q.stop()
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(path)
+    batch = windowed_funnel_batch(events, stages, 3600)
+    # map the integer epoch bucket back to the window start for the compare
+    import datetime as dt
+
+    want = {}
+    for r in batch.collect():
+        start = dt.datetime.fromtimestamp(r["bucket"] * 3600, tz=dt.timezone.utc).replace(tzinfo=None)
+        want[(start, r["stage"])] = (r["n_in"], r["n_surviving"], r["n_dropped"])
+    assert got == want and len(want) > 0
+    # monotonicity: stage k's n_in equals stage k-1's n_surviving
+    by_win: dict = {}
+    for (start, stage), (n_in, n_sur, _drop) in want.items():
+        by_win.setdefault(start, {})[stage] = (n_in, n_sur)
+    for start, d in by_win.items():
+        assert d["mid"][0] == d["nonzero"][1]
+        assert d["clicky"][0] == d["mid"][1]
