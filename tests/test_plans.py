@@ -236,3 +236,42 @@ def test_incremental_dedup_plan_shape(spark):
         if "collect_list" in ln and "partial" not in ln
     )
     assert n_bucket_aggs == 1, plan
+
+
+def test_doc_novelty_partial_agg_no_python_no_window(spark):
+    """gram_novelty's 100 TB shape: the min-id-owner side must partial-
+    aggregate before its exchange (hot boilerplate grams collapse
+    map-side), with no rank window over the gram key and no Python."""
+    plan = _plan(spark, "doc_novelty")
+    assert "partial_min" in plan or "partial" in plan
+    assert "Window" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_text_length_quantiles_single_aggregate_no_python(spark):
+    """One combinable aggregate over one scan: exactly one exchange pair
+    (partial -> final), no join, no window, no Python."""
+    plan = _plan(spark, "text_length_quantiles")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "percentile" in plan
+
+
+def test_dedup_keep_best_no_rank_window(spark):
+    """keep_best_per_component must pick winners via the partial-agg
+    max(struct) + join-back, never a rank window over the component key
+    (hot mega-components would serialize into one window partition)."""
+    plan = _plan(spark, "dedup_keep_best")
+    assert "Window" not in plan
+    assert "partial_max" in plan or "partial" in plan
+
+
+def test_events_funnel_single_conditional_scan(spark):
+    """The windowed funnel stays ONE conditional-aggregation scan over
+    events: no join, no Python; the stage explosion is a row-local
+    Generate after the aggregate."""
+    plan = _plan(spark, "events_funnel")
+    assert "Join" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert plan.count("Scan parquet") == 1
