@@ -37,6 +37,23 @@ def lang_id(df: DataFrame, text_col: str, id_col: str, threshold: float = 0.05) 
     )
 
 
+def quality_expr(text_col: str) -> Column:
+    """The composite quality score as a bare column expression, so
+    streaming pipelines can gate on it without the projection shape
+    :func:`quality_score` imposes (same formula, single source of
+    truth)."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    mean_tok_len = (n_chars - (n_tok - 1)) / n_tok  # chars minus separators
+    return (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + distinct_ratio * 0.4
+        + F.least(mean_tok_len / F.lit(10.0), F.lit(1.0)) * 0.2
+    )
+
+
 def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document quality features: length, token count, mean token length,
     type-token ratio, and a composite score — one projection."""
@@ -45,11 +62,7 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     n_chars = F.length(F.col(text_col))
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
     mean_tok_len = (n_chars - (n_tok - 1)) / n_tok  # chars minus separators
-    score = (
-        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
-        + distinct_ratio * 0.4
-        + F.least(mean_tok_len / F.lit(10.0), F.lit(1.0)) * 0.2
-    )
+    score = quality_expr(text_col)
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),

@@ -891,3 +891,43 @@ def test_windowed_funnel_stream_matches_batch(spark, tmp_path):
     for start, d in by_win.items():
         assert d["mid"][0] == d["nonzero"][1]
         assert d["clicky"][0] == d["mid"][1]
+
+
+def test_curate_doc_stream_matches_batch_gate_and_dedup(spark, tmp_path):
+    """The streaming curation pipeline (quality gate -> exact dedup on
+    arrival) keeps exactly the batch equivalent's content-hash set, and
+    every kept row individually clears the gate."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.operators.text import quality_expr
+    from omics_data_integration_utilities_spark.streaming.pipeline import (
+        curate_doc_stream,
+    )
+
+    path = f"{SF_SMOKE}/documents.parquet"
+    stream_df = curate_doc_stream(spark, path, min_quality=0.5)
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curate_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        kept = spark.sql("SELECT * FROM curate_out").collect()
+    finally:
+        q.stop()
+
+    docs = spark.read.parquet(path)
+    batch_hashes = {
+        r["h"]
+        for r in docs.where(F.round(quality_expr("text"), 6) >= 0.5)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert {r["content_hash"] for r in kept} == batch_hashes
+    assert len(kept) == len(batch_hashes)  # one representative per hash
+    assert all(r["quality"] >= 0.5 for r in kept)
+    assert 0 < len(kept) < docs.count()  # the gate and the dedup both bit
