@@ -144,10 +144,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # exact recursive-CTE + window oracle), plus events_funnel (NEW r11 —
 # per-tumbling-window stage-survival funnel, the batch twin of
 # streaming/funnel.windowed_funnel_stream with a stream==batch parity
-# test; exact conditional-aggregation oracle).  All four are sf0.01
-# harness-green (the driver-grade dtype-class compare) this session.
-# The 50 slots this round carry the stale-cohort refresh + the two
-# evidence-hygiene entrants.
+# test; exact conditional-aggregation oracle), and source_overlap (NEW
+# r11 — cross-source n-gram overlap matrix via set_overlap_matrix;
+# exact oracle, gram granularity because the testdata has no
+# cross-source exact duplicates at correctness scales).  All five are
+# sf0.01 harness-green (the driver-grade dtype-class compare) this
+# session.  The 50 slots this round carry the stale-cohort refresh +
+# the two evidence-hygiene entrants.
 #
 # Nineteen out, each hash-green in r10's window with an in-window
 # sibling exercising the same machinery and/or a golden pin, plus the

@@ -789,6 +789,73 @@ def remove_duplicated_spans(
     )
 
 
+def set_overlap_matrix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Pairwise set-overlap matrix over grouped keys — "which
+    crawls/dumps duplicate each other, and how much": for every group
+    pair (a < b), the number of distinct keys present in BOTH, each
+    side's distinct total, and the Jaccard of the two key sets.  The
+    table a pipeline reads before deciding which snapshot to ingest
+    first (ingesting the high-overlap one second wastes the dedup pass).
+    Keys are whatever granularity the caller projects: content hashes
+    (:func:`source_content_overlap`), token grams, winnowing
+    fingerprints.
+
+    Scale shape: one (group, key) distinct (shuffle on the pair),
+    per-group totals by partial-agg groupBy, and the pair intersection
+    via a self-join ON THE KEY — grouped to (a, b) counts.  A key shared
+    by k groups expands to k(k−1)/2 pair rows; k is bounded by the
+    number of GROUPS (a handful of sources), not the corpus, so the
+    join output is |shared keys|·O(groups²) — never corpus-quadratic.
+    All three legs partial-aggregate; AQE handles the hot-key class
+    (the boilerplate gram every source carries).
+    """
+    sd = df.select(
+        F.col(group_col).alias("src"), F.col(key_col).alias("key")
+    ).distinct()
+    totals = sd.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sd.alias("a")
+        .join(sd.alias("b"), "key")
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = totals.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(ta, "src_a")
+        .join(tb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def source_content_overlap(
+    df: DataFrame, text_col: str, source_col: str
+) -> DataFrame:
+    """:func:`set_overlap_matrix` at exact-content granularity (one md5
+    key per document) — the whole-document duplication view."""
+    return set_overlap_matrix(
+        df.select(F.col(source_col), F.md5(F.col(text_col)).alias("__k")),
+        source_col,
+        "__k",
+    )
+
+
 def keep_best_per_component(
     components: DataFrame,
     scores: DataFrame,

@@ -1477,6 +1477,40 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix: per source pair, shared
+    distinct _SUBSTR_K-gram digests + Jaccard — the which-crawl-
+    duplicates-which table at gram granularity (exact-content
+    granularity is source_content_overlap; the testdata has no
+    cross-source exact duplicates at the correctness scales, so the
+    registered form overlaps at the gram level where the shared
+    synthetic vocabulary gives real signal)."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = dedup_ops.with_token_grams(docs, "text", "doc_id", _SUBSTR_K)
+    keyed = grams.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source", "g"
+    )
+    return dedup_ops.set_overlap_matrix(keyed, "source", "g")
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH {_substr_gram_ctes(_SUBSTR_K)},
+sd AS (
+  SELECT DISTINCT d.source AS src, g.g AS key
+  FROM grams g JOIN documents d USING (doc_id)
+),
+tot AS (SELECT src, count(*) AS n FROM sd GROUP BY src),
+pr AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+  FROM sd a JOIN sd b ON a.key = b.key AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, ta.n AS n_a, tb.n AS n_b, n_shared,
+       round(n_shared / (ta.n + tb.n - n_shared), 6) AS jaccard
+FROM pr JOIN tot ta ON ta.src = src_a JOIN tot tb ON tb.src = src_b
+"""
+
+
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal duplicated token spans (>= _SUBSTR_K-gram resolution)."""
     return dedup_ops.duplicated_substring_spans(
@@ -1761,6 +1795,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_dup_spans": q_text_dup_spans,
     "doc_novelty": q_doc_novelty,
     "text_length_quantiles": q_text_length_quantiles,
+    "source_overlap": q_source_overlap,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_substring_stats": q_dedup_substring_stats,
     "dedup_substring_remove": q_dedup_substring_remove,
@@ -1810,6 +1845,7 @@ ORACLES_DOCS: dict[str, str] = {
     "text_dup_spans": SQL_TEXT_DUP_SPANS,
     "doc_novelty": SQL_DOC_NOVELTY,
     "text_length_quantiles": SQL_TEXT_LENGTH_QUANTILES,
+    "source_overlap": SQL_SOURCE_OVERLAP,
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
     "dedup_substring_stats": SQL_DEDUP_SUBSTRING_STATS,
     "dedup_substring_remove": SQL_DEDUP_SUBSTRING_REMOVE,

@@ -1174,3 +1174,36 @@ def test_keep_best_per_component_semantics(spark):
     assert rows[5] == (5, 0.5, True)   # tie to lowest id again
     assert rows[6] == (5, 0.5, False)
     assert sum(1 for _, _, k in rows.values() if k) == 3  # one per component
+
+
+def test_set_overlap_matrix_semantics(spark):
+    """Hand-computed pairwise overlap: shared distinct keys, per-side
+    totals, Jaccard; non-overlapping pairs emit no row; duplicate
+    (group, key) rows collapse before counting."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        set_overlap_matrix,
+        source_content_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "k1"), ("a", "k2"), ("a", "k2"),      # a = {k1, k2}
+         ("b", "k2"), ("b", "k3"),                    # b = {k2, k3}
+         ("c", "k9")],                                # c disjoint
+        "src string, key string",
+    )
+    rows = {
+        (r["src_a"], r["src_b"]): (r["n_a"], r["n_b"], r["n_shared"], r["jaccard"])
+        for r in set_overlap_matrix(df, "src", "key").collect()
+    }
+    assert rows == {("a", "b"): (2, 2, 1, round(1 / 3, 6))}
+
+    # content form: identical text across sources is one shared key
+    docs = spark.createDataFrame(
+        [(1, "x", "same text"), (2, "y", "same text"), (3, "y", "other")],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_a"], r["n_b"], r["n_shared"])
+        for r in source_content_overlap(docs, "text", "source").collect()
+    }
+    assert got == {("x", "y"): (1, 2, 1)}
