@@ -147,10 +147,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # test; exact conditional-aggregation oracle), and source_overlap (NEW
 # r11 — cross-source n-gram overlap matrix via set_overlap_matrix;
 # exact oracle, gram granularity because the testdata has no
-# cross-source exact duplicates at correctness scales).  All five are
-# sf0.01 harness-green (the driver-grade dtype-class compare) this
-# session.  The 50 slots this round carry the stale-cohort refresh +
-# the two evidence-hygiene entrants.
+# cross-source exact duplicates at correctness scales), and
+# events_asof_join (NEW r11 — the as-of join via the union-window
+# composition, oracled against DuckDB's NATIVE ASOF LEFT JOIN).  All
+# six are sf0.01 harness-green (the driver-grade dtype-class compare)
+# this session.  The 50 slots this round carry the stale-cohort
+# refresh + the two evidence-hygiene entrants.
 #
 # Nineteen out, each hash-green in r10's window with an in-window
 # sibling exercising the same machinery and/or a golden pin, plus the

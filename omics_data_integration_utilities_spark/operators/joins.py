@@ -154,3 +154,89 @@ def bipartite_event_join(
         F.col(patient_col).alias("patient"), F.col(out_gene_col).alias("out_gene")
     )
     return m.join(F.broadcast(e), "mut_gene").join(o, ["patient", "out_gene"])
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: "list[str]",
+    ts_col: str,
+    right_value_cols: "list[str]",
+    tolerance: int | None = None,
+) -> DataFrame:
+    """As-of join: every left row picks the most recent right row with
+    the same key and ``right.ts <= left.ts`` (ties at equal ts match —
+    the standard "at-or-before" semantics, DuckDB ``ASOF LEFT JOIN`` /
+    pandas ``merge_asof`` compatible).  Spark has no native form; the
+    naive range-join is O(n·m) per key.
+
+    Implemented as the scalable union-window composition: tag sides,
+    union, ONE window per key ordered by (ts, side) with
+    ``last(..., ignorenulls=True)`` carrying the right row's values
+    forward onto later left rows — one shuffle+sort total, no join
+    node, no per-key quadratic work.  Ordering puts the right side
+    FIRST at equal timestamps so an exactly-simultaneous right row
+    matches.
+
+    ``right_value_cols`` come back as ``matched_<col>`` plus
+    ``matched_<ts_col>`` (null when no right row precedes).  The RIGHT
+    side must be unique per (key, ts) — pre-aggregate duplicates to
+    one row (e.g. ``max_by``) or the carried values are
+    order-dependent; uniqueness is the caller's contract, same as
+    pandas ``merge_asof``.  ``tolerance`` (same units as ``ts_col``)
+    nulls out matches older than ``left.ts - tolerance``.
+
+    Scale note: the window partitions by key — per-partition size is
+    the per-key event count, the same bound every per-user session
+    window in ``streaming/events.py`` carries; skew in a hot key is
+    real but identical to the groupBy alternative's, and AQE cannot
+    split windows, so salt upstream if one key dominates.
+    """
+    from pyspark.sql import Window
+
+    lv = left.withColumn("__side", F.lit(1))
+    rv = right.select(
+        *[F.col(c) for c in key_cols],
+        F.col(ts_col),
+        *[F.col(c).alias(f"__rv_{c}") for c in right_value_cols],
+    ).withColumn("__side", F.lit(0))
+    missing_in_r = [c for c in lv.columns if c not in rv.columns]
+    for c in missing_in_r:
+        rv = rv.withColumn(c, F.lit(None).cast(lv.schema[c].dataType))
+    missing_in_l = [c for c in rv.columns if c not in lv.columns]
+    for c in missing_in_l:
+        lv = lv.withColumn(c, F.lit(None).cast(rv.schema[c].dataType))
+    both = lv.unionByName(rv)
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = both.select(
+        "*",
+        F.last(
+            F.when(F.col("__side") == 0, F.col(ts_col)), ignorenulls=True
+        ).over(w).alias(f"matched_{ts_col}"),
+        *[
+            F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w).alias(f"matched_{c}")
+            for c in right_value_cols
+        ],
+    )
+    out = carried.where(F.col("__side") == 1).drop(
+        "__side", *[f"__rv_{c}" for c in right_value_cols]
+    )
+    if tolerance is not None:
+        # one projection: nulling matched_{ts} via withColumn FIRST would
+        # make later columns' staleness test read the already-nulled ts
+        # (null comparison → otherwise-branch → the stale value survives)
+        stale = F.col(f"matched_{ts_col}") < F.col(ts_col) - F.lit(tolerance)
+        matched = [f"matched_{ts_col}"] + [f"matched_{c}" for c in right_value_cols]
+        out = out.select(
+            *[c for c in out.columns if c not in matched],
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
+                for c in matched
+            ],
+        )
+    return out

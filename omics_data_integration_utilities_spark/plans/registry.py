@@ -838,6 +838,45 @@ FROM events GROUP BY bucket, event_type
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over the events feed: every click matched to the most
+    recent purchase by the same user at-or-before it (null when none
+    precedes).  The right side pre-aggregates to one row per
+    (user, timestamp) — argmax by event_id, the uniqueness contract —
+    before the union-window composition in ``operators.joins.asof_join``.
+    Oracle = DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.joins import asof_join
+    from ..streaming.events import ts_event_micros_sql
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr(ts_event_micros_sql(ev))
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("us"), "value"
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("us"), "event_id", "value")
+        .groupBy("user_id", "us")
+        .agg(F.max(F.struct("event_id", "value")).getField("value").alias("rv"))
+    )
+    return asof_join(left, right, ["user_id"], "us", ["rv"])
+
+
+SQL_EVENTS_ASOF = """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, value
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, epoch_us(ts) AS us, max_by(value, event_id) AS rv
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.us, l.value,
+       r.us AS matched_us, r.rv AS matched_rv
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
+"""
+
+
 def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping windows (1h window, 15min slide — each event in 4 buckets)
     via the built-in sliding ``F.window``; oracle enumerates the 4
@@ -996,6 +1035,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k6_corr_pvalue": q_k6_corr_pvalue,
     "plan_mass_annotation": q_plan_mass_annotation,
     "events_tumbling": q_events_tumbling,
+    "events_asof_join": q_events_asof_join,
     "events_sessions": q_events_sessions,
     "events_hopping": q_events_hopping,
     "events_interval_join": q_events_interval_join,
@@ -1034,6 +1074,7 @@ ORACLES: dict[str, str] = {
     "k6_corr_pvalue": SQL_K6_CORR_PVALUE,
     "plan_mass_annotation": SQL_PLAN_MASS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_asof_join": SQL_EVENTS_ASOF,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "events_interval_join_outer": SQL_EVENTS_INTERVAL_JOIN_OUTER,

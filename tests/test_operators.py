@@ -1374,3 +1374,36 @@ def test_funnel_counts_empty_ungrouped_reports_zeros(spark):
         ("a", 0, 0, 0),
         ("b", 0, 0, 0),
     ]
+
+
+def test_asof_join_semantics_ties_and_tolerance(spark):
+    """As-of semantics pinned by hand: most recent right row at-or-before
+    each left ts per key (equal ts matches), null when none precedes,
+    and tolerance nulls out stale matches."""
+    from omics_data_integration_utilities_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 10, 1.0), (2, "u", 20, 2.0), (3, "u", 5, 3.0), (4, "v", 50, 4.0)],
+        "event_id long, user_id string, us long, value double",
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 100.0), ("u", 15, 150.0), ("w", 1, 999.0)],
+        "user_id string, us long, rv double",
+    )
+    rows = {
+        r["event_id"]: (r["matched_us"], r["matched_rv"])
+        for r in asof_join(left, right, ["user_id"], "us", ["rv"]).collect()
+    }
+    assert rows[1] == (10, 100.0)   # equal ts matches
+    assert rows[2] == (15, 150.0)   # most recent, not first
+    assert rows[3] == (None, None)  # nothing precedes
+    assert rows[4] == (None, None)  # no right rows for key v
+
+    rows_tol = {
+        r["event_id"]: (r["matched_us"], r["matched_rv"])
+        for r in asof_join(
+            left, right, ["user_id"], "us", ["rv"], tolerance=4
+        ).collect()
+    }
+    assert rows_tol[1] == (10, 100.0)   # age 0 <= 4
+    assert rows_tol[2] == (None, None)  # age 5 > 4: stale
