@@ -149,9 +149,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # exact oracle, gram granularity because the testdata has no
 # cross-source exact duplicates at correctness scales), and
 # events_asof_join (NEW r11 — the as-of join via the union-window
-# composition, oracled against DuckDB's NATIVE ASOF LEFT JOIN).  All
-# six are sf0.01 harness-green (the driver-grade dtype-class compare)
-# this session.  The 50 slots this round carry the stale-cohort
+# composition, oracled against DuckDB's NATIVE ASOF LEFT JOIN), and
+# events_rollup (NEW r11 — hypertable-style multi-resolution rollup
+# where coarser levels derive from finer aggregates; the oracle
+# computes every level from raw, so green proves the rollup path
+# lossless).  All seven are sf0.01 harness-green (the driver-grade
+# dtype-class compare) this session.  The 50 slots this round carry the stale-cohort
 # refresh + the two evidence-hygiene entrants.
 #
 # Nineteen out, each hash-green in r10's window with an in-window

@@ -877,6 +877,27 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
 """
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (1min/1h/1d) where each
+    coarser level derives from the next FINER aggregate; the oracle
+    computes every level directly from raw, so a hash-green run PROVES
+    rollup(rollup(x)) == rollup(x) for the decimal-exact aggregates."""
+    from ..streaming.events import multires_rollup
+
+    return multires_rollup(_t(spark, sf_dir, "events"), (60, 3600, 86400))
+
+
+SQL_EVENTS_ROLLUP = "\nUNION ALL\n".join(
+    f"""
+SELECT CAST({r} AS BIGINT) AS resolution_s,
+       epoch_us(ts) // {r * 1_000_000} AS bucket, event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 2, 3"""
+    for r in (60, 3600, 86400)
+)
+
+
 def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping windows (1h window, 15min slide — each event in 4 buckets)
     via the built-in sliding ``F.window``; oracle enumerates the 4
@@ -1036,6 +1057,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan_mass_annotation": q_plan_mass_annotation,
     "events_tumbling": q_events_tumbling,
     "events_asof_join": q_events_asof_join,
+    "events_rollup": q_events_rollup,
     "events_sessions": q_events_sessions,
     "events_hopping": q_events_hopping,
     "events_interval_join": q_events_interval_join,
@@ -1075,6 +1097,7 @@ ORACLES: dict[str, str] = {
     "plan_mass_annotation": SQL_PLAN_MASS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_asof_join": SQL_EVENTS_ASOF,
+    "events_rollup": SQL_EVENTS_ROLLUP,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "events_interval_join_outer": SQL_EVENTS_INTERVAL_JOIN_OUTER,

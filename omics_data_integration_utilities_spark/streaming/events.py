@@ -190,3 +190,70 @@ def hopping_window_agg(
             "sum_value",
         )
     )
+
+
+def multires_rollup(
+    events: DataFrame, resolutions: "tuple[int, ...]" = (60, 3600, 86400)
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: the events feed
+    pre-aggregated at each resolution, with every COARSER level derived
+    from the next FINER aggregate rather than the raw table — the
+    continuous-aggregate maintenance shape (Timescale cagg / druid
+    rollup): at 100 TB the 1-day level aggregates the 1-hour level's
+    ~24 rows per (bucket, type), not 86 400 seconds of raw events, so
+    refresh cost is proportional to the finer AGGREGATE, not the feed.
+
+    Sound because the aggregates are decomposable and EXACT: counts sum;
+    value sums run in DECIMAL(18,4) (associative — a double sum would
+    drift with grouping order and break rollup(rollup(x)) == rollup(x))
+    and emerge as rounded doubles only in the final projection.
+
+    ``resolutions`` must be ascending with each coarser level an integer
+    multiple of the previous (the bucket arithmetic is integer division
+    on the finer bucket id).  Returns
+    (resolution_s, bucket, event_type, n, sum_value) stacked across
+    levels; ``bucket`` is epoch-micros // (resolution·1e6).
+    """
+    res = [int(r) for r in resolutions]
+    if sorted(res) != res or len(set(res)) != len(res):
+        raise ValueError("resolutions must be strictly ascending")
+    for fine, coarse in zip(res, res[1:]):
+        if coarse % fine != 0:
+            raise ValueError(
+                f"each resolution must divide the next: {coarse} % {fine} != 0"
+            )
+    # integer `div`, never double division: epoch micros sit near 2^50,
+    # where a double quotient can round across the floor boundary
+    level = (
+        events.groupBy(
+            F.expr(
+                f"({ts_event_micros_sql(events)}) div {res[0] * 1_000_000}"
+            ).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("__sv"),
+        )
+    )
+
+    def _emit(lvl: DataFrame, r: int) -> DataFrame:
+        return lvl.select(
+            F.lit(r).cast("long").alias("resolution_s"),
+            "bucket",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("__sv").cast("double"), 4).alias("sum_value"),
+        )
+
+    out = _emit(level, res[0])
+    for fine, coarse in zip(res, res[1:]):
+        level = (
+            level.groupBy(
+                F.expr(f"bucket div {coarse // fine}").alias("bucket"),
+                "event_type",
+            )
+            .agg(F.sum("n").alias("n"), F.sum("__sv").alias("__sv"))
+        )
+        out = out.unionByName(_emit(level, coarse))
+    return out

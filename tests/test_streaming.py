@@ -931,3 +931,35 @@ def test_curate_doc_stream_matches_batch_gate_and_dedup(spark, tmp_path):
     assert len(kept) == len(batch_hashes)  # one representative per hash
     assert all(r["quality"] >= 0.5 for r in kept)
     assert 0 < len(kept) < docs.count()  # the gate and the dedup both bit
+
+
+def test_multires_rollup_coarse_equals_direct(spark):
+    """rollup(rollup(x)) == rollup(x): each coarser level (derived from
+    the finer AGGREGATE) must equal the same resolution computed directly
+    from raw — guaranteed by decimal-exact sums; also the resolution
+    validation refuses non-divisible ladders."""
+    import pytest
+
+    from omics_data_integration_utilities_spark.streaming.events import (
+        multires_rollup,
+        tumbling_event_agg,
+    )
+
+    path = f"{SF_SMOKE}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(path)
+    rolled = multires_rollup(events, (60, 3600))
+    hourly_via_rollup = sorted(
+        (r["bucket"], r["event_type"], r["n"], r["sum_value"])
+        for r in rolled.where(F.col("resolution_s") == 3600).collect()
+    )
+    direct = sorted(
+        (r["bucket"], r["event_type"], r["n"], round(r["sum_value"], 4))
+        for r in tumbling_event_agg(events, 3600).collect()
+    )
+    assert hourly_via_rollup == direct and len(direct) > 0
+
+    with pytest.raises(ValueError, match="divide"):
+        multires_rollup(events, (60, 90))
+    with pytest.raises(ValueError, match="ascending"):
+        multires_rollup(events, (3600, 60))
