@@ -110,6 +110,13 @@ SLOW_TIER = [
     "dedup_incremental_indexed",
     "doc_novelty",
     "text_length_quantiles",
+    # late round 11: duplicate-cluster canonicalization (components +
+    # argmax), cross-source gram overlap, the as-of join, and the
+    # multi-resolution rollup
+    "dedup_keep_best",
+    "source_overlap",
+    "events_asof_join",
+    "events_rollup",
 ]
 
 REGRESSION_FLAG = 1.3
