@@ -1359,3 +1359,60 @@ def test_length_quantiles_match_numpy_linear(spark, lengths):
                        (0.95, "p95"), (0.99, "p99")):
             want = round(float(np.percentile(ns, p * 100, method="linear")), 6)
             assert r[col] == want, f"{grp} {col}: {r[col]} != {want}"
+
+
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=25
+    ),
+)
+@settings(max_examples=12, deadline=None)
+def test_asof_join_matches_duckdb_native(spark, lrows, rrows):
+    """asof_join differential vs DuckDB's native ASOF LEFT JOIN on random
+    (key, ts) instances — including equal-timestamp ties and keys with
+    no right rows.  The right side is deduped to one row per (key, ts)
+    on both engines (the operator's uniqueness contract)."""
+    import duckdb
+
+    left = spark.createDataFrame(
+        [(i, k, t, float(i)) for i, (k, t) in enumerate(lrows)],
+        "event_id long, k long, us long, value double",
+    )
+    rd = {}
+    for j, (k, t) in enumerate(rrows):
+        rd[(k, t)] = float(100 + j)  # last write wins = deterministic dedup
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rd.items()] or [(99, -1, 0.0)],
+        "k long, us long, rv double",
+    )
+    from omics_data_integration_utilities_spark.operators.joins import asof_join
+
+    got = {
+        r["event_id"]: (r["matched_us"], r["matched_rv"])
+        for r in asof_join(left, right, ["k"], "us", ["rv"]).collect()
+    }
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE l(event_id BIGINT, k BIGINT, us BIGINT, value DOUBLE)"
+    )
+    duck.executemany(
+        "INSERT INTO l VALUES (?, ?, ?, ?)",
+        [(i, k, t, float(i)) for i, (k, t) in enumerate(lrows)],
+    )
+    duck.execute("CREATE TABLE r(k BIGINT, us BIGINT, rv DOUBLE)")
+    duck.executemany(
+        "INSERT INTO r VALUES (?, ?, ?)",
+        [(k, t, v) for (k, t), v in rd.items()] or [(99, -1, 0.0)],
+    )
+    want = {
+        row[0]: (row[1], row[2])
+        for row in duck.execute(
+            "SELECT l.event_id, r.us, r.rv FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.us >= r.us"
+        ).fetchall()
+    }
+    assert got == want
