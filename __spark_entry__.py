@@ -153,8 +153,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # events_rollup (NEW r11 — hypertable-style multi-resolution rollup
 # where coarser levels derive from finer aggregates; the oracle
 # computes every level from raw, so green proves the rollup path
-# lossless).  All seven are sf0.01 harness-green (the driver-grade
-# dtype-class compare) this session.  The 50 slots this round carry the stale-cohort
+# lossless), and sim_centroid_drift (NEW r11 — per-label embedding
+# centroid vs global centroid cosine, the distribution-shift monitor;
+# exact oracle via DuckDB generate_subscripts+unnest).  All eight are
+# sf0.01 harness-green (the driver-grade dtype-class compare) this
+# session.  The 50 slots this round carry the stale-cohort
 # refresh + the two evidence-hygiene entrants.
 #
 # Nineteen out, each hash-green in r10's window with an in-window

@@ -724,3 +724,50 @@ def diversity_sample(
 
     out_schema = f"{id_col} long, list_id long, pick_rank long, min_dist double"
     return assigned.groupBy("list_id").applyInPandas(pick_one, schema=out_schema)
+
+
+def centroid_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Per-group embedding centroid vs the GLOBAL centroid — the
+    distribution-shift monitor an embedding pipeline reads per
+    source/day/model-version ("did this slice's embeddings move?").
+    Returns (grp, n_vecs, cos_to_global) with cosine similarity of the
+    two MEAN vectors, rounded to 6.
+
+    Scale shape: ``posexplode`` fans each vector to dim rows (a
+    constant ×dim, not data-squared), then everything is partial-agg
+    groupBys over (group, pos) and (pos) — the centroids never
+    materialize as arrays, and the cosine reduces over the dim-sized
+    long form, so no driver collection and no UDF anywhere.
+    """
+    ex = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    per = ex.groupBy("grp", "pos").agg(F.avg("x").alias("m"))
+    glob = ex.groupBy("pos").agg(F.avg("x").alias("g"))
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    dot = (
+        per.join(glob, "pos")
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("m") * F.col("g")).alias("__dot"),
+            F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("__nm"),
+            F.sqrt(F.sum(F.col("g") * F.col("g"))).alias("__ng"),
+        )
+    )
+    return (
+        counts.join(dot, "grp")
+        .select(
+            "grp",
+            "n_vecs",
+            F.round(
+                F.col("__dot") / (F.col("__nm") * F.col("__ng")), 6
+            ).alias("cos_to_global"),
+        )
+    )

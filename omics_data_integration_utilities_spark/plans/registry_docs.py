@@ -1449,6 +1449,35 @@ FROM documents GROUP BY source
 """
 
 
+def q_sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid vs the global centroid (cosine) —
+    the distribution-shift monitor for embedding slices."""
+    return sim_ops.centroid_drift(
+        _t(spark, sf_dir, "embeddings"), "embedding", "label"
+    )
+
+
+SQL_SIM_CENTROID_DRIFT = """
+WITH ex AS (
+  -- generate_subscripts + unnest zip positionally in DuckDB (lateral
+  -- generate_series over a column is unsupported in 1.0)
+  SELECT label AS grp, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+),
+per AS (SELECT grp, pos, avg(x) AS m FROM ex GROUP BY 1, 2),
+gc AS (SELECT pos, avg(x) AS g FROM ex GROUP BY 1),
+cnt AS (SELECT label AS grp, count(*) AS n_vecs FROM embeddings GROUP BY 1),
+d AS (
+  SELECT grp, sum(m * g) AS dot,
+         sqrt(sum(m * m)) AS nm, sqrt(sum(g * g)) AS ng
+  FROM per JOIN gc USING (pos) GROUP BY grp
+)
+SELECT grp, n_vecs, round(dot / (nm * ng), 6) AS cos_to_global
+FROM cnt JOIN d USING (grp)
+"""
+
+
 def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document corpus-first gram novelty (ingest-ranking signal)."""
     return dedup_ops.gram_novelty(
@@ -1794,6 +1823,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "text_dup_spans": q_text_dup_spans,
     "doc_novelty": q_doc_novelty,
+    "sim_centroid_drift": q_sim_centroid_drift,
     "text_length_quantiles": q_text_length_quantiles,
     "source_overlap": q_source_overlap,
     "dedup_substring_spans": q_dedup_substring_spans,
@@ -1844,6 +1874,7 @@ ORACLES_DOCS: dict[str, str] = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "text_dup_spans": SQL_TEXT_DUP_SPANS,
     "doc_novelty": SQL_DOC_NOVELTY,
+    "sim_centroid_drift": SQL_SIM_CENTROID_DRIFT,
     "text_length_quantiles": SQL_TEXT_LENGTH_QUANTILES,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
