@@ -155,9 +155,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # computes every level from raw, so green proves the rollup path
 # lossless), and sim_centroid_drift (NEW r11 — per-label embedding
 # centroid vs global centroid cosine, the distribution-shift monitor;
-# exact oracle via DuckDB generate_subscripts+unnest).  All eight are
-# sf0.01 harness-green (the driver-grade dtype-class compare) this
-# session.  The 50 slots this round carry the stale-cohort
+# exact oracle via DuckDB generate_subscripts+unnest), and
+# text_top_ngrams (NEW r11 — corpus top-50 3-grams, total-ordered so
+# the limit is deterministic; TakeOrderedAndProject plan).  All nine
+# are sf0.01 harness-green (the driver-grade dtype-class compare)
+# this session.  The 50 slots this round carry the stale-cohort
 # refresh + the two evidence-hygiene entrants.
 #
 # Nineteen out, each hash-green in r10's window with an in-window

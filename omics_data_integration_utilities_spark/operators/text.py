@@ -700,3 +700,30 @@ def length_quantiles(
         label = f"p{str(p).replace('0.', '').ljust(2, '0')}"
         aggs.append(F.round(F.percentile(n_tok, F.lit(p)), 6).alias(label))
     return df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams with counts — the LM
+    analysis staple (boilerplate discovery, stop-phrase lists, tokenizer
+    corpus profiling).  Fully deterministic: ties break on the gram
+    string ascending.
+
+    Scale shape: one explode (+n−1 rows per token, row-local), a
+    partial-aggregating groupBy on the gram, and a global top-k that
+    Catalyst plans as ``TakeOrderedAndProject`` — each partition keeps
+    only its local top-k, the driver merges k·partitions rows, never
+    the full gram distribution.
+    """
+    toks = tokens_col(text_col)
+    grams = df.select(
+        F.explode(word_ngrams_col(toks, n)).alias("ngram")
+    )
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("ngram").asc()
+    ).limit(k)

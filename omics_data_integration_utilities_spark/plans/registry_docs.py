@@ -1506,6 +1506,22 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 word 3-grams with counts (boilerplate / stop-
+    phrase discovery); total order (count desc, gram asc) so the limit
+    is deterministic."""
+    return text_ops.top_ngrams(_t(spark, sf_dir, "documents"), "text", n=3, k=50)
+
+
+SQL_TEXT_TOP_NGRAMS = f"""
+WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents
+             WHERE len(string_split(text, ' ')) >= 3),
+g AS (SELECT unnest({_ngram_list_sql(3)}) AS ngram FROM tok)
+SELECT ngram, count(*) AS n_occurrences FROM g
+GROUP BY ngram ORDER BY n_occurrences DESC, ngram ASC LIMIT 50
+"""
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source n-gram overlap matrix: per source pair, shared
     distinct _SUBSTR_K-gram digests + Jaccard — the which-crawl-
@@ -1826,6 +1842,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_centroid_drift": q_sim_centroid_drift,
     "text_length_quantiles": q_text_length_quantiles,
     "source_overlap": q_source_overlap,
+    "text_top_ngrams": q_text_top_ngrams,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_substring_stats": q_dedup_substring_stats,
     "dedup_substring_remove": q_dedup_substring_remove,
@@ -1877,6 +1894,7 @@ ORACLES_DOCS: dict[str, str] = {
     "sim_centroid_drift": SQL_SIM_CENTROID_DRIFT,
     "text_length_quantiles": SQL_TEXT_LENGTH_QUANTILES,
     "source_overlap": SQL_SOURCE_OVERLAP,
+    "text_top_ngrams": SQL_TEXT_TOP_NGRAMS,
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
     "dedup_substring_stats": SQL_DEDUP_SUBSTRING_STATS,
     "dedup_substring_remove": SQL_DEDUP_SUBSTRING_REMOVE,
