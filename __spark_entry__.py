@@ -157,8 +157,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # centroid vs global centroid cosine, the distribution-shift monitor;
 # exact oracle via DuckDB generate_subscripts+unnest), and
 # text_top_ngrams (NEW r11 — corpus top-50 3-grams, total-ordered so
-# the limit is deterministic; TakeOrderedAndProject plan).  All nine
-# are sf0.01 harness-green (the driver-grade dtype-class compare)
+# the limit is deterministic; TakeOrderedAndProject plan), and
+# doc_weighted_sample (NEW r11 — Efraimidis-Spirakis weighted sampling
+# without replacement over md5 uniforms; the E-S key column is
+# deliberately not emitted — ln is the one non-IEEE-exact op, so the
+# key would be hash-fragile while the selection is ulp-robust).  All
+# ten are sf0.01 harness-green (the driver-grade dtype-class compare)
 # this session.  The 50 slots this round carry the stale-cohort
 # refresh + the two evidence-hygiene entrants.
 #

@@ -248,3 +248,55 @@ def pack_and_chunk(
         .drop("__cum")
     )
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 A-Res): each row draws a uniform u from md5(salt||id)
+    and scores ``key = -ln(u)/w``; the n SMALLEST keys are the sample —
+    exactly the distribution of sequential weighted draws, but
+    embarrassingly parallel and reproducible (a pure function of
+    (salt, id, weight): rerun-, partitioning- and engine-stable, the
+    same determinism contract as :func:`hash_split`).
+
+    Use for weight-proportional corpus subsampling (by length, quality,
+    domain priority) where :func:`mixture_sample`'s per-domain quotas
+    are too coarse.  Rows with non-positive weight never enter.
+
+    Scale shape: one projection computes the key row-locally; the
+    global smallest-n is a ``TakeOrderedAndProject`` — each partition
+    keeps its local n, no full sort, no shuffle of the corpus.
+    Returns (id, weight) for the n selected rows — the KEY itself is
+    deliberately not emitted: ``ln`` is the one non-IEEE-exact op in
+    the chain (engines may differ by an ulp), so the key column would
+    be hash-fragile while the SELECTION is robust (two distinct ids'
+    keys landing within an ulp of each other at the n-boundary is
+    ~1e-13 probable; the k6-family boundary notes carry the same
+    argument class).
+    """
+    if n <= 0:
+        raise ValueError("weighted_sample: n must be positive")
+    # u in (0, 1]: (h + 1) / 2^60 over the 60-bit md5 prefix — never 0,
+    # so ln(u) is finite; identical arithmetic in the DuckDB oracle
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(2**60))
+    key = -F.log(u) / F.col(weight_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), key.alias("__k"))
+        .orderBy(F.col("__k").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__k")
+    )

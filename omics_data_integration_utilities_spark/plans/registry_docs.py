@@ -1506,6 +1506,28 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement: 100 docs
+    drawn proportional to n_chars (Efraimidis-Spirakis keys over md5
+    uniforms)."""
+    from ..operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", n=100
+    )
+
+
+SQL_DOC_WEIGHTED_SAMPLE = """
+WITH k AS (
+  SELECT doc_id, n_chars,
+         -ln((('0x' || substr(md5('wsample-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              + 1.0) / 1152921504606846976.0) / n_chars AS key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars FROM k ORDER BY key ASC, doc_id ASC LIMIT 100
+"""
+
+
 def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-50 word 3-grams with counts (boilerplate / stop-
     phrase discovery); total order (count desc, gram asc) so the limit
@@ -1843,6 +1865,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_length_quantiles": q_text_length_quantiles,
     "source_overlap": q_source_overlap,
     "text_top_ngrams": q_text_top_ngrams,
+    "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_substring_stats": q_dedup_substring_stats,
     "dedup_substring_remove": q_dedup_substring_remove,
@@ -1895,6 +1918,7 @@ ORACLES_DOCS: dict[str, str] = {
     "text_length_quantiles": SQL_TEXT_LENGTH_QUANTILES,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "text_top_ngrams": SQL_TEXT_TOP_NGRAMS,
+    "doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
     "dedup_substring_stats": SQL_DEDUP_SUBSTRING_STATS,
     "dedup_substring_remove": SQL_DEDUP_SUBSTRING_REMOVE,

@@ -1407,3 +1407,37 @@ def test_asof_join_semantics_ties_and_tolerance(spark):
     }
     assert rows_tol[1] == (10, 100.0)   # age 0 <= 4
     assert rows_tol[2] == (None, None)  # age 5 > 4: stale
+
+
+def test_weighted_sample_properties(spark):
+    """Weighted sampling invariants: exact n when available, all-rows
+    when n exceeds the corpus, zero/negative weights never selected,
+    partitioning-invariant, and heavier weights win in expectation
+    (checked deterministically: with one weight 1000x the rest at n=1,
+    the heavy row must be the draw for this fixed salt... no — the draw
+    is random-by-hash; instead check the aggregate lean over many ids)."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 500 else 100.0) for i in range(600)]
+        + [(990, 0.0), (991, -2.0)],
+        "doc_id long, w double",
+    )
+    out = weighted_sample(df, "doc_id", "w", n=100)
+    rows = out.collect()
+    assert len(rows) == 100
+    ids = {r["doc_id"] for r in rows}
+    assert 990 not in ids and 991 not in ids
+    # 100 heavy rows at 100x vs 500 light rows: the sample must lean
+    # overwhelmingly heavy (expected ~97 heavy; a uniform sampler would
+    # draw ~17 — any value above 60 separates the hypotheses decisively)
+    n_heavy = sum(1 for r in rows if r["w"] == 100.0)
+    assert n_heavy > 60, n_heavy
+    # partitioning-invariant and n > corpus returns everything eligible
+    again = {r["doc_id"] for r in weighted_sample(df.repartition(7), "doc_id", "w", 100).collect()}
+    assert again == ids
+    assert weighted_sample(df, "doc_id", "w", n=10_000).count() == 600
