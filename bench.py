@@ -117,6 +117,9 @@ SLOW_TIER = [
     "source_overlap",
     "events_asof_join",
     "events_rollup",
+    "sim_centroid_drift",
+    "text_top_ngrams",
+    "doc_weighted_sample",
 ]
 
 REGRESSION_FLAG = 1.3
