@@ -161,9 +161,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # doc_weighted_sample (NEW r11 — Efraimidis-Spirakis weighted sampling
 # without replacement over md5 uniforms; the E-S key column is
 # deliberately not emitted — ln is the one non-IEEE-exact op, so the
-# key would be hash-fragile while the selection is ulp-robust).  All
-# ten are sf0.01 harness-green (the driver-grade dtype-class compare)
-# this session.  The 50 slots this round carry the stale-cohort
+# key would be hash-fragile while the selection is ulp-robust), and
+# dedup_minhash_accuracy (NEW r11 — MinHash Jaccard estimate vs exact
+# per LSH candidate pair with abs error: the sketch-accuracy report).
+# All eleven are sf0.01 harness-green (the driver-grade dtype-class
+# compare) this session.  The 50 slots this round carry the stale-cohort
 # refresh + the two evidence-hygiene entrants.
 #
 # Nineteen out, each hash-green in r10's window with an in-window

@@ -1506,6 +1506,60 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy report: MinHash Jaccard estimate vs exact shingle
+    Jaccard (+ abs error) for every LSH candidate pair."""
+    return dedup_ops.minhash_estimate_accuracy(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def _minhash_accuracy_sql() -> str:
+    n = len(MINHASH_PERMS)
+    eq = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    return (
+        "WITH "
+        + _minhash_band_ctes("documents", "q").strip().rstrip(",")
+        + f""",
+ok AS (SELECT band, bkey FROM qbands GROUP BY band, bkey
+       HAVING count(*) BETWEEN 2 AND {MAX_POSTING}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ok o JOIN qbands a ON a.band = o.band AND a.bkey = o.bkey
+            JOIN qbands b ON b.band = o.band AND b.bkey = o.bkey
+                         AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b, ({eq}) / {n}.0 AS est_jaccard
+  FROM cand c JOIN qsig sa ON sa.doc_id = c.id_a
+              JOIN qsig sb ON sb.doc_id = c.id_b
+),
+e2 AS (SELECT doc_id, unnest(s) AS shingle FROM qsh),
+keep AS (SELECT shingle FROM e2 GROUP BY shingle HAVING count(*) <= {MAX_POSTING}),
+ke AS (SELECT e2.doc_id, e2.shingle FROM e2 JOIN keep USING (shingle)),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM ke GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM ke a JOIN ke b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+)
+SELECT est.id_a, est.id_b, round(est_jaccard, 6) AS est_jaccard,
+       coalesce(j.jaccard, 0.0) AS jaccard,
+       round(abs(est_jaccard - coalesce(j.jaccard, 0.0)), 6) AS abs_err
+FROM est LEFT JOIN j USING (id_a, id_b)
+"""
+    )
+
+
+SQL_DEDUP_MINHASH_ACCURACY = _minhash_accuracy_sql()
+
+
 def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement: 100 docs
     drawn proportional to n_chars (Efraimidis-Spirakis keys over md5
@@ -1866,6 +1920,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap": q_source_overlap,
     "text_top_ngrams": q_text_top_ngrams,
     "doc_weighted_sample": q_doc_weighted_sample,
+    "dedup_minhash_accuracy": q_dedup_minhash_accuracy,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_substring_stats": q_dedup_substring_stats,
     "dedup_substring_remove": q_dedup_substring_remove,
@@ -1919,6 +1974,7 @@ ORACLES_DOCS: dict[str, str] = {
     "source_overlap": SQL_SOURCE_OVERLAP,
     "text_top_ngrams": SQL_TEXT_TOP_NGRAMS,
     "doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
+    "dedup_minhash_accuracy": SQL_DEDUP_MINHASH_ACCURACY,
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
     "dedup_substring_stats": SQL_DEDUP_SUBSTRING_STATS,
     "dedup_substring_remove": SQL_DEDUP_SUBSTRING_REMOVE,
