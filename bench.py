@@ -120,6 +120,7 @@ SLOW_TIER = [
     "sim_centroid_drift",
     "text_top_ngrams",
     "doc_weighted_sample",
+    "dedup_minhash_accuracy",
 ]
 
 REGRESSION_FLAG = 1.3
