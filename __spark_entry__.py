@@ -163,9 +163,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # deliberately not emitted — ln is the one non-IEEE-exact op, so the
 # key would be hash-fragile while the selection is ulp-robust), and
 # dedup_minhash_accuracy (NEW r11 — MinHash Jaccard estimate vs exact
-# per LSH candidate pair with abs error: the sketch-accuracy report).
-# All eleven are sf0.01 harness-green (the driver-grade dtype-class
-# compare) this session.  The 50 slots this round carry the stale-cohort
+# per LSH candidate pair with abs error: the sketch-accuracy report),
+# and doc_upsert (NEW r11 — snapshot MERGE semantics via
+# upsert_snapshot: anti-join + union, updates replace / inserts land /
+# untouched rows carry).  All twelve are sf0.01 harness-green (the
+# driver-grade dtype-class compare) this session.  The 50 slots this round carry the stale-cohort
 # refresh + the two evidence-hygiene entrants.
 #
 # Nineteen out, each hash-green in r10's window with an in-window

@@ -240,3 +240,29 @@ def asof_join(
             ],
         )
     return out
+
+
+def upsert_snapshot(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: "list[str]",
+) -> DataFrame:
+    """Snapshot MERGE (upsert): rows from ``updates`` replace same-key
+    rows in ``target``; new keys insert; untouched target rows carry
+    through — the re-ingest/correction staple a lakehouse MERGE INTO
+    performs, expressed engine-agnostically (no Delta/Iceberg needed)
+    as one anti-join + union.
+
+    Columns must match (unionByName).  ``updates`` is assumed unique per
+    key (dedupe upstream with ``arg_extreme_dedup`` when it is not —
+    passing duplicates through would silently fan out the snapshot).
+
+    Scale shape: ONE left-anti shuffle on the key plus a union — the
+    anti side's build is the (small) update batch, so AQE broadcasts
+    it and the target is never shuffled at all in the common
+    small-batch case; the output is written back partitioned however
+    the sink wants.  Cost is O(target scan + batch), the same bound as
+    the lakehouse MERGE's file-rewrite plan, without table-format
+    machinery.
+    """
+    return target.join(updates, key_cols, "left_anti").unionByName(updates)

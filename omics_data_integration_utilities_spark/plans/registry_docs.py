@@ -1506,6 +1506,51 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+def q_doc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot MERGE semantics: a deterministic update batch (the
+    md5-bucket < 20% slice with text uppercased, plus 50 brand-new
+    ids) upserted into the documents snapshot — updates replace,
+    inserts land, untouched rows carry through."""
+    from ..operators.joins import upsert_snapshot
+    from ..operators.sampling import _hash_bucket
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tagged = docs.withColumn("__b", _hash_bucket(F.col("doc_id"), "upsert-v1"))
+    updates = tagged.where(F.col("__b") < 200_000).select(
+        "doc_id", F.upper("text").alias("text")
+    )
+    # 50 deterministic inserts: lowest 50 ids, offset out of key range
+    inserts = (
+        docs.orderBy(F.col("doc_id").asc())
+        .limit(50)
+        .select(
+            (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
+            F.concat(F.lit("NEW "), F.col("text")).alias("text"),
+        )
+    )
+    return upsert_snapshot(docs, updates.unionByName(inserts), ["doc_id"])
+
+
+SQL_DOC_UPSERT = """
+WITH b AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5('upsert-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS bb
+  FROM documents
+),
+upd AS (SELECT doc_id, upper(text) AS text FROM b WHERE bb < 200000),
+ins AS (
+  SELECT doc_id + 50000000 AS doc_id, 'NEW ' || text AS text
+  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id ASC LIMIT 50)
+),
+updates AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT d.doc_id, d.text FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM updates)
+UNION ALL
+SELECT doc_id, text FROM updates
+"""
+
+
 def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accuracy report: MinHash Jaccard estimate vs exact shingle
     Jaccard (+ abs error) for every LSH candidate pair."""
@@ -1921,6 +1966,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_top_ngrams": q_text_top_ngrams,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_minhash_accuracy": q_dedup_minhash_accuracy,
+    "doc_upsert": q_doc_upsert,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_substring_stats": q_dedup_substring_stats,
     "dedup_substring_remove": q_dedup_substring_remove,
@@ -1975,6 +2021,7 @@ ORACLES_DOCS: dict[str, str] = {
     "text_top_ngrams": SQL_TEXT_TOP_NGRAMS,
     "doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
     "dedup_minhash_accuracy": SQL_DEDUP_MINHASH_ACCURACY,
+    "doc_upsert": SQL_DOC_UPSERT,
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
     "dedup_substring_stats": SQL_DEDUP_SUBSTRING_STATS,
     "dedup_substring_remove": SQL_DEDUP_SUBSTRING_REMOVE,

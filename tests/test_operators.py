@@ -1441,3 +1441,18 @@ def test_weighted_sample_properties(spark):
     again = {r["doc_id"] for r in weighted_sample(df.repartition(7), "doc_id", "w", 100).collect()}
     assert again == ids
     assert weighted_sample(df, "doc_id", "w", n=10_000).count() == 600
+
+
+def test_upsert_snapshot_semantics(spark):
+    """MERGE semantics pinned: updates replace same-key rows, new keys
+    insert, untouched rows carry through; counts reconcile exactly."""
+    from omics_data_integration_utilities_spark.operators.joins import upsert_snapshot
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2"), (9, "new")], "k long, v string"
+    )
+    got = {r["k"]: r["v"] for r in upsert_snapshot(target, updates, ["k"]).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
