@@ -121,6 +121,7 @@ SLOW_TIER = [
     "text_top_ngrams",
     "doc_weighted_sample",
     "dedup_minhash_accuracy",
+    "doc_upsert",
 ]
 
 REGRESSION_FLAG = 1.3

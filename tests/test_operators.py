@@ -1454,5 +1454,12 @@ def test_upsert_snapshot_semantics(spark):
     updates = spark.createDataFrame(
         [(2, "B2"), (9, "new")], "k long, v string"
     )
-    got = {r["k"]: r["v"] for r in upsert_snapshot(target, updates, ["k"]).collect()}
+    merged = upsert_snapshot(target, updates, ["k"])
+    got = {r["k"]: r["v"] for r in merged.collect()}
     assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
+    # idempotent: re-applying the same batch changes nothing
+    again = {
+        r["k"]: r["v"]
+        for r in upsert_snapshot(merged, updates, ["k"]).collect()
+    }
+    assert again == got
