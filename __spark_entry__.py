@@ -166,7 +166,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # per LSH candidate pair with abs error: the sketch-accuracy report),
 # and doc_upsert (NEW r11 — snapshot MERGE semantics via
 # upsert_snapshot: anti-join + union, updates replace / inserts land /
-# untouched rows carry).  All twelve are sf0.01 harness-green (the
+# untouched rows carry), and events_histogram (NEW r11 — exact
+# fixed-bin value histogram with under/overflow bins, IEEE-exact
+# bucket arithmetic).  All thirteen are sf0.01 harness-green (the
 # driver-grade dtype-class compare) this session.  The 50 slots this round carry the stale-cohort
 # refresh + the two evidence-hygiene entrants.
 #

@@ -122,6 +122,7 @@ SLOW_TIER = [
     "doc_weighted_sample",
     "dedup_minhash_accuracy",
     "doc_upsert",
+    "events_histogram",
 ]
 
 REGRESSION_FLAG = 1.3

@@ -202,3 +202,52 @@ def funnel_counts(
         *gcols, "__s.stage", "__s.stage_idx", "__s.n_in", "__s.n_surviving",
         "__s.n_dropped",
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Exact fixed-bin histogram — the distribution monitor for any
+    numeric column (per source/day when ``group_cols`` is given).
+    Bins are half-open ``[edge_k, edge_k+1)`` over ``[lo, hi)`` with two
+    overflow bins: bin −1 (< lo) and bin ``n_bins`` (>= hi); nulls are
+    dropped.  Every bucket id is integer arithmetic on an
+    IEEE-deterministic double chain (subtract, divide, floor), so the
+    DuckDB oracle reproduces counts bit-for-bit — unlike
+    ``width_bucket``-style helpers whose edge handling differs across
+    engines.
+
+    One partial-aggregating groupBy over one scan; emits (…group_cols,
+    bin, bin_lo, bin_hi, n) for OCCUPIED bins only (dense zero-filled
+    output would be |groups|·n_bins rows of nothing at scale — callers
+    wanting dense join against a range).
+    """
+    if n_bins <= 0 or not (hi > lo):
+        raise ValueError("value_histogram: need n_bins > 0 and hi > lo")
+    width = (hi - lo) / n_bins
+    v = F.col(value_col)
+    raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("long")
+    bin_id = (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(n_bins))
+        .otherwise(F.least(raw, F.lit(n_bins - 1)))  # guard v just under hi
+        .cast("long")
+    )
+    gcols = list(group_cols or [])
+    out = (
+        df.where(v.isNotNull())
+        .groupBy(*gcols, bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return out.select(
+        *gcols,
+        "bin",
+        F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("bin_lo"),
+        F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("bin_hi"),
+        "n",
+    )

@@ -877,6 +877,34 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
 """
 
 
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact 20-bin histogram of value over [0, 400) with
+    under/overflow bins — the distribution monitor; integer bucket
+    arithmetic on an IEEE-exact double chain, so counts are
+    engine-exact."""
+    return agg_ops.value_histogram(
+        _t(spark, sf_dir, "events"), "value", 0.0, 400.0, 20,
+        group_cols=["event_type"],
+    )
+
+
+SQL_EVENTS_HISTOGRAM = """
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value < 0.0 THEN -1
+              WHEN value >= 400.0 THEN 20
+              ELSE least(CAST(floor((value - 0.0) / 20.0) AS BIGINT), 19)
+         END AS bin
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, bin,
+       round(0.0 + bin * 20.0, 6) AS bin_lo,
+       round(0.0 + (bin + 1) * 20.0, 6) AS bin_hi,
+       count(*) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup (1min/1h/1d) where each
     coarser level derives from the next FINER aggregate; the oracle
@@ -1058,6 +1086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
     "events_asof_join": q_events_asof_join,
     "events_rollup": q_events_rollup,
+    "events_histogram": q_events_histogram,
     "events_sessions": q_events_sessions,
     "events_hopping": q_events_hopping,
     "events_interval_join": q_events_interval_join,
@@ -1098,6 +1127,7 @@ ORACLES: dict[str, str] = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_asof_join": SQL_EVENTS_ASOF,
     "events_rollup": SQL_EVENTS_ROLLUP,
+    "events_histogram": SQL_EVENTS_HISTOGRAM,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "events_interval_join_outer": SQL_EVENTS_INTERVAL_JOIN_OUTER,

@@ -1463,3 +1463,31 @@ def test_upsert_snapshot_semantics(spark):
         for r in upsert_snapshot(merged, updates, ["k"]).collect()
     }
     assert again == got
+
+
+def test_value_histogram_semantics(spark):
+    """Histogram edges pinned by hand: half-open bins, under/overflow,
+    the just-under-hi clamp, null drop, and counts reconcile to the
+    non-null total."""
+    from omics_data_integration_utilities_spark.operators.aggregates import (
+        value_histogram,
+    )
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(
+            [-5.0, 0.0, 9.999, 10.0, 19.999999999999996, 20.0, None]
+        )],
+        "i long, v double",
+    )
+    rows = {r["bin"]: (r["bin_lo"], r["bin_hi"], r["n"]) for r in
+            value_histogram(df, "v", 0.0, 20.0, 2).collect()}
+    assert rows[-1] == (-10.0, 0.0, 1)        # underflow
+    assert rows[0] == (0.0, 10.0, 2)          # [0, 10): 0.0, 9.999
+    assert rows[1] == (10.0, 20.0, 2)         # [10, 20): 10.0 and the clamp case
+    assert rows[2] == (20.0, 30.0, 1)         # overflow: 20.0
+    assert sum(n for _, _, n in rows.values()) == 6  # null dropped
+    with pytest.raises(ValueError):
+        value_histogram(df, "v", 0.0, 20.0, 0)
+    with pytest.raises(ValueError):
+        value_histogram(df, "v", 20.0, 0.0, 4)
