@@ -929,30 +929,44 @@ def keep_best_per_component(
     ``components`` is (id, component, ...) from
     :func:`connected_components`; ``scores`` is any (doc_id, score)
     table (e.g. ``text.quality_score``).  Returns one row per doc:
-    (id, component, score, keep).
+    (id, component, score, keep).  ``scores`` is LEFT-joined: a doc
+    with no score row still appears (score NULL) and loses to any
+    scored sibling; a component whose members are ALL unscored falls
+    back to the min-id representative — nothing is silently dropped.
+    ``score_col`` must be numeric (it is negated to build the ordering
+    key); the doc id may be ANY orderable type (string ids work — the
+    tie-break never negates or casts it).
 
     Scale shape: one equi-join components⋈scores on the doc id, then
-    the winner per component via ``max(struct(score, -id))`` — a
-    partial-aggregating groupBy (no rank window over the component key,
-    so hot mega-components stay in the map-side-combine + AQE regime),
-    joined back on the component key.
+    the winner per component via ``min(struct(missing, -score, id))``
+    — a partial-aggregating groupBy (no rank window over the component
+    key, so hot mega-components stay in the map-side-combine + AQE
+    regime), joined back on the component key.
     """
     scored = components.select(F.col(id_col), F.col(comp_col)).join(
         scores.select(
             F.col(score_id_col).alias(id_col), F.col(score_col).alias("__s")
         ),
         id_col,
+        "left",
     )
-    best = scored.groupBy(comp_col).agg(
-        F.max(F.struct(F.col("__s"), (-F.col(id_col)).alias("__nid"))).alias("__b")
+    # min-ordering key: scored beats unscored, then highest score, then
+    # lowest id.  -score only negates the (numeric-by-contract) score;
+    # the coalesce keeps the struct comparison off NULL fields, and the
+    # id rides along un-transformed so string/date ids order correctly.
+    order_key = F.struct(
+        F.col("__s").isNull().cast("int").alias("__missing"),
+        F.coalesce(-F.col("__s"), F.lit(0.0)).alias("__negscore"),
+        F.col(id_col).alias("__id"),
     )
+    best = scored.groupBy(comp_col).agg(F.min(order_key).alias("__b"))
     return (
         scored.join(best, comp_col)
         .select(
             F.col(id_col),
             F.col(comp_col),
             F.col("__s").alias(score_col),
-            (F.col(id_col) == -F.col("__b.__nid")).alias("keep"),
+            (F.col(id_col) == F.col("__b.__id")).alias("keep"),
         )
     )
 

@@ -186,6 +186,15 @@ def asof_join(
     pandas ``merge_asof``.  ``tolerance`` (same units as ``ts_col``)
     nulls out matches older than ``left.ts - tolerance``.
 
+    NULL right values are preserved: the window carries ONE struct of
+    (ts, *values) per right row — the struct itself is non-null for
+    every right row even when individual value fields are NULL — so a
+    matched row whose value is NULL yields ``matched_<col> IS NULL``
+    with ``matched_<ts_col>`` still reporting that row, exactly as
+    DuckDB ``ASOF LEFT JOIN`` / pandas ``merge_asof`` do.  (Per-column
+    ``last(ignorenulls)`` would skip the genuine NULL and carry an
+    OLDER row's value while reporting the newer ts.)
+
     Scale note: the window partitions by key — per-partition size is
     the per-key event count, the same bound every per-user session
     window in ``streaming/events.py`` carries; skew in a hot key is
@@ -213,18 +222,30 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # ONE carried struct (never null for a right row, even when its
+    # value fields are) — see the NULL-preservation note in the docstring
+    right_struct = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col(ts_col).alias("__ts"),
+            *[F.col(f"__rv_{c}").alias(c) for c in right_value_cols],
+        ),
+    )
     carried = both.select(
         "*",
-        F.last(
-            F.when(F.col("__side") == 0, F.col(ts_col)), ignorenulls=True
-        ).over(w).alias(f"matched_{ts_col}"),
-        *[
-            F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w).alias(f"matched_{c}")
-            for c in right_value_cols
-        ],
+        F.last(right_struct, ignorenulls=True).over(w).alias("__match"),
     )
-    out = carried.where(F.col("__side") == 1).drop(
-        "__side", *[f"__rv_{c}" for c in right_value_cols]
+    out = (
+        carried.where(F.col("__side") == 1)
+        .select(
+            "*",
+            F.col("__match.__ts").alias(f"matched_{ts_col}"),
+            *[
+                F.col(f"__match.{c}").alias(f"matched_{c}")
+                for c in right_value_cols
+            ],
+        )
+        .drop("__side", "__match", *[f"__rv_{c}" for c in right_value_cols])
     )
     if tolerance is not None:
         # one projection: nulling matched_{ts} via withColumn FIRST would

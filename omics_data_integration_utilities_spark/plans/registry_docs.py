@@ -246,7 +246,8 @@ SQL_DEDUP_INCREMENTAL = _incremental_sql()
 
 
 _INCR_IDX_SEQ = itertools.count()
-_INCR_IDX_LAST: list[str] = []  # previous invocation's tables, for cleanup
+# previous invocation's (table names, data dir), for cleanup on next entry
+_INCR_IDX_LAST: list[tuple[list[str], str]] = []
 
 
 def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,17 +263,22 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     trip the ownership guard (a fixed name with a rotating temp path
     would: the guard refuses to drop a table registered at a different
     location, by design) and never read a stale catalog entry.  The
-    PREVIOUS invocation's catalog entries are dropped on entry (the
-    files stay until /tmp cleanup) so bench reps don't accumulate
-    tables; a caller holding the previous invocation's un-collected
-    DataFrame across a new call would lose it — registry calls never
-    do (each driver/bench rep collects before the next begins)."""
+    PREVIOUS invocation's catalog entries AND data files are removed on
+    entry so repeated bench/driver reps within one session accumulate
+    at most one live generation; a caller holding the previous
+    invocation's un-collected DataFrame across a new call would lose it
+    — registry calls never do (each driver/bench rep collects before
+    the next begins)."""
+    import shutil
     import tempfile
 
     from ..operators.sampling import _hash_bucket
 
     while _INCR_IDX_LAST:
-        spark.sql(f"DROP TABLE IF EXISTS {_INCR_IDX_LAST.pop()}")
+        prev_tables, prev_path = _INCR_IDX_LAST.pop()
+        for t in prev_tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(prev_path, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents")
     tagged = docs.withColumn("__b", _hash_bucket(F.col("doc_id"), _INCR_SALT))
     ref = tagged.where(F.col("__b") < _INCR_REF_CUT).drop("__b")
@@ -288,7 +294,7 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket-count-independent; at 100 TB the caller sizes for
     # O(100 MB-1 GB) buckets instead.
     idx = dedup_ops.build_dedup_index(ref, "text", "doc_id", name, path, n_buckets=8)
-    _INCR_IDX_LAST.extend([idx.digests_table, idx.bands_table])
+    _INCR_IDX_LAST.append(([idx.digests_table, idx.bands_table], path))
     return dedup_ops.incremental_dedup_verdicts_indexed(new, idx, "text", "doc_id")
 
 

@@ -16,13 +16,11 @@ batch==stream proof pattern, tests/test_streaming.py).
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.aggregates import funnel_counts
+from .dedup import _stage_dir
 from .events import _event_time, ts_event_micros_sql
 
 
@@ -53,14 +51,16 @@ def windowed_funnel_stream(
     output rows are ``(win_start, stage, stage_idx, n_in, n_surviving,
     n_dropped)`` — one funnel row-set per closed window, emitted once
     the watermark passes (append mode), state bounded by the horizon.
+
+    Session-conf side effect: sets
+    ``spark.sql.legacy.parquet.nanosAsLong`` for the whole session (the
+    testdata events parquet carries nanosecond timestamps), same as the
+    other streaming entry points' fixtures do — callers who need the
+    default back must restore it themselves.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
-    if os.path.isfile(events_path):
-        staged = tempfile.mkdtemp(prefix="omics_stream_")
-        os.symlink(events_path, os.path.join(staged, os.path.basename(events_path)))
-        events_path = staged
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = spark.readStream.schema(schema).parquet(_stage_dir(events_path))
     windowed = (
         stream.withColumn("__event_time", _event_time(stream))
         .withWatermark("__event_time", watermark)

@@ -1176,6 +1176,39 @@ def test_keep_best_per_component_semantics(spark):
     assert sum(1 for _, _, k in rows.values() if k) == 3  # one per component
 
 
+def test_keep_best_string_ids_and_missing_scores(spark):
+    """r11-advice regressions: (a) string doc ids must tie-break
+    deterministically to the LOWEST id (the old -id negation cast a
+    string to double -> NULL -> nondeterministic winner and NULL keep);
+    (b) a doc with no score row still appears (score NULL) and loses to
+    any scored sibling; (c) an all-unscored component falls back to the
+    min-id representative instead of vanishing."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        keep_best_per_component,
+    )
+
+    comps = spark.createDataFrame(
+        [("d-b", 1), ("d-a", 1), ("d-c", 2), ("d-d", 2), ("d-x", 3), ("d-y", 3)],
+        "id string, component long",
+    )
+    scores = spark.createDataFrame(
+        [("d-b", 0.5), ("d-a", 0.5), ("d-d", 0.9)],  # d-c, d-x, d-y unscored
+        "doc_id string, quality double",
+    )
+    rows = {
+        r["id"]: (r["component"], r["quality"], r["keep"])
+        for r in keep_best_per_component(comps, scores).collect()
+    }
+    assert len(rows) == 6                       # nothing silently dropped
+    assert rows["d-a"] == (1, 0.5, True)        # string-id tie -> lowest id
+    assert rows["d-b"] == (1, 0.5, False)
+    assert rows["d-d"] == (2, 0.9, True)        # scored beats unscored
+    assert rows["d-c"] == (2, None, False)
+    assert rows["d-x"] == (3, None, True)       # all-unscored -> min id
+    assert rows["d-y"] == (3, None, False)
+    assert all(isinstance(k, bool) for _, _, k in rows.values())
+
+
 def test_set_overlap_matrix_semantics(spark):
     """Hand-computed pairwise overlap: shared distinct keys, per-side
     totals, Jaccard; non-overlapping pairs emit no row; duplicate

@@ -1409,6 +1409,37 @@ def test_asof_join_semantics_ties_and_tolerance(spark):
     assert rows_tol[2] == (None, None)  # age 5 > 4: stale
 
 
+def test_asof_join_preserves_null_right_values(spark):
+    """A matched right row whose VALUE is NULL must surface that NULL
+    (DuckDB ASOF LEFT JOIN / pandas merge_asof semantics), not skip
+    back to an older row's value — the r11-advice defect: per-column
+    last(ignorenulls) carried (matched_us=20, matched_rv=100.0) for
+    left (u,30) against right [(u,10,100.0),(u,20,NULL)]; the struct
+    carry returns (20, None)."""
+    from omics_data_integration_utilities_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, "u", 30)], "event_id long, user_id string, us long")
+    right = spark.createDataFrame(
+        [("u", 10, 100.0), ("u", 20, None)],
+        "user_id string, us long, rv double",
+    )
+    rows = {
+        r["event_id"]: (r["matched_us"], r["matched_rv"])
+        for r in asof_join(left, right, ["user_id"], "us", ["rv"]).collect()
+    }
+    assert rows[1] == (20, None)
+    # multi-value-column form: NULL in one field never disturbs the other
+    right2 = spark.createDataFrame(
+        [("u", 10, 100.0, "a"), ("u", 20, None, "b")],
+        "user_id string, us long, rv double, tag string",
+    )
+    rows2 = {
+        r["event_id"]: (r["matched_us"], r["matched_rv"], r["matched_tag"])
+        for r in asof_join(left, right2, ["user_id"], "us", ["rv", "tag"]).collect()
+    }
+    assert rows2[1] == (20, None, "b")
+
+
 def test_weighted_sample_properties(spark):
     """Weighted sampling invariants: exact n when available, all-rows
     when n exceeds the corpus, zero/negative weights never selected,
