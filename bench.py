@@ -14,6 +14,15 @@ If a previous round's BENCH_r*.json exists next to this file, a per-query
 delta (median / previous) is reported under "deltas" and anything over
 1.3x is listed under "regressions" — the driver's contract fields
 (metric/value/unit/queries/sf) are unchanged.
+
+Output layout (r12): the FINAL stdout line carries ONLY the driver
+contract fields plus compact summaries (slow_total, max_spread, loadavg
+endpoints) and is budgeted under STDOUT_BYTE_BUDGET — r11's full
+telemetry outgrew the driver's 2000-char tail capture and the round's
+timings were lost.  The full per-query detail (mins, slow_queries,
+slow_mins, spread, slow_loadavg1, deltas) goes to the stderr
+diagnostics line AND to bench_full.json next to this file, which is
+committed per-round and feeds the next round's slow-tier deltas.
 """
 
 from __future__ import annotations
@@ -208,8 +217,16 @@ def _spread(times: list[float]) -> float:
     return round(max(times) / lo, 2) if lo > 0 else 0.0
 
 
-def _previous_round_timings(here: str) -> dict[str, float]:
-    """Latest BENCH_r{N}.json next to the repo root, if any."""
+def _previous_round_timings(here: str, sf: str) -> dict[str, float]:
+    """Previous timings for the round-over-round delta read: the latest
+    BENCH_r{N}.json (driver-recorded stdout; headline queries — and
+    slow_queries too for rounds ≤ r11, when they still rode stdout)
+    merged with bench_full.json (the full-detail sidecar this harness
+    writes since r12, which carries the slow tier now that stdout
+    doesn't).  The sidecar is only trusted when its recorded sf matches
+    the current run — a local sf0.01 iteration must not become the
+    comparator for the driver's sf0.1 round."""
+    out: dict[str, float] = {}
     best_n, best = -1, None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -218,19 +235,78 @@ def _previous_round_timings(here: str) -> dict[str, float]:
         n = int(m.group(1))
         if n > best_n:
             best_n, best = n, path
-    if best is None:
-        return {}
+    if best is not None:
+        try:
+            with open(best) as f:
+                data = json.load(f)
+            # the driver wraps the bench line under "parsed"
+            if "queries" not in data and isinstance(data.get("parsed"), dict):
+                data = data["parsed"] or {}
+            out.update({k: float(v) for k, v in (data.get("queries") or {}).items()})
+            out.update(
+                {k: float(v) for k, v in (data.get("slow_queries") or {}).items()}
+            )
+        except Exception:
+            pass
     try:
-        with open(best) as f:
-            data = json.load(f)
-        # the driver wraps the bench line under "parsed"
-        if "queries" not in data and isinstance(data.get("parsed"), dict):
-            data = data["parsed"]
-        out = {k: float(v) for k, v in (data.get("queries") or {}).items()}
-        out.update({k: float(v) for k, v in (data.get("slow_queries") or {}).items()})
-        return out
+        with open(os.path.join(here, "bench_full.json")) as f:
+            full = json.load(f)
+        if str(full.get("sf")) == str(float(sf)):
+            for k, v in (full.get("slow_queries") or {}).items():
+                out.setdefault(k, float(v))
     except Exception:
-        return {}
+        pass
+    return out
+
+
+# hard byte budget for the FINAL stdout line: the driver's tail capture
+# is 2000 chars and anything past it is sliced off (r4 and r11 both lost
+# their round's timings to this).  tests/test_ledger.py asserts the
+# worst-case payload stays under budget as the tiers grow.
+STDOUT_BYTE_BUDGET = 1800
+
+
+def _stdout_payload(
+    total: float,
+    timings: dict[str, float],
+    sf: str,
+    reps: int,
+    slow_timings: dict[str, float],
+    load_start: list[float],
+    load_end: list[float],
+    spreads: dict[str, float],
+    slow_load: dict[str, float],
+    errors: dict[str, str],
+) -> dict:
+    """The driver-contract stdout line: metric/value/unit/queries/sf plus
+    COMPACT summaries only.  Per-query mins/spreads/slow timings live in
+    bench_full.json + the stderr diagnostics — r11 lost its round's
+    timings when the full telemetry outgrew the driver's 2000-char tail
+    capture, so everything per-query beyond the fixed headline set stays
+    OFF stdout by construction."""
+    return {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "reps": reps,
+        "slow_total": round(sum(slow_timings.values()), 3),
+        "slow_count": len(slow_timings),
+        # load telemetry summaries: 1-min loadavg at start/end and the
+        # worst per-query rep spread + worst post-slow-query load — the
+        # judge's quiet-machine discriminator, compressed to 4 numbers
+        "loadavg1_start": load_start[0] if load_start else None,
+        "loadavg1_end": load_end[0] if load_end else None,
+        "max_spread": max(spreads.values(), default=None),
+        "slow_loadavg1_max": max(slow_load.values(), default=None),
+        "errors": errors,
+        # an erroring headline query silently SHRINKS the total, which
+        # would read as a speedup round-over-round; this flag marks the
+        # total incomparable whenever that happened
+        "headline_incomplete": sorted(n for n in HEADLINE if n in errors),
+        "detail": "bench_full.json",
+    }
 
 
 def main() -> None:
@@ -251,7 +327,7 @@ def main() -> None:
         lambda it: (pdf.assign(x=pdf.id) for pdf in it), schema="id long, x long"
     ).count()
 
-    prev = _previous_round_timings(here)
+    prev = _previous_round_timings(here, sf)
     load_start = _loadavg()
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
@@ -342,50 +418,64 @@ def main() -> None:
                 line += f" delta={d:.2f}x"
             print(line, file=sys.stderr)
 
-    # diagnostics go to stderr; the FINAL stdout line stays compact so the
-    # driver's tail capture can always parse it (r4's JSON outgrew the tail)
-    print(
-        "# diagnostics: "
-        + json.dumps(
-            {
-                "deltas": deltas,
-                "regressions": regressions,
-                "methodology": METHODOLOGY,
-                "workload_changes": WORKLOAD_CHANGES,
-            }
-        ),
-        file=sys.stderr,
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "reps": reps,
-                "mins": mins,
-                "slow_queries": slow_timings,
-                "slow_mins": slow_mins,
-                # load telemetry (r11): 1/5/15-min loadavg at start/end,
-                # per-query max/min rep spread, and the 1-min load pinned
-                # after each slow-tier query — so a judge reading a >1.3x
-                # delta can see whether the machine was quiet without a
-                # separate attribution probe
-                "loadavg": {"start": load_start, "end": _loadavg()},
-                "spread": spreads,
-                "slow_loadavg1": slow_load,
-                "errors": errors,
-                # an erroring headline query silently SHRINKS the total,
-                # which would read as a speedup round-over-round; this flag
-                # marks the total incomparable whenever that happened
-                "headline_incomplete": sorted(
-                    n for n in HEADLINE if n in errors
-                ),
-            }
+    # full per-query detail: stderr diagnostics line + the bench_full.json
+    # sidecar (committed per-round, so min-vs-min and slow-tier deltas
+    # survive even though they no longer ride the stdout line)
+    load_end = _loadavg()
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "reps": reps,
+        "mins": mins,
+        "slow_queries": slow_timings,
+        "slow_mins": slow_mins,
+        "loadavg": {"start": load_start, "end": load_end},
+        "spread": spreads,
+        "slow_loadavg1": slow_load,
+        "errors": errors,
+        "deltas": deltas,
+        "regressions": regressions,
+        "methodology": METHODOLOGY,
+        "workload_changes": WORKLOAD_CHANGES,
+    }
+    print("# diagnostics: " + json.dumps(full), file=sys.stderr)
+    try:
+        with open(os.path.join(here, "bench_full.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except Exception as exc:  # noqa: BLE001 — sidecar loss must not kill stdout
+        print(f"# bench_full.json write failed: {exc}", file=sys.stderr)
+
+    line = json.dumps(
+        _stdout_payload(
+            total, timings, sf, reps, slow_timings,
+            load_start, load_end, spreads, slow_load, errors,
         )
     )
+    if len(line) > STDOUT_BYTE_BUDGET:
+        # never exceed the tail capture: degrade by dropping error detail
+        # (keep the names), then as a last resort emit contract-only
+        print(f"# stdout line {len(line)}B over budget, degrading", file=sys.stderr)
+        payload = _stdout_payload(
+            total, timings, sf, reps, slow_timings,
+            load_start, load_end, spreads, slow_load,
+            {k: "" for k in errors},
+        )
+        line = json.dumps(payload)
+        if len(line) > STDOUT_BYTE_BUDGET:
+            line = json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": float(sf),
+                    "headline_incomplete": sorted(n for n in HEADLINE if n in errors),
+                }
+            )
+    print(line)
     spark.stop()
 
 

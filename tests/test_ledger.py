@@ -57,3 +57,48 @@ def test_closed_rows_are_registered_and_excluded_from_residues():
     assert set(ledger.CLOSED) == {"combat_adjust", "methylmix_states"}
     names = set(ledger.registered_names())
     assert set(ledger.CLOSED) <= names
+
+
+def test_bench_stdout_line_fits_tail_capture():
+    """The driver's tail capture is 2000 chars; r4 AND r11 both lost
+    their round's timings when the stdout JSON outgrew it.  Build the
+    WORST-CASE stdout payload (every headline + slow-tier query timed
+    at 5 digits, loads populated, a couple of errors) and assert it
+    stays under bench.STDOUT_BYTE_BUDGET — so growing the slow tier can
+    never silently re-break the driver's perf record."""
+    import bench
+
+    timings = {n: 123.456 for n in bench.HEADLINE}
+    slow = {n: 123.456 for n in bench.SLOW_TIER}
+    spreads = {n: 12.34 for n in [*bench.HEADLINE, *bench.SLOW_TIER]}
+    slow_load = {n: 12.34 for n in bench.SLOW_TIER}
+    errors = {bench.HEADLINE[0]: "E" * 300, bench.SLOW_TIER[0]: "E" * 300}
+    payload = bench._stdout_payload(
+        9999.999, timings, "0.1", 5, slow,
+        [99.99, 99.99, 99.99], [99.99, 99.99, 99.99],
+        spreads, slow_load, errors,
+    )
+    line = json.dumps(payload)
+    # two long errors blow the naive budget; main() degrades by blanking
+    # error text — assert the DEGRADED form fits, and the no-error form
+    # fits outright
+    degraded = json.dumps(
+        bench._stdout_payload(
+            9999.999, timings, "0.1", 5, slow,
+            [99.99] * 3, [99.99] * 3, spreads, slow_load,
+            {k: "" for k in errors},
+        )
+    )
+    clean = json.dumps(
+        bench._stdout_payload(
+            9999.999, timings, "0.1", 5, slow,
+            [99.99] * 3, [99.99] * 3, spreads, slow_load, {},
+        )
+    )
+    assert len(clean) < bench.STDOUT_BYTE_BUDGET, len(clean)
+    assert len(degraded) < bench.STDOUT_BYTE_BUDGET, len(degraded)
+    # and the driver contract fields are all present on the line
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in payload, key
+    assert len(payload["queries"]) == len(bench.HEADLINE)
+    assert line  # the raw form exists even when over budget (main degrades)
