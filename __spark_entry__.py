@@ -115,7 +115,61 @@ def entry(spark: SparkSession) -> DataFrame:
 # funnel is a trivial-plan single aggregate whose local oracle evidence
 # carried it one round.
 #
-# r11 rotation (this round): evidence-hygiene sweep per the r10
+# r12 rotation (this round): backlog clear + stale refresh per the r11
+# verdict (items 2, 3, 5, 7).  Twenty-three in — (a) ALL thirteen
+# never-driver-checked r11 registrations (events_asof_join,
+# events_rollup, events_histogram, events_funnel, dedup_keep_best,
+# dedup_minhash_accuracy, doc_novelty, doc_weighted_sample, doc_upsert,
+# source_overlap, sim_centroid_drift, text_length_quantiles,
+# text_top_ngrams — each sf0.01-green locally in r11 and re-verified
+# this session), zeroing the never-checked backlog; (b) pipeline_curate
+# (NEW r12 — the batch twin of streaming/pipeline.curate_doc_stream:
+# same quality_expr gate via the shared _gated_projection, per-source
+# (n_in, n_gated, n_kept_hashes) + an __all__ row whose kept count is
+# the stream's kept-state cardinality; exact SQL oracle + stream==batch
+# parity test — registered IN-WINDOW immediately per the new budget
+# rule below, so it never joins a backlog); (c) nine of the fifteen
+# r7-stale rows (staleness 4): w1_mutual_rank, p6_mad_filter,
+# methylmix_em, k9_linear_filter, k6_pairwise_corr, k13_roc,
+# j1_star_join, events_interval_join, sim_ann_topk — the other six
+# (drivernet_greedy, doc_split, dedup_simhash_pairs,
+# dedup_minhash_signatures, text_pii_scrub, combat_mean_only) reach
+# exactly staleness 5 after r12 and are the committed r13 refresh
+# cohort.
+#
+# Twenty-four out, every one hash-green in r11's window with an
+# in-window sibling exercising the same machinery plus the standing
+# sf0.01 local oracle: k1_reaction_products + k2_mass (k1_graph_rewrite
+# runs the full SMARTS engine; plan_reaction_mass carries the mass
+# parser), dedup_exact + dedup_ngram_jaccard (plan_data_pipeline
+# composes exact dedup + near-dup verify; source_overlap enters on the
+# gram-overlap machinery), the nine text singles (text_quality,
+# text_token_counts, text_token_count, text_dup_spans, text_gopher,
+# text_perplexity, text_lang_id, text_repetition, text_decontaminate —
+# plan_data_pipeline composes the battery, pipeline_curate enters on
+# quality_expr end-to-end, text_length_quantiles enters on the
+# tokenizer; token_count/quality/fingerprint are additionally formally
+# closed as superseded — see ledger.CLOSED), j2/j7/j9 + a3 (single-op
+# native joins/agg; j4_band_join stays, j1_star_join enters),
+# events_tumbling + events_hopping (events_rollup enters DERIVING the
+# tumbling aggregate at every resolution — its oracle recomputes each
+# level from raw; events_funnel/asof/histogram enter the same family),
+# events_interval_join_outer (the INNER form enters from the stale
+# cohort; outer = inner + null-padding, batch==stream parity tests
+# cover both), sim_cosine_neardup (sim_ivf_topk runs the same GEMM;
+# sim_centroid_drift enters), mix_domains (doc_weighted_sample enters
+# the sampling family), pipeline_funnel (events_funnel enters on the
+# same funnel_counts algebra, per-window instead of per-source).
+#
+# REGISTRATION BUDGET RULE (r11 verdict item 5, standing from r12):
+# every NEW query registers directly INTO the window by displacing a
+# green-with-sibling row in the same commit — never past the cap.  The
+# never-checked residue may only ever contain queries registered after
+# the round's rotation commit (late additions), and those are the
+# mandatory first rotation of the next round.  Supersession closures
+# (ledger.CLOSED) shrink the rotation pool itself.
+#
+# r11 rotation (previous round): evidence-hygiene sweep per the r10
 # verdict.  Nineteen in — (a) pipeline_funnel, the ONLY query of 130
 # with zero driver evidence (registered past the cap late r10); (b)
 # dedup_incremental_indexed (NEW r11 — the persisted-index probe path
@@ -331,58 +385,58 @@ _PRIORITY = [
     "plan_reaction_mass",
     "plan_data_pipeline",
     "plan_enzyme_annotation",
-    # chemistry / rule kernels (k1/k3 carry the r10 ring-count probes;
-    # k1_reaction_products + k2_mass re-enter from the r6-stale cohort)
+    # chemistry / rule kernels
     "k1_graph_rewrite",
-    "k1_reaction_products",
-    "k2_mass",
     "k4_rule_bfs",
     "rulemap_containment",
     "k3_substructure",
-    # analytics kernels
+    # analytics kernels (+ the r7-stale refresh cohort, part 1 of 2)
     "k10_pca_batch",
     "k12_perm_fdr",
     "k13_count_glm",
+    "k13_roc",
+    "k9_linear_filter",
+    "k6_pairwise_corr",
     "plan_methylmix",
+    "methylmix_em",
     "drivernet_significance",
     "drivernet_permutation",
-    # LLM-pipeline surface — dedup_incremental_indexed (NEW r11) sits
-    # next to its scan-form sibling so the driver hash-checks both
-    # against the one shared oracle in the same window
+    # LLM-pipeline surface — the thirteen r11 late registrations enter
+    # (never-checked backlog zeroed), pipeline_curate enters NEW under
+    # the registration budget rule
     "dedup_incremental",
     "dedup_incremental_indexed",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_components",
+    "dedup_keep_best",
+    "dedup_minhash_accuracy",
+    "doc_novelty",
+    "doc_weighted_sample",
+    "doc_upsert",
+    "source_overlap",
     "sim_ivf_topk",
-    "sim_cosine_neardup",
+    "sim_ann_topk",
     "sim_diversity_digest",
+    "sim_centroid_drift",
     "doc_pack_chunks",
     "dedup_substring_spans",
     "dedup_substring_remove",
-    "text_quality",
-    "mix_domains",
-    "pipeline_funnel",
-    "text_token_counts",
-    "text_token_count",
-    "text_dup_spans",
-    "text_gopher",
-    "text_perplexity",
-    "text_lang_id",
-    "text_repetition",
-    "text_decontaminate",
+    "text_length_quantiles",
+    "text_top_ngrams",
+    "pipeline_curate",
     "multimodal_features",
     "clusterone_modules",
-    # streaming-equivalent windows (tumbling/hopping re-enter from r6)
-    "events_interval_join_outer",
-    "events_tumbling",
-    "events_hopping",
-    # core relational representatives (r11: the r6-stale join cohort)
+    # streaming-equivalent windows (asof/rollup/histogram/funnel enter;
+    # the INNER interval join refreshes from the r7-stale cohort)
+    "events_asof_join",
+    "events_rollup",
+    "events_histogram",
+    "events_funnel",
+    "events_interval_join",
+    # core relational / window representatives (stale refresh part 1)
     "j4_band_join",
-    "j2_outer_join",
-    "j7_semi_join",
-    "j9_dict_join",
-    "a3_pricing_summary",
+    "j1_star_join",
+    "w1_mutual_rank",
+    "p6_mad_filter",
 ]
 
 

@@ -46,6 +46,28 @@ CLOSED = {
         "driver rows-only pass r9) — digest sibling methylmix_states_digest "
         "is golden-oracled and was hash-green in-window"
     ),
+    # r12 supersession closures (r11 verdict item 5): API-parity singles
+    # whose machinery a richer registered sibling exercises end-to-end;
+    # each hash-green in 3+ driver windows, each keeping its standing
+    # sf0.01 local oracle in tests/test_queries_oracle.py.  Closing them
+    # shrinks the rotation pool so registration stops outpacing the
+    # 50-slot window.
+    "text_token_count": (
+        "superseded by text_token_counts (hash-green r11): the single-"
+        "flavor count is a strict projection of the two-flavor query's "
+        "output, same tokenizer code path (operators/text.py token_counts); "
+        "hash-green r2/r10/r11"
+    ),
+    "text_quality": (
+        "superseded by pipeline_curate (r12, gates on the identical "
+        "quality_expr — operators/text.py:40, single source of truth) and "
+        "by text_gopher's richer battery; hash-green r3/r10/r11"
+    ),
+    "dedup_fingerprint": (
+        "superseded by text_winnowing (hash-green r9): both run the same "
+        "rolling-hash fingerprint machinery (operators/text.py), winnowing "
+        "the strictly richer window-min form; hash-green r2/r10"
+    ),
 }
 
 

@@ -590,6 +590,48 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/pipeline.curate_doc_stream (gate on the
+    SAME quality_expr → exact-dedup counts): per-source (n_in, n_gated,
+    n_kept_hashes) plus the __all__ row whose kept count is the global
+    distinct-content cardinality — the stream's kept-state size, so the
+    driver hash-checks the curation stream's algebra end-to-end the way
+    events_funnel does for the funnel stream (r11 verdict item 7)."""
+    from ..streaming.pipeline import curate_doc_batch_counts
+
+    return curate_doc_batch_counts(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", min_quality=0.5
+    )
+
+
+SQL_PIPELINE_CURATE = """
+WITH f AS (
+  SELECT source, md5(text) AS h,
+         length(text)::BIGINT AS n_chars,
+         len(string_split(text, ' '))::BIGINT AS n_tok,
+         len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct
+  FROM documents
+), q AS (
+  SELECT source, h,
+         round(least(n_tok / 100.0, 1.0) * 0.4 + (n_distinct / n_tok) * 0.4
+               + least(((n_chars - (n_tok - 1)) / n_tok) / 10.0, 1.0) * 0.2, 6)
+           >= 0.5 AS kept
+  FROM f
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_in,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+       CAST(count(DISTINCT CASE WHEN kept THEN h END) AS BIGINT) AS n_kept_hashes
+FROM q GROUP BY source
+UNION ALL
+SELECT '__all__',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN kept THEN h END) AS BIGINT)
+FROM q
+"""
+
+
 # DuckDB sum(CASE..) returns HUGEINT — CAST every count to BIGINT (the
 # r9 doc_pack_chunks fetched-dtype lesson)
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1943,6 +1985,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_domains": q_mix_domains,
     "pipeline_funnel": q_pipeline_funnel,
     "events_funnel": q_events_funnel,
+    "pipeline_curate": q_pipeline_curate,
     "doc_pack_chunks": q_doc_pack_chunks,
     "doc_pack_chunks_digest": q_doc_pack_chunks_digest,
     "probe_double_pmod": q_probe_double_pmod,
@@ -2000,6 +2043,7 @@ ORACLES_DOCS: dict[str, str] = {
     "mix_domains": SQL_MIX_DOMAINS,
     "pipeline_funnel": SQL_PIPELINE_FUNNEL,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "pipeline_curate": SQL_PIPELINE_CURATE,
     "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
     "doc_pack_chunks_digest": SQL_DOC_PACK_CHUNKS_DIGEST,
     "probe_double_pmod": SQL_PROBE_DOUBLE_PMOD,

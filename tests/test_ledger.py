@@ -51,12 +51,24 @@ def test_ledger_matches_checked_in_book():
 def test_closed_rows_are_registered_and_excluded_from_residues():
     """The formally-closed set must stay consistent: every CLOSED name is
     a registered query (a stale closure for a delisted query is noise),
-    and closures only cover queries with a standing digest/golden
-    sibling or sanctioned rows-only evidence — currently exactly the
-    two the r10 verdict named."""
-    assert set(ledger.CLOSED) == {"combat_adjust", "methylmix_states"}
+    and closures only cover queries with a standing richer sibling
+    (supersession) or sanctioned rows-only evidence — the two the r10
+    verdict named plus the three r11-verdict-item-5 supersession
+    closures.  Every supersession closure must additionally have real
+    driver hash-green history (a closure may retire a PROVEN query from
+    rotation, never hide an unproven one)."""
+    assert set(ledger.CLOSED) == {
+        "combat_adjust",
+        "methylmix_states",
+        "text_token_count",
+        "text_quality",
+        "dedup_fingerprint",
+    }
     names = set(ledger.registered_names())
     assert set(ledger.CLOSED) <= names
+    book = ledger.build_ledger()
+    for name in ("text_token_count", "text_quality", "dedup_fingerprint"):
+        assert book[name]["last_green"] is not None, name
 
 
 def test_bench_stdout_line_fits_tail_capture():

@@ -932,6 +932,24 @@ def test_curate_doc_stream_matches_batch_gate_and_dedup(spark, tmp_path):
     assert all(r["quality"] >= 0.5 for r in kept)
     assert 0 < len(kept) < docs.count()  # the gate and the dedup both bit
 
+    # batch-twin report parity: the __all__ row's kept-hash cardinality
+    # IS the stream's kept-state size, and the per-source rows account
+    # for every input doc (registered as pipeline_curate)
+    from omics_data_integration_utilities_spark.streaming.pipeline import (
+        curate_doc_batch_counts,
+    )
+
+    report = {
+        r["source"]: (r["n_in"], r["n_gated"], r["n_kept_hashes"])
+        for r in curate_doc_batch_counts(docs).collect()
+    }
+    assert report["__all__"][2] == len(kept)
+    assert report["__all__"][0] == docs.count()
+    per_source = {k: v for k, v in report.items() if k != "__all__"}
+    assert sum(v[0] for v in per_source.values()) == docs.count()
+    assert sum(v[1] for v in per_source.values()) == report["__all__"][1]
+    assert all(v[2] <= v[1] <= v[0] for v in report.values())
+
 
 def test_multires_rollup_coarse_equals_direct(spark):
     """rollup(rollup(x)) == rollup(x): each coarser level (derived from
