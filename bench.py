@@ -132,7 +132,24 @@ SLOW_TIER = [
     "dedup_minhash_accuracy",
     "doc_upsert",
     "events_histogram",
+    # round 12: the steady-state index PROBE (bench-only callable — the
+    # untimed warm-up builds+memoizes the index, timed reps only probe;
+    # compare against dedup_incremental's scan cost, NOT against
+    # dedup_incremental_indexed, which deliberately re-times the build),
+    # and the curation-stream batch twin
+    "dedup_index_probe",
+    "pipeline_curate",
 ]
+
+# bench-only callables: timed like registered queries but deliberately
+# NOT in the driver registry (the rotation-pool budget rule) — see each
+# function's docstring for why it exists as a bench entry
+def _extra_bench() -> dict:
+    from omics_data_integration_utilities_spark.plans.registry_docs import (
+        q_dedup_index_probe,
+    )
+
+    return {"dedup_index_probe": q_dedup_index_probe}
 
 REGRESSION_FLAG = 1.3
 
@@ -316,7 +333,8 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark("omics-spark-bench")
 
-    queries = entrymod.queries()
+    queries = dict(entrymod.queries())
+    queries.update(_extra_bench())
     # warm up the session: JVM, AQE machinery, parquet reader paths
     spark.range(1000).count()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

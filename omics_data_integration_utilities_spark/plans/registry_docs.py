@@ -157,17 +157,24 @@ _INCR_SALT = "incr-v1"
 _INCR_REF_CUT = 700_000  # 70% ref corpus / 30% new batch
 
 
-def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """New-batch-vs-reference dedup verdicts: a deterministic md5 70/30
-    split of ``documents`` plays reference corpus vs tonight's batch;
-    every batch doc gets (verdict, keep) — exact_ref / near_ref /
-    exact_batch / near_batch / novel."""
+def _incr_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The deterministic md5 70/30 (reference corpus, tonight's batch)
+    split every incremental-dedup query family member uses."""
     from ..operators.sampling import _hash_bucket
 
     docs = _t(spark, sf_dir, "documents")
     tagged = docs.withColumn("__b", _hash_bucket(F.col("doc_id"), _INCR_SALT))
     ref = tagged.where(F.col("__b") < _INCR_REF_CUT).drop("__b")
     new = tagged.where(F.col("__b") >= _INCR_REF_CUT).drop("__b")
+    return ref, new
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-reference dedup verdicts: a deterministic md5 70/30
+    split of ``documents`` plays reference corpus vs tonight's batch;
+    every batch doc gets (verdict, keep) — exact_ref / near_ref /
+    exact_batch / near_batch / novel."""
+    ref, new = _incr_split(spark, sf_dir)
     return dedup_ops.incremental_dedup_verdicts(new, ref, "text", "doc_id")
 
 
@@ -272,17 +279,12 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..operators.sampling import _hash_bucket
-
     while _INCR_IDX_LAST:
         prev_tables, prev_path = _INCR_IDX_LAST.pop()
         for t in prev_tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(prev_path, ignore_errors=True)
-    docs = _t(spark, sf_dir, "documents")
-    tagged = docs.withColumn("__b", _hash_bucket(F.col("doc_id"), _INCR_SALT))
-    ref = tagged.where(F.col("__b") < _INCR_REF_CUT).drop("__b")
-    new = tagged.where(F.col("__b") >= _INCR_REF_CUT).drop("__b")
+    ref, new = _incr_split(spark, sf_dir)
     name = f"incr_idx_{os.getpid()}_{next(_INCR_IDX_SEQ)}"
     path = tempfile.mkdtemp(prefix="dedup_incr_idx_")
     # n_buckets sized to the test corpus per build_dedup_index's own
@@ -296,6 +298,39 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = dedup_ops.build_dedup_index(ref, "text", "doc_id", name, path, n_buckets=8)
     _INCR_IDX_LAST.append(([idx.digests_table, idx.bands_table], path))
     return dedup_ops.incremental_dedup_verdicts_indexed(new, idx, "text", "doc_id")
+
+
+# per-(pid, sf_dir) memoized index for the BENCH-ONLY probe query below —
+# built once (the bench's untimed warm-up rep), probed by every timed rep
+_PROBE_IDX: dict[str, object] = {}
+
+
+def q_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (deliberately NOT in QUERIES_DOCS — r11 verdict item
+    6): the steady-state O(batch) PROBE against a prebuilt persisted
+    index.  ``q_dedup_incremental_indexed`` stays the driver query
+    (build+probe end-to-end is what the oracle should hash-check), but
+    its 7s/rep bench number is ~all index BUILD — the operational claim
+    worth tracking round-over-round is the probe a nightly-ingest
+    deployment actually repeats, which this entry times in isolation:
+    the first (untimed warm-up) invocation builds and memoizes the two
+    bucketed external tables; every later invocation only probes.
+    Result-identical to ``dedup_incremental`` / ``_indexed`` (asserted
+    by tests/test_dedup.py::test_index_probe_matches_scan_form)."""
+    import tempfile
+
+    key = f"{os.getpid()}:{sf_dir}"
+    if key not in _PROBE_IDX:
+        ref, _ = _incr_split(spark, sf_dir)
+        name = f"incr_probe_{os.getpid()}_{next(_INCR_IDX_SEQ)}"
+        path = tempfile.mkdtemp(prefix="dedup_probe_idx_")
+        _PROBE_IDX[key] = dedup_ops.build_dedup_index(
+            ref, "text", "doc_id", name, path, n_buckets=8
+        )
+    _, new = _incr_split(spark, sf_dir)
+    return dedup_ops.incremental_dedup_verdicts_indexed(
+        new, _PROBE_IDX[key], "text", "doc_id"
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

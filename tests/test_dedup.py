@@ -1240,3 +1240,30 @@ def test_set_overlap_matrix_semantics(spark):
         for r in source_content_overlap(docs, "text", "source").collect()
     }
     assert got == {("x", "y"): (1, 2, 1)}
+
+
+def test_index_probe_matches_scan_form(spark):
+    """The bench-only steady-state probe (q_dedup_index_probe: build
+    once + memoize, probe per call) must return EXACTLY the scan form's
+    verdicts — same oracle semantics as dedup_incremental — and a second
+    invocation must reuse the memoized index (probe-only), which is the
+    whole point of benching it separately from the build."""
+    from omics_data_integration_utilities_spark.plans import registry_docs as rd
+    from .conftest import SF_SMOKE
+
+    probe1 = {
+        (r["doc_id"], r["verdict"], r["keep"])
+        for r in rd.q_dedup_index_probe(spark, SF_SMOKE).collect()
+    }
+    scan = {
+        (r["doc_id"], r["verdict"], r["keep"])
+        for r in rd.q_dedup_incremental(spark, SF_SMOKE).collect()
+    }
+    assert probe1 == scan and len(scan) > 0
+    n_indexes = len(rd._PROBE_IDX)
+    probe2 = {
+        (r["doc_id"], r["verdict"], r["keep"])
+        for r in rd.q_dedup_index_probe(spark, SF_SMOKE).collect()
+    }
+    assert probe2 == probe1
+    assert len(rd._PROBE_IDX) == n_indexes  # memo hit: no second build
