@@ -341,9 +341,15 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    # shuffle_hash hints: both join inputs are post-aggregation relations
+    # the static planner cannot size, and without the hint it guesses the
+    # PAIR-scale `inter` small and broadcasts it — measured collecting
+    # >1 GiB to the driver at 16x duplication (r12 probe).  Building the
+    # hash from the DOC-scale size table per partition is the shape that
+    # survives any corpus: pairs >> docs always, and neither side sorts.
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
@@ -806,7 +812,15 @@ def minhash_estimate_accuracy(
     (zero-shuffle array HOFs), candidate pairs (banded posting lists),
     exact Jaccard (inverted index, exact under the posting cap) — plus
     two hash joins on the pair ids; nothing new shuffles.  Rows are
-    candidate pairs, already sub-quadratic by LSH design.
+    candidate pairs, already sub-quadratic by LSH design.  Join-strategy
+    hints (r12 probe finding): every relation here sits above a
+    localCheckpoint, so the static planner has NO stats and guesses the
+    post-aggregation PAIR-scale sides small enough to broadcast —
+    measured collecting >1 GiB to the driver at 16× duplication.  The
+    pair⋈signature joins hint ``shuffle_hash`` on the DOC-scale
+    signature side (per-partition hash build, no sort of the pair
+    stream); the final est⋈exact join hints ``merge`` (both sides
+    pair-scale — nothing is safe to hash-build wholesale).
     """
     sigs = with_minhash_signature(df, text_col, id_col)
     pairs = lsh_candidate_pairs(df, text_col, id_col, max_posting)
@@ -814,9 +828,21 @@ def minhash_estimate_accuracy(
         df, text_col, id_col, min_jaccard=0.0, max_posting=max_posting
     ).select("id_a", "id_b", "jaccard")
     n_perms = len(MINHASH_PERMS)
+    # shuffle_hash on the signature side: pairs is PAIR-scale and
+    # post-aggregation (the static planner would guess it small and
+    # broadcast it); signatures are doc-scale — per-partition hash build
+    # on that side, no sort of the pair stream, no driver collect
     est = (
-        pairs.join(sigs.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sa")), "id_a")
-        .join(sigs.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sb")), "id_b")
+        pairs.join(
+            sigs.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sa"))
+            .hint("shuffle_hash"),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sb"))
+            .hint("shuffle_hash"),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
@@ -832,7 +858,7 @@ def minhash_estimate_accuracy(
         )
     )
     return (
-        est.join(exact, ["id_a", "id_b"], "left")
+        est.join(exact.hint("merge"), ["id_a", "id_b"], "left")
         .select(
             "id_a",
             "id_b",
