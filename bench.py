@@ -190,8 +190,16 @@ METHODOLOGY = (
 
 # per-query WORKLOAD changes this round: a grown fixture is more work,
 # not a regression — carried in the JSON so round-over-round deltas on
-# these queries are read against the new workload
+# these queries are read against the new workload.  Deliberate PLAN
+# changes ride here too (same read: the delta is expected).
 WORKLOAD_CHANGES = {
+    "dedup_ngram_jaccard": "r12 plan change: shuffle_hash hints replace "
+    "the planner's broadcast of the pair-scale `inter` relation (blew "
+    "the 1 GiB driver collect at 16x duplication — SCALE.md r12); at "
+    "sf0.1 the correct two-shuffle plan costs ~0.5s over the unsafe "
+    "broadcast, the deliberate trade",
+    "dedup_minhash_accuracy": "r12 plan change: same shuffle_hash/merge "
+    "hints (pairs/exact sides were broadcast-collected pre-fix)",
     "k3_substructure": "39 -> 68 probes (late-r10 extended chirality "
     "classes [C@TH1H3]Cl/[C@OH1]/[c@SP3] and expression-qualified "
     "ring closures c~1ccccc1 / C~1CCCC1 / c-1ccccc:1; earlier r10: "
@@ -244,27 +252,30 @@ def _previous_round_timings(here: str, sf: str) -> dict[str, float]:
     the current run — a local sf0.01 iteration must not become the
     comparator for the driver's sf0.1 round."""
     out: dict[str, float] = {}
-    best_n, best = -1, None
+    rounds: list[tuple[int, str]] = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m:
-            continue
-        n = int(m.group(1))
-        if n > best_n:
-            best_n, best = n, path
-    if best is not None:
+        if m:
+            rounds.append((int(m.group(1)), path))
+    # newest round WITH data: a tail-capture loss leaves parsed:null (r11),
+    # which must not blank the delta read — fall back to the next round
+    for _, path in sorted(rounds, reverse=True):
         try:
-            with open(best) as f:
+            with open(path) as f:
                 data = json.load(f)
             # the driver wraps the bench line under "parsed"
             if "queries" not in data and isinstance(data.get("parsed"), dict):
                 data = data["parsed"] or {}
-            out.update({k: float(v) for k, v in (data.get("queries") or {}).items()})
+            q = {k: float(v) for k, v in (data.get("queries") or {}).items()}
+            if not q:
+                continue
+            out.update(q)
             out.update(
                 {k: float(v) for k, v in (data.get("slow_queries") or {}).items()}
             )
+            break
         except Exception:
-            pass
+            continue
     try:
         with open(os.path.join(here, "bench_full.json")) as f:
             full = json.load(f)

@@ -275,3 +275,17 @@ def test_events_funnel_single_conditional_scan(spark):
     assert "Join" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_pair_scale_relations_never_broadcast(spark):
+    """r12 probe finding: relations above a localCheckpoint carry no
+    stats, and the static planner used to guess the post-aggregation
+    PAIR-scale sides (inter / pairs / exact) small and broadcast them —
+    a >1 GiB driver collect at 16x duplication.  The shuffle_hash/merge
+    hints pin every join in these two queries off the broadcast path;
+    this test locks the plan shape so a refactor can't silently
+    reintroduce the collect."""
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_accuracy"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" not in plan, name
+        assert "ShuffledHashJoin" in plan, name
