@@ -1416,3 +1416,107 @@ def test_asof_join_matches_duckdb_native(spark, lrows, rrows):
         ).fetchall()
     }
     assert got == want
+
+
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=20
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.booleans()),
+        min_size=0,
+        max_size=20,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_asof_join_null_values_match_duckdb_native(spark, lrows, rrows):
+    """r12 regression property (the r11-advice defect class): right rows
+    whose VALUE is randomly NULL — the matched row must surface its NULL
+    instead of carrying an older row's value.  Differential vs DuckDB's
+    native ASOF LEFT JOIN, same uniqueness contract as the base test."""
+    import duckdb
+
+    from omics_data_integration_utilities_spark.operators.joins import asof_join
+
+    rd = {}
+    for j, (k, t, isnull) in enumerate(rrows):
+        rd[(k, t)] = None if isnull else float(100 + j)
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)],
+        "event_id long, k long, us long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rd.items()] or [(99, -1, 0.0)],
+        "k long, us long, rv double",
+    )
+    got = {
+        r["event_id"]: (r["matched_us"], r["matched_rv"])
+        for r in asof_join(left, right, ["k"], "us", ["rv"]).collect()
+    }
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE l(event_id BIGINT, k BIGINT, us BIGINT)")
+    duck.executemany(
+        "INSERT INTO l VALUES (?, ?, ?)",
+        [(i, k, t) for i, (k, t) in enumerate(lrows)],
+    )
+    duck.execute("CREATE TABLE r(k BIGINT, us BIGINT, rv DOUBLE)")
+    duck.executemany(
+        "INSERT INTO r VALUES (?, ?, ?)",
+        [(k, t, v) for (k, t), v in rd.items()] or [(99, -1, 0.0)],
+    )
+    want = {
+        row[0]: (row[1], row[2])
+        for row in duck.execute(
+            "SELECT l.event_id, r.us, r.rv FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.us >= r.us"
+        ).fetchall()
+    }
+    assert got == want
+
+
+@given(
+    members=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 4)), min_size=1, max_size=30
+    ),
+    scored=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 3)), min_size=0, max_size=30
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_keep_best_matches_python_replica(spark, members, scored):
+    """keep_best_per_component vs an independent Python replica on random
+    components with STRING doc ids, duplicate score rows deduped upstream,
+    and randomly missing scores — covering both r11-advice defects
+    (string-id tie-break, missing-score policy) plus the all-unscored
+    fallback, against the documented policy: scored beats unscored,
+    highest score wins, ties to lowest id, min-id when all unscored."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        keep_best_per_component,
+    )
+
+    comp_of = {f"d{m:02d}": c for m, c in members}          # unique ids
+    score_of = {f"d{m:02d}": s / 4.0 for m, s in scored if f"d{m:02d}" in comp_of}
+    comps = spark.createDataFrame(
+        sorted(comp_of.items()), "id string, component long"
+    )
+    scores = spark.createDataFrame(
+        sorted(score_of.items()) or [("zz", 0.0)], "doc_id string, quality double"
+    )
+    got = {
+        r["id"]: (r["component"], r["quality"], r["keep"])
+        for r in keep_best_per_component(comps, scores).collect()
+    }
+
+    # replica: per component pick (has_score desc, score desc, id asc)
+    by_comp = {}
+    for i, c in comp_of.items():
+        by_comp.setdefault(c, []).append(i)
+    want = {}
+    for c, ids in by_comp.items():
+        best = min(
+            ids,
+            key=lambda i: (score_of.get(i) is None, -(score_of.get(i) or 0.0), i),
+        )
+        for i in ids:
+            want[i] = (c, score_of.get(i), i == best)
+    assert got == want
