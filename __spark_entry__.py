@@ -135,7 +135,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (drivernet_greedy, doc_split, dedup_simhash_pairs,
 # dedup_minhash_signatures, text_pii_scrub, combat_mean_only) reach
 # exactly staleness 5 after r12 and are the committed r13 refresh
-# cohort.
+# cohort; (d) text_heavy_hitters (NEW r12 — the two-phase exact
+# Misra-Gries top-k path, operators/text.heavy_hitters; SAME oracle as
+# text_top_ngrams so hash-green certifies the sketch+recount+
+# certificate machinery end-to-end), registered in-window per the
+# budget rule by displacing dedup_substring_spans (hash-green r10 AND
+# r11; in-window sibling dedup_substring_remove composes the identical
+# span machinery — spans feed the cut — and the standing sf0.01 local
+# oracle stays).
 #
 # Twenty-four out, every one hash-green in r11's window with an
 # in-window sibling exercising the same machinery plus the standing
@@ -418,10 +425,10 @@ _PRIORITY = [
     "sim_diversity_digest",
     "sim_centroid_drift",
     "doc_pack_chunks",
-    "dedup_substring_spans",
     "dedup_substring_remove",
     "text_length_quantiles",
     "text_top_ngrams",
+    "text_heavy_hitters",
     "pipeline_curate",
     "multimodal_features",
     "clusterone_modules",

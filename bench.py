@@ -139,6 +139,10 @@ SLOW_TIER = [
     # and the curation-stream batch twin
     "dedup_index_probe",
     "pipeline_curate",
+    # round 12: the two-phase exact Misra-Gries top-k (sketch + recount
+    # + certificate; compare against text_top_ngrams = the one-shuffle
+    # brute-force answer to the same oracle)
+    "text_heavy_hitters",
 ]
 
 # bench-only callables: timed like registered queries but deliberately
@@ -200,6 +204,9 @@ WORKLOAD_CHANGES = {
     "broadcast, the deliberate trade",
     "dedup_minhash_accuracy": "r12 plan change: same shuffle_hash/merge "
     "hints (pairs/exact sides were broadcast-collected pre-fix)",
+    "dedup_keep_best": "r12 plan change inherited: composes "
+    "ngram_jaccard_pairs, so the shuffle_hash hints ride along "
+    "(~+1.5s at sf0.1 over the unsafe pair-broadcast plan)",
     "k3_substructure": "39 -> 68 probes (late-r10 extended chirality "
     "classes [C@TH1H3]Cl/[C@OH1]/[c@SP3] and expression-qualified "
     "ring closures c~1ccccc1 / C~1CCCC1 / c-1ccccc:1; earlier r10: "

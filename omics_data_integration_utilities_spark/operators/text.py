@@ -727,3 +727,115 @@ def top_ngrams(
     return counts.orderBy(
         F.col("n_occurrences").desc(), F.col("ngram").asc()
     ).limit(k)
+
+
+def _misra_gries_partition(capacity: int):
+    """Arrow-batched per-partition Misra-Gries summary over a single
+    ``ngram`` string column.  Emits one row per surviving candidate
+    (``ngram``, part_rows=0) plus ONE sentinel row per partition
+    (``ngram`` NULL, part_rows=<gram occurrences in this partition>) so
+    the caller can reconstruct the corpus total N without a second scan.
+
+    Invariant (standard MG / Agarwal et al. 2013 mergeability): after
+    processing n_p items, every stored count is within n_p/(capacity+1)
+    of the item's true partition count, and any item NOT stored has true
+    partition count <= n_p/(capacity+1).  Each Arrow batch is counted
+    exactly (``value_counts``) and merged into the summary; a trim
+    subtracts the (capacity+1)-th largest stored count from every entry
+    and drops the non-positive ones — removing >= (capacity+1)*thr mass,
+    which is what bounds the total subtraction by n_p/(capacity+1).
+    """
+
+    def run(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            s = pdf["ngram"]
+            total += len(s)
+            for g, c in s.value_counts().items():
+                counts[g] = counts.get(g, 0) + int(c)
+            if len(counts) > capacity:
+                vals = sorted(counts.values(), reverse=True)
+                thr = vals[capacity]
+                counts = {g: v - thr for g, v in counts.items() if v > thr}
+        yield pd.DataFrame(
+            {
+                "ngram": list(counts.keys()) + [None],
+                "part_rows": [0] * len(counts) + [total],
+            }
+        )
+
+    return run
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    k: int = 50,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Exact corpus top-``k`` word ``n``-grams WITHOUT a full
+    gram-cardinality shuffle — the scale path behind :func:`top_ngrams`
+    (identical result contract, same oracle).
+
+    Two phases.  (1) A per-partition Misra-Gries sketch
+    (:func:`_misra_gries_partition`) produces <= ``capacity`` candidate
+    grams per partition — the only shuffle of phase 1 is the candidate
+    distinct, O(capacity x partitions) rows regardless of corpus size.
+    (2) Candidates are exactly recounted with a broadcast semi-join over
+    a second scan, so every returned count is a true global count.
+
+    The result is then CERTIFIED: by the MG bound, any gram absent from
+    every partition summary has global count <= N/(capacity+1), so if
+    the k-th recounted candidate count strictly exceeds N/(capacity+1)
+    the candidate top-k IS the exact global top-k.  When the certificate
+    fails (no true heavy hitters at this capacity, or fewer than ``k``
+    candidates) the operator falls back to the full
+    :func:`top_ngrams` groupBy — the output is therefore ALWAYS the
+    exact, deterministic top-k (ties on the gram string ascending),
+    independent of partitioning; only the plan shape depends on the
+    certificate.
+
+    100 TB shape: ``top_ngrams``'s groupBy shuffles the full distinct-
+    gram space (map-side combine helps the heavy head, not the huge
+    unique tail — at corpus scale the tail IS the shuffle).  Here the
+    full gram stream is scanned twice but never shuffled; what moves is
+    capacity x partitions candidate rows + a k-row certificate collect.
+    Pick ``capacity`` >> k so the certificate holds for Zipfian corpora
+    (the k-th 3-gram needs > N/(capacity+1) of all gram occurrences);
+    ``capacity x partitions`` must stay broadcastable for the recount
+    join — at 100k partitions drop the broadcast hint and let AQE
+    decide.  Phase 1 moves grams driver-ward never — the sketch is
+    Arrow-batched ``mapInPandas``, the sanctioned custom-aggregate path
+    (reference has no such operator; closest is the frequency analysis
+    in integrative_omics/getMassTransitions.py's grouped counts).
+    """
+    toks = tokens_col(text_col)
+    grams = df.select(F.explode(word_ngrams_col(toks, n)).alias("ngram"))
+    summary = grams.mapInPandas(
+        _misra_gries_partition(capacity), schema="ngram string, part_rows long"
+    ).localCheckpoint()  # phase 1 runs once; feeds candidates AND N
+    candidates = summary.where(F.col("ngram").isNotNull()).select("ngram").distinct()
+    n_total = (
+        summary.where(F.col("ngram").isNull()).agg(F.sum("part_rows")).first()[0]
+        or 0
+    )
+    exact = (
+        grams.join(F.broadcast(candidates), "ngram")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    top = exact.orderBy(
+        F.col("n_occurrences").desc(), F.col("ngram").asc()
+    ).limit(k)
+    rows = top.collect()  # k rows: the certificate check is driver-side
+    if len(rows) >= k and rows[-1]["n_occurrences"] * (capacity + 1) > n_total:
+        # certified exact: materialize the k rows (avoids re-running
+        # both scans when the caller consumes the returned frame)
+        return df.sparkSession.createDataFrame(rows, top.schema)
+    # failed certificate (no true heavy hitters at this capacity, or
+    # fewer than k candidates): exact full-groupBy fallback
+    return top_ngrams(df, text_col, n=n, k=k)

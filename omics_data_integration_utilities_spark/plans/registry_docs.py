@@ -1726,6 +1726,22 @@ GROUP BY ngram ORDER BY n_occurrences DESC, ngram ASC LIMIT 50
 """
 
 
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-50 word 3-grams via the two-phase Misra-Gries path
+    (per-partition sketch -> exact candidate recount -> certificate;
+    operators/text.heavy_hitters) — the scale path that never shuffles
+    the full gram cardinality.  SAME oracle as text_top_ngrams, so a
+    hash-green row certifies the sketch + recount + certificate
+    machinery end-to-end against the brute-force answer (the
+    dedup_incremental_indexed pattern).  capacity=16384 makes the MG
+    certificate hold at every testdata scale (N/c50 is 5.2k at sf0.01,
+    12.4k at sf0.1 — measured r12), so the CERTIFIED path, not the
+    fallback, is what the driver hash-checks."""
+    return text_ops.heavy_hitters(
+        _t(spark, sf_dir, "documents"), "text", n=3, k=50, capacity=16384
+    )
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source n-gram overlap matrix: per source pair, shared
     distinct _SUBSTR_K-gram digests + Jaccard — the which-crawl-
@@ -2048,6 +2064,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_length_quantiles": q_text_length_quantiles,
     "source_overlap": q_source_overlap,
     "text_top_ngrams": q_text_top_ngrams,
+    "text_heavy_hitters": q_text_heavy_hitters,
     "doc_weighted_sample": q_doc_weighted_sample,
     "dedup_minhash_accuracy": q_dedup_minhash_accuracy,
     "doc_upsert": q_doc_upsert,
@@ -2104,6 +2121,7 @@ ORACLES_DOCS: dict[str, str] = {
     "text_length_quantiles": SQL_TEXT_LENGTH_QUANTILES,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "text_top_ngrams": SQL_TEXT_TOP_NGRAMS,
+    "text_heavy_hitters": SQL_TEXT_TOP_NGRAMS,
     "doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
     "dedup_minhash_accuracy": SQL_DEDUP_MINHASH_ACCURACY,
     "doc_upsert": SQL_DOC_UPSERT,

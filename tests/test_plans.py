@@ -289,3 +289,27 @@ def test_pair_scale_relations_never_broadcast(spark):
         plan = _plan(spark, name)
         assert "BroadcastHashJoin" not in plan, name
         assert "ShuffledHashJoin" in plan, name
+
+
+def test_heavy_hitters_certified_path_is_local(spark):
+    """text_heavy_hitters at the registered capacity must take the
+    CERTIFIED path on the testdata (k-th count * (capacity+1) > N —
+    measured N/c50 is ~5.4k at sf0.001 vs capacity 16384): the returned
+    frame is the k-row driver-side materialization, not a re-executable
+    shuffle plan, and never the top_ngrams fallback."""
+    plan = _plan(spark, "text_heavy_hitters")
+    assert "Exchange" not in plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+
+
+def test_heavy_hitters_fallback_is_exact_groupby(spark):
+    """With capacity ~k on a near-uniform corpus the certificate cannot
+    hold; the operator must fall back to the full exact groupBy (an
+    Exchange-bearing plan), never return an uncertified sketch."""
+    from omics_data_integration_utilities_spark.operators.text import heavy_hitters
+
+    rows = [(i, " ".join(f"u{i}w{j}" for j in range(6))) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = heavy_hitters(df, "text", n=3, k=50, capacity=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan or "AdaptiveSparkPlan" in plan

@@ -1520,3 +1520,67 @@ def test_keep_best_matches_python_replica(spark, members, scored):
         for i in ids:
             want[i] = (c, score_of.get(i), i == best)
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 6), min_size=0, max_size=12),
+        min_size=1,
+        max_size=25,
+    ),
+    capacity=st.integers(2, 40),
+)
+@settings(max_examples=12, deadline=None)
+def test_heavy_hitters_always_exact(spark, docs, capacity):
+    """heavy_hitters is EXACT for any corpus and any capacity — the
+    certificate only chooses between the sketch path and the groupBy
+    fallback, never the answer.  Verified against a pure-Python count
+    over random token streams at capacities small enough to force MG
+    trims."""
+    from collections import Counter
+
+    from omics_data_integration_utilities_spark.operators.text import heavy_hitters
+
+    rows = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+    got = [
+        (r["ngram"], r["n_occurrences"])
+        for r in heavy_hitters(df, "text", n=2, k=5, capacity=capacity).collect()
+    ]
+    want = Counter()
+    for toks in docs:
+        toks = [f"t{t}" for t in toks]
+        for i in range(len(toks) - 1):
+            want[" ".join(toks[i : i + 2])] += 1
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == expect
+
+
+def test_heavy_hitters_partitioning_invariant_skewed(spark):
+    """Certified path under real trims: a skewed corpus (one hot phrase,
+    long unique tail) at capacity 64 — the result must equal the exact
+    groupBy answer and be identical at 1 and 16 partitions (candidate
+    sets differ by partitioning; the recount + certificate make the
+    OUTPUT partitioning-independent)."""
+    from omics_data_integration_utilities_spark.operators.text import (
+        heavy_hitters,
+        top_ngrams,
+    )
+
+    hot = "the same boiler plate line here"
+    rows = [(i, hot) for i in range(400)] + [
+        (400 + i, f"u{i}a u{i}b u{i}c u{i}d") for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = [
+        (r["ngram"], r["n_occurrences"])
+        for r in top_ngrams(df, "text", n=3, k=8).collect()
+    ]
+    for parts in (1, 16):
+        got = [
+            (r["ngram"], r["n_occurrences"])
+            for r in heavy_hitters(
+                df.repartition(parts), "text", n=3, k=8, capacity=64
+            ).collect()
+        ]
+        assert got == want, f"parts={parts}"
