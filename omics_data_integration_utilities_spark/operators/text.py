@@ -808,7 +808,13 @@ def heavy_hitters(
     (the k-th 3-gram needs > N/(capacity+1) of all gram occurrences);
     ``capacity x partitions`` must stay broadcastable for the recount
     join — at 100k partitions drop the broadcast hint and let AQE
-    decide.  Phase 1 moves grams driver-ward never — the sketch is
+    decide.  When a partition's DISTINCT gram count never exceeds
+    ``capacity`` the sketch is lossless (no trims), candidates = every
+    gram, and the recount shuffles exactly what the brute force would —
+    correct but not cheaper; the capacity-bounded savings appear
+    precisely when per-partition distinct >> capacity, which at corpus
+    scale is always (probe_r12_heavyhitters16x.py measures both
+    regimes).  Phase 1 moves grams driver-ward never — the sketch is
     Arrow-batched ``mapInPandas``, the sanctioned custom-aggregate path
     (reference has no such operator; closest is the frequency analysis
     in integrative_omics/getMassTransitions.py's grouped counts).
