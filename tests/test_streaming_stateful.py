@@ -50,3 +50,136 @@ def test_stateful_user_stats_match_batch(spark, tmp_path):
         assert g["n_events"] == e["n"]
         assert abs(g["sum_value"] - e["s"]) < 1e-6
         assert g["last_ts_us"] == e["last"]
+
+
+def test_trending_ngrams_stream_exact_when_untouched_by_trims(spark, tmp_path):
+    """capacity >= per-bucket distinct grams -> no MG trims, the final
+    per-bucket emissions carry EXACT counts, and the assembled top-k
+    equals batch top_ngrams on the same corpus."""
+    from omics_data_integration_utilities_spark.operators.text import top_ngrams
+    from omics_data_integration_utilities_spark.streaming.heavyhitters import (
+        trending_ngrams_stream,
+    )
+
+    path = f"{SF_SMOKE}/documents.parquet"
+    stream_df = trending_ngrams_stream(
+        spark, path, n=3, capacity=100_000, n_buckets=8
+    )
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("trending")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM trending").collect()
+    finally:
+        q.stop()
+
+    # latest emission per bucket = rows at that bucket's max n_seen
+    latest = {}
+    for r in rows:
+        latest.setdefault(r["bucket"], []).append(r)
+    final = []
+    for b, rs in latest.items():
+        hi = max(r["n_seen"] for r in rs)
+        final.extend(
+            r for r in rs if r["n_seen"] == hi and r["ngram"] is not None
+        )
+    got = sorted(
+        ((r["ngram"], r["lower_count"]) for r in final),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:20]
+
+    docs = spark.read.parquet(path)
+    want = [
+        (r["ngram"], r["n_occurrences"])
+        for r in top_ngrams(docs, "text", n=3, k=20).collect()
+    ]
+    assert got == want
+
+
+def test_trending_ngrams_stream_superset_under_trims(spark, tmp_path):
+    """Small capacity + multi-batch arrival: every gram whose true count
+    exceeds its bucket's n_seen/(capacity+1) MUST appear in that
+    bucket's final candidate emission (the MG guarantee the batch
+    certificate builds on), and lower_count never exceeds the true
+    count."""
+    from pyspark.sql import functions as F2
+    from omics_data_integration_utilities_spark.streaming.heavyhitters import (
+        gram_bucket_col,
+        trending_ngrams_stream,
+    )
+    from omics_data_integration_utilities_spark.operators.dedup import tokens_col
+
+    CAPACITY, BUCKETS = 8, 4
+    hot = "alpha beta gamma delta"
+    rows = [(i, hot) for i in range(60)] + [
+        (100 + i, f"x{i} y{i} z{i} w{i}") for i in range(120)
+    ]
+    src = tmp_path / "docs_src"
+    spark.createDataFrame(rows, "doc_id long, text string").repartition(
+        6
+    ).write.parquet(str(src))
+
+    stream_df = trending_ngrams_stream(
+        spark,
+        str(src),
+        n=3,
+        capacity=CAPACITY,
+        n_buckets=BUCKETS,
+        max_files_per_trigger=2,
+    )
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("trending_trim")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hh2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM trending_trim").collect()
+    finally:
+        q.stop()
+
+    latest = {}
+    for r in emitted:
+        latest.setdefault(r["bucket"], []).append(r)
+    final = {}  # bucket -> {ngram: lower_count}, n_seen
+    for b, rs in latest.items():
+        hi = max(r["n_seen"] for r in rs)
+        final[b] = (
+            {
+                r["ngram"]: r["lower_count"]
+                for r in rs
+                if r["n_seen"] == hi and r["ngram"] is not None
+            },
+            hi,
+        )
+    # every bucket that saw data must have emitted a sentinel
+    assert all(n_seen > 0 for _, n_seen in final.values())
+
+    docs = spark.read.parquet(str(src))
+    from omics_data_integration_utilities_spark.operators.text import word_ngrams_col
+
+    truth = (
+        docs.select(
+            F2.explode(word_ngrams_col(tokens_col("text"), 3)).alias("ngram")
+        )
+        .withColumn("bucket", gram_bucket_col(F2.col("ngram"), BUCKETS))
+        .groupBy("bucket", "ngram")
+        .count()
+        .collect()
+    )
+    for r in truth:
+        cand, n_seen = final.get(r["bucket"], ({}, 0))
+        if r["count"] * (CAPACITY + 1) > n_seen:
+            assert r["ngram"] in cand, (
+                f"heavy gram {r['ngram']} (count {r['count']}) missing from "
+                f"bucket {r['bucket']} (n_seen {n_seen})"
+            )
+        if r["ngram"] in cand:
+            assert cand[r["ngram"]] <= r["count"]
