@@ -776,6 +776,7 @@ def heavy_hitters(
     n: int = 3,
     k: int = 50,
     capacity: int = 4096,
+    max_broadcast_candidates: int = 2_000_000,
 ) -> DataFrame:
     """Exact corpus top-``k`` word ``n``-grams WITHOUT a full
     gram-cardinality shuffle — the scale path behind :func:`top_ngrams`
@@ -805,10 +806,13 @@ def heavy_hitters(
     full gram stream is scanned twice but never shuffled; what moves is
     capacity x partitions candidate rows + a k-row certificate collect.
     Pick ``capacity`` >> k so the certificate holds for Zipfian corpora
-    (the k-th 3-gram needs > N/(capacity+1) of all gram occurrences);
-    ``capacity x partitions`` must stay broadcastable for the recount
-    join — at 100k partitions drop the broadcast hint and let AQE
-    decide.  When a partition's DISTINCT gram count never exceeds
+    (the k-th 3-gram needs > N/(capacity+1) of all gram occurrences).
+    The recount join picks its strategy from the MEASURED candidate
+    count (the post-checkpoint relation has no stats a planner could
+    use): broadcast up to ``max_broadcast_candidates``, else a
+    shuffle_hash that builds from the bounded candidate side — so
+    cluster-scale partition counts cannot turn the candidate union into
+    a driver-killing forced broadcast.  When a partition's DISTINCT gram count never exceeds
     ``capacity`` the sketch is lossless (no trims), candidates = every
     gram, and the recount shuffles exactly what the brute force would —
     correct but not cheaper; the capacity-bounded savings appear
@@ -824,13 +828,32 @@ def heavy_hitters(
     summary = grams.mapInPandas(
         _misra_gries_partition(capacity), schema="ngram string, part_rows long"
     ).localCheckpoint()  # phase 1 runs once; feeds candidates AND N
-    candidates = summary.where(F.col("ngram").isNotNull()).select("ngram").distinct()
+    candidates = (
+        summary.where(F.col("ngram").isNotNull())
+        .select("ngram")
+        .distinct()
+        .localCheckpoint()
+    )
     n_total = (
         summary.where(F.col("ngram").isNull()).agg(F.sum("part_rows")).first()[0]
         or 0
     )
+    # candidates sits above a localCheckpoint (no stats), so the static
+    # planner cannot size it: decide the join strategy from the MEASURED
+    # candidate count instead of forcing a broadcast — capacity x
+    # partitions is driver-safe on a workstation but not at cluster
+    # partition counts (the r12 pair-scale mis-broadcast lesson, from
+    # the other direction).  Past the cap, shuffle_hash still builds the
+    # hash from the (bounded) candidate side, never sorts the gram
+    # stream.
+    n_candidates = candidates.count()
+    cand_side = (
+        F.broadcast(candidates)
+        if n_candidates <= max_broadcast_candidates
+        else candidates.hint("shuffle_hash")
+    )
     exact = (
-        grams.join(F.broadcast(candidates), "ngram")
+        grams.join(cand_side, "ngram")
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )

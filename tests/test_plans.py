@@ -313,3 +313,28 @@ def test_heavy_hitters_fallback_is_exact_groupby(spark):
     out = heavy_hitters(df, "text", n=3, k=50, capacity=50)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan or "AdaptiveSparkPlan" in plan
+
+
+def test_heavy_hitters_recount_join_adapts_past_broadcast_cap(spark):
+    """The recount join must flip from broadcast to a candidate-side
+    shuffle_hash when the measured candidate count exceeds the cap —
+    never a forced broadcast of an unbounded union (and never a sort of
+    the gram stream).  Result stays exact either way."""
+    from omics_data_integration_utilities_spark.operators.text import (
+        heavy_hitters,
+        top_ngrams,
+    )
+
+    hot = "the same boiler plate line here"
+    rows = [(i, hot) for i in range(300)] + [
+        (300 + i, f"q{i}a q{i}b q{i}c q{i}d") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    out = heavy_hitters(
+        df, "text", n=3, k=4, capacity=64, max_broadcast_candidates=3
+    )
+    want = [
+        (r["ngram"], r["n_occurrences"])
+        for r in top_ngrams(df, "text", n=3, k=4).collect()
+    ]
+    assert [(r["ngram"], r["n_occurrences"]) for r in out.collect()] == want
