@@ -206,7 +206,9 @@ WORKLOAD_CHANGES = {
     "hints (pairs/exact sides were broadcast-collected pre-fix)",
     "dedup_keep_best": "r12 plan change inherited: composes "
     "ngram_jaccard_pairs, so the shuffle_hash hints ride along "
-    "(~+1.5s at sf0.1 over the unsafe pair-broadcast plan)",
+    "(measured quiet-machine min 4.81s r11 -> 6.0s r12 at sf0.1 — "
+    "the cost of the scale-correct two-shuffle plan over the unsafe "
+    "pair broadcast)",
     "k3_substructure": "39 -> 68 probes (late-r10 extended chirality "
     "classes [C@TH1H3]Cl/[C@OH1]/[c@SP3] and expression-qualified "
     "ring closures c~1ccccc1 / C~1CCCC1 / c-1ccccc:1; earlier r10: "
