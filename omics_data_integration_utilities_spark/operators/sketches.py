@@ -1,0 +1,148 @@
+"""Sketch-backed exact operators: frequency summaries that trade a
+bounded sketch pass for the full-cardinality shuffle (north-star
+surface; the reference computes frequencies with plain grouped counts
+at its data sizes — e.g. the transition-frequency analysis around
+integrative_omics/getMassTransitions.py — which is the comparator the
+certificate falls back to).
+
+The core is :func:`frequent_items` — generic exact top-k over ANY key
+column via a per-partition Misra-Gries sketch, an exact candidate
+recount, and a certificate.  ``operators.text.heavy_hitters`` is the
+n-gram instantiation; the generic form doubles as the hot-KEY detector
+a join-salting decision needs (find the keys that would skew a shuffle
+WITHOUT shuffling the key space to count them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _misra_gries_partition(key_col: str, capacity: int):
+    """Arrow-batched per-partition Misra-Gries summary over a single
+    key column.  Emits one row per surviving candidate (key,
+    part_rows=0) plus ONE sentinel row per partition (key NULL,
+    part_rows=<non-null items in this partition>) so the caller can
+    reconstruct the total N without a second scan.
+
+    Invariant (standard MG / Agarwal et al. 2013 mergeability): after
+    processing n_p items, every stored count is within n_p/(capacity+1)
+    of the item's true partition count, and any item NOT stored has true
+    partition count <= n_p/(capacity+1).  Each Arrow batch is counted
+    exactly (``value_counts``) and merged into the summary; a trim
+    subtracts the (capacity+1)-th largest stored count from every entry
+    and drops the non-positive ones — removing >= (capacity+1)*thr mass,
+    which is what bounds the total subtraction by n_p/(capacity+1).
+    """
+
+    def run(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        total = 0
+        for pdf in batches:
+            vc = pdf[key_col].value_counts()  # dropna: nulls are excluded
+            total += int(vc.sum())
+            for g, c in vc.items():
+                counts[g] = counts.get(g, 0) + int(c)
+            if len(counts) > capacity:
+                vals = sorted(counts.values(), reverse=True)
+                thr = vals[capacity]
+                counts = {g: v - thr for g, v in counts.items() if v > thr}
+        yield pd.DataFrame(
+            {
+                key_col: list(counts.keys()) + [None],
+                "part_rows": [0] * len(counts) + [total],
+            }
+        )
+
+    return run
+
+
+def frequent_items(
+    df: DataFrame,
+    key_col: str,
+    k: int = 50,
+    capacity: int = 4096,
+    max_broadcast_candidates: int = 2_000_000,
+    count_col: str = "n_occurrences",
+) -> DataFrame:
+    """Exact top-``k`` most frequent values of ``key_col`` WITHOUT a
+    full key-cardinality shuffle.  NULL keys are excluded.  Returns
+    (``key_col``, ``count_col``) ordered count desc, key asc — always
+    the exact answer, independent of partitioning; only the PLAN
+    depends on the data:
+
+    1. Per-partition Misra-Gries sketch (:func:`_misra_gries_partition`)
+       — <= ``capacity`` candidates per partition; the only shuffle is
+       the candidate distinct, O(capacity x partitions) rows no matter
+       how many distinct keys exist.
+    2. Exact recount of candidates over a second scan.  The join
+       strategy is picked from the MEASURED candidate count (the
+       post-checkpoint relation has no stats a planner could use):
+       broadcast up to ``max_broadcast_candidates``, else shuffle_hash
+       building from the bounded candidate side — cluster-scale
+       partition counts can never turn the candidate union into a
+       forced driver-killing broadcast.
+    3. Certificate: by the MG bound any key absent from every partition
+       summary has global count <= N/(capacity+1), so if the k-th
+       recounted count strictly exceeds N/(capacity+1) the candidate
+       top-k IS the global top-k (returned as a k-row materialization).
+       Otherwise fall back to the exact groupBy — correct for any data,
+       just not cheaper than brute force.
+
+    When a partition's distinct keys never exceed ``capacity`` the
+    sketch is lossless and the recount shuffles what the brute force
+    would — the capacity-bounded savings appear exactly when
+    per-partition distinct >> capacity (probe_r12_heavyhitters16x.py
+    measures both regimes on the n-gram instantiation).
+
+    Besides corpus analysis, this is the hot-key detector for shuffle
+    skew: run it on a join key BEFORE the join and salt (or
+    broadcast-split) the returned keys — the detection itself never
+    pays the skewed shuffle it exists to avoid.
+    """
+    key_type = dict(df.dtypes)[key_col]
+    items = df.select(key_col).where(F.col(key_col).isNotNull())
+    summary = items.mapInPandas(
+        _misra_gries_partition(key_col, capacity),
+        schema=f"`{key_col}` {key_type}, part_rows long",
+    ).localCheckpoint()  # phase 1 runs once; feeds candidates AND N
+    candidates = (
+        summary.where(F.col(key_col).isNotNull())
+        .select(key_col)
+        .distinct()
+        .localCheckpoint()
+    )
+    n_total = (
+        summary.where(F.col(key_col).isNull())
+        .agg(F.sum("part_rows"))
+        .first()[0]
+        or 0
+    )
+    n_candidates = candidates.count()
+    cand_side = (
+        F.broadcast(candidates)
+        if n_candidates <= max_broadcast_candidates
+        else candidates.hint("shuffle_hash")
+    )
+    exact = (
+        items.join(cand_side, key_col)
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias(count_col))
+    )
+    top = exact.orderBy(F.col(count_col).desc(), F.col(key_col).asc()).limit(k)
+    rows = top.collect()  # k rows: the certificate check is driver-side
+    if len(rows) >= k and rows[-1][count_col] * (capacity + 1) > n_total:
+        # certified exact: materialize the k rows (avoids re-running
+        # both scans when the caller consumes the returned frame)
+        return df.sparkSession.createDataFrame(rows, top.schema)
+    # failed certificate (no true heavy hitters at this capacity, or
+    # fewer than k candidates): exact full-groupBy fallback
+    return (
+        items.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .orderBy(F.col(count_col).desc(), F.col(key_col).asc())
+        .limit(k)
+    )

@@ -729,47 +729,6 @@ def top_ngrams(
     ).limit(k)
 
 
-def _misra_gries_partition(capacity: int):
-    """Arrow-batched per-partition Misra-Gries summary over a single
-    ``ngram`` string column.  Emits one row per surviving candidate
-    (``ngram``, part_rows=0) plus ONE sentinel row per partition
-    (``ngram`` NULL, part_rows=<gram occurrences in this partition>) so
-    the caller can reconstruct the corpus total N without a second scan.
-
-    Invariant (standard MG / Agarwal et al. 2013 mergeability): after
-    processing n_p items, every stored count is within n_p/(capacity+1)
-    of the item's true partition count, and any item NOT stored has true
-    partition count <= n_p/(capacity+1).  Each Arrow batch is counted
-    exactly (``value_counts``) and merged into the summary; a trim
-    subtracts the (capacity+1)-th largest stored count from every entry
-    and drops the non-positive ones — removing >= (capacity+1)*thr mass,
-    which is what bounds the total subtraction by n_p/(capacity+1).
-    """
-
-    def run(batches):
-        import pandas as pd
-
-        counts: dict[str, int] = {}
-        total = 0
-        for pdf in batches:
-            s = pdf["ngram"]
-            total += len(s)
-            for g, c in s.value_counts().items():
-                counts[g] = counts.get(g, 0) + int(c)
-            if len(counts) > capacity:
-                vals = sorted(counts.values(), reverse=True)
-                thr = vals[capacity]
-                counts = {g: v - thr for g, v in counts.items() if v > thr}
-        yield pd.DataFrame(
-            {
-                "ngram": list(counts.keys()) + [None],
-                "part_rows": [0] * len(counts) + [total],
-            }
-        )
-
-    return run
-
-
 def heavy_hitters(
     df: DataFrame,
     text_col: str,
@@ -780,91 +739,33 @@ def heavy_hitters(
 ) -> DataFrame:
     """Exact corpus top-``k`` word ``n``-grams WITHOUT a full
     gram-cardinality shuffle — the scale path behind :func:`top_ngrams`
-    (identical result contract, same oracle).
-
-    Two phases.  (1) A per-partition Misra-Gries sketch
-    (:func:`_misra_gries_partition`) produces <= ``capacity`` candidate
-    grams per partition — the only shuffle of phase 1 is the candidate
-    distinct, O(capacity x partitions) rows regardless of corpus size.
-    (2) Candidates are exactly recounted with a broadcast semi-join over
-    a second scan, so every returned count is a true global count.
-
-    The result is then CERTIFIED: by the MG bound, any gram absent from
-    every partition summary has global count <= N/(capacity+1), so if
-    the k-th recounted candidate count strictly exceeds N/(capacity+1)
-    the candidate top-k IS the exact global top-k.  When the certificate
-    fails (no true heavy hitters at this capacity, or fewer than ``k``
-    candidates) the operator falls back to the full
-    :func:`top_ngrams` groupBy — the output is therefore ALWAYS the
-    exact, deterministic top-k (ties on the gram string ascending),
-    independent of partitioning; only the plan shape depends on the
-    certificate.
+    (identical result contract, same oracle).  The n-gram instantiation
+    of :func:`..sketches.frequent_items`: grams are exploded row-locally
+    (never shuffled), then the generic Misra-Gries sketch -> exact
+    candidate recount -> certificate machinery runs over the gram
+    column; see that docstring for the MG bound, the measured-count
+    join-strategy guard, and the lossless/trimming regime split
+    (probe_r12_heavyhitters16x.py measures both on this operator).
 
     100 TB shape: ``top_ngrams``'s groupBy shuffles the full distinct-
     gram space (map-side combine helps the heavy head, not the huge
-    unique tail — at corpus scale the tail IS the shuffle).  Here the
-    full gram stream is scanned twice but never shuffled; what moves is
+    unique tail — at corpus scale the tail IS the shuffle); here the
+    gram stream is scanned twice but never shuffled — what moves is
     capacity x partitions candidate rows + a k-row certificate collect.
     Pick ``capacity`` >> k so the certificate holds for Zipfian corpora
-    (the k-th 3-gram needs > N/(capacity+1) of all gram occurrences).
-    The recount join picks its strategy from the MEASURED candidate
-    count (the post-checkpoint relation has no stats a planner could
-    use): broadcast up to ``max_broadcast_candidates``, else a
-    shuffle_hash that builds from the bounded candidate side — so
-    cluster-scale partition counts cannot turn the candidate union into
-    a driver-killing forced broadcast.  When a partition's DISTINCT gram count never exceeds
-    ``capacity`` the sketch is lossless (no trims), candidates = every
-    gram, and the recount shuffles exactly what the brute force would —
-    correct but not cheaper; the capacity-bounded savings appear
-    precisely when per-partition distinct >> capacity, which at corpus
-    scale is always (probe_r12_heavyhitters16x.py measures both
-    regimes).  Phase 1 moves grams driver-ward never — the sketch is
-    Arrow-batched ``mapInPandas``, the sanctioned custom-aggregate path
-    (reference has no such operator; closest is the frequency analysis
-    in integrative_omics/getMassTransitions.py's grouped counts).
+    (the k-th 3-gram needs > N/(capacity+1) of all gram occurrences);
+    a failed certificate falls back to the exact groupBy, so the output
+    is ALWAYS the exact deterministic top-k (ties on the gram string
+    ascending) regardless of partitioning.
     """
+    from .sketches import frequent_items
+
     toks = tokens_col(text_col)
     grams = df.select(F.explode(word_ngrams_col(toks, n)).alias("ngram"))
-    summary = grams.mapInPandas(
-        _misra_gries_partition(capacity), schema="ngram string, part_rows long"
-    ).localCheckpoint()  # phase 1 runs once; feeds candidates AND N
-    candidates = (
-        summary.where(F.col("ngram").isNotNull())
-        .select("ngram")
-        .distinct()
-        .localCheckpoint()
+    return frequent_items(
+        grams,
+        "ngram",
+        k=k,
+        capacity=capacity,
+        max_broadcast_candidates=max_broadcast_candidates,
     )
-    n_total = (
-        summary.where(F.col("ngram").isNull()).agg(F.sum("part_rows")).first()[0]
-        or 0
-    )
-    # candidates sits above a localCheckpoint (no stats), so the static
-    # planner cannot size it: decide the join strategy from the MEASURED
-    # candidate count instead of forcing a broadcast — capacity x
-    # partitions is driver-safe on a workstation but not at cluster
-    # partition counts (the r12 pair-scale mis-broadcast lesson, from
-    # the other direction).  Past the cap, shuffle_hash still builds the
-    # hash from the (bounded) candidate side, never sorts the gram
-    # stream.
-    n_candidates = candidates.count()
-    cand_side = (
-        F.broadcast(candidates)
-        if n_candidates <= max_broadcast_candidates
-        else candidates.hint("shuffle_hash")
-    )
-    exact = (
-        grams.join(cand_side, "ngram")
-        .groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-    )
-    top = exact.orderBy(
-        F.col("n_occurrences").desc(), F.col("ngram").asc()
-    ).limit(k)
-    rows = top.collect()  # k rows: the certificate check is driver-side
-    if len(rows) >= k and rows[-1]["n_occurrences"] * (capacity + 1) > n_total:
-        # certified exact: materialize the k rows (avoids re-running
-        # both scans when the caller consumes the returned frame)
-        return df.sparkSession.createDataFrame(rows, top.schema)
-    # failed certificate (no true heavy hitters at this capacity, or
-    # fewer than k candidates): exact full-groupBy fallback
-    return top_ngrams(df, text_col, n=n, k=k)

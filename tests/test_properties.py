@@ -1584,3 +1584,41 @@ def test_heavy_hitters_partitioning_invariant_skewed(spark):
             ).collect()
         ]
         assert got == want, f"parts={parts}"
+
+
+def test_frequent_items_generic_key_types_and_nulls(spark):
+    """frequent_items is the generic MG core: exact on a LONG key (the
+    hot-join-key detector use), NULL keys excluded in both the sketch
+    and fallback paths, certified and fallback plans agree."""
+    from omics_data_integration_utilities_spark.operators.sketches import (
+        frequent_items,
+    )
+
+    rows = (
+        [(7,)] * 500
+        + [(13,)] * 200
+        + [(None,)] * 50
+        + [(1000 + i,) for i in range(400)]
+    )
+    df = spark.createDataFrame(rows, "uid long").repartition(6)
+    want = [
+        (r["uid"], r["cnt"])
+        for r in df.where("uid IS NOT NULL")
+        .groupBy("uid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("uid").asc())
+        .limit(2)
+        .collect()
+    ]
+    assert want == [(7, 500), (13, 200)]
+    # certified path (capacity 16 trims the unique tail; top-2 are heavy:
+    # 200*17 > 1100) and fallback path (capacity 2: 200*3 < 1100) must
+    # both return the exact answer
+    for cap in (16, 2):
+        got = [
+            tuple(r)
+            for r in frequent_items(
+                df, "uid", k=2, capacity=cap, count_col="cnt"
+            ).collect()
+        ]
+        assert got == want, f"capacity={cap}"
