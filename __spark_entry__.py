@@ -142,7 +142,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # budget rule by displacing dedup_substring_spans (hash-green r10 AND
 # r11; in-window sibling dedup_substring_remove composes the identical
 # span machinery — spans feed the cut — and the standing sf0.01 local
-# oracle stays).
+# oracle stays); (e) events_hot_users (NEW r12 — the GENERIC
+# sketches.frequent_items path over a LONG key, exact top-20 users by
+# event count against the brute-force oracle: driver evidence that the
+# Misra-Gries core is type-generic, complementing text_heavy_hitters'
+# gram-column certification; at sf0.01 the certificate fires, at
+# sf0.001 the <k exact-fallback branch answers the same oracle),
+# registered in-window by displacing rulemap_containment (hash-green
+# r11; BOTH its machinery siblings stay in-window — k3_substructure
+# runs the same subgraph matcher, k4_rule_bfs the same BFS — plus the
+# standing sf0.01 local oracle).
 #
 # Twenty-four out, every one hash-green in r11's window with an
 # in-window sibling exercising the same machinery plus the standing
@@ -395,7 +404,6 @@ _PRIORITY = [
     # chemistry / rule kernels
     "k1_graph_rewrite",
     "k4_rule_bfs",
-    "rulemap_containment",
     "k3_substructure",
     # analytics kernels (+ the r7-stale refresh cohort, part 1 of 2)
     "k10_pca_batch",
@@ -439,6 +447,7 @@ _PRIORITY = [
     "events_histogram",
     "events_funnel",
     "events_interval_join",
+    "events_hot_users",
     # core relational / window representatives (stale refresh part 1)
     "j4_band_join",
     "j1_star_join",

@@ -141,8 +141,10 @@ SLOW_TIER = [
     "pipeline_curate",
     # round 12: the two-phase exact Misra-Gries top-k (sketch + recount
     # + certificate; compare against text_top_ngrams = the one-shuffle
-    # brute-force answer to the same oracle)
+    # brute-force answer to the same oracle), and the generic long-key
+    # form (hot-user detection over events)
     "text_heavy_hitters",
+    "events_hot_users",
 ]
 
 # bench-only callables: timed like registered queries but deliberately
