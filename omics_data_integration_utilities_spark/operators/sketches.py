@@ -10,7 +10,9 @@ column via a per-partition Misra-Gries sketch, an exact candidate
 recount, and a certificate.  ``operators.text.heavy_hitters`` is the
 n-gram instantiation; the generic form doubles as the hot-KEY detector
 a join-salting decision needs (find the keys that would skew a shuffle
-WITHOUT shuffling the key space to count them).
+WITHOUT shuffling the key space to count them), and the weighted form
+ranks keys by an integral mass column (domains by total tokens, users
+by total bytes) under the same bound with N = total weight.
 """
 
 from __future__ import annotations
@@ -19,21 +21,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _misra_gries_partition(key_col: str, capacity: int):
-    """Arrow-batched per-partition Misra-Gries summary over a single
-    key column.  Emits one row per surviving candidate (key,
-    part_rows=0) plus ONE sentinel row per partition (key NULL,
-    part_rows=<non-null items in this partition>) so the caller can
-    reconstruct the total N without a second scan.
+def _misra_gries_partition(key_col: str, capacity: int, weight_col: str | None = None):
+    """Arrow-batched per-partition Misra-Gries summary over a key column
+    (optionally weighted by an integral column).  Emits one row per
+    surviving candidate (key, part_rows=0) plus ONE sentinel row per
+    partition (key NULL, part_rows=<total items-or-weight in this
+    partition>) so the caller can reconstruct the total N without a
+    second scan.
 
     Invariant (standard MG / Agarwal et al. 2013 mergeability): after
-    processing n_p items, every stored count is within n_p/(capacity+1)
-    of the item's true partition count, and any item NOT stored has true
-    partition count <= n_p/(capacity+1).  Each Arrow batch is counted
-    exactly (``value_counts``) and merged into the summary; a trim
-    subtracts the (capacity+1)-th largest stored count from every entry
-    and drops the non-positive ones — removing >= (capacity+1)*thr mass,
-    which is what bounds the total subtraction by n_p/(capacity+1).
+    processing n_p units of mass (1 per row unweighted, the row's weight
+    otherwise), every stored count is within n_p/(capacity+1) of the
+    key's true partition mass, and any key NOT stored has true partition
+    mass <= n_p/(capacity+1).  Each Arrow batch is counted exactly
+    (``value_counts`` / grouped weight sum) and merged into the summary;
+    a trim subtracts the (capacity+1)-th largest stored count from every
+    entry and drops the non-positive ones — removing >= (capacity+1)*thr
+    mass, which is what bounds the total subtraction by n_p/(capacity+1).
+    The weighted generalization is exact because a weight-w arrival is
+    equivalent to w unit arrivals of the same key processed back-to-back.
     """
 
     def run(batches):
@@ -42,7 +48,11 @@ def _misra_gries_partition(key_col: str, capacity: int):
         counts: dict = {}
         total = 0
         for pdf in batches:
-            vc = pdf[key_col].value_counts()  # dropna: nulls are excluded
+            if weight_col is None:
+                vc = pdf[key_col].value_counts()  # dropna: nulls excluded
+            else:
+                sub = pdf[[key_col, weight_col]].dropna()
+                vc = sub.groupby(key_col, sort=False)[weight_col].sum()
             total += int(vc.sum())
             for g, c in vc.items():
                 counts[g] = counts.get(g, 0) + int(c)
@@ -67,11 +77,16 @@ def frequent_items(
     capacity: int = 4096,
     max_broadcast_candidates: int = 2_000_000,
     count_col: str = "n_occurrences",
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Exact top-``k`` most frequent values of ``key_col`` WITHOUT a
-    full key-cardinality shuffle.  NULL keys are excluded.  Returns
-    (``key_col``, ``count_col``) ordered count desc, key asc — always
-    the exact answer, independent of partitioning; only the PLAN
+    """Exact top-``k`` values of ``key_col`` by count — or by
+    SUM(``weight_col``) when given — WITHOUT a full key-cardinality
+    shuffle.  NULL keys (and NULL/absent weights) are excluded;
+    ``weight_col`` must be integral and non-negative (token counts,
+    byte sizes — integral mass keeps the certificate arithmetic exact;
+    a zero weight contributes nothing, exactly like the brute force).
+    Returns (``key_col``, ``count_col``) ordered mass desc, key asc —
+    always the exact answer, independent of partitioning; only the PLAN
     depends on the data:
 
     1. Per-partition Misra-Gries sketch (:func:`_misra_gries_partition`)
@@ -86,11 +101,12 @@ def frequent_items(
        partition counts can never turn the candidate union into a
        forced driver-killing broadcast.
     3. Certificate: by the MG bound any key absent from every partition
-       summary has global count <= N/(capacity+1), so if the k-th
-       recounted count strictly exceeds N/(capacity+1) the candidate
-       top-k IS the global top-k (returned as a k-row materialization).
-       Otherwise fall back to the exact groupBy — correct for any data,
-       just not cheaper than brute force.
+       summary has global mass <= N/(capacity+1) (N = total row count,
+       or total weight in the weighted form), so if the k-th recounted
+       mass strictly exceeds N/(capacity+1) the candidate top-k IS the
+       global top-k (returned as a k-row materialization).  Otherwise
+       fall back to the exact groupBy — correct for any data, just not
+       cheaper than brute force.
 
     When a partition's distinct keys never exceed ``capacity`` the
     sketch is lossless and the recount shuffles what the brute force
@@ -101,12 +117,21 @@ def frequent_items(
     Besides corpus analysis, this is the hot-key detector for shuffle
     skew: run it on a join key BEFORE the join and salt (or
     broadcast-split) the returned keys — the detection itself never
-    pays the skewed shuffle it exists to avoid.
+    pays the skewed shuffle it exists to avoid.  The weighted form
+    answers mixture questions (which domains contribute the most
+    tokens) at the same cost.
     """
     key_type = dict(df.dtypes)[key_col]
-    items = df.select(key_col).where(F.col(key_col).isNotNull())
+    if weight_col is None:
+        items = df.select(key_col).where(F.col(key_col).isNotNull())
+        mass = F.count(F.lit(1))
+    else:
+        items = df.select(key_col, weight_col).where(
+            F.col(key_col).isNotNull() & F.col(weight_col).isNotNull()
+        )
+        mass = F.sum(weight_col)
     summary = items.mapInPandas(
-        _misra_gries_partition(key_col, capacity),
+        _misra_gries_partition(key_col, capacity, weight_col),
         schema=f"`{key_col}` {key_type}, part_rows long",
     ).localCheckpoint()  # phase 1 runs once; feeds candidates AND N
     candidates = (
@@ -130,7 +155,7 @@ def frequent_items(
     exact = (
         items.join(cand_side, key_col)
         .groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias(count_col))
+        .agg(mass.alias(count_col))
     )
     top = exact.orderBy(F.col(count_col).desc(), F.col(key_col).asc()).limit(k)
     rows = top.collect()  # k rows: the certificate check is driver-side
@@ -142,7 +167,7 @@ def frequent_items(
     # fewer than k candidates): exact full-groupBy fallback
     return (
         items.groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias(count_col))
+        .agg(mass.alias(count_col))
         .orderBy(F.col(count_col).desc(), F.col(key_col).asc())
         .limit(k)
     )

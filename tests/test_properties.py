@@ -1622,3 +1622,36 @@ def test_frequent_items_generic_key_types_and_nulls(spark):
             ).collect()
         ]
         assert got == want, f"capacity={cap}"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    ),
+    capacity=st.integers(2, 30),
+)
+@settings(max_examples=10, deadline=None)
+def test_frequent_items_weighted_always_exact(spark, rows, capacity):
+    """Weighted MG is exact for any weights and any capacity: top-3 keys
+    by SUM(weight) must equal the brute-force answer (a weight-w arrival
+    is w unit arrivals, so the unit-mass bound carries over)."""
+    from collections import Counter
+
+    from omics_data_integration_utilities_spark.operators.sketches import (
+        frequent_items,
+    )
+
+    df = spark.createDataFrame(rows, "key long, w long").repartition(4)
+    got = [
+        tuple(r)
+        for r in frequent_items(
+            df, "key", k=3, capacity=capacity, count_col="mass", weight_col="w"
+        ).collect()
+    ]
+    want = Counter()
+    for key, w in rows:
+        want[key] += w
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == expect
