@@ -291,6 +291,7 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.2,
     width: int = SHINGLE_WIDTH,
     max_posting: int = MAX_POSTING,
+    max_broadcast_docs: int = 2_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
 
@@ -339,17 +340,29 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    sizes = sizes.localCheckpoint()
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    # shuffle_hash hints: both join inputs are post-aggregation relations
-    # the static planner cannot size, and without the hint it guesses the
-    # PAIR-scale `inter` small and broadcasts it — measured collecting
-    # >1 GiB to the driver at 16x duplication (r12 probe).  Building the
-    # hash from the DOC-scale size table per partition is the shape that
-    # survives any corpus: pairs >> docs always, and neither side sorts.
+    # Join-strategy guard (r12 probe finding): both join inputs are
+    # post-checkpoint relations the static planner cannot size, and
+    # unguarded it guesses the PAIR-scale `inter` small and broadcasts
+    # it — measured collecting >1 GiB to the driver at 16x duplication.
+    # The DOC-scale size table is the side that is always safe to build
+    # from (pairs >> docs), and its cardinality is KNOWN here (one count
+    # over the checkpointed relation): broadcast it under the cap — the
+    # pair stream then never shuffles at all — else per-partition
+    # shuffle_hash build from the same side; the pair relation is never
+    # the build side in either regime, and nothing sorts.
+    n_docs = sizes.count()
+    def _doc_side(rel):
+        return (
+            F.broadcast(rel)
+            if n_docs <= max_broadcast_docs
+            else rel.hint("shuffle_hash")
+        )
     return (
-        inter.join(sa.hint("shuffle_hash"), "id_a")
-        .join(sb.hint("shuffle_hash"), "id_b")
+        inter.join(_doc_side(sa), "id_a")
+        .join(_doc_side(sb), "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
@@ -800,6 +813,8 @@ def minhash_estimate_accuracy(
     text_col: str,
     id_col: str,
     max_posting: int = MAX_POSTING,
+    max_broadcast_sig_docs: int = 200_000,
+    max_broadcast_docs: int = 2_000_000,
 ) -> DataFrame:
     """Sketch-accuracy report: for every LSH candidate pair, the MinHash
     Jaccard ESTIMATE (fraction of equal signature slots) next to the
@@ -813,34 +828,55 @@ def minhash_estimate_accuracy(
     exact Jaccard (inverted index, exact under the posting cap) — plus
     two hash joins on the pair ids; nothing new shuffles.  Rows are
     candidate pairs, already sub-quadratic by LSH design.  Join-strategy
-    hints (r12 probe finding): every relation here sits above a
+    guard (r12 probe finding): every relation here sits above a
     localCheckpoint, so the static planner has NO stats and guesses the
     post-aggregation PAIR-scale sides small enough to broadcast —
     measured collecting >1 GiB to the driver at 16× duplication.  The
-    pair⋈signature joins hint ``shuffle_hash`` on the DOC-scale
-    signature side (per-partition hash build, no sort of the pair
-    stream); the final est⋈exact join hints ``merge`` (both sides
-    pair-scale — nothing is safe to hash-build wholesale).
+    pair⋈signature joins build from the DOC-scale signature side under
+    a MEASURED count guard (broadcast under ``max_broadcast_sig_docs``,
+    per-partition shuffle_hash past it — never a sort of the pair
+    stream, never the pair side as build); the final est⋈exact join
+    hints ``merge`` (both sides pair-scale — nothing is safe to
+    hash-build wholesale).
     """
     sigs = with_minhash_signature(df, text_col, id_col)
     pairs = lsh_candidate_pairs(df, text_col, id_col, max_posting)
     exact = ngram_jaccard_pairs(
-        df, text_col, id_col, min_jaccard=0.0, max_posting=max_posting
+        df,
+        text_col,
+        id_col,
+        min_jaccard=0.0,
+        max_posting=max_posting,
+        max_broadcast_docs=max_broadcast_docs,
     ).select("id_a", "id_b", "jaccard")
     n_perms = len(MINHASH_PERMS)
-    # shuffle_hash on the signature side: pairs is PAIR-scale and
-    # post-aggregation (the static planner would guess it small and
-    # broadcast it); signatures are doc-scale — per-partition hash build
-    # on that side, no sort of the pair stream, no driver collect
+    # Join-strategy guard on the signature side: pairs is PAIR-scale and
+    # post-checkpoint (the static planner would guess it small and
+    # broadcast it — the >1 GiB driver collect the r12 probe measured);
+    # signatures are doc-scale with a KNOWN row count, so broadcast them
+    # under the cap (signature rows are ~1 KiB — n_perms longs — hence
+    # the lower cap than the slim size-table guard in
+    # ngram_jaccard_pairs) and the pair stream never shuffles; past the
+    # cap, per-partition shuffle_hash build from the same side.  The
+    # pair relation is never the build side in either regime.
+    n_docs = df.count()
+    def _sig_side(rel):
+        return (
+            F.broadcast(rel)
+            if n_docs <= max_broadcast_sig_docs
+            else rel.hint("shuffle_hash")
+        )
     est = (
         pairs.join(
-            sigs.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sa"))
-            .hint("shuffle_hash"),
+            _sig_side(
+                sigs.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sa"))
+            ),
             "id_a",
         )
         .join(
-            sigs.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sb"))
-            .hint("shuffle_hash"),
+            _sig_side(
+                sigs.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sb"))
+            ),
             "id_b",
         )
         .select(

@@ -281,14 +281,44 @@ def test_pair_scale_relations_never_broadcast(spark):
     """r12 probe finding: relations above a localCheckpoint carry no
     stats, and the static planner used to guess the post-aggregation
     PAIR-scale sides (inter / pairs / exact) small and broadcast them —
-    a >1 GiB driver collect at 16x duplication.  The shuffle_hash/merge
-    hints pin every join in these two queries off the broadcast path;
-    this test locks the plan shape so a refactor can't silently
-    reintroduce the collect."""
+    a >1 GiB driver collect at 16x duplication.  The fix (r12-final
+    form): the DOC-scale side is the build side in BOTH regimes of a
+    MEASURED count guard — broadcast under the cap (the pair stream
+    never shuffles), per-partition shuffle_hash past it.  Lock both
+    regimes: past-cap plans carry zero broadcast joins; under-cap plans
+    broadcast (the doc side, by construction — only sa/sb/sigs are ever
+    passed to F.broadcast) and are result-identical."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        minhash_estimate_accuracy,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    # past-cap regime (cap 0): the scale path — no broadcast anywhere
+    for out in (
+        ngram_jaccard_pairs(docs, "text", "doc_id", max_broadcast_docs=0),
+        minhash_estimate_accuracy(
+            docs, "text", "doc_id", max_broadcast_sig_docs=0, max_broadcast_docs=0
+        ),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "ShuffledHashJoin" in plan
+    # under-cap regime (defaults): doc-side broadcast restored, and the
+    # two regimes agree exactly
     for name in ("dedup_ngram_jaccard", "dedup_minhash_accuracy"):
         plan = _plan(spark, name)
-        assert "BroadcastHashJoin" not in plan, name
-        assert "ShuffledHashJoin" in plan, name
+        assert "BroadcastHashJoin" in plan, name
+    a = sorted(map(tuple, ngram_jaccard_pairs(docs, "text", "doc_id").collect()))
+    b = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                docs, "text", "doc_id", max_broadcast_docs=0
+            ).collect(),
+        )
+    )
+    assert a == b
 
 
 def test_heavy_hitters_certified_path_is_local(spark):
