@@ -52,6 +52,11 @@ def _misra_gries_partition(key_col: str, capacity: int, weight_col: str | None =
                 vc = pdf[key_col].value_counts()  # dropna: nulls excluded
             else:
                 sub = pdf[[key_col, weight_col]].dropna()
+                if (sub[weight_col] < 0).any():
+                    raise ValueError(
+                        f"frequent_items: weight column {weight_col!r} has "
+                        "negative values — MG mass must be non-negative"
+                    )
                 vc = sub.groupby(key_col, sort=False)[weight_col].sum()
             total += int(vc.sum())
             for g, c in vc.items():
@@ -60,9 +65,17 @@ def _misra_gries_partition(key_col: str, capacity: int, weight_col: str | None =
                 vals = sorted(counts.values(), reverse=True)
                 thr = vals[capacity]
                 counts = {g: v - thr for g, v in counts.items() if v > thr}
+        # The sentinel's NULL key must NOT coerce the key column: a plain
+        # list of int64 keys + [None] becomes float64 in pandas, silently
+        # rounding keys above 2**53 BEFORE Arrow casts back to long —
+        # wrong candidates under a still-valid certificate.  dtype=object
+        # keeps every key exact (python ints / strings / timestamps pass
+        # through Arrow's per-value conversion losslessly).
         yield pd.DataFrame(
             {
-                key_col: list(counts.keys()) + [None],
+                key_col: pd.Series(
+                    list(counts.keys()) + [None], dtype="object"
+                ),
                 "part_rows": [0] * len(counts) + [total],
             }
         )
@@ -122,6 +135,19 @@ def frequent_items(
     tokens) at the same cost.
     """
     key_type = dict(df.dtypes)[key_col]
+    if weight_col is not None:
+        # Integral-mass contract, ENFORCED (not just documented): a float
+        # weight would be silently truncated per-candidate inside the
+        # sketch, corrupting both the masses and the MG certificate
+        # arithmetic while still returning a valid-looking answer.  Scale
+        # fractional weights to integers (e.g. micro-units) upstream.
+        w_type = dict(df.dtypes)[weight_col]
+        if w_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"frequent_items: weight column {weight_col!r} must be an "
+                f"integral type (tinyint/smallint/int/bigint), got {w_type!r}"
+                " — scale fractional weights to integers upstream"
+            )
     if weight_col is None:
         items = df.select(key_col).where(F.col(key_col).isNotNull())
         mass = F.count(F.lit(1))

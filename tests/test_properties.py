@@ -1624,6 +1624,58 @@ def test_frequent_items_generic_key_types_and_nulls(spark):
         assert got == want, f"capacity={cap}"
 
 
+def test_frequent_items_keys_above_2_53_exact(spark):
+    """64-bit keys beyond float64's exact-integer range (2^53) must
+    survive the sketch verbatim: the per-partition sentinel row appends
+    a NULL key, and a naive list-of-ints + [None] column coerces to
+    float64, silently rounding snowflake-style ids to a NEARBY WRONG KEY
+    under a still-valid certificate.  The object-dtype sentinel emit
+    keeps them exact on both the certified and fallback paths."""
+    from omics_data_integration_utilities_spark.operators.sketches import (
+        frequent_items,
+    )
+
+    base = 2**60
+    # adjacent huge ids one apart — any float64 round-trip collapses them
+    hot_a, hot_b = base + 1, base + 2
+    rows = (
+        [(hot_a,)] * 300
+        + [(hot_b,)] * 200
+        + [(base + 10_000 + 2 * i,) for i in range(150)]
+    )
+    df = spark.createDataFrame(rows, "uid long").repartition(5)
+    want = [(hot_a, 300), (hot_b, 200)]
+    # capacity 16: certified sketch path (300*17 > 650); capacity 2:
+    # exact-groupBy fallback — both must preserve the 64-bit keys
+    for cap in (16, 2):
+        got = [
+            tuple(r)
+            for r in frequent_items(
+                df, "uid", k=2, capacity=cap, count_col="cnt"
+            ).collect()
+        ]
+        assert got == want, f"capacity={cap}"
+
+
+def test_frequent_items_weight_dtype_contract(spark):
+    """The integral-weight contract is ENFORCED: a float weight column
+    raises TypeError at plan time (it would otherwise be silently
+    truncated per-candidate, corrupting masses AND the certificate);
+    negative integral weights raise inside the sketch."""
+    import pytest as _pytest
+
+    from omics_data_integration_utilities_spark.operators.sketches import (
+        frequent_items,
+    )
+
+    fdf = spark.createDataFrame([(1, 1.5), (2, 2.0)], "key long, w double")
+    with _pytest.raises(TypeError, match="integral type"):
+        frequent_items(fdf, "key", k=1, weight_col="w")
+    ndf = spark.createDataFrame([(1, 5), (2, -3)], "key long, w long")
+    with _pytest.raises(Exception, match="non-negative"):
+        frequent_items(ndf, "key", k=1, capacity=4, weight_col="w").collect()
+
+
 @given(
     rows=st.lists(
         st.tuples(st.integers(0, 8), st.integers(0, 30)),
