@@ -927,7 +927,11 @@ def q_events_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_HOT_USERS = """
+-- user_id IS NOT NULL states the operator's NULL-exclusion contract:
+-- frequent_items never counts NULL keys (a NULL group would otherwise
+-- enter the oracle's GROUP BY and diverge on NULL-bearing data)
 SELECT user_id, count(*) AS n_events FROM events
+WHERE user_id IS NOT NULL
 GROUP BY user_id ORDER BY n_events DESC, user_id ASC LIMIT 20
 """
 

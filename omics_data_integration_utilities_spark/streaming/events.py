@@ -16,11 +16,42 @@ under any driver session timezone.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+@contextlib.contextmanager
+def nanos_long_read_conf(spark: SparkSession):
+    """Scoped enable of the legacy TIMESTAMP(NANOS)→long parquet read,
+    restoring the session's prior value (or unsetting) on exit — the
+    shared conf-scoped reader helper for every streaming entry point,
+    so building a stream never permanently mutates the caller's session.
+
+    The streaming entry points wrap only their batch SCHEMA INFERENCE
+    in this scope: for the shipped TIMESTAMP(MICROS) feeds the conf is
+    a no-op at execution, so the running stream needs nothing.  A
+    genuinely TIMESTAMP(NANOS) feed is decoded under this conf at
+    EXECUTION time too — for that case hold the scope open around the
+    whole stream lifetime (enter before building, exit after
+    ``q.stop()``)."""
+    try:
+        prev = spark.conf.get(_NANOS_CONF)
+    except Exception:
+        prev = None
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prev)
 
 
 def ts_event_micros(df: DataFrame, col: str = "ts") -> Column:
@@ -101,11 +132,13 @@ def windowed_event_counts_stream(
                .queryName("out").start())
         q.processAllAvailable()
     """
-    # backward compat: TIMESTAMP(NANOS) parquet only reads under this legacy
-    # conf (as int64 nanos, which ts_event_micros handles); a no-op for the
-    # current TIMESTAMP(MICROS) testdata
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
+    # backward compat: TIMESTAMP(NANOS) parquet only infers under the legacy
+    # nanosAsLong conf (as int64 nanos, which ts_event_micros handles); a
+    # no-op for the current TIMESTAMP(MICROS) testdata.  Scoped — the
+    # session conf is restored before returning (see nanos_long_read_conf
+    # for the genuinely-nanos-feed contract).
+    with nanos_long_read_conf(spark):
+        schema = spark.read.parquet(events_path).schema
     if os.path.isfile(events_path):
         # the file streaming source requires a directory; stage a symlink
         staged = tempfile.mkdtemp(prefix="omics_stream_")

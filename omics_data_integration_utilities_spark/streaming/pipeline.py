@@ -85,8 +85,17 @@ def curate_doc_batch_counts(
         F.count(F.lit(1)).alias("n_gated"),
         F.count_distinct(F.col("content_hash")).alias("n_kept_hashes"),
     )
+    # null-SAFE equi-join: groupBy treats NULL source as one group (so
+    # does the SQL oracle's GROUP BY), but a null-unsafe join key would
+    # drop that group's gated counts to the fillna zeros — latent
+    # divergence on NULL-source corpora
     by_source = (
-        totals.join(per_source, "source", "left")
+        totals.join(
+            per_source,
+            totals["source"].eqNullSafe(per_source["source"]),
+            "left",
+        )
+        .drop(per_source["source"])
         .fillna(0, ["n_gated", "n_kept_hashes"])
     )
     overall = df.agg(F.count(F.lit(1)).alias("n_in")).crossJoin(

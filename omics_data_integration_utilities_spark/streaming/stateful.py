@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .events import ts_event_micros
+from .events import nanos_long_read_conf, ts_event_micros
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_ts_us long"
 STATE_SCHEMA = "n long, s double, last long"
@@ -43,8 +43,8 @@ def running_user_stats_stream(spark: SparkSession, events_path: str) -> DataFram
     Returns the unstarted streaming DataFrame (attach a sink; ``update``
     output mode emits one row per touched user per micro-batch).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
+    with nanos_long_read_conf(spark):  # scoped: no permanent conf change
+        schema = spark.read.parquet(events_path).schema
     if os.path.isfile(events_path):
         staged = tempfile.mkdtemp(prefix="omics_stateful_")
         os.symlink(events_path, os.path.join(staged, os.path.basename(events_path)))

@@ -951,6 +951,59 @@ def test_curate_doc_stream_matches_batch_gate_and_dedup(spark, tmp_path):
     assert all(v[2] <= v[1] <= v[0] for v in report.values())
 
 
+def test_curate_batch_counts_null_source_group(spark):
+    """A NULL source is ONE group (matching the SQL oracle's GROUP BY
+    semantics): the totals→per_source join is null-SAFE, so the NULL
+    group's gated/kept counts must carry through instead of zeroing via
+    the left-join fillna."""
+    from omics_data_integration_utilities_spark.streaming.pipeline import (
+        curate_doc_batch_counts,
+    )
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and keeps going "
+        "with enough well formed words to clear the quality gate easily "
+        "because it has normal punctuation, normal length, and stopwords."
+    )
+    rows = [
+        (1, good, None),
+        (2, good + " More of the same well formed filler text here.", None),
+        (3, "!!!", None),  # gated out
+        (4, good, "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    report = {
+        r["source"]: (r["n_in"], r["n_gated"], r["n_kept_hashes"])
+        for r in curate_doc_batch_counts(df).collect()
+    }
+    assert report[None][0] == 3
+    assert report[None][1] == 2 and report[None][2] == 2
+    assert report["web"] == (1, 1, 1)
+    assert report["__all__"][0] == 4
+
+
+def test_stream_builders_leave_session_conf_unchanged(spark):
+    """Building a streaming entry point must NOT permanently mutate the
+    shared session conf: the legacy nanosAsLong read is scoped to schema
+    inference (nanos_long_read_conf restores the prior value on exit)."""
+    from omics_data_integration_utilities_spark.streaming.events import (
+        _NANOS_CONF,
+        windowed_event_counts_stream,
+    )
+    from omics_data_integration_utilities_spark.streaming.funnel import (
+        windowed_funnel_stream,
+    )
+
+    path = f"{SF_SMOKE}/events.parquet"
+    spark.conf.set(_NANOS_CONF, "false")
+    windowed_event_counts_stream(spark, path)
+    assert spark.conf.get(_NANOS_CONF) == "false"
+    windowed_funnel_stream(
+        spark, path, [("clicks", F.col("event_type") == "click")]
+    )
+    assert spark.conf.get(_NANOS_CONF) == "false"
+
+
 def test_multires_rollup_coarse_equals_direct(spark):
     """rollup(rollup(x)) == rollup(x): each coarser level (derived from
     the finer AGGREGATE) must equal the same resolution computed directly
