@@ -393,6 +393,60 @@ def entry(spark: SparkSession) -> DataFrame:
 #      checked r9, digest sibling hash-green in-window) and
 #      combat_adjust (superseded by combat_adjust_digest — see the r10
 #      rotation note above).
+# r13 rotation (this round): evidence-freshness sweep per the r12
+# verdict item 1 — the ENTIRE ≥4-rounds-stale cohort enters.  Twenty-six
+# in: the six r7 rows (text_pii_scrub, drivernet_greedy, doc_split,
+# dedup_simhash_pairs, dedup_minhash_signatures, combat_mean_only), the
+# eighteen r8 rows (a1_group_count, a2_distinct, a4_set_union,
+# a6_argmin_dedup, a7_group_mean_profile, a9_na_fraction, j3_left_join,
+# j8_anti_join, j10_explode_parent, j11_matrix_align, u1_union_all,
+# u2_intersect, w2_topk_per_group, p8_outlier_matrix, o1_global_topk,
+# k6_corr_pvalue, f5_id_generation, events_sessions — the full
+# `python ledger.py --stale 3` output, computed not recalled), and the
+# two NEW r13 registrations entering directly in-window per the budget
+# rule: events_hot_users_bytes (the weighted frequent_items form —
+# verdict item 5: top-20 users by SUM(octet_length(props)) LONG mass,
+# certified at sf0.01/sf0.1 (N/cap+1 = 43/434 vs 20th mass 688/757),
+# brute-force oracle) and events_salted_join (verdict item 6: the
+# hot-key detector COMPOSED with skew.salted_join — sketch-detected hot
+# keys route through the salted join, cold keys take the plain join,
+# result provably routing-invariant so the oracle is the plain SQL
+# join; the skew speedup itself is measured in probe_r13_saltedjoin.py).
+# Both new queries sf0.001+sf0.01 oracle-green locally pre-rotation.
+#
+# Twenty-six out, each hash-green in r12's 50/50 window with an
+# in-window sibling on the same machinery and/or a golden pin, plus the
+# standing local sf0.01 oracle in tests/test_queries_oracle.py:
+# k10_pca_batch (golden pin; k12 keeps the analytics family),
+# k13_roc + k9_linear_filter (k13_count_glm keeps the IRLS/GLM family),
+# k6_pairwise_corr (plan_corr_multiomics runs the same corr engine;
+# k6_corr_pvalue — same kernel + t-tail — rotates IN), methylmix_em
+# (plan_methylmix composes the same EM), drivernet_permutation
+# (drivernet_significance fans the same greedy over 20 permutations and
+# STAYS for direct comparison with the entering drivernet_greedy),
+# dedup_incremental (dedup_incremental_indexed answers the SAME oracle
+# through the persisted index — strict superset), dedup_components
+# (dedup_keep_best composes pairs→components→representative in-window),
+# dedup_minhash_accuracy (the signature machinery enters directly via
+# dedup_minhash_signatures; accuracy's estimate-vs-exact arithmetic is
+# property-tested), doc_novelty, doc_weighted_sample, doc_upsert,
+# source_overlap, doc_pack_chunks (first-green r11/r12 singles, exact
+# local oracles; doc_split enters the md5-bucket family),
+# sim_ann_topk + sim_diversity_digest + sim_centroid_drift
+# (sim_ivf_topk keeps the GEMM + IVF bucketing in-window),
+# text_length_quantiles + text_top_ngrams (text_heavy_hitters keeps the
+# sketch/TakeOrdered text family — and MUST stay: sketches.py changed
+# this round), events_asof_join + events_rollup + events_histogram +
+# events_funnel (first-green r12; events_sessions + the two NEW events
+# queries keep the window family), j1_star_join (j3/j8/j10/j11 enter;
+# j4_band_join stays), w1_mutual_rank (w2_topk_per_group enters — same
+# rank-window machinery), p6_mad_filter (p8_outlier_matrix enters the
+# same filter family).
+#
+# KEPT for re-verification because their code paths changed in r13:
+# events_hot_users (oracle gains the explicit NULL-exclusion WHERE;
+# sketch sentinel dtype fix) and text_heavy_hitters (same sketch core),
+# plus pipeline_curate (null-safe source join in curate_doc_batch_counts).
 _PRIORITY = [
     # composite plans
     "plan_mass_annotation",
@@ -401,58 +455,57 @@ _PRIORITY = [
     "plan_reaction_mass",
     "plan_data_pipeline",
     "plan_enzyme_annotation",
+    "plan_methylmix",
     # chemistry / rule kernels
     "k1_graph_rewrite",
     "k4_rule_bfs",
     "k3_substructure",
-    # analytics kernels (+ the r7-stale refresh cohort, part 1 of 2)
-    "k10_pca_batch",
-    "k12_perm_fdr",
+    # analytics kernels — keeps + the r7/r8-stale refresh
     "k13_count_glm",
-    "k13_roc",
-    "k9_linear_filter",
-    "k6_pairwise_corr",
-    "plan_methylmix",
-    "methylmix_em",
+    "k12_perm_fdr",
+    "k6_corr_pvalue",
     "drivernet_significance",
-    "drivernet_permutation",
-    # LLM-pipeline surface — the thirteen r11 late registrations enter
-    # (never-checked backlog zeroed), pipeline_curate enters NEW under
-    # the registration budget rule
-    "dedup_incremental",
-    "dedup_incremental_indexed",
-    "dedup_components",
-    "dedup_keep_best",
-    "dedup_minhash_accuracy",
-    "doc_novelty",
-    "doc_weighted_sample",
-    "doc_upsert",
-    "source_overlap",
-    "sim_ivf_topk",
-    "sim_ann_topk",
-    "sim_diversity_digest",
-    "sim_centroid_drift",
-    "doc_pack_chunks",
-    "dedup_substring_remove",
-    "text_length_quantiles",
-    "text_top_ngrams",
-    "text_heavy_hitters",
+    "drivernet_greedy",
+    "combat_mean_only",
+    "p8_outlier_matrix",
+    # LLM-pipeline surface — keeps (sketch family stays: code changed
+    # this round) + the r7-stale dedup/text/doc refresh
     "pipeline_curate",
+    "dedup_incremental_indexed",
+    "dedup_keep_best",
+    "dedup_substring_remove",
+    "dedup_simhash_pairs",
+    "dedup_minhash_signatures",
+    "sim_ivf_topk",
+    "text_heavy_hitters",
+    "text_pii_scrub",
+    "doc_split",
     "multimodal_features",
     "clusterone_modules",
-    # streaming-equivalent windows (asof/rollup/histogram/funnel enter;
-    # the INNER interval join refreshes from the r7-stale cohort)
-    "events_asof_join",
-    "events_rollup",
-    "events_histogram",
-    "events_funnel",
-    "events_interval_join",
+    # streaming-equivalent windows — the two NEW r13 registrations, the
+    # r13-rechecked hot_users, the r8-stale sessions refresh
     "events_hot_users",
-    # core relational / window representatives (stale refresh part 1)
+    "events_hot_users_bytes",
+    "events_salted_join",
+    "events_sessions",
+    "events_interval_join",
+    # core relational / aggregate / window stale refresh (r8 cohort)
     "j4_band_join",
-    "j1_star_join",
-    "w1_mutual_rank",
-    "p6_mad_filter",
+    "j3_left_join",
+    "j8_anti_join",
+    "j10_explode_parent",
+    "j11_matrix_align",
+    "a1_group_count",
+    "a2_distinct",
+    "a4_set_union",
+    "a6_argmin_dedup",
+    "a7_group_mean_profile",
+    "a9_na_fraction",
+    "u1_union_all",
+    "u2_intersect",
+    "w2_topk_per_group",
+    "o1_global_topk",
+    "f5_id_generation",
 ]
 
 

@@ -348,6 +348,43 @@ def _stdout_payload(
     }
 
 
+def _final_stdout_line(
+    total, timings, sf, reps, slow_timings,
+    load_start, load_end, spreads, slow_load, errors,
+) -> str:
+    """The ONE stdout line, with the byte-budget degradation chain in a
+    testable unit (tests/test_bench_contract.py locks the invariant):
+    drop error detail first (keep the names), then as a last resort emit
+    the contract-only form — so the driver's 2000-char tail capture can
+    never truncate the JSON mid-line no matter how the tiers grow."""
+    line = json.dumps(
+        _stdout_payload(
+            total, timings, sf, reps, slow_timings,
+            load_start, load_end, spreads, slow_load, errors,
+        )
+    )
+    if len(line) > STDOUT_BYTE_BUDGET:
+        print(f"# stdout line {len(line)}B over budget, degrading", file=sys.stderr)
+        payload = _stdout_payload(
+            total, timings, sf, reps, slow_timings,
+            load_start, load_end, spreads, slow_load,
+            {k: "" for k in errors},
+        )
+        line = json.dumps(payload)
+        if len(line) > STDOUT_BYTE_BUDGET:
+            line = json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": float(sf),
+                    "headline_incomplete": sorted(n for n in HEADLINE if n in errors),
+                }
+            )
+    return line
+
+
 def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -488,33 +525,10 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — sidecar loss must not kill stdout
         print(f"# bench_full.json write failed: {exc}", file=sys.stderr)
 
-    line = json.dumps(
-        _stdout_payload(
-            total, timings, sf, reps, slow_timings,
-            load_start, load_end, spreads, slow_load, errors,
-        )
+    line = _final_stdout_line(
+        total, timings, sf, reps, slow_timings,
+        load_start, load_end, spreads, slow_load, errors,
     )
-    if len(line) > STDOUT_BYTE_BUDGET:
-        # never exceed the tail capture: degrade by dropping error detail
-        # (keep the names), then as a last resort emit contract-only
-        print(f"# stdout line {len(line)}B over budget, degrading", file=sys.stderr)
-        payload = _stdout_payload(
-            total, timings, sf, reps, slow_timings,
-            load_start, load_end, spreads, slow_load,
-            {k: "" for k in errors},
-        )
-        line = json.dumps(payload)
-        if len(line) > STDOUT_BYTE_BUDGET:
-            line = json.dumps(
-                {
-                    "metric": "headline_queries_total",
-                    "value": round(total, 3),
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": float(sf),
-                    "headline_incomplete": sorted(n for n in HEADLINE if n in errors),
-                }
-            )
     print(line)
     spark.stop()
 

@@ -936,6 +936,86 @@ GROUP BY user_id ORDER BY n_events DESC, user_id ASC LIMIT 20
 """
 
 
+def q_events_hot_users_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED exact heavy hitters: top-20 users by total payload bytes
+    (SUM(octet_length(props))) via frequent_items' integral-weight form —
+    the 'which keys carry the most MASS' question (domains by tokens,
+    users by bytes) under the same capacity-bounded MG shuffle, with
+    N = total weight in the certificate.  The weight is derived JVM-side
+    (octet_length → long) so the enforced integral-dtype contract holds
+    by construction; NULL keys and NULL weights are excluded, matching
+    the oracle's WHERE."""
+    from ..operators.sketches import frequent_items
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "payload_bytes", F.octet_length("props").cast("long")
+    )
+    return frequent_items(
+        ev,
+        "user_id",
+        k=20,
+        capacity=2048,
+        count_col="total_bytes",
+        weight_col="payload_bytes",
+    )
+
+
+SQL_EVENTS_HOT_USERS_BYTES = """
+-- NULL keys and NULL weights excluded (the operator's contract);
+-- strlen = DuckDB's VARCHAR byte length (Spark: octet_length);
+-- CAST: DuckDB sum(BIGINT) is HUGEINT, Spark stays long
+SELECT user_id,
+       CAST(sum(strlen(props)) AS BIGINT) AS total_bytes
+FROM events
+WHERE user_id IS NOT NULL AND props IS NOT NULL
+GROUP BY user_id ORDER BY total_bytes DESC, user_id ASC LIMIT 20
+"""
+
+
+def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection composed with skew-mitigated execution, end to
+    end: frequent_items (the capacity-bounded MG sketch — detection
+    never pays the skewed shuffle it exists to avoid) finds the hottest
+    join keys, rows carrying those keys route through
+    operators.skew.salted_join (dim side replicated over the salts, hot
+    side salted so no single reducer owns a hot key), the cold remainder
+    takes the plain equi-join, and the union aggregates per market
+    segment.  The result is routing-invariant — identical to one plain
+    join — so a hash-green run PROVES the salted path's semantics; the
+    skew SPEEDUP under a genuinely hot key is measured separately
+    (probe_r13_saltedjoin.py, SCALE.md)."""
+    from ..operators.sketches import frequent_items
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    hot = [
+        r["user_id"]
+        for r in frequent_items(
+            ev, "user_id", k=10, capacity=2048, count_col="n"
+        ).collect()  # k rows — the sanctioned bounded detector output
+    ]
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    hot_rows = ev.where(F.col("user_id").isin(hot))
+    cold_rows = ev.where(~F.col("user_id").isin(hot))
+    joined = salted_join(hot_rows, cust, ["user_id"], n_salts=8).unionByName(
+        cold_rows.join(cust, "user_id")
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(_dec("value")), 4).cast("double").alias("sum_value"),
+    )
+
+
+SQL_EVENTS_SALTED_JOIN = """
+SELECT c_mktsegment, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup (1min/1h/1d) where each
     coarser level derives from the next FINER aggregate; the oracle
@@ -1119,6 +1199,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "events_histogram": q_events_histogram,
     "events_hot_users": q_events_hot_users,
+    "events_hot_users_bytes": q_events_hot_users_bytes,
+    "events_salted_join": q_events_salted_join,
     "events_sessions": q_events_sessions,
     "events_hopping": q_events_hopping,
     "events_interval_join": q_events_interval_join,
@@ -1161,6 +1243,8 @@ ORACLES: dict[str, str] = {
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_histogram": SQL_EVENTS_HISTOGRAM,
     "events_hot_users": SQL_EVENTS_HOT_USERS,
+    "events_hot_users_bytes": SQL_EVENTS_HOT_USERS_BYTES,
+    "events_salted_join": SQL_EVENTS_SALTED_JOIN,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "events_interval_join_outer": SQL_EVENTS_INTERVAL_JOIN_OUTER,

@@ -1,0 +1,63 @@
+"""Bench stdout-contract lock (r12 verdict item 8): the driver captures
+only the TAIL of bench stdout (~2000 chars), and r11 lost a round's
+timings when the telemetry outgrew it.  These tests pin the invariant
+structurally: the final stdout line stays parseable JSON within budget
+under WORST-CASE tier growth, so no future query registration can
+silently reintroduce the truncation.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _line(n_errors: int, err_len: int = 300) -> str:
+    timings = {name: 1234.567 for name in bench.HEADLINE}
+    slow_timings = {f"slow_query_{i:02d}": 123.456 for i in range(60)}
+    spreads = {name: 0.123 for name in bench.HEADLINE}
+    slow_load = {f"slow_query_{i:02d}": 31.99 for i in range(60)}
+    errors = {
+        f"failing_query_with_a_rather_long_name_{i:03d}": "x" * err_len
+        for i in range(n_errors)
+    }
+    return bench._final_stdout_line(
+        sum(timings.values()), timings, "0.1", 3, slow_timings,
+        [32.0, 31.0, 30.0], [32.0, 31.0, 30.0], spreads, slow_load, errors,
+    )
+
+
+def test_stdout_line_within_budget_clean_run():
+    line = _line(0)
+    assert len(line) <= 2000, len(line)
+    payload = json.loads(line)
+    assert payload["metric"] == "headline_queries_total"
+    assert set(payload["queries"]) == set(bench.HEADLINE)
+    assert payload["unit"] == "sec" and payload["sf"] == 0.1
+
+
+def test_stdout_line_within_budget_under_mass_errors():
+    """Worst case: every tier erroring with driver-truncated (300-char)
+    messages — the degradation chain must still land a parseable line
+    under the tail capture, keeping at least the contract fields."""
+    for n_errors in (5, 40, 120):
+        line = _line(n_errors)
+        assert len(line) <= 2000, (n_errors, len(line))
+        payload = json.loads(line)
+        assert payload["metric"] == "headline_queries_total"
+        assert "value" in payload and "queries" in payload
+
+
+def test_headline_growth_guard():
+    """The headline set itself is the only stdout-resident per-query
+    detail; if it ever grows past what the budget fits (~45 names at
+    current precision), the clean-run line overflows into degraded form
+    and the per-round comparison loses per-query timings — fail HERE at
+    registration time instead."""
+    assert len(bench.HEADLINE) <= 45, (
+        "headline set grew: re-verify the clean-run stdout line fits "
+        "STDOUT_BYTE_BUDGET with per-query timings intact"
+    )
+    line = _line(0)
+    assert set(json.loads(line)["queries"]) == set(bench.HEADLINE)
