@@ -92,7 +92,7 @@ def main() -> None:
         .localCheckpoint()
     )
     rows = []
-    for mult in (1, 4, 16):
+    for mult in (1, 4, 16, 64):
         corpus = scaled_corpus(spark, mult).localCheckpoint()
         n_docs = corpus.count()
 
