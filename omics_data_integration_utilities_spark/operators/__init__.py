@@ -51,4 +51,4 @@ from .similarity import (  # noqa: F401
     lsh_bucketed_neardup,
 )
 from .containment import containment_pairs, containment_map  # noqa: F401
-from .skew import salted_join, salted_group_count  # noqa: F401
+from .skew import salted_join, salted_group_count, skew_aware_join  # noqa: F401

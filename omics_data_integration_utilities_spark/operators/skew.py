@@ -49,6 +49,76 @@ def salted_join(
     return s.join(o, on + ["__salt"], how).drop("__salt")
 
 
+def skew_aware_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    hot_keys: "list | None" = None,
+    n_salts: int = 8,
+    how: str = "inner",
+    detect_k: int = 20,
+    detect_capacity: int = 4096,
+    detect_sample_fraction: float | None = None,
+    hot_threshold: float = 0.01,
+) -> DataFrame:
+    """Equi-join with hot keys detected and routed through
+    :func:`salted_join`, everything else through the plain join — the
+    detect→route composition as one operator (single-key joins;
+    ``how`` inner or left).
+
+    Detection uses ``sketches.frequent_items`` (the capacity-bounded
+    Misra-Gries sketch, so finding the hot keys never pays the skewed
+    full-cardinality shuffle this operator exists to avoid); a key is
+    hot when it owns more than ``hot_threshold`` of the scanned rows.
+    Pass ``detect_sample_fraction`` to detect on a sample — for ROUTING
+    a ≥1%-hot key is found by a 2% sample with near-certainty, at a
+    fraction of the scan (measured: probe_r13_saltedjoin.py); exact
+    detection only matters when the hot set feeds a cost model.  Or
+    pass ``hot_keys`` explicitly (e.g. from a previous run on the same
+    key distribution) and skip detection entirely.
+
+    The result is routing-invariant — always equal to
+    ``skewed.join(other, on, how)`` — which the registered
+    ``events_salted_join`` query proves against a plain-SQL-join
+    oracle; the straggler-collapse measurement lives in
+    probe_r13_saltedjoin.py / SCALE.md r13.
+
+    Use when AQE's runtime skew splitting can't rewrite the exchange
+    (aggregation-feeding joins, pre-partitioned state) or when the hot
+    keys are known ahead of time; otherwise let AQE handle it.
+    """
+    if len(on) != 1:
+        raise ValueError("skew_aware_join detects on a single key column")
+    key = on[0]
+    if hot_keys is None:
+        from .sketches import frequent_items
+
+        scan = skewed.where(F.col(key).isNotNull())
+        if detect_sample_fraction is not None:
+            scan = scan.sample(fraction=float(detect_sample_fraction), seed=13)
+        counts = frequent_items(
+            scan, key, k=detect_k, capacity=detect_capacity, count_col="__n"
+        ).collect()  # ≤ k rows: the sanctioned bounded detector output
+        # hotness is relative to what the detector SAW (sample or full
+        # scan — the ownership ratio is the same in expectation); the
+        # count is a column-pruned scan, cheap next to the join itself
+        n_scanned = scan.count()
+        hot_keys = [
+            r[key] for r in counts if r["__n"] > hot_threshold * n_scanned
+        ]
+    if not hot_keys:
+        return skewed.join(other, on, how)
+    hot_rows = skewed.where(F.col(key).isin(list(hot_keys)))
+    cold_rows = skewed.where(
+        ~F.col(key).isin(list(hot_keys)) | F.col(key).isNull()
+    )
+    if how == "inner":
+        cold_rows = cold_rows.where(F.col(key).isNotNull())
+    salted = salted_join(hot_rows, other, on, n_salts=n_salts, how=how)
+    plain = cold_rows.join(other, on, how)
+    return salted.unionByName(plain)
+
+
 def salted_group_count(
     df: DataFrame, key_cols: list[str], n_salts: int = 8, count_col: str = "n"
 ) -> DataFrame:

@@ -984,23 +984,20 @@ def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — so a hash-green run PROVES the salted path's semantics; the
     skew SPEEDUP under a genuinely hot key is measured separately
     (probe_r13_saltedjoin.py, SCALE.md)."""
-    from ..operators.sketches import frequent_items
-    from ..operators.skew import salted_join
+    from ..operators.skew import skew_aware_join
 
     ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
-    hot = [
-        r["user_id"]
-        for r in frequent_items(
-            ev, "user_id", k=10, capacity=2048, count_col="n"
-        ).collect()  # k rows — the sanctioned bounded detector output
-    ]
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    hot_rows = ev.where(F.col("user_id").isin(hot))
-    cold_rows = ev.where(~F.col("user_id").isin(hot))
-    joined = salted_join(hot_rows, cust, ["user_id"], n_salts=8).unionByName(
-        cold_rows.join(cust, "user_id")
+    # hot_threshold=0: the detector's full top-10 routes through the
+    # salted path unconditionally, so the driver hash-checks BOTH
+    # branches (salted + plain) at every testdata scale — the uniform
+    # testdata has no >1%-hot user, and a threshold that never fires
+    # would leave the salted branch driver-unverified
+    joined = skew_aware_join(
+        ev, cust, ["user_id"], n_salts=8, detect_k=10,
+        detect_capacity=2048, hot_threshold=0.0,
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
