@@ -488,7 +488,14 @@ _PRIORITY = [
     "events_hot_users_bytes",
     "events_salted_join",
     "events_sessions",
-    "events_interval_join",
+    # r13 late addition under the budget rule: doc_split_leakage_safe
+    # (NEW — near-dup-aware split: components from the shared Jaccard
+    # CTE chain, split hashed from the COMPONENT label so duplicate
+    # clusters never straddle train/test; sf0.001+sf0.01 oracle-green
+    # pre-registration) displaces events_interval_join (hash-green
+    # r11/r12; stream==batch parity tests + local sf0.01 oracle stand,
+    # events_sessions keeps the streaming-window family in-window)
+    "doc_split_leakage_safe",
     # core relational / aggregate / window stale refresh (r8 cohort)
     "j4_band_join",
     "j3_left_join",

@@ -145,6 +145,14 @@ SLOW_TIER = [
     # form (hot-user detection over events)
     "text_heavy_hitters",
     "events_hot_users",
+    # round 13: the weighted Misra-Gries form (keys by integral mass),
+    # the detect→route skew join (sketch detection + salted/plain
+    # routing vs the plain join it must equal), and the near-dup-aware
+    # split (components + md5 split — compare against dedup_components,
+    # whose CTE chain it extends by one projection)
+    "events_hot_users_bytes",
+    "events_salted_join",
+    "doc_split_leakage_safe",
 ]
 
 # bench-only callables: timed like registered queries but deliberately

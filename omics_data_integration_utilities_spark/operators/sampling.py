@@ -300,3 +300,40 @@ def weighted_sample(
         .limit(n)
         .drop("__k")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Train/val/test split that cannot leak through near-duplicates:
+    documents are clustered into near-dup components first
+    (``dedup.ngram_jaccard_pairs`` → ``dedup.connected_components``)
+    and the split is hashed from the COMPONENT label, so every member
+    of a duplicate cluster lands in the same split by construction —
+    :func:`hash_split` on raw ids would put a test document's 0.95-
+    Jaccard twin in train and silently contaminate evaluation.
+
+    Returns (id, component, split).  The split column is a pure
+    function of (salt, component): reproducible across runs, engines
+    and partitionings, and singleton docs (their own component) behave
+    exactly like :func:`hash_split`.
+
+    Scale shape: the pair construction and component resolution are the
+    banded/bounded dedup paths (never all-pairs; pointer-doubling
+    components); the split itself adds one md5 projection — no join,
+    no shuffle — because equal components hash equal everywhere.
+    """
+    from .dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, text_col, id_col, min_jaccard=min_jaccard)
+    comps = connected_components(
+        pairs, vertices=docs.select(F.col(id_col).alias("id_a"))
+    )
+    return hash_split(
+        comps.select("id", "component"), "component", weights, salt
+    )

@@ -583,6 +583,38 @@ FROM j
 )
 
 
+def q_doc_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: documents cluster into
+    Jaccard components FIRST and the split hashes the COMPONENT label,
+    so a test doc's 0.95-Jaccard twin can never land in train — the
+    leakage mode a raw id-hash split silently permits.  Oracle = the
+    shared component CTE chain + the same md5 bucket arithmetic on the
+    component label (split is a pure function of (salt, component), so
+    both engines derive it independently and must agree bit-for-bit)."""
+    from ..operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, "text", "doc_id", min_jaccard=0.2)
+
+
+SQL_DOC_SPLIT_LEAKAGE_SAFE = (
+    "WITH RECURSIVE " + _COMPONENTS_CTES + """,
+comp AS (SELECT node AS id, min(label) AS component FROM reach GROUP BY node),
+b AS (
+  SELECT id, component,
+         ('0x' || substr(md5('split-v1' || CAST(component AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS bucket
+  FROM comp
+)
+SELECT id, component,
+       CASE WHEN bucket < 900000 THEN 'train'
+            WHEN bucket < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+)
+
+
 def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test split + stratified downsample
     of the train split (keep 50% of lang 'en' docs by hash) — the
@@ -2033,6 +2065,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_simhash,
     "dedup_simhash_pairs": q_simhash_pairs,
     "doc_split": q_doc_split,
+    "doc_split_leakage_safe": q_doc_split_leakage_safe,
     "mix_domains": q_mix_domains,
     "pipeline_funnel": q_pipeline_funnel,
     "events_funnel": q_events_funnel,
@@ -2092,6 +2125,7 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_simhash": SQL_SIMHASH,
     "dedup_simhash_pairs": SQL_SIMHASH_PAIRS,
     "doc_split": SQL_DOC_SPLIT,
+    "doc_split_leakage_safe": SQL_DOC_SPLIT_LEAKAGE_SAFE,
     "mix_domains": SQL_MIX_DOMAINS,
     "pipeline_funnel": SQL_PIPELINE_FUNNEL,
     "events_funnel": SQL_EVENTS_FUNNEL,

@@ -1267,3 +1267,38 @@ def test_index_probe_matches_scan_form(spark):
     }
     assert probe2 == probe1
     assert len(rd._PROBE_IDX) == n_indexes  # memo hit: no second build
+
+
+def test_leakage_safe_split_pairs_never_straddle(spark):
+    """The leakage property ITSELF: for every near-dup pair, both docs
+    land in the same split (hash_split on raw ids provably violates
+    this on the same corpus — asserted as the negative control)."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from omics_data_integration_utilities_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+    from .conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    split = {
+        r["id"]: r["split"]
+        for r in leakage_safe_split(docs, "text", "doc_id").collect()
+    }
+    assert set(split) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", min_jaccard=0.2
+        ).collect()
+    ]
+    assert len(pairs) > 0  # vacuous-pass guard: the corpus has near-dups
+    assert all(split[a] == split[b] for a, b in pairs)
+    # negative control: the raw id-hash split DOES leak on this corpus
+    raw = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.select("doc_id"), "doc_id").collect()
+    }
+    assert any(raw[a] != raw[b] for a, b in pairs)
