@@ -375,6 +375,7 @@ def ngram_decontaminate(
     text_col: str,
     id_col: str,
     n: int = 3,
+    max_broadcast_grams: int = 2_000_000,
 ) -> DataFrame:
     """Test-set decontamination by word n-gram collision (the standard
     published recipe — GPT-3 appendix C / PaLM / Llama use 8-13-gram
@@ -385,9 +386,14 @@ def ngram_decontaminate(
     Returns one row per training doc: (id, n_shared_ngrams = DISTINCT
     shared n-grams, contaminated).  Scale shape: the test side collapses
     to a DISTINCT n-gram set — orders of magnitude smaller than the
-    training corpus — and is broadcast, so the training side is one scan
-    + one explode with zero shuffle of the text itself; the per-doc count
-    groups on the training doc id.
+    training corpus — and is broadcast while its MEASURED count stays
+    under ``max_broadcast_grams``; past that (decontaminating against a
+    huge benchmark suite or a second corpus) it flips to a shuffle-hash
+    join BUILDING from the bounded gram-set side, so the plan can never
+    force a driver-killing broadcast (the r12 pair-relation lesson: a
+    derived post-aggregation relation has no stats a planner could use,
+    so the guard must measure).  Either way the training side is one
+    scan + one explode; the per-doc count groups on the training doc id.
     """
     t_grams = lambda d: d.select(  # noqa: E731
         F.col(id_col),
@@ -395,10 +401,16 @@ def ngram_decontaminate(
             F.array_distinct(word_ngrams_col(tokens_col(text_col), n))
         ).alias("g"),
     )
-    test_set = t_grams(test).select("g").distinct()
+    test_set = t_grams(test).select("g").distinct().localCheckpoint()
+    n_grams = test_set.count()
+    test_side = (
+        F.broadcast(test_set)
+        if n_grams <= max_broadcast_grams
+        else test_set.hint("shuffle_hash")
+    )
     hits = (
         t_grams(train)
-        .join(F.broadcast(test_set), "g")
+        .join(test_side, "g")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("__hits"))
     )

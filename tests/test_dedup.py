@@ -163,6 +163,18 @@ def test_ngram_decontaminate_flags_only_overlapping_train_docs(spark):
     assert got[2] == (0, False)
     assert set(got) == {1, 2}    # test docs never appear in the output
 
+    # beyond-broadcast path: a gram cap below the test-set size flips
+    # the exact-verify join to shuffle_hash building from the gram side;
+    # the answer must be identical (measured-count guard, never a plan
+    # dependent result)
+    past_cap = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["contaminated"])
+        for r in ngram_decontaminate(
+            train, test, "text", "doc_id", n=3, max_broadcast_grams=1
+        ).collect()
+    }
+    assert past_cap == got
+
 
 def test_chunk_documents_covers_every_token_with_overlap(spark):
     from omics_data_integration_utilities_spark.operators.text import (

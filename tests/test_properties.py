@@ -1657,6 +1657,51 @@ def test_frequent_items_keys_above_2_53_exact(spark):
         assert got == want, f"capacity={cap}"
 
 
+def test_frequent_items_key_dtype_coverage(spark):
+    """The object-dtype sentinel emit must round-trip EVERY practical
+    key type through Arrow unchanged — string, double, date and
+    timestamp keys (the generic-key contract the hot-join-key detector
+    relies on), on both the certified and fallback paths."""
+    import datetime
+
+    from omics_data_integration_utilities_spark.operators.sketches import (
+        frequent_items,
+    )
+
+    cases = [
+        ("string", ["hot", "warm"], [f"cold{i}" for i in range(120)]),
+        ("double", [1.5, -2.25], [1000.0 + i for i in range(120)]),
+        (
+            "date",
+            [datetime.date(2026, 1, 1), datetime.date(2026, 1, 2)],
+            [datetime.date(2000, 1, 1) + datetime.timedelta(days=i) for i in range(120)],
+        ),
+        (
+            "timestamp",
+            [
+                datetime.datetime(2026, 1, 1, 12, 0, 0),
+                datetime.datetime(2026, 1, 2, 12, 0, 30),
+            ],
+            [
+                datetime.datetime(2000, 1, 1) + datetime.timedelta(hours=i)
+                for i in range(120)
+            ],
+        ),
+    ]
+    for typ, hot, tail in cases:
+        rows = [(hot[0],)] * 90 + [(hot[1],)] * 60 + [(t,) for t in tail]
+        df = spark.createDataFrame(rows, f"k {typ}").repartition(4)
+        want = [(hot[0], 90), (hot[1], 60)]
+        for cap in (16, 2):  # certified sketch / exact fallback
+            got = [
+                tuple(r)
+                for r in frequent_items(
+                    df, "k", k=2, capacity=cap, count_col="cnt"
+                ).collect()
+            ]
+            assert got == want, f"type={typ} capacity={cap}: {got}"
+
+
 def test_frequent_items_weight_dtype_contract(spark):
     """The integral-weight contract is ENFORCED: a float weight column
     raises TypeError at plan time (it would otherwise be silently
