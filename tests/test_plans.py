@@ -368,3 +368,24 @@ def test_heavy_hitters_recount_join_adapts_past_broadcast_cap(spark):
         for r in top_ngrams(df, "text", n=3, k=4).collect()
     ]
     assert [(r["ngram"], r["n_occurrences"]) for r in out.collect()] == want
+
+
+def test_salted_join_routing_plan_shape(spark):
+    """events_salted_join's routed union: both branches hash-join the
+    broadcastable dim (the 8x salt replication of a small dim is still
+    broadcastable), never a nested-loop or cartesian — and the salted
+    branch's explode must not block the broadcast."""
+    plan = _plan(spark, "events_salted_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # salted + plain branch
+
+
+def test_leakage_safe_split_adds_no_shuffle_over_components(spark):
+    """The split is a pure md5 projection over the (checkpointed)
+    component frame: ZERO exchanges in the executed plan — equal
+    components hash equal everywhere, so no join is ever needed to
+    agree on a cluster's split."""
+    plan = _plan(spark, "doc_split_leakage_safe")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
