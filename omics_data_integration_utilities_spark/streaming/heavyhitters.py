@@ -129,3 +129,89 @@ def trending_ngrams_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _make_mg_key_fn(capacity: int):
+    """Generic-key twin of :func:`_make_mg_fn`: the grouped column is
+    ``key`` (any type the caller's declared schemas carry — the state
+    and output schemas are built from the INPUT key dtype, so 64-bit
+    keys stay typed end-to-end).  The sentinel emission builds the key
+    column with dtype=object, the same guard as the batch sketch: a
+    plain list-of-ints + [None] coerces to float64 and silently rounds
+    keys above 2^53."""
+
+    def update_bucket(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (bucket,) = key
+        if state.exists:
+            keys, counts, n_seen = state.get
+            d = dict(zip(list(keys), [int(c) for c in counts]))
+            n_seen = int(n_seen)
+        else:
+            d, n_seen = {}, 0
+        for pdf in pdfs:
+            vc = pdf["key"].value_counts()
+            n_seen += int(vc.sum())
+            for g, c in vc.items():
+                d[g] = d.get(g, 0) + int(c)
+            if len(d) > capacity:
+                vals = sorted(d.values(), reverse=True)
+                thr = vals[capacity]
+                d = {g: v - thr for g, v in d.items() if v > thr}
+        state.update((list(d.keys()), list(d.values()), n_seen))
+        yield pd.DataFrame(
+            {
+                "bucket": bucket,
+                "key": pd.Series(list(d.keys()) + [None], dtype="object"),
+                "lower_count": list(d.values()) + [0],
+                "n_seen": n_seen,
+            }
+        )
+
+    return update_bucket
+
+
+def trending_keys_stream(
+    spark: SparkSession,
+    events_path: str,
+    key_col: str = "user_id",
+    capacity: int = 512,
+    n_buckets: int = 8,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Generic hot-KEY monitor over a feed: the streaming twin of
+    ``operators.sketches.frequent_items`` (the n-gram form above is the
+    text instantiation; this one watches ANY key column — the
+    continuously-updated skew detector feeding
+    ``operators.skew.skew_aware_join``'s ``hot_keys`` on a live join
+    key distribution, so the salting decision tracks the feed instead
+    of a stale batch profile).
+
+    Returns the unstarted streaming DataFrame (bucket, key,
+    lower_count, n_seen) with ``key`` KEEPING the input column's type;
+    NULL keys are excluded like the batch form, and the NULL-key
+    sentinel row per bucket carries ``n_seen`` so the
+    ``n_seen/(capacity+1)`` absence bound stays checkable even for a
+    bucket that trimmed to empty.  Same per-bucket MG guarantees and
+    fixed ``n_buckets x capacity`` state as the gram form.
+    """
+    from .events import nanos_long_read_conf
+
+    with nanos_long_read_conf(spark):
+        schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(_stage_dir(events_path))
+    key_type = dict(stream.dtypes)[key_col]
+    keyed = (
+        stream.select(F.col(key_col).alias("key"))
+        .where(F.col("key").isNotNull())
+        .withColumn("bucket", F.pmod(F.xxhash64("key"), F.lit(n_buckets)).cast("int"))
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _make_mg_key_fn(int(capacity)),
+        outputStructType=f"bucket int, `key` {key_type}, lower_count long, n_seen long",
+        stateStructType=f"keys array<{key_type}>, counts array<long>, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1752,3 +1752,35 @@ def test_frequent_items_weighted_always_exact(spark, rows, capacity):
         want[key] += w
     expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 100)),
+        min_size=1,
+        max_size=60,
+    ),
+    n_salts=st.integers(2, 9),
+    threshold=st.sampled_from([0.0, 0.05, 0.3, 0.9]),
+)
+@settings(max_examples=10, deadline=None)
+def test_skew_aware_join_routing_invariant(spark, rows, n_salts, threshold):
+    """skew_aware_join == plain join for ANY key distribution, salt
+    count and hotness threshold (the threshold only moves keys between
+    the salted and plain branches — never changes the result)."""
+    from omics_data_integration_utilities_spark.operators.skew import (
+        skew_aware_join,
+    )
+
+    left = spark.createDataFrame(rows, "k long, payload long").repartition(3)
+    right = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(0, 5)], "k long, v string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in skew_aware_join(
+            left, right, ["k"], n_salts=n_salts, hot_threshold=threshold
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in left.join(right, ["k"]).collect())
+    assert got == want

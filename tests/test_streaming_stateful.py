@@ -183,3 +183,56 @@ def test_trending_ngrams_stream_superset_under_trims(spark, tmp_path):
             )
         if r["ngram"] in cand:
             assert cand[r["ngram"]] <= r["count"]
+
+
+def test_trending_keys_stream_exact_and_typed(spark, tmp_path):
+    """The generic hot-KEY monitor: no-trim regime over the events feed
+    equals batch frequent_items on the same data, with the key column
+    KEEPING its input type (long) — including the per-bucket NULL-key
+    sentinel not corrupting typed keys (the object-dtype emit)."""
+    from omics_data_integration_utilities_spark.operators.sketches import (
+        frequent_items,
+    )
+    from omics_data_integration_utilities_spark.streaming.heavyhitters import (
+        trending_keys_stream,
+    )
+
+    path = f"{SF_SMOKE}/events.parquet"
+    stream_df = trending_keys_stream(
+        spark, path, key_col="user_id", capacity=100_000, n_buckets=4
+    )
+    assert dict(stream_df.dtypes)["key"] == "bigint"
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hotkeys")
+        .option("checkpointLocation", str(tmp_path / "ckpt_keys"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM hotkeys").collect()
+    finally:
+        q.stop()
+
+    latest = {}
+    for r in rows:
+        latest.setdefault(r["bucket"], []).append(r)
+    final = []
+    for b, rs in latest.items():
+        hi = max(r["n_seen"] for r in rs)
+        final.extend(r for r in rs if r["n_seen"] == hi and r["key"] is not None)
+    got = sorted(
+        ((r["key"], r["lower_count"]) for r in final),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+
+    events = spark.read.parquet(path)
+    want = [
+        (r["user_id"], r["cnt"])
+        for r in frequent_items(
+            events, "user_id", k=10, capacity=100_000, count_col="cnt"
+        ).collect()
+    ]
+    assert got == want
+    assert all(isinstance(k, int) for k, _ in got)
