@@ -52,3 +52,10 @@ from .similarity import (  # noqa: F401
 )
 from .containment import containment_pairs, containment_map  # noqa: F401
 from .skew import salted_join, salted_group_count, skew_aware_join  # noqa: F401
+from .sampling import (  # noqa: F401
+    hash_split,
+    leakage_safe_split,
+    stratified_hash_sample,
+    weighted_sample,
+)
+from .sketches import frequent_items  # noqa: F401
