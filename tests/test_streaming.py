@@ -1034,3 +1034,83 @@ def test_multires_rollup_coarse_equals_direct(spark):
         multires_rollup(events, (60, 90))
     with pytest.raises(ValueError, match="ascending"):
         multires_rollup(events, (3600, 60))
+
+
+def test_upsert_sink_matches_batch_merge(spark, tmp_path):
+    """Streaming MERGE sink: feed files arriving in two micro-batches,
+    upsert each into the parquet snapshot — the final snapshot must
+    equal the batch upsert of (batch2 over batch1), and the archive
+    sink must persist the full feed."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from omics_data_integration_utilities_spark.operators.joins import (
+        upsert_snapshot,
+    )
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        start_parquet_append_sink,
+        start_upsert_sink,
+    )
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    b1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "B2", 22.0), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+
+    import shutil as _sh
+
+    for f in os.listdir(str(tmp_path / "b1")):
+        if f.endswith(".parquet"):
+            _sh.copy(str(tmp_path / "b1" / f), f"{feed}/batch1.parquet")
+
+    snapshot = str(tmp_path / "snapshot")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = start_upsert_sink(
+        stream, snapshot, str(tmp_path / "ckpt_upsert"), ["k"]
+    )
+    try:
+        q.processAllAvailable()
+        first = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(snapshot).collect()}
+        assert first == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0)}
+        # second batch arrives: key 2 updates, key 4 inserts
+        b2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+        for f in os.listdir(str(tmp_path / "b2")):
+            if f.endswith(".parquet"):
+                _sh.copy(str(tmp_path / "b2" / f), f"{feed}/batch2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(snapshot).collect()}
+    want = {
+        r["k"]: (r["name"], r["v"])
+        for r in upsert_snapshot(b1, b2, ["k"]).collect()
+    }
+    assert got == want == {
+        1: ("a", 10.0), 2: ("B2", 22.0), 3: ("c", 30.0), 4: ("d", 40.0)
+    }
+
+    # archive sink: append-mode parquet persists the whole feed
+    archive = str(tmp_path / "archive")
+    q2 = start_parquet_append_sink(
+        spark.readStream.schema(b1.schema).parquet(feed),
+        archive,
+        str(tmp_path / "ckpt_archive"),
+        trigger_once=True,
+    )
+    try:
+        q2.awaitTermination(120)
+    finally:
+        q2.stop()
+    assert spark.read.parquet(archive).count() == 5
