@@ -162,6 +162,24 @@ def main() -> None:
     plain_s = time.time() - t0
     plain_straggler_ms, s1 = max_task_ms(spark, s0)
 
+    # 2b. the obvious question — "why not just AQE?": same plain join
+    # with AQE + its skew-join splitting ON.  AQE CAN split a skewed
+    # sort-merge join's partitions at runtime (and does, below), which
+    # is why the session default keeps it on; the explicit detect→route
+    # pattern exists for the shapes AQE cannot rewrite — a skewed
+    # exchange feeding an AGGREGATION or stateful operator, or a join
+    # AQE won't touch because the skew reader can't apply (e.g. under
+    # required distributions).  Reported side-by-side so the trade is
+    # measured, not asserted.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    t0 = time.time()
+    plain_aqe = agg(fact.join(dim, "k")).collect()[0]
+    plain_aqe_s = time.time() - t0
+    s1 = newest_stage(spark)
+    assert plain_aqe["n"] == plain["n"]
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     # 3. detect-routed salted join
     t0 = time.time()
     hot_rows_df = fact.where(F.col("k").isin(hot))
@@ -187,6 +205,7 @@ def main() -> None:
         "detected_hot": sorted(hot),
         "detected_hot_sampled": sorted(hot_sampled),
         "plain_join_s": round(plain_s, 2),
+        "plain_join_aqe_s": round(plain_aqe_s, 2),
         "salted_join_s": round(salted_s, 2),
         "plain_straggler_stage_ms": plain_straggler_ms,
         "salted_straggler_stage_ms": salted_straggler_ms,
