@@ -1164,3 +1164,65 @@ def test_upsert_sink_survives_restart_from_checkpoint(spark, tmp_path):
         2: 22.0,
         3: 30.0,
     }
+
+
+def test_nightly_ingest_integration(spark, tmp_path):
+    """The composed nightly-ingest shape, end to end across modules:
+    curated stream (gate + exact dedup) -> blue-green upsert snapshot ->
+    persisted bucketed dedup index built FROM the snapshot -> next
+    batch probed for verdicts.  Every piece is individually verified
+    elsewhere; this pins the cross-module contract (schemas, id/text
+    column conventions, index build from a sink-produced snapshot)."""
+    from omics_data_integration_utilities_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_verdicts_indexed,
+    )
+    from omics_data_integration_utilities_spark.streaming.pipeline import (
+        curate_doc_stream,
+    )
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        start_upsert_sink,
+    )
+    from .conftest import SF_SMOKE
+
+    docs_path = f"{SF_SMOKE}/documents.parquet"
+    curated = curate_doc_stream(spark, docs_path, min_quality=0.5)
+    snapshot = str(tmp_path / "kept_snapshot")
+    q = start_upsert_sink(
+        curated, snapshot, str(tmp_path / "ckpt_ingest"), ["content_hash"]
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = spark.read.parquet(snapshot)
+    n_kept = kept.count()
+    assert n_kept > 0
+    assert kept.select("content_hash").distinct().count() == n_kept
+
+    # the snapshot needs the text to index; join it back by id
+    docs = spark.read.parquet(docs_path)
+    corpus = kept.select("doc_id").join(docs, "doc_id")
+
+    idx = build_dedup_index(
+        corpus, "text", "doc_id", "nightly_idx",
+        str(tmp_path / "idx"), n_buckets=8,
+    )
+    # probe: one exact copy of a kept doc, one novel doc
+    sample = corpus.orderBy("doc_id").limit(1).collect()[0]
+    probe = spark.createDataFrame(
+        [
+            (10_000_001, sample["text"]),
+            (10_000_002, "entirely novel text never seen in the corpus x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    verdicts = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup_verdicts_indexed(
+            probe, idx, "text", "doc_id"
+        ).collect()
+    }
+    assert verdicts[10_000_001] == "exact_ref"
+    assert verdicts[10_000_002] == "novel"
