@@ -425,6 +425,77 @@ def ngram_decontaminate(
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    max_broadcast_grams: int = 2_000_000,
+) -> DataFrame:
+    """Per-TEST-document contamination attribution — the transpose of
+    :func:`ngram_decontaminate` (which flags TRAIN docs): for every
+    held-out document, how exposed is it, and through which training
+    document most?  This is the report an eval-integrity review
+    consumes: a benchmark item is compromised by what's IN the corpus,
+    so the accounting has to be per test doc with the worst offender
+    named.
+
+    Returns one row per test doc: (test_id, n_train_docs = distinct
+    training docs sharing >= 1 word n-gram, worst_train_id = the train
+    doc sharing the MOST distinct n-grams with this test doc (ties to
+    lowest id; NULL when clean), worst_shared = that gram count).
+
+    Scale shape: per-doc-DISTINCT gram explosion on both sides, join on
+    the gram; the test side (grams WITH their doc ids) is broadcast
+    under a measured-count cap, shuffle_hash from the bounded test side
+    past it.  The (test, train) pair fan-out per gram is inherent in
+    the exact semantics — a boilerplate gram shared by many docs on
+    both sides IS that much pairwise evidence; cap hot grams upstream
+    (``dedup.hot_posting_keys``) when approximate attribution is
+    acceptable.  Pair rows partial-aggregate on (test, train) before
+    the per-test argmax — max(struct) keeps the worst-offender
+    reduction map-side combinable, never a rank window over a hot test
+    doc."""
+    grams = lambda d, out: d.select(  # noqa: E731
+        F.col(id_col).alias(out),
+        F.explode(
+            F.array_distinct(word_ngrams_col(tokens_col(text_col), n))
+        ).alias("g"),
+    )
+    te = grams(test, "test_id").localCheckpoint()
+    n_te = te.count()
+    te_side = (
+        F.broadcast(te) if n_te <= max_broadcast_grams else te.hint("shuffle_hash")
+    )
+    # both sides are per-doc DISTINCT, so count(*) per (test, train)
+    # pair IS the distinct shared-gram count
+    pair = (
+        grams(train, "train_id")
+        .join(te_side, "g")
+        .groupBy("test_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    rep = pair.groupBy("test_id").agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.max(
+            F.struct(F.col("shared").alias("s"), (-F.col("train_id")).alias("nt"))
+        ).alias("w"),
+    )
+    return (
+        test.select(F.col(id_col).alias("test_id"))
+        .join(rep, "test_id", "left")
+        .select(
+            "test_id",
+            F.coalesce(F.col("n_train_docs"), F.lit(0)).cast("long").alias(
+                "n_train_docs"
+            ),
+            (-F.col("w.nt")).cast("long").alias("worst_train_id"),
+            F.coalesce(F.col("w.s"), F.lit(0)).cast("long").alias("worst_shared"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str,

@@ -1433,6 +1433,56 @@ WHERE d.doc_id % 20 != 0
 """
 
 
+def q_text_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-test-doc contamination attribution (the transpose of
+    text_decontaminate, same 1-in-20 held-out split and gram
+    construction): exposure count + the worst training offender per
+    held-out doc.  Registered r13 PAST the window (late addition —
+    first r14 rotation per the budget rule); sf0.001 + sf0.01
+    oracle-green locally pre-registration."""
+    from ..operators.text import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return contamination_report(train, test, "text", "doc_id", n=3)
+
+
+SQL_TEXT_CONTAMINATION_REPORT = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t) - 2)]) AS gs
+  FROM tok
+),
+e AS (SELECT doc_id, unnest(gs) AS ng FROM g),
+te AS (SELECT doc_id AS test_id, ng FROM e WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id AS train_id, ng FROM e WHERE doc_id % 20 != 0),
+pair AS (
+  SELECT test_id, train_id, count(*) AS shared
+  FROM te JOIN tr USING (ng) GROUP BY 1, 2
+),
+agg AS (SELECT test_id, count(*) AS n_train_docs FROM pair GROUP BY test_id),
+best AS (
+  SELECT test_id, train_id AS worst_train_id, shared AS worst_shared
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY test_id ORDER BY shared DESC, train_id ASC
+    ) AS rn FROM pair
+  ) WHERE rn = 1
+)
+SELECT d.doc_id AS test_id,
+       coalesce(n_train_docs, 0)::BIGINT AS n_train_docs,
+       worst_train_id::BIGINT AS worst_train_id,
+       coalesce(worst_shared, 0)::BIGINT AS worst_shared
+FROM documents d
+LEFT JOIN agg ON agg.test_id = d.doc_id
+LEFT JOIN best ON best.test_id = d.doc_id
+WHERE d.doc_id % 20 = 0
+"""
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-token-window chunking (context packing / RAG
     indexing): 32-token chunks, stride 24 — map-only, no shuffle."""
@@ -2090,6 +2140,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_text_lang_id,
     "text_repetition": q_text_repetition,
     "text_decontaminate": q_text_decontaminate,
+    "text_contamination_report": q_text_contamination_report,
     "doc_chunks": q_doc_chunks,
     "text_dup_spans": q_text_dup_spans,
     "doc_novelty": q_doc_novelty,
@@ -2148,6 +2199,7 @@ ORACLES_DOCS: dict[str, str] = {
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_repetition": SQL_TEXT_REPETITION,
     "text_decontaminate": SQL_TEXT_DECONTAMINATE,
+    "text_contamination_report": SQL_TEXT_CONTAMINATION_REPORT,
     "doc_chunks": SQL_DOC_CHUNKS,
     "text_dup_spans": SQL_TEXT_DUP_SPANS,
     "doc_novelty": SQL_DOC_NOVELTY,

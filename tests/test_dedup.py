@@ -1314,3 +1314,46 @@ def test_leakage_safe_split_pairs_never_straddle(spark):
         for r in hash_split(docs.select("doc_id"), "doc_id").collect()
     }
     assert any(raw[a] != raw[b] for a, b in pairs)
+
+
+def test_contamination_report_attribution_and_ties(spark):
+    """Per-test attribution: worst offender by distinct shared grams,
+    ties to lowest train id, clean test docs report zeros with NULL
+    offender."""
+    from omics_data_integration_utilities_spark.operators.text import (
+        contamination_report,
+    )
+
+    test = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon"),  # contaminated
+            (200, "nothing here overlaps at all ever"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares 2 distinct 3-grams with 100
+            (1, "x alpha beta gamma delta x"),
+            # shares 3 distinct 3-grams with 100 -> the worst offender
+            (2, "alpha beta gamma delta epsilon trailing"),
+            # shares the same 3 as id 2 -> tie, higher id loses
+            (3, "alpha beta gamma delta epsilon other"),
+            (4, "completely unrelated training content here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["test_id"]: (r["n_train_docs"], r["worst_train_id"], r["worst_shared"])
+        for r in contamination_report(train, test, "text", "doc_id", n=3).collect()
+    }
+    assert got[100] == (3, 2, 3)
+    assert got[200] == (0, None, 0)
+    # past-cap path identical (measured-count guard)
+    past = {
+        r["test_id"]: (r["n_train_docs"], r["worst_train_id"], r["worst_shared"])
+        for r in contamination_report(
+            train, test, "text", "doc_id", n=3, max_broadcast_grams=1
+        ).collect()
+    }
+    assert past == got
