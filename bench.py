@@ -153,6 +153,9 @@ SLOW_TIER = [
     "events_hot_users_bytes",
     "events_salted_join",
     "doc_split_leakage_safe",
+    # late round 13: per-test contamination attribution (compare against
+    # text_decontaminate - same gram machinery, transposed accounting)
+    "text_contamination_report",
 ]
 
 # bench-only callables: timed like registered queries but deliberately
