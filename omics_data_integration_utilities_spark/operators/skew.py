@@ -38,7 +38,17 @@ def salted_join(
     """Equi-join with the skewed side salted and the other side replicated
     over every salt value.  Result equals ``skewed.join(other, on, how)``
     for inner/left joins; the ``other`` side is typically the smaller one
-    (its rows are duplicated ``n_salts``×)."""
+    (its rows are duplicated ``n_salts``×).
+
+    Only inner/left are accepted: a right or full-outer join through a
+    REPLICATED right side would emit each unmatched right row once per
+    salt — silently wrong, so it raises instead."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}: an outer "
+            "join through the replicated side would duplicate unmatched "
+            "rows once per salt"
+        )
     salt_source = salt_source or [c for c in skewed.columns if c not in on]
     if not salt_source:
         salt_source = on

@@ -110,3 +110,22 @@ def test_skew_aware_join_sampled_detection(spark):
         ).collect()
     )
     assert got == _plain(left, right)
+
+
+def test_salted_join_rejects_outer_forms(spark):
+    """A right/full join through the REPLICATED side would emit each
+    unmatched right row once per salt — the operator must refuse, not
+    silently duplicate."""
+    import pytest
+
+    from omics_data_integration_utilities_spark.operators.skew import (
+        skew_aware_join,
+    )
+
+    left = spark.createDataFrame([(1, 1)], "k long, payload long")
+    right = spark.createDataFrame([(1, "a"), (9, "z")], "k long, v string")
+    for bad in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(left, right, ["k"], how=bad)
+        with pytest.raises(ValueError, match="inner/left"):
+            skew_aware_join(left, right, ["k"], hot_keys=[1], how=bad)
