@@ -1784,3 +1784,51 @@ def test_skew_aware_join_routing_invariant(spark, rows, n_salts, threshold):
     )
     want = sorted(tuple(r) for r in left.join(right, ["k"]).collect())
     assert got == want
+
+
+@given(
+    train_docs=st.lists(
+        st.lists(st.integers(0, 5), min_size=0, max_size=10),
+        min_size=1,
+        max_size=12,
+    ),
+    test_docs=st.lists(
+        st.lists(st.integers(0, 5), min_size=0, max_size=10),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_contamination_report_matches_bruteforce(spark, train_docs, test_docs):
+    """contamination_report == a pure-Python recount for ANY corpus:
+    per-test distinct-gram overlap counting, worst offender by (shared
+    desc, id asc), zeros + NULL offender for clean docs."""
+    from omics_data_integration_utilities_spark.operators.text import (
+        contamination_report,
+    )
+
+    def grams(toks, n=3):
+        toks = [f"t{t}" for t in toks]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    train_rows = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(train_docs)]
+    test_rows = [
+        (100 + i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(test_docs)
+    ]
+    tr = spark.createDataFrame(train_rows, "doc_id long, text string").repartition(3)
+    te = spark.createDataFrame(test_rows, "doc_id long, text string")
+    got = {
+        r["test_id"]: (r["n_train_docs"], r["worst_train_id"], r["worst_shared"])
+        for r in contamination_report(tr, te, "text", "doc_id", n=3).collect()
+    }
+    want = {}
+    tg = {i: grams(toks) for i, toks in enumerate(train_docs)}
+    for i, toks in enumerate(test_docs):
+        qg = grams(toks)
+        overlaps = {tid: len(qg & g) for tid, g in tg.items() if qg & g}
+        if overlaps:
+            worst = min(overlaps, key=lambda t: (-overlaps[t], t))
+            want[100 + i] = (len(overlaps), worst, overlaps[worst])
+        else:
+            want[100 + i] = (0, None, 0)
+    assert got == want
