@@ -236,3 +236,83 @@ def test_trending_keys_stream_exact_and_typed(spark, tmp_path):
     ]
     assert got == want
     assert all(isinstance(k, int) for k, _ in got)
+
+
+def test_trending_keys_stream_superset_under_trims_64bit(spark, tmp_path):
+    """The generic key form under forced multi-batch trims: every key
+    whose true count exceeds its bucket's n_seen/(capacity+1) must
+    survive in the final candidate emission with lower_count <= truth —
+    on 64-bit keys above 2^53, so a float round-trip anywhere in the
+    state machinery would corrupt the surviving candidates."""
+    from pyspark.sql import functions as F2
+
+    from omics_data_integration_utilities_spark.streaming.heavyhitters import (
+        trending_keys_stream,
+    )
+
+    CAPACITY, BUCKETS = 8, 4
+    BASE = 2**60
+    hot_a, hot_b = BASE + 1, BASE + 2  # adjacent: float64 collapses them
+    rows = (
+        [(i, hot_a) for i in range(60)]
+        + [(1000 + i, hot_b) for i in range(40)]
+        + [(2000 + i, BASE + 10_000 + 2 * i) for i in range(150)]
+    )
+    src = tmp_path / "keys_src"
+    spark.createDataFrame(rows, "event_id long, user_id long").repartition(
+        6
+    ).write.parquet(str(src))
+
+    stream_df = trending_keys_stream(
+        spark,
+        str(src),
+        key_col="user_id",
+        capacity=CAPACITY,
+        n_buckets=BUCKETS,
+        max_files_per_trigger=2,
+    )
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("keys_trim")
+        .option("checkpointLocation", str(tmp_path / "ckpt_keys2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM keys_trim").collect()
+    finally:
+        q.stop()
+
+    latest = {}
+    for r in emitted:
+        latest.setdefault(r["bucket"], []).append(r)
+    final = {}
+    for b, rs in latest.items():
+        hi = max(r["n_seen"] for r in rs)
+        final[b] = (
+            {r["key"]: r["lower_count"] for r in rs
+             if r["n_seen"] == hi and r["key"] is not None},
+            hi,
+        )
+    truth = (
+        spark.read.parquet(str(src))
+        .where(F2.col("user_id").isNotNull())
+        .withColumn(
+            "bucket", F2.pmod(F2.xxhash64("user_id"), F2.lit(BUCKETS)).cast("int")
+        )
+        .groupBy("bucket", "user_id")
+        .count()
+        .collect()
+    )
+    for r in truth:
+        cand, n_seen = final.get(r["bucket"], ({}, 0))
+        if r["count"] * (CAPACITY + 1) > n_seen:
+            assert r["user_id"] in cand, (
+                f"heavy key {r['user_id']} missing from bucket {r['bucket']}"
+            )
+        if r["user_id"] in cand:
+            assert cand[r["user_id"]] <= r["count"]
+    # the two planted 64-bit heavies must survive VERBATIM (not rounded)
+    all_cands = {k for cand, _ in final.values() for k in cand}
+    assert hot_a in all_cands and hot_b in all_cands
