@@ -91,7 +91,8 @@ def frequent_items(
     max_broadcast_candidates: int = 2_000_000,
     count_col: str = "n_occurrences",
     weight_col: str | None = None,
-) -> DataFrame:
+    return_total: bool = False,
+):
     """Exact top-``k`` values of ``key_col`` by count — or by
     SUM(``weight_col``) when given — WITHOUT a full key-cardinality
     shuffle.  NULL keys (and NULL/absent weights) are excluded;
@@ -133,6 +134,11 @@ def frequent_items(
     pays the skewed shuffle it exists to avoid.  The weighted form
     answers mixture questions (which domains contribute the most
     tokens) at the same cost.
+
+    ``return_total=True`` returns ``(df, n_total)`` — the exact total
+    mass the sketch already summed from its sentinel rows — so callers
+    needing a hotness DENOMINATOR (skew_aware_join's threshold) don't
+    pay a redundant extra scan to recount it.
     """
     key_type = dict(df.dtypes)[key_col]
     if weight_col is not None:
@@ -160,23 +166,17 @@ def frequent_items(
         _misra_gries_partition(key_col, capacity, weight_col),
         schema=f"`{key_col}` {key_type}, part_rows long",
     ).localCheckpoint()  # phase 1 runs once; feeds candidates AND N
-    candidates = (
-        summary.where(F.col(key_col).isNotNull())
-        .select(key_col)
-        .distinct()
-        .localCheckpoint()
-    )
     n_total = (
         summary.where(F.col(key_col).isNull())
         .agg(F.sum("part_rows"))
         .first()[0]
         or 0
     )
-    n_candidates = candidates.count()
-    cand_side = (
-        F.broadcast(candidates)
-        if n_candidates <= max_broadcast_candidates
-        else candidates.hint("shuffle_hash")
+    from .buildside import bounded_build_side
+
+    cand_side, n_candidates = bounded_build_side(
+        summary.where(F.col(key_col).isNotNull()).select(key_col).distinct(),
+        max_broadcast_candidates,
     )
     exact = (
         items.join(cand_side, key_col)
@@ -188,12 +188,14 @@ def frequent_items(
     if len(rows) >= k and rows[-1][count_col] * (capacity + 1) > n_total:
         # certified exact: materialize the k rows (avoids re-running
         # both scans when the caller consumes the returned frame)
-        return df.sparkSession.createDataFrame(rows, top.schema)
+        out = df.sparkSession.createDataFrame(rows, top.schema)
+        return (out, int(n_total)) if return_total else out
     # failed certificate (no true heavy hitters at this capacity, or
     # fewer than k candidates): exact full-groupBy fallback
-    return (
+    out = (
         items.groupBy(key_col)
         .agg(mass.alias(count_col))
         .orderBy(F.col(count_col).desc(), F.col(key_col).asc())
         .limit(k)
     )
+    return (out, int(n_total)) if return_total else out

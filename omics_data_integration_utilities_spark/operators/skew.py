@@ -97,6 +97,14 @@ def skew_aware_join(
     (aggregation-feeding joins, pre-partitioned state) or when the hot
     keys are known ahead of time; otherwise let AQE handle it.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        # validate UP FRONT: this must not depend on whether any key
+        # happens to clear the hotness threshold today (a data-dependent
+        # rejection would let how='full' run fine on uniform data and
+        # crash the day the data skews)
+        raise ValueError(
+            f"skew_aware_join supports inner/left joins, got {how!r}"
+        )
     if len(on) != 1:
         raise ValueError("skew_aware_join detects on a single key column")
     key = on[0]
@@ -106,16 +114,23 @@ def skew_aware_join(
         scan = skewed.where(F.col(key).isNotNull())
         if detect_sample_fraction is not None:
             scan = scan.sample(fraction=float(detect_sample_fraction), seed=13)
-        counts = frequent_items(
-            scan, key, k=detect_k, capacity=detect_capacity, count_col="__n"
-        ).collect()  # ≤ k rows: the sanctioned bounded detector output
         # hotness is relative to what the detector SAW (sample or full
-        # scan — the ownership ratio is the same in expectation); the
-        # count is a column-pruned scan, cheap next to the join itself
-        n_scanned = scan.count()
+        # scan — the ownership ratio is the same in expectation);
+        # n_scanned comes from the sketch's own sentinel total, no
+        # extra recount scan
+        counts, n_scanned = frequent_items(
+            scan, key, k=detect_k, capacity=detect_capacity,
+            count_col="__n", return_total=True,
+        )
+        counts = counts.collect()  # ≤ k rows: the bounded detector output
         hot_keys = [
             r[key] for r in counts if r["__n"] > hot_threshold * n_scanned
         ]
+    # a NULL in an externally supplied hot set would turn BOTH routing
+    # filters NULL for every non-hot row (isin with a NULL never matches
+    # and never rejects) — those rows would silently vanish; NULL keys
+    # never join anyway, so drop it from the set
+    hot_keys = [k_ for k_ in hot_keys if k_ is not None]
     if not hot_keys:
         return skewed.join(other, on, how)
     hot_rows = skewed.where(F.col(key).isin(list(hot_keys)))

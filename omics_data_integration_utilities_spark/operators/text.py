@@ -401,12 +401,10 @@ def ngram_decontaminate(
             F.array_distinct(word_ngrams_col(tokens_col(text_col), n))
         ).alias("g"),
     )
-    test_set = t_grams(test).select("g").distinct().localCheckpoint()
-    n_grams = test_set.count()
-    test_side = (
-        F.broadcast(test_set)
-        if n_grams <= max_broadcast_grams
-        else test_set.hint("shuffle_hash")
+    from .buildside import bounded_build_side
+
+    test_side, _ = bounded_build_side(
+        t_grams(test).select("g").distinct(), max_broadcast_grams
     )
     hits = (
         t_grams(train)
@@ -463,11 +461,9 @@ def contamination_report(
             F.array_distinct(word_ngrams_col(tokens_col(text_col), n))
         ).alias("g"),
     )
-    te = grams(test, "test_id").localCheckpoint()
-    n_te = te.count()
-    te_side = (
-        F.broadcast(te) if n_te <= max_broadcast_grams else te.hint("shuffle_hash")
-    )
+    from .buildside import bounded_build_side
+
+    te_side, _ = bounded_build_side(grams(test, "test_id"), max_broadcast_grams)
     # both sides are per-doc DISTINCT, so count(*) per (test, train)
     # pair IS the distinct shared-gram count
     pair = (
@@ -476,10 +472,14 @@ def contamination_report(
         .groupBy("test_id", "train_id")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # type-generic argmax: negate the COUNT (always numeric), never the
+    # id — min(struct(-shared, train_id)) is largest-shared-then-lowest-
+    # id for string/uuid ids exactly as for longs (negating the id would
+    # NULL out non-numeric ids and pick an arbitrary offender)
     rep = pair.groupBy("test_id").agg(
         F.count(F.lit(1)).alias("n_train_docs"),
-        F.max(
-            F.struct(F.col("shared").alias("s"), (-F.col("train_id")).alias("nt"))
+        F.min(
+            F.struct((-F.col("shared")).alias("ns"), F.col("train_id").alias("tid"))
         ).alias("w"),
     )
     return (
@@ -490,8 +490,8 @@ def contamination_report(
             F.coalesce(F.col("n_train_docs"), F.lit(0)).cast("long").alias(
                 "n_train_docs"
             ),
-            (-F.col("w.nt")).cast("long").alias("worst_train_id"),
-            F.coalesce(F.col("w.s"), F.lit(0)).cast("long").alias("worst_shared"),
+            F.col("w.tid").alias("worst_train_id"),  # keeps the id's own type
+            F.coalesce(-F.col("w.ns"), F.lit(0)).cast("long").alias("worst_shared"),
         )
     )
 

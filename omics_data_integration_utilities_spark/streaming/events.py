@@ -54,6 +54,51 @@ def nanos_long_read_conf(spark: SparkSession):
             spark.conf.set(_NANOS_CONF, prev)
 
 
+def _parquet_has_nanos(path: str) -> bool:
+    """Footer inspection: does the parquet at ``path`` (file or dir)
+    carry any timestamp[ns] column?  Errs toward True on unreadable /
+    non-local paths — the safe direction is keeping the legacy conf."""
+    try:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            files = [
+                f for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+            ]
+            if not files:
+                return True
+            target = os.path.join(path, files[0])
+        return any(
+            str(f.type).startswith("timestamp[ns")
+            for f in pq.read_schema(target)
+        )
+    except Exception:
+        return True
+
+
+def stream_source_schema(spark: SparkSession, path: str):
+    """Schema inference for a file-stream source with nanos-AWARE conf
+    handling (shared by every streaming entry point):
+
+    - TIMESTAMP(MICROS)/other feeds (the shipped testdata): the legacy
+      ``nanosAsLong`` conf is scoped to the inference and restored — no
+      session mutation (building a stream leaves the caller's conf
+      untouched).
+    - Genuine TIMESTAMP(NANOS) feeds (footer-inspected): the conf is
+      set and LEFT SET, because the RUNNING stream decodes nanos only
+      under it — restoring after inference would kill the first
+      micro-batch with an Illegal-Parquet-type error.  The session-wide
+      side effect is the price of a nanos feed and matches the
+      pre-scoping behavior those callers relied on.
+    """
+    if _parquet_has_nanos(path):
+        spark.conf.set(_NANOS_CONF, "true")
+        return spark.read.parquet(path).schema
+    with nanos_long_read_conf(spark):
+        return spark.read.parquet(path).schema
+
+
 def ts_event_micros(df: DataFrame, col: str = "ts") -> Column:
     """Epoch-microseconds column for ``col``, dispatching on its dtype.
 
@@ -132,13 +177,10 @@ def windowed_event_counts_stream(
                .queryName("out").start())
         q.processAllAvailable()
     """
-    # backward compat: TIMESTAMP(NANOS) parquet only infers under the legacy
-    # nanosAsLong conf (as int64 nanos, which ts_event_micros handles); a
-    # no-op for the current TIMESTAMP(MICROS) testdata.  Scoped — the
-    # session conf is restored before returning (see nanos_long_read_conf
-    # for the genuinely-nanos-feed contract).
-    with nanos_long_read_conf(spark):
-        schema = spark.read.parquet(events_path).schema
+    # nanos-AWARE inference: MICROS feeds leave the session conf
+    # untouched; genuine NANOS feeds keep the legacy conf set for the
+    # stream's lifetime (see stream_source_schema)
+    schema = stream_source_schema(spark, events_path)
     if os.path.isfile(events_path):
         # the file streaming source requires a directory; stage a symlink
         staged = tempfile.mkdtemp(prefix="omics_stream_")

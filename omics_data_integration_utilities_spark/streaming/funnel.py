@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..operators.aggregates import funnel_counts
 from .dedup import _stage_dir
-from .events import _event_time, nanos_long_read_conf, ts_event_micros_sql
+from .events import _event_time, stream_source_schema, ts_event_micros_sql
 
 
 def windowed_funnel_batch(
@@ -52,14 +52,14 @@ def windowed_funnel_stream(
     n_dropped)`` — one funnel row-set per closed window, emitted once
     the watermark passes (append mode), state bounded by the horizon.
 
-    No session-conf side effect: the legacy ``nanosAsLong`` read (needed
-    only to INFER a TIMESTAMP(NANOS) feed's schema) is scoped to the
-    schema inference via :func:`..streaming.events.nanos_long_read_conf`
-    and restored before returning; callers with a genuinely-nanos feed
-    hold that scope open around the stream lifetime themselves.
+    No session-conf side effect for MICROS feeds (the shipped shape):
+    the legacy ``nanosAsLong`` read is scoped to the schema inference
+    and restored.  A genuine TIMESTAMP(NANOS) feed (footer-inspected)
+    keeps the conf set for the stream's lifetime — the running stream
+    decodes nanos only under it (see
+    :func:`..streaming.events.stream_source_schema`).
     """
-    with nanos_long_read_conf(spark):
-        schema = spark.read.parquet(events_path).schema
+    schema = stream_source_schema(spark, events_path)
     stream = spark.readStream.schema(schema).parquet(_stage_dir(events_path))
     windowed = (
         stream.withColumn("__event_time", _event_time(stream))

@@ -194,10 +194,9 @@ def trending_keys_stream(
     bucket that trimmed to empty.  Same per-bucket MG guarantees and
     fixed ``n_buckets x capacity`` state as the gram form.
     """
-    from .events import nanos_long_read_conf
+    from .events import stream_source_schema
 
-    with nanos_long_read_conf(spark):
-        schema = spark.read.parquet(events_path).schema
+    schema = stream_source_schema(spark, events_path)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .events import _event_time, nanos_long_read_conf
+from .events import _event_time, stream_source_schema
 from .neardup import _stage_dir
 
 
@@ -118,11 +118,9 @@ def interval_join_stream(
         # each side reads ITS OWN parquet schema — applying the left
         # schema to the right feed would silently misread a right source
         # whose columns differ (file streams don't validate the schema).
-        # The legacy nanos read conf is scoped to the inference (no
-        # permanent session mutation; see nanos_long_read_conf).
-        with nanos_long_read_conf(spark):
-            schema = spark.read.parquet(path).schema
-        reader = spark.readStream.schema(schema)
+        # Nanos-aware inference: no session mutation for MICROS feeds,
+        # conf kept for genuine NANOS feeds (stream_source_schema).
+        reader = spark.readStream.schema(stream_source_schema(spark, path))
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
         return reader.parquet(_stage_dir(path))

@@ -12,34 +12,64 @@ Two production shapes:
 
 - :func:`start_upsert_sink` — streaming MERGE: each micro-batch upserts
   into a parquet SNAPSHOT via ``operators.joins.upsert_snapshot``
-  (anti-join + union — no Delta/Iceberg machinery), written blue-green
-  (tmp dir + atomic rename) so readers never observe a half-written
-  snapshot.  This is the "latest state per key" sink that update-mode
-  aggregations and CDC-style feeds need, expressed with the engine's own
-  operators; exactly-once per micro-batch comes from foreachBatch's
-  replay contract (a replayed batch re-derives the same snapshot —
-  upsert is idempotent per key/batch).
+  (anti-join + union — no Delta/Iceberg machinery).  The snapshot is a
+  VERSIONED directory with an atomically swapped ``CURRENT`` pointer
+  file (the manifest pattern): each batch writes a full new version dir,
+  then one ``os.replace`` flips the pointer.  Crash-safe at every
+  boundary — a crash before the flip leaves ``CURRENT`` on the previous
+  complete version, and Structured Streaming's replay of the
+  uncommitted batch re-derives the same next version from it (upsert of
+  the same rows is idempotent per key); a replayed ALREADY-committed
+  batch merges its rows into a snapshot that already contains them —
+  also a no-op.  Readers resolve through :func:`read_snapshot` and only
+  ever see a complete version.  (A naive rename-the-live-dir-aside swap
+  has a crash window in which the whole snapshot silently disappears —
+  found in review and replaced by this layout.)
 
 Scale shape: the upsert's anti-join builds from the micro-batch (small
 side) so the snapshot is scanned, never shuffled; snapshot rewrite cost
 is O(snapshot + batch) per trigger — at a 100 TB snapshot you would
-partition the snapshot directory by key-hash bucket and rewrite only the
+partition the version dirs by key-hash bucket and rewrite only the
 buckets the batch touches (the engine's bucketed-index pattern,
-operators/dedup.py build_dedup_index); this single-dir form is the
+operators/dedup.py build_dedup_index); this full-rewrite form is the
 correct small/medium shape and the bucketed variant is a layout change,
-not a semantics change.
+not a semantics change.  One previous version is retained per flip so
+in-flight readers of the superseded version finish their scan; older
+generations are pruned.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
-import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.joins import upsert_snapshot
+
+_CURRENT = "CURRENT"
+
+
+def _current_version(snapshot_dir: str) -> str | None:
+    ptr = os.path.join(snapshot_dir, _CURRENT)
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr) as f:
+        name = f.read().strip()
+    return name or None
+
+
+def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """Resolve the snapshot's CURRENT pointer and read that version —
+    the reader half of :func:`start_upsert_sink`'s manifest contract."""
+    cur = _current_version(snapshot_dir)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no CURRENT snapshot version under {snapshot_dir!r} "
+            "(no batch committed yet?)"
+        )
+    return spark.read.parquet(os.path.join(snapshot_dir, cur))
 
 
 def start_parquet_append_sink(
@@ -68,37 +98,41 @@ def start_upsert_sink(
     key_cols: "list[str]",
     trigger_once: bool = False,
 ) -> StreamingQuery:
-    """Streaming MERGE into a parquet snapshot: per micro-batch, rows
-    replace same-key snapshot rows, new keys insert, untouched rows
-    carry (``upsert_snapshot`` semantics).  The batch is deduped to one
-    row per key first (LAST occurrence by batch order is arbitrary under
-    Spark's micro-batch semantics, so the dedupe is a plain
-    ``dropDuplicates`` — feed a deterministic update stream, or
-    pre-aggregate, when per-key ordering matters).
+    """Streaming MERGE into a versioned parquet snapshot: per
+    micro-batch, rows replace same-key snapshot rows, new keys insert,
+    untouched rows carry (``upsert_snapshot`` semantics).  The batch is
+    deduped to one row per key first (which duplicate survives is
+    arbitrary under micro-batch semantics — feed a deterministic update
+    stream, or pre-aggregate, when per-key ordering matters).
 
-    Blue-green write: the new snapshot lands in a tmp sibling dir and
-    atomically renames over the old one, so concurrent readers see
-    either the previous or the next complete snapshot, never a partial
-    write (parquet dir rename is atomic on a posix fs; object stores
-    want a manifest swap instead — same pattern, different primitive).
-    """
+    Consumers read via :func:`read_snapshot`; see the module docstring
+    for the crash-safety argument of the pointer-file swap."""
     spark = stream.sparkSession
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates(key_cols)
-        if os.path.isdir(snapshot_dir):
-            target = spark.read.parquet(snapshot_dir)
+        cur = _current_version(snapshot_dir)
+        if cur is not None:
+            target = spark.read.parquet(os.path.join(snapshot_dir, cur))
             merged = upsert_snapshot(target, batch, key_cols)
         else:
             merged = batch
-        tmp = f"{snapshot_dir}.tmp-{batch_id}-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{snapshot_dir}.old-{batch_id}-{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(snapshot_dir):
-            os.rename(snapshot_dir, old)
-        os.rename(tmp, snapshot_dir)
-        if os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+        new_version = f"v{batch_id:012d}"
+        # overwrite handles the replay-after-crash leftover of a version
+        # dir written before the pointer flip ever happened
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_dir, new_version)
+        )
+        tmp_ptr = os.path.join(snapshot_dir, _CURRENT + ".tmp")
+        with open(tmp_ptr, "w") as f:
+            f.write(new_version)
+        os.replace(tmp_ptr, os.path.join(snapshot_dir, _CURRENT))  # atomic flip
+        # prune everything older than the version just superseded (keep
+        # current + previous so an in-flight reader of `cur` finishes)
+        keep = {new_version, cur, _CURRENT, _CURRENT + ".tmp"}
+        for name in os.listdir(snapshot_dir):
+            if name not in keep and name.startswith("v"):
+                shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)

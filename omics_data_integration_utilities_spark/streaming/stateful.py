@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .events import nanos_long_read_conf, ts_event_micros
+from .events import stream_source_schema, ts_event_micros
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_ts_us long"
 STATE_SCHEMA = "n long, s double, last long"
@@ -43,8 +43,8 @@ def running_user_stats_stream(spark: SparkSession, events_path: str) -> DataFram
     Returns the unstarted streaming DataFrame (attach a sink; ``update``
     output mode emits one row per touched user per micro-batch).
     """
-    with nanos_long_read_conf(spark):  # scoped: no permanent conf change
-        schema = spark.read.parquet(events_path).schema
+    # nanos-aware: no conf change for MICROS feeds; kept for NANOS feeds
+    schema = stream_source_schema(spark, events_path)
     if os.path.isfile(events_path):
         staged = tempfile.mkdtemp(prefix="omics_stateful_")
         os.symlink(events_path, os.path.join(staged, os.path.basename(events_path)))

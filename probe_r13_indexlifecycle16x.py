@@ -1,5 +1,6 @@
 """R13 probe (r12 verdict item 7): persisted dedup-index lifecycle under
-16× corpus pressure — build-from-raw vs blue-green extension cost curve.
+corpus pressure (up to 64×) — build-from-raw vs blue-green extension
+cost curve.
 
 ``extend_dedup_index`` documents its cost as O(index + batch), never
 O(corpus): the old generation is read back as its two bucketed
@@ -8,7 +9,7 @@ rescanned — at 100 TB the raw text dwarfs the projections by orders of
 magnitude, so this is the difference between a nightly index refresh
 that re-shingles the corpus and one that folds a batch in.
 
-The probe scales the kept corpus 1×/4×/16× (sf0.1 documents, per-copy
+The probe scales the kept corpus 1×/4×/16×/64× (sf0.1 documents, per-copy
 salted text so every doc is distinct) and at each scale measures:
 
   build_s     — build_dedup_index over the full raw corpus (what a

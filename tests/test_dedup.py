@@ -1357,3 +1357,16 @@ def test_contamination_report_attribution_and_ties(spark):
         ).collect()
     }
     assert past == got
+
+    # generic id contract: STRING ids through the same argmax (negating
+    # an id column would NULL non-numeric ids and corrupt attribution)
+    s_test = test.selectExpr("concat('q', doc_id) AS doc_id", "text")
+    s_train = train.selectExpr("concat('d', doc_id) AS doc_id", "text")
+    s_got = {
+        r["test_id"]: (r["n_train_docs"], r["worst_train_id"], r["worst_shared"])
+        for r in contamination_report(
+            s_train, s_test, "text", "doc_id", n=3
+        ).collect()
+    }
+    assert s_got["q100"] == (3, "d2", 3)
+    assert s_got["q200"] == (0, None, 0)

@@ -129,3 +129,32 @@ def test_salted_join_rejects_outer_forms(spark):
             salted_join(left, right, ["k"], how=bad)
         with pytest.raises(ValueError, match="inner/left"):
             skew_aware_join(left, right, ["k"], hot_keys=[1], how=bad)
+        # rejection must NOT be data-dependent: an empty hot set (the
+        # plain-join fast path) still refuses unsupported joins
+        with pytest.raises(ValueError, match="inner/left"):
+            skew_aware_join(left, right, ["k"], hot_keys=[], how=bad)
+
+
+def test_skew_aware_join_null_in_explicit_hot_set(spark):
+    """A NULL inside an externally supplied hot set must not poison the
+    routing filters (isin with NULL makes both branches' predicates
+    NULL for non-hot rows — they'd silently vanish); NULL keys never
+    join anyway, so the NULL entry is dropped and the result equals the
+    plain join."""
+    from omics_data_integration_utilities_spark.operators.skew import skew_aware_join
+
+    left = spark.createDataFrame(
+        [(5, 1), (5, 2), (7, 3), (None, 4)], "k long, payload long"
+    )
+    right = spark.createDataFrame([(5, "a"), (7, "b")], "k long, v string")
+    got = sorted(
+        repr((r["k"], r["payload"], r["v"]))
+        for r in skew_aware_join(
+            left, right, ["k"], hot_keys=[None, 5], n_salts=3, how="left"
+        ).collect()
+    )
+    want = sorted(
+        repr((r["k"], r["payload"], r["v"]))
+        for r in left.join(right, ["k"], "left").collect()
+    )
+    assert got == want

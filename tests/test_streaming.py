@@ -1004,6 +1004,53 @@ def test_stream_builders_leave_session_conf_unchanged(spark):
     assert spark.conf.get(_NANOS_CONF) == "false"
 
 
+def test_stream_builder_keeps_conf_for_genuine_nanos_feed(spark, tmp_path):
+    """A TIMESTAMP(NANOS) parquet feed (footer-inspected) must KEEP the
+    legacy conf set — the running stream decodes nanos only under it;
+    restoring after inference would kill the first micro-batch.  And
+    the stream must actually process the nanos rows end-to-end."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from omics_data_integration_utilities_spark.streaming.events import (
+        _NANOS_CONF,
+        windowed_event_counts_stream,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime([1.5e9, 1.5e9 + 60, 1.5e9 + 7200], unit="s"),
+            "user_id": [1, 2, 1],
+            "event_type": ["a", "b", "a"],
+            "value": [1.0, 2.0, 3.0],
+            "props": ["x", "y", "z"],
+        }
+    )
+    path = str(tmp_path / "nanos_events.parquet")
+    table = pa.Table.from_pandas(pdf)
+    assert str(table.schema.field("ts").type).startswith("timestamp[ns")
+    pq.write_table(table, path, version="2.6", coerce_timestamps=None)
+
+    spark.conf.set(_NANOS_CONF, "false")
+    stream_df = windowed_event_counts_stream(spark, path)
+    assert spark.conf.get(_NANOS_CONF) == "true"  # kept for the stream
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("nanos_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nanos"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        total = spark.sql("SELECT sum(n) AS t FROM nanos_out").collect()[0]["t"]
+    finally:
+        q.stop()
+    assert total == 3
+
+
 def test_multires_rollup_coarse_equals_direct(spark):
     """rollup(rollup(x)) == rollup(x): each coarser level (derived from
     the finer AGGREGATE) must equal the same resolution computed directly
@@ -1049,6 +1096,7 @@ def test_upsert_sink_matches_batch_merge(spark, tmp_path):
         upsert_snapshot,
     )
     from omics_data_integration_utilities_spark.streaming.sinks import (
+        read_snapshot,
         start_parquet_append_sink,
         start_upsert_sink,
     )
@@ -1081,7 +1129,7 @@ def test_upsert_sink_matches_batch_merge(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        first = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(snapshot).collect()}
+        first = {r["k"]: (r["name"], r["v"]) for r in read_snapshot(spark, snapshot).collect()}
         assert first == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0)}
         # second batch arrives: key 2 updates, key 4 inserts
         b2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b2"))
@@ -1092,7 +1140,7 @@ def test_upsert_sink_matches_batch_merge(spark, tmp_path):
     finally:
         q.stop()
 
-    got = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(snapshot).collect()}
+    got = {r["k"]: (r["name"], r["v"]) for r in read_snapshot(spark, snapshot).collect()}
     want = {
         r["k"]: (r["name"], r["v"])
         for r in upsert_snapshot(b1, b2, ["k"]).collect()
@@ -1124,6 +1172,7 @@ def test_upsert_sink_survives_restart_from_checkpoint(spark, tmp_path):
     import os
 
     from omics_data_integration_utilities_spark.streaming.sinks import (
+        read_snapshot,
         start_upsert_sink,
     )
 
@@ -1153,13 +1202,13 @@ def test_upsert_sink_survives_restart_from_checkpoint(spark, tmp_path):
 
     deliver(b1, "b1")
     run_once()
-    assert {r["k"]: r["v"] for r in spark.read.parquet(snapshot).collect()} == {
+    assert {r["k"]: r["v"] for r in read_snapshot(spark, snapshot).collect()} == {
         1: 10.0,
         2: 20.0,
     }
     deliver(b2, "b2")
     run_once()  # fresh query object, same checkpoint: resumes, not replays
-    assert {r["k"]: r["v"] for r in spark.read.parquet(snapshot).collect()} == {
+    assert {r["k"]: r["v"] for r in read_snapshot(spark, snapshot).collect()} == {
         1: 10.0,
         2: 22.0,
         3: 30.0,
@@ -1181,6 +1230,7 @@ def test_nightly_ingest_integration(spark, tmp_path):
         curate_doc_stream,
     )
     from omics_data_integration_utilities_spark.streaming.sinks import (
+        read_snapshot,
         start_upsert_sink,
     )
     from .conftest import SF_SMOKE
@@ -1196,7 +1246,7 @@ def test_nightly_ingest_integration(spark, tmp_path):
     finally:
         q.stop()
 
-    kept = spark.read.parquet(snapshot)
+    kept = read_snapshot(spark, snapshot)
     n_kept = kept.count()
     assert n_kept > 0
     assert kept.select("content_hash").distinct().count() == n_kept
