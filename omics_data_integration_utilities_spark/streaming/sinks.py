@@ -97,6 +97,7 @@ def start_upsert_sink(
     checkpoint_dir: str,
     key_cols: "list[str]",
     trigger_once: bool = False,
+    keep_versions: int = 2,
 ) -> StreamingQuery:
     """Streaming MERGE into a versioned parquet snapshot: per
     micro-batch, rows replace same-key snapshot rows, new keys insert,
@@ -105,34 +106,21 @@ def start_upsert_sink(
     arbitrary under micro-batch semantics — feed a deterministic update
     stream, or pre-aggregate, when per-key ordering matters).
 
-    Consumers read via :func:`read_snapshot`; see the module docstring
-    for the crash-safety argument of the pointer-file swap."""
+    Consumers read via :func:`read_snapshot`; the newest
+    ``keep_versions`` version dirs are retained per flip, so a reader's
+    lazy scan survives ``keep_versions - 1`` further commits — raise it
+    for long-running readers over a fast-flipping snapshot.  See the
+    module docstring for the pointer-swap crash-safety argument;
+    ``upsert_batch_into_snapshot`` is the per-batch unit (exposed for
+    direct use and tests)."""
     spark = stream.sparkSession
+    _require_driver_local(snapshot_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.dropDuplicates(key_cols)
-        cur = _current_version(snapshot_dir)
-        if cur is not None:
-            target = spark.read.parquet(os.path.join(snapshot_dir, cur))
-            merged = upsert_snapshot(target, batch, key_cols)
-        else:
-            merged = batch
-        new_version = f"v{batch_id:012d}"
-        # overwrite handles the replay-after-crash leftover of a version
-        # dir written before the pointer flip ever happened
-        merged.write.mode("overwrite").parquet(
-            os.path.join(snapshot_dir, new_version)
+        upsert_batch_into_snapshot(
+            spark, batch_df, snapshot_dir, key_cols, batch_id,
+            keep_versions=keep_versions,
         )
-        tmp_ptr = os.path.join(snapshot_dir, _CURRENT + ".tmp")
-        with open(tmp_ptr, "w") as f:
-            f.write(new_version)
-        os.replace(tmp_ptr, os.path.join(snapshot_dir, _CURRENT))  # atomic flip
-        # prune everything older than the version just superseded (keep
-        # current + previous so an in-flight reader of `cur` finishes)
-        keep = {new_version, cur, _CURRENT, _CURRENT + ".tmp"}
-        for name in os.listdir(snapshot_dir):
-            if name not in keep and name.startswith("v"):
-                shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)
@@ -142,3 +130,93 @@ def start_upsert_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _require_driver_local(snapshot_dir: str) -> None:
+    """The pointer/prune half of the manifest runs through the DRIVER's
+    local filesystem (open/os.replace/shutil) while the data half goes
+    through Spark — so the snapshot dir must be a plain driver-visible
+    posix path (single-box, or a shared NFS-style mount on a cluster).
+    An object-store URI needs a manifest-object swap instead (same
+    pattern, different primitive) — refuse it loudly up front rather
+    than dying mid-batch on open('s3a://...')."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(snapshot_dir).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"start_upsert_sink needs a driver-local (or shared-posix) "
+            f"snapshot path; got scheme {scheme!r} in {snapshot_dir!r} — "
+            "object stores need a manifest-object swap, not a file rename"
+        )
+
+
+def upsert_batch_into_snapshot(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    snapshot_dir: str,
+    key_cols: "list[str]",
+    batch_id: int,
+    keep_versions: int = 2,
+) -> None:
+    """One MERGE commit: read CURRENT, upsert the batch, write the next
+    version dir, durably flip the pointer, prune old versions.
+
+    Replay/crash matrix (version name is a pure function of batch_id):
+
+    - CURRENT already names this batch's version → the flip committed
+      before the crash; the replay is a NO-OP (reading + overwriting the
+      same dir would otherwise wedge the stream on a self-overwrite).
+    - version dir exists but CURRENT doesn't name it → pre-flip crash
+      leftover; mode("overwrite") rewrites it from the still-current
+      base.
+    - CURRENT missing/empty while OTHER version dirs exist → a damaged
+      pointer (the one state that must not be silently treated as an
+      empty snapshot: merging this batch alone and pruning would destroy
+      the accumulated state) → raise for operator intervention.
+
+    The pointer write fsyncs the tmp file before the atomic
+    ``os.replace`` and fsyncs the directory after, so a power loss
+    can't leave a durable-but-empty CURRENT."""
+    _require_driver_local(snapshot_dir)
+    new_version = f"v{int(batch_id):012d}"
+    cur = _current_version(snapshot_dir)
+    if cur == new_version:
+        return  # replayed already-committed batch: flip already happened
+    if cur is None and os.path.isdir(snapshot_dir):
+        others = [
+            n for n in os.listdir(snapshot_dir)
+            if n.startswith("v") and n != new_version
+        ]
+        if others:
+            raise RuntimeError(
+                f"snapshot at {snapshot_dir!r} has version dirs {others} "
+                "but no CURRENT pointer — refusing to reset the snapshot "
+                "to a single batch; restore CURRENT to the newest complete "
+                "version"
+            )
+    batch = batch_df.dropDuplicates(key_cols)
+    if cur is not None:
+        target = spark.read.parquet(os.path.join(snapshot_dir, cur))
+        merged = upsert_snapshot(target, batch, key_cols)
+    else:
+        merged = batch
+    merged.write.mode("overwrite").parquet(os.path.join(snapshot_dir, new_version))
+    tmp_ptr = os.path.join(snapshot_dir, _CURRENT + ".tmp")
+    with open(tmp_ptr, "w") as f:
+        f.write(new_version)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_ptr, os.path.join(snapshot_dir, _CURRENT))  # atomic flip
+    dir_fd = os.open(snapshot_dir, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)  # make the rename itself durable
+    finally:
+        os.close(dir_fd)
+    # retention: the newest keep_versions version dirs stay (an in-flight
+    # reader survives keep_versions - 1 further flips)
+    versions = sorted(
+        (n for n in os.listdir(snapshot_dir) if n.startswith("v")), reverse=True
+    )
+    for name in versions[max(2, int(keep_versions)):]:
+        shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)

@@ -1276,3 +1276,67 @@ def test_nightly_ingest_integration(spark, tmp_path):
     }
     assert verdicts[10_000_001] == "exact_ref"
     assert verdicts[10_000_002] == "novel"
+
+
+def test_upsert_snapshot_replay_and_damage_matrix(spark, tmp_path):
+    """The per-batch commit unit's replay/crash matrix: a replayed
+    ALREADY-COMMITTED batch is a no-op (reading + overwriting the same
+    version dir would wedge the stream); a damaged pointer (missing
+    CURRENT with other versions present) raises instead of silently
+    resetting the snapshot; object-store URIs are refused up front."""
+    import os
+
+    import pytest
+
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        read_snapshot,
+        upsert_batch_into_snapshot,
+    )
+
+    snap = str(tmp_path / "snap_matrix")
+    b1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    b2 = spark.createDataFrame([(2, 22.0), (3, 30.0)], "k long, v double")
+    upsert_batch_into_snapshot(spark, b1, snap, ["k"], batch_id=0)
+    upsert_batch_into_snapshot(spark, b2, snap, ["k"], batch_id=1)
+    want = {1: 10.0, 2: 22.0, 3: 30.0}
+    assert {r["k"]: r["v"] for r in read_snapshot(spark, snap).collect()} == want
+
+    # replay of the committed batch 1: no-op, snapshot unchanged
+    upsert_batch_into_snapshot(spark, b2, snap, ["k"], batch_id=1)
+    assert {r["k"]: r["v"] for r in read_snapshot(spark, snap).collect()} == want
+
+    # pre-flip crash leftover: version dir exists, CURRENT names the
+    # previous one -> overwrite path re-derives the same commit
+    os.rename(os.path.join(snap, "CURRENT"), os.path.join(snap, "CURRENT.bak"))
+    with open(os.path.join(snap, "CURRENT"), "w") as f:
+        f.write("v000000000000")
+    upsert_batch_into_snapshot(spark, b2, snap, ["k"], batch_id=1)
+    assert {r["k"]: r["v"] for r in read_snapshot(spark, snap).collect()} == want
+
+    # damaged pointer: CURRENT gone, versions present -> loud refusal
+    os.remove(os.path.join(snap, "CURRENT"))
+    with pytest.raises(RuntimeError, match="no CURRENT pointer"):
+        upsert_batch_into_snapshot(spark, b2, snap, ["k"], batch_id=7)
+
+    # object-store URI: refused before any write
+    with pytest.raises(ValueError, match="driver-local"):
+        upsert_batch_into_snapshot(
+            spark, b1, "s3a://bucket/snap", ["k"], batch_id=0
+        )
+
+
+def test_upsert_snapshot_retention_horizon(spark, tmp_path):
+    """keep_versions retains the newest N version dirs so a reader's
+    lazy scan survives N-1 further flips."""
+    import os
+
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        upsert_batch_into_snapshot,
+    )
+
+    snap = str(tmp_path / "snap_keep")
+    for i in range(5):
+        b = spark.createDataFrame([(i, float(i))], "k long, v double")
+        upsert_batch_into_snapshot(spark, b, snap, ["k"], batch_id=i, keep_versions=3)
+    versions = sorted(n for n in os.listdir(snap) if n.startswith("v"))
+    assert versions == ["v000000000002", "v000000000003", "v000000000004"]
