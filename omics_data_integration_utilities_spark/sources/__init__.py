@@ -11,3 +11,4 @@ from .writers import (  # noqa: F401
     write_edge_file,
     write_bucketed_table,
 )
+from .layout import read_table, write_clustered, write_partitioned  # noqa: F401

@@ -1522,3 +1522,65 @@ def test_value_histogram_semantics(spark):
         value_histogram(df, "v", 0.0, 20.0, 0)
     with pytest.raises(ValueError):
         value_histogram(df, "v", 20.0, 0.0, 4)
+
+
+# ---------------------------------------------------------------------------
+# profile_table (r13)
+
+
+def test_profile_table_approx_tracks_exact(spark):
+    """The HLL++ approx mode (the 100 TB path: single pass, no Expand)
+    must land within the configured rsd envelope of the exact mode on
+    every documents column."""
+    from omics_data_integration_utilities_spark.operators.profile import profile_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {
+        r["col_name"]: r["n_distinct"] for r in profile_table(docs).collect()
+    }
+    approx = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_table(docs, approx=True, rsd=0.05).collect()
+    }
+    assert set(exact) == set(approx)
+    for c, nd in exact.items():
+        # 4 sigma of the HLL++ relative standard deviation, floor of 4
+        # for tiny cardinalities where the sketch is near-exact anyway
+        tol = max(4, 4 * 0.05 * nd)
+        assert abs(approx[c] - nd) <= tol, (c, nd, approx[c])
+
+
+def test_profile_table_null_and_extrema_semantics(spark):
+    """NULL accounting, native-type (not lexicographic) extrema, and the
+    all-null column edge: n_distinct 0, min/max NULL."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.operators.profile import profile_table
+
+    df = spark.range(0, 10).select(
+        F.col("id"),
+        F.when(F.col("id") < 3, F.col("id") * 100).alias("sparse"),
+        F.lit(None).cast("string").alias("allnull"),
+    )
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert rows["id"]["n_nulls"] == 0
+    # native ordering: min 0 / max 9, NOT the lexicographic max "9"->"900"
+    assert rows["id"]["min_value"] == "0" and rows["id"]["max_value"] == "9"
+    assert rows["sparse"]["n_nonnull"] == 3
+    assert rows["sparse"]["n_distinct"] == 3
+    assert rows["sparse"]["null_frac"] == 0.7
+    assert rows["allnull"]["n_distinct"] == 0
+    assert rows["allnull"]["min_value"] is None
+    assert rows["allnull"]["max_value"] is None
+
+
+def test_profile_table_validates_columns(spark):
+    import pytest
+
+    from omics_data_integration_utilities_spark.operators.profile import profile_table
+
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        profile_table(df, ["nope"])
+    with pytest.raises(ValueError):
+        profile_table(df, [])

@@ -389,3 +389,38 @@ def test_leakage_safe_split_adds_no_shuffle_over_components(spark):
     plan = _plan(spark, "doc_split_leakage_safe")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_pruned_scan_partition_and_pushed_filters(spark):
+    """doc_pruned_scan's whole point is the scan shape: the source
+    equality must be a PartitionFilter (directories never listed), the
+    doc_id range must reach the parquet reader (PushedFilters), and the
+    scan must read only the aggregate's columns — text stays on disk."""
+    plan = _plan(spark, "doc_pruned_scan")
+    assert "PartitionFilters: [isnotnull(source" in plan
+    assert "(source" in plan and "= src7)" in plan
+    assert "LessThan(doc_id,300)" in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>" in plan
+    assert "text" not in plan.split("ReadSchema:")[1].split("\n")[0]
+
+
+def test_profile_exact_expands_approx_does_not(spark):
+    """profile_table's documented trade: exact multi-column distinct
+    plans an Expand (|cols|x row multiplication); the approx (HLL++)
+    mode must stay a single no-Expand pass — that's why it is the
+    100 TB path."""
+    from omics_data_integration_utilities_spark.operators.profile import profile_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact_plan = (
+        profile_table(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    approx_plan = (
+        profile_table(docs, approx=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan
+    assert "Python" not in exact_plan and "Python" not in approx_plan

@@ -238,3 +238,82 @@ def test_read_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
     assert schema.fieldNames() == ["doc_id", "text"]
     read_jsonl_stream(spark, str(p), schema)
     assert schema.fieldNames() == ["doc_id", "text"]
+
+
+def test_write_partitioned_one_file_per_dir_and_roundtrip(spark, tmp_path):
+    """layout.write_partitioned: Hive dirs per partition value, ONE data
+    file per directory (the small-files guard), and a lossless
+    round-trip (partition values recovered from directory names)."""
+    import os
+
+    from omics_data_integration_utilities_spark.sources.layout import (
+        read_table,
+        write_partitioned,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "part")
+    write_partitioned(docs, path, ["lang"], cluster_by=["doc_id"])
+    dirs = [d for d in os.listdir(path) if d.startswith("lang=")]
+    assert sorted(dirs) == sorted(
+        f"lang={r['lang']}" for r in docs.select("lang").distinct().collect()
+    )
+    for d in dirs:
+        files = [
+            f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{d}: expected 1 data file, got {files}"
+    back = read_table(spark, path)
+    want = sorted(tuple(r) for r in docs.select(*sorted(docs.columns)).collect())
+    got = sorted(tuple(r) for r in back.select(*sorted(docs.columns)).collect())
+    assert got == want
+
+
+def test_write_clustered_disjoint_ranges(spark, tmp_path):
+    """layout.write_clustered: the requested file count, disjoint key
+    ranges across files (so row-group min/max stats are tight), and a
+    lossless round-trip."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from omics_data_integration_utilities_spark.sources.layout import (
+        read_table,
+        write_clustered,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "clus")
+    write_clustered(docs, path, ["doc_id"], num_files=4)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    # range partitioner may emit fewer files than asked on tiny inputs,
+    # never more
+    assert 1 <= len(files) <= 4
+    spans = []
+    for f in files:
+        t = pq.read_table(os.path.join(path, f), columns=["doc_id"])
+        ids = t.column("doc_id").to_pylist()
+        if ids:
+            assert ids == sorted(ids), "file not internally sorted"
+            spans.append((ids[0], ids[-1]))
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a < lo_b, f"overlapping ranges {spans}"
+    assert read_table(spark, path).count() == docs.count()
+
+
+def test_layout_writer_input_validation(spark):
+    import pytest
+
+    from omics_data_integration_utilities_spark.sources.layout import (
+        write_clustered,
+        write_partitioned,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError):
+        write_partitioned(docs, "/tmp/never", [])
+    with pytest.raises(ValueError):
+        write_clustered(docs, "/tmp/never", [], 4)
+    with pytest.raises(ValueError):
+        write_clustered(docs, "/tmp/never", ["doc_id"], 0)
