@@ -447,6 +447,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # events_hot_users (oracle gains the explicit NULL-exclusion WHERE;
 # sketch sentinel dtype fix) and text_heavy_hitters (same sketch core),
 # plus pipeline_curate (null-safe source join in curate_doc_batch_counts).
+#
+# r13 second rotation pass (same budget rule — new registrations enter
+# directly, displacing r12-hash-green rows with in-window siblings or
+# standing golden evidence):
+# IN:  text_contamination_report (r13-new, was the one never-
+#      driver-checked registration left outside the window),
+#      doc_profile (r13-new one-pass exact table profiler; HLL approx
+#      mode property-tested against it), doc_pruned_scan (r13-new
+#      layout writer round-trip — PartitionFilters + PushedFilters
+#      plan-locked in tests/test_plans.py, values answer to the direct
+#      oracle on the raw table).  All three sf0.001+sf0.01 oracle-green
+#      locally pre-rotation (prevalidate.py).
+# OUT: j4_band_join (hash-green r10/r11/r12; the identical grid-bucket
+#      band join is composed — and plan-asserted — inside the in-window
+#      plan_mass_annotation), dedup_substring_remove (hash-green
+#      r11/r12, ExactSubstr machinery untouched in r13, siblings
+#      spans/stats r11-green with standing local oracles),
+#      clusterone_modules (hash-green r11/r12, untouched in r13,
+#      golden pin + no-Spark replica in tests/test_analytics.py and the
+#      ego-delivery variant r10-green).
 _PRIORITY = [
     # composite plans
     "plan_mass_annotation",
@@ -473,7 +493,6 @@ _PRIORITY = [
     "pipeline_curate",
     "dedup_incremental_indexed",
     "dedup_keep_best",
-    "dedup_substring_remove",
     "dedup_simhash_pairs",
     "dedup_minhash_signatures",
     "sim_ivf_topk",
@@ -481,7 +500,10 @@ _PRIORITY = [
     "text_pii_scrub",
     "doc_split",
     "multimodal_features",
-    "clusterone_modules",
+    # r13 second-pass entries (rationale block above)
+    "text_contamination_report",
+    "doc_profile",
+    "doc_pruned_scan",
     # streaming-equivalent windows — the two NEW r13 registrations, the
     # r13-rechecked hot_users, the r8-stale sessions refresh
     "events_hot_users",
@@ -497,7 +519,6 @@ _PRIORITY = [
     # events_sessions keeps the streaming-window family in-window)
     "doc_split_leakage_safe",
     # core relational / aggregate / window stale refresh (r8 cohort)
-    "j4_band_join",
     "j3_left_join",
     "j8_anti_join",
     "j10_explode_parent",

@@ -59,3 +59,4 @@ from .sampling import (  # noqa: F401
     weighted_sample,
 )
 from .sketches import frequent_items  # noqa: F401
+from .profile import profile_table  # noqa: F401

@@ -1,0 +1,127 @@
+"""Distributed table profiler — the "what is in this dataset" first
+pass every large-scale curation pipeline runs before any other stage
+(schema drift detection, null audits, cardinality estimates for join
+planning, min/max ranges for layout/pruning decisions).
+
+The reference repo has no profiler; this is part of the additive
+LLM-data-pipeline surface.  Design targets the 100 TB shape:
+
+- **One aggregation pass** over the table, all JVM-side expressions
+  (count / min / max / distinct), no Python in the hot path.  The wide
+  single-row aggregate is then unpivoted driver-cheaply with ``stack``
+  — the unpivot runs on ONE row, so its cost is zero regardless of
+  table size.
+- **Exact vs approx distinct counts are an explicit caller choice.**
+  ``approx=False`` uses ``count(DISTINCT c)`` per column: Spark plans
+  one ``Expand`` (a |cols|× row multiplication before the partial
+  aggregate) — exact, and fine while |cols| is small, but the expand
+  factor is a real cost at 100 TB.  ``approx=True`` switches to
+  HyperLogLog++ (``approx_count_distinct``): a single pass, no Expand,
+  fixed sketch memory per column — the scale path.  The two are
+  property-tested against each other within the configured rsd.
+- min/max are computed in the column's NATIVE type (so numeric columns
+  get numeric ordering) and only then rendered to string for the
+  uniform report schema.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_table"]
+
+#: report schema, in order
+_REPORT_COLS = (
+    "col_name",
+    "n_rows",
+    "n_nonnull",
+    "n_nulls",
+    "null_frac",
+    "n_distinct",
+    "min_value",
+    "max_value",
+)
+
+
+def _min_max(c: str) -> tuple[Column, Column]:
+    # native-type ordering first, string rendering second — a BIGINT
+    # column must report min=9 / max=100, not the lexicographic
+    # min="100" / max="9" that casting before aggregating would give
+    return (
+        F.min(F.col(c)).cast("string"),
+        F.max(F.col(c)).cast("string"),
+    )
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    *,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Profile ``columns`` of ``df`` (default: all) into one row per
+    column: ``(col_name, n_rows, n_nonnull, n_nulls, null_frac,
+    n_distinct, min_value, max_value)``.
+
+    ``null_frac`` is rounded to 6 decimals; ``min_value``/``max_value``
+    are the native-type extrema rendered as strings (NULL for an
+    all-null column).  ``n_distinct`` never counts NULL (SQL
+    ``count(DISTINCT c)`` semantics in both engines).
+
+    ``approx=True`` swaps the exact distinct count for HLL++ at the
+    given ``rsd`` — the 100 TB path (single pass, no Expand; see module
+    docstring).
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table: need at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for i, c in enumerate(cols):
+        nd = (
+            F.approx_count_distinct(c, rsd)
+            if approx
+            else F.count_distinct(F.col(c))
+        )
+        mn, mx = _min_max(c)
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{i}"),
+            nd.alias(f"__nd_{i}"),
+            mn.alias(f"__min_{i}"),
+            mx.alias(f"__max_{i}"),
+        ]
+    wide = df.agg(*aggs)
+
+    # unpivot the single wide row — stack() runs on 1 row, cost-free
+    parts = []
+    for i, c in enumerate(cols):
+        lit = c.replace("'", "''")
+        parts.append(f"'{lit}', __nn_{i}, __nd_{i}, __min_{i}, __max_{i}")
+    stacked = wide.select(
+        F.col("__n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {', '.join(parts)}) "
+            "as (col_name, n_nonnull, n_distinct, min_value, max_value)"
+        ),
+    )
+    return stacked.select(
+        F.col("col_name"),
+        F.col("__n_rows").alias("n_rows"),
+        F.col("n_nonnull"),
+        (F.col("__n_rows") - F.col("n_nonnull")).alias("n_nulls"),
+        F.round(
+            (F.col("__n_rows") - F.col("n_nonnull"))
+            / F.col("__n_rows").cast("double"),
+            6,
+        ).alias("null_frac"),
+        F.col("n_distinct"),
+        F.col("min_value"),
+        F.col("max_value"),
+    )

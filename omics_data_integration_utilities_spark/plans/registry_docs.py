@@ -2100,6 +2100,86 @@ FROM final
 """
 
 
+# ---------------------------------------------------------------------------
+# table profiler + layout-pruned scan (r13 additive surface)
+
+#: the documents columns q_doc_profile reports on — the oracle SQL below is
+#: GENERATED from this same tuple so the two engines can never disagree on
+#: the column set
+PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass exact table profile of ``documents``: per-column row /
+    non-null / null counts, null fraction, exact distinct count, and
+    native-ordering min/max rendered as strings.  The registered form
+    is the exact mode; the HLL++ ``approx=True`` mode is the documented
+    100 TB path and is property-tested against this one
+    (tests/test_operators.py)."""
+    from ..operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "documents"), list(PROFILE_COLS), approx=False
+    )
+
+
+SQL_DOC_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+       count({c})::BIGINT AS n_nonnull,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       round((count(*) - count({c})) / count(*)::DOUBLE, 6) AS null_frac,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM documents"""
+    for c in PROFILE_COLS
+)
+
+
+# previous generation of the pruned-scan layout dir, removed on the next
+# invocation (same single-live-generation discipline as the dedup index
+# registrations above)
+_LAYOUT_LAST: list[str] = []
+
+
+def q_doc_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-aware scan: documents written partitioned-by-source and
+    clustered-by-doc_id (sources/layout.py), then read back under a
+    source equality + doc_id range predicate and aggregated per lang.
+    The point is the PLAN, locked by tests/test_plans.py: the source
+    predicate becomes PartitionFilters (non-matching directories are
+    never listed) and the doc_id range is in PushedFilters against
+    tight row-group stats — the only scan shape that survives 100 TB.
+    The aggregate itself answers to the direct oracle on the raw
+    table, proving layout round-trip fidelity."""
+    import shutil
+    import tempfile
+
+    from ..sources.layout import read_table, write_partitioned
+
+    while _LAYOUT_LAST:
+        shutil.rmtree(_LAYOUT_LAST.pop(), ignore_errors=True)
+    path = tempfile.mkdtemp(prefix="doc_layout_")
+    _LAYOUT_LAST.append(path)
+    docs = _t(spark, sf_dir, "documents")
+    write_partitioned(docs, path, ["source"], cluster_by=["doc_id"])
+    pruned = read_table(spark, path).where(
+        (F.col("source") == "src7") & (F.col("doc_id") < 300)
+    )
+    return pruned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SQL_DOC_PRUNED_SCAN = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents
+WHERE source = 'src7' AND doc_id < 300
+GROUP BY lang
+"""
+
+
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan_data_pipeline": q_plan_data_pipeline,
     "rulemap_containment": q_rulemap_containment,
@@ -2157,6 +2237,8 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring_remove": q_dedup_substring_remove,
     "text_bm25": q_text_bm25,
     "text_perplexity": q_text_perplexity,
+    "doc_profile": q_doc_profile,
+    "doc_pruned_scan": q_doc_pruned_scan,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -2216,4 +2298,6 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_substring_remove": SQL_DEDUP_SUBSTRING_REMOVE,
     "text_bm25": SQL_TEXT_BM25,
     "text_perplexity": SQL_TEXT_PERPLEXITY,
+    "doc_profile": SQL_DOC_PROFILE,
+    "doc_pruned_scan": SQL_DOC_PRUNED_SCAN,
 }
