@@ -156,6 +156,14 @@ SLOW_TIER = [
     # late round 13: per-test contamination attribution (compare against
     # text_decontaminate - same gram machinery, transposed accounting)
     "text_contamination_report",
+    # late round 13: the one-pass exact table profiler (Expand-based
+    # multi-distinct — the approx/HLL mode is the 100 TB path and is
+    # plan-locked Expand-free) and the layout round-trip (partitioned+
+    # clustered WRITE per rep plus the pruned scan — write-heavy by
+    # design; the pruning benefit itself is measured in
+    # probe_r13_layout16x.py, wall here just guards regressions)
+    "doc_profile",
+    "doc_pruned_scan",
 ]
 
 # bench-only callables: timed like registered queries but deliberately
