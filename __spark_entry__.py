@@ -467,6 +467,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #      clusterone_modules (hash-green r11/r12, untouched in r13,
 #      golden pin + no-Spark replica in tests/test_analytics.py and the
 #      ego-delivery variant r10-green).
+# IN:  events_profile_numeric (r13-new numeric-moments profiler: exact
+#      percentile form registered, GK-sketch approx form property-
+#      tested against it) displaces k12_perm_fdr (hash-green r11/r12,
+#      permutation kernel untouched in r13, k13_count_glm +
+#      k6_corr_pvalue keep the analytics-kernel family in-window,
+#      standing local sf0.01 oracle).
 _PRIORITY = [
     # composite plans
     "plan_mass_annotation",
@@ -482,7 +488,6 @@ _PRIORITY = [
     "k3_substructure",
     # analytics kernels — keeps + the r7/r8-stale refresh
     "k13_count_glm",
-    "k12_perm_fdr",
     "k6_corr_pvalue",
     "drivernet_significance",
     "drivernet_greedy",
@@ -510,6 +515,7 @@ _PRIORITY = [
     "events_hot_users_bytes",
     "events_salted_join",
     "events_sessions",
+    "events_profile_numeric",
     # r13 late addition under the budget rule: doc_split_leakage_safe
     # (NEW — near-dup-aware split: components from the shared Jaccard
     # CTE chain, split hashed from the COMPONENT label so duplicate

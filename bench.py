@@ -164,6 +164,9 @@ SLOW_TIER = [
     # probe_r13_layout16x.py, wall here just guards regressions)
     "doc_profile",
     "doc_pruned_scan",
+    # late round 13: numeric-moments profiler (exact-percentile form —
+    # the GK approx mode is the scale path, property-tested)
+    "events_profile_numeric",
 ]
 
 # bench-only callables: timed like registered queries but deliberately

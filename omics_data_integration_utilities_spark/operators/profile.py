@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "profile_numeric"]
 
 #: report schema, in order
 _REPORT_COLS = (
@@ -124,4 +124,76 @@ def profile_table(
         F.col("n_distinct"),
         F.col("min_value"),
         F.col("max_value"),
+    )
+
+
+def profile_numeric(
+    df: DataFrame,
+    columns: Sequence[str],
+    *,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Numeric-moments profile: one row per column with ``(col_name,
+    n_nonnull, mean, stddev, min_value, max_value, q_25, q_50, ...)``
+    — everything as doubles, moments rounded to 6 decimals so the
+    report hashes stably across engines' summation orders.
+
+    Same one-pass + 1-row-unpivot shape as :func:`profile_table`, and
+    the same exact/approx split for the one aggregate whose exact form
+    does not scale: ``approx=False`` uses Spark's exact ``percentile``
+    (linear interpolation, SQL ``quantile_cont`` semantics — but it
+    buffers every value of the group in the aggregation state, fine per
+    column on a test table, the wrong shape at 100 TB);
+    ``approx=True`` switches to ``approx_percentile`` (Greenwald-Khanna
+    sketch, bounded state at any input size) at the given ``accuracy``.
+    Mean/stddev/min/max are single-pass streaming aggregates either way.
+    """
+    cols = list(columns)
+    if not cols:
+        raise ValueError("profile_numeric: need at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_numeric: unknown columns {missing}")
+    qs = [float(q) for q in quantiles]
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"profile_numeric: quantiles must be in [0,1]: {qs}")
+
+    def _q(c: Column, q: float) -> Column:
+        if approx:
+            return F.approx_percentile(c, F.lit(q), F.lit(accuracy))
+        return F.percentile(c, F.lit(q))
+
+    aggs: list[Column] = []
+    for i, name in enumerate(cols):
+        c = F.col(name).cast("double")
+        aggs += [
+            F.count(c).alias(f"__nn_{i}"),
+            F.round(F.avg(c), 6).alias(f"__mean_{i}"),
+            F.round(F.stddev(c), 6).alias(f"__sd_{i}"),
+            F.min(c).alias(f"__min_{i}"),
+            F.max(c).alias(f"__max_{i}"),
+            *(
+                F.round(_q(c, q).cast("double"), 6).alias(f"__q{j}_{i}")
+                for j, q in enumerate(qs)
+            ),
+        ]
+    wide = df.agg(*aggs)
+
+    q_names = [f"q_{str(q).replace('.', '_').rstrip('0_') or '0'}" for q in qs]
+    if len(set(q_names)) != len(q_names):
+        raise ValueError(f"profile_numeric: quantiles collide on names {q_names}")
+    parts = []
+    for i, name in enumerate(cols):
+        lit = name.replace("'", "''")
+        fields = [f"__nn_{i}", f"__mean_{i}", f"__sd_{i}", f"__min_{i}", f"__max_{i}"]
+        fields += [f"__q{j}_{i}" for j in range(len(qs))]
+        parts.append(f"'{lit}', {', '.join(fields)}")
+    out_fields = ["n_nonnull", "mean", "stddev", "min_value", "max_value", *q_names]
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {', '.join(parts)}) "
+            f"as (col_name, {', '.join(out_fields)})"
+        )
     )

@@ -905,6 +905,38 @@ FROM b GROUP BY 1, 2
 """
 
 
+#: the numeric events columns q_events_profile_numeric reports on — the
+#: oracle SQL is generated from this same tuple (drift-proof, same
+#: discipline as registry_docs.PROFILE_COLS)
+NUMERIC_PROFILE_COLS = ("value", "user_id", "event_id")
+
+
+def q_events_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass numeric-moments profile of the events measures (count,
+    mean, sample stddev, min/max, exact quartiles).  Registered in the
+    exact-percentile form the oracle can hash; ``approx=True``
+    (Greenwald-Khanna, bounded state) is the 100 TB path and is
+    property-tested against this one in tests/test_operators.py."""
+    from ..operators.profile import profile_numeric
+
+    return profile_numeric(
+        _t(spark, sf_dir, "events"), list(NUMERIC_PROFILE_COLS)
+    )
+
+
+SQL_EVENTS_PROFILE_NUMERIC = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count({c})::BIGINT AS n_nonnull,
+       round(avg({c}::DOUBLE), 6) AS mean,
+       round(stddev_samp({c}::DOUBLE), 6) AS stddev,
+       min({c}::DOUBLE) AS min_value, max({c}::DOUBLE) AS max_value,
+       round(quantile_cont({c}::DOUBLE, 0.25), 6) AS q_0_25,
+       round(quantile_cont({c}::DOUBLE, 0.5), 6) AS q_0_5,
+       round(quantile_cont({c}::DOUBLE, 0.75), 6) AS q_0_75
+FROM events"""
+    for c in NUMERIC_PROFILE_COLS
+)
+
+
 def q_events_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-20 users by event count via the GENERIC Misra-Gries
     path (operators/sketches.frequent_items over the LONG user_id key —
@@ -1195,6 +1227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "events_rollup": q_events_rollup,
     "events_histogram": q_events_histogram,
+    "events_profile_numeric": q_events_profile_numeric,
     "events_hot_users": q_events_hot_users,
     "events_hot_users_bytes": q_events_hot_users_bytes,
     "events_salted_join": q_events_salted_join,
@@ -1239,6 +1272,7 @@ ORACLES: dict[str, str] = {
     "events_asof_join": SQL_EVENTS_ASOF,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_histogram": SQL_EVENTS_HISTOGRAM,
+    "events_profile_numeric": SQL_EVENTS_PROFILE_NUMERIC,
     "events_hot_users": SQL_EVENTS_HOT_USERS,
     "events_hot_users_bytes": SQL_EVENTS_HOT_USERS_BYTES,
     "events_salted_join": SQL_EVENTS_SALTED_JOIN,

@@ -1584,3 +1584,52 @@ def test_profile_table_validates_columns(spark):
         profile_table(df, ["nope"])
     with pytest.raises(ValueError):
         profile_table(df, [])
+
+
+def test_profile_numeric_approx_tracks_exact(spark):
+    """profile_numeric's GK-sketch mode (the bounded-state 100 TB path)
+    must agree with the exact-percentile mode on the moments exactly
+    (same streaming aggregates) and land quantiles within the sketch's
+    rank-error envelope."""
+    from omics_data_integration_utilities_spark.operators.profile import profile_numeric
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    cols = ["value", "user_id"]
+    exact = {r["col_name"]: r.asDict() for r in profile_numeric(ev, cols).collect()}
+    approx = {
+        r["col_name"]: r.asDict()
+        for r in profile_numeric(ev, cols, approx=True, accuracy=10_000).collect()
+    }
+    n = ev.count()
+    for c in cols:
+        for k in ("n_nonnull", "mean", "stddev", "min_value", "max_value"):
+            assert exact[c][k] == approx[c][k], (c, k)
+        # GK at accuracy a guarantees RANK error <= n/a, not a value
+        # envelope (value error blows up where the density is thin), so
+        # assert the guarantee itself: the rank of the returned value
+        # sits within 2n/a + 1 of the target rank
+        from pyspark.sql import functions as F
+
+        for q, frac in (("q_0_25", 0.25), ("q_0_5", 0.5), ("q_0_75", 0.75)):
+            # a duplicated value OCCUPIES a rank interval [count(<v),
+            # count(<=v)]; the guarantee is that this interval touches
+            # the target rank within tolerance
+            lo = ev.where(F.col(c) < approx[c][q]).count()
+            hi = ev.where(F.col(c) <= approx[c][q]).count()
+            tol = 2 * (n / 10_000) + 1
+            assert lo - tol <= frac * n <= hi + tol, (c, q, lo, hi, frac * n)
+
+
+def test_profile_numeric_validates_inputs(spark):
+    import pytest
+
+    from omics_data_integration_utilities_spark.operators.profile import profile_numeric
+
+    df = spark.range(5)
+    with pytest.raises(ValueError):
+        profile_numeric(df, [])
+    with pytest.raises(ValueError):
+        profile_numeric(df, ["nope"])
+    with pytest.raises(ValueError):
+        profile_numeric(df, ["id"], quantiles=[1.5])
