@@ -473,6 +473,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      permutation kernel untouched in r13, k13_count_glm +
 #      k6_corr_pvalue keep the analytics-kernel family in-window,
 #      standing local sf0.01 oracle).
+# Registered late (budget rule, sf0.001+sf0.01 oracle-green locally,
+# queued for the r14 rotation): events_windowed_profile (batch twin of
+# the streaming drift monitor; stream==batch parity tested).
 _PRIORITY = [
     # composite plans
     "plan_mass_annotation",

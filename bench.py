@@ -165,8 +165,10 @@ SLOW_TIER = [
     "doc_profile",
     "doc_pruned_scan",
     # late round 13: numeric-moments profiler (exact-percentile form —
-    # the GK approx mode is the scale path, property-tested)
+    # the GK approx mode is the scale path, property-tested) and the
+    # windowed drift-profile batch twin
     "events_profile_numeric",
+    "events_windowed_profile",
 ]
 
 # bench-only callables: timed like registered queries but deliberately

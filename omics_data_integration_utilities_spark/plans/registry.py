@@ -924,6 +924,31 @@ def q_events_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_windowed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed feed-drift profile (batch twin of
+    ``streaming/profile.windowed_profile_stream``, stream==batch parity
+    tested): per hourly epoch bucket × watched column, the streaming-
+    combinable moments a feed monitor alarms on.  Exact integer bucket
+    arithmetic — the same ``div`` chain as ``events_tumbling``."""
+    from ..streaming.profile import windowed_profile_agg
+
+    return windowed_profile_agg(
+        _t(spark, sf_dir, "events"), ["value", "user_id"], window_seconds=3600
+    )
+
+
+SQL_EVENTS_WINDOWED_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT epoch_us(ts) // 3600000000 AS bucket, '{c}' AS col_name,
+       count({c})::BIGINT AS n_nonnull,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       round(avg({c}::DOUBLE), 6) AS mean,
+       round(stddev_samp({c}::DOUBLE), 6) AS stddev,
+       min({c}::DOUBLE) AS min_value, max({c}::DOUBLE) AS max_value
+FROM events GROUP BY bucket"""
+    for c in ("value", "user_id")
+)
+
+
 SQL_EVENTS_PROFILE_NUMERIC = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS col_name, count({c})::BIGINT AS n_nonnull,
        round(avg({c}::DOUBLE), 6) AS mean,
@@ -1228,6 +1253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "events_histogram": q_events_histogram,
     "events_profile_numeric": q_events_profile_numeric,
+    "events_windowed_profile": q_events_windowed_profile,
     "events_hot_users": q_events_hot_users,
     "events_hot_users_bytes": q_events_hot_users_bytes,
     "events_salted_join": q_events_salted_join,
@@ -1273,6 +1299,7 @@ ORACLES: dict[str, str] = {
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_histogram": SQL_EVENTS_HISTOGRAM,
     "events_profile_numeric": SQL_EVENTS_PROFILE_NUMERIC,
+    "events_windowed_profile": SQL_EVENTS_WINDOWED_PROFILE,
     "events_hot_users": SQL_EVENTS_HOT_USERS,
     "events_hot_users_bytes": SQL_EVENTS_HOT_USERS_BYTES,
     "events_salted_join": SQL_EVENTS_SALTED_JOIN,

@@ -1340,3 +1340,81 @@ def test_upsert_snapshot_retention_horizon(spark, tmp_path):
         upsert_batch_into_snapshot(spark, b, snap, ["k"], batch_id=i, keep_versions=3)
     versions = sorted(n for n in os.listdir(snap) if n.startswith("v"))
     assert versions == ["v000000000002", "v000000000003", "v000000000004"]
+
+
+def test_windowed_profile_stream_matches_batch(spark, tmp_path):
+    """The streaming drift profile (watermark + windowed wide agg +
+    per-window unpivot) must emit exactly the batch twin's rows once
+    the stream drains: window start // 1h == the batch integer bucket,
+    stats equal per (bucket, col_name)."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.streaming.profile import (
+        windowed_profile_agg,
+        windowed_profile_stream,
+    )
+
+    path = f"{SF_SMOKE}/events.parquet"
+    cols = ["value", "user_id"]
+    stream_df = windowed_profile_stream(spark, path, cols, window="1 hour")
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("profile_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = (
+            spark.table("profile_out")
+            .select(
+                F.expr("unix_timestamp(window.start) div 3600").alias("bucket"),
+                "col_name",
+                "n_nonnull",
+                "n_nulls",
+                "mean",
+                "stddev",
+                "min_value",
+                "max_value",
+            )
+            .collect()
+        )
+    finally:
+        q.stop()
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(path)
+    # batch bucket is epoch MICROS // 3600e6 == epoch seconds // 3600
+    want = windowed_profile_agg(events, cols, 3600).collect()
+    canon = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert canon(got) == canon(want)
+    assert len(want) > 0
+
+
+def test_drift_flags_mean_and_null_jump(spark):
+    from omics_data_integration_utilities_spark.streaming.profile import drift_flags
+
+    ref = spark.createDataFrame(
+        [("value", 50.0, 10.0, 990, 10), ("user_id", 75.0, 40.0, 1000, 0)],
+        "col_name string, mean double, stddev double, n_nonnull long, n_nulls long",
+    )
+    cur = spark.createDataFrame(
+        [
+            # mean shifted by 5 sigma, nulls stable -> mean_drift only
+            (1, "value", 95, 5, 100.0, 9.0, 1.0, 200.0),
+            # mean stable, null fraction 0.0 -> 0.2 -> null_drift only
+            (1, "user_id", 80, 20, 74.0, 41.0, 0.0, 149.0),
+            # both stable -> no flags
+            (2, "value", 99, 1, 51.0, 10.5, 0.5, 199.0),
+        ],
+        "bucket long, col_name string, n_nonnull long, n_nulls long, "
+        "mean double, stddev double, min_value double, max_value double",
+    )
+    out = {
+        (r["bucket"], r["col_name"]): (r["mean_drift"], r["null_drift"])
+        for r in drift_flags(cur, ref).collect()
+    }
+    assert out[(1, "value")] == (True, False)
+    assert out[(1, "user_id")] == (False, True)
+    assert out[(2, "value")] == (False, False)
