@@ -59,4 +59,10 @@ from .sampling import (  # noqa: F401
     weighted_sample,
 )
 from .sketches import frequent_items  # noqa: F401
-from .profile import profile_table  # noqa: F401
+from .profile import (  # noqa: F401
+    estimate_profile,
+    merge_profile_sketches,
+    profile_numeric,
+    profile_sketches,
+    profile_table,
+)

@@ -31,7 +31,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "profile_numeric"]
+__all__ = [
+    "profile_table",
+    "profile_numeric",
+    "profile_sketches",
+    "merge_profile_sketches",
+    "estimate_profile",
+]
 
 #: report schema, in order
 _REPORT_COLS = (
@@ -196,4 +202,111 @@ def profile_numeric(
             f"stack({len(cols)}, {', '.join(parts)}) "
             f"as (col_name, {', '.join(out_fields)})"
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mergeable profiles — incremental stats without rescanning history.
+#
+# At 100 TB the table is ingested in slices (a partition, a day, a
+# micro-batch); re-running profile_table over ALL history per slice is
+# O(corpus) per day.  The mergeable form profiles each slice ONCE into
+# per-column summaries whose combine is exact-or-lossless:
+#   count / null count / min / max  — trivially mergeable scalars,
+#   distinct                        — a Datasketches HLL sketch binary
+#                                     (register-wise max union: the
+#                                     union of slice sketches IS the
+#                                     sketch of the slice union),
+# then folds slices together with merge_profile_sketches (any grouping:
+# all-time, trailing window, per-source) and renders numbers with
+# estimate_profile.  The per-slice relation is |cols| rows of scalars +
+# one ≤ a-few-KB sketch each — the history a monitor keeps is KBs per
+# slice, never the data.
+
+
+def profile_sketches(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    *,
+    lg_k: int = 12,
+    slice_id: str | None = None,
+) -> DataFrame:
+    """Profile ``df`` into one MERGEABLE summary row per column:
+    ``(slice_id?, col_name, n_rows, n_nonnull, min_value, max_value,
+    distinct_sketch)`` where ``distinct_sketch`` is a Datasketches
+    HLL(lg_k) binary.  Single pass, no Expand, JVM-only."""
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_sketches: need at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_sketches: unknown columns {missing}")
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for i, c in enumerate(cols):
+        mn, mx = _min_max(c)
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{i}"),
+            # hll_sketch_agg ignores NULLs; cast to string so every
+            # input type is sketchable and slices of drifting physical
+            # types still merge
+            F.hll_sketch_agg(F.col(c).cast("string"), F.lit(lg_k)).alias(
+                f"__sk_{i}"
+            ),
+            mn.alias(f"__min_{i}"),
+            mx.alias(f"__max_{i}"),
+        ]
+    wide = df.agg(*aggs)
+    parts = []
+    for i, c in enumerate(cols):
+        lit = c.replace("'", "''")
+        parts.append(f"'{lit}', __nn_{i}, __sk_{i}, __min_{i}, __max_{i}")
+    out = wide.select(
+        F.col("__n_rows").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {', '.join(parts)}) "
+            "as (col_name, n_nonnull, distinct_sketch, min_value, max_value)"
+        ),
+    ).select(
+        "col_name", "n_rows", "n_nonnull", "distinct_sketch",
+        "min_value", "max_value",
+    )
+    if slice_id is not None:
+        out = out.select(F.lit(slice_id).alias("slice_id"), "*")
+    return out
+
+
+def merge_profile_sketches(profiles: DataFrame) -> DataFrame:
+    """Fold per-slice summary rows (a union of :func:`profile_sketches`
+    outputs) into one row per column: counts sum, min/max fold, HLL
+    sketches union register-wise.  Input size is |slices|×|cols| tiny
+    rows — this aggregation never touches the data again."""
+    return profiles.groupBy("col_name").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nonnull").alias("n_nonnull"),
+        F.hll_union_agg(F.col("distinct_sketch"), F.lit(True)).alias(
+            "distinct_sketch"
+        ),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def estimate_profile(profiles: DataFrame) -> DataFrame:
+    """Render a (possibly merged) sketch-profile relation to numbers:
+    the :func:`profile_table` report columns with ``n_distinct`` as the
+    HLL estimate."""
+    return profiles.select(
+        "col_name",
+        "n_rows",
+        "n_nonnull",
+        (F.col("n_rows") - F.col("n_nonnull")).alias("n_nulls"),
+        F.round(
+            (F.col("n_rows") - F.col("n_nonnull"))
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("null_frac"),
+        F.hll_sketch_estimate("distinct_sketch").alias("n_distinct"),
+        "min_value",
+        "max_value",
     )

@@ -1633,3 +1633,62 @@ def test_profile_numeric_validates_inputs(spark):
         profile_numeric(df, ["nope"])
     with pytest.raises(ValueError):
         profile_numeric(df, ["id"], quantiles=[1.5])
+
+
+def test_profile_sketches_merge_matches_whole(spark):
+    """Mergeable profiles: folding per-slice summaries must reproduce
+    the whole-table profile — scalars (counts, min/max) EXACTLY, and
+    the HLL distinct estimate within the sketch envelope (union uses
+    the composite estimator, so slice-union and whole-table sketches
+    may differ in the last percent — never beyond 4 sigma of
+    1.04/sqrt(2^lg_k))."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.operators.profile import (
+        estimate_profile,
+        merge_profile_sketches,
+        profile_sketches,
+        profile_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    slices = [
+        profile_sketches(docs.where(F.col("doc_id") % 3 == i), slice_id=str(i))
+        for i in range(3)
+    ]
+    u = slices[0]
+    for s in slices[1:]:
+        u = u.unionByName(s)
+    merged = {
+        r["col_name"]: r.asDict()
+        for r in estimate_profile(merge_profile_sketches(u.drop("slice_id"))).collect()
+    }
+    exact = {
+        r["col_name"]: r.asDict() for r in profile_table(docs).collect()
+    }
+    assert set(merged) == set(exact)
+    rse = 1.04 / (2**12) ** 0.5
+    for c in exact:
+        for k in ("n_rows", "n_nonnull", "n_nulls", "null_frac",
+                  "min_value", "max_value"):
+            assert merged[c][k] == exact[c][k], (c, k)
+        nd = exact[c]["n_distinct"]
+        assert abs(merged[c]["n_distinct"] - nd) <= max(4, 4 * rse * nd), (
+            c, merged[c]["n_distinct"], nd,
+        )
+
+
+def test_profile_sketches_slice_rows_are_tiny_and_tagged(spark):
+    """The per-slice summary is |cols| rows with a bounded-size sketch
+    binary — the thing a monitor persists instead of history."""
+    from omics_data_integration_utilities_spark.operators.profile import (
+        profile_sketches,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = profile_sketches(docs, ["doc_id", "source"], slice_id="day1").collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["slice_id"] == "day1"
+        # lg_k=12 dense HLL is 4KB-ish; generous ceiling
+        assert 0 < len(r["distinct_sketch"]) < 16_384
