@@ -475,7 +475,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      standing local sf0.01 oracle).
 # Registered late (budget rule, sf0.001+sf0.01 oracle-green locally,
 # queued for the r14 rotation): events_windowed_profile (batch twin of
-# the streaming drift monitor; stream==batch parity tested).
+# the streaming drift monitor; stream==batch parity tested) and
+# doc_dataset_card (per-source corpus-release summary; exact form
+# oracle-checked, HLL approx form envelope-tested).
 _PRIORITY = [
     # composite plans
     "plan_mass_annotation",

@@ -169,6 +169,9 @@ SLOW_TIER = [
     # windowed drift-profile batch twin
     "events_profile_numeric",
     "events_windowed_profile",
+    # late round 13: per-source dataset card (exact distincts — Expand
+    # by design at report scale; approx HLL form is the scale path)
+    "doc_dataset_card",
 ]
 
 # bench-only callables: timed like registered queries but deliberately

@@ -99,3 +99,46 @@ def curate_documents(
     return hash_split(counted, id_col).select(
         id_col, "split", "n_ws_tokens", "n_bpe_tokens", "n_redactions"
     )
+
+
+def dataset_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    *,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-source dataset card — the summary a corpus release ships:
+    document/char/whitespace-token volume, mean composite quality
+    (``quality_expr``, the curation gate's own formula — single source
+    of truth), exact-duplicate fraction (1 − distinct md5(text)/docs),
+    and language spread.
+
+    One aggregation keyed by source.  The two distinct counts make the
+    exact form plan an Expand (×3 rows); ``approx=True`` swaps both for
+    HLL++ at ``rsd`` — the 100 TB path, same split as
+    ``operators/profile.profile_table``.  Either way the shuffle is
+    keyed by the low-cardinality source column with map-side partials.
+    """
+    from ..operators.dedup import tokens_col
+    from ..operators.text import quality_expr
+
+    digest = F.md5(F.col(text_col))
+    nd = (
+        (lambda c: F.approx_count_distinct(c, rsd))
+        if approx
+        else (lambda c: F.count_distinct(c))
+    )
+    n_docs = F.count(F.lit(1))
+    return docs.groupBy(source_col).agg(
+        n_docs.alias("n_docs"),
+        F.sum(F.length(F.col(text_col))).alias("n_chars"),
+        F.sum(F.size(tokens_col(text_col))).alias("n_ws_tokens"),
+        F.round(F.avg(quality_expr(text_col)), 6).alias("mean_quality"),
+        F.round(
+            F.lit(1) - nd(digest) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("dup_frac"),
+        nd(F.col(lang_col)).alias("n_langs"),
+    )

@@ -2180,6 +2180,34 @@ GROUP BY lang
 """
 
 
+def q_doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: volume, mean curation-gate quality,
+    exact-dup fraction, language spread — the corpus-release summary,
+    exact form (the HLL approx form is the documented scale path)."""
+    from .data_pipeline import dataset_card
+
+    return dataset_card(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_DATASET_CARD = """
+WITH t AS (
+  SELECT source, lang, text, length(text)::BIGINT AS n_chars,
+         len(string_split(text, ' '))::BIGINT AS n_tok,
+         len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS n_chars,
+       sum(n_tok)::BIGINT AS n_ws_tokens,
+       round(avg(least(n_tok / 100.0, 1.0) * 0.4 + (n_distinct / n_tok) * 0.4
+                 + least(((n_chars - (n_tok - 1)) / n_tok) / 10.0, 1.0) * 0.2),
+             6) AS mean_quality,
+       round(1 - count(DISTINCT md5(text)) / count(*)::DOUBLE, 6) AS dup_frac,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM t GROUP BY source
+"""
+
+
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan_data_pipeline": q_plan_data_pipeline,
     "rulemap_containment": q_rulemap_containment,
@@ -2239,6 +2267,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_perplexity": q_text_perplexity,
     "doc_profile": q_doc_profile,
     "doc_pruned_scan": q_doc_pruned_scan,
+    "doc_dataset_card": q_doc_dataset_card,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -2300,4 +2329,5 @@ ORACLES_DOCS: dict[str, str] = {
     "text_perplexity": SQL_TEXT_PERPLEXITY,
     "doc_profile": SQL_DOC_PROFILE,
     "doc_pruned_scan": SQL_DOC_PRUNED_SCAN,
+    "doc_dataset_card": SQL_DOC_DATASET_CARD,
 }

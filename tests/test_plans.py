@@ -424,3 +424,24 @@ def test_profile_exact_expands_approx_does_not(spark):
     assert "Expand" in exact_plan
     assert "Expand" not in approx_plan
     assert "Python" not in exact_plan and "Python" not in approx_plan
+
+
+def test_dataset_card_approx_tracks_exact(spark):
+    """dataset_card approx=True (HLL++ for both distincts — the no-
+    Expand scale path) must stay within the rsd envelope of the exact
+    card on every per-source row."""
+    from omics_data_integration_utilities_spark.plans.data_pipeline import dataset_card
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ex = {r["source"]: r.asDict() for r in dataset_card(docs).collect()}
+    ap = {r["source"]: r.asDict() for r in dataset_card(docs, approx=True).collect()}
+    assert set(ex) == set(ap)
+    for s in ex:
+        # non-distinct aggregates must be identical
+        for k in ("n_docs", "n_chars", "n_ws_tokens", "mean_quality"):
+            assert ex[s][k] == ap[s][k], (s, k)
+        # HLL at rsd 0.05 on per-source cardinalities (~25 texts): 4
+        # sigma plus the integer floor
+        n = ex[s]["n_docs"]
+        assert abs(ex[s]["dup_frac"] - ap[s]["dup_frac"]) <= (4 * 0.05) + 4.0 / n
+        assert abs(ex[s]["n_langs"] - ap[s]["n_langs"]) <= max(1, 0.2 * ex[s]["n_langs"])
