@@ -1418,3 +1418,88 @@ def test_drift_flags_mean_and_null_jump(spark):
     assert out[(1, "value")] == (True, False)
     assert out[(1, "user_id")] == (False, True)
     assert out[(2, "value")] == (False, False)
+
+
+def test_observability_day_integration(spark, tmp_path):
+    """The r13 observability composite, end to end across modules: two
+    ingest days -> per-day mergeable profile slices -> all-time merged
+    card; day-2 windowed profile checked for drift against the day-1
+    reference (the schema contract between windowed_profile_agg rows
+    and drift_flags' reference argument); curated corpus written
+    partitioned-by-source and read back pruned.  Each piece is verified
+    alone elsewhere; this pins the cross-module schemas."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.operators.profile import (
+        estimate_profile,
+        merge_profile_sketches,
+        profile_sketches,
+        profile_table,
+    )
+    from omics_data_integration_utilities_spark.sources.layout import (
+        read_table,
+        write_partitioned,
+    )
+    from omics_data_integration_utilities_spark.streaming.profile import (
+        drift_flags,
+        windowed_profile_agg,
+    )
+    from .conftest import SF_SMOKE
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    day1 = events.where(F.col("event_id") % 2 == 0)
+    day2 = events.where(F.col("event_id") % 2 == 1)
+
+    # (1) mergeable slices -> all-time card
+    cols = ["user_id", "value", "event_type"]
+    slices = profile_sketches(day1, cols, slice_id="d1").unionByName(
+        profile_sketches(day2, cols, slice_id="d2")
+    )
+    alltime = {
+        r["col_name"]: r.asDict()
+        for r in estimate_profile(
+            merge_profile_sketches(slices.drop("slice_id"))
+        ).collect()
+    }
+    whole = {
+        r["col_name"]: r.asDict() for r in profile_table(events, cols).collect()
+    }
+    for c in cols:
+        assert alltime[c]["n_rows"] == whole[c]["n_rows"]
+        assert alltime[c]["min_value"] == whole[c]["min_value"]
+        assert alltime[c]["max_value"] == whole[c]["max_value"]
+
+    # (2) day-2 windowed profile vs day-1 reference: the reference arg
+    # accepts a (col_name, mean, stddev, n_nonnull, n_nulls) projection
+    # of any profile relation — here day-1 moments via one global window
+    ref = (
+        windowed_profile_agg(day1.withColumn("ts", F.col("ts")), ["value"], 10**9)
+        .select("col_name", "mean", "stddev", "n_nonnull", "n_nulls")
+    )
+    # daily windows so each carries enough events for the 3-sigma rule
+    # to be meaningful at smoke scale
+    cur = windowed_profile_agg(day2, ["value"], 86_400)
+    flagged = drift_flags(cur, ref).collect()
+    assert len(flagged) > 0
+    # same feed split by event-id parity: well-populated windows must
+    # not drift (a 1-2 event window CAN legitimately trip a 3-sigma
+    # mean rule on this heavy-tailed value column — that is the
+    # operator behaving, not a bug, so small windows are out of scope)
+    big = [r for r in flagged if r["n_nonnull"] >= 10]
+    assert len(big) > 0
+    assert not any(r["mean_drift"] or r["null_drift"] for r in big)
+
+    # (3) curated write partitioned by source + pruned read-back
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = str(tmp_path / "curated_layout")
+    write_partitioned(docs, out, ["source"], cluster_by=["doc_id"])
+    one_source = docs.select("source").orderBy("source").limit(1).collect()[0][0]
+    got = (
+        read_table(spark, out)
+        .where(F.col("source") == one_source)
+        .select("doc_id")
+        .collect()
+    )
+    want = docs.where(F.col("source") == one_source).select("doc_id").collect()
+    assert sorted(r[0] for r in got) == sorted(r[0] for r in want)
