@@ -187,9 +187,18 @@ def profile_numeric(
         ]
     wide = df.agg(*aggs)
 
-    q_names = [f"q_{str(q).replace('.', '_').rstrip('0_') or '0'}" for q in qs]
+    # fixed-point rendering, never str(): str(1e-05) = '1e-05' would put
+    # a hyphen in the stack alias and die inside the SQL parser instead
+    # of here
+    q_names = [
+        f"q_{format(q, '.12f').rstrip('0').rstrip('.').replace('.', '_') or '0'}"
+        for q in qs
+    ]
     if len(set(q_names)) != len(q_names):
         raise ValueError(f"profile_numeric: quantiles collide on names {q_names}")
+    bad = [n for n in q_names if not n.replace("_", "").isalnum()]
+    if bad:
+        raise ValueError(f"profile_numeric: unrepresentable quantile names {bad}")
     parts = []
     for i, name in enumerate(cols):
         lit = name.replace("'", "''")
@@ -242,9 +251,26 @@ def profile_sketches(
     if missing:
         raise ValueError(f"profile_sketches: unknown columns {missing}")
 
+    from pyspark.sql.types import NumericType
+
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    kinds: list[str] = []
     for i, c in enumerate(cols):
+        numeric = isinstance(df.schema[c].dataType, NumericType)
+        kinds.append("numeric" if numeric else "other")
         mn, mx = _min_max(c)
+        # numeric columns additionally carry DOUBLE extrema keys so the
+        # MERGE can order numerically — the rendered strings alone would
+        # fold lexicographically ('9' > '100'), exactly the trap
+        # _min_max exists to avoid.  (Integral values whose doubles
+        # collide — |v| > 2^53 — may tie in the merge key; the picked
+        # extremum is then off by < 1 ulp relative.  Documented bound.)
+        num_min = (
+            F.min(F.col(c)).cast("double") if numeric else F.lit(None).cast("double")
+        )
+        num_max = (
+            F.max(F.col(c)).cast("double") if numeric else F.lit(None).cast("double")
+        )
         aggs += [
             F.count(F.col(c)).alias(f"__nn_{i}"),
             # hll_sketch_agg ignores NULLs; cast to string so every
@@ -255,21 +281,27 @@ def profile_sketches(
             ),
             mn.alias(f"__min_{i}"),
             mx.alias(f"__max_{i}"),
+            num_min.alias(f"__minn_{i}"),
+            num_max.alias(f"__maxn_{i}"),
         ]
     wide = df.agg(*aggs)
     parts = []
     for i, c in enumerate(cols):
         lit = c.replace("'", "''")
-        parts.append(f"'{lit}', __nn_{i}, __sk_{i}, __min_{i}, __max_{i}")
+        parts.append(
+            f"'{lit}', '{kinds[i]}', __nn_{i}, __sk_{i}, "
+            f"__min_{i}, __max_{i}, __minn_{i}, __maxn_{i}"
+        )
     out = wide.select(
         F.col("__n_rows").alias("n_rows"),
         F.expr(
             f"stack({len(cols)}, {', '.join(parts)}) "
-            "as (col_name, n_nonnull, distinct_sketch, min_value, max_value)"
+            "as (col_name, col_kind, n_nonnull, distinct_sketch, "
+            "min_value, max_value, min_num, max_num)"
         ),
     ).select(
-        "col_name", "n_rows", "n_nonnull", "distinct_sketch",
-        "min_value", "max_value",
+        "col_name", "col_kind", "n_rows", "n_nonnull", "distinct_sketch",
+        "min_value", "max_value", "min_num", "max_num",
     )
     if slice_id is not None:
         out = out.select(F.lit(slice_id).alias("slice_id"), "*")
@@ -279,16 +311,43 @@ def profile_sketches(
 def merge_profile_sketches(profiles: DataFrame) -> DataFrame:
     """Fold per-slice summary rows (a union of :func:`profile_sketches`
     outputs) into one row per column: counts sum, min/max fold, HLL
-    sketches union register-wise.  Input size is |slices|×|cols| tiny
-    rows — this aggregation never touches the data again."""
-    return profiles.groupBy("col_name").agg(
+    sketches union register-wise.  Numeric columns fold their extrema by
+    the NUMERIC merge keys (``min_by``/``max_by`` keep the originally
+    rendered string, so '9' vs '100' merges to '100'); everything else
+    folds lexicographically, which IS that kind's ordering.  Input size
+    is |slices|×|cols| tiny rows — this aggregation never touches the
+    data again."""
+    merged = profiles.groupBy("col_name").agg(
+        F.max("col_kind").alias("col_kind"),
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_nonnull").alias("n_nonnull"),
         F.hll_union_agg(F.col("distinct_sketch"), F.lit(True)).alias(
             "distinct_sketch"
         ),
-        F.min("min_value").alias("min_value"),
-        F.max("max_value").alias("max_value"),
+        # min_by/max_by ignore NULL keys (empty slices drop out); all-
+        # NULL keys (non-numeric kinds, all-null columns) yield NULL
+        F.min_by("min_value", "min_num").alias("__min_by_num"),
+        F.max_by("max_value", "max_num").alias("__max_by_num"),
+        F.min("min_value").alias("__min_lex"),
+        F.max("max_value").alias("__max_lex"),
+        F.min("min_num").alias("min_num"),
+        F.max("max_num").alias("max_num"),
+    )
+    is_num = F.col("col_kind") == "numeric"
+    return merged.select(
+        "col_name",
+        "col_kind",
+        "n_rows",
+        "n_nonnull",
+        "distinct_sketch",
+        F.when(is_num, F.col("__min_by_num"))
+        .otherwise(F.col("__min_lex"))
+        .alias("min_value"),
+        F.when(is_num, F.col("__max_by_num"))
+        .otherwise(F.col("__max_lex"))
+        .alias("max_value"),
+        "min_num",
+        "max_num",
     )
 
 

@@ -924,6 +924,12 @@ def q_events_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the watched columns of the windowed drift profile — both engines'
+#: queries are generated from this one tuple (same drift-proof
+#: discipline as NUMERIC_PROFILE_COLS above)
+WINDOWED_PROFILE_COLS = ("value", "user_id")
+
+
 def q_events_windowed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed feed-drift profile (batch twin of
     ``streaming/profile.windowed_profile_stream``, stream==batch parity
@@ -933,7 +939,9 @@ def q_events_windowed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.profile import windowed_profile_agg
 
     return windowed_profile_agg(
-        _t(spark, sf_dir, "events"), ["value", "user_id"], window_seconds=3600
+        _t(spark, sf_dir, "events"),
+        list(WINDOWED_PROFILE_COLS),
+        window_seconds=3600,
     )
 
 
@@ -945,7 +953,7 @@ SQL_EVENTS_WINDOWED_PROFILE = "\nUNION ALL\n".join(
        round(stddev_samp({c}::DOUBLE), 6) AS stddev,
        min({c}::DOUBLE) AS min_value, max({c}::DOUBLE) AS max_value
 FROM events GROUP BY bucket"""
-    for c in ("value", "user_id")
+    for c in WINDOWED_PROFILE_COLS
 )
 
 

@@ -161,6 +161,20 @@ def tumbling_event_agg(events: DataFrame, window_seconds: int = 3600) -> DataFra
     )
 
 
+def staged_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """The shared file-source opener: nanos-aware schema inference (see
+    ``stream_source_schema``) + the single-file symlink staging the file
+    streaming source needs (it only accepts directories).  Every
+    streaming entry point that reads a parquet path goes through here so
+    the staging/inference logic lives once."""
+    schema = stream_source_schema(spark, path)
+    if os.path.isfile(path):
+        staged = tempfile.mkdtemp(prefix="omics_stream_")
+        os.symlink(path, os.path.join(staged, os.path.basename(path)))
+        path = staged
+    return spark.readStream.schema(schema).parquet(path)
+
+
 def windowed_event_counts_stream(
     spark: SparkSession,
     events_path: str,
@@ -177,16 +191,7 @@ def windowed_event_counts_stream(
                .queryName("out").start())
         q.processAllAvailable()
     """
-    # nanos-AWARE inference: MICROS feeds leave the session conf
-    # untouched; genuine NANOS feeds keep the legacy conf set for the
-    # stream's lifetime (see stream_source_schema)
-    schema = stream_source_schema(spark, events_path)
-    if os.path.isfile(events_path):
-        # the file streaming source requires a directory; stage a symlink
-        staged = tempfile.mkdtemp(prefix="omics_stream_")
-        os.symlink(events_path, os.path.join(staged, os.path.basename(events_path)))
-        events_path = staged
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = staged_file_stream(spark, events_path)
     return (
         stream.withColumn("__event_time", _event_time(stream))
         .withWatermark("__event_time", watermark)

@@ -17,8 +17,6 @@ profile relation, not on the feed.
 
 from __future__ import annotations
 
-import os
-import tempfile
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -26,7 +24,7 @@ from pyspark.sql import functions as F
 
 from .events import (
     _event_time,
-    stream_source_schema,
+    staged_file_stream,
     ts_event_micros_sql,
 )
 
@@ -99,12 +97,7 @@ def windowed_profile_stream(
     cols = list(columns)
     if not cols:
         raise ValueError("windowed_profile_stream: need at least one column")
-    schema = stream_source_schema(spark, events_path)
-    if os.path.isfile(events_path):
-        staged = tempfile.mkdtemp(prefix="omics_stream_")
-        os.symlink(events_path, os.path.join(staged, os.path.basename(events_path)))
-        events_path = staged
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = staged_file_stream(spark, events_path)
     wide = (
         stream.withColumn("__event_time", _event_time(stream))
         .withWatermark("__event_time", watermark)
@@ -127,10 +120,19 @@ def drift_flags(
     inputs are profile relations (rows per (window, col_name)) — tiny
     next to the feed, so this is a broadcast join no matter the corpus.
     ``reference`` needs columns (col_name, mean, stddev, n_nonnull,
-    n_nulls)."""
+    n_nulls).
+
+    Flag semantics are total — never NULL: a watched column MISSING
+    from the reference (schema drift, the loudest drift event) raises
+    ``ref_missing`` and both drift flags; a reference row whose stddev
+    is NULL (single-sample window — sample stddev undefined) cannot
+    support the sigma rule, so ``mean_drift`` is False there and the
+    caller sees the undefined baseline via ``ref_missing=False`` +
+    their own reference."""
     ref = F.broadcast(
         reference.select(
             F.col("col_name"),
+            F.lit(True).alias("__ref_present"),
             F.col("mean").alias("ref_mean"),
             F.col("stddev").alias("ref_stddev"),
             (
@@ -143,13 +145,22 @@ def drift_flags(
         F.col("n_nulls") / (F.col("n_nulls") + F.col("n_nonnull")).cast("double")
     )
     joined = current.join(ref, "col_name", "left")
+    ref_missing = F.coalesce(F.col("__ref_present"), F.lit(False)) == F.lit(False)
+    mean_cond = (
+        F.abs(F.col("mean") - F.col("ref_mean")) > mean_sigmas * F.col("ref_stddev")
+    )
+    null_cond = (cur_null_frac - F.col("ref_null_frac")) > null_frac_jump
     return joined.select(
         *current.columns,
-        (
-            F.abs(F.col("mean") - F.col("ref_mean"))
-            > mean_sigmas * F.col("ref_stddev")
-        ).alias("mean_drift"),
-        ((cur_null_frac - F.col("ref_null_frac")) > null_frac_jump).alias(
-            "null_drift"
-        ),
+        ref_missing.alias("ref_missing"),
+        # coalesce makes the flags total: NULL comparison outcomes
+        # (missing reference -> flagged via ref_missing; NULL ref
+        # stddev -> unassessable, not flagged) never leak NULL into a
+        # boolean a downstream filter would silently drop
+        F.when(ref_missing, F.lit(True))
+        .otherwise(F.coalesce(mean_cond, F.lit(False)))
+        .alias("mean_drift"),
+        F.when(ref_missing, F.lit(True))
+        .otherwise(F.coalesce(null_cond, F.lit(False)))
+        .alias("null_drift"),
     )

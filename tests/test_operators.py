@@ -1692,3 +1692,49 @@ def test_profile_sketches_slice_rows_are_tiny_and_tagged(spark):
         assert r["slice_id"] == "day1"
         # lg_k=12 dense HLL is 4KB-ish; generous ceiling
         assert 0 < len(r["distinct_sketch"]) < 16_384
+
+
+def test_profile_sketches_merge_cross_magnitude_extrema(spark):
+    """Review regression (r13): merged extrema of numeric columns must
+    fold NUMERICALLY across slices whose rendered strings would order
+    wrong lexicographically ('9' vs '100', negatives), while string
+    columns keep lexicographic folding."""
+    from omics_data_integration_utilities_spark.operators.profile import (
+        estimate_profile,
+        merge_profile_sketches,
+        profile_sketches,
+    )
+
+    a = spark.createDataFrame(
+        [(-5, "9", 1.5)], "k long, s string, v double"
+    )
+    b = spark.createDataFrame(
+        [(-40, "100", 0.25), (7, "zz", 20.0)], "k long, s string, v double"
+    )
+    merged = {
+        r["col_name"]: r.asDict()
+        for r in estimate_profile(
+            merge_profile_sketches(
+                profile_sketches(a).unionByName(profile_sketches(b))
+            )
+        ).collect()
+    }
+    assert merged["k"]["min_value"] == "-40" and merged["k"]["max_value"] == "7"
+    assert merged["v"]["min_value"] == "0.25" and merged["v"]["max_value"] == "20.0"
+    # string column: lexicographic IS the column's ordering
+    assert merged["s"]["min_value"] == "100" and merged["s"]["max_value"] == "zz"
+
+
+def test_profile_numeric_rejects_scientific_quantile_names(spark):
+    """Review regression (r13): tiny quantiles must produce valid
+    fixed-point column names (or a clear ValueError), never a hyphenated
+    'q_1e-05' that dies inside the SQL parser."""
+    from omics_data_integration_utilities_spark.operators.profile import (
+        profile_numeric,
+    )
+
+    df = spark.range(100).selectExpr("cast(id as double) as x")
+    out = profile_numeric(df, ["x"], quantiles=[1e-05, 0.5])
+    names = out.columns
+    assert "q_0_00001" in names and "q_0_5" in names
+    assert out.count() == 1

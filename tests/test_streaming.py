@@ -1503,3 +1503,36 @@ def test_observability_day_integration(spark, tmp_path):
     )
     want = docs.where(F.col("source") == one_source).select("doc_id").collect()
     assert sorted(r[0] for r in got) == sorted(r[0] for r in want)
+
+
+def test_drift_flags_total_semantics_missing_ref_and_null_stddev(spark):
+    """Review regression (r13): drift flags are TOTAL booleans — a
+    column missing from the reference raises ref_missing AND both
+    flags (schema drift is the loudest drift); a NULL reference stddev
+    (single-sample window) yields mean_drift=False, never NULL."""
+    from omics_data_integration_utilities_spark.streaming.profile import drift_flags
+
+    ref = spark.createDataFrame(
+        [("value", 50.0, None, 100, 0)],
+        "col_name string, mean double, stddev double, n_nonnull long, n_nulls long",
+    )
+    cur = spark.createDataFrame(
+        [
+            (1, "value", 100, 0, 500.0, 1.0, 0.0, 900.0),   # huge shift, ref stddev NULL
+            (1, "brand_new_col", 100, 0, 1.0, 1.0, 0.0, 2.0),  # not in ref
+        ],
+        "bucket long, col_name string, n_nonnull long, n_nulls long, "
+        "mean double, stddev double, min_value double, max_value double",
+    )
+    out = {r["col_name"]: r.asDict() for r in drift_flags(cur, ref).collect()}
+    nv = out["value"]
+    assert nv["ref_missing"] is False
+    assert nv["mean_drift"] is False and nv["null_drift"] is False
+    bn = out["brand_new_col"]
+    assert bn["ref_missing"] is True
+    assert bn["mean_drift"] is True and bn["null_drift"] is True
+    # no NULLs anywhere in the flag columns
+    assert all(
+        r[k] is not None for r in out.values()
+        for k in ("ref_missing", "mean_drift", "null_drift")
+    )
