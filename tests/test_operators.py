@@ -1738,3 +1738,29 @@ def test_profile_numeric_rejects_scientific_quantile_names(spark):
     names = out.columns
     assert "q_0_00001" in names and "q_0_5" in names
     assert out.count() == 1
+
+
+def test_profile_sketches_empty_slice_merge_noop(spark):
+    """Merging the summary of an EMPTY slice (a quiet ingest day) must
+    not move any statistic."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.operators.profile import (
+        estimate_profile,
+        merge_profile_sketches,
+        profile_sketches,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    empty = df.where(F.lit(False))
+    with_empty = estimate_profile(
+        merge_profile_sketches(
+            profile_sketches(df).unionByName(profile_sketches(empty))
+        )
+    ).collect()
+    alone = estimate_profile(
+        merge_profile_sketches(profile_sketches(df))
+    ).collect()
+    canon = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert canon(with_empty) == canon(alone)
+    assert {r["min_value"] for r in with_empty} == {"1", "a"}
