@@ -477,7 +477,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # queued for the r14 rotation): events_windowed_profile (batch twin of
 # the streaming drift monitor; stream==batch parity tested) and
 # doc_dataset_card (per-source corpus-release summary; exact form
-# oracle-checked, HLL approx form envelope-tested).
+# oracle-checked, HLL approx form envelope-tested), and sim_index_topk
+# (persisted bucketed IVF index lifecycle — build+probe answers the
+# sim_ivf_topk brute-force oracle exactly; probe==ivf_topk asserted at
+# approximate settings too, bucket pruning plan-asserted).
 _PRIORITY = [
     # composite plans
     "plan_mass_annotation",

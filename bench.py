@@ -170,8 +170,11 @@ SLOW_TIER = [
     "events_profile_numeric",
     "events_windowed_profile",
     # late round 13: per-source dataset card (exact distincts — Expand
-    # by design at report scale; approx HLL form is the scale path)
+    # by design at report scale; approx HLL form is the scale path) and
+    # the persisted ANN index lifecycle (build + probe per rep, the
+    # dedup_incremental_indexed analog for similarity serving)
     "doc_dataset_card",
+    "sim_index_topk",
 ]
 
 # bench-only callables: timed like registered queries but deliberately

@@ -424,10 +424,32 @@ def ivf_topk(
         sample_fraction=sample_fraction,
         max_train_rows=max_train_rows,
     )
+    return _probe_scored_topk(
+        assigned, queries, cents, vec_col, id_col, k, n_probes, score_digits
+    )
+
+
+def _probe_scored_topk(
+    assigned: DataFrame,
+    queries: DataFrame,
+    cents,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    n_probes: int,
+    score_digits: int,
+) -> DataFrame:
+    """The shared IVF probe kernel: nearest ``n_probes`` lists per query
+    (driver-side against the tiny centroid matrix), candidates
+    restricted to those lists — first by a pushed ``list_id`` filter
+    (bucket/row-group pruning on a persisted index), then by the
+    broadcast equi-join — cosine GEMM, window top-k."""
+    import numpy as np
+
     qids, qm, _ = _ids_matrix(queries, id_col, vec_col)
     d2 = ((qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     probe_lists = np.argsort(d2, axis=1)[:, :n_probes]
-    spark = corpus.sparkSession
+    spark = assigned.sparkSession
     probes = spark.createDataFrame(
         [
             (int(qids[i]), [int(x) for x in probe_lists[i]])
@@ -438,9 +460,10 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ).join(F.broadcast(probes), "query_id")
+    probed = sorted({int(x) for row in probe_lists for x in row})
     c = assigned.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__cv"), "list_id"
-    )
+    ).where(F.col("list_id").isin(probed))
     # candidates restricted to probed lists: equi-join on list_id
     pairs = (
         c.join(
@@ -770,4 +793,161 @@ def centroid_drift(
                 F.col("__dot") / (F.col("__nm") * F.col("__ng")), 6
             ).alias("cos_to_global"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# persisted ANN index — the steady-state similarity-serving lifecycle,
+# mirroring the dedup index (operators/dedup.py build/attach/probe): at
+# 100 TB the corpus is clustered and list-assigned ONCE per generation,
+# not re-trained and re-GEMMed per query batch.  The index is a bucketed
+# external parquet table on list_id (probe scans read only the probed
+# buckets — the pushed isin filter prunes at the bucket/row-group level)
+# plus the tiny centroid matrix and a metadata record, all under one
+# path so attach needs nothing but (name, path).
+
+
+class AnnIndex:
+    """Handle to a persisted IVF index: the bucketed ``<name>_lists``
+    table (id, vector, list_id), the centroid matrix, and the layout
+    metadata."""
+
+    def __init__(self, name, path, n_lists, n_buckets, vec_col, id_col, centroids):
+        self.name = name
+        self.path = path
+        self.n_lists = int(n_lists)
+        self.n_buckets = int(n_buckets)
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.centroids = centroids
+
+    @property
+    def lists_table(self) -> str:
+        return f"{self.name}_lists"
+
+
+_ANN_META_DIR = "_ann_index_meta"
+_ANN_CENTROIDS_DIR = "_ann_centroids"
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    name: str,
+    path: str,
+    n_lists: int = 16,
+    n_buckets: int | None = None,
+    sample_fraction: float | None = None,
+    max_train_rows: int = 100_000,
+) -> AnnIndex:
+    """Cluster + assign the corpus once and persist it as a bucketed
+    external table keyed by ``list_id``, with centroids + metadata next
+    to the data.  ``n_buckets`` defaults to ``n_lists`` (one bucket per
+    list — probe reads exactly the probed buckets); size it down for
+    small corpora the same way as the dedup index (O(100 MB-1 GB) per
+    bucket at target scale).  Centroid training is the same bounded
+    deterministic sample as :func:`ivf_assign`."""
+    import os as _os
+
+    from .dedup import _write_index_table
+
+    spark = corpus.sparkSession
+    nb = int(n_buckets) if n_buckets is not None else int(n_lists)
+    assigned, cents = ivf_assign(
+        corpus, vec_col, id_col, n_lists,
+        sample_fraction=sample_fraction, max_train_rows=max_train_rows,
+    )
+    idx = AnnIndex(name, path, n_lists, nb, vec_col, id_col, cents)
+    _write_index_table(
+        assigned.select(F.col(id_col), F.col(vec_col), "list_id"),
+        idx.lists_table, path, "list_id", nb,
+    )
+    (
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in cents[i]]) for i in range(len(cents))],
+            "list_id long, centroid array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_os.path.join(path, _ANN_CENTROIDS_DIR))
+    )
+    (
+        spark.createDataFrame(
+            [(name, int(n_lists), nb, vec_col, id_col)],
+            "name string, n_lists int, n_buckets int, vec_col string, id_col string",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(_os.path.join(path, _ANN_META_DIR))
+    )
+    return idx
+
+
+def attach_ann_index(spark, name: str, path: str) -> AnnIndex:
+    """Re-register an on-disk ANN index in THIS session's catalog — the
+    same contract as ``attach_dedup_index``: the bucket spec lives in
+    the catalog and comes from the stored metadata (declaring a wrong
+    count would route probe joins to wrong buckets), and a same-name
+    table registered elsewhere is refused rather than silently probed."""
+    import os as _os
+
+    import numpy as np
+
+    from .dedup import _normalize_table_location, _registered_table_location
+
+    meta = spark.read.json(_os.path.join(path, _ANN_META_DIR)).collect()[0]
+    if str(meta["name"]) != name:
+        raise ValueError(
+            f"attach_ann_index: metadata at {path!r} names index "
+            f"{meta['name']!r}, not {name!r}"
+        )
+    crows = (
+        spark.read.parquet(_os.path.join(path, _ANN_CENTROIDS_DIR))
+        .orderBy("list_id")
+        .collect()
+    )
+    cents = np.asarray([r["centroid"] for r in crows], dtype="float64")
+    idx = AnnIndex(
+        name, path, int(meta["n_lists"]), int(meta["n_buckets"]),
+        str(meta["vec_col"]), str(meta["id_col"]), cents,
+    )
+    table = idx.lists_table
+    expect_loc = _os.path.join(path, table)
+    if spark.catalog.tableExists(table):
+        got = _registered_table_location(spark, table)
+        if _normalize_table_location(got) != _normalize_table_location(expect_loc):
+            raise ValueError(
+                f"attach_ann_index: table {table!r} is already registered "
+                f"at {got!r}, not {expect_loc!r} — drop it or attach under "
+                f"a different name"
+            )
+    else:
+        spark.sql(
+            f"CREATE TABLE {table} "
+            f"({idx.id_col} BIGINT, {idx.vec_col} ARRAY<DOUBLE>, list_id BIGINT) "
+            f"USING parquet CLUSTERED BY (list_id) SORTED BY (list_id) "
+            f"INTO {idx.n_buckets} BUCKETS "
+            f"LOCATION '{expect_loc}'"
+        )
+    return idx
+
+
+def ann_index_topk(
+    spark,
+    queries: DataFrame,
+    index: AnnIndex,
+    k: int = 5,
+    n_probes: int = 4,
+    score_digits: int = 6,
+) -> DataFrame:
+    """Top-k against a persisted :class:`AnnIndex` — result-identical to
+    :func:`ivf_topk` at the same (n_lists, training, n_probes)
+    configuration (asserted in tests), but the per-batch cost is
+    O(probed buckets), never O(corpus): no re-training, no re-assignment,
+    and the bucketed scan reads only the probed ``list_id`` buckets."""
+    assigned = spark.table(index.lists_table)
+    return _probe_scored_topk(
+        assigned, queries, index.centroids, index.vec_col, index.id_col,
+        k, n_probes, score_digits,
     )

@@ -2180,6 +2180,44 @@ GROUP BY lang
 """
 
 
+# previous generation of the persisted ANN index (catalog table + data
+# dir), removed on the next invocation — same single-live-generation
+# discipline as the dedup index registrations
+_ANN_IDX_LAST: list[tuple[str, str]] = []
+_ANN_IDX_SEQ = itertools.count()
+
+
+def q_sim_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN against the PERSISTED IVF index (build + attach-shape probe
+    end-to-end), in exact mode (n_probes == n_lists) so it answers the
+    same brute-force oracle as ``sim_ivf_topk`` — hash-green proves the
+    persisted lifecycle (bucketed lists table, stored centroids, probe
+    with bucket pruning) returns exactly what the in-memory IVF path
+    returns.  The steady-state point of the index — probe cost
+    O(probed buckets) with no re-train/re-assign — is what a nightly
+    similarity service repeats; tests assert probe==ivf_topk at
+    approximate settings too."""
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import ann_index_topk, build_ann_index
+
+    while _ANN_IDX_LAST:
+        prev_table, prev_path = _ANN_IDX_LAST.pop()
+        spark.sql(f"DROP TABLE IF EXISTS {prev_table}")
+        shutil.rmtree(prev_path, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    name = f"ann_idx_{os.getpid()}_{next(_ANN_IDX_SEQ)}"
+    path = tempfile.mkdtemp(prefix="sim_ann_idx_")
+    idx = build_ann_index(emb, "embedding", "vec_id", name, path, n_lists=16)
+    _ANN_IDX_LAST.append((idx.lists_table, path))
+    out = ann_index_topk(spark, queries, idx, k=5, n_probes=16)
+    return out.select(
+        "query_id", "cand_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dataset card: volume, mean curation-gate quality,
     exact-dup fraction, language spread — the corpus-release summary,
@@ -2268,6 +2306,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_profile": q_doc_profile,
     "doc_pruned_scan": q_doc_pruned_scan,
     "doc_dataset_card": q_doc_dataset_card,
+    "sim_index_topk": q_sim_index_topk,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -2330,4 +2369,7 @@ ORACLES_DOCS: dict[str, str] = {
     "doc_profile": SQL_DOC_PROFILE,
     "doc_pruned_scan": SQL_DOC_PRUNED_SCAN,
     "doc_dataset_card": SQL_DOC_DATASET_CARD,
+    # the persisted-index probe must return exactly what the in-memory
+    # IVF exact mode returns, so it answers the very same oracle
+    "sim_index_topk": SQL_ANN_TOPK,
 }

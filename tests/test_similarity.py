@@ -252,3 +252,84 @@ def test_diversity_sample_quotas_and_partition_invariance(spark):
     # quota larger than the corpus: every row selected, no crash
     tiny = spark.createDataFrame(rows[:5], "vec_id long, embedding array<double>")
     assert diversity_sample(tiny, n=50, n_lists=1).count() == 5
+
+
+def test_ann_index_probe_matches_ivf_topk_and_prunes_buckets(spark, tmp_path):
+    """The persisted ANN index lifecycle: build -> probe equals the
+    in-memory ivf_topk at identical settings (exact AND approximate),
+    attach re-registers with the stored bucket spec and returns the same
+    answers, and the probe scan reads only the probed buckets
+    (SelectedBucketsCount in the plan)."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.operators.similarity import (
+        ann_index_topk,
+        attach_ann_index,
+        build_ann_index,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 20 == 0)
+    idx = build_ann_index(
+        emb, "embedding", "vec_id", "t_ann_idx", str(tmp_path / "idx"), n_lists=8
+    )
+    try:
+        canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+        for n_probes in (8, 3):
+            got = ann_index_topk(spark, q, idx, k=4, n_probes=n_probes)
+            want = ivf_topk(
+                emb, q, "embedding", "vec_id", k=4, n_lists=8, n_probes=n_probes
+            )
+            assert canon(got) == canon(want), f"n_probes={n_probes}"
+        att = attach_ann_index(spark, "t_ann_idx", str(tmp_path / "idx"))
+        assert att.n_lists == 8 and att.n_buckets == 8
+        assert canon(ann_index_topk(spark, q, att, k=4, n_probes=3)) == canon(
+            ann_index_topk(spark, q, idx, k=4, n_probes=3)
+        )
+        plan = (
+            ann_index_topk(spark, q, idx, 4, 3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount:" in plan
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) < int(m.group(2))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ann_idx_lists")
+
+
+def test_attach_ann_index_refuses_wrong_name_and_foreign_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+    import pytest
+
+    from omics_data_integration_utilities_spark.operators.similarity import (
+        attach_ann_index,
+        build_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    build_ann_index(
+        emb, "embedding", "vec_id", "t_ann_guard", str(tmp_path / "g"), n_lists=4
+    )
+    try:
+        with pytest.raises(ValueError, match="names index"):
+            attach_ann_index(spark, "other_name", str(tmp_path / "g"))
+        # same-name table registered at a DIFFERENT location -> refused
+        spark.sql("DROP TABLE IF EXISTS t_ann_guard2_lists")
+        emb.limit(1).write.saveAsTable("t_ann_guard2_lists")
+        build_ann_index(
+            emb.withColumn("vec_id", F.col("vec_id") + 1),
+            "embedding", "vec_id", "t_ann_guard2", str(tmp_path / "g2"),
+            n_lists=4,
+        )
+    except ValueError as e:
+        # build itself may refuse via the shared _write_index_table
+        # ownership guard — also acceptable, same contract
+        assert "t_ann_guard2_lists" in str(e)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ann_guard_lists")
+        spark.sql("DROP TABLE IF EXISTS t_ann_guard2_lists")
