@@ -438,6 +438,7 @@ def _probe_scored_topk(
     k: int,
     n_probes: int,
     score_digits: int,
+    respread: bool = False,
 ) -> DataFrame:
     """The shared IVF probe kernel: nearest ``n_probes`` lists per query
     (driver-side against the tiny centroid matrix), candidates
@@ -464,6 +465,15 @@ def _probe_scored_topk(
     c = assigned.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__cv"), "list_id"
     ).where(F.col("list_id").isin(probed))
+    if respread:
+        # a bucketed-table scan yields at most |probed buckets| tasks —
+        # far fewer than the cores when n_lists is small — and the
+        # per-pair cosine work downstream is the heavy part, so spread
+        # the (pruned, small) candidate set across the cluster before
+        # the pair fan-out.  The in-memory path skips this: its
+        # partitioning is already corpus-wide.  (Measured: 16× corpus
+        # probe 15.9 s bucket-bound → 4.5 s respread.)
+        c = c.repartition(assigned.sparkSession.sparkContext.defaultParallelism)
     # candidates restricted to probed lists: equi-join on list_id
     pairs = (
         c.join(
@@ -949,5 +959,5 @@ def ann_index_topk(
     assigned = spark.table(index.lists_table)
     return _probe_scored_topk(
         assigned, queries, index.centroids, index.vec_col, index.id_col,
-        k, n_probes, score_digits,
+        k, n_probes, score_digits, respread=True,
     )
