@@ -44,6 +44,7 @@ from .text import lang_id, quality_score, doc_fingerprint  # noqa: F401
 from .similarity import (  # noqa: F401
     ann_index_topk,
     attach_ann_index,
+    extend_ann_index,
     brute_force_topk,
     brute_force_topk_np,
     build_ann_index,

@@ -961,3 +961,91 @@ def ann_index_topk(
         assigned, queries, index.centroids, index.vec_col, index.id_col,
         k, n_probes, score_digits, respread=True,
     )
+
+
+def extend_ann_index(
+    index: AnnIndex,
+    new_vecs: DataFrame,
+    name: str,
+    path: str,
+) -> AnnIndex:
+    """Fold a batch of new vectors into the index, producing the next
+    generation under a NEW name/path (blue-green, same contract as
+    ``extend_dedup_index``: a shared name would unregister the
+    generation live probes resolve by name; a shared path would clobber
+    its metadata).
+
+    The batch is assigned to the EXISTING centroids — that is the
+    extension's definition: one generation, one quantizer.  Cost is
+    O(index + batch): the old generation's lists table is read back
+    as-is (already assigned), the batch pays one broadcast-centroid
+    GEMM, and nothing is re-trained.  Re-train (``build_ann_index``)
+    when drift accumulates — the centroid_drift monitor upstream is the
+    signal for that."""
+    import os as _os
+
+    from .dedup import _write_index_table
+
+    if name == index.name or path == index.path:
+        raise ValueError(
+            "extend_ann_index: the new generation needs a different "
+            "name AND path (same-name write would unregister the "
+            "generation being read; same-path write would clobber its "
+            "metadata)"
+        )
+    spark = new_vecs.sparkSession
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast(index.centroids)
+    vec_col, id_col = index.vec_col, index.id_col
+
+    def run(batches):
+        cc = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            d2 = ((a[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+            out = pdf.copy()
+            out["list_id"] = d2.argmin(axis=1).astype("int64")
+            yield out
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in new_vecs.schema.fields
+    )
+    batch_assigned = new_vecs.mapInPandas(run, schema=f"{fields}, list_id long")
+
+    out_idx = AnnIndex(
+        name, path, index.n_lists, index.n_buckets, vec_col, id_col,
+        index.centroids,
+    )
+    combined = (
+        spark.table(index.lists_table)
+        .select(F.col(id_col), F.col(vec_col), "list_id")
+        .unionByName(batch_assigned.select(F.col(id_col), F.col(vec_col), "list_id"))
+    )
+    _write_index_table(
+        combined, out_idx.lists_table, path, "list_id", out_idx.n_buckets
+    )
+    (
+        spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in index.centroids[i]])
+                for i in range(len(index.centroids))
+            ],
+            "list_id long, centroid array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_os.path.join(path, _ANN_CENTROIDS_DIR))
+    )
+    (
+        spark.createDataFrame(
+            [(name, index.n_lists, out_idx.n_buckets, vec_col, id_col)],
+            "name string, n_lists int, n_buckets int, vec_col string, id_col string",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(_os.path.join(path, _ANN_META_DIR))
+    )
+    return out_idx

