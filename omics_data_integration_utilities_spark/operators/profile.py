@@ -316,7 +316,20 @@ def merge_profile_sketches(profiles: DataFrame) -> DataFrame:
     rendered string, so '9' vs '100' merges to '100'); everything else
     folds lexicographically, which IS that kind's ordering.  Input size
     is |slices|×|cols| tiny rows — this aggregation never touches the
-    data again."""
+    data again.
+
+    Summary rows persisted by the pre-r13-fix ``profile_sketches`` lack
+    ``col_kind``/``min_num``/``max_num``; they stay mergeable (a stored
+    history must never force a full re-profile) under the documented
+    lexicographic fallback: missing columns default to kind ``other``
+    with NULL numeric keys."""
+    for col, default in (
+        ("col_kind", F.lit("other")),
+        ("min_num", F.lit(None).cast("double")),
+        ("max_num", F.lit(None).cast("double")),
+    ):
+        if col not in profiles.columns:
+            profiles = profiles.withColumn(col, default)
     merged = profiles.groupBy("col_name").agg(
         F.max("col_kind").alias("col_kind"),
         F.sum("n_rows").alias("n_rows"),

@@ -376,7 +376,18 @@ def ivf_assign(
             df, cents, vec_col=vec_col, id_col=id_col,
             iterations=full_refine_iterations,
         )
-    bc = spark.sparkContext.broadcast(cents)
+    assigned = _assign_to_centroids(df, cents, vec_col)
+    return assigned, cents
+
+
+def _assign_to_centroids(df: DataFrame, cents, vec_col: str) -> DataFrame:
+    """The shared nearest-centroid assignment kernel (build-time AND
+    extend-time — one generation, one quantizer means one kernel):
+    broadcast the tiny centroid matrix, argmin each Arrow batch, append
+    ``list_id``."""
+    import numpy as np
+
+    bc = df.sparkSession.sparkContext.broadcast(cents)
 
     def run(batches):
         cc = bc.value
@@ -389,9 +400,10 @@ def ivf_assign(
             out["list_id"] = d2.argmin(axis=1).astype("int64")
             yield out
 
-    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    assigned = df.mapInPandas(run, schema=f"{fields}, list_id long")
-    return assigned, cents
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(run, schema=f"{fields}, list_id long")
 
 
 def ivf_topk(
@@ -447,10 +459,16 @@ def _probe_scored_topk(
     broadcast equi-join — cosine GEMM, window top-k."""
     import numpy as np
 
+    spark = assigned.sparkSession
     qids, qm, _ = _ids_matrix(queries, id_col, vec_col)
+    if len(qids) == 0:
+        # a quiet interval's empty batch must yield an empty top-k
+        # relation, not a numpy broadcast error in the serving loop
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, score double, rank int"
+        )
     d2 = ((qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     probe_lists = np.argsort(d2, axis=1)[:, :n_probes]
-    spark = assigned.sparkSession
     probes = spark.createDataFrame(
         [
             (int(qids[i]), [int(x) for x in probe_lists[i]])
@@ -820,9 +838,13 @@ def centroid_drift(
 class AnnIndex:
     """Handle to a persisted IVF index: the bucketed ``<name>_lists``
     table (id, vector, list_id), the centroid matrix, and the layout
-    metadata."""
+    metadata (bucket spec + the PHYSICAL column types, which the attach
+    DDL must restate exactly)."""
 
-    def __init__(self, name, path, n_lists, n_buckets, vec_col, id_col, centroids):
+    def __init__(
+        self, name, path, n_lists, n_buckets, vec_col, id_col, centroids,
+        id_type="bigint", vec_type="array<double>",
+    ):
         self.name = name
         self.path = path
         self.n_lists = int(n_lists)
@@ -830,6 +852,8 @@ class AnnIndex:
         self.vec_col = vec_col
         self.id_col = id_col
         self.centroids = centroids
+        self.id_type = id_type
+        self.vec_type = vec_type
 
     @property
     def lists_table(self) -> str:
@@ -838,6 +862,44 @@ class AnnIndex:
 
 _ANN_META_DIR = "_ann_index_meta"
 _ANN_CENTROIDS_DIR = "_ann_centroids"
+
+
+def _write_ann_sidecars(spark, idx: AnnIndex) -> None:
+    """Persist the centroid matrix + metadata next to the lists table —
+    ONE writer for build and extend so the sidecar format cannot drift
+    between generations (the dedup index's ``_write_index_meta``
+    discipline).  The stored column types are load-bearing: the attach
+    DDL must declare the physical parquet types (a float32 embedding
+    corpus attached as ARRAY<DOUBLE> breaks the first probe scan)."""
+    import os as _os
+
+    (
+        spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in idx.centroids[i]])
+                for i in range(len(idx.centroids))
+            ],
+            "list_id long, centroid array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_os.path.join(idx.path, _ANN_CENTROIDS_DIR))
+    )
+    (
+        spark.createDataFrame(
+            [
+                (
+                    idx.name, idx.n_lists, idx.n_buckets, idx.vec_col,
+                    idx.id_col, idx.id_type, idx.vec_type,
+                )
+            ],
+            "name string, n_lists int, n_buckets int, vec_col string, "
+            "id_col string, id_type string, vec_type string",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(_os.path.join(idx.path, _ANN_META_DIR))
+    )
 
 
 def build_ann_index(
@@ -858,8 +920,6 @@ def build_ann_index(
     small corpora the same way as the dedup index (O(100 MB-1 GB) per
     bucket at target scale).  Centroid training is the same bounded
     deterministic sample as :func:`ivf_assign`."""
-    import os as _os
-
     from .dedup import _write_index_table
 
     spark = corpus.sparkSession
@@ -868,38 +928,24 @@ def build_ann_index(
         corpus, vec_col, id_col, n_lists,
         sample_fraction=sample_fraction, max_train_rows=max_train_rows,
     )
-    idx = AnnIndex(name, path, n_lists, nb, vec_col, id_col, cents)
-    _write_index_table(
-        assigned.select(F.col(id_col), F.col(vec_col), "list_id"),
-        idx.lists_table, path, "list_id", nb,
+    lists_df = assigned.select(F.col(id_col), F.col(vec_col), "list_id")
+    idx = AnnIndex(
+        name, path, n_lists, nb, vec_col, id_col, cents,
+        id_type=dict(lists_df.dtypes)[id_col],
+        vec_type=dict(lists_df.dtypes)[vec_col],
     )
-    (
-        spark.createDataFrame(
-            [(int(i), [float(x) for x in cents[i]]) for i in range(len(cents))],
-            "list_id long, centroid array<double>",
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_os.path.join(path, _ANN_CENTROIDS_DIR))
-    )
-    (
-        spark.createDataFrame(
-            [(name, int(n_lists), nb, vec_col, id_col)],
-            "name string, n_lists int, n_buckets int, vec_col string, id_col string",
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .json(_os.path.join(path, _ANN_META_DIR))
-    )
+    _write_index_table(lists_df, idx.lists_table, path, "list_id", nb)
+    _write_ann_sidecars(spark, idx)
     return idx
 
 
 def attach_ann_index(spark, name: str, path: str) -> AnnIndex:
     """Re-register an on-disk ANN index in THIS session's catalog — the
-    same contract as ``attach_dedup_index``: the bucket spec lives in
-    the catalog and comes from the stored metadata (declaring a wrong
-    count would route probe joins to wrong buckets), and a same-name
-    table registered elsewhere is refused rather than silently probed."""
+    same contract as ``attach_dedup_index``: the bucket spec AND column
+    types live in the stored metadata (a wrong bucket count routes
+    probe joins to wrong buckets; a wrong column type breaks the scan),
+    and a same-name table registered elsewhere is refused rather than
+    silently probed."""
     import os as _os
 
     import numpy as np
@@ -921,6 +967,7 @@ def attach_ann_index(spark, name: str, path: str) -> AnnIndex:
     idx = AnnIndex(
         name, path, int(meta["n_lists"]), int(meta["n_buckets"]),
         str(meta["vec_col"]), str(meta["id_col"]), cents,
+        id_type=str(meta["id_type"]), vec_type=str(meta["vec_type"]),
     )
     table = idx.lists_table
     expect_loc = _os.path.join(path, table)
@@ -935,10 +982,11 @@ def attach_ann_index(spark, name: str, path: str) -> AnnIndex:
     else:
         spark.sql(
             f"CREATE TABLE {table} "
-            f"({idx.id_col} BIGINT, {idx.vec_col} ARRAY<DOUBLE>, list_id BIGINT) "
+            f"({idx.id_col} {idx.id_type}, {idx.vec_col} {idx.vec_type}, "
+            f"list_id BIGINT) "
             f"USING parquet CLUSTERED BY (list_id) SORTED BY (list_id) "
             f"INTO {idx.n_buckets} BUCKETS "
-            f"LOCATION '{expect_loc}'"
+            f"LOCATION \'{expect_loc}\'"
         )
     return idx
 
@@ -975,18 +1023,23 @@ def extend_ann_index(
     generation live probes resolve by name; a shared path would clobber
     its metadata).
 
-    The batch is assigned to the EXISTING centroids — that is the
-    extension's definition: one generation, one quantizer.  Cost is
-    O(index + batch): the old generation's lists table is read back
-    as-is (already assigned), the batch pays one broadcast-centroid
-    GEMM, and nothing is re-trained.  Re-train (``build_ann_index``)
-    when drift accumulates — the centroid_drift monitor upstream is the
-    signal for that."""
+    The batch is assigned to the EXISTING centroids via the same kernel
+    build-time assignment uses — that is the extension\'s definition:
+    one generation, one quantizer.  Cost is O(index + batch): the old
+    generation\'s lists table is read back as-is (already assigned),
+    the batch pays one broadcast-centroid GEMM, and nothing is
+    re-trained.  Re-train (``build_ann_index``) when drift accumulates
+    — the centroid_drift monitor upstream is the signal for that."""
     import os as _os
 
-    from .dedup import _write_index_table
+    from .dedup import _normalize_table_location, _write_index_table
 
-    if name == index.name or path == index.path:
+    # normalize before comparing: a trailing slash or relative spelling
+    # of the SAME directory must not slip past the clobber guard
+    same_path = _normalize_table_location(path) == _normalize_table_location(
+        index.path
+    )
+    if name == index.name or same_path:
         raise ValueError(
             "extend_ann_index: the new generation needs a different "
             "name AND path (same-name write would unregister the "
@@ -994,30 +1047,11 @@ def extend_ann_index(
             "metadata)"
         )
     spark = new_vecs.sparkSession
-    import numpy as np
-
-    bc = spark.sparkContext.broadcast(index.centroids)
     vec_col, id_col = index.vec_col, index.id_col
-
-    def run(batches):
-        cc = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            d2 = ((a[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
-            out = pdf.copy()
-            out["list_id"] = d2.argmin(axis=1).astype("int64")
-            yield out
-
-    fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in new_vecs.schema.fields
-    )
-    batch_assigned = new_vecs.mapInPandas(run, schema=f"{fields}, list_id long")
-
+    batch_assigned = _assign_to_centroids(new_vecs, index.centroids, vec_col)
     out_idx = AnnIndex(
         name, path, index.n_lists, index.n_buckets, vec_col, id_col,
-        index.centroids,
+        index.centroids, id_type=index.id_type, vec_type=index.vec_type,
     )
     combined = (
         spark.table(index.lists_table)
@@ -1027,25 +1061,5 @@ def extend_ann_index(
     _write_index_table(
         combined, out_idx.lists_table, path, "list_id", out_idx.n_buckets
     )
-    (
-        spark.createDataFrame(
-            [
-                (int(i), [float(x) for x in index.centroids[i]])
-                for i in range(len(index.centroids))
-            ],
-            "list_id long, centroid array<double>",
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_os.path.join(path, _ANN_CENTROIDS_DIR))
-    )
-    (
-        spark.createDataFrame(
-            [(name, index.n_lists, out_idx.n_buckets, vec_col, id_col)],
-            "name string, n_lists int, n_buckets int, vec_col string, id_col string",
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .json(_os.path.join(path, _ANN_META_DIR))
-    )
+    _write_ann_sidecars(spark, out_idx)
     return out_idx

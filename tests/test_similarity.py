@@ -318,18 +318,21 @@ def test_attach_ann_index_refuses_wrong_name_and_foreign_table(spark, tmp_path):
     try:
         with pytest.raises(ValueError, match="names index"):
             attach_ann_index(spark, "other_name", str(tmp_path / "g"))
-        # same-name table registered at a DIFFERENT location -> refused
+        # same-name table registered at a DIFFERENT location: the build
+        # MUST refuse via the shared _write_index_table ownership guard
+        # (proceeding would DROP an unrelated managed table, deleting
+        # its data) — review regression: the refusal must be asserted
+        # to FIRE, not merely tolerated
         spark.sql("DROP TABLE IF EXISTS t_ann_guard2_lists")
         emb.limit(1).write.saveAsTable("t_ann_guard2_lists")
-        build_ann_index(
-            emb.withColumn("vec_id", F.col("vec_id") + 1),
-            "embedding", "vec_id", "t_ann_guard2", str(tmp_path / "g2"),
-            n_lists=4,
-        )
-    except ValueError as e:
-        # build itself may refuse via the shared _write_index_table
-        # ownership guard — also acceptable, same contract
-        assert "t_ann_guard2_lists" in str(e)
+        with pytest.raises(ValueError, match="t_ann_guard2_lists"):
+            build_ann_index(
+                emb.withColumn("vec_id", F.col("vec_id") + 1),
+                "embedding", "vec_id", "t_ann_guard2", str(tmp_path / "g2"),
+                n_lists=4,
+            )
+        # and the unrelated table's data survived the refusal
+        assert spark.table("t_ann_guard2_lists").count() == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ann_guard_lists")
         spark.sql("DROP TABLE IF EXISTS t_ann_guard2_lists")
@@ -391,3 +394,68 @@ def test_extend_ann_index_blue_green(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ann_g1_lists")
         spark.sql("DROP TABLE IF EXISTS t_ann_g2_lists")
+
+
+def test_ann_index_cross_session_types_and_guards(spark, tmp_path):
+    """Review regressions (r13): (1) attach must declare the PHYSICAL
+    column types from metadata — a float32 embedding corpus attached
+    with a hardcoded ARRAY<DOUBLE> DDL breaks the first cross-session
+    probe scan; (2) extend's clobber guard must normalize paths (a
+    trailing-slash spelling of the same dir is the same dir); (3) an
+    empty query batch yields an empty result, not a numpy crash."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.operators.similarity import (
+        ann_index_topk,
+        attach_ann_index,
+        build_ann_index,
+        extend_ann_index,
+    )
+
+    # embeddings.parquet stores array<float> — the cross-session trap
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert dict(emb.dtypes)["embedding"] == "array<float>"
+    idx = build_ann_index(
+        emb, "embedding", "vec_id", "t_ann_types", str(tmp_path / "t"), n_lists=4
+    )
+    try:
+        assert idx.vec_type == "array<float>"
+        # simulate a fresh session: drop the catalog entry, re-attach
+        spark.sql("DROP TABLE t_ann_types_lists")
+        att = attach_ann_index(spark, "t_ann_types", str(tmp_path / "t"))
+        assert att.vec_type == "array<float>"
+        q = emb.where(F.col("vec_id") % 20 == 0)
+        assert ann_index_topk(spark, q, att, k=3, n_probes=4).count() > 0
+
+        # (2) trailing-slash spelling of the same path is refused
+        with pytest.raises(ValueError, match="different"):
+            extend_ann_index(
+                att, emb.limit(1), "t_ann_types_g2", str(tmp_path / "t") + "/"
+            )
+
+        # (3) empty query batch -> empty relation, correct schema
+        empty_q = emb.where(F.lit(False))
+        out = ann_index_topk(spark, empty_q, att, k=3, n_probes=4)
+        assert out.count() == 0
+        assert out.columns == ["query_id", "cand_id", "score", "rank"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ann_types_lists")
+
+
+def test_profile_sketches_merge_accepts_legacy_schema(spark):
+    """Review regression (r13): summary rows persisted WITHOUT the
+    numeric-merge columns (pre-fix history) must still merge under the
+    lexicographic fallback instead of failing analysis."""
+    from omics_data_integration_utilities_spark.operators.profile import (
+        estimate_profile,
+        merge_profile_sketches,
+        profile_sketches,
+    )
+
+    df = spark.range(1, 4).selectExpr("id as k")
+    legacy = profile_sketches(df).drop("col_kind", "min_num", "max_num")
+    out = estimate_profile(merge_profile_sketches(legacy)).collect()
+    assert len(out) == 1
+    # single slice: lexicographic fallback is still exact here
+    assert out[0]["min_value"] == "1" and out[0]["max_value"] == "3"
