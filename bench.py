@@ -175,6 +175,10 @@ SLOW_TIER = [
     # dedup_incremental_indexed analog for similarity serving)
     "doc_dataset_card",
     "sim_index_topk",
+    # bench-only steady-state ANN probe (memoized index; the untimed
+    # warm-up builds, timed reps only probe — compare against
+    # sim_index_topk = build+probe, the dedup_index_probe pattern)
+    "sim_index_probe",
 ]
 
 # bench-only callables: timed like registered queries but deliberately
@@ -183,9 +187,13 @@ SLOW_TIER = [
 def _extra_bench() -> dict:
     from omics_data_integration_utilities_spark.plans.registry_docs import (
         q_dedup_index_probe,
+        q_sim_index_probe,
     )
 
-    return {"dedup_index_probe": q_dedup_index_probe}
+    return {
+        "dedup_index_probe": q_dedup_index_probe,
+        "sim_index_probe": q_sim_index_probe,
+    }
 
 REGRESSION_FLAG = 1.3
 

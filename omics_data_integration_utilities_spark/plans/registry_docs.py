@@ -2218,6 +2218,41 @@ def q_sim_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-(pid, sf_dir) memoized ANN index for the BENCH-ONLY steady-state
+# probe below — built once (the bench's untimed warm-up rep), probed by
+# every timed rep (the dedup_index_probe pattern, r11 verdict item 6)
+_ANN_PROBE_IDX: dict[str, object] = {}
+
+
+def q_sim_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (deliberately NOT in QUERIES_DOCS — the rotation-pool
+    budget rule): the steady-state ANN PROBE against a prebuilt
+    persisted index.  ``q_sim_index_topk`` stays the driver query
+    (build+probe end-to-end is what the oracle hash-checks), but its
+    per-rep wall is ~all index BUILD; the number worth tracking
+    round-over-round is the probe a similarity service repeats, timed
+    here in isolation.  Result-identical to ``sim_index_topk``
+    (same centroids config, exact mode)."""
+    import tempfile
+
+    from ..operators.similarity import ann_index_topk, build_ann_index
+
+    key = f"{os.getpid()}:{sf_dir}"
+    if key not in _ANN_PROBE_IDX:
+        emb = _t(spark, sf_dir, "embeddings")
+        name = f"ann_probe_{os.getpid()}_{next(_ANN_IDX_SEQ)}"
+        path = tempfile.mkdtemp(prefix="sim_ann_probe_")
+        _ANN_PROBE_IDX[key] = build_ann_index(
+            emb, "embedding", "vec_id", name, path, n_lists=16
+        )
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    out = ann_index_topk(spark, queries, _ANN_PROBE_IDX[key], k=5, n_probes=16)
+    return out.select(
+        "query_id", "cand_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dataset card: volume, mean curation-gate quality,
     exact-dup fraction, language spread — the corpus-release summary,

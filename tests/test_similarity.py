@@ -459,3 +459,22 @@ def test_profile_sketches_merge_accepts_legacy_schema(spark):
     assert len(out) == 1
     # single slice: lexicographic fallback is still exact here
     assert out[0]["min_value"] == "1" and out[0]["max_value"] == "3"
+
+
+def test_sim_index_probe_matches_registered_form(spark):
+    """The bench-only steady-state probe must return exactly what the
+    registered build+probe form returns (same centroid config, exact
+    mode) — the dedup_index_probe equality contract."""
+    from omics_data_integration_utilities_spark.plans.registry_docs import (
+        q_sim_index_probe,
+        q_sim_index_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(tuple(r) for r in q_sim_index_probe(spark, sf).collect())
+    b = sorted(tuple(r) for r in q_sim_index_topk(spark, sf).collect())
+    assert a == b and len(a) > 0
+    # second invocation reuses the memoized index (steady state) and
+    # still agrees
+    a2 = sorted(tuple(r) for r in q_sim_index_probe(spark, sf).collect())
+    assert a2 == a
