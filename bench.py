@@ -557,11 +557,18 @@ def main() -> None:
         "workload_changes": WORKLOAD_CHANGES,
     }
     print("# diagnostics: " + json.dumps(full), file=sys.stderr)
+    # the committed sidecar is the sf0.1 record the judge reads; a
+    # smoke run at another SF writes its own file so it can never
+    # clobber the round's sf0.1 sidecar (it happened twice in r13 —
+    # an sf0.01 verify run rode a commit over the sf0.1 record)
+    sidecar = (
+        "bench_full.json" if sf == "0.1" else f"bench_full_sf{sf}.json"
+    )
     try:
-        with open(os.path.join(here, "bench_full.json"), "w") as f:
+        with open(os.path.join(here, sidecar), "w") as f:
             json.dump(full, f, indent=1)
     except Exception as exc:  # noqa: BLE001 — sidecar loss must not kill stdout
-        print(f"# bench_full.json write failed: {exc}", file=sys.stderr)
+        print(f"# {sidecar} write failed: {exc}", file=sys.stderr)
 
     line = _final_stdout_line(
         total, timings, sf, reps, slow_timings,
