@@ -4,3 +4,4 @@ from .profile import (  # noqa: F401
     windowed_profile_agg,
     windowed_profile_stream,
 )
+from .ann import start_ann_probe_sink  # noqa: F401

@@ -1,0 +1,56 @@
+"""Streaming similarity serving — query vectors arrive as a stream and
+probe the persisted :class:`~..operators.similarity.AnnIndex` per
+micro-batch.
+
+Shape: ``foreachBatch`` is the right streaming primitive here, not a
+stream-static join — the probe needs the batch's query matrix
+driver-side (to pick the ``n_probes`` nearest lists against the tiny
+centroid matrix), which is exactly the bounded collect the batch
+``ann_index_topk`` already performs.  Each micro-batch therefore pays
+O(probed buckets) of index scan and nothing else: the corpus is never
+re-trained or re-assigned, and an empty batch is a no-op (the batch
+probe returns an empty relation).
+
+The index generation is pinned at stream start; blue-green swaps
+(``extend_ann_index`` / rebuild) cut over by restarting the stream on
+the new generation — the same operational contract as the dedup index's
+nightly ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.similarity import AnnIndex, ann_index_topk
+from .events import staged_file_stream
+
+__all__ = ["start_ann_probe_sink"]
+
+
+def start_ann_probe_sink(
+    spark: SparkSession,
+    queries_path: str,
+    index: AnnIndex,
+    output_path: str,
+    checkpoint_path: str,
+    k: int = 5,
+    n_probes: int = 4,
+):
+    """Start the serving stream: parquet query feed → per-micro-batch
+    probe of ``index`` → append-mode parquet results under
+    ``output_path`` (one batch's top-k rows per commit, exactly the
+    batch operator's output schema).  Returns the started
+    StreamingQuery; callers own ``stop()``."""
+    stream = staged_file_stream(spark, queries_path)
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = ann_index_topk(
+            spark, batch_df, index, k=k, n_probes=n_probes
+        )
+        out.write.mode("append").parquet(output_path)
+
+    return (
+        stream.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )

@@ -1536,3 +1536,45 @@ def test_drift_flags_total_semantics_missing_ref_and_null_stddev(spark):
         r[k] is not None for r in out.values()
         for k in ("ref_missing", "mean_drift", "null_drift")
     )
+
+
+def test_ann_probe_stream_matches_batch(spark, tmp_path):
+    """Streaming similarity serving: a query feed probed per micro-batch
+    against the persisted ANN index emits exactly the batch probe's
+    top-k rows."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+    )
+    from omics_data_integration_utilities_spark.streaming.ann import (
+        start_ann_probe_sink,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    idx = build_ann_index(
+        emb, "embedding", "vec_id", "t_ann_stream", str(tmp_path / "idx"),
+        n_lists=8,
+    )
+    try:
+        queries = emb.where(F.col("vec_id") % 20 == 0)
+        qpath = str(tmp_path / "qfeed")
+        queries.write.parquet(qpath)
+        out_path = str(tmp_path / "results")
+        q = start_ann_probe_sink(
+            spark, qpath, idx, out_path, str(tmp_path / "ckpt"),
+            k=4, n_probes=3,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(tuple(r) for r in spark.read.parquet(out_path).collect())
+        want = sorted(
+            tuple(r)
+            for r in ann_index_topk(spark, queries, idx, k=4, n_probes=3).collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ann_stream_lists")
