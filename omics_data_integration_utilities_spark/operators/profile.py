@@ -331,7 +331,20 @@ def merge_profile_sketches(profiles: DataFrame) -> DataFrame:
         if col not in profiles.columns:
             profiles = profiles.withColumn(col, default)
     merged = profiles.groupBy("col_name").agg(
-        F.max("col_kind").alias("col_kind"),
+        # a group is "numeric" only if EVERY slice said numeric; any
+        # non-numeric slice (incl. the pre-r13 "other" legacy default
+        # AND a NULL kind from an allowMissingColumns union of legacy
+        # rows — max(string) ignored those and could wrongly pick the
+        # numeric fold, dropping the legacy slice's extrema) must force
+        # the lexicographic fold.  Spelled as an explicit all-of fold,
+        # not max(string) — string ordering of kind names is an
+        # accident, not a contract
+        F.when(
+            F.min(F.when(F.col("col_kind") == "numeric", 1).otherwise(0)) == 1,
+            F.lit("numeric"),
+        )
+        .otherwise(F.lit("other"))
+        .alias("col_kind"),
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_nonnull").alias("n_nonnull"),
         F.hll_union_agg(F.col("distinct_sketch"), F.lit(True)).alias(

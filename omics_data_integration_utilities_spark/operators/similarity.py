@@ -114,11 +114,37 @@ def cosine_neardup_pairs(
     )
 
 
-def _ids_matrix(df: DataFrame, id_col: str, vec_col: str):
-    """Collect (ids, float64 matrix, norms) for the broadcastable side."""
+# hard cap on the rows any GEMM path may collect to the driver: at a
+# typical dim 64 float64 this is ~512 MB of matrix — the documented
+# "one side fits in memory" contract, now MEASURED instead of trusted
+# (the r12 buildside discipline: never let a planner guess or a caller
+# assumption size a driver-side collect)
+GEMM_MAX_BUILD_ROWS = 1_000_000
+
+
+def _ids_matrix(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_rows: int = GEMM_MAX_BUILD_ROWS,
+    caller: str = "cosine_neardup_np",
+):
+    """Collect (ids, float64 matrix, norms) for the broadcastable side.
+
+    Measured-size guard: collects at most ``max_rows + 1`` rows (one
+    job — the limit IS the measurement) and fails fast if the side
+    exceeds the cap, naming the bucketed alternative, instead of
+    silently OOMing the driver."""
     import numpy as np
 
-    pdf = df.select(id_col, vec_col).toPandas()
+    pdf = df.select(id_col, vec_col).limit(int(max_rows) + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"{caller}: GEMM build side exceeds max_rows={max_rows} — this "
+            "path collects one side to the driver by contract; use "
+            "lsh_bucketed_neardup (bucket-confined comparisons) or the IVF "
+            "index for corpora this large, or raise max_rows explicitly."
+        )
     ids = pdf[id_col].to_numpy()
     if len(ids) == 0:
         empty = np.zeros((0, 0), dtype="float64")
@@ -187,7 +213,9 @@ def brute_force_topk_np(
     import pandas as pd
 
     spark = corpus.sparkSession
-    qids, qm, qn = _ids_matrix(queries, id_col, vec_col)
+    qids, qm, qn = _ids_matrix(
+        queries, id_col, vec_col, caller="brute_force_topk_np (query side)"
+    )
     bc = spark.sparkContext.broadcast((qids, qm, qn))
     n_part = spark.sparkContext.defaultParallelism
 
@@ -349,11 +377,19 @@ def ivf_assign(
         src = src.orderBy(
             F.xxhash64(F.col(id_col), F.lit(7)).asc(), F.col(id_col).asc()
         ).limit(max_train_rows)
-    ids, m, _ = _ids_matrix(src, id_col, vec_col)
+    ids, m, _ = _ids_matrix(
+        src, id_col, vec_col, max_rows=max_train_rows, caller="ivf_assign"
+    )
     if len(ids) < n_lists:
         # degenerate sample (tiny corpus or over-aggressive fraction):
         # take a bounded prefix instead — still never the full corpus
-        ids, m, _ = _ids_matrix(df.limit(max_train_rows), id_col, vec_col)
+        ids, m, _ = _ids_matrix(
+            df.limit(max_train_rows),
+            id_col,
+            vec_col,
+            max_rows=max_train_rows,
+            caller="ivf_assign",
+        )
     if len(ids) == 0:
         raise ValueError("ivf training: corpus is empty — no vectors to cluster")
     order = np.argsort(ids)
@@ -460,12 +496,32 @@ def _probe_scored_topk(
     import numpy as np
 
     spark = assigned.sparkSession
-    qids, qm, _ = _ids_matrix(queries, id_col, vec_col)
+    qids, qm, _ = _ids_matrix(
+        queries, id_col, vec_col, caller="ivf/ann probe (query batch)"
+    )
     if len(qids) == 0:
         # a quiet interval's empty batch must yield an empty top-k
-        # relation, not a numpy broadcast error in the serving loop
+        # relation, not a numpy broadcast error in the serving loop —
+        # with query_id/cand_id carrying the ACTUAL physical id dtypes
+        # (the index preserves id_type: an int id column must not gain
+        # a schema-conflicting bigint parquet file from a quiet batch)
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
         return spark.createDataFrame(
-            [], "query_id long, cand_id long, score double, rank int"
+            [],
+            StructType(
+                [
+                    StructField("query_id", queries.schema[id_col].dataType),
+                    StructField("cand_id", assigned.schema[id_col].dataType),
+                    StructField("score", DoubleType()),
+                    StructField("rank", IntegerType()),
+                ]
+            ),
         )
     d2 = ((qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     probe_lists = np.argsort(d2, axis=1)[:, :n_probes]

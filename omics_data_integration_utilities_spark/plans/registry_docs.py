@@ -2408,3 +2408,52 @@ ORACLES_DOCS: dict[str, str] = {
     # IVF exact mode returns, so it answers the very same oracle
     "sim_index_topk": SQL_ANN_TOPK,
 }
+
+
+def cleanup_registry_state() -> None:
+    """Session-exit hygiene (r13 verdict item 8): drop the single live
+    generation of every registry-managed side artifact — the
+    ``_INCR_IDX_LAST`` dedup index, the ``_LAYOUT_LAST`` pruned-scan
+    layout dir, the ``_ANN_IDX_LAST`` ANN index, and the bench-only
+    memoized probe indexes.  The per-query functions already clean the
+    *previous* generation on entry; this closes the final one so no
+    ``sim_ann_idx_*`` / ``dedup_incr_idx_*`` / ``doc_layout_*`` tempdir
+    (or catalog table) outlives the process.  Data dirs are removed
+    unconditionally; catalog tables only when a live session still
+    exists (at interpreter exit the JVM may already be gone — the
+    tables are session-catalog entries, so they die with it anyway)."""
+    import shutil
+
+    try:
+        spark = SparkSession.getActiveSession()
+    except Exception:
+        spark = None
+
+    def _drop(tables: list[str], path: str) -> None:
+        if spark is not None:
+            for t in tables:
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+                except Exception:
+                    pass
+        shutil.rmtree(path, ignore_errors=True)
+
+    while _INCR_IDX_LAST:
+        tables, path = _INCR_IDX_LAST.pop()
+        _drop(tables, path)
+    while _LAYOUT_LAST:
+        shutil.rmtree(_LAYOUT_LAST.pop(), ignore_errors=True)
+    while _ANN_IDX_LAST:
+        table, path = _ANN_IDX_LAST.pop()
+        _drop([table], path)
+    for idx in _PROBE_IDX.values():
+        _drop([idx.digests_table, idx.bands_table], idx.path)
+    _PROBE_IDX.clear()
+    for idx in _ANN_PROBE_IDX.values():
+        _drop([idx.lists_table], idx.path)
+    _ANN_PROBE_IDX.clear()
+
+
+import atexit  # noqa: E402
+
+atexit.register(cleanup_registry_state)

@@ -37,17 +37,31 @@ def start_ann_probe_sink(
     n_probes: int = 4,
 ):
     """Start the serving stream: parquet query feed → per-micro-batch
-    probe of ``index`` → append-mode parquet results under
-    ``output_path`` (one batch's top-k rows per commit, exactly the
-    batch operator's output schema).  Returns the started
-    StreamingQuery; callers own ``stop()``."""
+    probe of ``index`` → parquet results under ``output_path``,
+    partitioned by ``batch_id`` (the batch operator's output schema plus
+    the ``batch_id`` column).  Returns the started StreamingQuery;
+    callers own ``stop()``.
+
+    Idempotent under micro-batch replay: each batch lands in its own
+    ``batch_id=N`` partition via dynamic partition overwrite, so a
+    failure between the write and the checkpoint commit makes the
+    replayed batch REWRITE its partition instead of appending duplicate
+    top-k rows (the same exactly-once-output contract as
+    :func:`~.sinks.start_upsert_sink`)."""
     stream = staged_file_stream(spark, queries_path)
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         out = ann_index_topk(
             spark, batch_df, index, k=k, n_probes=n_probes
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_path)
         )
-        out.write.mode("append").parquet(output_path)
 
     return (
         stream.writeStream.foreachBatch(probe_batch)

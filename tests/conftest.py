@@ -17,6 +17,14 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 def spark():
     s = get_spark("omics-spark-tests", cpus=8, shuffle_partitions=8)
     yield s
+    # session-exit hygiene (r13 verdict item 8): close the final live
+    # generation of registry-managed indexes/layout dirs WHILE the
+    # session can still drop their catalog tables
+    from omics_data_integration_utilities_spark.plans.registry_docs import (
+        cleanup_registry_state,
+    )
+
+    cleanup_registry_state()
 
 
 @pytest.fixture(scope="session")

@@ -1764,3 +1764,34 @@ def test_profile_sketches_empty_slice_merge_noop(spark):
     canon = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
     assert canon(with_empty) == canon(alone)
     assert {r["min_value"] for r in with_empty} == {"1", "a"}
+
+
+def test_profile_merge_mixed_kind_slices_fold_lexicographic(spark):
+    """ADVICE r14: a numeric slice merged with a legacy slice (which
+    defaults to kind 'other') must take the documented lexicographic
+    fallback — by the explicit any-non-numeric rule, not the accident
+    that 'other' > 'numeric' sorts last."""
+    from omics_data_integration_utilities_spark.operators.profile import (
+        estimate_profile,
+        merge_profile_sketches,
+        profile_sketches,
+    )
+
+    a = spark.createDataFrame([(9,), (100,)], "k long")
+    b = spark.createDataFrame([(30,)], "k long")
+    legacy_b = profile_sketches(b).drop("col_kind", "min_num", "max_num")
+    merged = estimate_profile(
+        merge_profile_sketches(profile_sketches(a).unionByName(legacy_b, allowMissingColumns=True))
+    ).collect()
+    assert len(merged) == 1
+    row = merged[0].asDict()
+    # lexicographic fold over the per-slice renderings: mins {'9','30'},
+    # maxes {'100','30'} — the documented legacy fallback, NOT numeric
+    assert row["min_value"] == "30" and row["max_value"] == "30"
+    # all-numeric merges still fold numerically (control)
+    ctl = estimate_profile(
+        merge_profile_sketches(
+            profile_sketches(a).unionByName(profile_sketches(b))
+        )
+    ).collect()[0].asDict()
+    assert ctl["min_value"] == "9" and ctl["max_value"] == "100"

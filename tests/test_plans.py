@@ -445,3 +445,32 @@ def test_dataset_card_approx_tracks_exact(spark):
         n = ex[s]["n_docs"]
         assert abs(ex[s]["dup_frac"] - ap[s]["dup_frac"]) <= (4 * 0.05) + 4.0 / n
         assert abs(ex[s]["n_langs"] - ap[s]["n_langs"]) <= max(1, 0.2 * ex[s]["n_langs"])
+
+
+def test_registry_cleanup_drops_final_generation(spark):
+    """r13 verdict item 8: after cleanup_registry_state() no registry
+    tempdir (ANN index, dedup index, layout dir, memoized probe
+    indexes) survives, and the catalog tables are gone."""
+    import os
+
+    from omics_data_integration_utilities_spark.plans import registry_docs as rd
+
+    sf = "/root/testdata/sf0.001"
+    rd.q_sim_index_topk(spark, sf).collect()
+    rd.q_doc_pruned_scan(spark, sf).collect()
+    rd.q_dedup_incremental_indexed(spark, sf).collect()
+    live = (
+        [p for _, p in rd._ANN_IDX_LAST]
+        + list(rd._LAYOUT_LAST)
+        + [p for _, p in rd._INCR_IDX_LAST]
+    )
+    tables = [t for t, _ in rd._ANN_IDX_LAST] + [
+        t for ts, _ in rd._INCR_IDX_LAST for t in ts
+    ]
+    assert live and all(os.path.isdir(p) for p in live)
+    rd.cleanup_registry_state()
+    assert not rd._ANN_IDX_LAST and not rd._LAYOUT_LAST and not rd._INCR_IDX_LAST
+    assert not rd._PROBE_IDX and not rd._ANN_PROBE_IDX
+    assert all(not os.path.exists(p) for p in live)
+    for t in tables:
+        assert not spark.catalog.tableExists(t), t

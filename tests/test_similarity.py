@@ -478,3 +478,37 @@ def test_sim_index_probe_matches_registered_form(spark):
     # still agrees
     a2 = sorted(tuple(r) for r in q_sim_index_probe(spark, sf).collect())
     assert a2 == a
+
+
+def test_gemm_build_side_guard_fails_fast_over_cap(spark):
+    """r13 verdict item 4: every GEMM collect path sizes its build side
+    by measurement (the limit IS the measurement — one job) and fails
+    fast naming the bucketed alternative instead of OOMing the driver."""
+    import pytest
+
+    emb = _emb(spark)
+    n = emb.count()
+    with pytest.raises(ValueError, match="lsh_bucketed_neardup"):
+        S._ids_matrix(emb, "vec_id", "embedding", max_rows=n - 1)
+    # boundary: exactly max_rows passes with the full side collected
+    ids, m, norms = S._ids_matrix(emb, "vec_id", "embedding", max_rows=n)
+    assert len(ids) == n and m.shape[0] == n and len(norms) == n
+
+
+def test_probe_empty_batch_schema_matches_nonempty_for_int_ids(spark):
+    """ADVICE r14: the empty-query fast path must emit the ACTUAL
+    physical id dtype (an int id stays int) — a quiet serving
+    micro-batch must never append a schema-conflicting bigint parquet
+    file into a results directory of int-id rows."""
+    emb = _emb(spark).select(
+        F.col("vec_id").cast("int").alias("vec_id"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    nonempty = S.ivf_topk(emb, queries, k=3, n_lists=4, n_probes=2)
+    empty = S.ivf_topk(emb, emb.where(F.lit(False)), k=3, n_lists=4, n_probes=2)
+    assert [f.dataType for f in empty.schema.fields] == [
+        f.dataType for f in nonempty.schema.fields
+    ]
+    assert dict(empty.dtypes)["query_id"] == "int"
+    assert dict(empty.dtypes)["cand_id"] == "int"
+    assert empty.count() == 0

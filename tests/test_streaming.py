@@ -1570,11 +1570,34 @@ def test_ann_probe_stream_matches_batch(spark, tmp_path):
             q.processAllAvailable()
         finally:
             q.stop()
-        got = sorted(tuple(r) for r in spark.read.parquet(out_path).collect())
+        batch_cols = ["query_id", "cand_id", "score", "rank"]
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out_path).select(*batch_cols).collect()
+        )
         want = sorted(
             tuple(r)
-            for r in ann_index_topk(spark, queries, idx, k=4, n_probes=3).collect()
+            for r in ann_index_topk(spark, queries, idx, k=4, n_probes=3)
+            .select(*batch_cols)
+            .collect()
         )
         assert got == want and len(got) > 0
+        # replay idempotence: a second stream with a FRESH checkpoint
+        # re-delivers the same feed as batch 0 — the batch_id-partitioned
+        # dynamic overwrite must REWRITE that partition, not append
+        # duplicates (the failure-between-write-and-commit scenario)
+        q2 = start_ann_probe_sink(
+            spark, qpath, idx, out_path, str(tmp_path / "ckpt_replay"),
+            k=4, n_probes=3,
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        replayed = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out_path).select(*batch_cols).collect()
+        )
+        assert replayed == want
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ann_stream_lists")
