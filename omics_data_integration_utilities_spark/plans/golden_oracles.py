@@ -978,3 +978,30 @@ FROM (VALUES
 GOLDEN_ORACLES.update({
     "sim_diversity_digest": SQL_GOLDEN_SIM_DIVERSITY_DIGEST,
 })
+
+# ---- batch 9 (r14): ANN index recall@k certificate.  The approximate
+# probe's recall has no ANSI-SQL oracle (IVF centroids come from the
+# driver-side Lloyd training); determinism is by construction — hash-
+# sampled id-sorted training, argsort probe selection, rounded-score
+# window top-k, and the certificate itself folds micro-averaged
+# INTEGER ratios (sum(hits)/sum(exact)), so the values are
+# bit-identical across sessions (asserted by the auto-parametrized
+# cross-session check in tests/test_golden_oracles.py).  The full-probe
+# row (n_probes = n_lists = 16) is the in-plan self-check: recall is
+# exactly 1.0 by exhaustiveness, pinned here so any probe-pruning
+# regression breaks the hash.
+# reference semantics: north-star surface (IVF-flat recall certification).
+SQL_GOLDEN_SIM_INDEX_RECALL = """
+SELECT CAST(n_probes AS BIGINT) AS n_probes, CAST(n_queries AS BIGINT) AS n_queries, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit, CAST(recall AS DOUBLE) AS recall, CAST(min_recall AS DOUBLE) AS min_recall
+FROM (VALUES
+  (1, 50, 250, 57, 0.228, 0.0),
+  (2, 50, 250, 102, 0.408, 0.0),
+  (4, 50, 250, 148, 0.592, 0.0),
+  (8, 50, 250, 205, 0.82, 0.2),
+  (16, 50, 250, 250, 1.0, 1.0)
+) AS t(n_probes, n_queries, n_exact, n_hit, recall, min_recall)
+"""
+
+GOLDEN_ORACLES.update({
+    "sim_index_recall": SQL_GOLDEN_SIM_INDEX_RECALL,
+})

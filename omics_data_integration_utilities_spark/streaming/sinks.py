@@ -28,14 +28,18 @@ Two production shapes:
 
 Scale shape: the upsert's anti-join builds from the micro-batch (small
 side) so the snapshot is scanned, never shuffled; snapshot rewrite cost
-is O(snapshot + batch) per trigger — at a 100 TB snapshot you would
-partition the version dirs by key-hash bucket and rewrite only the
-buckets the batch touches (the engine's bucketed-index pattern,
-operators/dedup.py build_dedup_index); this full-rewrite form is the
-correct small/medium shape and the bucketed variant is a layout change,
-not a semantics change.  One previous version is retained per flip so
-in-flight readers of the superseded version finish their scan; older
-generations are pruned.
+is O(snapshot + batch) per trigger for the full-rewrite form — the
+correct small/medium shape.  The 100 TB shape is
+:func:`start_bucketed_upsert_sink` (r13 verdict item 2): version dirs
+partitioned by key-hash bucket, a batch rewrites ONLY the buckets it
+touches, untouched buckets carry by reference through an atomically
+swapped manifest — per-commit cost is O(touched-bucket data + batch),
+never O(snapshot) (probe_r14_bucketedupsert16x.py: bytes written per
+commit are ~touched/n_buckets of the snapshot at every scale, ~25× less
+with 2/64 buckets touched).  Identical MERGE semantics, parity-tested.
+One previous version/manifest is retained per flip so in-flight readers
+of the superseded generation finish their scan; older generations are
+pruned.
 """
 
 from __future__ import annotations
@@ -220,3 +224,224 @@ def upsert_batch_into_snapshot(
     )
     for name in versions[max(2, int(keep_versions)):]:
         shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed upsert snapshot (r13 verdict item 2): the 100 TB shape the
+# full-rewrite sink's docstring promises.  Version dirs are partitioned
+# by key-hash bucket and a batch rewrites ONLY the buckets it touches;
+# untouched buckets carry by reference through a manifest, so per-batch
+# rewrite cost is O(touched-bucket data + batch), never O(snapshot).
+# ---------------------------------------------------------------------------
+
+_MANIFEST_PREFIX = "m"
+
+
+def _bucket_expr(key_cols: "list[str]", n_buckets: int):
+    from pyspark.sql import functions as F
+
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(int(n_buckets))
+    )
+
+
+def _current_manifest(snapshot_dir: str) -> "dict | None":
+    """Resolve CURRENT → manifest JSON (the bucketed snapshot's pointer
+    names a manifest file instead of a version dir)."""
+    import json
+
+    name = _current_version(snapshot_dir)
+    if name is None:
+        return None
+    with open(os.path.join(snapshot_dir, name)) as f:
+        return json.load(f)
+
+
+def read_bucketed_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """Reader half of :func:`start_bucketed_upsert_sink`: resolve the
+    CURRENT manifest and union-read the per-bucket dirs it references.
+    A manifest only ever names COMPLETE bucket dirs (the flip happens
+    after the data write), so readers never see a partial bucket."""
+    man = _current_manifest(snapshot_dir)
+    if man is None:
+        raise FileNotFoundError(
+            f"no CURRENT manifest under {snapshot_dir!r} "
+            "(no batch committed yet?)"
+        )
+    paths = sorted({p for p in man["buckets"].values()})
+    return spark.read.parquet(*[os.path.join(snapshot_dir, p) for p in paths])
+
+
+def start_bucketed_upsert_sink(
+    stream: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    key_cols: "list[str]",
+    n_buckets: int = 16,
+    trigger_once: bool = False,
+    keep_versions: int = 2,
+) -> StreamingQuery:
+    """:func:`start_upsert_sink` with bucketed version dirs — identical
+    MERGE semantics (parity-tested), different layout: each micro-batch
+    rewrites only the key-hash buckets it touches.  Size ``n_buckets``
+    so one bucket's data fits a comfortable rewrite unit (O(100 MB–1 GB)
+    at scale — the dedup-index guidance); the bucket count is fixed at
+    snapshot creation and enforced on every later commit."""
+    spark = stream.sparkSession
+    _require_driver_local(snapshot_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_batch_into_bucketed_snapshot(
+            spark, batch_df, snapshot_dir, key_cols, batch_id,
+            n_buckets=n_buckets, keep_versions=keep_versions,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def upsert_batch_into_bucketed_snapshot(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    snapshot_dir: str,
+    key_cols: "list[str]",
+    batch_id: int,
+    n_buckets: int = 16,
+    keep_versions: int = 2,
+) -> None:
+    """One bucketed MERGE commit: bucket the batch by key hash, read
+    ONLY the touched buckets' current data, upsert, write one
+    ``v{batch}/__bucket=B/`` dir per touched bucket (a single
+    partitionBy job), then atomically flip CURRENT to a new manifest
+    that repoints the touched buckets and carries every untouched
+    bucket's existing dir by reference.
+
+    Crash/replay matrix (manifest + version names are pure functions of
+    batch_id — same argument as :func:`upsert_batch_into_snapshot`):
+
+    - CURRENT names this batch's manifest → committed; replay NO-OPs.
+    - version dir / manifest file exist but CURRENT wasn't flipped →
+      pre-flip crash leftovers; both are rewritten from the still-
+      current base (mode overwrite + tmp/os.replace).
+    - CURRENT missing while manifests or version dirs exist → damaged
+      pointer; raise rather than silently resetting the snapshot.
+
+    The bucket function is ``pmod(xxhash64(keys), n_buckets)`` —
+    deterministic in the keys, so a key's rows land in the same bucket
+    in every batch; ``n_buckets`` is pinned in the manifest and a
+    mismatched commit is refused (a different modulus would strand
+    same-key rows across buckets and break the per-bucket merge)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    _require_driver_local(snapshot_dir)
+    version = f"v{int(batch_id):012d}"
+    manifest_name = f"{_MANIFEST_PREFIX}{int(batch_id):012d}.json"
+    cur_name = _current_version(snapshot_dir)
+    if cur_name == manifest_name:
+        return  # replayed already-committed batch
+    cur = _current_manifest(snapshot_dir)
+    if cur is None and os.path.isdir(snapshot_dir):
+        leftovers = [
+            n for n in os.listdir(snapshot_dir)
+            if (n.startswith("v") and n != version)
+            or (n.startswith(_MANIFEST_PREFIX) and n.endswith(".json")
+                and n != manifest_name)
+        ]
+        if leftovers:
+            raise RuntimeError(
+                f"bucketed snapshot at {snapshot_dir!r} has {leftovers} "
+                "but no CURRENT pointer — refusing to reset the snapshot "
+                "to a single batch; restore CURRENT to the newest "
+                "complete manifest"
+            )
+    if cur is not None and int(cur["n_buckets"]) != int(n_buckets):
+        raise ValueError(
+            f"bucketed snapshot at {snapshot_dir!r} was created with "
+            f"n_buckets={cur['n_buckets']}, got {n_buckets} — the bucket "
+            "count is fixed for the snapshot's lifetime"
+        )
+    bucket = _bucket_expr(key_cols, n_buckets)
+    batch = batch_df.dropDuplicates(key_cols).withColumn("__bucket", bucket)
+    touched = sorted(
+        r["__bucket"] for r in batch.select("__bucket").distinct().collect()
+    )
+    old_buckets: "dict[str, str]" = dict(cur["buckets"]) if cur else {}
+    if touched:
+        target_paths = sorted(
+            {old_buckets[str(b)] for b in touched if str(b) in old_buckets}
+        )
+        if target_paths:
+            target = spark.read.parquet(
+                *[os.path.join(snapshot_dir, p) for p in target_paths]
+            ).withColumn("__bucket", bucket)  # same pure function of keys
+            merged = upsert_snapshot(target, batch, key_cols)
+        else:
+            merged = batch
+        # ONE job writes every touched bucket: v{batch}/__bucket=B/...
+        # (an upsert never empties a bucket, so each touched bucket's
+        # subdir is guaranteed nonempty and the manifest repoint is safe)
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(
+            os.path.join(snapshot_dir, version)
+        )
+    new_buckets = dict(old_buckets)
+    for b in touched:
+        new_buckets[str(b)] = f"{version}/__bucket={b}"
+    manifest = {
+        "batch_id": int(batch_id),
+        "n_buckets": int(n_buckets),
+        "buckets": new_buckets,
+    }
+    os.makedirs(snapshot_dir, exist_ok=True)
+    tmp_man = os.path.join(snapshot_dir, manifest_name + ".tmp")
+    with open(tmp_man, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_man, os.path.join(snapshot_dir, manifest_name))
+    tmp_ptr = os.path.join(snapshot_dir, _CURRENT + ".tmp")
+    with open(tmp_ptr, "w") as f:
+        f.write(manifest_name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_ptr, os.path.join(snapshot_dir, _CURRENT))  # atomic flip
+    dir_fd = os.open(snapshot_dir, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
+    # retention: keep the newest keep_versions manifests; a version dir
+    # survives while ANY kept manifest references one of its buckets
+    # (untouched buckets keep old version dirs alive by reference — the
+    # in-flight-reader guarantee is per MANIFEST, same as the
+    # full-rewrite sink's per-version one)
+    import shutil as _shutil
+
+    keep = max(2, int(keep_versions))
+    manifests = sorted(
+        (
+            n for n in os.listdir(snapshot_dir)
+            if n.startswith(_MANIFEST_PREFIX) and n.endswith(".json")
+        ),
+        reverse=True,
+    )
+    kept, pruned_manifests = manifests[:keep], manifests[keep:]
+    referenced: "set[str]" = set()
+    for name in kept:
+        with open(os.path.join(snapshot_dir, name)) as f:
+            for rel in json.load(f)["buckets"].values():
+                referenced.add(rel.split("/", 1)[0])
+    for name in pruned_manifests:
+        os.remove(os.path.join(snapshot_dir, name))
+    for n in os.listdir(snapshot_dir):
+        if n.startswith("v") and os.path.isdir(
+            os.path.join(snapshot_dir, n)
+        ) and n not in referenced:
+            _shutil.rmtree(os.path.join(snapshot_dir, n), ignore_errors=True)

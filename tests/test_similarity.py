@@ -512,3 +512,37 @@ def test_probe_empty_batch_schema_matches_nonempty_for_int_ids(spark):
     assert dict(empty.dtypes)["query_id"] == "int"
     assert dict(empty.dtypes)["cand_id"] == "int"
     assert empty.count() == 0
+
+
+def test_ann_recall_certificate_monotone_and_exact_row(spark, tmp_path):
+    """r13 verdict item 3: the recall@k certificate.  Recall is monotone
+    nondecreasing in n_probes (a displaced exact member can only be
+    displaced by another exact member under the shared total order), the
+    full-probe self-check row is exactly 1.0, and min_recall never
+    exceeds the micro-averaged recall."""
+    import shutil
+    import tempfile
+
+    emb = _emb(spark)
+    path = tempfile.mkdtemp(prefix="t_ann_recall_")
+    S.build_ann_index(emb, "embedding", "vec_id", "t_ann_recall", path, n_lists=8)
+    idx = S.attach_ann_index(spark, "t_ann_recall", path)
+    try:
+        q = emb.where(F.col("vec_id") % 10 == 0)
+        rows = {
+            r["n_probes"]: r.asDict()
+            for r in S.ann_recall_certificate(
+                spark, q, idx, k=4, probe_settings=(1, 2, 4)
+            ).collect()
+        }
+        assert sorted(rows) == [1, 2, 4, 8]  # full-probe row auto-appended
+        rec = [rows[p]["recall"] for p in sorted(rows)]
+        assert rec == sorted(rec), rec
+        assert rows[8]["recall"] == 1.0 and rows[8]["min_recall"] == 1.0
+        assert rows[8]["n_hit"] == rows[8]["n_exact"]
+        for p, r in rows.items():
+            assert 0.0 <= r["min_recall"] <= r["recall"] <= 1.0, (p, r)
+            assert r["n_queries"] == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ann_recall_lists")
+        shutil.rmtree(path, ignore_errors=True)
