@@ -197,6 +197,62 @@ def _extra_bench() -> dict:
 
 REGRESSION_FLAG = 1.3
 
+# r14 (r13 verdict item 5): a fixed-cost, data-independent, pure-JVM
+# calibration job timed each run.  This host measurably degrades
+# round-over-round (r13: three bench-flagged "regressions" were all on
+# code untouched since r12, uniformly 1.2-1.7x inflated including
+# trivial groupBys), so round-over-round deltas are computed on
+# CALIBRATION-NORMALIZED times — (med/cal) / (prev_med/prev_cal) —
+# whenever the previous round recorded a calibration; ambient machine
+# drift cancels, plan regressions survive.  Raw deltas are still
+# recorded under "deltas_raw" for continuity.
+CALIBRATION_ROWS = 20_000_000
+CALIBRATION_REPS = 5
+
+
+def _calibration(spark) -> float:
+    """Median wall of the fixed calibration job: hash + 97-group shuffle
+    over a generated range — exercises codegen, scheduler and shuffle
+    fixed costs with ZERO data dependence, so its round-over-round drift
+    is pure machine state."""
+    import statistics as _st
+    import time as _t
+
+    def run() -> float:
+        t0 = _t.perf_counter()
+        (
+            spark.range(0, CALIBRATION_ROWS, 1, 32)
+            .selectExpr("pmod(xxhash64(id), 97) as b", "id")
+            .groupBy("b")
+            .agg({"id": "sum"})
+            .count()
+        )
+        return _t.perf_counter() - t0
+
+    run()  # untimed warm-up (codegen compile)
+    return round(_st.median(run() for _ in range(CALIBRATION_REPS)), 3)
+
+
+def _normalized_delta(
+    med: float, prev_med: float, cal: "float | None", prev_cal: "float | None"
+) -> "tuple[float, float]":
+    """(normalized, raw) round-over-round delta: ambient host drift
+    cancels through the calibration ratio when both rounds recorded
+    one; otherwise normalized == raw."""
+    d_raw = med / prev_med
+    d_norm = d_raw * (prev_cal / cal) if (prev_cal and cal) else d_raw
+    return d_norm, d_raw
+
+
+# r14 (r13 verdict item 6): slow-tier entries whose per-rep wall is BY
+# DESIGN dominated by a fresh index BUILD (the lifecycle number).  A
+# warm-up + 2 reps re-pays that build 3x for no extra signal — there is
+# nothing query-specific for the warm-up to warm (each rep builds a
+# fresh generation; the probe machinery is already warmed by the rest
+# of the tier) and the steady-state probe cost is tracked separately by
+# the memoized *_probe bench entries.  These run exactly ONE timed rep.
+SLOW_LIFECYCLE_ONE_REP = {"sim_index_topk"}
+
 # per-query rep overrides: p6's exact-median two-pass is correct but its
 # wall time swings ~3x with machine load (r5 1.19s / judge r6 3.56s —
 # same code, same data), so its median draws from 5 reps to keep
@@ -229,7 +285,13 @@ METHODOLOGY = (
     "(pre-r9 slow numbers were 1 cold rep); deltas vs pre-r3 rounds are not "
     "comparable; the slow-tier deltas IN THE R9 JSON compared r9 warm reps "
     "to r8 cold reps and overstate speedups by the cold/warm gap — r10 "
-    "onward is warm-vs-warm and comparable again"
+    "onward is warm-vs-warm and comparable again; since r14 'deltas' are "
+    "CALIBRATION-NORMALIZED ((med/cal)/(prev_med/prev_cal)) when the "
+    "previous round recorded calibration_s — raw ratios live in "
+    "deltas_raw; the r14 deltas themselves are raw (r13 had no "
+    "calibration); build-lifecycle slow entries (SLOW_LIFECYCLE_ONE_REP) "
+    "run 1 timed rep since r14 — same quantity (fresh build per rep), "
+    "2 fewer redundant builds"
 )
 
 # per-query WORKLOAD changes this round: a grown fixture is more work,
@@ -291,7 +353,7 @@ def _spread(times: list[float]) -> float:
     return round(max(times) / lo, 2) if lo > 0 else 0.0
 
 
-def _previous_round_timings(here: str, sf: str) -> dict[str, float]:
+def _previous_round_timings(here: str, sf: str) -> "tuple[dict[str, float], float | None]":
     """Previous timings for the round-over-round delta read: the latest
     BENCH_r{N}.json (driver-recorded stdout; headline queries — and
     slow_queries too for rounds ≤ r11, when they still rode stdout)
@@ -301,6 +363,7 @@ def _previous_round_timings(here: str, sf: str) -> dict[str, float]:
     the current run — a local sf0.01 iteration must not become the
     comparator for the driver's sf0.1 round."""
     out: dict[str, float] = {}
+    prev_cal: "float | None" = None
     rounds: list[tuple[int, str]] = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -322,6 +385,8 @@ def _previous_round_timings(here: str, sf: str) -> dict[str, float]:
             out.update(
                 {k: float(v) for k, v in (data.get("slow_queries") or {}).items()}
             )
+            if data.get("calibration_s"):
+                prev_cal = float(data["calibration_s"])
             break
         except Exception:
             continue
@@ -331,9 +396,11 @@ def _previous_round_timings(here: str, sf: str) -> dict[str, float]:
         if str(full.get("sf")) == str(float(sf)):
             for k, v in (full.get("slow_queries") or {}).items():
                 out.setdefault(k, float(v))
+            if prev_cal is None and full.get("calibration_s"):
+                prev_cal = float(full["calibration_s"])
     except Exception:
         pass
-    return out
+    return out, prev_cal
 
 
 # hard byte budget for the FINAL stdout line: the driver's tail capture
@@ -354,6 +421,7 @@ def _stdout_payload(
     spreads: dict[str, float],
     slow_load: dict[str, float],
     errors: dict[str, str],
+    calibration_s: "float | None" = None,
 ) -> dict:
     """The driver-contract stdout line: metric/value/unit/queries/sf plus
     COMPACT summaries only.  Per-query mins/spreads/slow timings live in
@@ -377,6 +445,9 @@ def _stdout_payload(
         "loadavg1_end": load_end[0] if load_end else None,
         "max_spread": max(spreads.values(), default=None),
         "slow_loadavg1_max": max(slow_load.values(), default=None),
+        # the fixed-cost pure-JVM calibration median: divide any query
+        # time by this to compare across rounds on a drifting host
+        "calibration_s": calibration_s,
         "errors": errors,
         # an erroring headline query silently SHRINKS the total, which
         # would read as a speedup round-over-round; this flag marks the
@@ -389,6 +460,7 @@ def _stdout_payload(
 def _final_stdout_line(
     total, timings, sf, reps, slow_timings,
     load_start, load_end, spreads, slow_load, errors,
+    calibration_s=None,
 ) -> str:
     """The ONE stdout line, with the byte-budget degradation chain in a
     testable unit (tests/test_bench_contract.py locks the invariant):
@@ -399,6 +471,7 @@ def _final_stdout_line(
         _stdout_payload(
             total, timings, sf, reps, slow_timings,
             load_start, load_end, spreads, slow_load, errors,
+            calibration_s=calibration_s,
         )
     )
     if len(line) > STDOUT_BYTE_BUDGET:
@@ -407,6 +480,7 @@ def _final_stdout_line(
             total, timings, sf, reps, slow_timings,
             load_start, load_end, spreads, slow_load,
             {k: "" for k in errors},
+            calibration_s=calibration_s,
         )
         line = json.dumps(payload)
         if len(line) > STDOUT_BYTE_BUDGET:
@@ -442,15 +516,25 @@ def main() -> None:
         lambda it: (pdf.assign(x=pdf.id) for pdf in it), schema="id long, x long"
     ).count()
 
-    prev = _previous_round_timings(here, sf)
+    prev, prev_cal = _previous_round_timings(here, sf)
+    cal = _calibration(spark)
+    print(
+        f"# calibration: {cal:.3f}s (prev {prev_cal}) — deltas are "
+        f"calibration-normalized when prev exists",
+        file=sys.stderr,
+    )
     load_start = _loadavg()
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     spreads: dict[str, float] = {}
     deltas: dict[str, float] = {}
+    deltas_raw: dict[str, float] = {}
     regressions: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
+
+    def _delta(med: float, prev_med: float) -> "tuple[float, float]":
+        return _normalized_delta(med, prev_med, cal, prev_cal)
     for name in HEADLINE:
         # per-query fault isolation: one broken query must cost ONE row in
         # "errors", never the whole round's perf signal (r5 lost its entire
@@ -488,9 +572,10 @@ def main() -> None:
         total += med
         line = f"# {name}: median {med:.3f}s min {min(times):.3f}s over {len(times)} reps {[round(t, 3) for t in times]} rows={rows}"
         if name in prev and prev[name] > 0:
-            d = med / prev[name]
+            d, d_raw = _delta(med, prev[name])
             deltas[name] = round(d, 3)
-            line += f" delta={d:.2f}x"
+            deltas_raw[name] = round(d_raw, 3)
+            line += f" delta={d:.2f}x" + ("" if prev_cal else " (raw)")
             if d > REGRESSION_FLAG:
                 regressions[name] = round(d, 3)
                 line += " REGRESSION"
@@ -503,12 +588,23 @@ def main() -> None:
         for name in SLOW_TIER:
             try:
                 fn = queries[name]
-                fn(spark, sf_dir).count()  # untimed warm-up (codegen compile)
-                stimes = []
-                for _ in range(SLOW_TIMED_REPS):
+                if name in SLOW_LIFECYCLE_ONE_REP:
+                    # build-dominated lifecycle entries: ONE timed rep
+                    # (each rep builds a fresh index generation, so
+                    # warm-up/extra reps just re-pay the build — r13
+                    # verdict item 6; steady-state cost rides the
+                    # memoized *_probe entry)
+                    stimes = []
                     t0 = time.perf_counter()
                     rows = fn(spark, sf_dir).count()
                     stimes.append(time.perf_counter() - t0)
+                else:
+                    fn(spark, sf_dir).count()  # untimed warm-up (codegen compile)
+                    stimes = []
+                    for _ in range(SLOW_TIMED_REPS):
+                        t0 = time.perf_counter()
+                        rows = fn(spark, sf_dir).count()
+                        stimes.append(time.perf_counter() - t0)
                 t = stimes[0]
             except Exception as exc:  # noqa: BLE001
                 msg = f"{type(exc).__name__}: {exc}"
@@ -528,9 +624,10 @@ def main() -> None:
                 f"(warm-up + {len(stimes)} reps, excluded from total) rows={rows}"
             )
             if name in prev and prev[name] > 0:
-                d = t / prev[name]
+                d, d_raw = _delta(t, prev[name])
                 deltas[name] = round(d, 3)
-                line += f" delta={d:.2f}x"
+                deltas_raw[name] = round(d_raw, 3)
+                line += f" delta={d:.2f}x" + ("" if prev_cal else " (raw)")
             print(line, file=sys.stderr)
 
     # full per-query detail: stderr diagnostics line + the bench_full.json
@@ -551,7 +648,10 @@ def main() -> None:
         "spread": spreads,
         "slow_loadavg1": slow_load,
         "errors": errors,
+        "calibration_s": cal,
+        "prev_calibration_s": prev_cal,
         "deltas": deltas,
+        "deltas_raw": deltas_raw,
         "regressions": regressions,
         "methodology": METHODOLOGY,
         "workload_changes": WORKLOAD_CHANGES,
@@ -573,6 +673,7 @@ def main() -> None:
     line = _final_stdout_line(
         total, timings, sf, reps, slow_timings,
         load_start, load_end, spreads, slow_load, errors,
+        calibration_s=cal,
     )
     print(line)
     spark.stop()

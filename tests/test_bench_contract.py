@@ -61,3 +61,23 @@ def test_headline_growth_guard():
     )
     line = _line(0)
     assert set(json.loads(line)["queries"]) == set(bench.HEADLINE)
+
+
+def test_calibration_normalized_delta_cancels_host_drift():
+    """r13 verdict item 5: a host that got uniformly 1.5x slower inflates
+    raw deltas by 1.5x but the calibration ratio cancels it exactly;
+    a REAL 2x plan regression survives normalization; no previous
+    calibration falls back to the raw ratio."""
+    # host 1.5x slower, query unchanged: raw 1.5x, normalized 1.0
+    d, d_raw = bench._normalized_delta(1.5, 1.0, cal=0.9, prev_cal=0.6)
+    assert abs(d - 1.0) < 1e-9 and abs(d_raw - 1.5) < 1e-9
+    # host 1.5x slower AND the plan genuinely 2x worse: normalized 2.0
+    d, d_raw = bench._normalized_delta(3.0, 1.0, cal=0.9, prev_cal=0.6)
+    assert abs(d - 2.0) < 1e-9 and abs(d_raw - 3.0) < 1e-9
+    # no previous calibration: normalized == raw
+    d, d_raw = bench._normalized_delta(1.5, 1.0, cal=0.9, prev_cal=None)
+    assert d == d_raw == 1.5
+    # faster host (cal shrank): a raw "improvement" that is pure host
+    # speedup normalizes back to 1.0
+    d, d_raw = bench._normalized_delta(0.5, 1.0, cal=0.3, prev_cal=0.6)
+    assert abs(d - 1.0) < 1e-9 and abs(d_raw - 0.5) < 1e-9
