@@ -481,8 +481,58 @@ def entry(spark: SparkSession) -> DataFrame:
 # (persisted bucketed IVF index lifecycle — build+probe answers the
 # sim_ivf_topk brute-force oracle exactly; probe==ivf_topk asserted at
 # approximate settings too, bucket pruning plan-asserted).
+# r14 rotation: the full evidence-freshness sweep the r13 verdict's
+# item 1 ordered — computed from `python ledger.py --stale 3`, not
+# recalled.  IN (42): the 3 never-driver-checked late-r13 registrations
+# (sim_index_topk, doc_dataset_card, events_windowed_profile — each
+# already carrying sf0.001+sf0.01 local oracle parity), the ENTIRE
+# 27-query r9-stale cohort (w3_lag_diff, text_winnowing,
+# text_compression_ratio_digest, text_bm25, sim_semantic_dedup_digest,
+# sim_semantic_dedup_bucketed_digest, probe_double_pmod,
+# probe_cum_frame, o2_limit, multimodal_frames, methylmix_states_digest,
+# k14_dag_break, k13_poisson_2group, k12_partial_corr,
+# k11_cluster_probes, k10_knn_impute, j12_event_join, f8_exp_log,
+# f6_rounding, f4_concat_key, f1_set_encode, f12_size_predicate,
+# f10_unpivot, doc_pack_chunks_digest, doc_chunks, dedup_lsh_pairs,
+# combat_adjust_digest), 11 of the 18 r10-stale rows — the
+# machinery-rich ones first (clusterone_modules_ego, k6_spearman,
+# k10_pca_closed, j5_adduct_expand, j6_transition_match,
+# dedup_substring_stats, dedup_simhash, p7_dropna, u3_except,
+# f2_substring_parse, f3_regex_rewrite; the 7 trivial r10 singles
+# p1-p5/f9/f11 queue for r15) — and the NEW r14 registration
+# sim_index_recall (the ANN index's APPROXIMATE contract: in-plan
+# recall@k certificate vs the exact full-probe top-k, golden VALUES
+# oracle, bit-deterministic micro-averaged integer ratios; enters
+# directly per the budget rule, sf0.01 golden-green pre-rotation).
+#
+# KEPT (8): the 7 composite plans (headline, always in-window) and
+# sim_ivf_topk — similarity.py changed THIS round (the _ids_matrix
+# measured-collect guard rides ivf_assign and the shared probe kernel;
+# the empty-batch schema fix rides _probe_scored_topk), so the
+# in-memory IVF path re-verifies alongside the entering persisted-index
+# pair (sim_index_topk exact mode, sim_index_recall approximate mode).
+#
+# OUT (42 → the r13 window minus the keeps): every one hash-green in
+# r13's 50/50 window (CORRECTNESS_r13: zero errors) with a standing
+# local sf0.01 oracle in tests/test_queries_oracle.py, and machinery
+# siblings where it matters: k1_graph_rewrite/k3_substructure/
+# k4_rule_bfs (chem engine untouched in r14; plan_reaction_mass +
+# plan_mass_annotation + plan_enzyme_annotation keep apply_reaction /
+# band-join / containment composition in-window, the ≈206M-check
+# differential record and k1/k3 golden fixtures stand, and the NEW
+# probe_r14_smarts_corpus.py sufficiency scan is this round's chem
+# evidence), the r8-refresh relational singles (j3/j8/j10/j11, a1-a9,
+# u1/u2, w2, o1, f5 — first-green r8, re-green r13, trivial plans),
+# k13_count_glm/k6_corr_pvalue/drivernet_*/combat_mean_only/
+# p8_outlier_matrix (analytics kernels untouched; k10_pca_closed +
+# k6_spearman + k12_partial_corr + k11_cluster_probes +
+# combat_adjust_digest enter the same families), the dedup/text/doc/
+# events r13 block (code untouched in r14; dedup_lsh_pairs +
+# dedup_simhash + dedup_substring_stats + text_bm25/text_winnowing/
+# doc_chunks/doc_pack_chunks_digest enter the same machinery, and
+# events keeps j12_event_join + events_windowed_profile in-window).
 _PRIORITY = [
-    # composite plans
+    # composite plans — headline, always in-window
     "plan_mass_annotation",
     "plan_pathway_expand",
     "plan_corr_multiomics",
@@ -490,64 +540,54 @@ _PRIORITY = [
     "plan_data_pipeline",
     "plan_enzyme_annotation",
     "plan_methylmix",
-    # chemistry / rule kernels
-    "k1_graph_rewrite",
-    "k4_rule_bfs",
-    "k3_substructure",
-    # analytics kernels — keeps + the r7/r8-stale refresh
-    "k13_count_glm",
-    "k6_corr_pvalue",
-    "drivernet_significance",
-    "drivernet_greedy",
-    "combat_mean_only",
-    "p8_outlier_matrix",
-    # LLM-pipeline surface — keeps (sketch family stays: code changed
-    # this round) + the r7-stale dedup/text/doc refresh
-    "pipeline_curate",
-    "dedup_incremental_indexed",
-    "dedup_keep_best",
-    "dedup_simhash_pairs",
-    "dedup_minhash_signatures",
+    # similarity: r14-changed code path + the persisted-index pair +
+    # the NEW approximate-contract certificate
     "sim_ivf_topk",
-    "text_heavy_hitters",
-    "text_pii_scrub",
-    "doc_split",
-    "multimodal_features",
-    # r13 second-pass entries (rationale block above)
-    "text_contamination_report",
-    "doc_profile",
-    "doc_pruned_scan",
-    # streaming-equivalent windows — the two NEW r13 registrations, the
-    # r13-rechecked hot_users, the r8-stale sessions refresh
-    "events_hot_users",
-    "events_hot_users_bytes",
-    "events_salted_join",
-    "events_sessions",
-    "events_profile_numeric",
-    # r13 late addition under the budget rule: doc_split_leakage_safe
-    # (NEW — near-dup-aware split: components from the shared Jaccard
-    # CTE chain, split hashed from the COMPONENT label so duplicate
-    # clusters never straddle train/test; sf0.001+sf0.01 oracle-green
-    # pre-registration) displaces events_interval_join (hash-green
-    # r11/r12; stream==batch parity tests + local sf0.01 oracle stand,
-    # events_sessions keeps the streaming-window family in-window)
-    "doc_split_leakage_safe",
-    # core relational / aggregate / window stale refresh (r8 cohort)
-    "j3_left_join",
-    "j8_anti_join",
-    "j10_explode_parent",
-    "j11_matrix_align",
-    "a1_group_count",
-    "a2_distinct",
-    "a4_set_union",
-    "a6_argmin_dedup",
-    "a7_group_mean_profile",
-    "a9_na_fraction",
-    "u1_union_all",
-    "u2_intersect",
-    "w2_topk_per_group",
-    "o1_global_topk",
-    "f5_id_generation",
+    "sim_index_topk",
+    "sim_index_recall",
+    "sim_semantic_dedup_digest",
+    "sim_semantic_dedup_bucketed_digest",
+    # never-driver-checked late-r13 registrations
+    "doc_dataset_card",
+    "events_windowed_profile",
+    # r9-stale cohort (full sweep)
+    "w3_lag_diff",
+    "text_winnowing",
+    "text_compression_ratio_digest",
+    "text_bm25",
+    "probe_double_pmod",
+    "probe_cum_frame",
+    "o2_limit",
+    "multimodal_frames",
+    "methylmix_states_digest",
+    "k14_dag_break",
+    "k13_poisson_2group",
+    "k12_partial_corr",
+    "k11_cluster_probes",
+    "k10_knn_impute",
+    "j12_event_join",
+    "f8_exp_log",
+    "f6_rounding",
+    "f4_concat_key",
+    "f1_set_encode",
+    "f12_size_predicate",
+    "f10_unpivot",
+    "doc_pack_chunks_digest",
+    "doc_chunks",
+    "dedup_lsh_pairs",
+    "combat_adjust_digest",
+    # r10-stale refresh (11 of 18; trivial p/f singles queue for r15)
+    "clusterone_modules_ego",
+    "k6_spearman",
+    "k10_pca_closed",
+    "j5_adduct_expand",
+    "j6_transition_match",
+    "dedup_substring_stats",
+    "dedup_simhash",
+    "p7_dropna",
+    "u3_except",
+    "f2_substring_parse",
+    "f3_regex_rewrite",
 ]
 
 

@@ -179,6 +179,11 @@ SLOW_TIER = [
     # warm-up builds, timed reps only probe — compare against
     # sim_index_topk = build+probe, the dedup_index_probe pattern)
     "sim_index_probe",
+    # NOT timed: sim_index_recall (r14) — a correctness certificate, not
+    # a serving path; its wall is ~index build (already tracked by
+    # sim_index_topk) + 5 exact/approx probes (tracked by
+    # sim_index_probe), and adding ~30s of redundant build to the slow
+    # tier would undo the r13-verdict-item-6 trim
 ]
 
 # bench-only callables: timed like registered queries but deliberately
