@@ -40,6 +40,15 @@ with 2/64 buckets touched).  Identical MERGE semantics, parity-tested.
 One previous version/manifest is retained per flip so in-flight readers
 of the superseded generation finish their scan; older generations are
 pruned.
+
+CDC apply (r14): :func:`start_cdc_sink` extends both layouts with
+DELETE tombstones — each micro-batch carries an op column of
+``upsert``/``delete`` rows and commits both in one version flip (one
+anti-join drops replaced AND deleted rows, upserts union back: the same
+single-shuffle bound as plain MERGE).  This is the right-to-be-forgotten
+half a training-data snapshot needs; same-key mixed ops within one
+unordered micro-batch are refused loudly rather than applied in an
+undefined order.
 """
 
 from __future__ import annotations
@@ -155,6 +164,34 @@ def _require_driver_local(snapshot_dir: str) -> None:
         )
 
 
+def _flip_pointer(snapshot_dir: str, name: str) -> None:
+    """Durably flip CURRENT to ``name``: fsync the tmp file before the
+    atomic ``os.replace``, fsync the directory after — a power loss
+    can't leave a durable-but-empty CURRENT."""
+    tmp_ptr = os.path.join(snapshot_dir, _CURRENT + ".tmp")
+    with open(tmp_ptr, "w") as f:
+        f.write(name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_ptr, os.path.join(snapshot_dir, _CURRENT))  # atomic flip
+    dir_fd = os.open(snapshot_dir, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)  # make the rename itself durable
+    finally:
+        os.close(dir_fd)
+
+
+def _prune_versions(snapshot_dir: str, keep_versions: int) -> None:
+    """Retention for the full-rewrite layout: the newest keep_versions
+    version dirs stay (an in-flight reader survives keep_versions - 1
+    further flips)."""
+    versions = sorted(
+        (n for n in os.listdir(snapshot_dir) if n.startswith("v")), reverse=True
+    )
+    for name in versions[max(2, int(keep_versions)):]:
+        shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
+
+
 def upsert_batch_into_snapshot(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -206,24 +243,8 @@ def upsert_batch_into_snapshot(
     else:
         merged = batch
     merged.write.mode("overwrite").parquet(os.path.join(snapshot_dir, new_version))
-    tmp_ptr = os.path.join(snapshot_dir, _CURRENT + ".tmp")
-    with open(tmp_ptr, "w") as f:
-        f.write(new_version)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp_ptr, os.path.join(snapshot_dir, _CURRENT))  # atomic flip
-    dir_fd = os.open(snapshot_dir, os.O_RDONLY)
-    try:
-        os.fsync(dir_fd)  # make the rename itself durable
-    finally:
-        os.close(dir_fd)
-    # retention: the newest keep_versions version dirs stay (an in-flight
-    # reader survives keep_versions - 1 further flips)
-    versions = sorted(
-        (n for n in os.listdir(snapshot_dir) if n.startswith("v")), reverse=True
-    )
-    for name in versions[max(2, int(keep_versions)):]:
-        shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
+    _flip_pointer(snapshot_dir, new_version)
+    _prune_versions(snapshot_dir, keep_versions)
 
 
 # ---------------------------------------------------------------------------
@@ -337,9 +358,31 @@ def upsert_batch_into_bucketed_snapshot(
     in every batch; ``n_buckets`` is pinned in the manifest and a
     mismatched commit is refused (a different modulus would strand
     same-key rows across buckets and break the per-bucket merge)."""
-    import json
+    upserts = batch_df.dropDuplicates(key_cols)
+    _bucketed_commit(
+        spark, snapshot_dir, key_cols, batch_id, n_buckets, keep_versions,
+        upserts, delete_keys=None,
+    )
 
-    from pyspark.sql import functions as F
+
+def _bucketed_commit(
+    spark: SparkSession,
+    snapshot_dir: str,
+    key_cols: "list[str]",
+    batch_id: int,
+    n_buckets: int,
+    keep_versions: int,
+    upserts: DataFrame,
+    delete_keys: "DataFrame | None",
+) -> None:
+    """The shared bucketed commit engine behind the upsert and CDC
+    forms: touched buckets come from upsert ∪ delete keys, ONE anti-join
+    drops both replaced and deleted rows from the touched buckets' data,
+    upserts union back, one partitionBy job writes the touched buckets,
+    and the manifest repoints them — DROPPING any touched bucket the
+    commit emptied (a delete-only bucket with nothing left writes no
+    subdir and must vanish from the bucket map, not dangle)."""
+    import json
 
     _require_driver_local(snapshot_dir)
     version = f"v{int(batch_id):012d}"
@@ -369,12 +412,18 @@ def upsert_batch_into_bucketed_snapshot(
             "count is fixed for the snapshot's lifetime"
         )
     bucket = _bucket_expr(key_cols, n_buckets)
-    batch = batch_df.dropDuplicates(key_cols).withColumn("__bucket", bucket)
+    all_keys = upserts.select(*key_cols)
+    if delete_keys is not None:
+        all_keys = all_keys.unionByName(delete_keys.select(*key_cols))
+    all_keys = all_keys.dropDuplicates(key_cols)
     touched = sorted(
-        r["__bucket"] for r in batch.select("__bucket").distinct().collect()
+        r["__bucket"]
+        for r in all_keys.select(bucket.alias("__bucket")).distinct().collect()
     )
     old_buckets: "dict[str, str]" = dict(cur["buckets"]) if cur else {}
+    written: "set[int]" = set()
     if touched:
+        up_b = upserts.withColumn("__bucket", bucket)
         target_paths = sorted(
             {old_buckets[str(b)] for b in touched if str(b) in old_buckets}
         )
@@ -382,18 +431,30 @@ def upsert_batch_into_bucketed_snapshot(
             target = spark.read.parquet(
                 *[os.path.join(snapshot_dir, p) for p in target_paths]
             ).withColumn("__bucket", bucket)  # same pure function of keys
-            merged = upsert_snapshot(target, batch, key_cols)
+            # one anti-join drops BOTH replaced and deleted rows
+            merged = target.join(all_keys, key_cols, "left_anti").unionByName(
+                up_b
+            )
         else:
-            merged = batch
-        # ONE job writes every touched bucket: v{batch}/__bucket=B/...
-        # (an upsert never empties a bucket, so each touched bucket's
-        # subdir is guaranteed nonempty and the manifest repoint is safe)
+            merged = up_b
+        # ONE job writes every surviving touched bucket:
+        # v{batch}/__bucket=B/...
         merged.write.mode("overwrite").partitionBy("__bucket").parquet(
             os.path.join(snapshot_dir, version)
         )
+        vdir = os.path.join(snapshot_dir, version)
+        written = {
+            int(n.split("=", 1)[1])
+            for n in os.listdir(vdir)
+            if n.startswith("__bucket=")
+        }
     new_buckets = dict(old_buckets)
     for b in touched:
-        new_buckets[str(b)] = f"{version}/__bucket={b}"
+        if b in written:
+            new_buckets[str(b)] = f"{version}/__bucket={b}"
+        else:
+            # the commit emptied this bucket (delete-only, nothing left)
+            new_buckets.pop(str(b), None)
     manifest = {
         "batch_id": int(batch_id),
         "n_buckets": int(n_buckets),
@@ -406,24 +467,12 @@ def upsert_batch_into_bucketed_snapshot(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp_man, os.path.join(snapshot_dir, manifest_name))
-    tmp_ptr = os.path.join(snapshot_dir, _CURRENT + ".tmp")
-    with open(tmp_ptr, "w") as f:
-        f.write(manifest_name)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp_ptr, os.path.join(snapshot_dir, _CURRENT))  # atomic flip
-    dir_fd = os.open(snapshot_dir, os.O_RDONLY)
-    try:
-        os.fsync(dir_fd)
-    finally:
-        os.close(dir_fd)
+    _flip_pointer(snapshot_dir, manifest_name)
     # retention: keep the newest keep_versions manifests; a version dir
     # survives while ANY kept manifest references one of its buckets
     # (untouched buckets keep old version dirs alive by reference — the
     # in-flight-reader guarantee is per MANIFEST, same as the
     # full-rewrite sink's per-version one)
-    import shutil as _shutil
-
     keep = max(2, int(keep_versions))
     manifests = sorted(
         (
@@ -444,4 +493,179 @@ def upsert_batch_into_bucketed_snapshot(
         if n.startswith("v") and os.path.isdir(
             os.path.join(snapshot_dir, n)
         ) and n not in referenced:
-            _shutil.rmtree(os.path.join(snapshot_dir, n), ignore_errors=True)
+            shutil.rmtree(os.path.join(snapshot_dir, n), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (r14): upsert + DELETE tombstones in one commit — the
+# "right to be forgotten" half a real training-data snapshot needs that
+# plain MERGE-upsert can't express.  Same crash/replay matrix as the
+# upsert sinks (version/manifest names are pure functions of batch_id).
+# ---------------------------------------------------------------------------
+
+CDC_UPSERT = "upsert"
+CDC_DELETE = "delete"
+
+
+def _split_cdc(batch_df: DataFrame, key_cols: "list[str]", op_col: str):
+    """Validate and split a CDC batch: one op per key per batch (a key
+    carrying BOTH an upsert and a delete in one micro-batch has no
+    defined order — refused loudly), ops restricted to
+    upsert/delete.  Returns (upserts_without_op_col, delete_keys)."""
+    from pyspark.sql import functions as F
+
+    ops = [
+        r[0]
+        for r in batch_df.select(op_col).distinct().collect()
+    ]
+    bad = [o for o in ops if o not in (CDC_UPSERT, CDC_DELETE)]
+    if bad:
+        raise ValueError(
+            f"CDC batch has unknown ops {bad!r} in column {op_col!r} — "
+            f"allowed: {CDC_UPSERT!r}, {CDC_DELETE!r}"
+        )
+    conflicted = (
+        batch_df.groupBy(*key_cols)
+        .agg(F.count_distinct(F.col(op_col)).alias("__n_ops"))
+        .where(F.col("__n_ops") > 1)
+        .limit(1)
+        .count()
+    )
+    if conflicted:
+        raise ValueError(
+            "CDC batch carries BOTH an upsert and a delete for the same "
+            "key — micro-batches are unordered, so apply order would be "
+            "undefined; resolve per key upstream (keep the latest op)"
+        )
+    upserts = (
+        batch_df.where(F.col(op_col) == CDC_UPSERT)
+        .drop(op_col)
+        .dropDuplicates(key_cols)
+    )
+    deletes = (
+        batch_df.where(F.col(op_col) == CDC_DELETE)
+        .select(*key_cols)
+        .dropDuplicates(key_cols)
+    )
+    return upserts, deletes
+
+
+def apply_cdc_batch_into_snapshot(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    snapshot_dir: str,
+    key_cols: "list[str]",
+    batch_id: int,
+    op_col: str = "op",
+    keep_versions: int = 2,
+) -> None:
+    """One CDC commit into the full-rewrite snapshot: delete-key rows
+    vanish, upsert rows replace/insert, untouched rows carry.  Exactly
+    :func:`upsert_batch_into_snapshot`'s commit/replay/crash contract
+    (a CDC batch with no deletes is bit-identical to an upsert batch);
+    deleting an absent key is a no-op by anti-join semantics."""
+    from ..operators.joins import upsert_snapshot as _upsert
+
+    _require_driver_local(snapshot_dir)
+    new_version = f"v{int(batch_id):012d}"
+    cur = _current_version(snapshot_dir)
+    if cur == new_version:
+        return  # replayed already-committed batch
+    if cur is None and os.path.isdir(snapshot_dir):
+        others = [
+            n for n in os.listdir(snapshot_dir)
+            if n.startswith("v") and n != new_version
+        ]
+        if others:
+            raise RuntimeError(
+                f"snapshot at {snapshot_dir!r} has version dirs {others} "
+                "but no CURRENT pointer — refusing to reset the snapshot; "
+                "restore CURRENT to the newest complete version"
+            )
+    upserts, deletes = _split_cdc(batch_df, key_cols, op_col)
+    if cur is not None:
+        target = spark.read.parquet(os.path.join(snapshot_dir, cur))
+        # one anti-join drops BOTH delete targets and to-be-replaced
+        # rows (delete keys ∪ upsert keys), then upserts union back —
+        # the same single-shuffle bound as the plain MERGE
+        all_keys = deletes.unionByName(
+            upserts.select(*key_cols)
+        ).dropDuplicates(key_cols)
+        merged = target.join(all_keys, key_cols, "left_anti").unionByName(
+            upserts
+        )
+    else:
+        merged = upserts
+    merged.write.mode("overwrite").parquet(
+        os.path.join(snapshot_dir, new_version)
+    )
+    _flip_pointer(snapshot_dir, new_version)
+    _prune_versions(snapshot_dir, keep_versions)
+
+
+def apply_cdc_batch_into_bucketed_snapshot(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    snapshot_dir: str,
+    key_cols: "list[str]",
+    batch_id: int,
+    op_col: str = "op",
+    n_buckets: int = 16,
+    keep_versions: int = 2,
+) -> None:
+    """CDC commit into the bucketed snapshot: touched buckets come from
+    upsert ∪ delete keys and only those rewrite — per-commit cost stays
+    O(touched-bucket data + batch) with deletes in the mix.  A bucket
+    the commit empties (delete-only, nothing survives) is DROPPED from
+    the manifest, not left dangling.  Same crash/replay matrix and
+    n_buckets pin as :func:`upsert_batch_into_bucketed_snapshot`."""
+    upserts, deletes = _split_cdc(batch_df, key_cols, op_col)
+    _bucketed_commit(
+        spark, snapshot_dir, key_cols, batch_id, n_buckets, keep_versions,
+        upserts, delete_keys=deletes,
+    )
+
+
+def start_cdc_sink(
+    stream: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    key_cols: "list[str]",
+    op_col: str = "op",
+    n_buckets: "int | None" = None,
+    trigger_once: bool = False,
+    keep_versions: int = 2,
+) -> StreamingQuery:
+    """Streaming CDC apply: each micro-batch carries an ``op_col`` of
+    ``upsert``/``delete`` rows and commits both in ONE version flip —
+    the tombstone half (right-to-be-forgotten removals, retraction
+    feeds) that plain MERGE-upsert can't express.  ``n_buckets=None``
+    uses the full-rewrite layout (read via :func:`read_snapshot`);
+    an int uses the bucketed layout (read via
+    :func:`read_bucketed_snapshot`).  Idempotent under replay exactly
+    like the upsert sinks: version/manifest names are pure functions of
+    batch_id."""
+    spark = stream.sparkSession
+    _require_driver_local(snapshot_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if n_buckets is None:
+            apply_cdc_batch_into_snapshot(
+                spark, batch_df, snapshot_dir, key_cols, batch_id,
+                op_col=op_col, keep_versions=keep_versions,
+            )
+        else:
+            apply_cdc_batch_into_bucketed_snapshot(
+                spark, batch_df, snapshot_dir, key_cols, batch_id,
+                op_col=op_col, n_buckets=int(n_buckets),
+                keep_versions=keep_versions,
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1788,3 +1788,158 @@ def test_bucketed_upsert_retention_keeps_referenced_dirs(spark, tmp_path):
     for i in range(1, 5):
         assert got[i] == 1000.0 + i
     assert got[0] == 0.0 and got[63] == 63.0
+
+
+def test_cdc_apply_upsert_and_delete_both_layouts(spark, tmp_path):
+    """r14 CDC apply: delete tombstones vanish, upserts replace/insert,
+    untouched rows carry — identical final state in the full-rewrite
+    and bucketed layouts, and a CDC batch with no deletes equals the
+    plain upsert commit."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        apply_cdc_batch_into_bucketed_snapshot,
+        apply_cdc_batch_into_snapshot,
+        read_bucketed_snapshot,
+        read_snapshot,
+        upsert_batch_into_snapshot,
+    )
+
+    seed = spark.createDataFrame(
+        [(k, float(k)) for k in range(20)], "k long, v double"
+    ).withColumn("op", F.lit("upsert"))
+    cdc = spark.createDataFrame(
+        [(3, 0.0, "delete"), (7, 0.0, "delete"), (5, 555.0, "upsert"),
+         (99, 99.0, "upsert")],
+        "k long, v double, op string",
+    )
+    full, buck = str(tmp_path / "cdc_full"), str(tmp_path / "cdc_buck")
+    for i, b in enumerate([seed, cdc]):
+        apply_cdc_batch_into_snapshot(spark, b, full, ["k"], batch_id=i)
+        apply_cdc_batch_into_bucketed_snapshot(
+            spark, b, buck, ["k"], batch_id=i, n_buckets=8
+        )
+    want = {k: float(k) for k in range(20) if k not in (3, 7)}
+    want[5] = 555.0
+    want[99] = 99.0
+    got_f = {r["k"]: r["v"] for r in read_snapshot(spark, full).collect()}
+    got_b = {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, buck).collect()}
+    assert got_f == want and got_b == want
+    # deleting an absent key is a no-op
+    ghost = spark.createDataFrame([(12345, 0.0, "delete")], "k long, v double, op string")
+    apply_cdc_batch_into_snapshot(spark, ghost, full, ["k"], batch_id=2)
+    assert {r["k"]: r["v"] for r in read_snapshot(spark, full).collect()} == want
+    # upsert-only CDC == plain upsert commit
+    up_only = spark.createDataFrame([(0, -1.0, "upsert")], "k long, v double, op string")
+    plain = str(tmp_path / "plain")
+    upsert_batch_into_snapshot(spark, seed.drop("op"), plain, ["k"], batch_id=0)
+    upsert_batch_into_snapshot(spark, up_only.drop("op"), plain, ["k"], batch_id=1)
+    apply_cdc_batch_into_snapshot(spark, up_only, full, ["k"], batch_id=3)
+    want[0] = -1.0
+    assert {r["k"]: r["v"] for r in read_snapshot(spark, full).collect()} == want
+
+
+def test_cdc_guards_conflicts_unknown_ops_and_replay(spark, tmp_path):
+    """CDC contract guards: same-key upsert+delete in one batch refused
+    (unordered micro-batch), unknown op refused, committed-batch replay
+    no-ops, and a delete that EMPTIES a bucket drops it from the
+    bucketed manifest instead of dangling."""
+    import json
+    import os
+
+    import pytest
+
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        apply_cdc_batch_into_bucketed_snapshot,
+        apply_cdc_batch_into_snapshot,
+        read_bucketed_snapshot,
+        read_snapshot,
+    )
+
+    snap = str(tmp_path / "cdc_guards")
+    conflicted = spark.createDataFrame(
+        [(1, 1.0, "upsert"), (1, 0.0, "delete")], "k long, v double, op string"
+    )
+    with pytest.raises(ValueError, match="BOTH an upsert and a delete"):
+        apply_cdc_batch_into_snapshot(spark, conflicted, snap, ["k"], batch_id=0)
+    weird = spark.createDataFrame([(1, 1.0, "merge")], "k long, v double, op string")
+    with pytest.raises(ValueError, match="unknown ops"):
+        apply_cdc_batch_into_snapshot(spark, weird, snap, ["k"], batch_id=0)
+
+    b0 = spark.createDataFrame(
+        [(1, 1.0, "upsert"), (2, 2.0, "upsert")], "k long, v double, op string"
+    )
+    b1 = spark.createDataFrame([(2, 0.0, "delete")], "k long, v double, op string")
+    apply_cdc_batch_into_snapshot(spark, b0, snap, ["k"], batch_id=0)
+    apply_cdc_batch_into_snapshot(spark, b1, snap, ["k"], batch_id=1)
+    want = {1: 1.0}
+    assert {r["k"]: r["v"] for r in read_snapshot(spark, snap).collect()} == want
+    # replay of committed delete batch: no-op
+    apply_cdc_batch_into_snapshot(spark, b1, snap, ["k"], batch_id=1)
+    assert {r["k"]: r["v"] for r in read_snapshot(spark, snap).collect()} == want
+
+    # bucketed: delete everything in one key's bucket -> manifest drops it
+    bsnap = str(tmp_path / "cdc_bucket_empty")
+    apply_cdc_batch_into_bucketed_snapshot(
+        spark, b0, bsnap, ["k"], batch_id=0, n_buckets=64
+    )
+    with open(os.path.join(bsnap, "CURRENT")) as f:
+        man0 = json.load(open(os.path.join(bsnap, f.read().strip())))
+    assert len(man0["buckets"]) == 2  # keys 1 and 2 in distinct buckets (64)
+    apply_cdc_batch_into_bucketed_snapshot(
+        spark, b1, bsnap, ["k"], batch_id=1, n_buckets=64
+    )
+    with open(os.path.join(bsnap, "CURRENT")) as f:
+        man1 = json.load(open(os.path.join(bsnap, f.read().strip())))
+    assert len(man1["buckets"]) == 1
+    got = {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, bsnap).collect()}
+    assert got == want
+
+
+def test_cdc_streaming_sink_end_to_end(spark, tmp_path):
+    """start_cdc_sink: a staged CDC feed (upserts then tombstones)
+    through the streaming wrapper lands the same final snapshot, in
+    both layouts."""
+    from omics_data_integration_utilities_spark.streaming.events import (
+        staged_file_stream,
+    )
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        read_bucketed_snapshot,
+        read_snapshot,
+        start_cdc_sink,
+    )
+
+    upserts = [(k, float(k), "upsert") for k in range(10)]
+    # the tombstone for key 4 must arrive in a LATER micro-batch than
+    # its upsert — same-key mixed ops within one batch are refused by
+    # contract (unordered), which the guards test pins
+    followup = [(4, 0.0, "delete"), (10, 10.0, "upsert")]
+    want = {k: float(k) for k in range(10) if k != 4}
+    want[10] = 10.0
+    for layout, n_buckets, reader in (
+        ("full", None, read_snapshot),
+        ("bucketed", 8, read_bucketed_snapshot),
+    ):
+        feed = str(tmp_path / f"cdc_feed_{layout}")
+        spark.createDataFrame(
+            upserts, "k long, v double, op string"
+        ).coalesce(1).write.parquet(feed)
+        snap = str(tmp_path / f"cdc_stream_{layout}")
+        q = start_cdc_sink(
+            staged_file_stream(spark, feed),
+            snap,
+            str(tmp_path / f"cdc_ckpt_{layout}"),
+            ["k"],
+            n_buckets=n_buckets,
+        )
+        try:
+            q.processAllAvailable()
+            # second micro-batch: new files appended to the feed
+            spark.createDataFrame(
+                followup, "k long, v double, op string"
+            ).coalesce(1).write.mode("append").parquet(feed)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r["k"]: r["v"] for r in reader(spark, snap).collect()}
+        assert got == want, layout
