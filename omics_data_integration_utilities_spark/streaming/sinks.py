@@ -73,16 +73,30 @@ def _current_version(snapshot_dir: str) -> str | None:
     return name or None
 
 
-def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+def read_snapshot(
+    spark: SparkSession, snapshot_dir: str, version: "str | None" = None
+) -> DataFrame:
     """Resolve the snapshot's CURRENT pointer and read that version —
-    the reader half of :func:`start_upsert_sink`'s manifest contract."""
-    cur = _current_version(snapshot_dir)
+    the reader half of :func:`start_upsert_sink`'s manifest contract.
+
+    ``version`` (e.g. ``"v000000000003"``) time-travels to a RETAINED
+    previous version instead — the audit/debug read over the
+    ``keep_versions`` horizon; a pruned or never-committed version
+    raises FileNotFoundError rather than returning an empty relation."""
+    cur = version or _current_version(snapshot_dir)
     if cur is None:
         raise FileNotFoundError(
             f"no CURRENT snapshot version under {snapshot_dir!r} "
             "(no batch committed yet?)"
         )
-    return spark.read.parquet(os.path.join(snapshot_dir, cur))
+    path = os.path.join(snapshot_dir, cur)
+    if version is not None and not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"snapshot version {version!r} not on disk under "
+            f"{snapshot_dir!r} — pruned past keep_versions, or never "
+            "committed"
+        )
+    return spark.read.parquet(path)
 
 
 def start_parquet_append_sink(
@@ -278,12 +292,32 @@ def _current_manifest(snapshot_dir: str) -> "dict | None":
         return json.load(f)
 
 
-def read_bucketed_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+def read_bucketed_snapshot(
+    spark: SparkSession, snapshot_dir: str, manifest: "str | None" = None
+) -> DataFrame:
     """Reader half of :func:`start_bucketed_upsert_sink`: resolve the
     CURRENT manifest and union-read the per-bucket dirs it references.
     A manifest only ever names COMPLETE bucket dirs (the flip happens
-    after the data write), so readers never see a partial bucket."""
-    man = _current_manifest(snapshot_dir)
+    after the data write), so readers never see a partial bucket.
+
+    ``manifest`` (e.g. ``"m000000000003.json"``) time-travels to a
+    RETAINED previous manifest — referenced bucket dirs are kept alive
+    by the reference-counted retention for the ``keep_versions``
+    newest manifests."""
+    import json
+
+    if manifest is not None:
+        man_path = os.path.join(snapshot_dir, manifest)
+        if not os.path.isfile(man_path):
+            raise FileNotFoundError(
+                f"manifest {manifest!r} not on disk under "
+                f"{snapshot_dir!r} — pruned past keep_versions, or never "
+                "committed"
+            )
+        with open(man_path) as f:
+            man = json.load(f)
+    else:
+        man = _current_manifest(snapshot_dir)
     if man is None:
         raise FileNotFoundError(
             f"no CURRENT manifest under {snapshot_dir!r} "

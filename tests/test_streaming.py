@@ -1943,3 +1943,37 @@ def test_cdc_streaming_sink_end_to_end(spark, tmp_path):
             q.stop()
         got = {r["k"]: r["v"] for r in reader(spark, snap).collect()}
         assert got == want, layout
+
+
+def test_snapshot_time_travel_reads(spark, tmp_path):
+    """Both readers accept a retained previous version/manifest — the
+    audit read over the keep_versions horizon; pruned or never-committed
+    names raise instead of returning an empty relation."""
+    import pytest
+
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        read_bucketed_snapshot,
+        read_snapshot,
+        upsert_batch_into_bucketed_snapshot,
+        upsert_batch_into_snapshot,
+    )
+
+    full, buck = str(tmp_path / "tt_full"), str(tmp_path / "tt_buck")
+    b0 = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    b1 = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    for i, b in enumerate([b0, b1]):
+        upsert_batch_into_snapshot(spark, b, full, ["k"], batch_id=i)
+        upsert_batch_into_bucketed_snapshot(
+            spark, b, buck, ["k"], batch_id=i, n_buckets=4
+        )
+    assert read_snapshot(spark, full).collect()[0]["v"] == 2.0
+    assert read_snapshot(spark, full, version="v000000000000").collect()[0]["v"] == 1.0
+    assert read_bucketed_snapshot(spark, buck).collect()[0]["v"] == 2.0
+    assert (
+        read_bucketed_snapshot(spark, buck, manifest="m000000000000.json")
+        .collect()[0]["v"] == 1.0
+    )
+    with pytest.raises(FileNotFoundError, match="pruned past keep_versions"):
+        read_snapshot(spark, full, version="v000000000042")
+    with pytest.raises(FileNotFoundError, match="pruned past keep_versions"):
+        read_bucketed_snapshot(spark, buck, manifest="m000000000042.json")
