@@ -1072,6 +1072,7 @@ def extend_ann_index(
     new_vecs: DataFrame,
     name: str,
     path: str,
+    replace_ids: bool = False,
 ) -> AnnIndex:
     """Fold a batch of new vectors into the index, producing the next
     generation under a NEW name/path (blue-green, same contract as
@@ -1085,7 +1086,16 @@ def extend_ann_index(
     generation\'s lists table is read back as-is (already assigned),
     the batch pays one broadcast-centroid GEMM, and nothing is
     re-trained.  Re-train (``build_ann_index``) when drift accumulates
-    — the centroid_drift monitor upstream is the signal for that."""
+    — the centroid_drift monitor upstream is the signal for that.
+
+    Ids are assumed NEW: an id already in the index would otherwise
+    appear twice and occupy two top-k ranks with identical scores.
+    ``replace_ids=True`` gives the extension MERGE semantics instead —
+    the old generation\'s rows for the batch\'s ids are dropped before
+    the union (one anti-join; the batch is small, so AQE broadcasts it
+    and the lists scan is never shuffled — the upsert-snapshot bound).
+    Re-assignment is automatic: the replacement vector lands in
+    whichever list the SHARED quantizer puts it in."""
     import os as _os
 
     from .dedup import _normalize_table_location, _write_index_table
@@ -1109,10 +1119,15 @@ def extend_ann_index(
         name, path, index.n_lists, index.n_buckets, vec_col, id_col,
         index.centroids, id_type=index.id_type, vec_type=index.vec_type,
     )
-    combined = (
-        spark.table(index.lists_table)
-        .select(F.col(id_col), F.col(vec_col), "list_id")
-        .unionByName(batch_assigned.select(F.col(id_col), F.col(vec_col), "list_id"))
+    old_lists = spark.table(index.lists_table).select(
+        F.col(id_col), F.col(vec_col), "list_id"
+    )
+    if replace_ids:
+        old_lists = old_lists.join(
+            new_vecs.select(id_col).dropDuplicates([id_col]), id_col, "left_anti"
+        )
+    combined = old_lists.unionByName(
+        batch_assigned.select(F.col(id_col), F.col(vec_col), "list_id")
     )
     _write_index_table(
         combined, out_idx.lists_table, path, "list_id", out_idx.n_buckets

@@ -546,3 +546,39 @@ def test_ann_recall_certificate_monotone_and_exact_row(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ann_recall_lists")
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_extend_ann_index_replace_ids_merge_semantics(spark, tmp_path):
+    """extend_ann_index(replace_ids=True): an updated vector REPLACES
+    its old row (one row per id, new embedding wins, re-assigned by the
+    shared quantizer); the default append form would duplicate it."""
+    import shutil
+    import tempfile
+
+    emb = _emb(spark)
+    base = tempfile.mkdtemp(prefix="t_ann_replace_")
+    g2 = tempfile.mkdtemp(prefix="t_ann_replace_g2_")
+    g3 = tempfile.mkdtemp(prefix="t_ann_replace_g3_")
+    idx = S.build_ann_index(
+        emb, "embedding", "vec_id", "t_ann_rep", base, n_lists=4
+    )
+    try:
+        # an EXISTING id with a changed vector
+        upd = emb.where(F.col("vec_id") == 7).select(
+            "vec_id", F.transform("embedding", lambda x: x * 2 + 1).alias("embedding")
+        )
+        merged = S.extend_ann_index(idx, upd, "t_ann_rep_g2", g2, replace_ids=True)
+        lists = spark.table(merged.lists_table)
+        assert lists.where(F.col("vec_id") == 7).count() == 1
+        assert lists.count() == emb.count()
+        # default append form duplicates — the documented hazard
+        appended = S.extend_ann_index(idx, upd, "t_ann_rep_g3", g3)
+        assert (
+            spark.table(appended.lists_table).where(F.col("vec_id") == 7).count()
+            == 2
+        )
+    finally:
+        for t in ("t_ann_rep_lists", "t_ann_rep_g2_lists", "t_ann_rep_g3_lists"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        for d in (base, g2, g3):
+            shutil.rmtree(d, ignore_errors=True)
