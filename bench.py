@@ -215,11 +215,17 @@ CALIBRATION_ROWS = 20_000_000
 CALIBRATION_REPS = 5
 
 
-def _calibration(spark) -> float:
+def _calibration(spark, warmups: int = 2) -> float:
     """Median wall of the fixed calibration job: hash + 97-group shuffle
     over a generated range — exercises codegen, scheduler and shuffle
     fixed costs with ZERO data dependence, so its round-over-round drift
-    is pure machine state."""
+    is pure machine state.
+
+    Measured stability (r14): the job settles from ~0.62s to ~0.40±0.03s
+    as the JVM JIT warms, then holds — so the harness measures it TWICE
+    (session start with extra warm-ups, session end when everything is
+    hot) and normalizes by the MIN of the two medians, the same
+    load-robust statistic the per-query "mins" use."""
     import statistics as _st
     import time as _t
 
@@ -234,7 +240,8 @@ def _calibration(spark) -> float:
         )
         return _t.perf_counter() - t0
 
-    run()  # untimed warm-up (codegen compile)
+    for _ in range(max(1, warmups)):
+        run()  # untimed warm-up (JIT/codegen)
     return round(_st.median(run() for _ in range(CALIBRATION_REPS)), 3)
 
 
@@ -294,7 +301,10 @@ METHODOLOGY = (
     "CALIBRATION-NORMALIZED ((med/cal)/(prev_med/prev_cal)) when the "
     "previous round recorded calibration_s — raw ratios live in "
     "deltas_raw; the r14 deltas themselves are raw (r13 had no "
-    "calibration); build-lifecycle slow entries (SLOW_LIFECYCLE_ONE_REP) "
+    "calibration); calibration_s = min(session-start, session-end "
+    "medians) — the JIT-warm floor; the sf-matched quiet sidecar "
+    "overrides BENCH_rN as the delta comparator so prev timings and "
+    "prev_cal come from the same run; build-lifecycle slow entries (SLOW_LIFECYCLE_ONE_REP) "
     "run 1 timed rep since r14 — same quantity (fresh build per rep), "
     "2 fewer redundant builds"
 )
@@ -399,9 +409,15 @@ def _previous_round_timings(here: str, sf: str) -> "tuple[dict[str, float], floa
         with open(os.path.join(here, "bench_full.json")) as f:
             full = json.load(f)
         if str(full.get("sf")) == str(float(sf)):
-            for k, v in (full.get("slow_queries") or {}).items():
-                out.setdefault(k, float(v))
-            if prev_cal is None and full.get("calibration_s"):
+            # the sf-matched sidecar (the builder's quiet run) OVERRIDES
+            # the driver's BENCH_rN capture: normalization requires
+            # prev_cal and prev timings to come from the SAME run, and
+            # quiet-vs-quiet is the comparison worth making — BENCH_rN
+            # values only fill queries the sidecar lacks
+            for section in ("queries", "slow_queries"):
+                for k, v in (full.get(section) or {}).items():
+                    out[k] = float(v)
+            if full.get("calibration_s"):
                 prev_cal = float(full["calibration_s"])
     except Exception:
         pass
@@ -522,10 +538,11 @@ def main() -> None:
     ).count()
 
     prev, prev_cal = _previous_round_timings(here, sf)
-    cal = _calibration(spark)
+    cal_start = _calibration(spark, warmups=2)
     print(
-        f"# calibration: {cal:.3f}s (prev {prev_cal}) — deltas are "
-        f"calibration-normalized when prev exists",
+        f"# calibration (session start): {cal_start:.3f}s (prev "
+        f"{prev_cal}) — re-measured at session end; deltas normalize by "
+        f"the min of the two when prev exists",
         file=sys.stderr,
     )
     load_start = _loadavg()
@@ -537,9 +554,6 @@ def main() -> None:
     regressions: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
-
-    def _delta(med: float, prev_med: float) -> "tuple[float, float]":
-        return _normalized_delta(med, prev_med, cal, prev_cal)
     for name in HEADLINE:
         # per-query fault isolation: one broken query must cost ONE row in
         # "errors", never the whole round's perf signal (r5 lost its entire
@@ -577,13 +591,11 @@ def main() -> None:
         total += med
         line = f"# {name}: median {med:.3f}s min {min(times):.3f}s over {len(times)} reps {[round(t, 3) for t in times]} rows={rows}"
         if name in prev and prev[name] > 0:
-            d, d_raw = _delta(med, prev[name])
-            deltas[name] = round(d, 3)
+            d_raw = med / prev[name]
             deltas_raw[name] = round(d_raw, 3)
-            line += f" delta={d:.2f}x" + ("" if prev_cal else " (raw)")
-            if d > REGRESSION_FLAG:
-                regressions[name] = round(d, 3)
-                line += " REGRESSION"
+            # normalized deltas + regression flags are computed AFTER the
+            # end-of-session calibration (see below)
+            line += f" delta_raw={d_raw:.2f}x"
         print(line, file=sys.stderr)
 
     slow_timings: dict[str, float] = {}
@@ -629,11 +641,31 @@ def main() -> None:
                 f"(warm-up + {len(stimes)} reps, excluded from total) rows={rows}"
             )
             if name in prev and prev[name] > 0:
-                d, d_raw = _delta(t, prev[name])
-                deltas[name] = round(d, 3)
+                d_raw = t / prev[name]
                 deltas_raw[name] = round(d_raw, 3)
-                line += f" delta={d:.2f}x" + ("" if prev_cal else " (raw)")
+                line += f" delta_raw={d_raw:.2f}x"
             print(line, file=sys.stderr)
+
+    # end-of-session calibration: the JVM is fully hot now, so this is
+    # the floor reading; normalize by min(start, end) — the load-robust
+    # statistic, same philosophy as the per-query mins
+    cal_end = _calibration(spark, warmups=1)
+    cal = min(cal_start, cal_end)
+    print(
+        f"# calibration: start {cal_start:.3f}s end {cal_end:.3f}s -> "
+        f"using {cal:.3f}s",
+        file=sys.stderr,
+    )
+    for name, d_raw in deltas_raw.items():
+        d, _ = _normalized_delta(d_raw, 1.0, cal, prev_cal)
+        deltas[name] = round(d, 3)
+    regressions.update(
+        {
+            n: deltas[n]
+            for n in timings
+            if n in deltas and deltas[n] > REGRESSION_FLAG
+        }
+    )
 
     # full per-query detail: stderr diagnostics line + the bench_full.json
     # sidecar (committed per-round, so min-vs-min and slow-tier deltas
@@ -654,6 +686,8 @@ def main() -> None:
         "slow_loadavg1": slow_load,
         "errors": errors,
         "calibration_s": cal,
+        "calibration_start_s": cal_start,
+        "calibration_end_s": cal_end,
         "prev_calibration_s": prev_cal,
         "deltas": deltas,
         "deltas_raw": deltas_raw,
