@@ -587,7 +587,14 @@ _PRIORITY = [
     "p7_dropna",
     "u3_except",
     "f2_substring_parse",
-    "f3_regex_rewrite",
+    # r14 late addition under the budget rule: doc_forget (NEW — CDC
+    # right-to-be-forgotten round-trip through the bucketed snapshot:
+    # tombstones + re-ingest in one manifest commit, answering a plain
+    # SQL oracle on the raw table; sf0.001+sf0.01 oracle-green locally
+    # pre-registration) displaces f3_regex_rewrite (hash-green r10 with
+    # a standing local sf0.01 oracle; queues for r15 with the other
+    # trivial r10 singles)
+    "doc_forget",
 ]
 
 

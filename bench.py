@@ -179,6 +179,10 @@ SLOW_TIER = [
     # warm-up builds, timed reps only probe — compare against
     # sim_index_topk = build+probe, the dedup_index_probe pattern)
     "sim_index_probe",
+    # r14: the CDC right-to-be-forgotten round-trip (bucketed snapshot
+    # seed + tombstone/re-ingest commit + read-back per rep — commit
+    # machinery wall, the doc_upsert analog for deletes)
+    "doc_forget",
     # NOT timed: sim_index_recall (r14) — a correctness certificate, not
     # a serving path; its wall is ~index build (already tracked by
     # sim_index_topk) + 5 exact/approx probes (tracked by

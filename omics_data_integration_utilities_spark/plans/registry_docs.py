@@ -2296,6 +2296,68 @@ def q_doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_card(_t(spark, sf_dir, "documents"))
 
 
+# previous generation of the CDC snapshot dir (r14), cleaned on next
+# entry + by cleanup_registry_state — same single-live-generation
+# discipline as the index registrations above
+_SNAP_LAST: list[str] = []
+
+
+def q_doc_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC right-to-be-forgotten round-trip (r14): seed a BUCKETED
+    snapshot from documents, apply one CDC batch — tombstones for
+    doc_id %% 17 == 0 (the forget set) plus re-ingested rows with
+    doubled n_chars for doc_id %% 23 == 0 — then read the surviving
+    snapshot back and aggregate per source.  Answers a plain SQL oracle
+    on the raw table: hash-green proves the manifest/bucket machinery
+    (streaming/sinks.py _bucketed_commit) preserves exactly the
+    anti-join ∪ upsert semantics through a delete-bearing commit,
+    including emptied-bucket manifest drops, end to end."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sinks import (
+        apply_cdc_batch_into_bucketed_snapshot,
+        read_bucketed_snapshot,
+    )
+
+    while _SNAP_LAST:
+        shutil.rmtree(_SNAP_LAST.pop(), ignore_errors=True)
+    path = tempfile.mkdtemp(prefix="doc_forget_snap_")
+    _SNAP_LAST.append(path)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    seed = docs.withColumn("op", F.lit("upsert"))
+    apply_cdc_batch_into_bucketed_snapshot(
+        spark, seed, path, ["doc_id"], batch_id=0, n_buckets=16
+    )
+    dels = docs.where(F.col("doc_id") % 17 == 0).withColumn(
+        "op", F.lit("delete")
+    )
+    ups = (
+        docs.where((F.col("doc_id") % 23 == 0) & (F.col("doc_id") % 17 != 0))
+        .withColumn("n_chars", F.col("n_chars") * 2)
+        .withColumn("op", F.lit("upsert"))
+    )
+    apply_cdc_batch_into_bucketed_snapshot(
+        spark, dels.unionByName(ups), path, ["doc_id"], batch_id=1, n_buckets=16
+    )
+    snap = read_bucketed_snapshot(spark, path)
+    return snap.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+SQL_DOC_FORGET = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN doc_id % 23 = 0 THEN n_chars * 2 ELSE n_chars END)::BIGINT AS sum_chars,
+       sum(doc_id)::BIGINT AS id_sum
+FROM documents
+WHERE doc_id % 17 <> 0
+GROUP BY source
+"""
+
+
 SQL_DOC_DATASET_CARD = """
 WITH t AS (
   SELECT source, lang, text, length(text)::BIGINT AS n_chars,
@@ -2377,6 +2439,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dataset_card": q_doc_dataset_card,
     "sim_index_topk": q_sim_index_topk,
     "sim_index_recall": q_sim_index_recall,
+    "doc_forget": q_doc_forget,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -2442,6 +2505,7 @@ ORACLES_DOCS: dict[str, str] = {
     # the persisted-index probe must return exactly what the in-memory
     # IVF exact mode returns, so it answers the very same oracle
     "sim_index_topk": SQL_ANN_TOPK,
+    "doc_forget": SQL_DOC_FORGET,
 }
 
 
@@ -2481,6 +2545,8 @@ def cleanup_registry_state() -> None:
     while _ANN_IDX_LAST:
         table, path = _ANN_IDX_LAST.pop()
         _drop([table], path)
+    while _SNAP_LAST:
+        shutil.rmtree(_SNAP_LAST.pop(), ignore_errors=True)
     for idx in _PROBE_IDX.values():
         _drop([idx.digests_table, idx.bands_table], idx.path)
     _PROBE_IDX.clear()
