@@ -494,12 +494,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # k11_cluster_probes, k10_knn_impute, j12_event_join, f8_exp_log,
 # f6_rounding, f4_concat_key, f1_set_encode, f12_size_predicate,
 # f10_unpivot, doc_pack_chunks_digest, doc_chunks, dedup_lsh_pairs,
-# combat_adjust_digest), 11 of the 18 r10-stale rows — the
+# combat_adjust_digest), 10 of the 18 r10-stale rows — the
 # machinery-rich ones first (clusterone_modules_ego, k6_spearman,
 # k10_pca_closed, j5_adduct_expand, j6_transition_match,
 # dedup_substring_stats, dedup_simhash, p7_dropna, u3_except,
-# f2_substring_parse, f3_regex_rewrite; the 7 trivial r10 singles
-# p1-p5/f9/f11 queue for r15) — and the NEW r14 registration
+# f2_substring_parse; the 8 trivial r10 singles p1-p5/f9/f11/f3
+# queue for r15) — and the NEW r14 registrations
+# doc_forget (late addition, see its slot below) and
 # sim_index_recall (the ANN index's APPROXIMATE contract: in-plan
 # recall@k certificate vs the exact full-probe top-k, golden VALUES
 # oracle, bit-deterministic micro-averaged integer ratios; enters
