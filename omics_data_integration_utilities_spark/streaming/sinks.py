@@ -324,6 +324,17 @@ def read_bucketed_snapshot(
             "(no batch committed yet?)"
         )
     paths = sorted({p for p in man["buckets"].values()})
+    if not paths:
+        # a CDC commit can legitimately empty the snapshot (every key
+        # tombstoned) — the manifest then references zero bucket dirs
+        # and there is no schema left on disk to infer an empty relation
+        # from; say so, instead of Spark's UNABLE_TO_INFER_SCHEMA
+        raise FileNotFoundError(
+            f"bucketed snapshot at {snapshot_dir!r} is EMPTY (manifest "
+            f"{man.get('batch_id')} references no buckets — every row "
+            "deleted); there is no schema to produce an empty relation "
+            "from"
+        )
     return spark.read.parquet(*[os.path.join(snapshot_dir, p) for p in paths])
 
 

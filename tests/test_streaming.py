@@ -1977,3 +1977,40 @@ def test_snapshot_time_travel_reads(spark, tmp_path):
         read_snapshot(spark, full, version="v000000000042")
     with pytest.raises(FileNotFoundError, match="pruned past keep_versions"):
         read_bucketed_snapshot(spark, buck, manifest="m000000000042.json")
+
+
+def test_cdc_delete_everything_edge(spark, tmp_path):
+    """Tombstoning every key: the full-rewrite snapshot reads back as a
+    schema-bearing EMPTY relation; the bucketed snapshot (whose manifest
+    then references zero bucket dirs, leaving no schema on disk) raises
+    a CLEAR empty-snapshot error instead of UNABLE_TO_INFER_SCHEMA.
+    Re-seeding after the wipe works in both layouts."""
+    import pytest
+
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        apply_cdc_batch_into_bucketed_snapshot,
+        apply_cdc_batch_into_snapshot,
+        read_bucketed_snapshot,
+        read_snapshot,
+    )
+
+    b0 = spark.createDataFrame([(1, 1.0, "upsert")], "k long, v double, op string")
+    b1 = spark.createDataFrame([(1, 0.0, "delete")], "k long, v double, op string")
+    b2 = spark.createDataFrame([(2, 2.0, "upsert")], "k long, v double, op string")
+    full, buck = str(tmp_path / "wipe_full"), str(tmp_path / "wipe_buck")
+    for i, b in enumerate([b0, b1]):
+        apply_cdc_batch_into_snapshot(spark, b, full, ["k"], batch_id=i)
+        apply_cdc_batch_into_bucketed_snapshot(
+            spark, b, buck, ["k"], batch_id=i, n_buckets=4
+        )
+    empty = read_snapshot(spark, full)
+    assert empty.count() == 0 and "k" in empty.columns
+    with pytest.raises(FileNotFoundError, match="EMPTY"):
+        read_bucketed_snapshot(spark, buck)
+    # life after the wipe
+    apply_cdc_batch_into_snapshot(spark, b2, full, ["k"], batch_id=2)
+    apply_cdc_batch_into_bucketed_snapshot(
+        spark, b2, buck, ["k"], batch_id=2, n_buckets=4
+    )
+    assert {r["k"] for r in read_snapshot(spark, full).collect()} == {2}
+    assert {r["k"] for r in read_bucketed_snapshot(spark, buck).collect()} == {2}
