@@ -421,8 +421,14 @@ def _previous_round_timings(here: str, sf: str) -> "tuple[dict[str, float], floa
             for section in ("queries", "slow_queries"):
                 for k, v in (full.get(section) or {}).items():
                     out[k] = float(v)
-            if full.get("calibration_s"):
-                prev_cal = float(full["calibration_s"])
+            # the sidecar's calibration (or None): once its timings win,
+            # a BENCH_rN calibration from a DIFFERENT run must not pair
+            # with them — no calibration beats a mismatched one
+            prev_cal = (
+                float(full["calibration_s"])
+                if full.get("calibration_s")
+                else None
+            )
     except Exception:
         pass
     return out, prev_cal
@@ -640,9 +646,14 @@ def main() -> None:
             la = _loadavg()
             if la:
                 slow_load[name] = la[0]
+            protocol = (
+                "single COLD rep, no warm-up — build-dominated lifecycle entry"
+                if name in SLOW_LIFECYCLE_ONE_REP
+                else f"warm-up + {len(stimes)} reps"
+            )
             line = (
                 f"# [slow] {name}: {t:.3f}s min {min(stimes):.3f}s "
-                f"(warm-up + {len(stimes)} reps, excluded from total) rows={rows}"
+                f"({protocol}, excluded from total) rows={rows}"
             )
             if name in prev and prev[name] > 0:
                 d_raw = t / prev[name]

@@ -143,7 +143,8 @@ def _ids_matrix(
             f"{caller}: GEMM build side exceeds max_rows={max_rows} — this "
             "path collects one side to the driver by contract; use "
             "lsh_bucketed_neardup (bucket-confined comparisons) or the IVF "
-            "index for corpora this large, or raise max_rows explicitly."
+            "index for corpora this large, or raise the cap via the "
+            "caller's max_build_rows / max_query_rows parameter."
         )
     ids = pdf[id_col].to_numpy()
     if len(ids) == 0:
@@ -159,6 +160,7 @@ def cosine_neardup_np(
     id_col: str = "vec_id",
     min_cosine: float = 0.95,
     score_digits: int = 6,
+    max_build_rows: int = GEMM_MAX_BUILD_ROWS,
 ) -> DataFrame:
     """GEMM-backed all-pairs cosine near-dup: one side broadcast as a numpy
     matrix, the other streamed in Arrow batches through ``mapInPandas`` —
@@ -173,7 +175,9 @@ def cosine_neardup_np(
     import pandas as pd
 
     spark = df.sparkSession
-    ids, m, norms = _ids_matrix(df, id_col, vec_col)
+    ids, m, norms = _ids_matrix(
+        df, id_col, vec_col, max_rows=max_build_rows, caller="cosine_neardup_np"
+    )
     bc = spark.sparkContext.broadcast((ids, m, norms))
     n_part = spark.sparkContext.defaultParallelism
 
@@ -204,6 +208,7 @@ def brute_force_topk_np(
     id_col: str = "vec_id",
     k: int = 5,
     score_digits: int = 6,
+    max_query_rows: int = GEMM_MAX_BUILD_ROWS,
 ) -> DataFrame:
     """GEMM-backed exact cosine top-k: the (small) query matrix broadcasts;
     the corpus streams through ``mapInPandas`` scoring a batch per BLAS
@@ -214,7 +219,8 @@ def brute_force_topk_np(
 
     spark = corpus.sparkSession
     qids, qm, qn = _ids_matrix(
-        queries, id_col, vec_col, caller="brute_force_topk_np (query side)"
+        queries, id_col, vec_col, max_rows=max_query_rows,
+        caller="brute_force_topk_np (query side)",
     )
     bc = spark.sparkContext.broadcast((qids, qm, qn))
     n_part = spark.sparkContext.defaultParallelism
@@ -453,6 +459,7 @@ def ivf_topk(
     score_digits: int = 6,
     sample_fraction: float | None = None,
     max_train_rows: int = 100_000,
+    max_query_rows: int = GEMM_MAX_BUILD_ROWS,
 ) -> DataFrame:
     """IVF approximate cosine top-k: probe the ``n_probes`` nearest lists
     per query and GEMM only inside them — the scale path when the corpus
@@ -473,7 +480,8 @@ def ivf_topk(
         max_train_rows=max_train_rows,
     )
     return _probe_scored_topk(
-        assigned, queries, cents, vec_col, id_col, k, n_probes, score_digits
+        assigned, queries, cents, vec_col, id_col, k, n_probes, score_digits,
+        max_query_rows=max_query_rows,
     )
 
 
@@ -487,6 +495,7 @@ def _probe_scored_topk(
     n_probes: int,
     score_digits: int,
     respread: bool = False,
+    max_query_rows: int = GEMM_MAX_BUILD_ROWS,
 ) -> DataFrame:
     """The shared IVF probe kernel: nearest ``n_probes`` lists per query
     (driver-side against the tiny centroid matrix), candidates
@@ -497,7 +506,8 @@ def _probe_scored_topk(
 
     spark = assigned.sparkSession
     qids, qm, _ = _ids_matrix(
-        queries, id_col, vec_col, caller="ivf/ann probe (query batch)"
+        queries, id_col, vec_col, max_rows=max_query_rows,
+        caller="ivf/ann probe (query batch)",
     )
     if len(qids) == 0:
         # a quiet interval's empty batch must yield an empty top-k
@@ -1054,6 +1064,7 @@ def ann_index_topk(
     k: int = 5,
     n_probes: int = 4,
     score_digits: int = 6,
+    max_query_rows: int = GEMM_MAX_BUILD_ROWS,
 ) -> DataFrame:
     """Top-k against a persisted :class:`AnnIndex` — result-identical to
     :func:`ivf_topk` at the same (n_lists, training, n_probes)
@@ -1064,6 +1075,7 @@ def ann_index_topk(
     return _probe_scored_topk(
         assigned, queries, index.centroids, index.vec_col, index.id_col,
         k, n_probes, score_digits, respread=True,
+        max_query_rows=max_query_rows,
     )
 
 
@@ -1175,8 +1187,16 @@ def ann_recall_certificate(
     )
     certs = []
     for p in settings:
-        approx = ann_index_topk(
-            spark, queries, index, k=k, n_probes=p, score_digits=score_digits
+        # the full-probe setting IS the checkpointed exact relation —
+        # re-probing it would pay a second exhaustive index scan to
+        # compare a deterministic computation with itself
+        approx = (
+            exact
+            if p == index.n_lists
+            else ann_index_topk(
+                spark, queries, index, k=k, n_probes=p,
+                score_digits=score_digits,
+            )
         )
         per_q = (
             exact.join(

@@ -47,7 +47,14 @@ def start_ann_probe_sink(
     failure between the write and the checkpoint commit makes the
     replayed batch REWRITE its partition instead of appending duplicate
     top-k rows (the same exactly-once-output contract as
-    :func:`~.sinks.start_upsert_sink`)."""
+    :func:`~.sinks.start_upsert_sink`).
+
+    Layout note: ``output_path`` must be a NEW directory (or one written
+    by this batch_id-partitioned form).  A directory holding the
+    pre-r14 append-mode sink's root-level part files cannot gain
+    ``batch_id=N`` subdirectories — Spark's partition discovery refuses
+    mixed leaf layouts; migrate by reading the old files and rewriting
+    them under a ``batch_id=-1`` partition, or start fresh."""
     stream = staged_file_stream(spark, queries_path)
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:

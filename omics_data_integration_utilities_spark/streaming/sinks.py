@@ -206,6 +206,30 @@ def _prune_versions(snapshot_dir: str, keep_versions: int) -> None:
         shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
 
 
+def _refuse_stale_batch(
+    cur_name: "str | None", batch_id: int, snapshot_dir: str
+) -> None:
+    """A batch_id BELOW the committed one can only mean a stream
+    restarted against an existing snapshot with a FRESH checkpoint
+    (batch ids are monotone per checkpoint).  Proceeding would be
+    destructive twice over: mode("overwrite") clobbers a version dir
+    that kept manifests still reference, and retention then prunes the
+    just-flipped name as lexicographically old, leaving CURRENT
+    dangling.  Refuse loudly — resume from the original checkpoint, or
+    point the new checkpoint lineage at a NEW snapshot dir."""
+    if cur_name is None:
+        return
+    digits = "".join(c for c in cur_name if c.isdigit())
+    if digits and int(batch_id) < int(digits):
+        raise RuntimeError(
+            f"snapshot at {snapshot_dir!r} is at commit {int(digits)} but "
+            f"this stream delivered batch_id={int(batch_id)} — a fresh "
+            "checkpoint against an existing snapshot; resume from the "
+            "original checkpoint or use a new snapshot dir for the new "
+            "lineage"
+        )
+
+
 def upsert_batch_into_snapshot(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -238,6 +262,7 @@ def upsert_batch_into_snapshot(
     cur = _current_version(snapshot_dir)
     if cur == new_version:
         return  # replayed already-committed batch: flip already happened
+    _refuse_stale_batch(cur, batch_id, snapshot_dir)
     if cur is None and os.path.isdir(snapshot_dir):
         others = [
             n for n in os.listdir(snapshot_dir)
@@ -435,6 +460,7 @@ def _bucketed_commit(
     cur_name = _current_version(snapshot_dir)
     if cur_name == manifest_name:
         return  # replayed already-committed batch
+    _refuse_stale_batch(cur_name, batch_id, snapshot_dir)
     cur = _current_manifest(snapshot_dir)
     if cur is None and os.path.isdir(snapshot_dir):
         leftovers = [
@@ -559,24 +585,27 @@ def _split_cdc(batch_df: DataFrame, key_cols: "list[str]", op_col: str):
     upsert/delete.  Returns (upserts_without_op_col, delete_keys)."""
     from pyspark.sql import functions as F
 
-    ops = [
-        r[0]
-        for r in batch_df.select(op_col).distinct().collect()
-    ]
-    bad = [o for o in ops if o not in (CDC_UPSERT, CDC_DELETE)]
+    # ONE validation job per micro-batch (this sits on the streaming hot
+    # path): per-key op sets folded into (all distinct ops, max ops per
+    # key) — an empty batch yields ([], NULL) and validates clean
+    row = (
+        batch_df.groupBy(*key_cols)
+        .agg(F.collect_set(F.col(op_col)).alias("__ops"))
+        .agg(
+            F.array_distinct(F.flatten(F.collect_list("__ops"))).alias(
+                "__all_ops"
+            ),
+            F.max(F.size("__ops")).alias("__max_ops"),
+        )
+        .collect()[0]
+    )
+    bad = [o for o in (row["__all_ops"] or []) if o not in (CDC_UPSERT, CDC_DELETE)]
     if bad:
         raise ValueError(
             f"CDC batch has unknown ops {bad!r} in column {op_col!r} — "
             f"allowed: {CDC_UPSERT!r}, {CDC_DELETE!r}"
         )
-    conflicted = (
-        batch_df.groupBy(*key_cols)
-        .agg(F.count_distinct(F.col(op_col)).alias("__n_ops"))
-        .where(F.col("__n_ops") > 1)
-        .limit(1)
-        .count()
-    )
-    if conflicted:
+    if (row["__max_ops"] or 0) > 1:
         raise ValueError(
             "CDC batch carries BOTH an upsert and a delete for the same "
             "key — micro-batches are unordered, so apply order would be "
@@ -609,13 +638,12 @@ def apply_cdc_batch_into_snapshot(
     :func:`upsert_batch_into_snapshot`'s commit/replay/crash contract
     (a CDC batch with no deletes is bit-identical to an upsert batch);
     deleting an absent key is a no-op by anti-join semantics."""
-    from ..operators.joins import upsert_snapshot as _upsert
-
     _require_driver_local(snapshot_dir)
     new_version = f"v{int(batch_id):012d}"
     cur = _current_version(snapshot_dir)
     if cur == new_version:
         return  # replayed already-committed batch
+    _refuse_stale_batch(cur, batch_id, snapshot_dir)
     if cur is None and os.path.isdir(snapshot_dir):
         others = [
             n for n in os.listdir(snapshot_dir)

@@ -2014,3 +2014,48 @@ def test_cdc_delete_everything_edge(spark, tmp_path):
     )
     assert {r["k"] for r in read_snapshot(spark, full).collect()} == {2}
     assert {r["k"] for r in read_bucketed_snapshot(spark, buck).collect()} == {2}
+
+
+def test_stale_batch_id_refused_on_existing_snapshot(spark, tmp_path):
+    """Review regression (r14): a batch_id BELOW the committed one (a
+    stream restarted with a FRESH checkpoint against an existing
+    snapshot) must be refused loudly in all three commit units —
+    proceeding would overwrite a version dir kept manifests still
+    reference and then prune the just-flipped name, destroying data."""
+    import pytest
+
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        apply_cdc_batch_into_snapshot,
+        read_bucketed_snapshot,
+        read_snapshot,
+        upsert_batch_into_bucketed_snapshot,
+        upsert_batch_into_snapshot,
+    )
+
+    b = lambda k, v: spark.createDataFrame([(k, v)], "k long, v double")  # noqa: E731
+    full, buck, cdc = (
+        str(tmp_path / "stale_full"),
+        str(tmp_path / "stale_buck"),
+        str(tmp_path / "stale_cdc"),
+    )
+    for i in (3, 4, 5):
+        upsert_batch_into_snapshot(spark, b(i, float(i)), full, ["k"], batch_id=i)
+        upsert_batch_into_bucketed_snapshot(
+            spark, b(i, float(i)), buck, ["k"], batch_id=i, n_buckets=4
+        )
+    with pytest.raises(RuntimeError, match="fresh\\s+checkpoint"):
+        upsert_batch_into_snapshot(spark, b(9, 9.0), full, ["k"], batch_id=0)
+    with pytest.raises(RuntimeError, match="fresh\\s+checkpoint"):
+        upsert_batch_into_bucketed_snapshot(
+            spark, b(9, 9.0), buck, ["k"], batch_id=0, n_buckets=4
+        )
+    cdc_b = spark.createDataFrame([(1, 1.0, "upsert")], "k long, v double, op string")
+    apply_cdc_batch_into_snapshot(spark, cdc_b, cdc, ["k"], batch_id=7)
+    with pytest.raises(RuntimeError, match="fresh\\s+checkpoint"):
+        apply_cdc_batch_into_snapshot(spark, cdc_b, cdc, ["k"], batch_id=2)
+    # snapshots intact after the refusals; replay of the committed id
+    # still no-ops
+    assert {r["k"] for r in read_snapshot(spark, full).collect()} == {3, 4, 5}
+    assert {r["k"] for r in read_bucketed_snapshot(spark, buck).collect()} == {3, 4, 5}
+    upsert_batch_into_snapshot(spark, b(5, 5.0), full, ["k"], batch_id=5)
+    assert {r["k"] for r in read_snapshot(spark, full).collect()} == {3, 4, 5}
