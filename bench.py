@@ -21,12 +21,24 @@ endpoints) and is budgeted under STDOUT_BYTE_BUDGET — r11's full
 telemetry outgrew the driver's 2000-char tail capture and the round's
 timings were lost.  The full per-query detail (mins, slow_queries,
 slow_mins, spread, slow_loadavg1, deltas) goes to the stderr
-diagnostics line AND to bench_full.json next to this file, which is
-committed per-round and feeds the next round's slow-tier deltas.
+diagnostics line AND to a detail-JSON sidecar next to this file.
+
+Sidecar protection (r15, r14 verdict item 3 + ADVICE): by default the
+detail JSON goes to ``bench_full_latest.json`` (gitignored scratch) —
+``bench_full.json``, the COMMITTED quiet sf0.1 record that is the only
+credible cross-round perf comparator on this drifting host, is written
+ONLY when ``--sidecar`` is passed (and only at sf0.1; other SFs write
+``bench_full_sf{sf}.json`` as before).  It got clobbered twice in r14
+by stray runs, including ``python bench.py --help`` launching a full
+10-minute run.  The sidecar also records ``sidecar_round`` (the round
+it was recorded DURING = newest BENCH_r{N} on disk + 1); the delta
+reader only lets a sidecar displace BENCH_r{N} timings when that
+marker matches the round being benched, and says so on stderr.
 """
 
 from __future__ import annotations
 
+import argparse
 import glob
 import json
 import os
@@ -36,9 +48,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from omics_data_integration_utilities_spark.session import get_spark  # noqa: E402
-import __spark_entry__ as entrymod  # noqa: E402
 
 # headline set: the flagship plan, the signature band join, the correlation
 # engine, the heaviest document/dedup ops, and a star join
@@ -183,11 +192,15 @@ SLOW_TIER = [
     # seed + tombstone/re-ingest commit + read-back per rep — commit
     # machinery wall, the doc_upsert analog for deletes)
     "doc_forget",
-    # NOT timed: sim_index_recall (r14) — a correctness certificate, not
-    # a serving path; its wall is ~index build (already tracked by
-    # sim_index_topk) + 5 exact/approx probes (tracked by
-    # sim_index_probe), and adding ~30s of redundant build to the slow
-    # tier would undo the r13-verdict-item-6 trim
+    # r15 (r14 verdict item 4): sim_index_recall now RIDES the index
+    # generation sim_index_topk just built (the shared per-(pid,sf)
+    # memo in registry_docs) instead of re-paying the ~14s k-means
+    # build, so timing it costs only its 5 exact/approx probe passes —
+    # the certificate's steady-state cost enters the tier without
+    # undoing the r13-item-6 build trim.  MUST stay listed after
+    # sim_index_topk (standalone it would build its own index and time
+    # build+probes).
+    "sim_index_recall",
 ]
 
 # bench-only callables: timed like registered queries but deliberately
@@ -308,9 +321,15 @@ METHODOLOGY = (
     "calibration); calibration_s = min(session-start, session-end "
     "medians) — the JIT-warm floor; the sf-matched quiet sidecar "
     "overrides BENCH_rN as the delta comparator so prev timings and "
-    "prev_cal come from the same run; build-lifecycle slow entries (SLOW_LIFECYCLE_ONE_REP) "
+    "prev_cal come from the same run (since r15 only when its "
+    "sidecar_round marker matches — a stray run cannot displace the "
+    "comparator); build-lifecycle slow entries (SLOW_LIFECYCLE_ONE_REP) "
     "run 1 timed rep since r14 — same quantity (fresh build per rep), "
-    "2 fewer redundant builds"
+    "2 fewer redundant builds; since r15 the 16-list IVF index builds "
+    "ONCE per session (sim_index_topk's timed cold rep, the lifecycle "
+    "number) and is SHARED with sim_index_recall + sim_index_probe "
+    "(r14 verdict item 4 — the deterministic build makes reuse "
+    "result-identical)"
 )
 
 # per-query WORKLOAD changes this round: a grown fixture is more work,
@@ -347,6 +366,14 @@ WORKLOAD_CHANGES = {
     "[C:1]~O, OR-list [C:1]-,=O, bond-expression [C:1]-&!@O and "
     "negated-OR [C:1]!=,!#O rules; r9 "
     "added per-alternative-modifier + negated-item)",
+    "sim_index_topk": "r14 PROTOCOL change (r14 ADVICE): one timed COLD "
+    "rep with no warm-up since r14 (SLOW_LIFECYCLE_ONE_REP) — the r13->"
+    "r14 delta compared cold-vs-warm and overstated by the codegen-"
+    "compile gap, a one-time artifact; r15 onward is cold-vs-cold and "
+    "comparable",
+    "sim_index_recall": "ENTERS the slow tier in r15 riding the shared "
+    "index build (r14 verdict item 4): its wall is ~5 probe passes, "
+    "not build+probes — no pre-r15 comparator exists",
 }
 
 
@@ -412,12 +439,29 @@ def _previous_round_timings(here: str, sf: str) -> "tuple[dict[str, float], floa
     try:
         with open(os.path.join(here, "bench_full.json")) as f:
             full = json.load(f)
-        if str(full.get("sf")) == str(float(sf)):
+        latest_round = max((n for n, _ in rounds), default=0)
+        marker = full.get("sidecar_round")
+        # r15 (r14 ADVICE): the sidecar only displaces BENCH_rN values
+        # when its recorded round marker says it IS the expected
+        # comparator — the quiet record of the round currently on disk
+        # (marker == latest BENCH round, the normal cadence: the quiet
+        # run happens while that round is in flight) or one newer (a
+        # post-round quiet re-run).  A stray/ancient sidecar no longer
+        # silently replaces the round-over-round comparator.
+        marker_ok = marker is not None and int(marker) in (
+            latest_round, latest_round + 1
+        )
+        if str(full.get("sf")) == str(float(sf)) and marker_ok:
             # the sf-matched sidecar (the builder's quiet run) OVERRIDES
             # the driver's BENCH_rN capture: normalization requires
             # prev_cal and prev timings to come from the SAME run, and
             # quiet-vs-quiet is the comparison worth making — BENCH_rN
             # values only fill queries the sidecar lacks
+            print(
+                f"# comparator: bench_full.json (sidecar_round={marker}) "
+                f"overrides BENCH_r{latest_round} values",
+                file=sys.stderr,
+            )
             for section in ("queries", "slow_queries"):
                 for k, v in (full.get(section) or {}).items():
                     out[k] = float(v)
@@ -428,6 +472,13 @@ def _previous_round_timings(here: str, sf: str) -> "tuple[dict[str, float], floa
                 float(full["calibration_s"])
                 if full.get("calibration_s")
                 else None
+            )
+        elif str(full.get("sf")) == str(float(sf)):
+            print(
+                f"# comparator: bench_full.json IGNORED (sidecar_round="
+                f"{marker!r}, expected {latest_round} or "
+                f"{latest_round + 1}) — deltas use BENCH_r{latest_round}",
+                file=sys.stderr,
             )
     except Exception:
         pass
@@ -528,11 +579,79 @@ def _final_stdout_line(
     return line
 
 
+def _parse_args(argv: "list[str] | None" = None) -> argparse.Namespace:
+    """CLI (r14 verdict item 3): ``--help`` must be instant and a
+    default run must be unable to touch ``bench_full.json`` — in r14 a
+    stray ``python bench.py --help`` launched a full 10-minute sf0.1
+    run and the driver's load-poisoned run clobbered the committed
+    quiet sidecar.  Env vars stay as defaults so the driver's bare
+    ``python bench.py`` invocation keeps working unchanged."""
+    p = argparse.ArgumentParser(
+        description="Run the headline+slow query tiers and print the "
+        "one-line driver-contract JSON on stdout (full detail on stderr "
+        "+ a detail-JSON file).",
+    )
+    p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        help="testdata dir (default $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1)",
+    )
+    p.add_argument(
+        "--reps",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")),
+        help="timed reps per headline query (default $SPARK_GRAFT_BENCH_REPS or 3)",
+    )
+    p.add_argument(
+        "--slow",
+        dest="slow",
+        action="store_true",
+        default=os.environ.get("SPARK_GRAFT_BENCH_SLOW", "1") != "0",
+        help="run the slow tier (default on; $SPARK_GRAFT_BENCH_SLOW=0 or --no-slow disables)",
+    )
+    p.add_argument("--no-slow", dest="slow", action="store_false")
+    p.add_argument(
+        "--out",
+        default=None,
+        help="detail-JSON path (default bench_full_latest.json at sf0.1, "
+        "bench_full_sf{sf}.json otherwise; ignored with --sidecar)",
+    )
+    p.add_argument(
+        "--sidecar",
+        action="store_true",
+        help="write the COMMITTED quiet record bench_full.json (sf0.1 "
+        "only; other SFs still write bench_full_sf{sf}.json) — pass "
+        "ONLY for a deliberate quiet-machine run intended as the "
+        "round's cross-round comparator",
+    )
+    return p.parse_args(argv)
+
+
+def _detail_json_name(sidecar_flag: bool, out: "str | None", sf: str) -> str:
+    """Where the full-detail JSON goes — the protection invariant
+    (locked by tests/test_bench_contract.py): only an explicit
+    ``--sidecar`` at sf0.1 may name ``bench_full.json``; every other
+    combination writes scratch."""
+    if sidecar_flag and sf == "0.1":
+        return "bench_full.json"
+    if out:
+        return out
+    if sf != "0.1":
+        return f"bench_full_sf{sf}.json"
+    return "bench_full_latest.json"
+
+
 def main() -> None:
+    args = _parse_args()
     here = os.path.dirname(os.path.abspath(__file__))
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = args.sf_dir
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    reps = max(1, int(args.reps))
+
+    # heavy imports AFTER arg parsing so --help never touches Spark
+    from omics_data_integration_utilities_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
     spark = get_spark("omics-spark-bench")
 
     queries = dict(entrymod.queries())
@@ -611,7 +730,7 @@ def main() -> None:
     slow_timings: dict[str, float] = {}
     slow_mins: dict[str, float] = {}
     slow_load: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_SLOW", "1") != "0":
+    if args.slow:
         for name in SLOW_TIER:
             try:
                 fn = queries[name]
@@ -710,17 +829,30 @@ def main() -> None:
         "methodology": METHODOLOGY,
         "workload_changes": WORKLOAD_CHANGES,
     }
+    # sidecar_round: the round this run was recorded DURING — the
+    # newest BENCH_r{N} already on disk belongs to the PREVIOUS round,
+    # so this run's quiet numbers are round N+1's record.  The delta
+    # reader (_previous_round_timings) only lets a bench_full.json
+    # displace BENCH_rN values when this marker matches (r14 ADVICE).
+    bench_rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    full["sidecar_round"] = max(bench_rounds, default=0) + 1
     print("# diagnostics: " + json.dumps(full), file=sys.stderr)
-    # the committed sidecar is the sf0.1 record the judge reads; a
-    # smoke run at another SF writes its own file so it can never
-    # clobber the round's sf0.1 sidecar (it happened twice in r13 —
-    # an sf0.01 verify run rode a commit over the sf0.1 record)
-    sidecar = (
-        "bench_full.json" if sf == "0.1" else f"bench_full_sf{sf}.json"
-    )
+    # bench_full.json — the COMMITTED quiet sf0.1 record the judge and
+    # the next round's deltas read — is written ONLY under --sidecar
+    # (r14 verdict item 3: it was clobbered twice in r14 by stray and
+    # driver runs).  Default runs write gitignored scratch files; a
+    # non-sf0.1 run can never touch it regardless (that happened twice
+    # in r13 — an sf0.01 verify run rode a commit over the sf0.1
+    # record).
+    sidecar = _detail_json_name(args.sidecar, args.out, sf)
     try:
         with open(os.path.join(here, sidecar), "w") as f:
             json.dump(full, f, indent=1)
+        print(f"# detail JSON -> {sidecar}", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001 — sidecar loss must not kill stdout
         print(f"# {sidecar} write failed: {exc}", file=sys.stderr)
 

@@ -2180,11 +2180,52 @@ GROUP BY lang
 """
 
 
-# previous generation of the persisted ANN index (catalog table + data
-# dir), removed on the next invocation — same single-live-generation
-# discipline as the dedup index registrations
-_ANN_IDX_LAST: list[tuple[str, str]] = []
+# ONE live persisted ANN index per (pid, sf_dir), SHARED by the three
+# consumers (r14 verdict item 4 — the slow tier used to pay the same
+# 16-list k-means build twice): the lifecycle query q_sim_index_topk
+# drops every live generation and builds fresh (its timed rep IS the
+# build+probe number), then PUBLISHES the index here; the recall
+# certificate and the bench-only steady-state probe reuse it.  Safe to
+# share because build_ann_index is bit-deterministic in its input (the
+# k-means seeds are evenly spaced rows of the id-sorted sample), so a
+# reused index is identical to a rebuilt one — asserted by the recall
+# query's golden VALUES pin staying green through this change.
+_ANN_IDX_SHARED: dict[str, object] = {}
 _ANN_IDX_SEQ = itertools.count()
+
+
+def _drop_shared_ann_indexes(spark: SparkSession) -> None:
+    """Drop every live shared ANN index generation (catalog table +
+    data dir) — single-live-generation disk discipline, same as the
+    dedup index registrations."""
+    import shutil
+
+    while _ANN_IDX_SHARED:
+        _, idx = _ANN_IDX_SHARED.popitem()
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {idx.lists_table}")
+        except Exception:  # noqa: BLE001 — session may be gone at exit
+            pass
+        shutil.rmtree(idx.path, ignore_errors=True)
+
+
+def _shared_ann_index(spark: SparkSession, sf_dir: str):
+    """Return the shared persisted IVF index for (pid, sf_dir),
+    building and publishing it if absent (16 lists over the embeddings
+    table — the one configuration all three consumer queries use)."""
+    import tempfile
+
+    from ..operators.similarity import build_ann_index
+
+    key = f"{os.getpid()}:{sf_dir}"
+    idx = _ANN_IDX_SHARED.get(key)
+    if idx is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        name = f"ann_idx_{os.getpid()}_{next(_ANN_IDX_SEQ)}"
+        path = tempfile.mkdtemp(prefix="sim_ann_idx_")
+        idx = build_ann_index(emb, "embedding", "vec_id", name, path, n_lists=16)
+        _ANN_IDX_SHARED[key] = idx
+    return idx
 
 
 def q_sim_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2196,32 +2237,23 @@ def q_sim_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns.  The steady-state point of the index — probe cost
     O(probed buckets) with no re-train/re-assign — is what a nightly
     similarity service repeats; tests assert probe==ivf_topk at
-    approximate settings too."""
-    import shutil
-    import tempfile
+    approximate settings too.
 
-    from ..operators.similarity import ann_index_topk, build_ann_index
+    This is the LIFECYCLE entry: every invocation drops the live
+    generation and rebuilds (the bench times build+probe end-to-end);
+    the build is then shared with ``sim_index_recall`` and the
+    bench-only ``q_sim_index_probe`` so the same k-means never runs
+    twice in one session (r14 verdict item 4)."""
+    from ..operators.similarity import ann_index_topk
 
-    while _ANN_IDX_LAST:
-        prev_table, prev_path = _ANN_IDX_LAST.pop()
-        spark.sql(f"DROP TABLE IF EXISTS {prev_table}")
-        shutil.rmtree(prev_path, ignore_errors=True)
+    _drop_shared_ann_indexes(spark)
+    idx = _shared_ann_index(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    name = f"ann_idx_{os.getpid()}_{next(_ANN_IDX_SEQ)}"
-    path = tempfile.mkdtemp(prefix="sim_ann_idx_")
-    idx = build_ann_index(emb, "embedding", "vec_id", name, path, n_lists=16)
-    _ANN_IDX_LAST.append((idx.lists_table, path))
     out = ann_index_topk(spark, queries, idx, k=5, n_probes=16)
     return out.select(
         "query_id", "cand_id", "score", F.col("rank").cast("long").alias("rank")
     )
-
-
-# per-(pid, sf_dir) memoized ANN index for the BENCH-ONLY steady-state
-# probe below — built once (the bench's untimed warm-up rep), probed by
-# every timed rep (the dedup_index_probe pattern, r11 verdict item 6)
-_ANN_PROBE_IDX: dict[str, object] = {}
 
 
 def q_sim_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2232,22 +2264,15 @@ def q_sim_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-rep wall is ~all index BUILD; the number worth tracking
     round-over-round is the probe a similarity service repeats, timed
     here in isolation.  Result-identical to ``sim_index_topk``
-    (same centroids config, exact mode)."""
-    import tempfile
+    (same centroids config, exact mode).  Reuses the shared index the
+    preceding ``sim_index_topk`` slow-tier entry built (builds one only
+    if invoked standalone)."""
+    from ..operators.similarity import ann_index_topk
 
-    from ..operators.similarity import ann_index_topk, build_ann_index
-
-    key = f"{os.getpid()}:{sf_dir}"
-    if key not in _ANN_PROBE_IDX:
-        emb = _t(spark, sf_dir, "embeddings")
-        name = f"ann_probe_{os.getpid()}_{next(_ANN_IDX_SEQ)}"
-        path = tempfile.mkdtemp(prefix="sim_ann_probe_")
-        _ANN_PROBE_IDX[key] = build_ann_index(
-            emb, "embedding", "vec_id", name, path, n_lists=16
-        )
+    idx = _shared_ann_index(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    out = ann_index_topk(spark, queries, _ANN_PROBE_IDX[key], k=5, n_probes=16)
+    out = ann_index_topk(spark, queries, idx, k=5, n_probes=16)
     return out.select(
         "query_id", "cand_id", "score", F.col("rank").cast("long").alias("rank")
     )
@@ -2263,25 +2288,21 @@ def q_sim_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     see ann_recall_certificate), so the expected output is pinned as a
     golden VALUES oracle on the seeded sf0.01 embeddings — the driver's
     hash compare now locks the index's APPROXIMATE contract, not just
-    its degenerate-exact one (``sim_index_topk``)."""
-    import shutil
-    import tempfile
+    its degenerate-exact one (``sim_index_topk``).
 
-    from ..operators.similarity import ann_recall_certificate, build_ann_index
+    Reuses the SHARED index generation if ``sim_index_topk`` already
+    built one this session (r14 verdict item 4 — the k-means build is
+    deterministic, so a reused index certifies identically to a fresh
+    one; the golden pin stayed green through this change), building
+    only when invoked standalone."""
+    from ..operators.similarity import ann_recall_certificate
 
-    while _ANN_IDX_LAST:
-        prev_table, prev_path = _ANN_IDX_LAST.pop()
-        spark.sql(f"DROP TABLE IF EXISTS {prev_table}")
-        shutil.rmtree(prev_path, ignore_errors=True)
+    idx = _shared_ann_index(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     # denser query set than sim_index_topk's (the corpus is small at
     # test SFs): 50 queries at sf0.01 gives the certificate real
     # resolution on min_recall
     queries = emb.where(F.col("vec_id") % 10 == 0)
-    name = f"ann_idx_{os.getpid()}_{next(_ANN_IDX_SEQ)}"
-    path = tempfile.mkdtemp(prefix="sim_ann_idx_")
-    idx = build_ann_index(emb, "embedding", "vec_id", name, path, n_lists=16)
-    _ANN_IDX_LAST.append((idx.lists_table, path))
     return ann_recall_certificate(
         spark, queries, idx, k=5, probe_settings=(1, 2, 4, 8)
     )
@@ -2513,7 +2534,7 @@ def cleanup_registry_state() -> None:
     """Session-exit hygiene (r13 verdict item 8): drop the single live
     generation of every registry-managed side artifact — the
     ``_INCR_IDX_LAST`` dedup index, the ``_LAYOUT_LAST`` pruned-scan
-    layout dir, the ``_ANN_IDX_LAST`` ANN index, and the bench-only
+    layout dir, the ``_ANN_IDX_SHARED`` ANN indexes, and the bench-only
     memoized probe indexes.  The per-query functions already clean the
     *previous* generation on entry; this closes the final one so no
     ``sim_ann_idx_*`` / ``dedup_incr_idx_*`` / ``doc_layout_*`` tempdir
@@ -2542,17 +2563,14 @@ def cleanup_registry_state() -> None:
         _drop(tables, path)
     while _LAYOUT_LAST:
         shutil.rmtree(_LAYOUT_LAST.pop(), ignore_errors=True)
-    while _ANN_IDX_LAST:
-        table, path = _ANN_IDX_LAST.pop()
-        _drop([table], path)
+    while _ANN_IDX_SHARED:
+        _, idx = _ANN_IDX_SHARED.popitem()
+        _drop([idx.lists_table], idx.path)
     while _SNAP_LAST:
         shutil.rmtree(_SNAP_LAST.pop(), ignore_errors=True)
     for idx in _PROBE_IDX.values():
         _drop([idx.digests_table, idx.bands_table], idx.path)
     _PROBE_IDX.clear()
-    for idx in _ANN_PROBE_IDX.values():
-        _drop([idx.lists_table], idx.path)
-    _ANN_PROBE_IDX.clear()
 
 
 import atexit  # noqa: E402

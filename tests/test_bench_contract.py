@@ -81,3 +81,60 @@ def test_calibration_normalized_delta_cancels_host_drift():
     # speedup normalizes back to 1.0
     d, d_raw = bench._normalized_delta(0.5, 1.0, cal=0.3, prev_cal=0.6)
     assert abs(d - 1.0) < 1e-9 and abs(d_raw - 0.5) < 1e-9
+
+
+def test_sidecar_protection_and_cli(tmp_path):
+    """r14 verdict item 3: only an explicit --sidecar at sf0.1 may name
+    the committed quiet record bench_full.json; a default run (the
+    driver's bare `python bench.py`), an --out run, and any non-sf0.1
+    run all write elsewhere.  --help must not reach Spark (argparse
+    exits before the heavy imports in main)."""
+    assert bench._detail_json_name(True, None, "0.1") == "bench_full.json"
+    assert bench._detail_json_name(False, None, "0.1") == "bench_full_latest.json"
+    assert bench._detail_json_name(False, "x.json", "0.1") == "x.json"
+    assert bench._detail_json_name(False, None, "0.01") == "bench_full_sf0.01.json"
+    # --sidecar at the wrong SF still cannot clobber the sf0.1 record
+    assert bench._detail_json_name(True, None, "0.01") == "bench_full_sf0.01.json"
+    # defaults: a bare invocation parses to sidecar=False (protection on)
+    args = bench._parse_args([])
+    assert args.sidecar is False and args.out is None
+    import pytest
+
+    with pytest.raises(SystemExit):
+        bench._parse_args(["--help"])
+
+
+def test_sidecar_round_marker_gates_override(tmp_path, monkeypatch):
+    """r14 ADVICE: a bench_full.json whose sidecar_round marker does not
+    match the round on disk must NOT displace BENCH_rN values in the
+    delta comparator; a matching marker must."""
+    import json as _json
+
+    (tmp_path / "BENCH_r07.json").write_text(
+        _json.dumps({"queries": {"q1": 2.0}, "calibration_s": 0.5})
+    )
+
+    def sidecar(round_marker):
+        (tmp_path / "bench_full.json").write_text(
+            _json.dumps(
+                {
+                    "sf": 0.1,
+                    "sidecar_round": round_marker,
+                    "queries": {"q1": 1.0},
+                    "calibration_s": 0.25,
+                }
+            )
+        )
+
+    sidecar(7)  # quiet record of the round whose BENCH file is newest
+    prev, prev_cal = bench._previous_round_timings(str(tmp_path), "0.1")
+    assert prev["q1"] == 1.0 and prev_cal == 0.25
+    sidecar(8)  # post-round quiet re-run: also the expected comparator
+    prev, prev_cal = bench._previous_round_timings(str(tmp_path), "0.1")
+    assert prev["q1"] == 1.0 and prev_cal == 0.25
+    sidecar(3)  # stale/stray sidecar: BENCH_rN wins
+    prev, prev_cal = bench._previous_round_timings(str(tmp_path), "0.1")
+    assert prev["q1"] == 2.0 and prev_cal == 0.5
+    sidecar(None)  # markerless (pre-r15) sidecar: BENCH_rN wins
+    prev, prev_cal = bench._previous_round_timings(str(tmp_path), "0.1")
+    assert prev["q1"] == 2.0 and prev_cal == 0.5

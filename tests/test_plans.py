@@ -460,17 +460,17 @@ def test_registry_cleanup_drops_final_generation(spark):
     rd.q_doc_pruned_scan(spark, sf).collect()
     rd.q_dedup_incremental_indexed(spark, sf).collect()
     live = (
-        [p for _, p in rd._ANN_IDX_LAST]
+        [idx.path for idx in rd._ANN_IDX_SHARED.values()]
         + list(rd._LAYOUT_LAST)
         + [p for _, p in rd._INCR_IDX_LAST]
     )
-    tables = [t for t, _ in rd._ANN_IDX_LAST] + [
+    tables = [idx.lists_table for idx in rd._ANN_IDX_SHARED.values()] + [
         t for ts, _ in rd._INCR_IDX_LAST for t in ts
     ]
     assert live and all(os.path.isdir(p) for p in live)
     rd.cleanup_registry_state()
-    assert not rd._ANN_IDX_LAST and not rd._LAYOUT_LAST and not rd._INCR_IDX_LAST
-    assert not rd._PROBE_IDX and not rd._ANN_PROBE_IDX
+    assert not rd._ANN_IDX_SHARED and not rd._LAYOUT_LAST and not rd._INCR_IDX_LAST
+    assert not rd._PROBE_IDX
     assert all(not os.path.exists(p) for p in live)
     for t in tables:
         assert not spark.catalog.tableExists(t), t

@@ -480,6 +480,29 @@ def test_sim_index_probe_matches_registered_form(spark):
     assert a2 == a
 
 
+def test_shared_ann_index_reused_and_result_identical(spark):
+    """r14 verdict item 4: sim_index_topk builds the one live index
+    generation and sim_index_recall / the bench probe REUSE it (no
+    second k-means build in a session), and a reused index certifies
+    bit-identically to a standalone-built one (the build is
+    deterministic)."""
+    from omics_data_integration_utilities_spark.plans import registry_docs as rd
+
+    sf = "/root/testdata/sf0.001"
+    rd.q_sim_index_topk(spark, sf).collect()
+    key = f"{__import__('os').getpid()}:{sf}"
+    shared = rd._ANN_IDX_SHARED[key]
+    reused = sorted(tuple(r) for r in rd.q_sim_index_recall(spark, sf).collect())
+    # recall must not have replaced the published generation
+    assert rd._ANN_IDX_SHARED[key] is shared
+    probe = sorted(tuple(r) for r in rd.q_sim_index_probe(spark, sf).collect())
+    assert rd._ANN_IDX_SHARED[key] is shared and len(probe) > 0
+    # standalone (fresh-build) recall agrees bit-for-bit
+    rd.cleanup_registry_state()
+    fresh = sorted(tuple(r) for r in rd.q_sim_index_recall(spark, sf).collect())
+    assert fresh == reused and len(fresh) > 0
+
+
 def test_gemm_build_side_guard_fails_fast_over_cap(spark):
     """r13 verdict item 4: every GEMM collect path sizes its build side
     by measurement (the limit IS the measurement — one job) and fails
