@@ -2379,6 +2379,69 @@ GROUP BY source
 """
 
 
+def q_doc_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel audit over the bucketed snapshot (r15, rides the r14
+    verdict item 2 commit primitive): seed a snapshot from documents
+    (commit 0), apply an update wave — doubled n_chars for
+    doc_id %% 5 == 0 (commit 1) — then read BOTH generations through
+    the retained manifests (``manifest=`` time travel for v0, CURRENT
+    for v1) and report the per-source before/after comparison an
+    auditor of a training-data release would run.  Answers a plain SQL
+    oracle on the raw table: hash-green proves manifest retention keeps
+    superseded generations byte-readable and the time-travel reader
+    resolves exactly the committed horizon (the r14-ADVICE pre-flip-
+    leftover refusal lives on the same code path).  The reference has
+    no snapshot machinery at all (its sinks are one-shot CSV/SQLite
+    writes — integrative_omics/gizmos.py); north-star surface."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sinks import (
+        read_bucketed_snapshot,
+        upsert_batch_into_bucketed_snapshot,
+    )
+
+    while _SNAP_LAST:
+        shutil.rmtree(_SNAP_LAST.pop(), ignore_errors=True)
+    path = tempfile.mkdtemp(prefix="doc_tt_snap_")
+    _SNAP_LAST.append(path)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    upsert_batch_into_bucketed_snapshot(
+        spark, docs, path, ["doc_id"], batch_id=0, n_buckets=16
+    )
+    upd = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    upsert_batch_into_bucketed_snapshot(
+        spark, upd, path, ["doc_id"], batch_id=1, n_buckets=16
+    )
+    v0 = read_bucketed_snapshot(spark, path, manifest="m000000000000.json")
+    v1 = read_bucketed_snapshot(spark, path)
+    a0 = v0.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars_v0"),
+    )
+    a1 = v1.groupBy("source").agg(
+        F.sum("n_chars").alias("sum_chars_v1"),
+        F.sum(
+            F.when(F.col("doc_id") % 5 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_changed"),
+    )
+    return a0.join(a1, "source").select(
+        "source", "n_docs", "sum_chars_v0", "sum_chars_v1", "n_changed"
+    )
+
+
+SQL_DOC_SNAPSHOT_TIMETRAVEL = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars_v0,
+       sum(CASE WHEN doc_id % 5 = 0 THEN n_chars * 2 ELSE n_chars END)::BIGINT AS sum_chars_v1,
+       sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_changed
+FROM documents
+GROUP BY source
+"""
+
+
 SQL_DOC_DATASET_CARD = """
 WITH t AS (
   SELECT source, lang, text, length(text)::BIGINT AS n_chars,
@@ -2461,6 +2524,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_index_topk": q_sim_index_topk,
     "sim_index_recall": q_sim_index_recall,
     "doc_forget": q_doc_forget,
+    "doc_snapshot_timetravel": q_doc_snapshot_timetravel,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -2527,6 +2591,7 @@ ORACLES_DOCS: dict[str, str] = {
     # IVF exact mode returns, so it answers the very same oracle
     "sim_index_topk": SQL_ANN_TOPK,
     "doc_forget": SQL_DOC_FORGET,
+    "doc_snapshot_timetravel": SQL_DOC_SNAPSHOT_TIMETRAVEL,
 }
 
 

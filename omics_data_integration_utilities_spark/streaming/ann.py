@@ -35,6 +35,7 @@ def start_ann_probe_sink(
     checkpoint_path: str,
     k: int = 5,
     n_probes: int = 4,
+    keep_batches: "int | None" = None,
 ):
     """Start the serving stream: parquet query feed → per-micro-batch
     probe of ``index`` → parquet results under ``output_path``,
@@ -49,12 +50,24 @@ def start_ann_probe_sink(
     top-k rows (the same exactly-once-output contract as
     :func:`~.sinks.start_upsert_sink`).
 
+    Growth contract (r14 verdict item 5): by default the result archive
+    keeps every ``batch_id=N`` partition — an archive by design, whose
+    expiry belongs to the deployment (downstream compaction or object-
+    store lifecycle rules).  Pass ``keep_batches=N`` to make the sink
+    SELF-bounding: after each write the newest N partitions are kept
+    and older ones removed (``sinks.prune_batch_partitions``) — the
+    right shape when the output is a serving window, not a history.
+
     Layout note: ``output_path`` must be a NEW directory (or one written
     by this batch_id-partitioned form).  A directory holding the
     pre-r14 append-mode sink's root-level part files cannot gain
     ``batch_id=N`` subdirectories — Spark's partition discovery refuses
     mixed leaf layouts; migrate by reading the old files and rewriting
     them under a ``batch_id=-1`` partition, or start fresh."""
+    from .sinks import prune_batch_partitions
+
+    if keep_batches is not None and int(keep_batches) < 1:
+        raise ValueError(f"keep_batches must be >= 1 (got {keep_batches})")
     stream = staged_file_stream(spark, queries_path)
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -69,6 +82,8 @@ def start_ann_probe_sink(
             .partitionBy("batch_id")
             .parquet(output_path)
         )
+        if keep_batches is not None:
+            prune_batch_partitions(output_path, keep_batches)
 
     return (
         stream.writeStream.foreachBatch(probe_batch)

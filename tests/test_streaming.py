@@ -1973,10 +1973,31 @@ def test_snapshot_time_travel_reads(spark, tmp_path):
         read_bucketed_snapshot(spark, buck, manifest="m000000000000.json")
         .collect()[0]["v"] == 1.0
     )
-    with pytest.raises(FileNotFoundError, match="pruned past keep_versions"):
+    # never committed / ahead of CURRENT: refused as uncommitted (r14
+    # ADVICE — on-disk existence alone must not gate the read)
+    with pytest.raises(FileNotFoundError, match="newer than the committed"):
         read_snapshot(spark, full, version="v000000000042")
-    with pytest.raises(FileNotFoundError, match="pruned past keep_versions"):
+    with pytest.raises(FileNotFoundError, match="newer than the committed"):
         read_bucketed_snapshot(spark, buck, manifest="m000000000042.json")
+    # a PRE-FLIP CRASH LEFTOVER (version dir on disk, never flipped
+    # into CURRENT) must also refuse — it is not committed data even
+    # though it exists
+    b1.write.mode("overwrite").parquet(str(tmp_path / "tt_full" / "v000000000042"))
+    with pytest.raises(FileNotFoundError, match="newer than the committed"):
+        read_snapshot(spark, full, version="v000000000042")
+    # genuinely pruned (BELOW the committed horizon, dir gone): the
+    # retention message names keep_versions
+    b2 = spark.createDataFrame([(1, 3.0)], "k long, v double")
+    upsert_batch_into_snapshot(spark, b2, full, ["k"], batch_id=43)
+    upsert_batch_into_snapshot(
+        spark,
+        spark.createDataFrame([(1, 4.0)], "k long, v double"),
+        full,
+        ["k"],
+        batch_id=44,
+    )
+    with pytest.raises(FileNotFoundError, match="pruned past keep_versions"):
+        read_snapshot(spark, full, version="v000000000000")
 
 
 def test_cdc_delete_everything_edge(spark, tmp_path):
@@ -2059,3 +2080,145 @@ def test_stale_batch_id_refused_on_existing_snapshot(spark, tmp_path):
     assert {r["k"] for r in read_bucketed_snapshot(spark, buck).collect()} == {3, 4, 5}
     upsert_batch_into_snapshot(spark, b(5, 5.0), full, ["k"], batch_id=5)
     assert {r["k"] for r in read_snapshot(spark, full).collect()} == {3, 4, 5}
+
+
+def test_prune_batch_partitions_unit(tmp_path):
+    """Keep-last-N retention over batch_id=N partitions: newest N stay
+    (numeric order, not lexicographic — batch_id=10 outranks 9), the
+    rest are removed and reported; the migration partition batch_id=-1
+    is oldest by construction."""
+    import os
+
+    import pytest
+
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        prune_batch_partitions,
+    )
+
+    out = str(tmp_path / "arch")
+    for b in (-1, 0, 2, 9, 10):
+        os.makedirs(os.path.join(out, f"batch_id={b}"))
+    pruned = prune_batch_partitions(out, keep_batches=2)
+    assert sorted(pruned) == ["batch_id=-1", "batch_id=0", "batch_id=2"]
+    assert sorted(os.listdir(out)) == ["batch_id=10", "batch_id=9"]
+    # idempotent; missing dir is a no-op; floor enforced
+    assert prune_batch_partitions(out, keep_batches=2) == []
+    assert prune_batch_partitions(str(tmp_path / "nope"), 3) == []
+    with pytest.raises(ValueError, match="keep_batches"):
+        prune_batch_partitions(out, keep_batches=0)
+
+
+def test_bounded_archive_sink_keeps_last_n(spark, tmp_path):
+    """r14 verdict item 5: the bounded archive keeps exactly the newest
+    keep_batches batch partitions while the unbounded append sink keeps
+    everything — and what survives is the newest feeds' content."""
+    import os
+    import shutil as _sh
+
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        start_bounded_parquet_archive_sink,
+    )
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    schema = "k long, v double"
+
+    def deliver(name, rows):
+        df = spark.createDataFrame(rows, schema)
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                _sh.copy(os.path.join(stage, f), f"{feed}/{name}.parquet")
+
+    deliver("f0", [(1, 1.0)])
+    out = str(tmp_path / "arch")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = start_bounded_parquet_archive_sink(
+        stream, out, str(tmp_path / "ckpt"), keep_batches=2
+    )
+    try:
+        q.processAllAvailable()
+        deliver("f1", [(2, 2.0)])
+        q.processAllAvailable()
+        deliver("f2", [(3, 3.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    parts = sorted(n for n in os.listdir(out) if n.startswith("batch_id="))
+    assert len(parts) == 2, parts
+    got = sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(out).select("k", "v").collect()
+    )
+    assert got == [(2, 2.0), (3, 3.0)]
+
+
+def test_ann_probe_sink_keep_batches_bounds_archive(spark, tmp_path):
+    """The streaming ANN probe sink's opt-in retention: with
+    keep_batches=1 only the newest batch_id partition survives new
+    triggers (default None keeps all — the archive contract)."""
+    import os
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+    )
+    from omics_data_integration_utilities_spark.streaming.ann import (
+        start_ann_probe_sink,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    idx = build_ann_index(
+        emb, "embedding", "vec_id", "t_ann_keep", str(tmp_path / "idx"),
+        n_lists=8,
+    )
+    try:
+        q1 = emb.where(F.col("vec_id") % 20 == 0)
+        q2 = emb.where(F.col("vec_id") % 20 == 7)
+        qpath = str(tmp_path / "qfeed")
+        os.makedirs(qpath)
+
+        def deliver(name, df):
+            stage = str(tmp_path / f"stage_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            for f in os.listdir(stage):
+                if f.endswith(".parquet"):
+                    _sh.copy(os.path.join(stage, f), f"{qpath}/{name}.parquet")
+
+        deliver("q1", q1)
+        out_path = str(tmp_path / "results")
+        q = start_ann_probe_sink(
+            spark, qpath, idx, out_path, str(tmp_path / "ckpt"),
+            k=4, n_probes=3, keep_batches=1,
+        )
+        try:
+            q.processAllAvailable()
+            deliver("q2", q2)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        parts = [n for n in os.listdir(out_path) if n.startswith("batch_id=")]
+        assert len(parts) == 1, parts
+        # the surviving partition is the NEWEST batch and matches the
+        # batch probe over the second query set
+        batch_cols = ["query_id", "cand_id", "score", "rank"]
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out_path).select(*batch_cols).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in ann_index_topk(spark, q2, idx, k=4, n_probes=3)
+            .select(*batch_cols)
+            .collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ann_keep_lists")
