@@ -532,6 +532,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_simhash + dedup_substring_stats + text_bm25/text_winnowing/
 # doc_chunks/doc_pack_chunks_digest enter the same machinery, and
 # events keeps j12_event_join + events_windowed_profile in-window).
+# r15 rotation (computed from `python ledger.py --stale 3`, not
+# recalled): IN (9) — the ENTIRE remaining r10-stale cohort, the 8
+# trivial singles the r14 verdict's item 1 queued (p1_project_rename,
+# p2_threshold, p3_categorical_filter, p4_nonzero, p5_remove_zeros,
+# f3_regex_rewrite, f9_explode_tokens, f11_conditional_swap — after
+# this window NO registered query is >1 round stale), plus the NEW r15
+# registration doc_snapshot_timetravel (time-travel audit through the
+# r15 SnapshotStore commit primitive: two bucketed commits, manifest=
+# time travel for v0, CURRENT for v1, per-source before/after vs a
+# plain SQL oracle; sf0.001+sf0.01 oracle-green locally
+# pre-registration — enters directly under the budget rule).
+# OUT (9): probe_double_pmod, probe_cum_frame, o2_limit, f8_exp_log,
+# f6_rounding, f4_concat_key, f12_size_predicate, f10_unpivot,
+# f1_set_encode — every one hash-green in r14's 50/50 window, every
+# one a trivial single-operator plan on machinery untouched in r15,
+# each with a standing local sf0.01 oracle in
+# tests/test_queries_oracle.py; scalar-function family coverage stays
+# in-window via the incoming f3/f9/f11 and the kept
+# f2_substring_parse.
+# KEPT: the 7 composite plans (headline, always in-window); the
+# similarity block (sim_ivf_topk, sim_index_topk, sim_index_recall,
+# both semantic-dedup digests) because registry_docs.py's shared
+# ANN-index memo changed THIS round (r14 verdict item 4 — topk now
+# publishes the build recall/probe reuse); doc_forget because
+# streaming/sinks.py was REFACTORED this round onto the SnapshotStore
+# commit primitive (r14 verdict item 2) and doc_forget is the driver
+# query that rides that exact code path (CDC bucketed commit +
+# manifest retention); the rest of the r14 window carries (r14-green,
+# staleness 1).
 _PRIORITY = [
     # composite plans — headline, always in-window
     "plan_mass_annotation",
@@ -551,14 +580,11 @@ _PRIORITY = [
     # never-driver-checked late-r13 registrations
     "doc_dataset_card",
     "events_windowed_profile",
-    # r9-stale cohort (full sweep)
+    # r14-green keeps (staleness 1)
     "w3_lag_diff",
     "text_winnowing",
     "text_compression_ratio_digest",
     "text_bm25",
-    "probe_double_pmod",
-    "probe_cum_frame",
-    "o2_limit",
     "multimodal_frames",
     "methylmix_states_digest",
     "k14_dag_break",
@@ -567,17 +593,23 @@ _PRIORITY = [
     "k11_cluster_probes",
     "k10_knn_impute",
     "j12_event_join",
-    "f8_exp_log",
-    "f6_rounding",
-    "f4_concat_key",
-    "f1_set_encode",
-    "f12_size_predicate",
-    "f10_unpivot",
     "doc_pack_chunks_digest",
     "doc_chunks",
     "dedup_lsh_pairs",
     "combat_adjust_digest",
-    # r10-stale refresh (11 of 18; trivial p/f singles queue for r15)
+    # r15 IN: the final r10-stale cohort — after this window the whole
+    # registry is <=1 round stale
+    "p1_project_rename",
+    "p2_threshold",
+    "p3_categorical_filter",
+    "p4_nonzero",
+    "p5_remove_zeros",
+    "f3_regex_rewrite",
+    "f9_explode_tokens",
+    "f11_conditional_swap",
+    # r15 NEW registration (budget rule; see the r15 block above)
+    "doc_snapshot_timetravel",
+    # r14-green keeps
     "clusterone_modules_ego",
     "k6_spearman",
     "k10_pca_closed",

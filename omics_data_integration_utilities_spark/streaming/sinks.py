@@ -384,6 +384,7 @@ def upsert_batch_into_snapshot(
     conditioned on the generation read at the start of this commit —
     durable on posix (fsync-chained), race-free on object stores."""
     store = as_store(snapshot_dir)
+    _check_keep_versions(keep_versions)  # before any write, not at prune
     new_version = f"v{int(batch_id):012d}"
     cur, cur_token = _pointer(store)
     if cur == new_version:
@@ -809,6 +810,7 @@ def apply_cdc_batch_into_snapshot(
     (a CDC batch with no deletes is bit-identical to an upsert batch);
     deleting an absent key is a no-op by anti-join semantics."""
     store = as_store(snapshot_dir)
+    _check_keep_versions(keep_versions)  # before any write, not at prune
     new_version = f"v{int(batch_id):012d}"
     cur, cur_token = _pointer(store)
     if cur == new_version:
