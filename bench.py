@@ -613,16 +613,18 @@ def _parse_args(argv: "list[str] | None" = None) -> argparse.Namespace:
     p.add_argument(
         "--out",
         default=None,
-        help="detail-JSON path (default bench_full_latest.json at sf0.1, "
-        "bench_full_sf{sf}.json otherwise; ignored with --sidecar)",
+        help="detail-JSON path; used for every run EXCEPT an sf0.1 "
+        "--sidecar run (which always writes bench_full.json). Defaults: "
+        "bench_full_latest.json at sf0.1, bench_full_sf{sf}.json "
+        "otherwise",
     )
     p.add_argument(
         "--sidecar",
         action="store_true",
-        help="write the COMMITTED quiet record bench_full.json (sf0.1 "
-        "only; other SFs still write bench_full_sf{sf}.json) — pass "
-        "ONLY for a deliberate quiet-machine run intended as the "
-        "round's cross-round comparator",
+        help="at sf0.1, write the COMMITTED quiet record "
+        "bench_full.json — pass ONLY for a deliberate quiet-machine "
+        "run intended as the round's cross-round comparator; at any "
+        "other SF the flag has no effect (default routing applies)",
     )
     return p.parse_args(argv)
 

@@ -154,13 +154,25 @@ def read_snapshot(
     raises FileNotFoundError rather than returning an empty relation.
     A version NEWER than the committed CURRENT also raises (r14
     ADVICE): on-disk existence alone would let a pre-flip crash
-    leftover read back as committed data."""
+    leftover read back as committed data.  Exception — RECOVERY MODE:
+    when CURRENT itself is missing/damaged (the state the commit units
+    refuse with "restore CURRENT to the newest complete version"), an
+    EXPLICIT ``version`` still reads if its data exists, because that
+    inspection is exactly how an operator finds the version to restore;
+    with no pointer there is no committed horizon to validate against,
+    and the caller named the version deliberately."""
     store = as_store(snapshot_dir)
     cur, _ = _pointer(store)
     if cur is None:
+        if version is not None and store.exists_prefix(version):
+            return spark.read.parquet(store.spark_path(version))
         raise FileNotFoundError(
             f"no CURRENT snapshot version under {store.describe()!r} "
-            "(no batch committed yet?)"
+            + (
+                f"and version {version!r} is not on disk"
+                if version is not None
+                else "(no batch committed yet?)"
+            )
         )
     if version is not None:
         vid, cid = _batch_digits(version), _batch_digits(cur)
@@ -458,6 +470,23 @@ def read_bucketed_snapshot(
     store = as_store(snapshot_dir)
     cur_name, _ = _pointer(store)
     if cur_name is None:
+        # RECOVERY MODE (mirrors read_snapshot): with a damaged/missing
+        # pointer an EXPLICIT manifest still reads if it exists — the
+        # operator inspecting retained manifests to restore CURRENT
+        if manifest is not None:
+            man = _load_manifest(store, manifest)
+            if man is None:
+                raise FileNotFoundError(
+                    f"no CURRENT manifest under {store.describe()!r} and "
+                    f"manifest {manifest!r} is not on disk"
+                )
+            paths = sorted({p for p in man["buckets"].values()})
+            if not paths:
+                raise FileNotFoundError(
+                    f"bucketed snapshot at {store.describe()!r}: manifest "
+                    f"{man.get('batch_id')} references no buckets (EMPTY)"
+                )
+            return spark.read.parquet(*[store.spark_path(p) for p in paths])
         raise FileNotFoundError(
             f"no CURRENT manifest under {store.describe()!r} "
             "(no batch committed yet?)"
@@ -729,7 +758,18 @@ def _bucketed_retention(store: SnapshotStore, keep: int) -> None:
     referenced: "set[str]" = set()
     for name in kept:
         man = _load_manifest(store, name)
-        for rel in (man or {"buckets": {}})["buckets"].values():
+        if man is None:
+            # a KEPT manifest vanished between listing and read (second
+            # writer / damaged store) — aborting retention is the safe
+            # move: treating it as empty would delete version dirs it
+            # still references (r15 review finding)
+            raise RuntimeError(
+                f"bucketed snapshot at {store.describe()!r}: retained "
+                f"manifest {name!r} disappeared during retention — "
+                "refusing to prune (a second writer on this snapshot, "
+                "or a damaged store?)"
+            )
+        for rel in man["buckets"].values():
             referenced.add(rel.split("/", 1)[0])
     for name in pruned_manifests:
         store.delete_text(name)

@@ -12,11 +12,14 @@ fixed) for T in 2, 8, 32, 64.  Report bytes written by each commit
 (filesystem-visible, scheduler-noise-free) and the wall, plus the
 bucketed/full bytes ratio per T.
 
-Expected shape (and what the committed run shows): bucketed commit
-bytes ~ (T/64) x snapshot + per-dir parquet overhead — linear in the
-touched fraction, crossing ~1.0x of the full rewrite at T=64 (the
-worst case is a FULL REWRITE's bytes + 64 small dirs' overhead + one
-manifest put; it is never anomalously worse).  The sizing guidance
+Measured shape (committed run, probe_r15_cdc_worstcase.json): bucketed
+commit bytes ~ (T/64) x snapshot + per-dir parquet overhead — linear
+in the touched fraction; at T=64 the worst case costs 1.24-1.43x the
+full rewrite's bytes (the per-dir overhead factor, shrinking with
+bucket size: 1.43x at 11 KB buckets down to 1.24x at 163 KB), with
+the bucketed==full crossover at f ~= 0.75 at these bucket sizes
+(higher at real 100 MB-1 GB buckets).  Never anomalously worse than a
+full rewrite + small-file overhead + one manifest put.  The sizing guidance
 derived from this curve lives in SCALE.md's r15 section: keep the
 expected touched fraction well under 1 by sizing n_buckets to the
 batch's distinct-key count (f ~ k/n for k keys over n buckets), while

@@ -454,3 +454,74 @@ def test_snapshot_soak_hundreds_of_commits_with_crashes(spark, tmp_path):
         assert len(manifests) <= 2, (i, manifests)
     assert _read_state(spark, store) == model
     assert len(model) > 0
+
+
+def test_recovery_mode_explicit_reads_with_damaged_pointer(spark, tmp_path):
+    """r15 review finding: when CURRENT is missing (the damaged state
+    the commit units answer with 'restore CURRENT'), an EXPLICIT
+    version/manifest read must still work — it is how the operator
+    finds the version to restore.  Unnamed reads still refuse."""
+    full = InMemoryObjectStore(str(tmp_path / "full"))
+    buck = InMemoryObjectStore(str(tmp_path / "buck"))
+    for i, rows in enumerate([[(1, 1.0)], [(1, 2.0), (2, 2.0)]]):
+        upsert_batch_into_snapshot(spark, _df(spark, rows), full, ["k"], batch_id=i)
+        upsert_batch_into_bucketed_snapshot(
+            spark, _df(spark, rows), buck, ["k"], batch_id=i, n_buckets=4
+        )
+    full.delete_text("CURRENT")
+    buck.delete_text("CURRENT")
+    # explicit reads of retained generations: recovery inspection works
+    got = {r["k"]: r["v"] for r in read_snapshot(
+        spark, full, version="v000000000001").collect()}
+    assert got == {1: 2.0, 2: 2.0}
+    got = {r["k"]: r["v"] for r in read_bucketed_snapshot(
+        spark, buck, manifest="m000000000000.json").collect()}
+    assert got == {1: 1.0}
+    # unnamed reads still refuse (no committed pointer to resolve)
+    with pytest.raises(FileNotFoundError, match="no CURRENT"):
+        read_snapshot(spark, full)
+    with pytest.raises(FileNotFoundError, match="no CURRENT"):
+        read_bucketed_snapshot(spark, buck)
+    # a named-but-absent generation says so instead of claiming
+    # nothing was ever committed
+    with pytest.raises(FileNotFoundError, match="not on disk"):
+        read_snapshot(spark, full, version="v000000000099")
+
+
+def test_retention_aborts_on_vanished_kept_manifest(spark, tmp_path):
+    """r15 review finding: a KEPT manifest disappearing between the
+    retention listing and its read means a second writer or a damaged
+    store — retention must abort loudly, not treat it as empty and
+    delete version dirs it still references."""
+
+    class VanishingStore(InMemoryObjectStore):
+        """Simulates the race: the manifest reads fine while it is
+        CURRENT (commit setup) but vanishes by the time the retention
+        pass re-reads it as a kept-but-superseded manifest."""
+
+        def __init__(self, data_dir):
+            super().__init__(data_dir)
+            self.vanish: "str | None" = None
+            self.reads = 0
+
+        def get_text(self, rel):
+            if self.vanish is not None and rel == self.vanish:
+                self.reads += 1
+                if self.reads >= 2:  # 1st read = commit setup (CURRENT)
+                    return None
+            return super().get_text(rel)
+
+    store = VanishingStore(str(tmp_path / "snap"))
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(1, 1.0)]), store, ["k"], batch_id=0, n_buckets=4
+    )
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(2, 2.0)]), store, ["k"], batch_id=1, n_buckets=4
+    )
+    # during batch 2's commit: setup reads m1 as CURRENT (read 1, ok),
+    # retention re-reads it as a KEPT manifest (read 2 → vanished)
+    store.vanish = "m000000000001.json"
+    with pytest.raises(RuntimeError, match="disappeared during retention"):
+        upsert_batch_into_bucketed_snapshot(
+            spark, _df(spark, [(3, 3.0)]), store, ["k"], batch_id=2, n_buckets=4
+        )
