@@ -778,6 +778,96 @@ def _bucketed_retention(store: SnapshotStore, keep: int) -> None:
             store.delete_prefix(n)
 
 
+def rebucket_bucketed_snapshot(
+    spark: SparkSession,
+    snapshot_dir: "str | SnapshotStore",
+    key_cols: "list[str]",
+    batch_id: int,
+    new_n_buckets: int,
+    keep_versions: int = 2,
+) -> None:
+    """OFFLINE maintenance commit (r15): rewrite the whole bucketed
+    snapshot under a NEW bucket modulus — the resize operation the
+    n_buckets pin otherwise forbids for the snapshot's lifetime — or,
+    at the same modulus, COMPACT it (after many incremental commits
+    CURRENT references buckets scattered across many small version
+    dirs; this consolidates them into one).
+
+    Cost is O(snapshot) BY DESIGN — this is the maintenance job a
+    deployment runs when per-bucket data outgrows the O(100 MB–1 GB)
+    rewrite-unit band (see SCALE.md's r15 sizing guidance), not a
+    per-trigger operation.  Operational contract: the snapshot's
+    streaming writer must be STOPPED first and restarted with the new
+    ``n_buckets`` afterwards (the sink pins the modulus per commit, so
+    a restarted stream passing the old value is refused by the
+    standard pin check — nothing can silently write the old layout).
+
+    Same commit skeleton as every other unit (version/manifest names
+    are pure functions of batch_id, so the crash/replay matrix carries
+    verbatim): replayed committed batch → no-op + retention; pre-flip
+    leftovers rewritten; CAS'd pointer flip; reference-counted
+    retention afterwards — which also means a manifest from BEFORE the
+    resize keeps time-travel-reading while retained (readers never
+    consult n_buckets, only the bucket map).  ``batch_id`` continues
+    the snapshot's monotone lineage (use the next unused id); a stale
+    id is refused exactly like a stale stream batch."""
+    store = as_store(snapshot_dir)
+    keep = _check_keep_versions(keep_versions)
+    if int(new_n_buckets) < 1:
+        raise ValueError(f"new_n_buckets must be >= 1 (got {new_n_buckets})")
+    version = f"v{int(batch_id):012d}"
+    manifest_name = f"{_MANIFEST_PREFIX}{int(batch_id):012d}.json"
+    cur_name, cur_token = _pointer(store)
+    if cur_name == manifest_name:
+        _bucketed_retention(store, keep)
+        return  # replayed already-committed maintenance batch
+    _refuse_stale_batch(cur_name, batch_id, store)
+    if cur_name is None:
+        raise FileNotFoundError(
+            f"no CURRENT manifest under {store.describe()!r} — nothing "
+            "to rebucket (seed the snapshot first)"
+        )
+    cur = _load_manifest(store, cur_name)
+    if cur is None:
+        raise RuntimeError(
+            f"bucketed snapshot at {store.describe()!r}: CURRENT names "
+            f"{cur_name!r} but that manifest is missing — damaged "
+            "snapshot; restore the manifest or repoint CURRENT"
+        )
+    new_buckets: "dict[str, str]" = {}
+    if cur["buckets"]:
+        data = spark.read.parquet(
+            *[store.spark_path(p) for p in sorted(set(cur["buckets"].values()))]
+        )
+        bucket = _bucket_expr(key_cols, new_n_buckets)
+        data.withColumn("__bucket", bucket).write.mode("overwrite").partitionBy(
+            "__bucket"
+        ).parquet(store.spark_path(version))
+        written = {
+            int(n.split("=", 1)[1])
+            for n in store.list_names(version)
+            if n.startswith("__bucket=")
+        }
+        new_buckets = {
+            str(b): f"{version}/__bucket={b}" for b in sorted(written)
+        }
+        key_schema = cur.get("key_schema") or {
+            c: data.schema[c].dataType.simpleString() for c in key_cols
+        }
+    else:
+        # rebucketing an emptied snapshot: just record the new modulus
+        key_schema = cur.get("key_schema")
+    manifest = {
+        "batch_id": int(batch_id),
+        "n_buckets": int(new_n_buckets),
+        "key_schema": key_schema,
+        "buckets": new_buckets,
+    }
+    store.put_text(manifest_name, json.dumps(manifest), expect=ANY)
+    _flip_current(store, manifest_name, cur_token)
+    _bucketed_retention(store, keep)
+
+
 # ---------------------------------------------------------------------------
 # CDC apply (r14): upsert + DELETE tombstones in one commit — the
 # "right to be forgotten" half a real training-data snapshot needs that

@@ -525,3 +525,145 @@ def test_retention_aborts_on_vanished_kept_manifest(spark, tmp_path):
         upsert_batch_into_bucketed_snapshot(
             spark, _df(spark, [(3, 3.0)]), store, ["k"], batch_id=2, n_buckets=4
         )
+
+
+# ---------------------------------------------------------------------------
+# re-bucket / compaction maintenance commit (r15)
+# ---------------------------------------------------------------------------
+
+
+def test_rebucket_resizes_and_subsequent_commits_use_new_modulus(spark, tmp_path):
+    """The offline resize the n_buckets pin otherwise forbids: data
+    survives bit-for-bit, later commits must pass the NEW modulus (the
+    pin now rejects the old one), and MERGE semantics keep working
+    across the boundary."""
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        rebucket_bucketed_snapshot,
+    )
+
+    store = InMemoryObjectStore(str(tmp_path / "snap"))
+    rows = [(k, float(k)) for k in range(40)]
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, rows), store, ["k"], batch_id=0, n_buckets=4
+    )
+    rebucket_bucketed_snapshot(
+        spark, store, ["k"], batch_id=1, new_n_buckets=16
+    )
+    got = {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, store).collect()}
+    assert got == dict(rows)
+    man = json.loads(store.get_text("m000000000001.json")[0])
+    assert man["n_buckets"] == 16 and man["key_schema"] == {"k": "bigint"}
+    # the new layout spreads over >4 buckets (40 sequential longs)
+    assert len(man["buckets"]) > 4
+    # old modulus refused, new modulus merges correctly
+    with pytest.raises(ValueError, match="n_buckets"):
+        upsert_batch_into_bucketed_snapshot(
+            spark, _df(spark, [(1, 100.0)]), store, ["k"],
+            batch_id=2, n_buckets=4,
+        )
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(1, 100.0), (99, 99.0)]), store, ["k"],
+        batch_id=2, n_buckets=16,
+    )
+    got = {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, store).collect()}
+    want = dict(rows); want[1] = 100.0; want[99] = 99.0
+    assert got == want
+    # a maintenance id BELOW the committed head (2) is stale — refused
+    # like any commit, leaving state untouched
+    with pytest.raises(RuntimeError, match="fresh\\s+checkpoint"):
+        rebucket_bucketed_snapshot(
+            spark, store, ["k"], batch_id=1, new_n_buckets=16
+        )
+    got2 = {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, store).collect()}
+    assert got2 == want
+
+
+def test_rebucket_stale_and_replay_semantics(spark, tmp_path):
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        rebucket_bucketed_snapshot,
+    )
+
+    store = InMemoryObjectStore(str(tmp_path / "snap"))
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(1, 1.0), (2, 2.0)]), store, ["k"],
+        batch_id=0, n_buckets=4,
+    )
+    rebucket_bucketed_snapshot(spark, store, ["k"], batch_id=1, new_n_buckets=8)
+    # replay of the SAME maintenance batch: no-op
+    rebucket_bucketed_snapshot(spark, store, ["k"], batch_id=1, new_n_buckets=8)
+    got = {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, store).collect()}
+    assert got == {1: 1.0, 2: 2.0}
+    # a STALE maintenance id against a newer snapshot: refused
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(3, 3.0)]), store, ["k"], batch_id=2, n_buckets=8
+    )
+    with pytest.raises(RuntimeError, match="fresh\\s+checkpoint"):
+        rebucket_bucketed_snapshot(
+            spark, store, ["k"], batch_id=1, new_n_buckets=8
+        )
+    # nothing-to-rebucket refusal on a fresh dir
+    empty = InMemoryObjectStore(str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError, match="nothing to rebucket"):
+        rebucket_bucketed_snapshot(spark, empty, ["k"], batch_id=0, new_n_buckets=8)
+
+
+def test_rebucket_compacts_fragmented_snapshot(spark, tmp_path):
+    """At the SAME modulus the maintenance commit is a compaction:
+    CURRENT's bucket map collapses from many version dirs to one, and
+    a retained pre-compaction manifest still time-travels."""
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        rebucket_bucketed_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")  # posix store via the plain path
+    for i in range(4):  # scatter buckets over several version dirs
+        upsert_batch_into_bucketed_snapshot(
+            spark, _df(spark, [(i * 3 + j, float(i)) for j in range(3)]),
+            snap, ["k"], batch_id=i, n_buckets=4,
+        )
+    pre = json.load(open(os.path.join(snap, "m000000000003.json")))
+    pre_dirs = {p.split("/", 1)[0] for p in pre["buckets"].values()}
+    assert len(pre_dirs) > 1  # genuinely fragmented before
+    before = {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, snap).collect()}
+    rebucket_bucketed_snapshot(spark, snap, ["k"], batch_id=4, new_n_buckets=4)
+    man = json.load(open(os.path.join(snap, "m000000000004.json")))
+    dirs = {p.split("/", 1)[0] for p in man["buckets"].values()}
+    assert dirs == {"v000000000004"} and man["n_buckets"] == 4
+    after = {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, snap).collect()}
+    assert after == before
+    # the retained pre-compaction manifest still reads (time travel
+    # across the maintenance boundary)
+    tt = {
+        r["k"]: r["v"]
+        for r in read_bucketed_snapshot(
+            spark, snap, manifest="m000000000003.json"
+        ).collect()
+    }
+    assert tt == before
+
+
+def test_rebucket_crash_before_flip_then_replay(spark, tmp_path):
+    """The maintenance commit inherits the crash matrix: a crash before
+    the pointer flip leaves CURRENT on the old layout (reader sees the
+    pre-resize state), and the replay converges to the new one."""
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        rebucket_bucketed_snapshot,
+    )
+
+    store = CrashingStore(InMemoryObjectStore(str(tmp_path / "snap")))
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(1, 1.0), (2, 2.0)]), store, ["k"],
+        batch_id=0, n_buckets=2,
+    )
+    store.arm(2)  # crash at the 2nd mutating op = the pointer flip
+    with pytest.raises(InjectedCrash):
+        rebucket_bucketed_snapshot(spark, store, ["k"], batch_id=1, new_n_buckets=8)
+    store.arm(None)
+    # reader still sees the committed pre-resize snapshot
+    assert json.loads(store.get_text(store.get_text("CURRENT")[0])[0])["n_buckets"] == 2
+    assert {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, store).collect()} == {1: 1.0, 2: 2.0}
+    # replay converges
+    rebucket_bucketed_snapshot(spark, store, ["k"], batch_id=1, new_n_buckets=8)
+    man = json.loads(store.get_text("m000000000001.json")[0])
+    assert man["n_buckets"] == 8
+    assert {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, store).collect()} == {1: 1.0, 2: 2.0}
