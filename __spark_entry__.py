@@ -551,6 +551,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_queries_oracle.py; scalar-function family coverage stays
 # in-window via the incoming f3/f9/f11 and the kept
 # f2_substring_parse.
+# Registered late r15 (queued for the r16 rotation, NOT in this
+# window — the r15 window's gates had already run):
+# doc_snapshot_rebucket — the re-bucket/compaction maintenance commit
+# round-trip (seed at n_buckets=4, update wave, resize to 16, MERGE at
+# the new modulus) answering a plain SQL oracle on documents;
+# sf0.001+sf0.01 oracle-green locally through the driver contract.
 # KEPT: the 7 composite plans (headline, always in-window); the
 # similarity block (sim_ivf_topk, sim_index_topk, sim_index_recall,
 # both semantic-dedup digests) because registry_docs.py's shared

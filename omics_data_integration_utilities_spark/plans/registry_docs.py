@@ -2442,6 +2442,71 @@ GROUP BY source
 """
 
 
+def q_doc_snapshot_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot maintenance round-trip (r15): seed a bucketed snapshot
+    from documents at n_buckets=4 (commit 0), apply an update wave —
+    n_chars tripled for doc_id %% 7 == 0 (commit 1, fragmenting the
+    bucket map across two version dirs) — then RE-BUCKET to 16
+    (commit 2, the offline resize/compaction the n_buckets pin
+    otherwise forbids) and MERGE one more wave at the new modulus —
+    n_chars zeroed for doc_id %% 11 == 0 (commit 3).  The per-source
+    aggregate of the final snapshot answers a plain SQL oracle on the
+    raw table: hash-green proves the maintenance commit preserves every
+    row bit-for-bit through the modulus change AND that post-resize
+    incremental MERGE semantics are intact.  The reference has no
+    snapshot machinery (one-shot writes, integrative_omics/gizmos.py);
+    north-star surface."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sinks import (
+        read_bucketed_snapshot,
+        rebucket_bucketed_snapshot,
+        upsert_batch_into_bucketed_snapshot,
+    )
+
+    while _SNAP_LAST:
+        shutil.rmtree(_SNAP_LAST.pop(), ignore_errors=True)
+    path = tempfile.mkdtemp(prefix="doc_rebucket_snap_")
+    _SNAP_LAST.append(path)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    upsert_batch_into_bucketed_snapshot(
+        spark, docs, path, ["doc_id"], batch_id=0, n_buckets=4
+    )
+    upd = docs.where(F.col("doc_id") % 7 == 0).withColumn(
+        "n_chars", F.col("n_chars") * 3
+    )
+    upsert_batch_into_bucketed_snapshot(
+        spark, upd, path, ["doc_id"], batch_id=1, n_buckets=4
+    )
+    rebucket_bucketed_snapshot(
+        spark, path, ["doc_id"], batch_id=2, new_n_buckets=16
+    )
+    upd2 = docs.where(F.col("doc_id") % 11 == 0).withColumn(
+        "n_chars", F.col("n_chars") * 0  # zeroed, dtype preserved
+    )
+    upsert_batch_into_bucketed_snapshot(
+        spark, upd2, path, ["doc_id"], batch_id=3, n_buckets=16
+    )
+    snap = read_bucketed_snapshot(spark, path)
+    return snap.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.col("doc_id") % 16).alias("bucket_checksum"),
+    )
+
+
+SQL_DOC_SNAPSHOT_REBUCKET = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN doc_id % 11 = 0 THEN 0
+                WHEN doc_id % 7 = 0 THEN n_chars * 3
+                ELSE n_chars END)::BIGINT AS sum_chars,
+       sum(doc_id % 16)::BIGINT AS bucket_checksum
+FROM documents
+GROUP BY source
+"""
+
+
 SQL_DOC_DATASET_CARD = """
 WITH t AS (
   SELECT source, lang, text, length(text)::BIGINT AS n_chars,
@@ -2525,6 +2590,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_index_recall": q_sim_index_recall,
     "doc_forget": q_doc_forget,
     "doc_snapshot_timetravel": q_doc_snapshot_timetravel,
+    "doc_snapshot_rebucket": q_doc_snapshot_rebucket,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -2592,6 +2658,7 @@ ORACLES_DOCS: dict[str, str] = {
     "sim_index_topk": SQL_ANN_TOPK,
     "doc_forget": SQL_DOC_FORGET,
     "doc_snapshot_timetravel": SQL_DOC_SNAPSHOT_TIMETRAVEL,
+    "doc_snapshot_rebucket": SQL_DOC_SNAPSHOT_REBUCKET,
 }
 
 
