@@ -33,12 +33,14 @@ Implementations here:
 - :class:`PosixSnapshotStore` — the single-box / shared-NFS shape:
   fsync-chained tmp-file + ``os.replace`` puts (a power loss cannot
   leave a durable-but-empty pointer), directory listing, ``rmtree``
-  pruning.  Conditional puts are emulated by re-reading immediately
-  before the replace — best-effort (a TOCTOU window remains), which is
-  the honest posix ceiling; posix deployments are single-writer by
-  construction (one streaming query owns a snapshot dir), so the
-  emulation only guards against operator error, while on object stores
-  the precondition is enforced server-side and is race-free.
+  pruning.  Conditional puts take an exclusive ``flock`` on a
+  root-level lockfile around the check-and-replace, making the
+  precondition ATOMIC against any other flock-honoring process on the
+  same host (and on the same NFSv4 mount, where flock maps to byte-
+  range locks); the remaining gap is a writer that bypasses the store
+  API entirely, which no userspace emulation can close — object
+  stores enforce the precondition server-side and are race-free
+  against everything.
 - :class:`InMemoryObjectStore` — a faithful in-process model of the
   object-store semantics (flat keys, per-key generation counters,
   server-side-atomic conditional puts, no rename), with the data plane
@@ -164,22 +166,41 @@ class PosixSnapshotStore(SnapshotStore):
         # see the class docstring for the honest TOCTOU caveat)
         return text, text
 
+    _LOCKFILE = ".commitstore.lock"
+
     def put_text(self, rel: str, text: str, expect: object = ANY) -> None:
         path = os.path.join(self.root, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        if expect is not ANY:
-            cur = self.get_text(rel)
-            if expect is ABSENT:
-                if cur is not None:
+        if expect is ANY:
+            self._publish(path, text)
+            return
+        # conditional put: exclusive flock on a root-level lockfile
+        # makes check-and-replace atomic against every other
+        # flock-honoring writer on this host / NFSv4 mount — the posix
+        # stand-in for the object store's server-side precondition
+        import fcntl
+
+        lock_path = os.path.join(self.root, self._LOCKFILE)
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+            try:
+                cur = self.get_text(rel)
+                if expect is ABSENT:
+                    if cur is not None:
+                        raise CommitConflict(
+                            f"{rel!r} already exists under {self.root!r} "
+                            "(expected absent)"
+                        )
+                elif cur is None or cur[1] != expect:
                     raise CommitConflict(
-                        f"{rel!r} already exists under {self.root!r} "
-                        "(expected absent)"
+                        f"{rel!r} under {self.root!r} changed since its "
+                        "generation was read (concurrent writer?)"
                     )
-            elif cur is None or cur[1] != expect:
-                raise CommitConflict(
-                    f"{rel!r} under {self.root!r} changed since its "
-                    "generation was read (concurrent writer?)"
-                )
+                self._publish(path, text)
+            finally:
+                fcntl.flock(lock.fileno(), fcntl.LOCK_UN)
+
+    def _publish(self, path: str, text: str) -> None:
         # durable atomic publish: fsync the tmp file before the atomic
         # os.replace, fsync the directory after — a power loss cannot
         # leave a durable-but-empty object

@@ -667,3 +667,38 @@ def test_rebucket_crash_before_flip_then_replay(spark, tmp_path):
     man = json.loads(store.get_text("m000000000001.json")[0])
     assert man["n_buckets"] == 8
     assert {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, store).collect()} == {1: 1.0, 2: 2.0}
+
+
+def test_posix_conditional_put_atomic_under_contention(tmp_path):
+    """r15: the posix store's conditional put is flock-serialized, so N
+    concurrent CAS attempts from the same generation admit EXACTLY one
+    winner — the property the pointer flip's lost-update protection
+    rests on (object stores get it server-side)."""
+    import threading
+
+    store = PosixSnapshotStore(str(tmp_path / "p"))
+    store.put_text("CURRENT", "v0", expect=ABSENT)
+    _, gen0 = store.get_text("CURRENT")
+    results: "list[str]" = []
+    lock = threading.Lock()
+    barrier = threading.Barrier(8)
+
+    def attempt(i):
+        barrier.wait()
+        try:
+            store.put_text("CURRENT", f"v{i}", expect=gen0)
+            with lock:
+                results.append("win")
+        except CommitConflict:
+            with lock:
+                results.append("conflict")
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results) == ["conflict"] * 7 + ["win"]
+    # the surviving pointer is the single winner's value
+    assert store.get_text("CURRENT")[0].startswith("v")
+    assert store.get_text("CURRENT")[0] != "v0"
