@@ -557,7 +557,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-trip (seed at n_buckets=4, update wave, resize to 16, MERGE at
 # the new modulus) answering a plain SQL oracle on documents;
 # sf0.001+sf0.01 oracle-green locally through the driver contract.
-# KEPT: the 7 composite plans (headline, always in-window); the
+# KEPT in r15: the 7 composite plans (headline, always in-window); the
 # similarity block (sim_ivf_topk, sim_index_topk, sim_index_recall,
 # both semantic-dedup digests) because registry_docs.py's shared
 # ANN-index memo changed THIS round (r14 verdict item 4 — topk now
@@ -567,6 +567,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # query that rides that exact code path (CDC bucketed commit +
 # manifest retention); the rest of the r14 window carries (r14-green,
 # staleness 1).
+# r16 rotation (computed from `python ledger.py --stale 3`, not
+# recalled — the full r11-stale sweep the r15 verdict's item 2
+# ordered).  IN (25): the ENTIRE 23-query r11-stale cohort at the
+# staleness ceiling (a3_pricing_summary, dedup_exact,
+# dedup_ngram_jaccard, dedup_substring_spans, events_hopping,
+# events_interval_join_outer, events_tumbling, j2_outer_join,
+# j7_semi_join, j9_dict_join, k1_reaction_products, k2_mass,
+# mix_domains, pipeline_funnel, rulemap_containment,
+# sim_cosine_neardup, text_decontaminate, text_dup_spans, text_gopher,
+# text_lang_id, text_perplexity, text_repetition, text_token_counts),
+# plus doc_snapshot_rebucket (registered late r15, the one
+# never-driver-checked entry — oracle-green at both SFs through the
+# driver contract), plus the NEW r16 registration doc_snapshot_evolve
+# (sanctioned schema evolution through the rebucket maintenance
+# commit's transform — seeds, MERGEs, proves BOTH value-schema-pin
+# refusals inline, evolves, MERGEs in the new shape; answers a plain
+# SQL oracle on documents; sf0.001+sf0.01 oracle-green locally
+# pre-registration — enters directly under the budget rule).
+# KEPT (25): the 7 composite plans (headline, always in-window);
+# doc_forget + doc_snapshot_timetravel because streaming/sinks.py and
+# commitstore.py changed THIS round (value-schema pin, rebucket key
+# pin + transform, posix ABA token, S3SnapshotStore) and these ride
+# the exact commit paths, alongside the entering rebucket/evolve pair;
+# the similarity block (5 — the costliest machinery, ANN index
+# lifecycle + semantic dedup); and 11 analytics/kernel/dedup
+# representatives (multimodal_frames, methylmix_states_digest,
+# combat_adjust_digest, clusterone_modules_ego, k12_partial_corr,
+# k13_poisson_2group, k10_knn_impute, k11_cluster_probes,
+# k14_dag_break, dedup_lsh_pairs, k6_spearman) keeping every heavy
+# family in-window.
+# OUT (25): doc_dataset_card, events_windowed_profile, w3_lag_diff,
+# text_winnowing, text_compression_ratio_digest, text_bm25,
+# j12_event_join, doc_pack_chunks_digest, doc_chunks, k10_pca_closed,
+# j5_adduct_expand, j6_transition_match, dedup_substring_stats,
+# dedup_simhash, p7_dropna, u3_except, f2_substring_parse, and the 8
+# ex-r10 trivial singles (p1-p5, f3, f9, f11) — every one hash-green
+# in r15's 50/50 window (CORRECTNESS_r15: zero errors, staleness 1
+# after this rotation), every one with a standing local sf0.01 oracle
+# in tests/test_queries_oracle.py, and family coverage stays
+# in-window: text via the entering r11 text block, events via
+# events_tumbling/hopping/interval_join_outer, dedup via dedup_exact/
+# dedup_ngram_jaccard/dedup_substring_spans + kept dedup_lsh_pairs,
+# relational singles via a3/j2/j7/j9, chem via k1/k2 + the plans.
 _PRIORITY = [
     # composite plans — headline, always in-window
     "plan_mass_annotation",
@@ -576,64 +619,55 @@ _PRIORITY = [
     "plan_data_pipeline",
     "plan_enzyme_annotation",
     "plan_methylmix",
-    # similarity: r14-changed code path + the persisted-index pair +
-    # the NEW approximate-contract certificate
+    # snapshot/commit family — sinks.py + commitstore.py changed THIS
+    # round (r15 verdict items 1+4, r15 ADVICE): the four queries that
+    # ride the bucketed commit engine end-to-end
+    "doc_forget",
+    "doc_snapshot_timetravel",
+    "doc_snapshot_rebucket",
+    "doc_snapshot_evolve",
+    # r16 IN: the 23-query r11-stale cohort (staleness ceiling)
+    "a3_pricing_summary",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_substring_spans",
+    "events_hopping",
+    "events_interval_join_outer",
+    "events_tumbling",
+    "j2_outer_join",
+    "j7_semi_join",
+    "j9_dict_join",
+    "k1_reaction_products",
+    "k2_mass",
+    "mix_domains",
+    "pipeline_funnel",
+    "rulemap_containment",
+    "sim_cosine_neardup",
+    "text_decontaminate",
+    "text_dup_spans",
+    "text_gopher",
+    "text_lang_id",
+    "text_perplexity",
+    "text_repetition",
+    "text_token_counts",
+    # r15-green keeps: the similarity block (costliest machinery)
     "sim_ivf_topk",
     "sim_index_topk",
     "sim_index_recall",
     "sim_semantic_dedup_digest",
     "sim_semantic_dedup_bucketed_digest",
-    # never-driver-checked late-r13 registrations
-    "doc_dataset_card",
-    "events_windowed_profile",
-    # r14-green keeps (staleness 1)
-    "w3_lag_diff",
-    "text_winnowing",
-    "text_compression_ratio_digest",
-    "text_bm25",
+    # r15-green keeps: analytics/kernel/dedup representatives
     "multimodal_frames",
     "methylmix_states_digest",
-    "k14_dag_break",
-    "k13_poisson_2group",
-    "k12_partial_corr",
-    "k11_cluster_probes",
-    "k10_knn_impute",
-    "j12_event_join",
-    "doc_pack_chunks_digest",
-    "doc_chunks",
-    "dedup_lsh_pairs",
     "combat_adjust_digest",
-    # r15 IN: the final r10-stale cohort — after this window the whole
-    # registry is <=1 round stale
-    "p1_project_rename",
-    "p2_threshold",
-    "p3_categorical_filter",
-    "p4_nonzero",
-    "p5_remove_zeros",
-    "f3_regex_rewrite",
-    "f9_explode_tokens",
-    "f11_conditional_swap",
-    # r15 NEW registration (budget rule; see the r15 block above)
-    "doc_snapshot_timetravel",
-    # r14-green keeps
     "clusterone_modules_ego",
+    "k12_partial_corr",
+    "k13_poisson_2group",
+    "k10_knn_impute",
+    "k11_cluster_probes",
+    "k14_dag_break",
+    "dedup_lsh_pairs",
     "k6_spearman",
-    "k10_pca_closed",
-    "j5_adduct_expand",
-    "j6_transition_match",
-    "dedup_substring_stats",
-    "dedup_simhash",
-    "p7_dropna",
-    "u3_except",
-    "f2_substring_parse",
-    # r14 late addition under the budget rule: doc_forget (NEW — CDC
-    # right-to-be-forgotten round-trip through the bucketed snapshot:
-    # tombstones + re-ingest in one manifest commit, answering a plain
-    # SQL oracle on the raw table; sf0.001+sf0.01 oracle-green locally
-    # pre-registration) displaces f3_regex_rewrite (hash-green r10 with
-    # a standing local sf0.01 oracle; queues for r15 with the other
-    # trivial r10 singles)
-    "doc_forget",
 ]
 
 

@@ -2507,6 +2507,119 @@ GROUP BY source
 """
 
 
+def q_doc_snapshot_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sanctioned schema-evolution round-trip (r16, the r15 verdict's
+    "what's missing" item 2): seed a bucketed snapshot from documents
+    (commit 0), MERGE an update wave — n_chars + 1000 for
+    doc_id %% 13 == 0 (commit 1) — then EVOLVE the value schema through
+    the maintenance commit's ``transform`` (commit 2: an O(snapshot)
+    rewrite adding a derived ``n_kchars = n_chars div 1000`` column,
+    which re-pins ``value_schema``), and MERGE one more wave in the NEW
+    shape — n_chars halved for doc_id %% 9 == 0, n_kchars recomputed
+    (commit 3).  Before evolving, the query PROVES the refusal half of
+    the contract: an ad-hoc commit in the widened shape must raise (the
+    value-schema pin — r15 verdict item 1 — is what makes ``transform``
+    the only way schemas change), and after evolving, a commit in the
+    OLD shape must raise.  The per-source aggregate of the final
+    snapshot answers a plain SQL oracle on the raw table: hash-green
+    proves evolution preserved every row, re-pinned the schema, and
+    left post-evolution MERGE semantics intact.  The reference has no
+    snapshot machinery (one-shot writes, integrative_omics/gizmos.py);
+    north-star surface."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sinks import (
+        read_bucketed_snapshot,
+        rebucket_bucketed_snapshot,
+        upsert_batch_into_bucketed_snapshot,
+    )
+
+    while _SNAP_LAST:
+        shutil.rmtree(_SNAP_LAST.pop(), ignore_errors=True)
+    path = tempfile.mkdtemp(prefix="doc_evolve_snap_")
+    _SNAP_LAST.append(path)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    upsert_batch_into_bucketed_snapshot(
+        spark, docs, path, ["doc_id"], batch_id=0, n_buckets=8
+    )
+    upd = docs.where(F.col("doc_id") % 13 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    upsert_batch_into_bucketed_snapshot(
+        spark, upd, path, ["doc_id"], batch_id=1, n_buckets=8
+    )
+    # the refusal half of the evolution contract: ad-hoc widening must
+    # be refused by the value-schema pin (all-new-keys path included —
+    # this batch only carries existing keys, the pin runs before either)
+    widened = upd.withColumn("n_kchars", F.expr("n_chars div 1000"))
+    try:
+        upsert_batch_into_bucketed_snapshot(
+            spark, widened, path, ["doc_id"], batch_id=2, n_buckets=8
+        )
+        raise RuntimeError(
+            "value-schema pin FAILED to refuse an ad-hoc widened commit"
+        )
+    except ValueError:
+        pass
+    rebucket_bucketed_snapshot(
+        spark, path, ["doc_id"], batch_id=2, new_n_buckets=8,
+        transform=lambda df: df.withColumn(
+            "n_kchars", F.expr("n_chars div 1000")
+        ),
+    )
+    c1 = F.when(
+        F.col("doc_id") % 13 == 0, F.col("n_chars") + 1000
+    ).otherwise(F.col("n_chars"))
+    upd2 = (
+        docs.where(F.col("doc_id") % 9 == 0)
+        .withColumn("n_chars", c1)
+        .withColumn("n_chars", F.expr("n_chars div 2"))
+        .withColumn("n_kchars", F.expr("n_chars div 1000"))
+    )
+    # post-evolution, the OLD shape is the drifted one — also refused
+    try:
+        upsert_batch_into_bucketed_snapshot(
+            spark, upd2.drop("n_kchars"), path, ["doc_id"],
+            batch_id=3, n_buckets=8,
+        )
+        raise RuntimeError(
+            "value-schema pin FAILED to refuse a pre-evolution-shape commit"
+        )
+    except ValueError:
+        pass
+    upsert_batch_into_bucketed_snapshot(
+        spark, upd2, path, ["doc_id"], batch_id=3, n_buckets=8
+    )
+    snap = read_bucketed_snapshot(spark, path)
+    return snap.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_kchars").alias("sum_kchars"),
+    )
+
+
+SQL_DOC_SNAPSHOT_EVOLVE = """
+WITH base AS (
+  SELECT doc_id, source,
+         (CASE WHEN doc_id % 13 = 0 THEN n_chars + 1000
+               ELSE n_chars END)::BIGINT AS c1
+  FROM documents
+), final AS (
+  SELECT source,
+         CASE WHEN doc_id % 9 = 0 THEN c1 // 2 ELSE c1 END AS n_chars,
+         CASE WHEN doc_id % 9 = 0 THEN (c1 // 2) // 1000
+              ELSE c1 // 1000 END AS n_kchars
+  FROM base
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       sum(n_kchars)::BIGINT AS sum_kchars
+FROM final
+GROUP BY source
+"""
+
+
 SQL_DOC_DATASET_CARD = """
 WITH t AS (
   SELECT source, lang, text, length(text)::BIGINT AS n_chars,
@@ -2591,6 +2704,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_forget": q_doc_forget,
     "doc_snapshot_timetravel": q_doc_snapshot_timetravel,
     "doc_snapshot_rebucket": q_doc_snapshot_rebucket,
+    "doc_snapshot_evolve": q_doc_snapshot_evolve,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -2659,6 +2773,7 @@ ORACLES_DOCS: dict[str, str] = {
     "doc_forget": SQL_DOC_FORGET,
     "doc_snapshot_timetravel": SQL_DOC_SNAPSHOT_TIMETRAVEL,
     "doc_snapshot_rebucket": SQL_DOC_SNAPSHOT_REBUCKET,
+    "doc_snapshot_evolve": SQL_DOC_SNAPSHOT_EVOLVE,
 }
 
 

@@ -48,6 +48,12 @@ Implementations here:
   parquet.  It is both the contract's executable specification (the
   sink battery runs against it in tests/test_streaming.py) and the
   template a real boto3/gcs implementation fills in method-for-method.
+- :class:`S3SnapshotStore` — that real implementation (r15 verdict
+  item 4): boto3-shaped calls with S3 native conditional writes
+  (``If-None-Match: *`` / ``If-Match: <etag>``), ETag generations,
+  delimiter listings, paged prefix deletes.  The client is injected,
+  so the class is contract-tested offline against a scripted fake
+  enforcing real S3 semantics (tests/test_commitstore.py).
 
 The reference repo has no persistent-snapshot machinery at all (its
 sinks are one-shot CSV/SQLite writes — integrative_omics/gizmos.py);
@@ -159,12 +165,19 @@ class PosixSnapshotStore(SnapshotStore):
         try:
             with open(path) as f:
                 text = f.read()
+                st = os.fstat(f.fileno())
         except FileNotFoundError:
             return None
-        # posix has no server-side generation: the content itself is the
-        # token (good enough for the best-effort emulation in put_text —
-        # see the class docstring for the honest TOCTOU caveat)
-        return text, text
+        # posix has no server-side generation: the token is (inode,
+        # mtime_ns, content) of the open file — fstat on the read fd, so
+        # the triple is self-consistent.  _publish always creates a NEW
+        # file (tmp + os.replace → fresh inode), so restoring a pointer
+        # to previously seen CONTENT still changes the token: the ABA
+        # case (operator restores CURRENT to an old name mid-commit,
+        # exactly the recovery workflow) now fails the stale CAS loudly
+        # instead of letting it through (r15 ADVICE; content alone was
+        # the pre-r16 token).
+        return text, (st.st_ino, st.st_mtime_ns, text)
 
     _LOCKFILE = ".commitstore.lock"
 
@@ -340,6 +353,208 @@ class InMemoryObjectStore(SnapshotStore):
 
     def describe(self) -> str:
         return f"object-store(data={self.data_dir!r})"
+
+
+def _aws_error(exc: Exception) -> "tuple[str | None, int | None]":
+    """Duck-typed botocore ClientError inspection: (error code, HTTP
+    status).  Duck-typed so the store works against any boto3-SHAPED
+    client — the real one, or a scripted fake in tests (this container
+    has no botocore to import exception classes from, and the sandbox
+    has no network; the injectable-client pattern is the same one
+    sources/rest.py:19 uses for the REST source)."""
+    resp = getattr(exc, "response", None)
+    if not isinstance(resp, dict):
+        return None, None
+    code = (resp.get("Error") or {}).get("Code")
+    status = (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode")
+    return code, status
+
+
+class S3SnapshotStore(SnapshotStore):
+    """The real object-store deployment shape (r15 verdict item 4):
+    every :class:`SnapshotStore` method implemented as the boto3 S3
+    call the :class:`InMemoryObjectStore` contract table names —
+    conditional puts via S3's native conditional writes
+    (``If-None-Match: *`` for create-only, ``If-Match: <etag>`` for
+    replace-if-unchanged; both server-side atomic, no lock emulation),
+    the ETag as the generation token, delimiter listings, paged
+    prefix deletes.  GCS is the same skeleton with
+    ``ifGenerationMatch`` — see the contract table.
+
+    ``client`` is any boto3-shaped S3 client (``boto3.client("s3")``
+    in a real deployment; injected so the class is fully contract-
+    testable offline — tests drive it with a scripted fake enforcing
+    real S3 conditional-write semantics, error shapes included).  A
+    412 ``PreconditionFailed`` or 409 ``ConditionalRequestConflict``
+    on a conditional put surfaces as :class:`CommitConflict` — the
+    loud concurrent-writer signal the commit protocol's pointer flip
+    relies on.  (S3 returns 409 when concurrent conditional writes on
+    one key are being resolved server-side; the loser of that race did
+    not commit, which for a one-writer-per-snapshot deployment is the
+    same deployment error as a plain 412, so both map to conflict
+    rather than retried — retrying a pointer flip on a token that may
+    have been consumed would risk double-commit.)
+
+    Data plane: ``spark_path`` returns ``s3a://bucket/prefix/rel`` —
+    on a real cluster Spark reads/writes the SAME bucket through the
+    s3a connector while this class carries the metadata plane.
+    ``data_path_override`` redirects the data plane to a local
+    directory FOR TESTS ONLY (local[k] Spark has no s3a credentials in
+    this sandbox); listing/prefix methods then consult both planes,
+    exactly like :class:`InMemoryObjectStore`'s split."""
+
+    def __init__(
+        self,
+        bucket: str,
+        prefix: str = "",
+        client: "object | None" = None,
+        data_path_override: "str | None" = None,
+    ) -> None:
+        if client is None:
+            try:
+                import boto3  # type: ignore[import-not-found]
+            except ImportError as exc:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "S3SnapshotStore needs a boto3-shaped client: pass "
+                    "client=boto3.client('s3') (boto3 is not installed in "
+                    "this environment)"
+                ) from exc
+            client = boto3.client("s3")  # pragma: no cover - env-dependent
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.client = client
+        self.data_path_override = data_path_override
+
+    def _key(self, rel: str) -> str:
+        rel = rel.strip("/")
+        if self.prefix and rel:
+            return f"{self.prefix}/{rel}"
+        return self.prefix or rel
+
+    # -- metadata plane ---------------------------------------------------
+    def get_text(self, rel: str) -> "tuple[str, object] | None":
+        try:
+            resp = self.client.get_object(Bucket=self.bucket, Key=self._key(rel))
+        except Exception as exc:  # noqa: BLE001 - duck-typed ClientError
+            code, status = _aws_error(exc)
+            if code in ("NoSuchKey", "404") or status == 404:
+                return None
+            raise
+        body = resp["Body"].read()
+        text = body.decode("utf-8") if isinstance(body, bytes) else body
+        return text, resp["ETag"]
+
+    def put_text(self, rel: str, text: str, expect: object = ANY) -> None:
+        kwargs = {
+            "Bucket": self.bucket,
+            "Key": self._key(rel),
+            "Body": text.encode("utf-8"),
+        }
+        if expect is ABSENT:
+            kwargs["IfNoneMatch"] = "*"
+        elif expect is not ANY:
+            kwargs["IfMatch"] = expect
+        try:
+            self.client.put_object(**kwargs)
+        except Exception as exc:  # noqa: BLE001 - duck-typed ClientError
+            code, status = _aws_error(exc)
+            if (
+                code in ("PreconditionFailed", "ConditionalRequestConflict")
+                or status in (412, 409)
+            ):
+                raise CommitConflict(
+                    f"{rel!r} in s3://{self.bucket}/{self.prefix}: "
+                    f"conditional put failed ({code or status}) — the "
+                    "object changed since its generation was read "
+                    "(concurrent writer?)"
+                ) from exc
+            raise
+
+    def delete_text(self, rel: str) -> None:
+        # S3 DeleteObject on a missing key is already a 204 no-op
+        self.client.delete_object(Bucket=self.bucket, Key=self._key(rel))
+
+    # -- listing / pruning -------------------------------------------------
+    def _list_pages(self, **kwargs):
+        token = None
+        while True:
+            page = (
+                self.client.list_objects_v2(ContinuationToken=token, **kwargs)
+                if token
+                else self.client.list_objects_v2(**kwargs)
+            )
+            yield page
+            if not page.get("IsTruncated"):
+                return
+            token = page["NextContinuationToken"]
+
+    def list_names(self, rel: str = "") -> "list[str]":
+        base = self._key(rel)
+        list_prefix = base + "/" if base else ""
+        names: "set[str]" = set()
+        for page in self._list_pages(
+            Bucket=self.bucket, Prefix=list_prefix, Delimiter="/"
+        ):
+            for cp in page.get("CommonPrefixes") or []:
+                names.add(cp["Prefix"][len(list_prefix):].rstrip("/"))
+            for obj in page.get("Contents") or []:
+                name = obj["Key"][len(list_prefix):]
+                if name:  # the prefix marker object itself, if any
+                    names.add(name)
+        if self.data_path_override is not None:
+            path = (
+                os.path.join(self.data_path_override, rel)
+                if rel
+                else self.data_path_override
+            )
+            try:
+                names.update(os.listdir(path))
+            except FileNotFoundError:
+                pass
+        return sorted(names)
+
+    def exists_prefix(self, rel: str) -> bool:
+        resp = self.client.list_objects_v2(
+            Bucket=self.bucket, Prefix=self._key(rel) + "/", MaxKeys=1
+        )
+        if resp.get("KeyCount", len(resp.get("Contents") or [])) > 0:
+            return True
+        if self.data_path_override is not None:
+            return os.path.isdir(os.path.join(self.data_path_override, rel))
+        return False
+
+    def delete_prefix(self, rel: str) -> None:
+        keys: "list[str]" = []
+        for page in self._list_pages(
+            Bucket=self.bucket, Prefix=self._key(rel) + "/"
+        ):
+            keys.extend(obj["Key"] for obj in page.get("Contents") or [])
+        for i in range(0, len(keys), 1000):  # DeleteObjects caps at 1000
+            self.client.delete_objects(
+                Bucket=self.bucket,
+                Delete={"Objects": [{"Key": k} for k in keys[i : i + 1000]]},
+            )
+        if self.data_path_override is not None:
+            shutil.rmtree(
+                os.path.join(self.data_path_override, rel), ignore_errors=True
+            )
+
+    # -- data plane ---------------------------------------------------------
+    def spark_path(self, rel: str = "") -> str:
+        if self.data_path_override is not None:
+            return (
+                os.path.join(self.data_path_override, rel)
+                if rel
+                else self.data_path_override
+            )
+        key = self._key(rel)
+        return f"s3a://{self.bucket}/{key}" if key else f"s3a://{self.bucket}"
+
+    def describe(self) -> str:
+        loc = f"s3://{self.bucket}/{self.prefix}".rstrip("/")
+        if self.data_path_override is not None:
+            return f"{loc} (data={self.data_path_override!r})"
+        return loc
 
 
 def as_store(target: "SnapshotStore | str") -> SnapshotStore:

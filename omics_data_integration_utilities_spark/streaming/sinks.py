@@ -227,10 +227,25 @@ def prune_batch_partitions(output_path: str, keep_batches: int) -> "list[str]":
     probe sink's ``keep_batches`` option — driver-side posix (these
     archive paths are plain Spark output dirs; on an object store,
     prefer the service's native lifecycle/expiry rules, which do the
-    same thing without a driver in the loop)."""
+    same thing without a driver in the loop).
+
+    A non-posix URI is REFUSED up front (r15 ADVICE): os.listdir on an
+    ``s3a://...`` path raises FileNotFoundError, which the empty-dir
+    handling below would swallow — a keep_batches-bounded archive
+    pointed at an object store would appear to work while never
+    pruning, with no signal."""
     import os
     import shutil
+    from urllib.parse import urlparse
 
+    scheme = urlparse(output_path).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"prune_batch_partitions needs a driver-local (or shared-"
+            f"posix) path; got scheme {scheme!r} in {output_path!r} — on "
+            "an object store use the service's lifecycle/expiry rules "
+            "(keep_batches retention would otherwise silently never prune)"
+        )
     if int(keep_batches) < 1:
         raise ValueError(f"keep_batches must be >= 1 (got {keep_batches})")
     try:
@@ -683,6 +698,30 @@ def _bucketed_commit(
             "duplicates the key); cast the batch keys to the pinned "
             "types upstream"
         )
+    # value-schema pin (r15 verdict item 1): the manifest pins the FULL
+    # row schema, not just the keys.  Without it a batch whose value
+    # column drifted dtype is silently coerced by unionByName in the
+    # buckets it touches — and a batch touching NO existing bucket
+    # (all-new keys) commits any drifted schema with no check at all —
+    # leaving mixed parquet schemas across version dirs that only blow
+    # up (or silently widen) at read time.  The pin check runs BEFORE
+    # any write, so it covers the all-new-keys path too; the sanctioned
+    # way to change a living snapshot's schema is
+    # :func:`rebucket_bucketed_snapshot`'s ``transform`` (an O(snapshot)
+    # rewrite that re-pins on purpose).
+    full_schema = {
+        f.name: f.dataType.simpleString() for f in upserts.schema.fields
+    }
+    pinned_values = cur.get("value_schema") if cur is not None else None
+    if pinned_values is not None and pinned_values != full_schema:
+        raise ValueError(
+            f"bucketed snapshot at {store.describe()!r} pinned row schema "
+            f"{pinned_values} but this batch arrives as {full_schema} — "
+            "refusing a drifted commit (untouched buckets would keep the "
+            "old schema and the snapshot would read back mixed); cast or "
+            "re-shape the batch upstream, or evolve the schema on purpose "
+            "with rebucket_bucketed_snapshot(transform=...)"
+        )
     bucket = _bucket_expr(key_cols, n_buckets)
     all_keys = upserts.select(*key_cols)
     if delete_keys is not None:
@@ -730,6 +769,7 @@ def _bucketed_commit(
         "batch_id": int(batch_id),
         "n_buckets": int(n_buckets),
         "key_schema": pinned or key_types,
+        "value_schema": pinned_values or full_schema,
         "buckets": new_buckets,
     }
     # version-named manifest: unconditional put (only the replay of the
@@ -785,6 +825,7 @@ def rebucket_bucketed_snapshot(
     batch_id: int,
     new_n_buckets: int,
     keep_versions: int = 2,
+    transform=None,
 ) -> None:
     """OFFLINE maintenance commit (r15): rewrite the whole bucketed
     snapshot under a NEW bucket modulus — the resize operation the
@@ -810,7 +851,31 @@ def rebucket_bucketed_snapshot(
     resize keeps time-travel-reading while retained (readers never
     consult n_buckets, only the bucket map).  ``batch_id`` continues
     the snapshot's monotone lineage (use the next unused id); a stale
-    id is refused exactly like a stale stream batch."""
+    id is refused exactly like a stale stream batch.
+
+    ``key_cols`` must MATCH the manifest's pinned key schema (r15
+    ADVICE): bucketing by different columns while the new manifest
+    carries the old pin would let every later MERGE pass the pin check
+    yet miss same-key rows strewn across wrong buckets — silent key
+    duplication, the exact class the pins exist to refuse.  A
+    maintenance run with the wrong ``key_cols`` raises before any
+    write.
+
+    ``transform`` (r15 verdict "what's missing" item 2) is the
+    SANCTIONED schema-evolution path: a ``DataFrame -> DataFrame``
+    callable applied to the whole snapshot during the rewrite — add a
+    column with a default, drop one, retype a value column.  The new
+    manifest re-pins ``value_schema`` from the transformed rows, so
+    subsequent commits must arrive in the NEW shape (and ad-hoc drift
+    stays refused — evolution is an explicit O(snapshot) maintenance
+    commit, never a side effect of one batch).  The key columns must
+    survive the transform with their pinned dtypes unchanged (they are
+    the snapshot's identity; changing them is a new snapshot, not an
+    evolution) — refused otherwise.  Replay safety is the caller's
+    contract here, same as the batch ids: a replayed maintenance
+    commit must pass the SAME transform (the version name is a pure
+    function of batch_id, and only a same-base replay may rewrite it).
+    """
     store = as_store(snapshot_dir)
     keep = _check_keep_versions(keep_versions)
     if int(new_n_buckets) < 1:
@@ -834,11 +899,59 @@ def rebucket_bucketed_snapshot(
             f"{cur_name!r} but that manifest is missing — damaged "
             "snapshot; restore the manifest or repoint CURRENT"
         )
+    # key-cols pin (r15 ADVICE): bucketing by the caller's columns while
+    # carrying the manifest's old pin forward would pass every later
+    # commit's pin check against a layout bucketed by something else —
+    # the per-bucket anti-join then misses same-key rows and duplicates
+    # keys silently.  Refuse a mismatched maintenance run before any
+    # write; dtypes are re-verified against the read data below.
+    pinned_keys = cur.get("key_schema")
+    if pinned_keys is not None and set(key_cols) != set(pinned_keys):
+        raise ValueError(
+            f"bucketed snapshot at {store.describe()!r} pinned key columns "
+            f"{sorted(pinned_keys)} but this maintenance run passed "
+            f"{sorted(key_cols)} — re-bucketing by different columns would "
+            "strand same-key rows across buckets while the pin still names "
+            "the original keys; changing the key set is a NEW snapshot, "
+            "not a maintenance commit"
+        )
     new_buckets: "dict[str, str]" = {}
     if cur["buckets"]:
         data = spark.read.parquet(
             *[store.spark_path(p) for p in sorted(set(cur["buckets"].values()))]
         )
+        if pinned_keys is not None:
+            read_types = {
+                c: data.schema[c].dataType.simpleString() for c in key_cols
+            }
+            if read_types != pinned_keys:
+                raise RuntimeError(
+                    f"bucketed snapshot at {store.describe()!r} pinned key "
+                    f"schema {pinned_keys} but the snapshot data reads back "
+                    f"as {read_types} — damaged or hand-edited snapshot; "
+                    "xxhash64 bucketing is type-sensitive, refusing to "
+                    "rewrite a layout the pin no longer describes"
+                )
+        if transform is not None:
+            data = transform(data)
+            missing = [c for c in key_cols if c not in data.columns]
+            if missing:
+                raise ValueError(
+                    f"schema-evolution transform dropped key column(s) "
+                    f"{missing} — the keys are the snapshot's identity; "
+                    "changing them is a new snapshot, not an evolution"
+                )
+            out_types = {
+                c: data.schema[c].dataType.simpleString() for c in key_cols
+            }
+            expect_types = pinned_keys or out_types
+            if out_types != expect_types:
+                raise ValueError(
+                    f"schema-evolution transform retyped key column(s): "
+                    f"pinned {expect_types}, transform produced {out_types} "
+                    "— xxhash64 bucketing is type-sensitive; keys must "
+                    "survive evolution unchanged"
+                )
         bucket = _bucket_expr(key_cols, new_n_buckets)
         data.withColumn("__bucket", bucket).write.mode("overwrite").partitionBy(
             "__bucket"
@@ -851,16 +964,29 @@ def rebucket_bucketed_snapshot(
         new_buckets = {
             str(b): f"{version}/__bucket={b}" for b in sorted(written)
         }
-        key_schema = cur.get("key_schema") or {
+        key_schema = pinned_keys or {
             c: data.schema[c].dataType.simpleString() for c in key_cols
+        }
+        # re-pin the row schema from the (possibly transformed) rows —
+        # the one sanctioned place value_schema may change
+        value_schema = {
+            f.name: f.dataType.simpleString() for f in data.schema.fields
         }
     else:
         # rebucketing an emptied snapshot: just record the new modulus
-        key_schema = cur.get("key_schema")
+        if transform is not None:
+            raise ValueError(
+                f"bucketed snapshot at {store.describe()!r} is EMPTY — a "
+                "schema-evolution transform has no rows to derive the new "
+                "schema from; seed the snapshot in the new shape instead"
+            )
+        key_schema = pinned_keys
+        value_schema = cur.get("value_schema")
     manifest = {
         "batch_id": int(batch_id),
         "n_buckets": int(new_n_buckets),
         "key_schema": key_schema,
+        "value_schema": value_schema,
         "buckets": new_buckets,
     }
     store.put_text(manifest_name, json.dumps(manifest), expect=ANY)

@@ -680,6 +680,7 @@ def test_posix_conditional_put_atomic_under_contention(tmp_path):
     store.put_text("CURRENT", "v0", expect=ABSENT)
     _, gen0 = store.get_text("CURRENT")
     results: "list[str]" = []
+    winners: "list[str]" = []
     lock = threading.Lock()
     barrier = threading.Barrier(8)
 
@@ -689,6 +690,7 @@ def test_posix_conditional_put_atomic_under_contention(tmp_path):
             store.put_text("CURRENT", f"v{i}", expect=gen0)
             with lock:
                 results.append("win")
+                winners.append(f"v{i}")
         except CommitConflict:
             with lock:
                 results.append("conflict")
@@ -699,6 +701,477 @@ def test_posix_conditional_put_atomic_under_contention(tmp_path):
     for t in threads:
         t.join()
     assert sorted(results) == ["conflict"] * 7 + ["win"]
-    # the surviving pointer is the single winner's value
-    assert store.get_text("CURRENT")[0].startswith("v")
-    assert store.get_text("CURRENT")[0] != "v0"
+    # the surviving pointer is the single winner's value (with the r16
+    # inode-based token even a winner REWRITING the same content "v0"
+    # invalidates the other racers' generations — under the pre-r16
+    # content-as-token scheme a thread-0 win would have let every
+    # other racer's CAS through)
+    assert store.get_text("CURRENT")[0] == winners[0]
+
+
+# ---------------------------------------------------------------------------
+# r16: the real object-store implementation (S3SnapshotStore) against a
+# scripted boto3-shaped fake enforcing S3 conditional-write semantics
+# ---------------------------------------------------------------------------
+
+
+class FakeClientError(Exception):
+    """botocore.exceptions.ClientError shape: carries .response with
+    Error.Code and ResponseMetadata.HTTPStatusCode (the store inspects
+    it duck-typed — this container has no botocore to import)."""
+
+    def __init__(self, code: str, status: int, op: str):
+        super().__init__(f"An error occurred ({code}) when calling {op}")
+        self.response = {
+            "Error": {"Code": code},
+            "ResponseMetadata": {"HTTPStatusCode": status},
+        }
+
+
+class _Body:
+    def __init__(self, data: bytes):
+        self._data = data
+
+    def read(self) -> bytes:
+        return self._data
+
+
+class FakeS3Client:
+    """A scripted boto3-S3-shaped client implementing exactly the calls
+    S3SnapshotStore makes, with REAL S3 semantics for each: conditional
+    writes (If-None-Match:* → 412 PreconditionFailed on existing key;
+    If-Match → 412 on ETag mismatch or missing key), NoSuchKey on
+    get_object, list_objects_v2 with Prefix/Delimiter/MaxKeys/
+    ContinuationToken pagination (page_size forces tiny pages so the
+    store's pagination handling is actually exercised), delete_objects
+    batching, idempotent delete_object.  Same injectable-fake pattern
+    as sources/rest.py's transport."""
+
+    def __init__(self, page_size: int = 2):
+        self.objects: "dict[str, tuple[bytes, str]]" = {}  # key -> (body, etag)
+        self._etag_counter = 0
+        self.page_size = page_size
+        self.calls: "list[str]" = []
+
+    def _new_etag(self) -> str:
+        self._etag_counter += 1
+        return f'"etag-{self._etag_counter}"'
+
+    def get_object(self, Bucket, Key):
+        self.calls.append(f"get:{Key}")
+        if Key not in self.objects:
+            raise FakeClientError("NoSuchKey", 404, "GetObject")
+        body, etag = self.objects[Key]
+        return {"Body": _Body(body), "ETag": etag}
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None, IfMatch=None):
+        self.calls.append(f"put:{Key}")
+        cur = self.objects.get(Key)
+        if IfNoneMatch == "*" and cur is not None:
+            raise FakeClientError("PreconditionFailed", 412, "PutObject")
+        if IfMatch is not None and (cur is None or cur[1] != IfMatch):
+            raise FakeClientError("PreconditionFailed", 412, "PutObject")
+        etag = self._new_etag()
+        self.objects[Key] = (Body, etag)
+        return {"ETag": etag}
+
+    def delete_object(self, Bucket, Key):
+        self.calls.append(f"del:{Key}")
+        self.objects.pop(Key, None)
+        return {}
+
+    def delete_objects(self, Bucket, Delete):
+        assert len(Delete["Objects"]) <= 1000
+        for entry in Delete["Objects"]:
+            self.objects.pop(entry["Key"], None)
+        return {}
+
+    def list_objects_v2(
+        self, Bucket, Prefix="", Delimiter=None, MaxKeys=None,
+        ContinuationToken=None,
+    ):
+        self.calls.append(f"list:{Prefix}")
+        keys = sorted(k for k in self.objects if k.startswith(Prefix))
+        contents, common = [], []
+        seen_prefixes = set()
+        for k in keys:
+            rest = k[len(Prefix):]
+            if Delimiter and Delimiter in rest:
+                cp = Prefix + rest.split(Delimiter, 1)[0] + Delimiter
+                if cp not in seen_prefixes:
+                    seen_prefixes.add(cp)
+                    common.append(cp)
+            else:
+                contents.append(k)
+        entries = [("c", k) for k in contents] + [("p", p) for p in common]
+        entries.sort(key=lambda e: e[1])
+        start = int(ContinuationToken) if ContinuationToken else 0
+        cap = min(MaxKeys or self.page_size, self.page_size)
+        page = entries[start : start + cap]
+        out = {
+            "Contents": [
+                {"Key": k} for tag, k in page if tag == "c"
+            ],
+            "CommonPrefixes": [
+                {"Prefix": p} for tag, p in page if tag == "p"
+            ],
+            "KeyCount": len(page),
+            "IsTruncated": start + cap < len(entries),
+        }
+        if out["IsTruncated"]:
+            out["NextContinuationToken"] = str(start + cap)
+        return out
+
+
+def _s3_store(tmp_path, name="s3data", **kw):
+    from omics_data_integration_utilities_spark.streaming.commitstore import (
+        S3SnapshotStore,
+    )
+
+    client = FakeS3Client(**kw)
+    store = S3SnapshotStore(
+        "test-bucket", "snapshots/main", client=client,
+        data_path_override=str(tmp_path / name),
+    )
+    return store, client
+
+
+def test_s3_conditional_put_contract(tmp_path):
+    """The boto3-shaped store passes the exact contract battery the
+    in-memory model and posix store pass."""
+    store, client = _s3_store(tmp_path)
+    assert store.get_text("CURRENT") is None
+    store.put_text("CURRENT", "v0", expect=ABSENT)
+    with pytest.raises(CommitConflict):
+        store.put_text("CURRENT", "v1", expect=ABSENT)
+    text, gen = store.get_text("CURRENT")
+    assert text == "v0"
+    store.put_text("CURRENT", "v1", expect=gen)  # CAS succeeds
+    with pytest.raises(CommitConflict):
+        store.put_text("CURRENT", "v2", expect=gen)  # stale generation
+    store.put_text("CURRENT", "v3", expect=ANY)
+    assert store.get_text("CURRENT")[0] == "v3"
+    store.delete_text("CURRENT")
+    assert store.get_text("CURRENT") is None
+    store.delete_text("CURRENT")  # missing delete is a no-op
+    # conditional puts went out with the real header shapes
+    assert any(c.startswith("put:snapshots/main/CURRENT") for c in client.calls)
+
+
+def test_s3_listing_pagination_and_prefix_delete(tmp_path):
+    """page_size=2 forces multi-page listings: list_names and
+    delete_prefix must walk ContinuationToken to completion (a store
+    that reads only the first page would silently prune a 100-commit
+    snapshot's retention wrong)."""
+    store, client = _s3_store(tmp_path, page_size=2)
+    for i in range(7):
+        store.put_text(f"m{i:012d}.json", "{}")
+    for i in range(5):
+        store.put_text(f"v000/part-{i}.parquet", "x")
+    names = store.list_names()
+    assert [f"m{i:012d}.json" for i in range(7)] == [
+        n for n in names if n.startswith("m")
+    ]
+    assert "v000" in names
+    assert store.exists_prefix("v000")
+    store.delete_prefix("v000")
+    assert not store.exists_prefix("v000")
+    assert all(not k.startswith("snapshots/main/v000/") for k in client.objects)
+    # metadata objects survive the prefix delete
+    assert len([k for k in client.objects if k.endswith(".json")]) == 7
+
+
+def test_s3_409_conditional_conflict_maps_to_commit_conflict(tmp_path):
+    """S3 returns 409 ConditionalRequestConflict while concurrent
+    conditional writes on one key resolve — the loser did not commit,
+    so the store surfaces it as CommitConflict, not a retry."""
+    store, client = _s3_store(tmp_path)
+
+    orig = client.put_object
+
+    def conflicted(Bucket, Key, Body, IfNoneMatch=None, IfMatch=None):
+        if IfMatch is not None:
+            raise FakeClientError("ConditionalRequestConflict", 409, "PutObject")
+        return orig(Bucket, Key, Body, IfNoneMatch=IfNoneMatch, IfMatch=IfMatch)
+
+    store.put_text("CURRENT", "v0")
+    _, gen = store.get_text("CURRENT")
+    client.put_object = conflicted
+    with pytest.raises(CommitConflict):
+        store.put_text("CURRENT", "v1", expect=gen)
+
+
+def test_s3_unrelated_client_errors_propagate(tmp_path):
+    """Only 404s map to missing and only 412/409 map to conflict — an
+    AccessDenied or throttle must escape loudly, never read as
+    'pointer absent' (which the commit units would treat as a damaged
+    snapshot or an empty one)."""
+    store, client = _s3_store(tmp_path)
+
+    def denied(Bucket, Key):
+        raise FakeClientError("AccessDenied", 403, "GetObject")
+
+    client.get_object = denied
+    with pytest.raises(FakeClientError):
+        store.get_text("CURRENT")
+
+
+def test_s3_bucketed_sink_battery(spark, tmp_path):
+    """The full bucketed commit protocol — seed, MERGE, CDC delete,
+    replay no-op, time travel, retention — driven end-to-end through
+    the boto3-shaped store (metadata in the fake bucket, data plane on
+    the local override dir), proving the S3 call mapping carries the
+    whole sink battery, not just the unit contract."""
+    store, client = _s3_store(tmp_path)
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(1, 1.0), (2, 2.0), (3, 3.0)]), store, ["k"],
+        batch_id=0, n_buckets=4,
+    )
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(2, 20.0), (4, 4.0)]), store, ["k"],
+        batch_id=1, n_buckets=4,
+    )
+    apply_cdc_batch_into_bucketed_snapshot(
+        spark, _cdc(spark, [(1, 0.0, "delete"), (3, 30.0, "upsert")]),
+        store, ["k"], batch_id=2, n_buckets=4,
+    )
+    got = {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, store).collect()}
+    assert got == {2: 20.0, 3: 30.0, 4: 4.0}
+    # replay of the committed batch: no-op
+    apply_cdc_batch_into_bucketed_snapshot(
+        spark, _cdc(spark, [(1, 0.0, "delete"), (3, 30.0, "upsert")]),
+        store, ["k"], batch_id=2, n_buckets=4,
+    )
+    assert {
+        r["k"]: r["v"] for r in read_bucketed_snapshot(spark, store).collect()
+    } == got
+    # time travel to the retained previous manifest
+    assert {
+        r["k"]: r["v"]
+        for r in read_bucketed_snapshot(
+            spark, store, manifest="m000000000001.json"
+        ).collect()
+    } == {1: 1.0, 2: 20.0, 3: 3.0, 4: 4.0}
+    # retention pruned manifests beyond keep_versions=2 in the bucket
+    metadata_manifests = [
+        k for k in client.objects if k.endswith(".json")
+    ]
+    assert sorted(metadata_manifests) == [
+        "snapshots/main/m000000000001.json",
+        "snapshots/main/m000000000002.json",
+    ]
+    # the conditional pointer flip happened through the fake bucket
+    assert store.get_text("CURRENT")[0] == "m000000000002.json"
+
+
+def test_s3_spark_path_without_override_is_s3a():
+    from omics_data_integration_utilities_spark.streaming.commitstore import (
+        S3SnapshotStore,
+    )
+
+    store = S3SnapshotStore("b", "p/q", client=FakeS3Client())
+    assert store.spark_path() == "s3a://b/p/q"
+    assert store.spark_path("v000") == "s3a://b/p/q/v000"
+    assert "s3://b/p/q" in store.describe()
+
+
+def test_posix_generation_token_survives_aba(tmp_path):
+    """r15 ADVICE: restoring CURRENT to previously seen CONTENT (the
+    recovery workflow) must still invalidate generations read before
+    the restore — the token is (inode, mtime, content), and _publish
+    always creates a fresh inode, so an A->B->A rewrite no longer
+    passes a stale CAS."""
+    store = PosixSnapshotStore(str(tmp_path / "p"))
+    store.put_text("CURRENT", "vA", expect=ABSENT)
+    _, gen_a = store.get_text("CURRENT")
+    store.put_text("CURRENT", "vB", expect=ANY)
+    store.put_text("CURRENT", "vA", expect=ANY)  # operator restore: same content
+    with pytest.raises(CommitConflict):
+        store.put_text("CURRENT", "vC", expect=gen_a)  # pre-restore token
+    # a token read AFTER the restore works
+    _, gen_a2 = store.get_text("CURRENT")
+    store.put_text("CURRENT", "vC", expect=gen_a2)
+    assert store.get_text("CURRENT")[0] == "vC"
+
+
+# ---------------------------------------------------------------------------
+# r16: value-schema pin (r15 verdict item 1) and the sanctioned
+# schema-evolution path (rebucket transform)
+# ---------------------------------------------------------------------------
+
+
+def test_value_schema_pin_refuses_dtype_drift(spark, tmp_path):
+    """A batch whose VALUE column drifts dtype must be refused — before
+    the pin, unionByName silently coerced it in touched buckets only,
+    leaving mixed parquet schemas across version dirs."""
+    snap = str(tmp_path / "snap")
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(1, 1.0)]), snap, ["k"], batch_id=0, n_buckets=4
+    )
+    drifted = spark.createDataFrame([(1, "oops")], "k long, v string")
+    with pytest.raises(ValueError, match="pinned row schema"):
+        upsert_batch_into_bucketed_snapshot(
+            spark, drifted, snap, ["k"], batch_id=1, n_buckets=4
+        )
+    # same shape commits cleanly
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(1, 9.0)]), snap, ["k"], batch_id=1, n_buckets=4
+    )
+
+
+def test_value_schema_pin_covers_all_new_keys_path(spark, tmp_path):
+    """The r15 verdict's sharpest case: a batch touching NO existing
+    bucket (all-new keys → empty target_paths) previously committed ANY
+    drifted schema with no check at all.  The pin check runs before any
+    write, so this path is covered too."""
+    snap = str(tmp_path / "snap")
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(0, 1.0)]), snap, ["k"], batch_id=0, n_buckets=64
+    )
+    # key 1 hashes to a different bucket at n_buckets=64 than key 0
+    # (verified below); extra column = drifted schema
+    drifted = spark.createDataFrame([(1, 2.0, "extra")], "k long, v double, w string")
+    with pytest.raises(ValueError, match="pinned row schema"):
+        upsert_batch_into_bucketed_snapshot(
+            spark, drifted, snap, ["k"], batch_id=1, n_buckets=64
+        )
+    # sanity: the refusal above wasn't the key-schema pin
+    man = json.load(open(os.path.join(snap, "m000000000000.json")))
+    assert man["value_schema"] == {"k": "bigint", "v": "double"}
+
+
+def test_value_schema_pin_tolerates_pre_r16_manifest(spark, tmp_path):
+    """A manifest written before the value pin existed keeps
+    committing — the next commit records the pin (same adoption
+    contract as the r14 key-schema pin)."""
+    snap = str(tmp_path / "snap")
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(1, 1.0)]), snap, ["k"], batch_id=0, n_buckets=4
+    )
+    man_path = os.path.join(snap, "m000000000000.json")
+    man = json.load(open(man_path))
+    man.pop("value_schema")
+    json.dump(man, open(man_path, "w"))
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(2, 2.0)]), snap, ["k"], batch_id=1, n_buckets=4
+    )
+    man1 = json.load(open(os.path.join(snap, "m000000000001.json")))
+    assert man1["value_schema"] == {"k": "bigint", "v": "double"}
+
+
+def test_rebucket_refuses_mismatched_key_cols(spark, tmp_path):
+    """r15 ADVICE (medium): a maintenance run bucketing by the WRONG
+    key columns while the new manifest carries the old pin would let
+    every later MERGE pass the pin check yet miss same-key rows —
+    silent key duplication.  Refused before any write."""
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        rebucket_bucketed_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    df = spark.createDataFrame([(1, 10, 1.0)], "k long, k2 long, v double")
+    upsert_batch_into_bucketed_snapshot(
+        spark, df, snap, ["k"], batch_id=0, n_buckets=4
+    )
+    with pytest.raises(ValueError, match="pinned key columns"):
+        rebucket_bucketed_snapshot(
+            spark, snap, ["k2"], batch_id=1, new_n_buckets=8
+        )
+    with pytest.raises(ValueError, match="pinned key columns"):
+        rebucket_bucketed_snapshot(
+            spark, snap, ["k", "k2"], batch_id=1, new_n_buckets=8
+        )
+    # snapshot unchanged — the refusal happened before any write
+    cur = open(os.path.join(snap, "CURRENT")).read().strip()
+    assert cur == "m000000000000.json"
+    # the correct key_cols still work
+    rebucket_bucketed_snapshot(spark, snap, ["k"], batch_id=1, new_n_buckets=8)
+
+
+def test_rebucket_transform_evolves_value_schema(spark, tmp_path):
+    """The sanctioned evolution path: an O(snapshot) rewrite through a
+    transform re-pins value_schema — add a defaulted column, drop one,
+    retype — after which commits must arrive in the NEW shape (the old
+    shape is refused by the pin) and the data round-trips."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        rebucket_bucketed_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(1, 1.0), (2, 2.0)]), snap, ["k"],
+        batch_id=0, n_buckets=4,
+    )
+    # ad-hoc drift is refused...
+    widened = spark.createDataFrame([(3, 3.0, 0)], "k long, v double, flags int")
+    with pytest.raises(ValueError, match="pinned row schema"):
+        upsert_batch_into_bucketed_snapshot(
+            spark, widened, snap, ["k"], batch_id=1, n_buckets=4
+        )
+    # ...but the maintenance commit evolves it on purpose
+    rebucket_bucketed_snapshot(
+        spark, snap, ["k"], batch_id=1, new_n_buckets=4,
+        transform=lambda df: df.withColumn("flags", F.lit(0)),
+    )
+    man = json.load(open(os.path.join(snap, "m000000000001.json")))
+    assert man["value_schema"] == {"k": "bigint", "v": "double", "flags": "int"}
+    # the new shape commits; the OLD shape is now the drifted one
+    upsert_batch_into_bucketed_snapshot(
+        spark, widened, snap, ["k"], batch_id=2, n_buckets=4
+    )
+    with pytest.raises(ValueError, match="pinned row schema"):
+        upsert_batch_into_bucketed_snapshot(
+            spark, _df(spark, [(4, 4.0)]), snap, ["k"], batch_id=3, n_buckets=4
+        )
+    got = {
+        r["k"]: (r["v"], r["flags"])
+        for r in read_bucketed_snapshot(spark, snap).collect()
+    }
+    assert got == {1: (1.0, 0), 2: (2.0, 0), 3: (3.0, 0)}
+
+
+def test_rebucket_transform_must_preserve_keys(spark, tmp_path):
+    """Evolution may not touch the key columns — dropping or retyping
+    them is a new snapshot, not an evolution (xxhash64 bucketing is
+    type-sensitive and the keys are the snapshot's identity)."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        rebucket_bucketed_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(1, 1.0)]), snap, ["k"], batch_id=0, n_buckets=4
+    )
+    with pytest.raises(ValueError, match="dropped key column"):
+        rebucket_bucketed_snapshot(
+            spark, snap, ["k"], batch_id=1, new_n_buckets=4,
+            transform=lambda df: df.drop("k"),
+        )
+    with pytest.raises(ValueError, match="retyped key column"):
+        rebucket_bucketed_snapshot(
+            spark, snap, ["k"], batch_id=1, new_n_buckets=4,
+            transform=lambda df: df.withColumn("k", F.col("k").cast("int")),
+        )
+    # both refusals happened before any flip
+    assert open(os.path.join(snap, "CURRENT")).read().strip() == (
+        "m000000000000.json"
+    )
+
+
+def test_prune_batch_partitions_refuses_object_store_uri(tmp_path):
+    """r15 ADVICE: os.listdir on s3a:// raises FileNotFoundError which
+    the empty-dir handling swallows — a bounded archive pointed at an
+    object store would appear to work but never prune.  Refused up
+    front instead."""
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        prune_batch_partitions,
+    )
+
+    with pytest.raises(ValueError, match="driver-local"):
+        prune_batch_partitions("s3a://bucket/archive", keep_batches=3)
+    # local paths keep working (missing dir is still an empty no-op)
+    assert prune_batch_partitions(str(tmp_path / "nope"), 3) == []
