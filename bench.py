@@ -201,6 +201,12 @@ SLOW_TIER = [
     # sim_index_topk (standalone it would build its own index and time
     # build+probes).
     "sim_index_recall",
+    # r16: the schema-evolution round-trip (4 bucketed commits + the
+    # evolve maintenance rewrite + 2 inline pin-refusal proofs per rep
+    # — the commit-machinery wall for the maintenance path, the
+    # doc_forget analog for evolution; bytes-level scale evidence
+    # lives in probe_r16_evolve16x.py)
+    "doc_snapshot_evolve",
 ]
 
 # bench-only callables: timed like registered queries but deliberately
