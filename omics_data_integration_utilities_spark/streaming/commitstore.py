@@ -54,6 +54,10 @@ Implementations here:
   delimiter listings, paged prefix deletes.  The client is injected,
   so the class is contract-tested offline against a scripted fake
   enforcing real S3 semantics (tests/test_commitstore.py).
+- :class:`GCSSnapshotStore` — the GCS twin: google-cloud-storage-
+  shaped calls with native integer generations
+  (``if_generation_match=0`` create-only / ``=g`` CAS), same
+  injectable-client contract testing.
 
 The reference repo has no persistent-snapshot machinery at all (its
 sinks are one-shot CSV/SQLite writes — integrative_omics/gizmos.py);
@@ -552,6 +556,186 @@ class S3SnapshotStore(SnapshotStore):
 
     def describe(self) -> str:
         loc = f"s3://{self.bucket}/{self.prefix}".rstrip("/")
+        if self.data_path_override is not None:
+            return f"{loc} (data={self.data_path_override!r})"
+        return loc
+
+
+class GCSSnapshotStore(SnapshotStore):
+    """The GCS deployment shape — the "same skeleton with
+    ``ifGenerationMatch``" the S3 class's docstring names, as code.
+    Conditional puts use GCS's native integer generations:
+    ``if_generation_match=0`` is create-only (the object must not
+    exist), ``if_generation_match=<g>`` replaces only if the live
+    generation still equals ``g`` — both server-side atomic, and the
+    object's generation IS the token :meth:`get_text` returns, so the
+    emulation gap the posix store documents does not exist here at
+    all.  A 412 ``PreconditionFailed`` surfaces as
+    :class:`CommitConflict` — the loud concurrent-writer signal the
+    pointer flip relies on.
+
+    ``client`` is any google-cloud-storage-shaped client
+    (``google.cloud.storage.Client()`` in a real deployment): the
+    store calls ``client.bucket(name)``, ``bucket.blob(key)`` /
+    ``bucket.get_blob(key)``, ``blob.upload_from_string(text,
+    if_generation_match=…)``, ``blob.download_as_bytes()``,
+    ``bucket.delete_blob(key)``, and ``client.list_blobs(bucket,
+    prefix=…, delimiter=…)`` (iterating the blobs and reading
+    ``iterator.prefixes`` afterwards, per the API's contract).
+    Injected, so the class is contract-tested offline against a
+    scripted fake enforcing real GCS generation semantics.  Errors are
+    inspected duck-typed via their ``code`` attribute (google
+    api_core exceptions carry the HTTP status there): 404 → missing,
+    412 → conflict, anything else propagates.
+
+    Data plane: ``spark_path`` returns ``gs://bucket/prefix/rel`` for
+    Spark's GCS connector; ``data_path_override`` redirects it to a
+    local directory FOR TESTS ONLY, with the listing/prefix methods
+    consulting both planes (the same split as the S3 and in-memory
+    stores)."""
+
+    def __init__(
+        self,
+        bucket: str,
+        prefix: str = "",
+        client: "object | None" = None,
+        data_path_override: "str | None" = None,
+    ) -> None:
+        if client is None:
+            try:
+                from google.cloud import storage  # type: ignore[import-not-found]
+            except ImportError as exc:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "GCSSnapshotStore needs a google-cloud-storage-shaped "
+                    "client: pass client=google.cloud.storage.Client() "
+                    "(google-cloud-storage is not installed in this "
+                    "environment)"
+                ) from exc
+            client = storage.Client()  # pragma: no cover - env-dependent
+        self.bucket_name = bucket
+        self.prefix = prefix.strip("/")
+        self.client = client
+        self.data_path_override = data_path_override
+
+    def _key(self, rel: str) -> str:
+        rel = rel.strip("/")
+        if self.prefix and rel:
+            return f"{self.prefix}/{rel}"
+        return self.prefix or rel
+
+    @staticmethod
+    def _code(exc: Exception) -> "int | None":
+        code = getattr(exc, "code", None)
+        return code if isinstance(code, int) else None
+
+    # -- metadata plane ---------------------------------------------------
+    def get_text(self, rel: str) -> "tuple[str, object] | None":
+        bucket = self.client.bucket(self.bucket_name)
+        blob = bucket.get_blob(self._key(rel))
+        if blob is None:
+            return None
+        # generation captured from the metadata read; if the object is
+        # replaced between this and the download, the token is OLDER
+        # than the content and a later CAS on it fails — the safe (loud)
+        # direction
+        text = blob.download_as_bytes().decode("utf-8")
+        return text, blob.generation
+
+    def put_text(self, rel: str, text: str, expect: object = ANY) -> None:
+        bucket = self.client.bucket(self.bucket_name)
+        blob = bucket.blob(self._key(rel))
+        kwargs = {}
+        if expect is ABSENT:
+            kwargs["if_generation_match"] = 0  # create-only
+        elif expect is not ANY:
+            kwargs["if_generation_match"] = expect
+        try:
+            blob.upload_from_string(text, **kwargs)
+        except Exception as exc:  # noqa: BLE001 - duck-typed api_core error
+            if self._code(exc) == 412:
+                raise CommitConflict(
+                    f"{rel!r} in gs://{self.bucket_name}/{self.prefix}: "
+                    "conditional put failed (412) — the object changed "
+                    "since its generation was read (concurrent writer?)"
+                ) from exc
+            raise
+
+    def delete_text(self, rel: str) -> None:
+        bucket = self.client.bucket(self.bucket_name)
+        try:
+            bucket.delete_blob(self._key(rel))
+        except Exception as exc:  # noqa: BLE001 - duck-typed api_core error
+            if self._code(exc) == 404:
+                return  # missing delete is a no-op, same as the others
+            raise
+
+    # -- listing / pruning -------------------------------------------------
+    def list_names(self, rel: str = "") -> "list[str]":
+        base = self._key(rel)
+        list_prefix = base + "/" if base else ""
+        it = self.client.list_blobs(
+            self.bucket_name, prefix=list_prefix, delimiter="/"
+        )
+        names: "set[str]" = set()
+        for blob in it:  # must be consumed before .prefixes is complete
+            name = blob.name[len(list_prefix):]
+            if name:
+                names.add(name)
+        for p in it.prefixes:
+            names.add(p[len(list_prefix):].rstrip("/"))
+        if self.data_path_override is not None:
+            path = (
+                os.path.join(self.data_path_override, rel)
+                if rel
+                else self.data_path_override
+            )
+            try:
+                names.update(os.listdir(path))
+            except FileNotFoundError:
+                pass
+        return sorted(names)
+
+    def exists_prefix(self, rel: str) -> bool:
+        it = self.client.list_blobs(
+            self.bucket_name, prefix=self._key(rel) + "/", max_results=1
+        )
+        if any(True for _ in it):
+            return True
+        if self.data_path_override is not None:
+            return os.path.isdir(os.path.join(self.data_path_override, rel))
+        return False
+
+    def delete_prefix(self, rel: str) -> None:
+        bucket = self.client.bucket(self.bucket_name)
+        it = self.client.list_blobs(
+            self.bucket_name, prefix=self._key(rel) + "/"
+        )
+        for blob in list(it):  # list first: don't mutate under iteration
+            try:
+                bucket.delete_blob(blob.name)
+            except Exception as exc:  # noqa: BLE001
+                if self._code(exc) != 404:  # already-gone is fine
+                    raise
+        if self.data_path_override is not None:
+            shutil.rmtree(
+                os.path.join(self.data_path_override, rel), ignore_errors=True
+            )
+
+    # -- data plane ---------------------------------------------------------
+    def spark_path(self, rel: str = "") -> str:
+        if self.data_path_override is not None:
+            return (
+                os.path.join(self.data_path_override, rel)
+                if rel
+                else self.data_path_override
+            )
+        key = self._key(rel)
+        return (
+            f"gs://{self.bucket_name}/{key}" if key else f"gs://{self.bucket_name}"
+        )
+
+    def describe(self) -> str:
+        loc = f"gs://{self.bucket_name}/{self.prefix}".rstrip("/")
         if self.data_path_override is not None:
             return f"{loc} (data={self.data_path_override!r})"
         return loc

@@ -1327,3 +1327,210 @@ def test_restore_current_on_object_store(spark, tmp_path):
     assert snapshot_lineage(store)["newest_complete"] == "m000000000001.json"
     assert restore_current(store) == "m000000000001.json"
     assert read_bucketed_snapshot(spark, store).count() == 4
+
+
+# ---------------------------------------------------------------------------
+# r16: GCSSnapshotStore against a scripted google-cloud-storage-shaped
+# fake enforcing real GCS generation semantics
+# ---------------------------------------------------------------------------
+
+
+class FakeGCSError(Exception):
+    """google.api_core.exceptions shape: carries the HTTP status on
+    .code (NotFound → 404, PreconditionFailed → 412)."""
+
+    def __init__(self, code: int, msg: str):
+        super().__init__(msg)
+        self.code = code
+
+
+class _FakeBlob:
+    def __init__(self, client, name):
+        self._client = client
+        self.name = name
+        self.generation = None
+
+    def upload_from_string(self, text, if_generation_match=None):
+        store = self._client._objects
+        cur = store.get(self.name)
+        if if_generation_match is not None:
+            live = cur[1] if cur is not None else 0
+            if live != if_generation_match:
+                raise FakeGCSError(
+                    412, f"precondition failed: live generation {live}, "
+                    f"expected {if_generation_match}"
+                )
+        self._client._gen_counter += 1
+        store[self.name] = (
+            text.encode() if isinstance(text, str) else text,
+            self._client._gen_counter,
+        )
+
+    def download_as_bytes(self):
+        cur = self._client._objects.get(self.name)
+        if cur is None:
+            raise FakeGCSError(404, f"no such object {self.name}")
+        return cur[0]
+
+
+class _FakeBucket:
+    def __init__(self, client):
+        self._client = client
+
+    def blob(self, name):
+        return _FakeBlob(self._client, name)
+
+    def get_blob(self, name):
+        cur = self._client._objects.get(name)
+        if cur is None:
+            return None
+        b = _FakeBlob(self._client, name)
+        b.generation = cur[1]
+        return b
+
+    def delete_blob(self, name):
+        if name not in self._client._objects:
+            raise FakeGCSError(404, f"no such object {name}")
+        del self._client._objects[name]
+
+
+class _FakeBlobIterator:
+    """list_blobs contract: .prefixes populates as pages are consumed —
+    reading it before iterating would see an empty set, which is why
+    the store iterates first."""
+
+    def __init__(self, entries, prefixes):
+        self._entries = entries
+        self._final_prefixes = prefixes
+        self.prefixes: "set[str]" = set()
+
+    def __iter__(self):
+        for e in self._entries:
+            yield e
+        self.prefixes = self._final_prefixes
+
+
+class FakeGCSClient:
+    def __init__(self):
+        self._objects: "dict[str, tuple[bytes, int]]" = {}
+        self._gen_counter = 0
+
+    def bucket(self, name):
+        return _FakeBucket(self)
+
+    def list_blobs(self, bucket, prefix="", delimiter=None, max_results=None):
+        keys = sorted(k for k in self._objects if k.startswith(prefix))
+        entries, prefixes = [], set()
+        for k in keys:
+            rest = k[len(prefix):]
+            if delimiter and delimiter in rest:
+                prefixes.add(prefix + rest.split(delimiter, 1)[0] + delimiter)
+            else:
+                b = _FakeBlob(self, k)
+                b.generation = self._objects[k][1]
+                entries.append(b)
+        if max_results is not None:
+            entries = entries[:max_results]
+        return _FakeBlobIterator(entries, prefixes)
+
+
+def _gcs_store(tmp_path, name="gcsdata"):
+    from omics_data_integration_utilities_spark.streaming.commitstore import (
+        GCSSnapshotStore,
+    )
+
+    client = FakeGCSClient()
+    store = GCSSnapshotStore(
+        "test-bucket", "snapshots/main", client=client,
+        data_path_override=str(tmp_path / name),
+    )
+    return store, client
+
+
+def test_gcs_conditional_put_contract(tmp_path):
+    store, client = _gcs_store(tmp_path)
+    assert store.get_text("CURRENT") is None
+    store.put_text("CURRENT", "v0", expect=ABSENT)
+    with pytest.raises(CommitConflict):
+        store.put_text("CURRENT", "v1", expect=ABSENT)
+    text, gen = store.get_text("CURRENT")
+    assert text == "v0" and isinstance(gen, int)
+    store.put_text("CURRENT", "v1", expect=gen)  # CAS succeeds
+    with pytest.raises(CommitConflict):
+        store.put_text("CURRENT", "v2", expect=gen)  # stale generation
+    store.put_text("CURRENT", "v3", expect=ANY)
+    assert store.get_text("CURRENT")[0] == "v3"
+    store.delete_text("CURRENT")
+    assert store.get_text("CURRENT") is None
+    store.delete_text("CURRENT")  # missing delete is a no-op
+
+
+def test_gcs_listing_and_prefix_delete(tmp_path):
+    store, client = _gcs_store(tmp_path)
+    for i in range(5):
+        store.put_text(f"m{i:012d}.json", "{}")
+    store.put_text("v000/part-0.parquet", "x")
+    store.put_text("v000/part-1.parquet", "y")
+    names = store.list_names()
+    assert "v000" in names and "m000000000000.json" in names
+    assert store.exists_prefix("v000")
+    store.delete_prefix("v000")
+    assert not store.exists_prefix("v000")
+    assert len([k for k in client._objects if k.endswith(".json")]) == 5
+
+
+def test_gcs_unrelated_errors_propagate(tmp_path):
+    store, client = _gcs_store(tmp_path)
+    store.put_text("CURRENT", "v0")
+
+    def denied(*a, **kw):
+        raise FakeGCSError(403, "permission denied")
+
+    client.bucket = lambda name: type(
+        "B", (), {"get_blob": staticmethod(denied)}
+    )()
+    with pytest.raises(FakeGCSError):
+        store.get_text("CURRENT")
+
+
+def test_gcs_bucketed_sink_battery(spark, tmp_path):
+    """The full bucketed commit protocol through the GCS-shaped store:
+    generation-match conditional puts carry the commit skeleton exactly
+    like ETags do on S3."""
+    store, client = _gcs_store(tmp_path)
+    upsert_batch_into_bucketed_snapshot(
+        spark, _df(spark, [(1, 1.0), (2, 2.0), (3, 3.0)]), store, ["k"],
+        batch_id=0, n_buckets=4,
+    )
+    apply_cdc_batch_into_bucketed_snapshot(
+        spark, _cdc(spark, [(1, 0.0, "delete"), (3, 30.0, "upsert")]),
+        store, ["k"], batch_id=1, n_buckets=4,
+    )
+    got = {r["k"]: r["v"] for r in read_bucketed_snapshot(spark, store).collect()}
+    assert got == {2: 2.0, 3: 30.0}
+    # replay no-op + time travel + pointer through the fake bucket
+    apply_cdc_batch_into_bucketed_snapshot(
+        spark, _cdc(spark, [(1, 0.0, "delete"), (3, 30.0, "upsert")]),
+        store, ["k"], batch_id=1, n_buckets=4,
+    )
+    assert {
+        r["k"]: r["v"] for r in read_bucketed_snapshot(spark, store).collect()
+    } == got
+    assert {
+        r["k"]: r["v"]
+        for r in read_bucketed_snapshot(
+            spark, store, manifest="m000000000000.json"
+        ).collect()
+    } == {1: 1.0, 2: 2.0, 3: 3.0}
+    assert store.get_text("CURRENT")[0] == "m000000000001.json"
+
+
+def test_gcs_spark_path_without_override_is_gs():
+    from omics_data_integration_utilities_spark.streaming.commitstore import (
+        GCSSnapshotStore,
+    )
+
+    store = GCSSnapshotStore("b", "p/q", client=FakeGCSClient())
+    assert store.spark_path() == "gs://b/p/q"
+    assert store.spark_path("v000") == "gs://b/p/q/v000"
+    assert "gs://b/p/q" in store.describe()
