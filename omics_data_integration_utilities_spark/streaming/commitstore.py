@@ -472,6 +472,20 @@ class S3SnapshotStore(SnapshotStore):
                     "object changed since its generation was read "
                     "(concurrent writer?)"
                 ) from exc
+            if "IfMatch" in kwargs and (
+                code in ("NoSuchKey", "404") or status == 404
+            ):
+                # real S3 returns 404, not 412, for If-Match on a key
+                # that no longer exists — the generation was read, then
+                # someone DELETED the object; that is a failed
+                # precondition like any other (every other store raises
+                # CommitConflict for this state)  (r16 review finding)
+                raise CommitConflict(
+                    f"{rel!r} in s3://{self.bucket}/{self.prefix}: "
+                    "conditional put failed (404) — the object was "
+                    "deleted since its generation was read (concurrent "
+                    "writer or operator?)"
+                ) from exc
             raise
 
     def delete_text(self, rel: str) -> None:
@@ -629,17 +643,37 @@ class GCSSnapshotStore(SnapshotStore):
         return code if isinstance(code, int) else None
 
     # -- metadata plane ---------------------------------------------------
+    _GET_RETRIES = 3
+
     def get_text(self, rel: str) -> "tuple[str, object] | None":
+        # get_blob pins blob.generation, and download_as_bytes on a
+        # populated blob downloads THAT generation — so if the object
+        # is replaced (unversioned bucket) or deleted between the two
+        # calls, the download 404s rather than returning content newer
+        # than the token.  Re-read from the top a bounded number of
+        # times: each retry observes a fresh consistent (content,
+        # generation) pair or a clean missing (r16 review finding — the
+        # raw NotFound previously escaped).
         bucket = self.client.bucket(self.bucket_name)
-        blob = bucket.get_blob(self._key(rel))
-        if blob is None:
-            return None
-        # generation captured from the metadata read; if the object is
-        # replaced between this and the download, the token is OLDER
-        # than the content and a later CAS on it fails — the safe (loud)
-        # direction
-        text = blob.download_as_bytes().decode("utf-8")
-        return text, blob.generation
+        last_exc: "Exception | None" = None
+        for _ in range(self._GET_RETRIES):
+            blob = bucket.get_blob(self._key(rel))
+            if blob is None:
+                return None
+            try:
+                text = blob.download_as_bytes().decode("utf-8")
+            except Exception as exc:  # noqa: BLE001 - duck-typed api_core
+                if self._code(exc) == 404:
+                    last_exc = exc
+                    continue  # replaced/deleted mid-read: re-observe
+                raise
+            return text, blob.generation
+        raise RuntimeError(
+            f"{rel!r} in gs://{self.bucket_name}/{self.prefix}: object "
+            f"kept changing across {self._GET_RETRIES} reads — a writer "
+            "is racing this reader faster than it can observe a "
+            "consistent generation"
+        ) from last_exc
 
     def put_text(self, rel: str, text: str, expect: object = ANY) -> None:
         bucket = self.client.bucket(self.bucket_name)

@@ -46,6 +46,11 @@ def _manifest_complete(store: SnapshotStore, name: str) -> "tuple[bool, str]":
         man = json.loads(got[0])
     except ValueError:
         return False, "manifest unparseable"
+    if not isinstance(man, dict):
+        # valid JSON but not an object ('null', '[]', a bare number —
+        # truncation/corruption shapes): damaged, not a crash (this
+        # module's whole purpose is diagnosing damaged snapshots)
+        return False, "manifest unparseable (non-object JSON)"
     missing = [
         rel for rel in man.get("buckets", {}).values()
         if not store.exists_prefix(rel)
@@ -75,10 +80,6 @@ def snapshot_lineage(snapshot_dir: "str | SnapshotStore") -> dict:
         ),
         reverse=True,
     )
-    versions = sorted(
-        (n for n in names if n.startswith("v") and store.exists_prefix(n)),
-        reverse=True,
-    )
     cur, _ = _pointer(store)
     gens: "list[dict]" = []
     if manifests:
@@ -93,31 +94,61 @@ def snapshot_lineage(snapshot_dir: "str | SnapshotStore") -> dict:
                     "detail": detail,
                 }
             )
-    elif versions:
-        layout = "full"
-        for name in versions:
-            # a version dir can be a pre-flip crash's PARTIAL write;
-            # Spark's _SUCCESS marker (written at job completion, on by
-            # default) is the completeness signal a dir-exists check
-            # lacks.  (A deployment that disabled the marker reads as
-            # incomplete here — restore with an explicit name after
-            # verifying by hand, or re-enable the marker.)
-            ok = "_SUCCESS" in store.list_names(name)
-            gens.append(
-                {
-                    "name": name,
-                    "batch_id": _batch_digits(name),
-                    "complete": ok,
-                    "detail": (
+    else:
+        # versions listed only on the non-bucketed path — on an object
+        # store every exists_prefix is a LIST round-trip, wasted when
+        # manifests already decided the layout (r16 review finding)
+        versions = sorted(
+            (n for n in names if n.startswith("v") and store.exists_prefix(n)),
+            reverse=True,
+        )
+        if not versions:
+            layout = "empty"
+        else:
+            for name in versions:
+                # a version dir can be a pre-flip crash's PARTIAL write;
+                # Spark's _SUCCESS marker (written at job completion, on
+                # by default) is the completeness signal a dir-exists
+                # check lacks.  (A deployment that disabled the marker
+                # reads as incomplete here — restore with an explicit
+                # name after verifying by hand, or re-enable the marker.)
+                children = store.list_names(name)
+                bucketed_data = any(c.startswith("__bucket=") for c in children)
+                if bucketed_data:
+                    # __bucket= children mean this snapshot was BUCKETED
+                    # and every manifest was lost: the version dir alone
+                    # is NOT restorable — CURRENT must name a manifest,
+                    # and pointing it at a dir would leave readers with
+                    # "manifest is missing" (r16 review finding: this
+                    # state previously misclassified as a healthy full
+                    # layout and 'restored' to an unusable pointer)
+                    ok, detail = False, (
+                        "bucket-partitioned version dir whose m*.json "
+                        "manifests are all missing — a bucketed snapshot "
+                        "cannot be restored without a manifest; "
+                        "reconstruct one from the bucket map or re-seed"
+                    )
+                else:
+                    ok = "_SUCCESS" in children
+                    detail = (
                         "version dir with _SUCCESS marker"
                         if ok
                         else "version dir without _SUCCESS marker "
                         "(partial write, or markers disabled)"
-                    ),
-                }
+                    )
+                gens.append(
+                    {
+                        "name": name,
+                        "batch_id": _batch_digits(name),
+                        "complete": ok,
+                        "detail": detail,
+                    }
+                )
+            layout = (
+                "bucketed"
+                if any("bucket-partitioned" in g["detail"] for g in gens)
+                else "full"
             )
-    else:
-        layout = "empty"
     complete_names = [g["name"] for g in gens if g["complete"]]
     cur_complete = cur in complete_names if cur is not None else False
     return {

@@ -689,6 +689,21 @@ def _bucketed_commit(
         c: upserts.schema[c].dataType.simpleString() for c in key_cols
     }
     pinned = cur.get("key_schema") if cur is not None else None
+    # ORDER matters, not just membership: xxhash64(a, b) != xxhash64(b,
+    # a), so a commit naming the same key columns in a different order
+    # would bucket by a different function — dict equality alone would
+    # wave it through (dicts compare order-insensitively).  The pin was
+    # written by json.dumps in key_cols order and json.loads preserves
+    # document order, so list(pinned) IS the pinned order.  (r16 review
+    # finding.)
+    if pinned is not None and list(pinned) != list(key_cols):
+        raise ValueError(
+            f"bucketed snapshot at {store.describe()!r} pinned key columns "
+            f"{list(pinned)} (in that order) but this commit passed "
+            f"{list(key_cols)} — xxhash64 bucketing is ORDER-sensitive, "
+            "a permuted key list hashes to different buckets and "
+            "duplicates keys; pass key_cols in the pinned order"
+        )
     if pinned is not None and pinned != key_types:
         raise ValueError(
             f"bucketed snapshot at {store.describe()!r} pinned key schema "
@@ -906,14 +921,17 @@ def rebucket_bucketed_snapshot(
     # keys silently.  Refuse a mismatched maintenance run before any
     # write; dtypes are re-verified against the read data below.
     pinned_keys = cur.get("key_schema")
-    if pinned_keys is not None and set(key_cols) != set(pinned_keys):
+    # list, not set: xxhash64 is ORDER-sensitive, so a permuted key
+    # list is as wrong as a different one (r16 review finding — dict/
+    # set comparison waved ['b','a'] through against a ['a','b'] pin)
+    if pinned_keys is not None and list(key_cols) != list(pinned_keys):
         raise ValueError(
             f"bucketed snapshot at {store.describe()!r} pinned key columns "
-            f"{sorted(pinned_keys)} but this maintenance run passed "
-            f"{sorted(key_cols)} — re-bucketing by different columns would "
-            "strand same-key rows across buckets while the pin still names "
-            "the original keys; changing the key set is a NEW snapshot, "
-            "not a maintenance commit"
+            f"{list(pinned_keys)} (in that order) but this maintenance run "
+            f"passed {list(key_cols)} — re-bucketing by different or "
+            "re-ordered columns would strand same-key rows across buckets "
+            "while the pin still names the original keys; changing the key "
+            "set is a NEW snapshot, not a maintenance commit"
         )
     new_buckets: "dict[str, str]" = {}
     if cur["buckets"]:

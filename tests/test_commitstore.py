@@ -769,7 +769,11 @@ class FakeS3Client:
         cur = self.objects.get(Key)
         if IfNoneMatch == "*" and cur is not None:
             raise FakeClientError("PreconditionFailed", 412, "PutObject")
-        if IfMatch is not None and (cur is None or cur[1] != IfMatch):
+        if IfMatch is not None and cur is None:
+            # real S3 semantics: If-Match on a missing key is 404, NOT
+            # 412 — the store must map this to CommitConflict itself
+            raise FakeClientError("NoSuchKey", 404, "PutObject")
+        if IfMatch is not None and cur[1] != IfMatch:
             raise FakeClientError("PreconditionFailed", 412, "PutObject")
         etag = self._new_etag()
         self.objects[Key] = (Body, etag)
@@ -1370,6 +1374,13 @@ class _FakeBlob:
         cur = self._client._objects.get(self.name)
         if cur is None:
             raise FakeGCSError(404, f"no such object {self.name}")
+        if self.generation is not None and cur[1] != self.generation:
+            # real semantics: a blob populated by get_blob downloads
+            # THAT generation; on an unversioned bucket a replaced
+            # object's old generation is gone -> 404
+            raise FakeGCSError(
+                404, f"generation {self.generation} of {self.name} is gone"
+            )
         return cur[0]
 
 
@@ -1534,3 +1545,161 @@ def test_gcs_spark_path_without_override_is_gs():
     assert store.spark_path() == "gs://b/p/q"
     assert store.spark_path("v000") == "gs://b/p/q/v000"
     assert "gs://b/p/q" in store.describe()
+
+
+# ---------------------------------------------------------------------------
+# r16 review fixes: key-order pin, S3 404-on-If-Match, GCS read race,
+# recovery damage classification
+# ---------------------------------------------------------------------------
+
+
+def test_key_order_pin_refuses_permuted_key_cols(spark, tmp_path):
+    """xxhash64(a,b) != xxhash64(b,a): a commit OR maintenance run
+    naming the same key columns in a different order buckets by a
+    different function — dict/set comparison waved it through (review
+    finding); the ordered pin refuses it."""
+    from omics_data_integration_utilities_spark.streaming.sinks import (
+        rebucket_bucketed_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    df = spark.createDataFrame([(1, 10, 1.0)], "a long, b long, v double")
+    upsert_batch_into_bucketed_snapshot(
+        spark, df, snap, ["a", "b"], batch_id=0, n_buckets=4
+    )
+    with pytest.raises(ValueError, match="ORDER-sensitive"):
+        upsert_batch_into_bucketed_snapshot(
+            spark, df, snap, ["b", "a"], batch_id=1, n_buckets=4
+        )
+    with pytest.raises(ValueError, match="re-ordered"):
+        rebucket_bucketed_snapshot(
+            spark, snap, ["b", "a"], batch_id=1, new_n_buckets=8
+        )
+    # the pinned order still works, for both
+    upsert_batch_into_bucketed_snapshot(
+        spark, df, snap, ["a", "b"], batch_id=1, n_buckets=4
+    )
+    rebucket_bucketed_snapshot(
+        spark, snap, ["a", "b"], batch_id=2, new_n_buckets=8
+    )
+    assert read_bucketed_snapshot(spark, snap).count() == 1
+
+
+def test_s3_if_match_on_deleted_key_is_commit_conflict(tmp_path):
+    """Real S3 answers If-Match on a missing key with 404, not 412 —
+    the store must still surface CommitConflict (the generation was
+    read, then the object was deleted: a failed precondition like any
+    other, and what every other store raises for this state)."""
+    store, client = _s3_store(tmp_path)
+    store.put_text("CURRENT", "v0")
+    _, gen = store.get_text("CURRENT")
+    store.delete_text("CURRENT")
+    with pytest.raises(CommitConflict, match="deleted since"):
+        store.put_text("CURRENT", "v1", expect=gen)
+    # ...and an unconditional put after a delete is still fine
+    store.put_text("CURRENT", "v1", expect=ANY)
+
+
+def test_gcs_get_text_rereads_after_replacement_race(tmp_path):
+    """get_blob pins a generation; if the object is replaced before the
+    download, the pinned download 404s — get_text re-observes and
+    returns a CONSISTENT fresh (text, generation) pair instead of
+    letting the NotFound escape."""
+    store, client = _gcs_store(tmp_path)
+    store.put_text("CURRENT", "v0")
+
+    orig_bucket = client.bucket
+
+    class RacingBucket:
+        def __init__(self, inner):
+            self._inner = inner
+            self.raced = False
+
+        def get_blob(self, name):
+            blob = self._inner.get_blob(name)
+            if blob is not None and not self.raced:
+                self.raced = True
+                # replace the object AFTER the metadata read
+                self._inner.blob(name).upload_from_string("v1")
+            return blob
+
+        def __getattr__(self, attr):
+            return getattr(self._inner, attr)
+
+    racing = RacingBucket(orig_bucket("test-bucket"))
+    client.bucket = lambda name: racing
+    text, gen = store.get_text("CURRENT")
+    assert text == "v1"  # the fresh consistent observation
+    # the returned generation is current: a CAS on it succeeds
+    client.bucket = orig_bucket
+    store.put_text("CURRENT", "v2", expect=gen)
+    assert store.get_text("CURRENT")[0] == "v2"
+
+
+def test_gcs_get_text_deleted_mid_read_is_missing(tmp_path):
+    store, client = _gcs_store(tmp_path)
+    store.put_text("CURRENT", "v0")
+
+    orig_bucket = client.bucket
+
+    class DeletingBucket:
+        def __init__(self, inner):
+            self._inner = inner
+            self.raced = False
+
+        def get_blob(self, name):
+            blob = self._inner.get_blob(name)
+            if blob is not None and not self.raced:
+                self.raced = True
+                self._inner.delete_blob(name)
+            return blob
+
+        def __getattr__(self, attr):
+            return getattr(self._inner, attr)
+
+    client.bucket = lambda name: DeletingBucket(orig_bucket("test-bucket"))
+    assert store.get_text("CURRENT") is None
+
+
+def test_lineage_classifies_non_object_json_manifest_as_damaged(spark, tmp_path):
+    from omics_data_integration_utilities_spark.streaming.recovery import (
+        restore_current,
+        snapshot_lineage,
+    )
+
+    snap = str(tmp_path / "snap")
+    _seed_bucketed(spark, snap)
+    os.remove(os.path.join(snap, "CURRENT"))
+    # corrupt the newest manifest to valid-but-non-object JSON
+    with open(os.path.join(snap, "m000000000001.json"), "w") as f:
+        f.write("null")
+    rep = snapshot_lineage(snap)
+    verdicts = {g["name"]: g for g in rep["generations"]}
+    assert verdicts["m000000000001.json"]["complete"] is False
+    assert "non-object" in verdicts["m000000000001.json"]["detail"]
+    # recovery still proceeds to the healthy generation
+    assert restore_current(snap) == "m000000000000.json"
+
+
+def test_lineage_refuses_manifestless_bucketed_dirs(spark, tmp_path):
+    """All manifests lost but bucket-partitioned version dirs intact:
+    previously misclassified as a healthy FULL layout and 'restored' to
+    a pointer no bucketed reader can load — now reported as a bucketed
+    snapshot with no restorable generation."""
+    from omics_data_integration_utilities_spark.streaming.recovery import (
+        restore_current,
+        snapshot_lineage,
+    )
+
+    snap = str(tmp_path / "snap")
+    _seed_bucketed(spark, snap)
+    os.remove(os.path.join(snap, "CURRENT"))
+    for n in os.listdir(snap):
+        if n.startswith("m") and n.endswith(".json"):
+            os.remove(os.path.join(snap, n))
+    rep = snapshot_lineage(snap)
+    assert rep["layout"] == "bucketed"
+    assert rep["newest_complete"] is None
+    assert all(not g["complete"] for g in rep["generations"])
+    with pytest.raises(RuntimeError, match="no COMPLETE generation"):
+        restore_current(snap)
