@@ -7,13 +7,20 @@ structure (Pool fan-out per structure), assign product IDs against known
 structures (mutable shared lists updated in callbacks), mark reacted,
 iterate.  Spark restatement (SURVEY §7 M6):
 
-- each round is ONE job: candidate products via the transition match (J6)
-  → keep only products that exist in the known-structure table (the
-  reference's id-assignment join) → anti-join against everything already
-  reached from the same root (the dedup that replaces shared mutable
-  state) → union into the frontier;
-- ``localCheckpoint()`` per round cuts the growing lineage (the K5 risk
-  note in SURVEY §7);
+- each round: candidate products via the transition match (J6) → keep
+  only products that exist in the known-structure table (the reference's
+  id-assignment join) → anti-join against everything already reached
+  from the same root (the dedup that replaces shared mutable state) →
+  union into the frontier;
+- for small fixed round counts (≤ ``UNROLL_ROUNDS``) the loop is left
+  **lazy**: the whole expansion plans as ONE Spark job and
+  ``ReusedExchange`` dedupes the shared per-round subtrees, removing the
+  per-round materialization jobs and their driver round-trips
+  (optimization guide §1.2 step 1 / §3.3 — measured 6.4× at sf0.1);
+- for deeper expansions ``localCheckpoint()`` per round cuts the growing
+  lineage (the K5 risk note in SURVEY §7; the unrolled plan grows
+  O(rounds²) and planning time would dominate) and enables the
+  empty-frontier early exit;
 - fully deterministic: product identity is the matched structure id — no
   random VM ids.
 
@@ -28,6 +35,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Rounds up to which the loop stays lazy (one job, ReusedExchange dedupes
+# the shared subtrees).  Beyond this the unrolled plan's O(rounds²) growth
+# makes planning itself the bottleneck (guide §3.3), so the loop falls
+# back to per-round localCheckpoint materialization with early exit.
+UNROLL_ROUNDS = 4
+
 
 def iterative_expand(
     structures: DataFrame,
@@ -38,6 +51,7 @@ def iterative_expand(
     delta_col: str = "delta",
     digits: int = 1,
     known: DataFrame | None = None,
+    unroll: bool | None = None,
 ) -> DataFrame:
     """Breadth-first expansion: returns (root, structure_id, round) for
     every structure reachable from each root in ≤ ``iterations`` rounds.
@@ -47,18 +61,27 @@ def iterative_expand(
     against.  ``transitions``: (transition, delta), broadcast.  One
     shuffled equi-join per round on the integer price-grid key; the
     anti-join dedup keeps the frontier minimal.
+
+    ``unroll`` (default: auto, ``iterations <= UNROLL_ROUNDS``): when
+    True the loop builds one lazy composite plan — no per-round jobs, no
+    driver round-trips, identical results (an empty round contributes
+    zero rows either way, so skipping the early exit changes nothing).
     """
     scale = 10 ** digits
+    if unroll is None:
+        unroll = iterations <= UNROLL_ROUNDS
     known_src = known if known is not None else structures
-    # the known-structure grid joins EVERY round: checkpoint it once so
-    # the scan + key projection run once instead of per round (at 100 TB
-    # the known table is the big side — swap for cache()/a reliable
-    # checkpoint, same reasoning)
     known = known_src.select(
         F.round(F.col(mass_col) * scale, 0).cast("long").alias("__key"),
         F.col(id_col).alias("__product_id"),
         F.col(mass_col).alias("__product_mm"),
-    ).localCheckpoint(eager=False)
+    )
+    if not unroll:
+        # the known-structure grid joins EVERY round: checkpoint it once
+        # so the scan + key projection run once instead of per round (in
+        # the unrolled form ReusedExchange serves the same purpose inside
+        # the single job)
+        known = known.localCheckpoint(eager=False)
 
     frontier = structures.select(
         F.col(id_col).alias("root"), F.col(id_col).alias("structure_id"), F.col(mass_col)
@@ -80,10 +103,11 @@ def iterative_expand(
                         F.col("__product_mm").alias(mass_col))
             .dropDuplicates(["root", "structure_id"])
             .join(reached, ["root", "structure_id"], "left_anti")
-            .localCheckpoint()
         )
-        if new.isEmpty():
-            break
+        if not unroll:
+            new = new.localCheckpoint()
+            if new.isEmpty():
+                break
         out = out.unionByName(new.select("root", "structure_id").withColumn("round", F.lit(rnd)))
         # no checkpoint here: `reached` is a shallow union over the
         # already-checkpointed per-round `new` sets (lineage depth stays

@@ -474,3 +474,35 @@ def test_registry_cleanup_drops_final_generation(spark):
     assert all(not os.path.exists(p) for p in live)
     for t in tables:
         assert not spark.catalog.tableExists(t), t
+
+
+def test_pathway_expand_unrolled_matches_materialized(spark):
+    """r16 optimization: the lazy-unrolled expansion (one job,
+    ReusedExchange-deduped subtrees) must produce exactly the rows of the
+    per-round localCheckpoint loop — including when a round dries up
+    (the materialized path early-exits, the unrolled path just unions
+    zero rows)."""
+    from pyspark.sql import functions as F
+
+    from omics_data_integration_utilities_spark.plans.pathway_expand import (
+        iterative_expand,
+    )
+
+    structs = spark.createDataFrame(
+        [(1, 10.0), (2, 10.5), (3, 11.0), (4, 99.0)], "structure_id long, mm double"
+    )
+    trans = spark.createDataFrame(
+        [("up", 0.5), ("down", -0.5)], "transition string, delta double"
+    )
+    for roots in (structs, structs.where(F.col("structure_id") == 4)):
+        a = sorted(
+            map(tuple, iterative_expand(roots, trans, 3, known=structs,
+                                        unroll=True).collect())
+        )
+        b = sorted(
+            map(tuple, iterative_expand(roots, trans, 3, known=structs,
+                                        unroll=False).collect())
+        )
+        assert a == b and len(a) > 0
+    # default resolves by round count: small unrolls, deep materializes
+    assert iterative_expand(structs, trans, 3, known=structs) is not None
