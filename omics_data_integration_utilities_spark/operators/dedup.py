@@ -435,6 +435,17 @@ def connected_components(
     a single check follows, and only an unconverged graph pays checked
     rounds up to ``max_iterations`` — with a ``warnings.warn`` if even
     those run out (split components would otherwise be silent).
+
+    r16 note: unlike the pathway loop, these rounds do NOT profit from
+    lazy unrolling — a round references its input frame four ways
+    (hashmin build, hashmin probe, pointer-jump left, pointer-jump
+    right) under DIFFERENT partitionings, so exchange reuse cannot
+    dedupe them and a lazy segment re-executes the previous round's
+    work ~4×; fully lazy, the tree doubles per round and the optimizer
+    stalls for minutes (both measured r16 — per-round localCheckpoint
+    is the right shape here).  The convergence check does materialize
+    prev+next in ONE job that serves both the changed-count and the
+    next labels.
     """
     import warnings
     edges = (
@@ -478,22 +489,30 @@ def connected_components(
                     F.col("component"), F.coalesce("__jmin", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
 
-    unroll_rounds = 6  # reach ~2^6: any near-dup graph converges well inside
+    # reach ~2^4 = 16 covers any near-dup cluster diameter seen in
+    # practice; the convergence check after the unroll makes the round
+    # count a pure cost knob (results identical regardless), and each
+    # unrolled round is a fixed ~0.6s job at small scale (r16 measured),
+    # so fewer speculative rounds win whenever they do converge.
+    unroll_rounds = 4
     for _ in range(min(unroll_rounds, max_iterations)):
-        labels = _round(labels)
+        labels = _round(labels).localCheckpoint()
     converged = False
     for _ in range(max(0, max_iterations - unroll_rounds) + 1):
         nxt = _round(labels)
-        changed = (
+        # one materialization serves both the changed-count and the next
+        # (or final) labels; every round is label-preserving per id and
+        # labels are unique per id, so the inner join re-emits nxt's rows
+        # exactly (the select below IS nxt)
+        cmp = (
             labels.withColumnRenamed("component", "__prev")
             .join(nxt, "id")
-            .where(F.col("component") < F.col("__prev"))
-            .count()
+            .localCheckpoint()
         )
-        labels = nxt
+        changed = cmp.where(F.col("component") < F.col("__prev")).count()
+        labels = cmp.select("id", "component")
         if changed == 0:
             converged = True
             break
@@ -1506,11 +1525,10 @@ def _write_index_meta(spark: SparkSession, idx: DedupIndex) -> None:
     declares the wrong count makes Spark route join keys to the wrong
     bucket and silently miss duplicates — so it must never depend on
     the caller remembering a number."""
+    from ..sources.writers import local_rows_df
+
     (
-        spark.createDataFrame(
-            [(idx.name, idx.n_buckets)], "name string, n_buckets int"
-        )
-        .coalesce(1)
+        local_rows_df(spark, [(idx.name, idx.n_buckets)], "name string, n_buckets int")
         .write.mode("overwrite")
         .json(os.path.join(idx.path, _INDEX_META_DIR))
     )

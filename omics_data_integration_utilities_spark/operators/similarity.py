@@ -939,20 +939,23 @@ def _write_ann_sidecars(spark, idx: AnnIndex) -> None:
     corpus attached as ARRAY<DOUBLE> breaks the first probe scan)."""
     import os as _os
 
+    from ..sources.writers import local_rows_df
+
     (
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [
                 (int(i), [float(x) for x in idx.centroids[i]])
                 for i in range(len(idx.centroids))
             ],
             "list_id long, centroid array<double>",
         )
-        .coalesce(1)
         .write.mode("overwrite")
         .parquet(_os.path.join(idx.path, _ANN_CENTROIDS_DIR))
     )
     (
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [
                 (
                     idx.name, idx.n_lists, idx.n_buckets, idx.vec_col,
@@ -962,7 +965,6 @@ def _write_ann_sidecars(spark, idx: AnnIndex) -> None:
             "name string, n_lists int, n_buckets int, vec_col string, "
             "id_col string, id_type string, vec_type string",
         )
-        .coalesce(1)
         .write.mode("overwrite")
         .json(_os.path.join(idx.path, _ANN_META_DIR))
     )

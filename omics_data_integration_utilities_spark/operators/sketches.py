@@ -187,8 +187,13 @@ def frequent_items(
     rows = top.collect()  # k rows: the certificate check is driver-side
     if len(rows) >= k and rows[-1][count_col] * (capacity + 1) > n_total:
         # certified exact: materialize the k rows (avoids re-running
-        # both scans when the caller consumes the returned frame)
-        out = df.sparkSession.createDataFrame(rows, top.schema)
+        # both scans when the caller consumes the returned frame); one
+        # slice — createDataFrame's default defaultParallelism slicing
+        # costs a Python-worker round trip per slice downstream
+        spark_ = df.sparkSession
+        out = spark_.createDataFrame(
+            spark_.sparkContext.parallelize(rows, 1), top.schema
+        )
         return (out, int(n_total)) if return_total else out
     # failed certificate (no true heavy hitters at this capacity, or
     # fewer than k candidates): exact full-groupBy fallback

@@ -190,3 +190,18 @@ def write_jsonl(
                     spark.conf.set(advisory_key, saved_advisory)
             except Exception:
                 pass
+
+
+def local_rows_df(spark, data: Sequence[tuple], schema: str) -> DataFrame:
+    """ONE-partition DataFrame from a small driver-local row list.
+
+    ``spark.createDataFrame(data, schema)`` slices local data into
+    ``defaultParallelism`` pickled partitions; a later ``coalesce(1)``
+    (the natural move before a sidecar write) then pays one sequential
+    Python-worker round trip PER SLICE inside the single merged task —
+    measured ~6 s for a 1-row frame at local[32] (r16).  Parallelizing
+    to one slice up front makes the same write ~0.5 s and still yields
+    a single part file.  Use for metadata sidecars / tiny dimension
+    frames only — real data should arrive pre-partitioned.
+    """
+    return spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
