@@ -51,7 +51,36 @@ def arg_extreme_dedup(
 ) -> DataFrame:
     """A6/W2: keep the single min/max-``order_col`` row per key — the
     reference's smallest-diameter rule pick (``mapBaseRetroRules.py:164-171``)
-    and largest-diameter dedup (``gizmos.py:509-516``), made deterministic."""
+    and largest-diameter dedup (``gizmos.py:509-516``), made deterministic.
+
+    r16 (guide §2.3 — aggregate before you shuffle): the ascending form
+    runs as ``min_by`` over a lexicographic struct key, a real
+    AGGREGATION with partial map-side combine — only one row per key per
+    input partition reaches the exchange, where the window form shuffles
+    every input row.  The struct key is (order, ties, remaining payload),
+    so whenever (order, ties) are unique per key — the declared-total-
+    order contract of this module — the surviving row is bit-identical
+    to the window form's (asserted in tests); exact full-row duplicates
+    are the only rows an extended key ever reorders, and those are
+    indistinguishable anyway.  The descending form keeps the window
+    (``max_by`` would need every tie-break INVERTED, which strings
+    cannot express)."""
+    if ascending:
+        payload = [c for c in df.columns if c not in key_cols]
+        ties = [c for c in (tie_break or []) if c != order_col]
+        rest = [c for c in payload if c != order_col and c not in ties]
+        ordkey = F.struct(
+            F.col(order_col), *[F.col(c) for c in ties], *[F.col(c) for c in rest]
+        )
+        best = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+            F.min_by(F.struct(*[F.col(c) for c in payload]), ordkey).alias("__best")
+        )
+        return best.select(
+            *[
+                F.col(c) if c in key_cols else F.col(f"__best.{c}").alias(c)
+                for c in df.columns
+            ]
+        )
     return top_k_per_group(df, key_cols, order_col, 1, ascending, tie_break)
 
 

@@ -151,6 +151,33 @@ def test_outlier_flags_single_value_group(spark):
     assert row["outlier"] is False
 
 
+def test_arg_extreme_dedup_minby_matches_window(spark):
+    """r16: the ascending (min_by aggregation) path must reproduce the
+    window form row-for-row, including null order values and ties
+    resolved by tie_break."""
+    import random
+
+    from omics_data_integration_utilities_spark.operators.windows import (
+        top_k_per_group,
+    )
+
+    random.seed(7)
+    rows = [
+        (
+            random.randint(0, 50),
+            random.choice([None, 1.0, 2.0, 2.0, 3.5]),
+            random.randint(0, 3),
+            f"s{random.randint(0, 2)}",
+        )
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k int, v double, t int, payload string")
+    new = arg_extreme_dedup(df, ["k"], "v", True, ["t", "payload"])
+    old = top_k_per_group(df, ["k"], "v", 1, True, ["t", "payload"])
+    assert new.columns == old.columns == df.columns
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+
+
 def test_arg_extreme_dedup_deterministic_ties(spark):
     df = spark.createDataFrame(
         [(1, "b", 10.0), (1, "a", 10.0), (1, "c", 5.0)], "g long, k string, v double"
