@@ -32,7 +32,7 @@ every SURVIVING document.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import ngram_jaccard_pairs
@@ -59,12 +59,19 @@ def curate_documents(
     )
     scrubbed = scrub_pii(kept, text_col, id_col)
 
-    # exact dedup on the scrubbed text: min-id representative per digest
-    w = Window.partitionBy(F.md5(F.col("scrubbed"))).orderBy(F.col(id_col).asc())
+    # exact dedup on the scrubbed text: min-id representative per digest.
+    # r16: min_by aggregation instead of a row_number window — partial
+    # map-side combine collapses same-digest rows before the exchange
+    # and skips the per-partition sort (guide §2.3); id is unique, so
+    # the surviving row is identical to the window form's.
     uniq = (
-        scrubbed.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+        scrubbed.groupBy(F.md5(F.col("scrubbed")).alias("__digest"))
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in scrubbed.columns]), F.col(id_col)
+            ).alias("__best")
+        )
+        .select(*[F.col(f"__best.{c}").alias(c) for c in scrubbed.columns])
     )
     # `uniq` fans out to three consumers (the jaccard posting index, the
     # anti-join left side, the token/split projection); checkpoint the
