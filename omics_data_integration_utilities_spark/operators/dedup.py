@@ -340,10 +340,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    # checkpointed: sizes feeds both join branches — one materialization
-    # beats re-deriving the aggregation per branch at scale (r16 A/B at
-    # sf0.1: a wash locally, so the scale-safe shape wins)
-    sizes = sizes.localCheckpoint(eager=False)
+    sizes = sizes.localCheckpoint()
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     # Join-strategy guard (r12 probe finding): both join inputs are
@@ -351,15 +348,12 @@ def ngram_jaccard_pairs(
     # unguarded it guesses the PAIR-scale `inter` small and broadcasts
     # it — measured collecting >1 GiB to the driver at 16x duplication.
     # The DOC-scale size table is the side that is always safe to build
-    # from (pairs >> docs), and a safe UPPER BOUND on its cardinality is
-    # free: distinct posting ids ≤ input rows, and the input row count
-    # is one metadata-cheap count (r16 — this replaces a count over a
-    # dedicated sizes materialization, saving two driver jobs per call).
-    # Broadcast under the cap — the pair stream then never shuffles at
-    # all — else per-partition shuffle_hash build from the same side;
-    # the pair relation is never the build side in either regime, and
-    # nothing sorts.
-    n_docs = df.count()
+    # from (pairs >> docs), and its cardinality is KNOWN here (one count
+    # over the checkpointed relation): broadcast it under the cap — the
+    # pair stream then never shuffles at all — else per-partition
+    # shuffle_hash build from the same side; the pair relation is never
+    # the build side in either regime, and nothing sorts.
+    n_docs = sizes.count()
     def _doc_side(rel):
         return (
             F.broadcast(rel)
