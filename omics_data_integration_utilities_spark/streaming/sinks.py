@@ -764,10 +764,17 @@ def _bucketed_commit(
         else:
             merged = up_b
         # ONE job writes every surviving touched bucket:
-        # v{batch}/__bucket=B/...
-        merged.write.mode("overwrite").partitionBy("__bucket").parquet(
-            store.spark_path(version)
-        )
+        # v{batch}/__bucket=B/...  Cluster by bucket first: without it
+        # every input task writes a slice of every touched bucket
+        # (tasks x buckets files per commit — 32x16 = 512 at local
+        # defaults), and each later commit's anti-join re-opens all of
+        # them; clustered, a bucket is ONE file, the natural rewrite
+        # unit (n_buckets is sized so a bucket is O(100 MB-1 GB) at
+        # scale).  The exchange moves only O(touched + batch) rows —
+        # the same data the write was already going to move.
+        merged.repartition("__bucket").write.mode("overwrite").partitionBy(
+            "__bucket"
+        ).parquet(store.spark_path(version))
         written = {
             int(n.split("=", 1)[1])
             for n in store.list_names(version)
@@ -971,9 +978,14 @@ def rebucket_bucketed_snapshot(
                     "survive evolution unchanged"
                 )
         bucket = _bucket_expr(key_cols, new_n_buckets)
-        data.withColumn("__bucket", bucket).write.mode("overwrite").partitionBy(
+        # clustered write: one file per bucket (see _bucketed_commit) —
+        # for the COMPACTION use of this maintenance commit the single
+        # file per bucket is the entire point
+        data.withColumn("__bucket", bucket).repartition(
             "__bucket"
-        ).parquet(store.spark_path(version))
+        ).write.mode("overwrite").partitionBy("__bucket").parquet(
+            store.spark_path(version)
+        )
         written = {
             int(n.split("=", 1)[1])
             for n in store.list_names(version)
