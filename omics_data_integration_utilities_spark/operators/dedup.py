@@ -218,7 +218,11 @@ def _pairs_from_ids(ids_col: Column) -> Column:
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_posting: int = MAX_POSTING
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_posting: int = MAX_POSTING,
+    signatures: "DataFrame | None" = None,
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
@@ -232,8 +236,21 @@ def lsh_candidate_pairs(
     shingle-based operators, not LSH band buckets).
     The band keys — and the minhash chain under them — are computed exactly
     once, unlike a self-join whose two branches each recompute signatures.
+
+    ``signatures`` (r16): a caller that already materialized
+    :func:`with_minhash_signature` for ``df`` (same id space, ``__sig``
+    column) can pass it to derive the band keys from the cached relation
+    instead of re-running the md5 shingle/permutation chain — the chain
+    is the dominant per-row cost of the whole LSH family, and the
+    accuracy report otherwise pays it twice.
     """
-    keys = lsh_band_keys(df, text_col, id_col)
+    if signatures is not None:
+        keys = signatures.select(
+            id_col,
+            F.posexplode_outer(_band_keys_array()).alias("band", "band_key"),
+        )
+    else:
+        keys = lsh_band_keys(df, text_col, id_col)
     buckets = keys.groupBy("band", "band_key").agg(
         F.collect_list(id_col).alias("__ids")
     )
@@ -858,8 +875,16 @@ def minhash_estimate_accuracy(
     hints ``merge`` (both sides pair-scale — nothing is safe to
     hash-build wholesale).
     """
-    sigs = with_minhash_signature(df, text_col, id_col)
-    pairs = lsh_candidate_pairs(df, text_col, id_col, max_posting)
+    # ONE signature computation feeds the band keys AND the estimate
+    # joins (r16, guide §1.2 — remove passes): the md5 shingle/perm
+    # chain is the dominant per-row cost here and previously ran twice
+    # (once for `sigs`, once inside lsh_candidate_pairs).  The
+    # localCheckpoint materializes |docs| rows of 16 longs — the same
+    # relation the est joins were going to broadcast/build anyway.
+    sigs = with_minhash_signature(df, text_col, id_col).localCheckpoint()
+    pairs = lsh_candidate_pairs(
+        df, text_col, id_col, max_posting, signatures=sigs
+    )
     exact = ngram_jaccard_pairs(
         df,
         text_col,
@@ -941,31 +966,40 @@ def set_overlap_matrix(
     (:func:`source_content_overlap`), token grams, winnowing
     fingerprints.
 
-    Scale shape: one (group, key) distinct (shuffle on the pair),
-    per-group totals by partial-agg groupBy, and the pair intersection
-    via a self-join ON THE KEY — grouped to (a, b) counts.  A key shared
-    by k groups expands to k(k−1)/2 pair rows; k is bounded by the
-    number of GROUPS (a handful of sources), not the corpus, so the
-    join output is |shared keys|·O(groups²) — never corpus-quadratic.
-    All three legs partial-aggregate; AQE handles the hot-key class
-    (the boilerplate gram every source carries).
+    Scale shape (r16, guide §2.4 — remove shuffles outright): one
+    (group, key) distinct (shuffle on the pair), per-group totals by
+    partial-agg groupBy, and the pair intersection via the SAME
+    posting-list formulation the dedup family uses — group srcs per key
+    (partial-aggregated ``collect_set``; a src appears once per key by
+    the distinct upstream) and expand (a < b) pairs IN-ROW.  A key
+    shared by k groups expands to k(k−1)/2 pair rows; k is bounded by
+    the number of GROUPS (a handful of sources), not the corpus, so the
+    in-row expansion is tiny — and replacing the former key self-join
+    drops a whole SortMergeJoin (re-shuffle of both branches on the key
+    plus two sorts) from the plan.  The totals join-back broadcasts for
+    the same reason: |totals| = |groups|.
     """
     sd = df.select(
         F.col(group_col).alias("src"), F.col(key_col).alias("key")
     ).distinct()
     totals = sd.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    # key IS NOT NULL: the former self-join could never match a null
+    # key (SQL null-join semantics), so the posting grouping must not
+    # pair null-keyed rows either; totals still count them, as before
     pairs = (
-        sd.alias("a")
-        .join(sd.alias("b"), "key")
-        .where(F.col("a.src") < F.col("b.src"))
-        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        sd.where(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.collect_set("src").alias("__srcs"))
+        .where(F.size("__srcs") > 1)
+        .select(F.explode(_pairs_from_ids(F.col("__srcs"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("src_a"), F.col("p.id_b").alias("src_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     ta = totals.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))
     tb = totals.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))
     return (
-        pairs.join(ta, "src_a")
-        .join(tb, "src_b")
+        pairs.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
         .select(
             "src_a",
             "src_b",

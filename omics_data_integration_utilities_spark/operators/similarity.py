@@ -496,12 +496,21 @@ def _probe_scored_topk(
     score_digits: int,
     respread: bool = False,
     max_query_rows: int = GEMM_MAX_BUILD_ROWS,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """The shared IVF probe kernel: nearest ``n_probes`` lists per query
     (driver-side against the tiny centroid matrix), candidates
     restricted to those lists — first by a pushed ``list_id`` filter
     (bucket/row-group pruning on a persisted index), then by the
-    broadcast equi-join — cosine GEMM, window top-k."""
+    broadcast equi-join — cosine GEMM, window top-k.
+
+    ``return_candidates=True`` (r16, the recall-certificate fast path)
+    returns every scored candidate with ``__probe_rank`` — the position
+    of its list in the query's nearest-list order — and SKIPS the top-k
+    window.  Because the nearest-list order is ONE argsort of the same
+    distance matrix, filtering ``__probe_rank < p`` reproduces exactly
+    the candidate set a separate ``n_probes=p`` pass would scan, so one
+    pass at the largest setting serves every smaller one."""
     import numpy as np
 
     spark = assigned.sparkSession
@@ -522,6 +531,11 @@ def _probe_scored_topk(
             StructType,
         )
 
+        tail = (
+            StructField("__probe_rank", IntegerType())
+            if return_candidates
+            else StructField("rank", IntegerType())
+        )
         return spark.createDataFrame(
             [],
             StructType(
@@ -529,7 +543,7 @@ def _probe_scored_topk(
                     StructField("query_id", queries.schema[id_col].dataType),
                     StructField("cand_id", assigned.schema[id_col].dataType),
                     StructField("score", DoubleType()),
-                    StructField("rank", IntegerType()),
+                    tail,
                 ]
             ),
         )
@@ -559,9 +573,17 @@ def _probe_scored_topk(
         # probe 15.9 s bucket-bound → 4.5 s respread.)
         c = c.repartition(assigned.sparkSession.sparkContext.defaultParallelism)
     # candidates restricted to probed lists: equi-join on list_id
+    # (posexplode carries the list's rank in the query's nearest-list
+    # order — free in the normal path, the payload in the candidates one)
     pairs = (
         c.join(
-            F.broadcast(q.select("query_id", "__qv", F.explode("probe_lists").alias("list_id"))),
+            F.broadcast(
+                q.select(
+                    "query_id",
+                    "__qv",
+                    F.posexplode("probe_lists").alias("__probe_rank", "list_id"),
+                )
+            ),
             "list_id",
         )
         .where(F.col("cand_id") != F.col("query_id"))
@@ -570,9 +592,16 @@ def _probe_scored_topk(
         "query_id",
         "cand_id",
         F.round(cosine_col(F.col("__qv"), F.col("__cv")), score_digits).alias("score"),
+        "__probe_rank",
     )
+    if return_candidates:
+        return scored
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return (
+        scored.drop("__probe_rank")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
 
 
 def hyperplane_bucket_col(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
@@ -1187,6 +1216,60 @@ def ann_recall_certificate(
         .select("query_id", "cand_id")
         .localCheckpoint()  # reused by every setting below
     )
+    # ONE candidate pass at the LARGEST approximate setting serves every
+    # smaller one (r16, guide §1.2 "remove passes"): the nearest-list
+    # order per query is a single argsort of the same distance matrix,
+    # so a separate n_probes=p pass would scan exactly the candidates
+    # with __probe_rank < p from this pass.  Each setting's top-k falls
+    # out of ONE window: in (score desc, cand_id asc) order per query,
+    # a candidate's rank WITHIN the probe_rank<p subset is the running
+    # count of subset members up to it — a conditional running sum over
+    # the same window, one per setting, all in a single sort.  Only the
+    # trimmed top-k union is checkpointed (<= |queries|·k·|settings|
+    # rows); the full candidate set is never materialized (measured:
+    # checkpointing it regressed 40% at sf0.1 and is O(queries·corpus)
+    # at scale).  Equivalence with per-setting probing is asserted in
+    # tests/test_similarity.py.
+    approx_settings = [p for p in settings if p != index.n_lists]
+    approx_all = None
+    if approx_settings:
+        cands = _probe_scored_topk(
+            spark.table(index.lists_table), queries, index.centroids,
+            index.vec_col, index.id_col, k, max(approx_settings),
+            score_digits, respread=True, return_candidates=True,
+        )
+        w_run = (
+            Window.partitionBy("query_id")
+            .orderBy(F.col("score").desc(), F.col("cand_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ranked = cands.select(
+            "query_id",
+            "cand_id",
+            "__probe_rank",
+            *[
+                F.sum(
+                    F.when(F.col("__probe_rank") < p, 1).otherwise(0)
+                )
+                .over(w_run)
+                .alias(f"__r{p}")
+                for p in approx_settings
+            ],
+        )
+        in_topk = [
+            F.when(
+                (F.col("__probe_rank") < p) & (F.col(f"__r{p}") <= k),
+                F.lit(p).cast("long"),
+            )
+            for p in approx_settings
+        ]
+        approx_all = ranked.select(
+            "query_id",
+            "cand_id",
+            F.explode(
+                F.filter(F.array(*in_topk), lambda x: x.isNotNull())
+            ).alias("__p"),
+        ).localCheckpoint()  # tiny: the per-setting top-k union
     certs = []
     for p in settings:
         # the full-probe setting IS the checkpointed exact relation —
@@ -1195,10 +1278,7 @@ def ann_recall_certificate(
         approx = (
             exact
             if p == index.n_lists
-            else ann_index_topk(
-                spark, queries, index, k=k, n_probes=p,
-                score_digits=score_digits,
-            )
+            else approx_all.where(F.col("__p") == p).drop("__p")
         )
         per_q = (
             exact.join(

@@ -454,11 +454,18 @@ def _j12_tables(
     edges = part.select(
         F.col("p_brand").alias("src"), F.col("p_type").alias("dst")
     ).distinct()
+    # broadcast_stats=True: the stats table is one row per p_type (~150
+    # at any TPC-H scale — the key is a fixed category vocabulary, not a
+    # growing id space), but it sits above the localCheckpoint so the
+    # static planner has no stats and picks a sort-merge join, shuffling
+    # the full checkpointed relation on a 150-key column (skew by
+    # construction).  The explicit broadcast keeps the big side unshuffled.
     flagged = filter_ops.outlier_flags(
         joined.select("o_custkey", "p_type", "l_extendedprice"),
         ["p_type"],
         "l_extendedprice",
         threshold=1.5,
+        broadcast_stats=True,
     )
     outliers = (
         flagged.where(F.col("outlier"))

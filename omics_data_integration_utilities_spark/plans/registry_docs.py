@@ -33,10 +33,14 @@ from ..operators.constants import (
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # the doc/embedding tables land as a single small file → one partition;
-    # the per-row work here (md5 shingles, 64-dim dot products) is heavy, so
-    # spread it.  At production scale the input arrives already split.
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    # the doc/embedding tables land as a single-row-group file → one scan
+    # partition; the per-row work here (md5 shingles, 64-dim dot products)
+    # is heavy, so spread it.  Gated on the ACTUAL scan partition count
+    # (r16, guide §2.5): a naturally-split production input skips the
+    # round-robin exchange entirely instead of re-shuffling every row
+    # into exactly defaultParallelism partitions.
+    n = spark.sparkContext.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
 
 
 # ---- shared DuckDB fragments (kept in lockstep with the Spark operators) --

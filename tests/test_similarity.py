@@ -571,6 +571,81 @@ def test_ann_recall_certificate_monotone_and_exact_row(spark, tmp_path):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_recall_certificate_single_pass_matches_per_setting_probes(spark):
+    """r16 optimization: the certificate now derives every approximate
+    setting from ONE candidate pass at the largest setting (filter on
+    __probe_rank) instead of re-probing per setting.  Equivalence
+    contract: for every p, the filtered-candidates top-k must equal a
+    fresh ann_index_topk at n_probes=p row for row — the nearest-list
+    order is one argsort, so top-p lists are a prefix of top-max lists."""
+    import shutil
+    import tempfile
+
+    emb = _emb(spark)
+    path = tempfile.mkdtemp(prefix="t_ann_recall_sp_")
+    S.build_ann_index(
+        emb, "embedding", "vec_id", "t_ann_recall_sp", path, n_lists=8
+    )
+    idx = S.attach_ann_index(spark, "t_ann_recall_sp", path)
+    try:
+        q = emb.where(F.col("vec_id") % 10 == 0)
+        cands = S._probe_scored_topk(
+            spark.table(idx.lists_table), q, idx.centroids,
+            idx.vec_col, idx.id_col, 4, 4, 6,
+            respread=True, return_candidates=True,
+        ).localCheckpoint()
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("cand_id").asc()
+        )
+        for p in (1, 2, 4):
+            via_filter = sorted(
+                map(
+                    tuple,
+                    cands.where(F.col("__probe_rank") < p)
+                    .withColumn("rank", F.row_number().over(w))
+                    .where(F.col("rank") <= 4)
+                    .select("query_id", "cand_id", "score", "rank")
+                    .collect(),
+                )
+            )
+            via_probe = sorted(
+                map(
+                    tuple,
+                    S.ann_index_topk(spark, q, idx, k=4, n_probes=p)
+                    .select("query_id", "cand_id", "score", "rank")
+                    .collect(),
+                )
+            )
+            assert via_filter == via_probe, f"n_probes={p} diverged"
+        # certificate-level equivalence: the single-pass certificate's
+        # per-setting hit counts must equal those computed from fresh
+        # per-setting probes against the same exact top-k
+        exact = {
+            (r["query_id"], r["cand_id"])
+            for r in S.ann_index_topk(
+                spark, q, idx, k=4, n_probes=idx.n_lists
+            ).collect()
+        }
+        cert = {
+            r["n_probes"]: r.asDict()
+            for r in S.ann_recall_certificate(
+                spark, q, idx, k=4, probe_settings=(1, 2, 4)
+            ).collect()
+        }
+        for p in (1, 2, 4):
+            probe_pairs = {
+                (r["query_id"], r["cand_id"])
+                for r in S.ann_index_topk(spark, q, idx, k=4, n_probes=p).collect()
+            }
+            assert cert[p]["n_hit"] == len(exact & probe_pairs), p
+            assert cert[p]["n_exact"] == len(exact), p
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ann_recall_sp_lists")
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_extend_ann_index_replace_ids_merge_semantics(spark, tmp_path):
     """extend_ann_index(replace_ids=True): an updated vector REPLACES
     its old row (one row per id, new embedding wins, re-assigned by the
