@@ -460,9 +460,14 @@ def connected_components(
     dedupe them and a lazy segment re-executes the previous round's
     work ~4×; fully lazy, the tree doubles per round and the optimizer
     stalls for minutes (both measured r16 — per-round localCheckpoint
-    is the right shape here).  The convergence check does materialize
-    prev+next in ONE job that serves both the changed-count and the
-    next labels.
+    is the right shape here).  EVERY round is self-checking at no extra
+    join: the round carries its input label through as ``__prev``, so
+    the per-round checkpoint doubles as the convergence evidence (one
+    O(V) count over already-materialized blocks) — no speculative
+    unchecked rounds, no separate prev⋈next materialization, and the
+    loop stops the moment a full round changes nothing.  At scale this
+    is strictly fewer O(E) passes than any fixed unroll, since a
+    converged graph never pays another edge pass.
     """
     import warnings
     edges = (
@@ -482,14 +487,17 @@ def connected_components(
     labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint()
 
     def _round(lbl: DataFrame) -> DataFrame:
-        # hashmin: min neighbour label
+        # hashmin: min neighbour label (input label rides along as
+        # __prev so the caller's checkpoint can count changed rows
+        # without a second join back to the input)
         neigh = (
-            edges.join(lbl.withColumnRenamed("id", "src"), "src")
+            edges.join(lbl.select(F.col("id").alias("src"), "component"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("__nmin"))
         )
         stepped = lbl.join(neigh, "id", "left").select(
             "id",
+            F.col("component").alias("__prev"),
             F.least(
                 F.col("component"), F.coalesce("__nmin", F.col("component"))
             ).alias("component"),
@@ -502,34 +510,18 @@ def connected_components(
             stepped.join(jump, "component", "left")
             .select(
                 "id",
+                "__prev",
                 F.least(
                     F.col("component"), F.coalesce("__jmin", F.col("component"))
                 ).alias("component"),
             )
         )
 
-    # reach ~2^4 = 16 covers any near-dup cluster diameter seen in
-    # practice; the convergence check after the unroll makes the round
-    # count a pure cost knob (results identical regardless), and each
-    # unrolled round is a fixed ~0.6s job at small scale (r16 measured),
-    # so fewer speculative rounds win whenever they do converge.
-    unroll_rounds = 4
-    for _ in range(min(unroll_rounds, max_iterations)):
-        labels = _round(labels).localCheckpoint()
     converged = False
-    for _ in range(max(0, max_iterations - unroll_rounds) + 1):
-        nxt = _round(labels)
-        # one materialization serves both the changed-count and the next
-        # (or final) labels; every round is label-preserving per id and
-        # labels are unique per id, so the inner join re-emits nxt's rows
-        # exactly (the select below IS nxt)
-        cmp = (
-            labels.withColumnRenamed("component", "__prev")
-            .join(nxt, "id")
-            .localCheckpoint()
-        )
-        changed = cmp.where(F.col("component") < F.col("__prev")).count()
-        labels = cmp.select("id", "component")
+    for _ in range(max_iterations):
+        out = _round(labels).localCheckpoint()
+        changed = out.where(F.col("component") < F.col("__prev")).count()
+        labels = out.select("id", "component")
         if changed == 0:
             converged = True
             break
