@@ -510,6 +510,7 @@ def _stdout_payload(
     slow_load: dict[str, float],
     errors: dict[str, str],
     calibration_s: "float | None" = None,
+    prev_calibration_s: "float | None" = None,
 ) -> dict:
     """The driver-contract stdout line: metric/value/unit/queries/sf plus
     COMPACT summaries only.  Per-query mins/spreads/slow timings live in
@@ -517,6 +518,16 @@ def _stdout_payload(
     timings when the full telemetry outgrew the driver's 2000-char tail
     capture, so everything per-query beyond the fixed headline set stays
     OFF stdout by construction."""
+    # r17 (verdict item 9): the r16 round-over-round read compared a
+    # loaded 32-core run (cal 0.479) against a quiet baseline and
+    # manufactured 13 phantom regressions.  When this run's calibration
+    # differs >25% from the comparator's, say so ON the contract line so
+    # PERF can discount raw deltas — additive field, contract unchanged.
+    mismatch = bool(
+        calibration_s
+        and prev_calibration_s
+        and not (0.8 <= calibration_s / prev_calibration_s <= 1.25)
+    )
     return {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -536,6 +547,10 @@ def _stdout_payload(
         # the fixed-cost pure-JVM calibration median: divide any query
         # time by this to compare across rounds on a drifting host
         "calibration_s": calibration_s,
+        # this run vs the comparator run were NOT load-matched (>25%
+        # calibration gap) — raw round-over-round deltas are suspect;
+        # use calibration-normalized deltas (bench_full.json "deltas")
+        "calibration_mismatch": mismatch,
         "errors": errors,
         # an erroring headline query silently SHRINKS the total, which
         # would read as a speedup round-over-round; this flag marks the
@@ -549,6 +564,7 @@ def _final_stdout_line(
     total, timings, sf, reps, slow_timings,
     load_start, load_end, spreads, slow_load, errors,
     calibration_s=None,
+    prev_calibration_s=None,
 ) -> str:
     """The ONE stdout line, with the byte-budget degradation chain in a
     testable unit (tests/test_bench_contract.py locks the invariant):
@@ -560,6 +576,7 @@ def _final_stdout_line(
             total, timings, sf, reps, slow_timings,
             load_start, load_end, spreads, slow_load, errors,
             calibration_s=calibration_s,
+            prev_calibration_s=prev_calibration_s,
         )
     )
     if len(line) > STDOUT_BYTE_BUDGET:
@@ -569,6 +586,7 @@ def _final_stdout_line(
             load_start, load_end, spreads, slow_load,
             {k: "" for k in errors},
             calibration_s=calibration_s,
+            prev_calibration_s=prev_calibration_s,
         )
         line = json.dumps(payload)
         if len(line) > STDOUT_BYTE_BUDGET:
@@ -831,6 +849,9 @@ def main() -> None:
         "calibration_start_s": cal_start,
         "calibration_end_s": cal_end,
         "prev_calibration_s": prev_cal,
+        "calibration_mismatch": bool(
+            cal and prev_cal and not (0.8 <= cal / prev_cal <= 1.25)
+        ),
         "deltas": deltas,
         "deltas_raw": deltas_raw,
         "regressions": regressions,
@@ -868,6 +889,7 @@ def main() -> None:
         total, timings, sf, reps, slow_timings,
         load_start, load_end, spreads, slow_load, errors,
         calibration_s=cal,
+        prev_calibration_s=prev_cal,
     )
     print(line)
     spark.stop()

@@ -222,7 +222,6 @@ def lsh_candidate_pairs(
     text_col: str,
     id_col: str,
     max_posting: int = MAX_POSTING,
-    signatures: "DataFrame | None" = None,
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
@@ -237,20 +236,11 @@ def lsh_candidate_pairs(
     The band keys — and the minhash chain under them — are computed exactly
     once, unlike a self-join whose two branches each recompute signatures.
 
-    ``signatures`` (r16): a caller that already materialized
-    :func:`with_minhash_signature` for ``df`` (same id space, ``__sig``
-    column) can pass it to derive the band keys from the cached relation
-    instead of re-running the md5 shingle/permutation chain — the chain
-    is the dominant per-row cost of the whole LSH family, and the
-    accuracy report otherwise pays it twice.
+    (r17: the r16 ``signatures=`` passthrough — deriving band keys from a
+    caller-materialized signature relation — was removed with the
+    accuracy-report revert below; see minhash_estimate_accuracy.)
     """
-    if signatures is not None:
-        keys = signatures.select(
-            id_col,
-            F.posexplode_outer(_band_keys_array()).alias("band", "band_key"),
-        )
-    else:
-        keys = lsh_band_keys(df, text_col, id_col)
+    keys = lsh_band_keys(df, text_col, id_col)
     buckets = keys.groupBy("band", "band_key").agg(
         F.collect_list(id_col).alias("__ids")
     )
@@ -447,11 +437,13 @@ def connected_components(
     row per cluster a dedup job keeps.
 
     Scale shape: per round two equi-joins + one groupBy (all shuffle on
-    the vertex key).  A fixed unroll of ``unroll_rounds`` rounds runs with
-    NO per-round convergence action (covers diameter ≈ 2^unroll_rounds);
-    a single check follows, and only an unconverged graph pays checked
-    rounds up to ``max_iterations`` — with a ``warnings.warn`` if even
-    those run out (split components would otherwise be silent).
+    the vertex key).  The loop runs at most ``max_iterations``
+    self-checked rounds and stops the first round that changes nothing;
+    a graph that has not converged after ``max_iterations`` full rounds
+    gets a ``warnings.warn`` (split components would otherwise be
+    silent).  With pointer doubling a diameter-D graph converges in
+    ~log₂(D) rounds, so the default budget of 30 covers any graph that
+    fits on hardware; raise it only if you see the warning.
 
     r16 note: unlike the pathway loop, these rounds do NOT profit from
     lazy unrolling — a round references its input frame four ways
@@ -470,13 +462,17 @@ def connected_components(
     converged graph never pays another edge pass.
     """
     import warnings
+    # lazy checkpoint (r17, guide §1.2 — fewer jobs): the edge relation
+    # is only marked here; the labels checkpoint job below is the first
+    # action that computes it, so setup costs ONE Spark job instead of
+    # two.  Every round reads the then-persisted blocks as before.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = edges.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
@@ -519,7 +515,13 @@ def connected_components(
 
     converged = False
     for _ in range(max_iterations):
-        out = _round(labels).localCheckpoint()
+        # lazy checkpoint + count = ONE job per round (r17): the changed
+        # count is the first action over the marked round output, so the
+        # same job that computes the round materializes its blocks (the
+        # count filter runs ABOVE the row-complete RDD, so every
+        # partition is computed and persisted in full); the former shape
+        # paid an eager-checkpoint job AND a count job per round.
+        out = _round(labels).localCheckpoint(eager=False)
         changed = out.where(F.col("component") < F.col("__prev")).count()
         labels = out.select("id", "component")
         if changed == 0:
@@ -867,16 +869,18 @@ def minhash_estimate_accuracy(
     hints ``merge`` (both sides pair-scale — nothing is safe to
     hash-build wholesale).
     """
-    # ONE signature computation feeds the band keys AND the estimate
-    # joins (r16, guide §1.2 — remove passes): the md5 shingle/perm
-    # chain is the dominant per-row cost here and previously ran twice
-    # (once for `sigs`, once inside lsh_candidate_pairs).  The
-    # localCheckpoint materializes |docs| rows of 16 longs — the same
-    # relation the est joins were going to broadcast/build anyway.
-    sigs = with_minhash_signature(df, text_col, id_col).localCheckpoint()
-    pairs = lsh_candidate_pairs(
-        df, text_col, id_col, max_posting, signatures=sigs
-    )
+    # r17 measured rejection (verdict item 1) of the r16 shared-signature
+    # rewrite (materialize with_minhash_signature once, derive band keys
+    # from it): load-matched interleaved A/B (probe_r17_ab.py) showed it
+    # NEVER wins — 0.98x at sf0.1, 1.01x at 16x quadratic-pair
+    # duplication, and 0.95x at 16x LINEAR growth (texts perturbed per
+    # copy, the regime where the saved per-row md5 chain should dominate;
+    # old min 7.58s vs new 8.01s).  The checkpoint materialization +
+    # scan-back of |docs| signature rows costs as much as recomputing
+    # the chain, at every measured scale — so the straightforward
+    # two-computation form is restored.
+    sigs = with_minhash_signature(df, text_col, id_col)
+    pairs = lsh_candidate_pairs(df, text_col, id_col, max_posting)
     exact = ngram_jaccard_pairs(
         df,
         text_col,
@@ -958,33 +962,36 @@ def set_overlap_matrix(
     (:func:`source_content_overlap`), token grams, winnowing
     fingerprints.
 
-    Scale shape (r16, guide §2.4 — remove shuffles outright): one
-    (group, key) distinct (shuffle on the pair), per-group totals by
-    partial-agg groupBy, and the pair intersection via the SAME
-    posting-list formulation the dedup family uses — group srcs per key
-    (partial-aggregated ``collect_set``; a src appears once per key by
-    the distinct upstream) and expand (a < b) pairs IN-ROW.  A key
-    shared by k groups expands to k(k−1)/2 pair rows; k is bounded by
-    the number of GROUPS (a handful of sources), not the corpus, so the
-    in-row expansion is tiny — and replacing the former key self-join
-    drops a whole SortMergeJoin (re-shuffle of both branches on the key
-    plus two sorts) from the plan.  The totals join-back broadcasts for
-    the same reason: |totals| = |groups|.
+    Scale shape: one (group, key) distinct (shuffle on the pair),
+    per-group totals by partial-agg groupBy, and the pair intersection
+    via a self-join ON THE KEY — grouped to (a, b) counts.  A key shared
+    by k groups expands to k(k−1)/2 pair rows; k is bounded by the
+    number of GROUPS (a handful of sources), not the corpus, so the
+    join output is |shared keys|·O(groups²) — never corpus-quadratic.
+    All three legs partial-aggregate; AQE handles the hot-key class
+    (the boilerplate gram every source carries).  The totals join-back
+    broadcasts (|totals| = |groups|).
+
+    r17 measured rejection (verdict item 1): the r16 posting-list
+    rewrite (``collect_set(src)`` per key + in-row pair expansion,
+    SMJ 3→0 / Exchange 52→34 by plan) was settled with load-matched
+    interleaved A/B at sf0.1 AND a 16× shared-boilerplate worst-case
+    probe (probe_r17_ab.py): 0.84× at 1× (old min 1.62s vs new 1.93s),
+    0.98× at 16× (old 6.34s vs new 6.48s, medians 6.37 vs 6.73) — the
+    saved exchanges never beat the collect_set buffering + in-row
+    expansion at any measured scale, and the gap does not close with
+    size, so the self-join form is restored per the r16 verdict's
+    decision rule.
     """
     sd = df.select(
         F.col(group_col).alias("src"), F.col(key_col).alias("key")
     ).distinct()
     totals = sd.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
-    # key IS NOT NULL: the former self-join could never match a null
-    # key (SQL null-join semantics), so the posting grouping must not
-    # pair null-keyed rows either; totals still count them, as before
     pairs = (
-        sd.where(F.col("key").isNotNull())
-        .groupBy("key")
-        .agg(F.collect_set("src").alias("__srcs"))
-        .where(F.size("__srcs") > 1)
-        .select(F.explode(_pairs_from_ids(F.col("__srcs"))).alias("p"))
-        .groupBy(F.col("p.id_a").alias("src_a"), F.col("p.id_b").alias("src_b"))
+        sd.alias("a")
+        .join(sd.alias("b"), "key")
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     ta = totals.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))

@@ -138,14 +138,29 @@ def bipartite_event_join(
     src_col: str = "src",
     dst_col: str = "dst",
     out_gene_col: str = "gene",
+    expand_side: str = "mutations",
 ) -> DataFrame:
     """DriverNet bipartite event join (J12), reference ``DriverNet/Graph.R``
     ``.buildAggregateBipartiteGraph``.
 
     Event iff gene g1 is mutated in patient p ∧ (g1,g2) is an influence
-    edge ∧ g2 is an expression outlier in p.  Two shuffled equi-joins; the
+    edge ∧ g2 is an expression outlier in p.  Two equi-joins; the
     influence-edge table is usually the broadcastable side.
+
+    ``expand_side`` picks which big side the broadcast edge join fans out
+    BEFORE the patient-level shuffle join — the result is identical
+    (inner joins reassociate), only the shuffle volume changes: the
+    expanded side moves |rows| x (edges per gene) through the exchange.
+    Pass ``"outliers"`` when |outliers| x (edges per dst) is the smaller
+    product — e.g. a dense influence graph fanning every mutation out to
+    many targets (guide §2.3: shuffle fewer bytes; §3.3: explode after
+    the join you can, not before the one you can't).
     """
+    if expand_side not in ("mutations", "outliers"):
+        raise ValueError(
+            f"bipartite_event_join: expand_side must be 'mutations' or "
+            f"'outliers', got {expand_side!r}"
+        )
     m = mutations.select(
         F.col(patient_col).alias("patient"), F.col(mut_gene_col).alias("mut_gene")
     )
@@ -153,6 +168,14 @@ def bipartite_event_join(
     o = outliers.select(
         F.col(patient_col).alias("patient"), F.col(out_gene_col).alias("out_gene")
     )
+    if expand_side == "outliers":
+        # fan out the OUTLIER side by the broadcast edges, then one
+        # patient-level join against the un-expanded mutations; column
+        # order pinned to the historical (patient, out_gene, mut_gene)
+        return (
+            m.join(o.join(F.broadcast(e), "out_gene"), ["patient", "mut_gene"])
+            .select("patient", "out_gene", "mut_gene")
+        )
     return m.join(F.broadcast(e), "mut_gene").join(o, ["patient", "out_gene"])
 
 

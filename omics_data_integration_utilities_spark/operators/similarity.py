@@ -1216,60 +1216,17 @@ def ann_recall_certificate(
         .select("query_id", "cand_id")
         .localCheckpoint()  # reused by every setting below
     )
-    # ONE candidate pass at the LARGEST approximate setting serves every
-    # smaller one (r16, guide §1.2 "remove passes"): the nearest-list
-    # order per query is a single argsort of the same distance matrix,
-    # so a separate n_probes=p pass would scan exactly the candidates
-    # with __probe_rank < p from this pass.  Each setting's top-k falls
-    # out of ONE window: in (score desc, cand_id asc) order per query,
-    # a candidate's rank WITHIN the probe_rank<p subset is the running
-    # count of subset members up to it — a conditional running sum over
-    # the same window, one per setting, all in a single sort.  Only the
-    # trimmed top-k union is checkpointed (<= |queries|·k·|settings|
-    # rows); the full candidate set is never materialized (measured:
-    # checkpointing it regressed 40% at sf0.1 and is O(queries·corpus)
-    # at scale).  Equivalence with per-setting probing is asserted in
-    # tests/test_similarity.py.
-    approx_settings = [p for p in settings if p != index.n_lists]
-    approx_all = None
-    if approx_settings:
-        cands = _probe_scored_topk(
-            spark.table(index.lists_table), queries, index.centroids,
-            index.vec_col, index.id_col, k, max(approx_settings),
-            score_digits, respread=True, return_candidates=True,
-        )
-        w_run = (
-            Window.partitionBy("query_id")
-            .orderBy(F.col("score").desc(), F.col("cand_id").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        ranked = cands.select(
-            "query_id",
-            "cand_id",
-            "__probe_rank",
-            *[
-                F.sum(
-                    F.when(F.col("__probe_rank") < p, 1).otherwise(0)
-                )
-                .over(w_run)
-                .alias(f"__r{p}")
-                for p in approx_settings
-            ],
-        )
-        in_topk = [
-            F.when(
-                (F.col("__probe_rank") < p) & (F.col(f"__r{p}") <= k),
-                F.lit(p).cast("long"),
-            )
-            for p in approx_settings
-        ]
-        approx_all = ranked.select(
-            "query_id",
-            "cand_id",
-            F.explode(
-                F.filter(F.array(*in_topk), lambda x: x.isNotNull())
-            ).alias("__p"),
-        ).localCheckpoint()  # tiny: the per-setting top-k union
+    # Per-setting probe passes (r17 revert of the r16 single-pass
+    # rewrite, verdict item 1): deriving every setting from ONE
+    # candidate pass at the largest setting + a conditional running-
+    # count window measured SLOWER at every scale in load-matched
+    # interleaved A/B (probe_r17_ab.py: 0.86x at sf0.1, 0.65x at 16x —
+    # old min 9.62s vs new 14.73s): the per-query window over the
+    # O(queries x probed-corpus) candidate set sorts MORE rows than the
+    # three smaller probe passes it replaced, and the gap WIDENS with
+    # corpus size.  The filter-equivalence of the two forms stays
+    # pinned in tests/test_similarity.py (the kernel keeps
+    # return_candidates for callers that want raw candidates).
     certs = []
     for p in settings:
         # the full-probe setting IS the checkpointed exact relation —
@@ -1278,7 +1235,10 @@ def ann_recall_certificate(
         approx = (
             exact
             if p == index.n_lists
-            else approx_all.where(F.col("__p") == p).drop("__p")
+            else ann_index_topk(
+                spark, queries, index, k=k, n_probes=p,
+                score_digits=score_digits,
+            )
         )
         per_q = (
             exact.join(

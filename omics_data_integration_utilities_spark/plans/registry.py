@@ -60,15 +60,21 @@ def _spread_scan(df: DataFrame) -> DataFrame:
     group is the atomic split unit — so these scans plan as a single
     partition no matter what ``maxPartitionBytes``/``minPartitionNum``
     say, and everything up to the first exchange runs on one core while
-    the rest idle.  Gated on the actual scan partition count so
+    the rest idle.  Gated on the scan partition count so
     naturally-split production inputs skip the extra exchange entirely
     (measured r16: blanket fan-out regresses cheap shuffle-bound queries
     up to 1.6×, so apply ONLY where per-row compute dominates the added
-    exchange).
+    exchange).  The count is ESTIMATED from the file index (r17, verdict
+    item 7) — the former ``df.rdd.getNumPartitions()`` forced a full
+    plan-to-RDD translation per query build and pinned the split
+    decision before AQE saw it; the gate assumes upstream writers
+    produce roughly even splits (r16 ADVICE note).
     """
+    from ..sources.readers import scan_split_estimate
+
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
-    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+    return df.repartition(n) if scan_split_estimate(df, n) < n else df
 
 
 def _dec(col, scale: int = 4):
@@ -476,9 +482,22 @@ def _j12_tables(
 
 
 def _j12_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared J12 bipartite event construction (DriverNet Graph.R)."""
+    """Shared J12 bipartite event construction (DriverNet Graph.R).
+
+    expand_side="outliers" (r17, guide §2.3/§3.3): the edge vocabulary is
+    ~25 brands x ~150 types, so fanning the mutation side out broadcasts
+    ~150 edges per mutation row into the patient-level exchange while the
+    outlier side fans out only ~25 per row — and |mutations| ≥ |outliers|
+    here (every matched row mutates, only ±1.5σ rows outlie).  Expanding
+    the outlier side shuffles ~25·|outliers| + |mutations| rows instead of
+    ~150·|mutations| + |outliers| — identical result by inner-join
+    reassociation (the r17 A/B and the unchanged oracle hash prove it).
+    Both fan-outs are fixed category vocabularies, so the asymmetry holds
+    at any TPC-H scale."""
     mutations, edges, outliers = _j12_tables(spark, sf_dir)
-    return join_ops.bipartite_event_join(mutations, edges, outliers)
+    return join_ops.bipartite_event_join(
+        mutations, edges, outliers, expand_side="outliers"
+    )
 
 
 def q_j12_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,12 +35,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # the doc/embedding tables land as a single-row-group file → one scan
     # partition; the per-row work here (md5 shingles, 64-dim dot products)
-    # is heavy, so spread it.  Gated on the ACTUAL scan partition count
+    # is heavy, so spread it.  Gated on the scan partition count
     # (r16, guide §2.5): a naturally-split production input skips the
     # round-robin exchange entirely instead of re-shuffling every row
-    # into exactly defaultParallelism partitions.
+    # into exactly defaultParallelism partitions.  The count is ESTIMATED
+    # from the file index (r17, verdict item 7 — no plan-to-RDD
+    # translation in the query build path); the gate assumes upstream
+    # writers produce roughly even splits (r16 ADVICE note).
+    from ..sources.readers import scan_split_estimate
+
     n = spark.sparkContext.defaultParallelism
-    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+    return df.repartition(n) if scan_split_estimate(df, n) < n else df
 
 
 # ---- shared DuckDB fragments (kept in lockstep with the Spark operators) --

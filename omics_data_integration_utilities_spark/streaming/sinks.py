@@ -738,10 +738,19 @@ def _bucketed_commit(
             "with rebucket_bucketed_snapshot(transform=...)"
         )
     bucket = _bucket_expr(key_cols, n_buckets)
+    # NO key dedup here (r17, guide §2.3 — shuffle fewer bytes): both
+    # callers already deduplicate (upsert_batch_into_bucketed_snapshot's
+    # dropDuplicates; _split_cdc dedups each side and refuses a key
+    # carrying both ops), and every downstream use is duplicate-
+    # invariant anyway — the touched-bucket distinct collapses map-side
+    # to <= n_buckets rows per partition, and a left_anti join's result
+    # does not change with duplicate build keys.  The former
+    # dropDuplicates paid a full batch-key shuffle TWICE per commit
+    # (once under the touched collect, once under the write job's
+    # anti-join).
     all_keys = upserts.select(*key_cols)
     if delete_keys is not None:
         all_keys = all_keys.unionByName(delete_keys.select(*key_cols))
-    all_keys = all_keys.dropDuplicates(key_cols)
     touched = sorted(
         r["__bucket"]
         for r in all_keys.select(bucket.alias("__bucket")).distinct().collect()

@@ -138,3 +138,22 @@ def test_sidecar_round_marker_gates_override(tmp_path, monkeypatch):
     sidecar(None)  # markerless (pre-r15) sidecar: BENCH_rN wins
     prev, prev_cal = bench._previous_round_timings(str(tmp_path), "0.1")
     assert prev["q1"] == 2.0 and prev_cal == 0.5
+
+
+def test_calibration_mismatch_flag_on_contract_line():
+    """r17 (verdict item 9): a >25% calibration gap vs the comparator run
+    marks the contract line so PERF can discount raw deltas; a
+    load-matched pair (or a missing comparator) does not."""
+    def payload(cal, prev):
+        return json.loads(
+            bench._final_stdout_line(
+                1.0, {"q": 1.0}, "0.1", 3, {}, [], [], {}, {}, {},
+                calibration_s=cal, prev_calibration_s=prev,
+            )
+        )
+
+    assert payload(0.479, 0.264)["calibration_mismatch"] is True  # the r16 case
+    assert payload(0.432, 0.444)["calibration_mismatch"] is False
+    assert payload(0.30, 0.44)["calibration_mismatch"] is True
+    assert payload(0.44, None)["calibration_mismatch"] is False
+    assert payload(None, 0.44)["calibration_mismatch"] is False
