@@ -52,7 +52,10 @@ def greedy_driver_selection(
       ``localCheckpoint`` keeping lineage flat.
     """
     ev = list(event_cols)
-    distinct = events.select(mut_col, *ev).distinct().localCheckpoint()
+    # lazy checkpoint (r17): the count is the first action and scans
+    # every partition, so one job computes, persists and counts the
+    # distinct event table instead of two
+    distinct = events.select(mut_col, *ev).distinct().localCheckpoint(eager=False)
     n_events = distinct.count()
     if n_events <= collect_threshold:
         pdf = distinct.toPandas()

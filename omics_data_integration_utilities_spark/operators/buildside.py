@@ -26,8 +26,14 @@ def bounded_build_side(df: DataFrame, max_broadcast_rows: int):
     twice: the count and the join), measure it, and return
     ``(join_side, n_rows)``: ``F.broadcast`` under the cap, else the
     checkpointed relation hinted ``shuffle_hash`` so the join builds
-    its hash table from this bounded side."""
-    ckpt = df.localCheckpoint()
+    its hash table from this bounded side.
+
+    The checkpoint is LAZY (r17, guide §1.2 — fewer jobs): the count is
+    the first action over the marked RDD, so one job both computes and
+    persists it — a count scans every partition, so the materialization
+    is complete, and the join then reads the persisted blocks exactly
+    as before."""
+    ckpt = df.localCheckpoint(eager=False)
     n = ckpt.count()
     side = (
         F.broadcast(ckpt) if n <= int(max_broadcast_rows) else ckpt.hint("shuffle_hash")

@@ -202,7 +202,9 @@ def rule_bfs(
         F.col(passes_col).alias("__ok"),
         F.col(is_in_col).alias("__is_in"),
         F.col(has_col).alias("__has"),
-    ).localCheckpoint()  # map construction computes ONCE (count + collect/loop reuse it)
+    ).localCheckpoint(eager=False)  # map construction computes ONCE; the
+    # count below is the first action (full scan), so one job computes,
+    # persists and counts it (r17) — collect/loop then reuse the blocks
     if m.count() <= collect_threshold:
         rows = m.collect()
         ok = {r[0]: bool(r[2]) for r in rows}

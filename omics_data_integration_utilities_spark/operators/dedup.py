@@ -328,13 +328,18 @@ def ngram_jaccard_pairs(
     # ONE posting aggregation feeds both the sizes and the pair expansion
     # (localCheckpoint: without it Catalyst re-derives the whole shingle
     # pipeline per branch — the scan-dedup lesson); the checkpointed set
-    # is the capped doc-shingle stream, bounded by the input itself
+    # is the capped doc-shingle stream, bounded by the input itself.
+    # LAZY (r17, guide §1.2 — fewer jobs): the sizes count below is the
+    # first action and it scans every partition, so ONE job runs the
+    # shingle pipeline, persists the postings, persists the derived
+    # size table and counts it — the former shape paid three sequential
+    # jobs (posts ckpt, sizes ckpt, count) for the same work.
     posts = (
         sh.where(F.col("s").isNotNull())
         .groupBy("s")
         .agg(F.collect_list(id_col).alias("__ids"))
         .where(F.size("__ids") <= max_posting)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sizes = (
         posts.select(F.explode("__ids").alias(id_col))
@@ -347,7 +352,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = sizes.localCheckpoint()
+    sizes = sizes.localCheckpoint(eager=False)  # materialized by n_docs below
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     # Join-strategy guard (r12 probe finding): both join inputs are

@@ -549,7 +549,14 @@ def _probe_scored_topk(
         )
     d2 = ((qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     probe_lists = np.argsort(d2, axis=1)[:, :n_probes]
-    probes = spark.createDataFrame(
+    # ONE slice (r17): bare createDataFrame slices this driver-local
+    # relation defaultParallelism ways, so materializing it for the
+    # broadcast pays one Python-worker round trip per slice — the same
+    # tiny-sidecar cost local_rows_df was introduced for in r16
+    from ..sources.writers import local_rows_df
+
+    probes = local_rows_df(
+        spark,
         [
             (int(qids[i]), [int(x) for x in probe_lists[i]])
             for i in range(len(qids))

@@ -162,10 +162,17 @@ def frequent_items(
             F.col(key_col).isNotNull() & F.col(weight_col).isNotNull()
         )
         mass = F.sum(weight_col)
+    # phase 1 runs once and feeds candidates AND N.  The checkpoint is
+    # LAZY (r17, guide §1.2 — fewer jobs): the n_total aggregation below
+    # is the first action over the marked RDD, so ONE job runs the MG
+    # scan, persists the summary blocks and reduces the sentinel rows —
+    # the former eager checkpoint paid a separate job for the same scan
+    # (an aggregation computes every partition, so the materialization
+    # is complete).
     summary = items.mapInPandas(
         _misra_gries_partition(key_col, capacity, weight_col),
         schema=f"`{key_col}` {key_type}, part_rows long",
-    ).localCheckpoint()  # phase 1 runs once; feeds candidates AND N
+    ).localCheckpoint(eager=False)
     n_total = (
         summary.where(F.col(key_col).isNull())
         .agg(F.sum("part_rows"))

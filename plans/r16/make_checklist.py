@@ -8,9 +8,17 @@ Verdict legend:
   AMBIENT — flagged by a loaded run, adjudicated ambient via quiet probe
 """
 import json
+import pathlib
+import sys
 
-base = json.load(open("/root/repo/bench_r16_baseline.json"))
-cur = json.load(open("/root/repo/bench_full.json"))
+# paths resolve relative to the repo root (r16 ADVICE: the hardcoded
+# /root/repo paths made this scratch script checkout-specific), with
+# optional CLI overrides: make_checklist.py [baseline.json] [sidecar.json]
+REPO = pathlib.Path(__file__).resolve().parents[2]
+base_path = sys.argv[1] if len(sys.argv) > 1 else REPO / "bench_r16_baseline.json"
+cur_path = sys.argv[2] if len(sys.argv) > 2 else REPO / "bench_full.json"
+base = json.load(open(base_path))
+cur = json.load(open(cur_path))
 
 b = dict(base["mins"]); b.update(base.get("slow_mins", {}))
 c = dict(cur["mins"]); c.update(cur.get("slow_mins", {}))
